@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator: a Spark pipeline plus (when SQL-expressible) the
+  * equivalent DuckDB oracle statement the driver replays on the same parquet
+  * files. Determinism contract (SURVEY.md §2): every query ends in a total
+  * ORDER BY over a unique key, every floating aggregate is rounded to a fixed
+  * scale on BOTH sides, every derived integer is cast to BIGINT on BOTH
+  * sides, and `events.ts` (ns in parquet, µs in Spark) is compared only
+  * after `CAST(ts AS TIMESTAMP)` in the oracle / `date_trunc` in outputs.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def queries: Seq[Q]
+}
+
+/** Table loader. One parquet file per table per scale factor; schema comes
+  * from the footer (schema-on-read). At cluster scale these would be
+  * partitioned directories — the API is unchanged.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+  * read as a timestamp; we read it as raw nanos (`nanosAsLong`) and
+  * truncate to µs — exactly DuckDB's `CAST(ts AS TIMESTAMP)` semantics
+  * (verified: DuckDB truncates, and `ts div 1000` on positive longs
+  * truncates identically).
+  */
+object T {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Deterministic cross-engine floating-point policy.
+  *
+  * `round(x, s)` is NOT portable: on the same double, Spark rounds the
+  * shortest decimal representation (BigDecimal.valueOf → HALF_UP) while
+  * DuckDB scales in binary — they disagree at decimal tie boundaries
+  * (observed on sf0.001). And `round(sum(double), s)` is not even stable
+  * within one engine: partial-aggregation order varies per run.
+  *
+  * Policy:
+  *  - dround: scale to an integer, round at scale 0 (half-away-from-zero —
+  *    identical in both engines on identical doubles), divide back.
+  *  - dsum: per-row scale-to-int (deterministic), then an INTEGER sum
+  *    (associative — immune to aggregation order), divide back. Money
+  *    columns here have ≤2 decimal digits, products ≤6 — int64 holds
+  *    ~9.2e18, fine to petabyte-scale sums; beyond that switch to
+  *    sum(DECIMAL).
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{round, sum, lit}
+  def dround(c: Column, s: Int): Column = {
+    val f = math.pow(10, s)
+    round(c * f) / f
+  }
+  def dsum(c: Column, s: Int): Column = {
+    val f = math.pow(10, s)
+    sum(round(c * f).cast("long")) / f
+  }
+  /** oracle-SQL texts for the same two (identical semantics in DuckDB) */
+  def droundSql(x: String, s: Int): String =
+    s"round(($x) * 1e$s) / 1e$s"
+  def dsumSql(x: String, s: Int): String =
+    s"sum(CAST(round(($x) * 1e$s) AS BIGINT)) / 1e$s"
+}

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.rc.RcOps
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the graded operator
+  * inventory) and §7. Each module contributes `Q` entries; oracle SQL is
+  * colocated with each query definition.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[QueryModule] = Seq(
+    Scans, Joins, Aggregates, Windows, ScalarFns, EventOps,
+    TextOps, VectorOps, MultimodalOps, RcOps, UdfOps)
+
+  val all: Seq[Q] = modules.flatMap(_.queries)
+
+  /** Flagship query (TPC-H Q1 analog) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case Q(n, _, Some(o)) => n -> o }.toMap
 }

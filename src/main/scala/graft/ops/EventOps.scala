@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 — streaming semantics, batch-equivalent formulations on the
+  * bounded `events` table (the DuckDB-checkable half of the contract; the
+  * Structured Streaming twins live in `graft.streaming` and are asserted
+  * equal to these in StreamingTwinSpec).
+  *
+  * Scale notes: tumbling/sliding window aggregation is a plain hash
+  * aggregate on (window, key) — fully parallel. Sessionization shuffles once
+  * on user_id then runs two per-partition window passes. `stream_late_data`
+  * is the one inherently sequential op (running max in arrival order == the
+  * watermark); in streaming it's O(1) state — the batch twin's single-
+  * partition window is test-scale only.
+  */
+object EventOps extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "stream_tumbling_1h",
+      (s, dir) =>
+        T(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+            col("event_type"), col("n"), col("sum_val"))
+          .orderBy("win_start", "event_type"),
+      Some(
+        "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type, " +
+          "CAST(count(*) AS BIGINT) AS n, " + dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")
+    ),
+    Q(
+      "stream_sliding",
+      // 1h windows sliding every 30m: each event lands in exactly two
+      // epoch-aligned windows — mirrored in the oracle as a 2-way UNION ALL
+      // of 30-minute buckets.
+      (s, dir) =>
+        T(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+            col("n"), col("sum_val"))
+          .orderBy("win_start"),
+      Some(
+        "WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +
+          "AS tb, value FROM events), " +
+          "u AS (SELECT tb AS win_start, value FROM b " +
+          "UNION ALL SELECT tb - INTERVAL '30 minutes' AS win_start, value FROM b) " +
+          "SELECT win_start, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val FROM u GROUP BY win_start " +
+          "ORDER BY win_start")
+    ),
+    Q(
+      "stream_session_30m",
+      // Session windows, 30-min gap: lag-flag session starts, running-sum a
+      // session id, then aggregate per session. Durations in exact µs.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun =
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lagTs = lag("ts", 1).over(w)
+        T(s, dir, "events")
+          .withColumn("new_sess",
+            when(lagTs.isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(lagTs.cast("timestamp")) > 1800000000L,
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("sess_id", sum("new_sess").over(wRun))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts").cast("timestamp"))) -
+              unix_micros(min(col("ts").cast("timestamp")))).as("dur_us"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value " +
+          "FROM events), " +
+          "f AS (SELECT user_id, event_id, ts, value, CASE WHEN lag(ts, 1) OVER w IS NULL " +
+          "OR date_diff('microsecond', lag(ts, 1) OVER w, ts) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_sess FROM e " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+          "s AS (SELECT user_id, event_id, ts, value, sum(new_sess) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f) " +
+          "SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, " +
+          "CAST(count(*) AS BIGINT) AS n_events, " +
+          "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us, " +
+          dsumSql("value", 2) + " AS sum_val FROM s GROUP BY user_id, sess_id " +
+          "ORDER BY user_id, sess_id")
+    ),
+    Q(
+      "stream_late_data",
+      // Watermark semantics: an event is late if it is >10 min older than
+      // the max event time seen so far in arrival order (event_id).
+      (s, dir) => {
+        val w = Window.orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "events")
+          .withColumn("wm", max("ts").over(w))
+          .filter(
+            unix_micros(col("wm").cast("timestamp")) -
+              unix_micros(col("ts").cast("timestamp")) > 600000000L)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_trunc("second", col("ts")).cast("timestamp_ntz")
+              .as("ts_sec"),
+            date_trunc("second", col("wm")).cast("timestamp_ntz")
+              .as("wm_sec"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+          "m AS (SELECT event_id, user_id, ts, max(ts) OVER (ORDER BY event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm FROM e) " +
+          "SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec, " +
+          "date_trunc('second', wm) AS wm_sec FROM m " +
+          "WHERE date_diff('microsecond', ts, wm) > 600000000 ORDER BY event_id")
+    ),
+    Q(
+      "stream_stateful_dedup",
+      // Exactly-once-style dedup: first event per (user, type, minute).
+      (s, dir) =>
+        T(s, dir, "events")
+          .groupBy(
+            col("user_id"),
+            col("event_type"),
+            date_trunc("minute", col("ts")).cast("timestamp_ntz")
+              .as("minute_bucket"))
+          .agg(
+            min("event_id").as("first_event_id"),
+            count(lit(1)).as("n_in_bucket"))
+          .orderBy("user_id", "event_type", "minute_bucket"),
+      Some(
+        "SELECT user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) " +
+          "AS minute_bucket, min(event_id) AS first_event_id, " +
+          "CAST(count(*) AS BIGINT) AS n_in_bucket FROM events " +
+          "GROUP BY 1, 2, 3 ORDER BY user_id, event_type, minute_bucket")
+    )
+  )
+}

@@ -1,0 +1,271 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.text.TextAlgs
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 text half + training-data-pipeline text analysis: stats,
+  * quality scoring, exact/near/MinHash-LSH/SimHash dedup, fingerprinting,
+  * BPE-ish token counting, language ID.
+  *
+  * Scale notes: exact dedup is a hash groupBy on md5(text) — one shuffle of
+  * (hash, id), never the text bodies. Near-dup has two paths: the
+  * oracle-checked exact-Jaccard on a blocked slice (quadratic — test scale
+  * only), and the MinHash-LSH path (`text_dedup_minhash`) whose cost is
+  * linear in docs + bucket-local pairs: the 100 TB design. All UDF-based
+  * ops hash fixed-seed Murmur3, so results are identical across executors.
+  */
+object TextOps extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "text_stats",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(
+            col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            length(expr("replace(text, ' ', '')")).cast("double")
+              .as("charsum"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("toks").cast("double")), 4).as("avg_tokens"),
+            round(avg(col("charsum") / col("toks")), 6).as("avg_tok_len"),
+            max("toks").as("max_tokens"))
+          .orderBy("lang"),
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)),4) AS avg_tokens, " +
+          "round(avg(CAST(length(replace(text,' ','')) AS DOUBLE) / " +
+          "len(string_split(text,' '))),6) AS avg_tok_len, " +
+          "CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens " +
+          "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "text_dedup_exact",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_uniq"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+          .orderBy("lang"),
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq, " +
+          "CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups " +
+          "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "text_dedup_groups",
+      // Keeper selection: min doc_id per duplicated text hash.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(
+            min("doc_id").as("keeper"),
+            count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("h", "keeper", "n_copies")
+          .orderBy("keeper"),
+      Some(
+        "SELECT md5(text) AS h, min(doc_id) AS keeper, " +
+          "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
+          "GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper")
+    ),
+    Q(
+      "text_dedup_near",
+      // Exact token-set Jaccard >= 0.8 on a blocked slice (lang='en',
+      // two sources) — the oracle-checkable formulation of near-dup.
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("tokset"))
+        val a = toks.select(col("doc_id").as("doc_a"),
+          col("tokset").as("set_a"))
+        val b = toks.select(col("doc_id").as("doc_b"),
+          col("tokset").as("set_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("set_a"), col("set_b")))
+              .cast("double"))
+          .withColumn("jac",
+            round(col("inter") / (size(col("set_a")) + size(col("set_b"))
+              - col("inter")), 6))
+          .filter(col("jac") >= 0.8)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset " +
+          "FROM documents WHERE lang = 'en' AND source IN ('src0','src1')), " +
+          "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) AS inter, " +
+          "len(a.tokset) AS la, len(b.tokset) AS lb " +
+          "FROM t a JOIN t b ON a.doc_id < b.doc_id) " +
+          "SELECT doc_a, doc_b, round(inter / (la + lb - inter), 6) AS jac FROM p " +
+          "WHERE round(inter / (la + lb - inter), 6) >= 0.8 ORDER BY doc_a, doc_b")
+    ),
+    Q(
+      "text_dedup_minhash",
+      // MinHash-LSH near-dup — the linear-cost scale path. Shingle→minhash→
+      // band→bucket-join→verify. No oracle (seeded-hash-specific); the
+      // ScalaTest asserts its verified pairs equal the exact-Jaccard pairs.
+      (s, dir) => {
+        import s.implicits._
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+        val bands = toks.flatMap { case (id, ts) =>
+          TextAlgs.lshBands(TextAlgs.minhash(ts.distinct))
+            .map { case (b, h) => (id, b, h) }
+        }.toDF("doc_id", "band", "bhash")
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bhash") === col("y.bhash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sets = T(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("tokset"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"),
+            col("tokset").as("set_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"),
+            col("tokset").as("set_b")), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("set_a"), col("set_b")))
+              .cast("double"))
+          .withColumn("jac",
+            round(col("inter") / (size(col("set_a")) + size(col("set_b"))
+              - col("inter")), 6))
+          .filter(col("jac") >= 0.8)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      None
+    ),
+    Q(
+      "text_simhash",
+      // 64-bit SimHash fingerprints + near-dup candidates at hamming <= 8.
+      (s, dir) => {
+        import s.implicits._
+        val sh = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ts) => (id, TextAlgs.simhash(ts)) }
+          .toDF("doc_id", "simhash")
+        sh.orderBy("doc_id")
+      },
+      None
+    ),
+    Q(
+      "text_fingerprint",
+      // Content fingerprint: md5 over the sorted distinct token set —
+      // identical across engines, unlike seeded rolling hashes.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ",
+              array_sort(array_distinct(split(col("text"), " ")))))
+              .as("fp"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+          "string_split(text, ' '))), ' ')) AS fp FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "text_quality",
+      // Quality score: distinct-token ratio, stopword ratio, length factor.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            split(col("text"), " ").as("toks"))
+          .withColumn("n_toks", size(col("toks")).cast("double"))
+          .withColumn("distinct_ratio",
+            size(array_distinct(col("toks"))) / col("n_toks"))
+          .withColumn("stop_ratio",
+            size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
+              / col("n_toks"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            round(col("distinct_ratio"), 6).as("distinct_ratio"),
+            round(col("stop_ratio"), 6).as("stop_ratio"),
+            round(
+              lit(0.5) * col("distinct_ratio") +
+                lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+                lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6)
+              .as("quality"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks " +
+          "FROM documents), " +
+          "r AS (SELECT doc_id, lang, " +
+          "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio, " +
+          "CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) " +
+          "/ len(toks) AS stop_ratio, n_chars FROM t) " +
+          "SELECT doc_id, lang, round(distinct_ratio, 6) AS distinct_ratio, " +
+          "round(stop_ratio, 6) AS stop_ratio, " +
+          "round(0.5*distinct_ratio + 0.3*(1.0 - stop_ratio) + " +
+          "0.2*least(n_chars/500.0, 1.0), 6) AS quality " +
+          "FROM r ORDER BY doc_id")
+    ),
+    Q(
+      "text_token_bpe",
+      // BPE-ish regex tokenizer count (letters / digits / single symbol).
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("lang"),
+            size(expr(
+              "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .cast("long").as("n_bpe"))
+          .groupBy("lang")
+          .agg(
+            sum("n_bpe").as("total_bpe"),
+            round(avg(col("n_bpe").cast("double")), 4).as("avg_bpe"))
+          .orderBy("lang"),
+      Some(
+        "WITH t AS (SELECT lang, CAST(len(regexp_extract_all(text, " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe FROM documents) " +
+          "SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe, " +
+          "round(avg(CAST(n_bpe AS DOUBLE)),4) AS avg_bpe " +
+          "FROM t GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "text_lang_id",
+      // Heuristic language ID (stopword markers + CJK ratio). The synthetic
+      // corpus shares one vocabulary across langs, so the interesting
+      // assertions live in TextAlgsSpec on real multilingual strings; here
+      // it runs distributed over the corpus (rows-only check).
+      (s, dir) => {
+        val detect = udf((t: String) => TextAlgs.detectLang(t))
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            detect(col("text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    Q(
+      "text_rolling_fp",
+      // Order-sensitive rolling-hash fingerprint (seeded — no oracle).
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ts) => (id, TextAlgs.rollingFingerprint(ts)) }
+          .toDF("doc_id", "rolling_fp")
+          .orderBy("doc_id")
+      },
+      None
+    )
+  )
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.vec.VecAlgs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 vector half — similarity search over the `embeddings` table.
+  *
+  * Scale notes: brute-force cosine self-join is O(n²) and exists as the
+  * exactness baseline (bounded here to 2k vectors). The scale path is
+  * `vec_knn_ivf`: sign-LSH bucketing makes candidate generation linear with
+  * bucket-local search — the same shape as IVF with nprobe>1 (hamming-1
+  * probing). Norms are precomputed once per vector before the join so the
+  * join-side work is a single dot product. All float math is widened to
+  * double before accumulating, matching the oracle exactly.
+  */
+object VectorOps extends QueryModule {
+
+  /** Σ aᵢ·bᵢ over float arrays, accumulated in double, left-to-right. */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def normExpr(a: String): Column =
+    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), " +
+      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+
+  /** vectors with precomputed norms */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        normExpr("embedding").as("nrm"))
+
+  /** all ordered pairs (vec_a < vec_b) with rounded cosine sim */
+  private def pairSims(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+  }
+
+  private val pairSimsOracle =
+    "WITH v AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
+      "FROM (SELECT unnest(embedding) AS a) x)) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "round((SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+      "(SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) " +
+      "/ (a.nrm*b.nrm), 6) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) "
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "vec_knn_cosine",
+      (s, dir) =>
+        pairSims(s, dir)
+          .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+          .limit(10),
+      Some(pairSimsOracle +
+        "SELECT vec_a, vec_b, sim FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 10")
+    ),
+    Q(
+      "vec_neardup_cosine",
+      // Embedding-cosine near-duplicate detection: all pairs >= 0.4.
+      (s, dir) =>
+        pairSims(s, dir)
+          .filter(col("sim") >= 0.4)
+          .orderBy("vec_a", "vec_b"),
+      Some(pairSimsOracle +
+        "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b")
+    ),
+    Q(
+      "vec_knn_query",
+      // 5-NN of a fixed query vector (vec_id=0) — the broadcast-one-side
+      // shape: the query row broadcasts, the scan stays partitioned.
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = broadcast(v.filter(col("vec_id") === 0)
+          .select(col("embedding").as("eq"), col("nrm").as("nq")))
+        v.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(dotExpr("embedding", "eq") / (col("nrm") * col("nq")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        "WITH v AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
+          "FROM (SELECT unnest(embedding) AS a) x)) AS nrm FROM embeddings), " +
+          "q AS (SELECT embedding AS eq, nrm AS nq FROM v WHERE vec_id = 0) " +
+          "SELECT v.vec_id, round((SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+          "(SELECT unnest(v.embedding) AS x, unnest(q.eq) AS y) z) / (v.nrm*q.nq), 6) " +
+          "AS sim FROM v, q WHERE v.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")
+    ),
+    Q(
+      "vec_knn_ivf",
+      // ANN scale path: sign-LSH (8 seeded hyperplanes → 256 buckets),
+      // probe the query bucket plus all hamming-1 neighbors, exact cosine
+      // within candidates. No oracle (seeded-LSH-specific); VectorSpec
+      // asserts recall vs the exact 5-NN.
+      (s, dir) => {
+        import s.implicits._
+        val planes = VecAlgs.hyperplanes(8, 64, seed = 7L)
+        val ds = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])]
+        val qvec = ds.filter(r => r._1 == 0L).head()._2
+          .map(_.toDouble).toArray
+        val qb = VecAlgs.bucket(planes, qvec)
+        ds.filter(r => r._1 != 0L)
+          .map { case (id, e) =>
+            val v = e.map(_.toDouble).toArray
+            (id, VecAlgs.bucket(planes, v),
+              BigDecimal(VecAlgs.cosine(qvec, v))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .filter(r => Integer.bitCount(r._2 ^ qb) <= 1)
+          .map(r => (r._1, r._3))
+          .toDF("vec_id", "sim")
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      None
+    ),
+    Q(
+      "vec_centroids",
+      // Per-label centroid L2 norms: posexplode → per-dimension mean →
+      // re-aggregate. Two algebraic hash aggregates — scales linearly.
+      (s, dir) =>
+        T(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg(avg(col("col").cast("double")).as("m"))
+          .groupBy("label")
+          .agg(round(sqrt(sum(col("m") * col("m"))), 4)
+            .as("centroid_norm"))
+          .orderBy("label"),
+      Some(
+        "WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, " +
+          "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+          "c AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos) " +
+          "SELECT label, round(sqrt(sum(m*m)), 4) AS centroid_norm FROM c " +
+          "GROUP BY label ORDER BY label")
+    ),
+    Q(
+      "multimodal_join",
+      // documents ⋈ embeddings on doc_id = vec_id: text stats per label.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .join(T(s, dir, "embeddings"),
+            col("doc_id") === col("vec_id"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+            round(avg(size(split(col("text"), " ")).cast("double")), 4)
+              .as("avg_toks"))
+          .orderBy("label"),
+      Some(
+        "SELECT label, CAST(count(*) AS BIGINT) AS n, " +
+          "round(avg(CAST(n_chars AS DOUBLE)),4) AS avg_chars, " +
+          "round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)),4) AS avg_toks " +
+          "FROM documents JOIN embeddings ON doc_id = vec_id " +
+          "GROUP BY label ORDER BY label")
+    )
+  )
+}

@@ -1,0 +1,38 @@
+package graft.vec
+
+import graft.text.SplitMix64
+
+/** Pure, deterministic vector helpers for the ANN operators. */
+object VecAlgs {
+
+  /** Seeded random hyperplanes (nPlanes x dim) for sign-LSH bucketing. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new SplitMix64(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  def bucket(planes: Array[Array[Double]], v: Array[Double]): Int = {
+    var b = 0
+    var i = 0
+    while (i < planes.length) {
+      var d = 0.0
+      var j = 0
+      val p = planes(i)
+      while (j < p.length) { d += p(j) * v(j); j += 1 }
+      if (d >= 0) b |= (1 << i)
+      i += 1
+    }
+    b
+  }
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+}
