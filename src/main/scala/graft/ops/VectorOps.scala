@@ -99,27 +99,31 @@ object VectorOps extends QueryModule {
     ),
     Q(
       "vec_knn_ivf",
-      // ANN scale path: sign-LSH (8 seeded hyperplanes → 256 buckets),
-      // probe the query bucket plus all hamming-1 neighbors, exact cosine
-      // within candidates. No oracle (seeded-LSH-specific); VectorSpec
-      // asserts recall vs the exact 5-NN.
+      // ANN scale path: multi-table sign-LSH (4 tables x 6 seeded
+      // hyperplanes), candidate if ANY table lands within hamming<=1 of the
+      // query bucket, exact cosine re-rank within candidates — the classic
+      // LSH recall/selectivity trade. No oracle (seeded-LSH-specific);
+      // VectorSpec asserts recall vs the exact 5-NN.
       (s, dir) => {
         import s.implicits._
-        val planes = VecAlgs.hyperplanes(8, 64, seed = 7L)
+        val tables = Array.tabulate(4)(t =>
+          VecAlgs.hyperplanes(6, 64, seed = 7L + t))
         val ds = T(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])]
         val qvec = ds.filter(r => r._1 == 0L).head()._2
           .map(_.toDouble).toArray
-        val qb = VecAlgs.bucket(planes, qvec)
+        val qbs = tables.map(p => VecAlgs.bucket(p, qvec))
         ds.filter(r => r._1 != 0L)
           .map { case (id, e) =>
             val v = e.map(_.toDouble).toArray
-            (id, VecAlgs.bucket(planes, v),
+            val hit = tables.indices.exists(t =>
+              Integer.bitCount(VecAlgs.bucket(tables(t), v) ^ qbs(t)) <= 1)
+            (id, hit,
               BigDecimal(VecAlgs.cosine(qvec, v))
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
-          .filter(r => Integer.bitCount(r._2 ^ qb) <= 1)
+          .filter(r => r._2)
           .map(r => (r._1, r._3))
           .toDF("vec_id", "sim")
           .orderBy(col("sim").desc, col("vec_id"))

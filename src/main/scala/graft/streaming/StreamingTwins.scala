@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.rc.Esn
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming twins of the §2.8/§2.10 batch-equivalent operators.
+  * Each takes an (unbounded or bounded) events DataFrame with columns
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) and returns the incremental formulation.
+  * StreamingTwinSpec asserts twin(stream) == batch result on the same rows.
+  *
+  * Scale notes: these are the true 100 TB streaming path — state is O(keys ×
+  * window), not O(rows): tumbling/session aggs keep per-window partials in
+  * the StateStore and the watermark bounds retention; the ESN twin keeps one
+  * 32-float state vector per key (`flatMapGroupsWithState`), the exact
+  * streaming-native formulation of the reference's keyed reservoir update.
+  */
+object StreamingTwins {
+
+  /** Tumbling 1-hour event-time window (complete-mode comparable). */
+  def tumbling1h(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("sum_val"))
+
+  /** Session window, 30-minute gap, per user. */
+  def session30m(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"), col("sum_val"))
+
+  /** First event per (user, type, minute) — streaming dedup. With a
+    * watermark this becomes `dropDuplicatesWithinWatermark` (bounded state);
+    * the unbounded form is used for exact twin comparison in tests.
+    */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+      .dropDuplicates("user_id", "event_type", "minute_bucket")
+
+  /** Tumbling window with a 10-minute watermark (append mode) — the
+    * production form of tumbling1h with bounded state.
+    */
+  def tumbling1hWatermarked(events: DataFrame): DataFrame =
+    tumbling1h(events.withWatermark("ts", "10 minutes"))
+
+  final case class EsnIn(event_id: Long, tsUs: Long, user_id: Long,
+      value: Double)
+  final case class EsnState(x: Array[Double], step: Long)
+  final case class EsnOut(user_id: Long, step: Long, event_id: Long,
+      x0: Double, x1: Double)
+
+  /** Keyed ESN reservoir update carried across micro-batches in
+    * `flatMapGroupsWithState` — one small state vector per user. Rows
+    * within a batch are sorted by (tsUs, event_id); cross-batch order is
+    * the arrival order, as in any real stream.
+    */
+  def esnStates(in: Dataset[EsnIn], m: Esn.Mats): Dataset[EsnOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EsnState, EsnOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EsnIn], state: GroupState[EsnState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.tsUs, r.event_id))
+          val st = state.getOption
+            .getOrElse(EsnState(new Array[Double](Esn.Nx), 0L))
+          var x = st.x
+          var step = st.step
+          val out = sorted.map { r =>
+            x = Esn.step(m, x, r.value / Esn.InputScale)
+            step += 1
+            EsnOut(uid, step - 1, r.event_id, x(0), x(1))
+          }
+          state.update(EsnState(x, step))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators scale
+  * (pushdown, pruning, broadcast, top-k) must be visible in the plan, not
+  * assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+
+  test("scan_pruned pushes the shipdate predicate into the parquet scan") {
+    val p = planOf("scan_pruned")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_pruned prunes columns to the 3 selected") {
+    val p = planOf("scan_pruned")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_shipdate") &&
+      !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("join_broadcast uses broadcast hash joins, no sort-merge") {
+    val p = planOf("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk_global compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_theta_range broadcasts the small part slice (BNLJ)") {
+    val p = planOf("join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("agg_pricing_summary plans a partial aggregate before the exchange") {
+    val p = planOf("agg_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pairs around one shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

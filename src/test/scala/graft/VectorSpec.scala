@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.SplitMix64
+import graft.vec.VecAlgs
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("cosine bounds and symmetry (100 seeded cases)") {
+    val rng = new SplitMix64(99L)
+    def vec() = Array.fill(16)(rng.nextDouble() * 2 - 1)
+    (0 until 100).foreach { _ =>
+      val a = vec(); val b = vec()
+      val c = VecAlgs.cosine(a, b)
+      assert(c >= -1.0000001 && c <= 1.0000001)
+      assert(math.abs(c - VecAlgs.cosine(b, a)) < 1e-12)
+      assert(math.abs(VecAlgs.cosine(a, a) - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH bucketing is deterministic") {
+    val planes = VecAlgs.hyperplanes(8, 64, seed = 7L)
+    val planes2 = VecAlgs.hyperplanes(8, 64, seed = 7L)
+    assert(planes.map(_.toSeq).toSeq == planes2.map(_.toSeq).toSeq)
+    val v = Array.tabulate(64)(i => math.sin(i.toDouble))
+    assert(VecAlgs.bucket(planes, v) == VecAlgs.bucket(planes2, v))
+  }
+
+  test("IVF/LSH 5-NN recall vs exact brute force") {
+    val exact = SparkEntry.queries("vec_knn_query")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("vec_knn_ivf")(spark, TestSpark.Sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // hamming-1 probing over 8-bit sign-LSH: recall is data-dependent —
+    // require a meaningful fraction, exactness is vec_knn_query's job
+    assert(recall >= 0.4, s"recall $recall, exact=$exact approx=$approx")
+  }
+
+  test("exact top-10 pair sim matches a driver-side brute force") {
+    import org.apache.spark.sql.functions.col
+    val vecs = T(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val sims = for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+    } yield (ia, ib,
+      BigDecimal(VecAlgs.cosine(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expected = sims.sortBy { case (a, b, s) => (-s, a, b) }.take(10)
+      .map { case (a, b, s) => (a, b, s) }.toSeq
+    val got = SparkEntry.queries("vec_knn_cosine")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+  }
+}
