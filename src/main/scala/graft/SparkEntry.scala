@@ -11,7 +11,7 @@ import graft.rc.RcOps
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Scans, Joins, Aggregates, Windows, ScalarFns, EventOps,
+    Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, Subqueries,
     TextOps, VectorOps, MultimodalOps, RcOps, UdfOps)
 
   val all: Seq[Q] = modules.flatMap(_.queries)

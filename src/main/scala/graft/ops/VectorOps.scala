@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
+import graft.functions.VecExprs
 import graft.vec.VecAlgs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,21 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps extends QueryModule {
 
-  /** Σ aᵢ·bᵢ over float arrays, accumulated in double, left-to-right. */
+  /** Σ aᵢ·bᵢ via the codegen'd FloatVecDot expression (graft.functions) —
+    * same left-to-right double accumulation as the HOF/oracle formulation.
+    */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def normExpr(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), " +
-      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    expr(s"fvdot($a, $b)")
 
   /** vectors with precomputed norms */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    VecExprs.register(s)
     T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        normExpr("embedding").as("nrm"))
+        sqrt(expr("fvdot(embedding, embedding)")).as("nrm"))
+  }
 
   /** all ordered pairs (vec_a < vec_b) with rounded cosine sim */
   private def pairSims(s: SparkSession, dir: String): DataFrame = {

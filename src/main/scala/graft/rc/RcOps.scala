@@ -167,9 +167,12 @@ object RcOps extends QueryModule {
     Q(
       "rc_predict_mse",
       // Score the held-out 20% with the trained readout; per-user MSE.
+      // The design rows feed two jobs (Gram aggregation, then scoring) —
+      // persist so the reservoir fold runs once, not twice.
       (s, dir) => {
         import s.implicits._
         val rows = foldedDesign(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w = trainReadout(rows, lambda = 1e-2)
         rows
           .filter(r => r._5.isDefined && r._2 >= trainCut(r._3))

@@ -82,4 +82,20 @@ class TextAlgsSpec extends AnyFunSuite {
     assert(TextAlgs.tokenHash64("spark") == TextAlgs.tokenHash64("spark"))
     assert(TextAlgs.tokenHash64("spark") != TextAlgs.tokenHash64("flink"))
   }
+
+  test("MinHash-LSH finds the same near-dup pairs as exact Jaccard") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    // the exact op's blocked slice (lang=en, src0/src1)
+    val sliceIds = T(spark, TestSpark.Sf, "documents")
+      .filter(col("lang") === "en" && col("source").isin("src0", "src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("text_dedup_near")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("text_dedup_minhash")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => sliceIds(a) && sliceIds(b) }.toSet
+    assert(lsh == exact,
+      s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
+  }
 }
