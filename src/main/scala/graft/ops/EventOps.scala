@@ -19,6 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object EventOps extends QueryModule {
 
+  /** events as an unbounded stream: file source over the fixture dir with
+    * the raw-nanos schema, converted to µs NTZ like the batch loader.
+    */
+  private def liveEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // raw nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "stream_tumbling_1h",
@@ -31,6 +52,33 @@ object EventOps extends QueryModule {
           .select(col("w.start").cast("timestamp_ntz").as("win_start"),
             col("event_type"), col("n"), col("sum_val"))
           .orderBy("win_start", "event_type"),
+      Some(
+        "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type, " +
+          "CAST(count(*) AS BIGINT) AS n, " + dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")
+    ),
+    Q(
+      "stream_tumbling_1h_live",
+      // The same tumbling aggregation executed as a REAL Structured
+      // Streaming job: file source → incremental stateful aggregation
+      // (complete mode) → memory sink, AvailableNow trigger. Shares the
+      // batch twin's oracle — streaming and batch must agree exactly.
+      (s, dir) => {
+        val name = s"live_tumbling_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+            col("event_type"), col("n"), col("sum_val"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("win_start", "event_type")
+      },
       Some(
         "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type, " +
           "CAST(count(*) AS BIGINT) AS n, " + dsumSql("value", 2) + " AS sum_val " +
@@ -98,6 +146,70 @@ object EventOps extends QueryModule {
           "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us, " +
           dsumSql("value", 2) + " AS sum_val FROM s GROUP BY user_id, sess_id " +
           "ORDER BY user_id, sess_id")
+    ),
+    Q(
+      "stream_session_live",
+      // Real streaming session windows: session_window() with complete-mode
+      // state. Oracle derives the same sessions via gap-flag window SQL and
+      // reports each session's start (= min ts).
+      (s, dir) => {
+        val name = s"live_session_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("sess_start"),
+            col("n_events"), col("sum_val"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("user_id", "sess_start")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value " +
+          "FROM events), " +
+          "f AS (SELECT user_id, event_id, ts, value, CASE WHEN lag(ts, 1) OVER w IS NULL " +
+          "OR date_diff('microsecond', lag(ts, 1) OVER w, ts) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS new_sess FROM e " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+          "s AS (SELECT user_id, ts, value, sum(new_sess) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f) " +
+          "SELECT user_id, min(ts) AS sess_start, " +
+          "CAST(count(*) AS BIGINT) AS n_events, " +
+          dsumSql("value", 2) + " AS sum_val FROM s GROUP BY user_id, sess_id " +
+          "ORDER BY user_id, sess_start")
+    ),
+    Q(
+      "stream_dedup_live",
+      // Real streaming dedup (dropDuplicates state). The kept ROW per key
+      // depends on processing order, so the deterministic output is the
+      // per-type count of distinct keys, not the rows.
+      (s, dir) => {
+        val name = s"live_dedup_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+          .dropDuplicates("user_id", "event_type", "minute_bucket")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys FROM " +
+          "(SELECT DISTINCT user_id, event_type, " +
+          "date_trunc('minute', CAST(ts AS TIMESTAMP)) FROM events) t " +
+          "GROUP BY event_type ORDER BY event_type")
     ),
     Q(
       "stream_late_data",
