@@ -1,0 +1,80 @@
+package graft
+
+import graft.rc.RcPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ESN must actually LEARN, not just run: on Mackey-Glass (the classic
+  * chaotic ESN benchmark, and the reference's canonical example series) the
+  * trained readout must beat the persistence predictor by a wide margin.
+  */
+class RcPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Mackey-Glass series via Euler discretization:
+    * dx/dt = beta*x(t-tau)/(1+x(t-tau)^10) - gamma*x(t); classic params.
+    */
+  private def mackeyGlass(n: Int): Array[Double] = {
+    val tau = 17
+    val beta = 0.2
+    val gamma = 0.1
+    val hist = Array.fill(tau + 1)(1.2)
+    val out = new Array[Double](n)
+    var x = 1.2
+    val buf = collection.mutable.Queue(hist.toIndexedSeq: _*)
+    (0 until n).foreach { i =>
+      val xTau = buf.dequeue()
+      x = x + beta * xTau / (1.0 + math.pow(xTau, 10.0)) - gamma * x
+      buf.enqueue(x)
+      out(i) = x
+    }
+    out
+  }
+
+  test("ESN horizon-1 prediction on Mackey-Glass beats persistence") {
+    import spark.implicits._
+    val n = 1500
+    val mg = mackeyGlass(n)
+    val series = spark.createDataset(
+      mg.toSeq.zipWithIndex.map { case (v, t) => (1L, t.toLong, 0L, v) })
+
+    val model = RcPipeline.fit(series, lambda = 1e-6, inputScale = 1.0,
+      horizon = 1, trainFrac = 0.8)
+    val Array((_, nTest, mseEsn)) =
+      RcPipeline.score(series, model).collect()
+
+    // persistence baseline on the same test tail: predict y(t+1) = y(t)
+    val cut = RcPipeline.trainCut(n.toLong, 1, 0.8).toInt
+    val msePersist = (cut until n - 1)
+      .map(t => math.pow(mg(t + 1) - mg(t), 2)).sum / (n - 1 - cut)
+
+    assert(nTest == n - 1 - cut)
+    assert(mseEsn < 0.5 * msePersist,
+      s"ESN mse $mseEsn not < half of persistence mse $msePersist")
+  }
+
+  test("horizon-3 alignment trains on the right targets") {
+    import spark.implicits._
+    val vals = (0 until 50).map(_.toDouble)
+    val series = spark.createDataset(
+      vals.zipWithIndex.map { case (v, t) => (1L, t.toLong, 0L, v) })
+    val rows = RcPipeline
+      .design(series, graft.rc.Esn.matrices(), 1.0, horizon = 3)
+      .collect().sortBy(_._2)
+    // targets are u(t+3); the last 3 steps have none
+    assert(rows.count(_._5.isDefined) == 47)
+    rows.filter(_._5.isDefined).foreach { case (_, t, _, phi, Some(y)) =>
+      assert(phi(1) == vals(t.toInt))
+      assert(y == vals(t.toInt + 3))
+    }
+  }
+
+  test("fit is deterministic across invocations") {
+    import spark.implicits._
+    val mg = mackeyGlass(300)
+    val series = spark.createDataset(
+      mg.toSeq.zipWithIndex.map { case (v, t) => (1L, t.toLong, 0L, v) })
+    val w1 = RcPipeline.fit(series, 1e-6).w
+    val w2 = RcPipeline.fit(series, 1e-6).w
+    assert(w1.sameElements(w2))
+  }
+}
