@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: each demonstrates a 100 TB pattern while
+  * remaining oracle-checkable (the oracle states the logical result; the
+  * technique changes only the physical plan).
+  *
+  *  - `agg_salted`: two-stage salted aggregation — the standard fix for a
+  *    skewed group key: partial-aggregate on (key, salt) first so no
+  *    single reducer owns a hot key, then final-aggregate on key.
+  *  - `win_range_frame`: RANGE frame over integer days (vs the ROWS
+  *    frames elsewhere) — trailing-30-day revenue per customer.
+  *  - `source_json` / `source_orc`: additional source formats
+  *    round-tripped losslessly, so the day-level oracle still holds.
+  *  - `sink_bucketed_join`: both join sides written bucketed on the join
+  *    key, then joined — bucketing co-locates matching rows so the join
+  *    plans WITHOUT a shuffle exchange (asserted in PlanSpec).
+  */
+object Extras extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "agg_salted",
+      (s, dir) => {
+        val salted = T(s, dir, "events")
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(round(col("value") * 100).cast("long")).as("psum"))
+        salted
+          .groupBy("event_type")
+          .agg(
+            sum("pn").as("n"),
+            (sum("psum") / 100.0).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "win_range_frame",
+      // trailing-30-day revenue per customer: RANGE frame over day numbers
+      (s, dir) => {
+        val days = (unix_micros(col("o_orderdate").cast("timestamp"))
+          / 86400000000L).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+          .rangeBetween(-30, Window.currentRow)
+        T(s, dir, "orders")
+          .withColumn("day", days)
+          .withColumn("rev30",
+            sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+              / 100.0)
+          // (o_custkey, day) is not unique → aggregate to make the output
+          // key total: max rev30 per (custkey, day) — same value for all
+          // rows of a day since RANGE frames see whole days
+          .groupBy("o_custkey", "day")
+          .agg(max("rev30").as("rev30"))
+          .orderBy("o_custkey", "day")
+      },
+      Some(
+        "WITH t AS (SELECT o_custkey, " +
+          "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) " +
+          "AS BIGINT) AS day, o_totalprice FROM orders), " +
+          "r AS (SELECT o_custkey, day, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+          "(PARTITION BY o_custkey ORDER BY day " +
+          "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS rev30 FROM t) " +
+          "SELECT o_custkey, day, max(rev30) AS rev30 FROM r " +
+          "GROUP BY o_custkey, day ORDER BY o_custkey, day")
+    ),
+    Q(
+      "source_json",
+      // JSON-lines source round trip (schema-on-read with explicit schema)
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_json_src").toString
+        T(s, dir, "events")
+          .select(col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("event_id LONG, ts_us LONG, event_type STRING, value DOUBLE")
+          .json(tmp)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"),
+            min("event_id").as("first_id"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val, min(event_id) AS first_id " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "source_orc",
+      // ORC source round trip
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_orc_src").toString
+        T(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("l_quantity", 2) + " AS qty FROM lineitem " +
+          "GROUP BY l_returnflag, l_linestatus " +
+          "ORDER BY l_returnflag, l_linestatus")
+    ),
+    Q(
+      "sink_bucketed_join",
+      // Bucketed co-located join: both sides bucketBy(8, custkey) →
+      // the sort-merge join reads bucket-aligned files, NO shuffle
+      // exchange on either side (PlanSpec asserts it).
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        T(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .write.mode("overwrite")
+          .option("path", s"$tmp/orders_b")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_b")
+        T(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite")
+          .option("path", s"$tmp/customer_b")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_b")
+        bucketedJoin(s)
+      },
+      Some(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+          dsumSql("o_totalprice", 2) + " AS total " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    )
+  )
+
+  /** the join over the bucketed tables (split out for plan assertions) */
+  def bucketedJoin(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    // disable auto-broadcast so the co-located SMJ (not BHJ) is exercised
+    val orders = s.table("graft_orders_b").hint("merge")
+    val cust = s.table("graft_customer_b").hint("merge")
+    orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+}

@@ -43,6 +43,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bucketed join plans with no shuffle exchange on either side") {
+    // materialize the bucketed tables, then inspect the join-only plan
+    SparkEntry.queries("sink_bucketed_join")(spark, TestSpark.Sf).count()
+    val p = graft.ops.Extras.bucketedJoin(spark)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val joinPart = p.split("TakeOrdered").head
+    // the only exchange allowed is the post-join aggregation's
+    val exchanges = "Exchange hashpartitioning\\(\\w*[oc]_custkey"
+      .r.findAllIn(joinPart).size
+    assert(exchanges == 0,
+      s"join keys re-shuffled despite bucketing:\n$p")
+  }
+
   test("agg_pricing_summary plans a partial aggregate before the exchange") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("HashAggregate"), p)
