@@ -98,6 +98,22 @@ object Scans extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "source_rcseries",
+      // Custom DataSource V2 (graft.sources): deterministic Mackey-Glass
+      // generator, one partition per series key. No oracle (generator is
+      // engine-internal); SeriesSourceSpec checks determinism + content.
+      (s, dir) =>
+        s.read.format("rcseries")
+          .option("keys", 8).option("n", 500).load()
+          .groupBy("key")
+          .agg(
+            count(lit(1)).as("n"),
+            dround(avg("value"), 6).as("mean_val"),
+            dround(max("value"), 6).as("max_val"))
+          .orderBy("key"),
+      None
+    ),
+    Q(
       "project_arith",
       (s, dir) =>
         T(s, dir, "lineitem")
