@@ -111,6 +111,51 @@ object TextOps extends QueryModule {
           "WHERE round(inter / (la + lb - inter), 6) >= 0.8 ORDER BY doc_a, doc_b")
     ),
     Q(
+      "text_dedup_ngram",
+      // Near-dup via 3-gram (shingle) Jaccard — order-sensitive, so it
+      // discriminates far harder than token-set Jaccard: shuffled copies
+      // of the same bag share tokens but few shingles. Same blocked slice
+      // as text_dedup_near; threshold 0.01 (shingle overlap is rare by
+      // construction here — max pairwise shingle-jaccard is ~0.02, so the
+      // low threshold keeps the oracle comparison non-trivial).
+      (s, dir) => {
+        val sh = T(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("shingles", expr(
+            "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+              "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', element_at(toks, i), " +
+              "element_at(toks, i + 1), element_at(toks, i + 2)))) END"))
+          .select("doc_id", "shingles")
+        val a = sh.select(col("doc_id").as("doc_a"),
+          col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("jac",
+            round(col("inter") / (size(col("sh_a")) + size(col("sh_b"))
+              - col("inter")), 6))
+          .filter(col("jac") >= 0.01)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+          "WHERE lang = 'en' AND source IN ('src0','src1')), " +
+          "g AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 2), " +
+          "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t), " +
+          "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter, " +
+          "len(a.sh) AS la, len(b.sh) AS lb FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
+          "SELECT doc_a, doc_b, round(inter / (la + lb - inter), 6) AS jac FROM p " +
+          "WHERE round(inter / (la + lb - inter), 6) >= 0.01 ORDER BY doc_a, doc_b")
+    ),
+    Q(
       "text_dedup_minhash",
       // MinHash-LSH near-dup — the scale path: cost is linear in docs plus
       // bucket-local candidate pairs (vs the exact op's quadratic all-pairs).

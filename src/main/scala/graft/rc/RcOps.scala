@@ -105,14 +105,14 @@ object RcOps extends QueryModule {
     Q(
       "rc_predict_mse",
       // Score the held-out 20% with the trained readout; per-user MSE.
-      // Design rows feed two jobs (Gram aggregation, then scoring) —
-      // persist so the reservoir fold runs once, not twice.
+      // The design rows feed two jobs (Gram aggregation, then scoring);
+      // measured at sf0.1, re-running the fold is CHEAPER than persisting
+      // the 34-double design arrays (serialization dominates), so no cache.
       (s, dir) => {
         import s.implicits._
         val mats = Esn.matrices()
         val rows = RcPipeline
           .design(series(s, dir), mats, Esn.InputScale, horizon = 1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val model = RcPipeline.fitDesigned(rows, mats, Lambda,
           Esn.InputScale, horizon = 1, trainFrac = 0.8)
         RcPipeline.scoreDesigned(rows, model)
