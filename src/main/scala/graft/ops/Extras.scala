@@ -124,6 +124,27 @@ object Extras extends QueryModule {
           "ORDER BY l_returnflag, l_linestatus")
     ),
     Q(
+      "sink_partitioned_prune",
+      // Hive-style partitioned layout + partition pruning: write orders
+      // partitioned by status, re-read with a status filter — the pruned
+      // scan reads only the matching directory (PartitionFilters in the
+      // plan, asserted in PlanSpec). At 100 TB this is the first-line
+      // data-skipping mechanism for low-cardinality predicates.
+      (s, dir) => {
+        prunedScan(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total " +
+          "FROM orders WHERE o_orderstatus = 'O' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    ),
+    Q(
       "sink_bucketed_join",
       // Bucketed co-located join: both sides bucketBy(8, custkey) →
       // the sort-merge join reads bucket-aligned files, NO shuffle
@@ -152,6 +173,16 @@ object Extras extends QueryModule {
           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
     )
   )
+
+  /** partitioned write + filtered re-read (split out for plan assertions) */
+  def prunedScan(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_partitioned").toString
+    T(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp).filter(col("o_orderstatus") === "O")
+  }
 
   /** the join over the bucketed tables (split out for plan assertions) */
   def bucketedJoin(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {

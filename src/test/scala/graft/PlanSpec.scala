@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite {
       s"join keys re-shuffled despite bucketing:\n$p")
   }
 
+  test("partitioned layout prunes to the matching partition directory") {
+    val p = graft.ops.Extras.prunedScan(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+    assert(p.contains("(o_orderstatus") && p.contains("= O"), p)
+  }
+
   test("agg_pricing_summary plans a partial aggregate before the exchange") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("HashAggregate"), p)
