@@ -124,6 +124,62 @@ object Extras extends QueryModule {
           "ORDER BY l_returnflag, l_linestatus")
     ),
     Q(
+      "agg_collect",
+      // nested-result aggregation: per nation, the sorted set of market
+      // segments present and its size. collect_set is order-free; sorting
+      // makes the array deterministic.
+      (s, dir) =>
+        T(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .agg(
+            array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+            size(collect_set(col("c_mktsegment"))).cast("long")
+              .as("n_segments"))
+          .orderBy("c_nationkey"),
+      Some(
+        "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) " +
+          "AS segments, CAST(len(list_distinct(list(c_mktsegment))) AS BIGINT) " +
+          "AS n_segments FROM customer GROUP BY c_nationkey " +
+          "ORDER BY c_nationkey")
+    ),
+    Q(
+      "fn_null",
+      // null-handling family over generated nulls: nullif / coalesce /
+      // null-safe equality / null counting.
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"),
+            expr("nullif(l_discount, 0.0)").as("disc_or_null"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            coalesce(col("disc_or_null"), lit(-1.0)).as("disc_coalesced"),
+            col("disc_or_null").isNull.cast("long").as("is_free"),
+            (col("disc_or_null") <=> lit(0.05)).cast("long").as("is_5pct"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+            "disc_coalesced"),
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_quantity, " +
+          "COALESCE(nullif(l_discount, 0.0), -1.0) AS disc_coalesced, " +
+          "CAST(nullif(l_discount, 0.0) IS NULL AS BIGINT) AS is_free, " +
+          "CAST(nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 AS BIGINT) " +
+          "AS is_5pct FROM lineitem " +
+          "ORDER BY l_orderkey, l_linenumber, l_quantity, disc_coalesced")
+    ),
+    Q(
+      "sample_seeded",
+      // seeded Bernoulli sampling — the training-pipeline subset op.
+      // Engine-specific RNG ⇒ no oracle; the spec asserts determinism and
+      // that the fraction lands near 10%.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      None
+    ),
+    Q(
       "sink_partitioned_prune",
       // Hive-style partitioned layout + partition pruning: write orders
       // partitioned by status, re-read with a status filter — the pruned

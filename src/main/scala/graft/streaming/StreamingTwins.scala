@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.rc.Esn
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the §2.8/§2.10 batch-equivalent operators.
   * Each takes an (unbounded or bounded) events DataFrame with columns
@@ -57,6 +57,42 @@ object StreamingTwins {
   final case class EsnState(x: Array[Double], step: Long)
   final case class EsnOut(user_id: Long, step: Long, event_id: Long,
       x0: Double, x1: Double)
+
+  /** The same keyed reservoir update on the `transformWithState` API
+    * (Spark 4 arbitrary-state v2; requires the RocksDB state store
+    * provider) — typed ValueState per key, identical semantics to the
+    * `flatMapGroupsWithState` twin below (asserted in StreamingTwinSpec).
+    */
+  class EsnProcessor(m: Esn.Mats)
+      extends StatefulProcessor[Long, EsnIn, EsnOut] {
+    @transient private var st: ValueState[EsnState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EsnState]("esn",
+        Encoders.product[EsnState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EsnIn],
+        tv: TimerValues): Iterator[EsnOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.tsUs, r.event_id))
+      val cur =
+        if (st.exists()) st.get()
+        else EsnState(new Array[Double](Esn.Nx), 0L)
+      var x = cur.x
+      var step = cur.step
+      val out = sorted.map { r =>
+        x = Esn.step(m, x, r.value / Esn.InputScale)
+        step += 1
+        EsnOut(uid, step - 1, r.event_id, x(0), x(1))
+      }
+      st.update(EsnState(x, step))
+      out.iterator
+    }
+  }
+
+  def esnStatesTws(in: Dataset[EsnIn], m: Esn.Mats): Dataset[EsnOut] =
+    in.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new EsnProcessor(m), TimeMode.None(),
+        OutputMode.Append())(Encoders.product[EsnOut])
 
   /** Keyed ESN reservoir update carried across micro-batches in
     * `flatMapGroupsWithState` — one small state vector per user. Rows

@@ -61,6 +61,17 @@ class InvariantSpec extends AnyFunSuite {
     assert(stats == groups)
   }
 
+  test("seeded sample is deterministic and near the target fraction") {
+    val a = SparkEntry.queries("sample_seeded")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val b = SparkEntry.queries("sample_seeded")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "seeded sample not deterministic")
+    val total = T(spark, sf, "documents").count().toDouble
+    val frac = a.length / total
+    assert(frac > 0.05 && frac < 0.15, s"fraction $frac far from 0.1")
+  }
+
   test("approx distinct is within 5% of exact distinct") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

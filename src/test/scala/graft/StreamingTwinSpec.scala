@@ -86,6 +86,46 @@ class StreamingTwinSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet.subsetOf(batch))
   }
 
+  test("transformWithState ESN twin matches flatMapGroupsWithState") {
+    val m = Esn.matrices()
+    val in = sample.take(300).map(e => StreamingTwins.EsnIn(e.event_id,
+      e.ts.getTime * 1000, e.user_id, e.value))
+    implicit val sq = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingTwins.EsnIn]
+      val q = StreamingTwins.esnStatesTws(mem.toDS(), m)
+        .writeStream.format("memory").queryName("esn_tws")
+        .outputMode("append").start()
+      mem.addData(in.take(150).toSeq); q.processAllAvailable()
+      mem.addData(in.drop(150).toSeq); q.processAllAvailable(); q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val tws = spark.table("esn_tws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+
+    val memF = MemoryStream[StreamingTwins.EsnIn]
+    val qf = StreamingTwins.esnStates(memF.toDS(), m)
+      .writeStream.format("memory").queryName("esn_fmg")
+      .outputMode("append").start()
+    memF.addData(in.toSeq); qf.processAllAvailable(); qf.stop()
+    val fmg = spark.table("esn_fmg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+
+    assert(tws.nonEmpty && tws.sameElements(fmg))
+  }
+
   test("ESN state survives micro-batch boundaries identically to batch") {
     val m = Esn.matrices()
     val in = sample.map(e => StreamingTwins.EsnIn(e.event_id,
