@@ -150,6 +150,44 @@ object ScalarFns extends QueryModule {
           " AS sum_val FROM events GROUP BY 1 ORDER BY parity")
     ),
     Q(
+      "fn_map",
+      // map-typed column round trip: build, access, introspect. The oracle
+      // states the semantic result (DuckDB's map-access dialect differs);
+      // this validates Spark's map ops produce the right VALUES.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .withColumn("m", map(
+            lit("chars"), col("n_chars"),
+            lit("id"), col("doc_id")))
+          .select(
+            col("doc_id"),
+            element_at(col("m"), "chars").as("chars"),
+            size(col("m")).cast("long").as("n_keys"),
+            array_sort(map_keys(col("m"))).as("keys"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, n_chars AS chars, CAST(2 AS BIGINT) AS n_keys, " +
+          "['chars','id'] AS keys FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "fn_struct",
+      // struct-typed column: build, nest, extract fields
+      (s, dir) =>
+        T(s, dir, "orders")
+          .withColumn("o", struct(
+            col("o_orderkey").as("okey"),
+            col("o_totalprice").as("price"),
+            struct(col("o_orderstatus").as("st")).as("meta")))
+          .select(
+            col("o.okey").as("okey"),
+            col("o.price").as("price"),
+            col("o.meta.st").as("status"))
+          .orderBy("okey"),
+      Some(
+        "SELECT o_orderkey AS okey, o_totalprice AS price, " +
+          "o_orderstatus AS status FROM orders ORDER BY okey")
+    ),
+    Q(
       "fn_case_cast",
       (s, dir) =>
         T(s, dir, "customer")

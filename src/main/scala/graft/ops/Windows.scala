@@ -118,6 +118,51 @@ object Windows extends QueryModule {
           "ORDER BY c_custkey")
     ),
     Q(
+      "win_first_last",
+      // value window functions over a deterministic full frame
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            first("o_orderkey").over(w).as("best_order"),
+            last("o_orderkey").over(w).as("worst_order"),
+            expr("nth_value(o_orderkey, 2)").over(w).as("second_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        "SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS best_order, " +
+          "last_value(o_orderkey) OVER w AS worst_order, " +
+          "nth_value(o_orderkey, 2) OVER w AS second_order FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+          "ORDER BY o_custkey, o_orderkey")
+    ),
+    Q(
+      "win_pct_rank",
+      // percent_rank / cume_dist — exact rationals, deterministic under
+      // the total (acctbal, custkey) order
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            col("c_nationkey"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_nationkey, percent_rank() OVER w AS pct_rank, " +
+          "cume_dist() OVER w AS cume FROM customer " +
+          "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
+          "ORDER BY c_custkey")
+    ),
+    Q(
       "sort_multi_key",
       (s, dir) =>
         T(s, dir, "lineitem")
