@@ -64,6 +64,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(o_orderstatus") && p.contains("= O"), p)
   }
 
+  test("q3 pushes both date filters and the segment filter into the scans") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q5 broadcasts the small dimensions") {
+    val p = planOf("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+  }
+
   test("agg_pricing_summary plans a partial aggregate before the exchange") {
     val p = planOf("agg_pricing_summary")
     assert(p.contains("HashAggregate"), p)
