@@ -214,11 +214,16 @@ object EventOps extends QueryModule {
     Q(
       "stream_late_data",
       // Watermark semantics: an event is late if it is >10 min older than
-      // the max event time seen so far in arrival order (event_id).
+      // the max event time seen so far in arrival order. The fixture's
+      // generation order is time-sorted (no event would ever be late), so
+      // arrival is a deterministic simulated out-of-order replay ordered
+      // by (props.k, event_id).
       (s, dir) => {
-        val w = Window.orderBy("event_id")
+        val w = Window.orderBy("k", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         T(s, dir, "events")
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
           .withColumn("wm", max("ts").over(w))
           .filter(
             unix_micros(col("wm").cast("timestamp")) -
@@ -233,8 +238,9 @@ object EventOps extends QueryModule {
           .orderBy("event_id")
       },
       Some(
-        "WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
-          "m AS (SELECT event_id, user_id, ts, max(ts) OVER (ORDER BY event_id " +
+        "WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events), " +
+          "m AS (SELECT event_id, user_id, ts, max(ts) OVER (ORDER BY k, event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm FROM e) " +
           "SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec, " +
           "date_trunc('second', wm) AS wm_sec FROM m " +

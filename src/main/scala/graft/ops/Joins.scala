@@ -118,16 +118,19 @@ object Joins extends QueryModule {
     ),
     Q(
       "join_anti",
+      // customers with no URGENT order (every customer has SOME order at
+      // t2 scale, so the unfiltered anti-join would be trivially empty)
       (s, dir) =>
         T(s, dir, "customer")
-          .join(T(s, dir, "orders"),
+          .join(
+            T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey"),
       Some(
         "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
-          "ORDER BY c_custkey")
+          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey")
     ),
     Q(
       "join_theta_range",

@@ -60,10 +60,14 @@ object TextOps extends QueryModule {
     ),
     Q(
       "text_dedup_groups",
-      // Keeper selection: min doc_id per duplicated text hash.
+      // Keeper selection per duplicate group, keyed on the CONTENT
+      // fingerprint (sorted distinct token set) — catches bag-permutation
+      // duplicates, which exist at t2 scale (byte-exact dups don't).
       (s, dir) =>
         T(s, dir, "documents")
-          .groupBy(md5(col("text")).as("h"))
+          .groupBy(md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("h"))
           .agg(
             min("doc_id").as("keeper"),
             count(lit(1)).as("n_copies"))
@@ -71,9 +75,10 @@ object TextOps extends QueryModule {
           .select("h", "keeper", "n_copies")
           .orderBy("keeper"),
       Some(
-        "SELECT md5(text) AS h, min(doc_id) AS keeper, " +
+        "SELECT md5(array_to_string(list_sort(list_distinct(" +
+          "string_split(text, ' '))), ' ')) AS h, min(doc_id) AS keeper, " +
           "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
-          "GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper")
+          "GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper")
     ),
     Q(
       "text_dedup_near",

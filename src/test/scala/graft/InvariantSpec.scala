@@ -52,13 +52,15 @@ class InvariantSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("dedup operators agree on the duplicate count") {
-    val stats = SparkEntry.queries("text_dedup_exact")(spark, sf)
+  test("byte-exact dups are a subset of content-fingerprint dups") {
+    // text_dedup_exact counts byte-identical texts; text_dedup_groups
+    // groups by sorted-token-set fingerprint, which can only merge MORE
+    val exact = SparkEntry.queries("text_dedup_exact")(spark, sf)
       .agg(sum("n_dups")).collect()(0).getLong(0)
-    val groups = SparkEntry.queries("text_dedup_groups")(spark, sf)
+    val fp = SparkEntry.queries("text_dedup_groups")(spark, sf)
       .agg(coalesce(sum(col("n_copies") - 1), lit(0L))).collect()(0)
       .getLong(0)
-    assert(stats == groups)
+    assert(exact <= fp)
   }
 
   test("seeded sample is deterministic and near the target fraction") {
