@@ -39,7 +39,9 @@ def main():
             continue
         if only and name not in only:
             continue
-        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        # sorted: rows are compared pairwise in file-read order, which is
+        # only stable if multi-part outputs are read in a fixed order
+        files = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
         if not files:
             print(f"EMPTYDIR {name}")
             n_fail += 1

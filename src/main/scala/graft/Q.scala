@@ -39,6 +39,22 @@ object T {
     } else s.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Per-JVM scratch space for the side-effecting source/sink operators.
+  * Everything lives under one session root that a shutdown hook deletes
+  * recursively — repeated bench/verify runs no longer leak temp dirs.
+  */
+object Tmp {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_session")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }))
+    p
+  }
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+}
+
 /** Deterministic cross-engine floating-point policy.
   *
   * `round(x, s)` is NOT portable: on the same double, Spark rounds the
@@ -67,9 +83,22 @@ object Det {
     val f = math.pow(10, s)
     sum(round(c * f).cast("long")) / f
   }
-  /** oracle-SQL texts for the same two (identical semantics in DuckDB) */
+  /** Deterministic average of a NON-integral double column: per-row
+    * scale-to-int at 1e8, integer sum (associative — immune to partial-agg
+    * order), divide by count, round to `s` decimals. Integral-valued double
+    * columns don't need this: their double sums are exact below 2^53, so
+    * plain round(avg(x), s) is already portable.
+    */
+  def davg(c: Column, s: Int): Column = {
+    val out = math.pow(10, s)
+    round(sum(round(c * 1e8).cast("long")) / org.apache.spark.sql.functions
+      .count(c) / math.pow(10, 8 - s)) / out
+  }
+  /** oracle-SQL texts for the same three (identical semantics in DuckDB) */
   def droundSql(x: String, s: Int): String =
     s"round(($x) * 1e$s) / 1e$s"
   def dsumSql(x: String, s: Int): String =
     s"sum(CAST(round(($x) * 1e$s) AS BIGINT)) / 1e$s"
+  def davgSql(x: String, s: Int): String =
+    s"round(sum(CAST(round(($x) * 1e8) AS BIGINT)) / count($x) / 1e${8 - s}) / 1e$s"
 }

@@ -79,8 +79,7 @@ object Extras extends QueryModule {
       "source_json",
       // JSON-lines source round trip (schema-on-read with explicit schema)
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_json_src").toString
+        val tmp = graft.Tmp.dir("graft_json_src")
         T(s, dir, "events")
           .select(col("event_id"),
             unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -105,8 +104,7 @@ object Extras extends QueryModule {
       "source_orc",
       // ORC source round trip
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_orc_src").toString
+        val tmp = graft.Tmp.dir("graft_orc_src")
         T(s, dir, "lineitem")
           .select("l_returnflag", "l_linestatus", "l_quantity")
           .write.mode("overwrite").orc(tmp)
@@ -127,17 +125,21 @@ object Extras extends QueryModule {
       "agg_collect",
       // nested-result aggregation: per nation, the sorted set of market
       // segments present and its size. collect_set is order-free; sorting
-      // makes the array deterministic.
+      // makes the array deterministic. Serialized to a joined string because
+      // the driver's pandas comparator cannot sort list-typed columns
+      // (round-1 t2: lexsort_indexer failure on array cells).
       (s, dir) =>
         T(s, dir, "customer")
           .groupBy("c_nationkey")
           .agg(
-            array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+            array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+              .as("segments"),
             size(collect_set(col("c_mktsegment"))).cast("long")
               .as("n_segments"))
           .orderBy("c_nationkey"),
       Some(
-        "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) " +
+        "SELECT c_nationkey, " +
+          "array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') " +
           "AS segments, CAST(len(list_distinct(list(c_mktsegment))) AS BIGINT) " +
           "AS n_segments FROM customer GROUP BY c_nationkey " +
           "ORDER BY c_nationkey")
@@ -206,20 +208,19 @@ object Extras extends QueryModule {
       // the sort-merge join reads bucket-aligned files, NO shuffle
       // exchange on either side (PlanSpec asserts it).
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_bucketed").toString
+        val tmp = graft.Tmp.dir("graft_bucketed")
         T(s, dir, "orders")
           .select("o_custkey", "o_orderkey", "o_totalprice")
           .write.mode("overwrite")
           .option("path", s"$tmp/orders_b")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_orders_b")
+          .saveAsTable(ordersTbl)
         T(s, dir, "customer")
           .select("c_custkey", "c_mktsegment")
           .write.mode("overwrite")
           .option("path", s"$tmp/customer_b")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_customer_b")
+          .saveAsTable(custTbl)
         bucketedJoin(s)
       },
       Some(
@@ -233,18 +234,23 @@ object Extras extends QueryModule {
   /** partitioned write + filtered re-read (split out for plan assertions) */
   def prunedScan(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_partitioned").toString
+    val tmp = graft.Tmp.dir("graft_partitioned")
     T(s, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
     s.read.parquet(tmp).filter(col("o_orderstatus") === "O")
   }
 
+  // per-JVM unique bucketed-table names: concurrent sessions sharing a
+  // metastore must not clobber each other's table definitions
+  private val runTag = java.lang.Long.toHexString(System.nanoTime())
+  private val ordersTbl = s"graft_orders_b_$runTag"
+  private val custTbl = s"graft_customer_b_$runTag"
+
   /** the join over the bucketed tables (split out for plan assertions) */
   def bucketedJoin(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     // disable auto-broadcast so the co-located SMJ (not BHJ) is exercised
-    val orders = s.table("graft_orders_b").hint("merge")
-    val cust = s.table("graft_customer_b").hint("merge")
+    val orders = s.table(ordersTbl).hint("merge")
+    val cust = s.table(custTbl).hint("merge")
     orders.join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(

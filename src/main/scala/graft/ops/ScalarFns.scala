@@ -120,8 +120,12 @@ object ScalarFns extends QueryModule {
               .as("max_elem"),
             round(expr("array_min(embedding)").cast("double"), 6)
               .as("min_elem"),
-            expr("transform(slice(embedding, 1, 3), " +
-              "x -> round(CAST(x AS DOUBLE), 6))").as("head3"))
+            // joined scaled-int string, not array<double>: the driver's
+            // pandas comparator cannot sort list cells, and double→string
+            // formatting differs across engines — scale-to-int first.
+            expr("concat_ws(',', transform(slice(embedding, 1, 3), " +
+              "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))")
+              .as("head3"))
           .orderBy("vec_id"),
       Some(
         "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
@@ -129,7 +133,8 @@ object ScalarFns extends QueryModule {
           "round(CAST(embedding[1] AS DOUBLE),6) AS first_elem, " +
           "round(CAST(list_max(embedding) AS DOUBLE),6) AS max_elem, " +
           "round(CAST(list_min(embedding) AS DOUBLE),6) AS min_elem, " +
-          "list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE),6)) AS head3 " +
+          "array_to_string(list_transform(embedding[1:3], " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',') AS head3 " +
           "FROM embeddings ORDER BY vec_id")
     ),
     Q(
@@ -163,11 +168,12 @@ object ScalarFns extends QueryModule {
             col("doc_id"),
             element_at(col("m"), "chars").as("chars"),
             size(col("m")).cast("long").as("n_keys"),
-            array_sort(map_keys(col("m"))).as("keys"))
+            // joined string, not array: driver comparator can't sort lists
+            array_join(array_sort(map_keys(col("m"))), "|").as("keys"))
           .orderBy("doc_id"),
       Some(
         "SELECT doc_id, n_chars AS chars, CAST(2 AS BIGINT) AS n_keys, " +
-          "['chars','id'] AS keys FROM documents ORDER BY doc_id")
+          "'chars|id' AS keys FROM documents ORDER BY doc_id")
     ),
     Q(
       "fn_struct",

@@ -54,8 +54,7 @@ object Scans extends QueryModule {
       // per-day aggregate. Timestamps travel as epoch-micros (long) so the
       // round trip is exact.
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv_ts").toString
+        val tmp = graft.Tmp.dir("graft_csv_ts")
         T(s, dir, "events")
           .select(
             col("event_id"),
@@ -82,8 +81,7 @@ object Scans extends QueryModule {
       "sink_parquet",
       // Sink correctness: materialize an aggregate to parquet, re-read it.
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sink").toString
+        val tmp = graft.Tmp.dir("graft_sink")
         T(s, dir, "orders")
           .groupBy("o_orderstatus")
           .agg(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
+import graft.Det.{davg, davgSql}
 import graft.text.TextAlgs
 import org.apache.spark.sql.functions._
 
@@ -30,15 +31,18 @@ object TextOps extends QueryModule {
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),
+            // toks is integral-valued: its double sum is exact (< 2^53),
+            // so plain round(avg) is aggregation-order-proof here.
             round(avg(col("toks").cast("double")), 4).as("avg_tokens"),
-            round(avg(col("charsum") / col("toks")), 6).as("avg_tok_len"),
+            // charsum/toks is NOT integral → davg (scaled-int sum)
+            davg(col("charsum") / col("toks"), 6).as("avg_tok_len"),
             max("toks").as("max_tokens"))
           .orderBy("lang"),
       Some(
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
           "round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)),4) AS avg_tokens, " +
-          "round(avg(CAST(length(replace(text,' ','')) AS DOUBLE) / " +
-          "len(string_split(text,' '))),6) AS avg_tok_len, " +
+          davgSql("CAST(length(replace(text,' ','')) AS DOUBLE) / " +
+            "len(string_split(text,' '))", 6) + " AS avg_tok_len, " +
           "CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens " +
           "FROM documents GROUP BY lang ORDER BY lang")
     ),

@@ -17,16 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object UdfOps extends QueryModule {
 
-  /** Geometric mean via sum-of-logs — mergeable partial state. */
-  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
-    def zero: (Double, Long) = (0.0, 0L)
-    def reduce(b: (Double, Long), a: Double): (Double, Long) =
-      (b._1 + math.log(a), b._2 + 1L)
-    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+  /** Geometric mean via sum-of-logs — mergeable partial state. The log sum
+    * is kept as a scaled INTEGER (round(ln(x)*1e12)) so the aggregate is
+    * associative and immune to partial-merge order (a raw double sum is
+    * not run-stable — Det policy in Q.scala). Headroom: |ln(x)| ≤ ~40
+    * ⇒ 4e13/row ⇒ safe to ~2e5 B rows per group in int64; beyond that,
+    * widen to DECIMAL state.
+    */
+  object GeoMean extends Aggregator[Double, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    // half-away-from-zero, matching Spark round() / DuckDB round()
+    private def r0(v: Double): Long =
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    def reduce(b: (Long, Long), a: Double): (Long, Long) =
+      (b._1 + r0(math.log(a) * 1e12), b._2 + 1L)
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
-    def finish(r: (Double, Long)): Double = math.exp(r._1 / r._2)
-    def bufferEncoder: Encoder[(Double, Long)] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def finish(r: (Long, Long)): Double = math.exp(r._1 / 1e12 / r._2)
+    def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
@@ -53,12 +62,17 @@ object UdfOps extends QueryModule {
         T(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(gm(col("l_quantity")), 6).as("geo_qty"),
+            graft.Det.dround(gm(col("l_quantity")), 6).as("geo_qty"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
       },
+      // oracle mirrors the scaled-int log sum exactly (not plain
+      // exp(avg(ln)) — see GeoMean's determinism note)
       Some(
-        "SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty, " +
+        "SELECT l_returnflag, " +
+          graft.Det.droundSql(
+            "exp(sum(CAST(round(ln(l_quantity) * 1e12) AS BIGINT)) " +
+              "/ 1e12 / count(*))", 6) + " AS geo_qty, " +
           "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
           "GROUP BY l_returnflag ORDER BY l_returnflag")
     ),

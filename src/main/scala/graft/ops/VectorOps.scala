@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
+import graft.Det.{dround, droundSql}
 import graft.functions.VecExprs
 import graft.vec.VecAlgs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -24,12 +25,15 @@ object VectorOps extends QueryModule {
   private def dotExpr(a: String, b: String): Column =
     expr(s"fvdot($a, $b)")
 
-  /** vectors with precomputed norms */
+  /** vectors with precomputed norms; zero-norm vectors are excluded — their
+    * cosine is undefined (0/0 → NaN, which Spark sorts ABOVE every real
+    * sim, so one zero embedding would otherwise top every kNN ranking) */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     VecExprs.register(s)
     T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("fvdot(embedding, embedding)")).as("nrm"))
+      .filter(col("nrm") > 0)
   }
 
   /** all ordered pairs (vec_a < vec_b) with rounded cosine sim */
@@ -41,16 +45,18 @@ object VectorOps extends QueryModule {
       col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
+        dround(dotExpr("ea", "eb") / (col("na") * col("nb")), 6).as("sim"))
   }
 
   private val pairSimsOracle =
-    "WITH v AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
+    "WITH v0 AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
       "FROM (SELECT unnest(embedding) AS a) x)) AS nrm FROM embeddings), " +
+      "v AS (SELECT * FROM v0 WHERE nrm > 0), " +
       "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      "round((SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
-      "(SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) " +
-      "/ (a.nrm*b.nrm), 6) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) "
+      droundSql("(SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+        "(SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) " +
+        "/ (a.nrm*b.nrm)", 6) +
+      " AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) "
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -83,18 +89,20 @@ object VectorOps extends QueryModule {
         v.filter(col("vec_id") =!= 0)
           .crossJoin(q)
           .select(col("vec_id"),
-            round(dotExpr("embedding", "eq") / (col("nrm") * col("nq")), 6)
+            dround(dotExpr("embedding", "eq") / (col("nrm") * col("nq")), 6)
               .as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
       Some(
-        "WITH v AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
+        "WITH v0 AS (SELECT vec_id, embedding, sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
           "FROM (SELECT unnest(embedding) AS a) x)) AS nrm FROM embeddings), " +
+          "v AS (SELECT * FROM v0 WHERE nrm > 0), " +
           "q AS (SELECT embedding AS eq, nrm AS nq FROM v WHERE vec_id = 0) " +
-          "SELECT v.vec_id, round((SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
-          "(SELECT unnest(v.embedding) AS x, unnest(q.eq) AS y) z) / (v.nrm*q.nq), 6) " +
-          "AS sim FROM v, q WHERE v.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")
+          "SELECT v.vec_id, " +
+          droundSql("(SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+            "(SELECT unnest(v.embedding) AS x, unnest(q.eq) AS y) z) / (v.nrm*q.nq)", 6) +
+          " AS sim FROM v, q WHERE v.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")
     ),
     Q(
       "vec_knn_ivf",
@@ -134,21 +142,27 @@ object VectorOps extends QueryModule {
       "vec_centroids",
       // Per-label centroid L2 norms: posexplode → per-dimension mean →
       // re-aggregate. Two algebraic hash aggregates — scales linearly.
+      // both aggregates go through scaled-int sums (davg / round-to-long):
+      // avg over non-integral doubles and sum(m*m) are otherwise
+      // partial-aggregation-order-dependent (Det policy, Q.scala)
       (s, dir) =>
         T(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")))
           .groupBy("label", "pos")
-          .agg(avg(col("col").cast("double")).as("m"))
+          .agg(graft.Det.davg(col("col").cast("double"), 8).as("m"))
           .groupBy("label")
-          .agg(round(sqrt(sum(col("m") * col("m"))), 4)
-            .as("centroid_norm"))
+          .agg(dround(
+            sqrt(sum(round(col("m") * col("m") * 1e12).cast("long")) / 1e12),
+            4).as("centroid_norm"))
           .orderBy("label"),
       Some(
         "WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, " +
           "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
-          "c AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos) " +
-          "SELECT label, round(sqrt(sum(m*m)), 4) AS centroid_norm FROM c " +
-          "GROUP BY label ORDER BY label")
+          "c AS (SELECT label, pos, " + graft.Det.davgSql("v", 8) +
+          " AS m FROM ex GROUP BY label, pos) " +
+          "SELECT label, " +
+          droundSql("sqrt(sum(CAST(round(m*m*1e12) AS BIGINT)) / 1e12)", 4) +
+          " AS centroid_norm FROM c GROUP BY label ORDER BY label")
     ),
     Q(
       "multimodal_join",
@@ -160,6 +174,7 @@ object VectorOps extends QueryModule {
           .groupBy("label")
           .agg(
             count(lit(1)).as("n"),
+            // integral-valued doubles: sums exact (< 2^53), round(avg) safe
             round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
             round(avg(size(split(col("text"), " ")).cast("double")), 4)
               .as("avg_toks"))

@@ -50,7 +50,12 @@ object TextAlgs {
       val h = tokenHash64(t) & Long.MaxValue
       var i = 0
       while (i < MinhashK) {
-        // unsigned-ish modular affine hash; stays positive
+        // NOTE: as(i)*h overflows 64-bit before the floorMod, so this is an
+        // ad-hoc deterministic mix, NOT a true universal hash family mod
+        // 2^61-1 (2^64 ≢ 1 mod the prime). Deterministic across JVMs and
+        // empirically well-spread, which is all MinHash needs here; a
+        // Math.multiplyHigh-based Mersenne reduction is the upgrade if
+        // collision guarantees ever matter.
         val v = java.lang.Math.floorMod(as(i) * h + bs(i), Prime)
         if (v < sig(i)) sig(i) = v
         i += 1

@@ -33,6 +33,11 @@ object VecAlgs {
     s
   }
 
-  def cosine(a: Array[Double], b: Array[Double]): Double =
-    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  /** Cosine similarity; 0.0 for zero-norm inputs (a NaN would otherwise
+    * sort ABOVE every real similarity in Spark's ordering and float a
+    * zero embedding to the top of kNN rankings). */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    if (d == 0.0) 0.0 else dot(a, b) / d
+  }
 }
