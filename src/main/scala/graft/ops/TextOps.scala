@@ -189,18 +189,23 @@ object TextOps extends QueryModule {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
+        // verify on sorted 64-bit token hashes, not string sets: the
+        // codegen'd merge-intersect (lixsize) replaces per-pair string
+        // hashing — same Jaccard modulo 64-bit collisions (~1e-10 here)
+        graft.functions.TextExprs.register(s)
         val sets = T(s, dir, "documents")
           .filter(col("lang") === "en")
-          .select(col("doc_id"),
-            array_distinct(split(col("text"), " ")).as("tokset"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ts) =>
+            (id, ts.distinct.map(TextAlgs.tokenHash64).sorted.toArray)
+          }.toDF("doc_id", "tokset")
         cand
           .join(broadcast(sets.select(col("doc_id").as("doc_a"),
             col("tokset").as("set_a"))), "doc_a")
           .join(broadcast(sets.select(col("doc_id").as("doc_b"),
             col("tokset").as("set_b"))), "doc_b")
-          .withColumn("inter",
-            size(array_intersect(col("set_a"), col("set_b")))
-              .cast("double"))
+          .withColumn("inter", expr("lixsize(set_a, set_b)").cast("double"))
           .withColumn("jac",
             round(col("inter") / (size(col("set_a")) + size(col("set_b"))
               - col("inter")), 6))
