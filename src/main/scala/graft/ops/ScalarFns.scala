@@ -214,6 +214,99 @@ object ScalarFns extends QueryModule {
           "'cust-' || CAST(c_custkey AS VARCHAR) AS cust_tag, " +
           "CAST(c_nationkey AS DOUBLE) AS nk_d " +
           "FROM customer ORDER BY c_custkey")
+    ),
+    Q(
+      "fn_regex",
+      // regex family (POSIX-simple patterns shared by both dialects):
+      // extract, extract-all count, replace, match-filter
+      (s, dir) =>
+        T(s, dir, "part")
+          .filter(col("p_name").rlike("^[a-z]+ "))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+            size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"))
+              .cast("long").as("n_vowel_runs"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+          .orderBy("p_partkey"),
+      Some(
+        "SELECT p_partkey, regexp_extract(p_name, '^([a-z]+)', 1) " +
+          "AS first_word, " +
+          "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) " +
+          "AS n_vowel_runs, " +
+          "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled " +
+          "FROM part WHERE regexp_matches(p_name, '^[a-z]+ ') " +
+          "ORDER BY p_partkey")
+    ),
+    Q(
+      "fn_bitwise",
+      // bitwise family on integer keys — exact in both engines
+      (s, dir) =>
+        T(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            (col("p_partkey").bitwiseAND(lit(255L))).as("low8"),
+            (col("p_partkey").bitwiseOR(lit(4096L))).as("with_flag"),
+            (col("p_partkey").bitwiseXOR(col("p_size").cast("long")))
+              .as("mixed"),
+            shiftleft(col("p_partkey"), 3).as("shl3"),
+            shiftright(col("p_partkey"), 2).as("shr2"),
+            bit_count(col("p_partkey")).cast("long").as("popcnt"))
+          .orderBy("p_partkey"),
+      Some(
+        "SELECT p_partkey, p_partkey & 255 AS low8, " +
+          "p_partkey | 4096 AS with_flag, " +
+          "xor(p_partkey, CAST(p_size AS BIGINT)) AS mixed, " +
+          "p_partkey << 3 AS shl3, p_partkey >> 2 AS shr2, " +
+          "CAST(bit_count(p_partkey) AS BIGINT) AS popcnt " +
+          "FROM part ORDER BY p_partkey")
+    ),
+    Q(
+      "fn_string2",
+      // second string family: padding, translate, repeat, reverse, and
+      // an edit-distance (levenshtein) against a fixed probe
+      (s, dir) =>
+        T(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            lpad(col("p_type"), 10, ".").as("padded"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("shouted"),
+            reverse(col("p_name")).as("backwards"),
+            expr("repeat(substr(p_type, 1, 2), 2)").as("twice"),
+            levenshtein(col("p_name"), lit("large widget")).cast("long")
+              .as("dist_to_probe"))
+          .orderBy("p_partkey"),
+      Some(
+        "SELECT p_partkey, lpad(p_type, 10, '.') AS padded, " +
+          "translate(p_name, 'aeiou', 'AEIOU') AS shouted, " +
+          "reverse(p_name) AS backwards, " +
+          "repeat(substr(p_type, 1, 2), 2) AS twice, " +
+          "CAST(levenshtein(p_name, 'large widget') AS BIGINT) " +
+          "AS dist_to_probe FROM part ORDER BY p_partkey")
+    ),
+    Q(
+      "fn_date2",
+      // second date family: month arithmetic with end-of-month clamping,
+      // last_day, day-of-year, ISO week, constructed dates
+      (s, dir) =>
+        T(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            add_months(col("o_orderdate"), 3).cast("date").as("plus3mo"),
+            last_day(col("o_orderdate")).cast("date").as("eom"),
+            dayofyear(col("o_orderdate")).cast("long").as("doy"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+            make_date(year(col("o_orderdate")), lit(12), lit(31))
+              .as("year_end"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, " +
+          "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo, " +
+          "last_day(CAST(o_orderdate AS DATE)) AS eom, " +
+          "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, " +
+          "CAST(week(o_orderdate) AS BIGINT) AS iso_week, " +
+          "make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS year_end " +
+          "FROM orders ORDER BY o_orderkey")
     )
   )
 }

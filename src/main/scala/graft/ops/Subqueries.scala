@@ -106,6 +106,28 @@ object Subqueries extends QueryModule {
           "WHERE p_size = 25) p ON l.l_extendedprice BETWEEN p.p_retailprice*0.9 " +
           "AND p.p_retailprice*1.1 " +
           "ORDER BY p_partkey, l_orderkey, l_linenumber")
+    ),
+    Q(
+      "sub_lateral",
+      // correlated LATERAL subquery in FROM: per-nation aggregate computed
+      // by a dependent subquery. Catalyst decorrelates this into a join —
+      // the scalable plan — rather than re-executing per outer row.
+      (s, dir) => {
+        T(s, dir, "nation").createOrReplaceTempView("lat_nation")
+        T(s, dir, "customer").createOrReplaceTempView("lat_customer")
+        s.sql(
+          "SELECT n_name, t.n_cust, t.max_bal FROM lat_nation, " +
+            "LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_cust, " +
+            "max(c_acctbal) AS max_bal FROM lat_customer " +
+            "WHERE c_nationkey = n_nationkey) t " +
+            "ORDER BY n_name")
+      },
+      Some(
+        "SELECT n_name, t.n_cust, t.max_bal FROM nation, " +
+          "LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_cust, " +
+          "max(c_acctbal) AS max_bal FROM customer " +
+          "WHERE c_nationkey = n_nationkey) t " +
+          "ORDER BY n_name")
     )
   )
 }

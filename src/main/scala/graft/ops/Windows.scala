@@ -233,6 +233,55 @@ object Windows extends QueryModule {
         "SELECT o_custkey FROM orders EXCEPT " +
           "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
           "ORDER BY o_custkey")
+    ),
+    Q(
+      "win_cume_nth",
+      // cume_dist + nth_value over a total per-partition order; both
+      // engines use the same default frame (RANGE UNBOUNDED PRECEDING →
+      // CURRENT ROW), and the unique (acctbal, custkey) order makes
+      // nth_value deterministic
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_nationkey"),
+            graft.Det.dround(cume_dist().over(w), 6).as("cd"),
+            nth_value(col("c_custkey"), 2).over(w).as("second_cust"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_nationkey, " +
+          graft.Det.droundSql("cume_dist() OVER w", 6) + " AS cd, " +
+          "nth_value(c_custkey, 2) OVER w AS second_cust FROM customer " +
+          "WINDOW w AS (PARTITION BY c_nationkey " +
+          "ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")
+    ),
+    Q(
+      "win_lag_ignore_nulls",
+      // lag(... IGNORE NULLS): last non-click value seen before each event
+      // per user — the gap-fill primitive for sparse series
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        T(s, dir, "events")
+          .withColumn("v",
+            when(col("event_type") === "click", lit(null)
+              .cast("double")).otherwise(col("value")))
+          .select(
+            col("event_id"), col("user_id"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(w)
+              .as("prev_nonclick"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT event_id, user_id, " +
+          "lag(CASE WHEN event_type = 'click' THEN NULL ELSE value END " +
+          "IGNORE NULLS) OVER (PARTITION BY user_id " +
+          "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_nonclick " +
+          "FROM events ORDER BY event_id")
     )
   )
 }
