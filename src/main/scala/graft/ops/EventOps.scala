@@ -108,6 +108,36 @@ object EventOps extends QueryModule {
           "ORDER BY win_start")
     ),
     Q(
+      "stream_sliding_live",
+      // the sliding-window aggregation as a REAL streaming job (file
+      // source → overlapping-window stateful agg → memory sink), graded
+      // against the batch twin's UNION-ALL oracle
+      (s, dir) => {
+        val name = s"live_sliding_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+            col("n"), col("sum_val"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("win_start")
+      },
+      Some(
+        "WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) " +
+          "AS tb, value FROM events), " +
+          "u AS (SELECT tb AS win_start, value FROM b " +
+          "UNION ALL SELECT tb - INTERVAL '30 minutes' AS win_start, value FROM b) " +
+          "SELECT win_start, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val FROM u GROUP BY win_start " +
+          "ORDER BY win_start")
+    ),
+    Q(
       "stream_session_30m",
       // Session windows, 30-min gap: lag-flag session starts, running-sum a
       // session id, then aggregate per session. Durations in exact µs.

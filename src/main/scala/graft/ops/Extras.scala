@@ -228,6 +228,34 @@ object Extras extends QueryModule {
           dsumSql("o_totalprice", 2) + " AS total " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    ),
+    Q(
+      "source_schema_evolution",
+      // schema evolution across parquet batches: an old batch lacks a
+      // column, mergeSchema=true unions the footers and null-fills — the
+      // long-lived-dataset pattern (columns get added over years of
+      // batches; readers must not break)
+      (s, dir) => {
+        val tmp = graft.Tmp.dir("graft_evo")
+        val o = T(s, dir, "orders")
+        o.select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/v1", s"$tmp/v2")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            dsum(col("o_totalprice"), 2).as("total"))
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM " +
+          "(SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority " +
+          "FROM orders UNION ALL SELECT o_orderkey, o_totalprice, " +
+          "o_orderpriority FROM orders) t")
     )
   )
 

@@ -331,6 +331,88 @@ object TextOps extends QueryModule {
           .orderBy("doc_id")
       },
       None
+    ),
+    Q(
+      "text_tfidf",
+      // TF-IDF keyword extraction: top-3 terms per document. Three hash
+      // aggregates (tf, df, doc counts) + two joins + one window — every
+      // stage is a shuffle on a high-cardinality key, the canonical
+      // keyword-pipeline shape at corpus scale. ln() ratios are rounded
+      // via dround (identical IEEE ops on identical int-derived doubles).
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("lang", "tok")
+          .agg(countDistinct("doc_id").as("df"))
+        val nd = T(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("nd"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(df, Seq("lang", "tok"))
+          .join(nd, Seq("lang"))
+          .withColumn("tfidf", graft.Det.dround(
+            col("tf") * log(col("nd").cast("double") / col("df")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "rn", "tok", "tfidf")
+          .orderBy("doc_id", "rn")
+      },
+      Some(
+        "WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
+          "AS tok FROM documents), " +
+          "tf AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf " +
+          "FROM tk GROUP BY 1, 2, 3), " +
+          "df AS (SELECT lang, tok, CAST(count(DISTINCT doc_id) AS BIGINT) " +
+          "AS df FROM tk GROUP BY 1, 2), " +
+          "nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd " +
+          "FROM documents GROUP BY 1), " +
+          "x AS (SELECT tf.doc_id, tf.tok, " +
+          graft.Det.droundSql("tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df)", 6) +
+          " AS tfidf FROM tf JOIN df ON tf.lang = df.lang AND tf.tok = df.tok " +
+          "JOIN nd ON tf.lang = nd.lang), " +
+          "r AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY tfidf DESC, tok) AS BIGINT) AS rn, tok, tfidf FROM x) " +
+          "SELECT doc_id, rn, tok, tfidf FROM r WHERE rn <= 3 " +
+          "ORDER BY doc_id, rn")
+    ),
+    Q(
+      "text_ngram_freq",
+      // bigram frequency: top-10 bigrams per language — n-gram statistics
+      // for corpus analysis; one explode + one count + one small window
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("cnt").desc, col("bigram"))
+        T(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("tk"))
+          .select(col("lang"), explode(expr(
+            // adjacent-pair zip: zip_with pads the shorter side with null,
+            // concat null-propagates, filter drops the padded tail pair
+            "filter(zip_with(tk, slice(tk, 2, size(tk)), " +
+              "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"))
+            .as("bigram"))
+          .groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("lang", "rn", "bigram", "cnt")
+          .orderBy("lang", "rn")
+      },
+      Some(
+        "WITH t AS (SELECT lang, string_split(text, ' ') AS tk " +
+          "FROM documents), " +
+          "bg AS (SELECT lang, unnest(list_transform(range(1, len(tk)), " +
+          "i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t), " +
+          "c AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM bg GROUP BY 1, 2), " +
+          "r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang " +
+          "ORDER BY cnt DESC, bigram) AS BIGINT) AS rn, bigram, cnt FROM c) " +
+          "SELECT lang, rn, bigram, cnt FROM r WHERE rn <= 10 " +
+          "ORDER BY lang, rn")
     )
   )
 }

@@ -185,6 +185,39 @@ object VectorOps extends QueryModule {
           "round(avg(CAST(len(string_split(text,' ')) AS DOUBLE)),4) AS avg_toks " +
           "FROM documents JOIN embeddings ON doc_id = vec_id " +
           "GROUP BY label ORDER BY label")
+    ),
+    Q(
+      "vec_quantize",
+      // int8 scalar quantization per vector (min/max affine codes) — the
+      // storage-compression pass of an embedding pipeline. All float math
+      // widens to double with the identical op sequence in the oracle;
+      // codes are integers so the checksum is exact.
+      (s, dir) =>
+        T(s, dir, "embeddings")
+          .withColumn("mn", array_min(col("embedding")).cast("double"))
+          .withColumn("mx", array_max(col("embedding")).cast("double"))
+          .withColumn("step",
+            greatest(col("mx") - col("mn"), lit(1e-12)) / 255.0)
+          .withColumn("qsum", expr(
+            "aggregate(transform(embedding, " +
+              "x -> CAST(round((CAST(x AS DOUBLE) - mn) / step) AS BIGINT)), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .select(col("vec_id"),
+            dround(col("mn"), 6).as("qmin"),
+            dround(col("mx"), 6).as("qmax"),
+            col("qsum"))
+          .orderBy("vec_id"),
+      Some(
+        "WITH v AS (SELECT vec_id, embedding, " +
+          "CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+          "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), " +
+          "s AS (SELECT vec_id, embedding, mn, mx, " +
+          "greatest(mx - mn, 1e-12) / 255.0 AS step FROM v) " +
+          "SELECT vec_id, " + droundSql("mn", 6) + " AS qmin, " +
+          droundSql("mx", 6) + " AS qmax, " +
+          "CAST(list_sum(list_transform(embedding, " +
+          "x -> CAST(round((CAST(x AS DOUBLE) - mn) / step) AS BIGINT))) " +
+          "AS BIGINT) AS qsum FROM s ORDER BY vec_id")
     )
   )
 }

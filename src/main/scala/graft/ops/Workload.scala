@@ -112,6 +112,118 @@ object Workload extends QueryModule {
           "AND o_orderdate < TIMESTAMP '1998-01-01' " +
           "GROUP BY c_custkey, c_name, n_name " +
           "ORDER BY lost_revenue DESC, c_custkey LIMIT 20")
+    ),
+    Q(
+      "q6_forecast_revenue",
+      // TPC-H Q6 analog: single-scan selective filter + one global sum —
+      // the pure pushdown/codegen benchmark (no join, no shuffle beyond
+      // the final partial-agg merge)
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+            .as("revenue"), count(lit(1)).as("n_lines"))
+          .select(col("revenue"), col("n_lines")),
+      Some(
+        "SELECT " + dsumSql("l_extendedprice*l_discount", 4) +
+          " AS revenue, CAST(count(*) AS BIGINT) AS n_lines FROM lineitem " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+          "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+    ),
+    Q(
+      "q12_late_shipping",
+      // Q12 analog on this schema: lines shipped >90 days after the order
+      // date, bucketed by priority class — fact⋈fact join + conditional agg
+      (s, dir) =>
+        T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") >
+            date_add(col("o_orderdate").cast("date"), 90)
+              .cast("timestamp"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("late_lines"),
+            expr("count(*) FILTER (WHERE o_orderpriority IN " +
+              "('1-URGENT', '2-HIGH'))").as("critical_late"),
+            dsum(rev, 4).as("late_revenue"))
+          .orderBy("o_orderpriority"),
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_lines, " +
+          "CAST(count(*) FILTER (WHERE o_orderpriority IN " +
+          "('1-URGENT', '2-HIGH')) AS BIGINT) AS critical_late, " +
+          dsumSql("l_extendedprice*(1-l_discount)", 4) + " AS late_revenue " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "WHERE l_shipdate > CAST(o_orderdate AS DATE) + 90 " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    ),
+    Q(
+      "q14_promo_revenue",
+      // Q14 analog: promo revenue share per month — broadcast dim join +
+      // conditional aggregation + exact-ratio division
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(T(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+            .as("mo"))
+          .agg(
+            (sum(when(col("p_type") === "PROMO",
+              round(rev * 1e4).cast("long")).otherwise(0L)) / 1e4)
+              .as("promo_rev"),
+            dsum(rev, 4).as("total_rev"))
+          .select(col("mo"), col("promo_rev"),
+            dround(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+              .as("promo_pct"))
+          .orderBy("mo"),
+      Some(
+        "WITH t AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS mo, " +
+          "sum(CASE WHEN p_type = 'PROMO' THEN " +
+          "CAST(round(l_extendedprice*(1-l_discount)*1e4) AS BIGINT) " +
+          "ELSE 0 END) / 1e4 AS promo_rev, " +
+          dsumSql("l_extendedprice*(1-l_discount)", 4) + " AS total_rev " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1) " +
+          "SELECT mo, promo_rev, " +
+          droundSql("100.0 * promo_rev / total_rev", 6) + " AS promo_pct " +
+          "FROM t ORDER BY mo")
+    ),
+    Q(
+      "q18_large_customers",
+      // Q18 analog: customers whose single orders exceed a quantity
+      // threshold — aggregate-then-semi-join-back (the HAVING-driven
+      // fact self-reference), then enrich with customer
+      (s, dir) => {
+        val big = T(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        T(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(T(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some(
+        "WITH big AS (SELECT l_orderkey, " + dsumSql("l_quantity", 2) +
+          " AS total_qty FROM lineitem GROUP BY l_orderkey " +
+          "HAVING " + dsumSql("l_quantity", 2) + " > 150) " +
+          "SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty " +
+          "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "ORDER BY total_qty DESC, o_orderkey LIMIT 50")
     )
   )
 }
