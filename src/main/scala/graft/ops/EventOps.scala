@@ -138,6 +138,35 @@ object EventOps extends QueryModule {
           "ORDER BY win_start")
     ),
     Q(
+      "stream_join_static_live",
+      // stream ⋈ static-dimension join as a REAL streaming job: the events
+      // file stream joins a broadcast customer dim map-side (no shuffle of
+      // the stream), then aggregates per segment — the enrichment shape of
+      // every production event pipeline
+      (s, dir) => {
+        val name = s"live_joinstatic_${System.nanoTime()}"
+        val dim = broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val q = liveEvents(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("c_mktsegment")
+      },
+      Some(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events JOIN customer ON user_id = c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    ),
+    Q(
       "stream_session_30m",
       // Session windows, 30-min gap: lag-flag session starts, running-sum a
       // session id, then aggregate per session. Durations in exact µs.

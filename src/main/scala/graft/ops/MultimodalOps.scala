@@ -84,6 +84,37 @@ object MultimodalOps extends QueryModule {
           .orderBy("doc_id")
       },
       None
+    ),
+    Q(
+      "mm_frame_sample",
+      // Frame sampling WITHOUT decoding: the payload is treated as fixed
+      // 64-byte frames and every 4th frame is sampled — offset arithmetic
+      // + substring only, the pattern that lets a video pipeline pull
+      // keyframes out of a 100 TB column without ever inflating it.
+      // ASCII corpus ⇒ the byte-level oracle can be stated on the string.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .withColumn("nb", length(col("payload")).cast("long"))
+          .withColumn("fidx", explode(expr(
+            "filter(sequence(0L, (nb - 1) DIV 64), i -> i % 4 = 0)")))
+          .select(
+            col("doc_id"), col("fidx"),
+            least(lit(64L), col("nb") - col("fidx") * 64)
+              .as("frame_len"),
+            expr("CAST(ascii(decode(substring(payload, " +
+              "CAST(fidx * 64 + 1 AS INT), 1), 'UTF-8')) AS BIGINT)")
+              .as("frame_head"))
+          .orderBy("doc_id", "fidx"),
+      Some(
+        "WITH f AS (SELECT doc_id, text, " +
+          "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb, " +
+          "unnest(list_filter(range(0, " +
+          "CAST(octet_length(CAST(text AS BLOB)) - 1 AS BIGINT) // 64 + 1), " +
+          "i -> i % 4 = 0)) AS fidx FROM documents) " +
+          "SELECT doc_id, fidx, least(64, nb - fidx * 64) AS frame_len, " +
+          "CAST(ascii(substr(text, CAST(fidx * 64 + 1 AS INT), 1)) AS BIGINT) " +
+          "AS frame_head FROM f ORDER BY doc_id, fidx")
     )
   )
 }

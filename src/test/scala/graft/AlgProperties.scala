@@ -27,6 +27,21 @@ object AlgProperties extends Properties("graft.algs") {
       TextAlgs.jaccard(a, b) == 0.0
     }
 
+  property("lixsize equals set-intersection size on sorted distinct arrays") =
+    forAll(Gen.listOf(Gen.choose(-50L, 50L)),
+      Gen.listOf(Gen.choose(-50L, 50L))) { (xs, ys) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val a = xs.distinct.sorted.toArray
+      val b = ys.distinct.sorted.toArray
+      val got = graft.functions.SortedLongIntersectSize(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType)))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      got == xs.toSet.intersect(ys.toSet).size.toLong
+    }
+
   property("minhash signature is permutation-invariant (set semantics)") =
     forAll(tokenSet) { a =>
       val s1 = TextAlgs.minhash(a.toSeq)

@@ -38,6 +38,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q6 pushes all three selective predicates down to the scan") {
+    val p = planOf("q6_forecast_revenue")
+    // the PushedFilters list is elided in toString, so assert the scan
+    // carries pushed filters at all plus the full predicate set on the
+    // post-scan Filter (date range, discount band, quantity cap)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 1997-01-01") && p.contains("< 1998-01-01"), p)
+    assert(p.contains(">= 0.05") && p.contains("<= 0.07"), p)
+    assert(p.contains("< 24.0"), p)
+  }
+
+  test("q14 broadcasts the part dimension (no sort-merge)") {
+    val p = planOf("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q18 top-50 compiles to TakeOrderedAndProject") {
+    val p = planOf("q18_large_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_filtered computes all filtered aggregates in ONE scan") {
+    val p = planOf("agg_filtered")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+  }
+
   test("join_theta_range broadcasts the small part slice (BNLJ)") {
     val p = planOf("join_theta_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
