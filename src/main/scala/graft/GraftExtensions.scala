@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, FloatVecL2, SortedLongIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -12,10 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * registers graft's native Catalyst functions (currently `fvdot`, the
-  * codegen'd float-vector dot product) in every new session — the idiomatic
-  * Spark mechanism for shipping engine extensions, vs. per-session
-  * `VecExprs.register`.
+  * registers graft's native Catalyst functions (`fvdot`/`fvl2`, the
+  * codegen'd float-vector dot product and squared-L2 distance, and
+  * `lixsize`, the sorted-long-array merge intersect) in every new
+  * session — the idiomatic Spark mechanism for shipping engine
+  * extensions, vs. per-session `VecExprs.register`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -23,5 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fvdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvdot"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    e.injectFunction((
+      FunctionIdentifier("fvl2"),
+      new ExpressionInfo(classOf[FloatVecL2].getName, "fvl2"),
+      (args: Seq[Expression]) => FloatVecL2(args.head, args(1))))
+    e.injectFunction((
+      FunctionIdentifier("lixsize"),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "lixsize"),
+      (args: Seq[Expression]) => SortedLongIntersectSize(args.head, args(1))))
   }
 }

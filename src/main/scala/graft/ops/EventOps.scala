@@ -138,6 +138,120 @@ object EventOps extends QueryModule {
           "ORDER BY win_start")
     ),
     Q(
+      "ts_funnel",
+      // funnel analysis: click → purchase conversion per user — first
+      // click, first purchase at-or-after it, conversion flag and latency.
+      // Two tiny aggregates + one join; at scale both group by user_id so
+      // they share a shuffle partitioning.
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .join(clicks, Seq("user_id"))
+          .filter(col("ts") >= col("first_click"))
+          .groupBy("user_id").agg(min("ts").as("first_purchase"))
+        clicks.join(buys, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("first_click"), col("first_purchase"),
+            col("first_purchase").isNotNull.cast("long").as("converted"),
+            (unix_micros(col("first_purchase").cast("timestamp"))
+              - unix_micros(col("first_click").cast("timestamp")))
+              .as("latency_us"))
+          .orderBy("user_id")
+      },
+      Some(
+        "WITH c AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) " +
+          "AS first_click FROM events WHERE event_type = 'click' " +
+          "GROUP BY 1), " +
+          "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) " +
+          "AS first_purchase FROM events e JOIN c ON e.user_id = c.user_id " +
+          "WHERE e.event_type = 'purchase' " +
+          "AND CAST(e.ts AS TIMESTAMP) >= c.first_click GROUP BY 1) " +
+          "SELECT c.user_id, c.first_click, p.first_purchase, " +
+          "CAST(p.first_purchase IS NOT NULL AS BIGINT) AS converted, " +
+          "CAST(date_diff('microsecond', c.first_click, p.first_purchase) " +
+          "AS BIGINT) AS latency_us " +
+          "FROM c LEFT JOIN p ON c.user_id = p.user_id ORDER BY c.user_id")
+    ),
+    Q(
+      "events_anomaly",
+      // z-score outlier detection per event_type, with mean/std derived
+      // from EXACT decimal power sums (order-proof — the agg_corr
+      // pattern); the closed-form mean/sd and the 2σ comparison run on
+      // identical doubles in both engines.
+      (s, dir) => {
+        val dv = col("value").cast("decimal(18,2)")
+        val stats = T(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dv).as("sxd"), sum(dv * dv).as("sxxd"))
+          .select(col("event_type"),
+            col("sxd").cast("double").as("sx"),
+            col("sxxd").cast("double").as("sxx"),
+            col("n").cast("double").as("nd"))
+          .select(col("event_type"),
+            (col("sx") / col("nd")).as("mean"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("nd"))
+              / (col("nd") - 1.0)).as("sd"))
+        T(s, dir, "events")
+          .join(broadcast(stats), Seq("event_type"))
+          .filter(abs(col("value") - col("mean")) > lit(2.0) * col("sd"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            graft.Det.dround((col("value") - col("mean")) / col("sd"), 4)
+              .as("z"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2)) * " +
+          "CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx " +
+          "FROM events GROUP BY 1), " +
+          "m AS (SELECT event_type, sx / nd AS mean, " +
+          "sqrt((sxx - sx * sx / nd) / (nd - 1.0)) AS sd FROM s) " +
+          "SELECT event_id, e.event_type, value, " +
+          graft.Det.droundSql("(value - mean) / sd", 4) + " AS z " +
+          "FROM events e JOIN m ON e.event_type = m.event_type " +
+          "WHERE abs(value - mean) > 2.0 * sd ORDER BY event_id")
+    ),
+    Q(
+      "stream_watermark_append_live",
+      // APPEND-mode windowed aggregation with a real 10-minute watermark:
+      // only windows whose end falls at or below the final watermark
+      // (max event time − 10 min) are emitted — true streaming
+      // finalization semantics, mirrored in the oracle by the same
+      // window-end cutoff.
+      (s, dir) => {
+        val name = s"live_wm_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so
+          // the cast is value-identical
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value"), 2).as("sum_val"))
+          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+            col("event_type"), col("n"), col("sum_val"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("win_start", "event_type")
+      },
+      Some(
+        "WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events) " +
+          "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, " +
+          "event_type, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("value", 2) + " AS sum_val FROM events, mx " +
+          "WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR " +
+          "<= m - INTERVAL 10 MINUTE " +
+          "GROUP BY win_start, event_type ORDER BY win_start, event_type")
+    ),
+    Q(
       "stream_join_static_live",
       // stream ⋈ static-dimension join as a REAL streaming job: the events
       // file stream joins a broadcast customer dim map-side (no shuffle of

@@ -218,6 +218,44 @@ object VectorOps extends QueryModule {
           "CAST(list_sum(list_transform(embedding, " +
           "x -> CAST(round((CAST(x AS DOUBLE) - mn) / step) AS BIGINT))) " +
           "AS BIGINT) AS qsum FROM s ORDER BY vec_id")
+    ),
+    Q(
+      "vec_kmeans_step",
+      // One Lloyd assignment step (the IVF-build primitive): 4 fixed seed
+      // centroids (vectors 0..3) broadcast, every vector assigned to its
+      // nearest by squared L2 via the codegen fvl2 expression, per-cluster
+      // sizes + mean distance. Ties break on centroid id via struct-min.
+      // At scale this is exactly k-means/IVF training: broadcast k
+      // centroids, one linear scan per iteration, tiny aggregate out.
+      (s, dir) => {
+        VecExprs.register(s)
+        val emb = T(s, dir, "embeddings")
+        val cents = broadcast(emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(cents)
+          .withColumn("d2", expr("fvl2(embedding, ce)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"))
+          .select(col("vec_id"), col("m.c").as("cluster"),
+            col("m.d").as("d2"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            graft.Det.davg(col("d2"), 6).as("avg_d2"))
+          .orderBy("cluster")
+      },
+      Some(
+        "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings " +
+          "WHERE vec_id < 4), " +
+          "d AS (SELECT v.vec_id, c.cid, " +
+          "(SELECT sum((CAST(z.x AS DOUBLE) - z.y) * (CAST(z.x AS DOUBLE) - z.y)) " +
+          "FROM (SELECT unnest(v.embedding) AS x, unnest(c.ce) AS y) z) AS d2 " +
+          "FROM embeddings v, c), " +
+          "a AS (SELECT vec_id, (min({'d': d2, 'c': cid})).c AS cluster, " +
+          "(min({'d': d2, 'c': cid})).d AS d2 FROM d GROUP BY vec_id) " +
+          "SELECT cluster, CAST(count(*) AS BIGINT) AS n, " +
+          graft.Det.davgSql("d2", 6) + " AS avg_d2 " +
+          "FROM a GROUP BY cluster ORDER BY cluster")
     )
   )
 }
