@@ -34,6 +34,32 @@ object Windows extends QueryModule {
           "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn")
     ),
     Q(
+      "win_topk_native",
+      // SAME result as win_rank_topn_per_group, computed by graft's native
+      // TopKPerGroup plan (graft.plans) — bounded per-group heaps on both
+      // sides of the exchange instead of a full per-partition sort; the
+      // output has no rank column, so rows are re-ranked here only for the
+      // deterministic output contract
+      (s, dir) => {
+        val top = graft.plans.TopK.perGroup(
+          T(s, dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          3)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        top.withColumn("rn", row_number().over(w).cast("long"))
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some(
+        "SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM " +
+          "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+          "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn")
+    ),
+    Q(
       "win_running_sum",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")

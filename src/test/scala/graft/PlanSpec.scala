@@ -60,6 +60,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("win_topk_native plans two-phase heaps with NO sort and NO window") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.plans.TopK.perGroup(
+      T(spark, TestSpark.Sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val p = df.queryExecution.executedPlan.toString
+    val phases = "TopKPerGroup \\[".r.findAllIn(p).size
+    assert(phases == 2, s"expected partial+final TopKPerGroupExec:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Sort "), s"full sort defeats the operator:\n$p")
+    assert(!p.contains("Window"), p)
+    // and it agrees with the window-rank formulation
+    val viaWindow = SparkEntry.queries("win_rank_topn_per_group")(
+      spark, TestSpark.Sf).select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaTopK = df.select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTopK == viaWindow)
+  }
+
   test("agg_filtered computes all filtered aggregates in ONE scan") {
     val p = planOf("agg_filtered")
     val scans = "Scan parquet".r.findAllIn(p).size
