@@ -252,6 +252,37 @@ object EventOps extends QueryModule {
           "GROUP BY win_start, event_type ORDER BY win_start, event_type")
     ),
     Q(
+      "stream_foreachbatch_sink",
+      // foreachBatch sink: the escape hatch for writing micro-batches with
+      // arbitrary batch logic (upserts, multi-sink fanout). Here each
+      // batch appends to a parquet dir; the re-read aggregate must equal
+      // the direct batch aggregate — exactly-once at the batch level.
+      (s, dir) => {
+        val out = graft.Tmp.dir("graft_feb")
+        val q = liveEvents(s, dir)
+          .select("event_id", "event_type", "value")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            min("event_id").as("first_id"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "min(event_id) AS first_id, " + dsumSql("value", 2) +
+          " AS sum_val FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "stream_join_static_live",
       // stream ⋈ static-dimension join as a REAL streaming job: the events
       // file stream joins a broadcast customer dim map-side (no shuffle of

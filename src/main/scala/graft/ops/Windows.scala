@@ -60,6 +60,26 @@ object Windows extends QueryModule {
           "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn")
     ),
     Q(
+      "win_range_interval",
+      // time-based RANGE frame: events per user in the trailing 30 minutes
+      // of EVENT TIME (not row count) — the time-decay window primitive.
+      // RANGE peers share a frame, so duplicate timestamps are handled
+      // identically in both engines.
+      (s, dir) => {
+        T(s, dir, "events").createOrReplaceTempView("wri_events")
+        s.sql(
+          "SELECT event_id, user_id, CAST(count(*) OVER (" +
+            "PARTITION BY user_id ORDER BY ts " +
+            "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW) " +
+            "AS BIGINT) AS n30m FROM wri_events ORDER BY event_id")
+      },
+      Some(
+        "SELECT event_id, user_id, CAST(count(*) OVER (" +
+          "PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) " +
+          "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS n30m FROM events ORDER BY event_id")
+    ),
+    Q(
       "win_running_sum",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
