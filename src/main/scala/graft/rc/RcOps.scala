@@ -123,6 +123,35 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_lambda_sweep",
+      // Ridge-regularization model selection: fit the readout at three λ
+      // values over the SAME design rows and report held-out global MSE
+      // per λ — the hyperparameter-sweep shape (each fit is one
+      // treeAggregate over constant-size Gram partials; the candidate
+      // models then score in parallel).
+      (s, dir) => {
+        import s.implicits._
+        val mats = Esn.matrices()
+        // 6 jobs share these rows (3 fits + 3 scores): persisting pays
+        // here, unlike the 2-pass rc_predict_mse (see its note)
+        val rows = RcPipeline
+          .design(series(s, dir), mats, Esn.InputScale, horizon = 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = Seq(1e-6, 1e-3, 1e-1).map { lam =>
+          val model = RcPipeline.fitDesigned(rows, mats, lam,
+            Esn.InputScale, horizon = 1, trainFrac = 0.8)
+          val (se, n) = RcPipeline.scoreDesigned(rows, model)
+            .map { case (_, cnt, mse) => (mse * cnt, cnt) }
+            .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          (lam, n, round6(se / n))
+        }
+        rows.unpersist(blocking = false)
+        s.createDataset(out).toDF("lambda", "n_test", "mse")
+          .orderBy("lambda")
+      },
+      None
+    ),
+    Q(
       "lm_online_sgd",
       // flink-rc's online linear model: per-user sequential SGD
       // w ← w + η(y − w·x)x over the ordered stream (normalized series).

@@ -77,4 +77,16 @@ class RcPipelineSpec extends AnyFunSuite {
     val w2 = RcPipeline.fit(series, 1e-6).w
     assert(w1.sameElements(w2))
   }
+
+  test("rc_lambda_sweep emits one finite MSE per candidate lambda") {
+    val rows = SparkEntry.queries("rc_lambda_sweep")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.length == 3)
+    val mses = rows.map(r => r.getDouble(2))
+    assert(mses.forall(m => m >= 0 && !m.isNaN && !m.isInfinite), mses.toSeq)
+    // over-regularization must not WIN on this data: λ=0.1's MSE is no
+    // better than the best of the smaller λs
+    val byLam = rows.map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(byLam(1e-1) >= math.min(byLam(1e-6), byLam(1e-3)), byLam)
+  }
 }
