@@ -230,6 +230,57 @@ object Extras extends QueryModule {
           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
     ),
     Q(
+      "agg_hll_sketch",
+      // sketch-as-column: per-language HLL sketches of user-ish ids built
+      // with Datasketches (hll_sketch_agg), merged across groups with
+      // hll_union_agg, estimated once — the mergeable-summary pattern that
+      // lets 100 TB distinct-counts run as constant-size partials. No
+      // oracle (sketch-internal); the spec pins the estimates against
+      // exact distinct counts within HLL error.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy("lang")
+          .agg(expr("hll_sketch_agg(doc_id)").as("sk"),
+            countDistinct("doc_id").as("exact"))
+          .groupBy(lit(1).as("one"))
+          .agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+              .as("est_total"),
+            sum("exact").as("exact_total"))
+          .select("est_total", "exact_total"),
+      None
+    ),
+    Q(
+      "sink_compaction",
+      // small-files compaction — the operational-hygiene pass every large
+      // parquet dataset needs: a fragmented write (64 files) is rewritten
+      // at a sane file count (4), byte-identical in content. The oracle
+      // states the data is unchanged; CompactionSpec asserts the file
+      // counts.
+      (s, dir) => {
+        val frag = graft.Tmp.dir("graft_frag")
+        val compact = graft.Tmp.dir("graft_compact")
+        T(s, dir, "events")
+          .select("event_id", "event_type", "value")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag)
+          .repartition(4)
+          .write.mode("overwrite").parquet(compact)
+        s.read.parquet(compact)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            min("event_id").as("first_id"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "min(event_id) AS first_id, " + dsumSql("value", 2) +
+          " AS sum_val FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "source_schema_evolution",
       // schema evolution across parquet batches: an old batch lacks a
       // column, mergeSchema=true unions the footers and null-fills — the
