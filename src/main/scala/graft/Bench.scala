@@ -35,7 +35,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    def f(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and would emit
+    // decimal COMMAS (invalid JSON) on comma-decimal JVM locales
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fullJson = results.map { case (k, v) => s"\"$k\":${f(v)}" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(

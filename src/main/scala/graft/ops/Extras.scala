@@ -255,8 +255,8 @@ object Extras extends QueryModule {
       // small-files compaction — the operational-hygiene pass every large
       // parquet dataset needs: a fragmented write (64 files) is rewritten
       // at a sane file count (4), byte-identical in content. The oracle
-      // states the data is unchanged; CompactionSpec asserts the file
-      // counts.
+      // states the data is unchanged; SketchSpec asserts the 64→4 file
+      // counts (mirroring this pipeline — keep the two in sync).
       (s, dir) => {
         val frag = graft.Tmp.dir("graft_frag")
         val compact = graft.Tmp.dir("graft_compact")

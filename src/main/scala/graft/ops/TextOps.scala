@@ -345,8 +345,10 @@ object TextOps extends QueryModule {
             explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "lang", "tok")
           .agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy("lang", "tok")
-          .agg(countDistinct("doc_id").as("df"))
+        // df re-aggregates tf (one row per (doc,tok) already) — NOT a
+        // second corpus scan+explode; halves the heaviest stage
+        val df = tf.groupBy("lang", "tok")
+          .agg(count(lit(1)).as("df"))
         val nd = T(s, dir, "documents")
           .groupBy("lang").agg(count(lit(1)).as("nd"))
         val w = org.apache.spark.sql.expressions.Window

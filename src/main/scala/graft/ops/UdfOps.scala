@@ -20,9 +20,13 @@ object UdfOps extends QueryModule {
   /** Geometric mean via sum-of-logs — mergeable partial state. The log sum
     * is kept as a scaled INTEGER (round(ln(x)*1e12)) so the aggregate is
     * associative and immune to partial-merge order (a raw double sum is
-    * not run-stable — Det policy in Q.scala). Headroom: |ln(x)| ≤ ~40
-    * ⇒ 4e13/row ⇒ safe to ~2e5 B rows per group in int64; beyond that,
-    * widen to DECIMAL state.
+    * not run-stable — Det policy in Q.scala). Honest headroom math:
+    * int64 holds ~9.2e18, so at |ln(x)·1e12| up to ~4e12 (these fixtures:
+    * ln ≤ 4) a group overflows around 2e6 rows; additions are checked
+    * (addExact) so exceeding it fails LOUDLY instead of returning
+    * exp(wrapped) garbage. The widening path for beyond-int64 groups is a
+    * DECIMAL(38,0) buffer — the exact analog of DuckDB's HUGEINT sum the
+    * oracle already uses.
     */
   object GeoMean extends Aggregator[Double, (Long, Long), Double] {
     def zero: (Long, Long) = (0L, 0L)
@@ -30,9 +34,9 @@ object UdfOps extends QueryModule {
     private def r0(v: Double): Long =
       (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
     def reduce(b: (Long, Long), a: Double): (Long, Long) =
-      (b._1 + r0(math.log(a) * 1e12), b._2 + 1L)
+      (Math.addExact(b._1, r0(math.log(a) * 1e12)), b._2 + 1L)
     def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
-      (x._1 + y._1, x._2 + y._2)
+      (Math.addExact(x._1, y._1), x._2 + y._2)
     def finish(r: (Long, Long)): Double = math.exp(r._1 / 1e12 / r._2)
     def bufferEncoder: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)

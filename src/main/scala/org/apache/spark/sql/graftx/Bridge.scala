@@ -13,9 +13,4 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
-  /** Column → Catalyst Expression (Spark 4 moved this behind ColumnNode). */
-  def expr(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }
