@@ -252,6 +252,57 @@ object EventOps extends QueryModule {
           "GROUP BY win_start, event_type ORDER BY win_start, event_type")
     ),
     Q(
+      "stream_custom_state_live",
+      // ARBITRARY keyed state in a live stream: mapGroupsWithState carries
+      // (count, scaled-int sum, min event id) per user across micro-batches
+      // and emits the updated state each batch — the custom-state tier
+      // below built-in windowed aggs. Oracle = the batch per-user summary.
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val name = s"live_state_${System.nanoTime()}"
+        val q = liveEvents(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Double)](
+            GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+            var (n, sum100, firstId) =
+              state.getOption.getOrElse((0L, 0L, Long.MaxValue))
+            it.foreach { case (_, eid, v) =>
+              n += 1
+              // half-away-from-zero, matching the oracle's round()
+              val sc = v * 100
+              sum100 += (if (sc >= 0) math.floor(sc + 0.5)
+                else math.ceil(sc - 0.5)).toLong
+              if (eid < firstId) firstId = eid
+            }
+            state.update((n, sum100, firstId))
+            (uid, n, firstId, sum100 / 100.0)
+          }
+          .toDF("user_id", "n", "first_id", "sum_val")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // update mode appends one row per key per batch; keep the LAST
+        // state per key (max n wins — counts only grow)
+        s.table(name)
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("first_id"), col("sum_val")))
+            .as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.first_id").as("first_id"),
+            col("m.sum_val").as("sum_val"))
+          .orderBy("user_id")
+      },
+      Some(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+          "min(event_id) AS first_id, " + dsumSql("value", 2) +
+          " AS sum_val FROM events GROUP BY user_id ORDER BY user_id")
+    ),
+    Q(
       "stream_foreachbatch_sink",
       // foreachBatch sink: the escape hatch for writing micro-batches with
       // arbitrary batch logic (upserts, multi-sink fanout). Here each

@@ -81,6 +81,61 @@ object UdfOps extends QueryModule {
           "GROUP BY l_returnflag ORDER BY l_returnflag")
     ),
     Q(
+      "udtf_ngrams",
+      // CUSTOM Generator (real UDTF): trigrams per language via graft's
+      // native ngrams() Catalyst generator — plans through Generate with
+      // pruning intact; top-5 per lang by (count desc, trigram)
+      (s, dir) => {
+        graft.functions.NGramGenerator.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("n").desc, col("ngram"))
+        T(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("tk"))
+          .select(col("lang"), expr("ngrams(tk, 3)").as("ngram"))
+          .groupBy("lang", "ngram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("lang", "rn", "ngram", "n")
+          .orderBy("lang", "rn")
+      },
+      Some(
+        "WITH t AS (SELECT lang, string_split(text, ' ') AS tk " +
+          "FROM documents), " +
+          "g AS (SELECT lang, unnest(list_transform(range(1, len(tk) - 1), " +
+          "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram FROM t), " +
+          "c AS (SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n " +
+          "FROM g GROUP BY 1, 2), " +
+          "r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang " +
+          "ORDER BY n DESC, ngram) AS BIGINT) AS rn, ngram, n FROM c) " +
+          "SELECT lang, rn, ngram, n FROM r WHERE rn <= 5 " +
+          "ORDER BY lang, rn")
+    ),
+    Q(
+      "fn_try",
+      // ANSI-safe error handling: try_cast on dirty strings, try_divide
+      // with zero divisors — NULL instead of job failure, the posture a
+      // 100 TB pipeline needs for dirty data
+      (s, dir) =>
+        T(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            expr("try_cast(concat(CAST(c_custkey AS STRING), " +
+              "CASE WHEN c_custkey % 3 = 0 THEN 'x' ELSE '' END) AS BIGINT)")
+              .as("parsed_id"),
+            expr("try_divide(c_acctbal, CAST(c_nationkey AS DOUBLE))")
+              .as("bal_per_nation"))
+          .orderBy("c_custkey"),
+      Some(
+        "SELECT c_custkey, " +
+          "try_cast(CAST(c_custkey AS VARCHAR) || " +
+          "CASE WHEN c_custkey % 3 = 0 THEN 'x' ELSE '' END AS BIGINT) " +
+          "AS parsed_id, " +
+          "c_acctbal / CAST(c_nationkey AS DOUBLE) AS bal_per_nation " +
+          "FROM customer ORDER BY c_custkey")
+    ),
+    Q(
       "udtf_explode",
       (s, dir) =>
         T(s, dir, "documents")
