@@ -24,6 +24,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *      same over the partial winners.
   * Shuffle volume is ≤ groups × k rows per upstream partition, vs ALL
   * rows for the window formulation; there is no full sort anywhere.
+  *
+  * Relation to Spark's built-in: since 3.5 Catalyst rewrites the
+  * `row_number window + filter rn<=k` idiom through `WindowGroupLimit`,
+  * which also limits before the exchange BUT sorts each partition on
+  * both sides. This operator replaces the two local sorts
+  * (O(n log n), spillable) with bounded heaps (O(n log k), fixed
+  * memory) — the difference matters when partitions are large and k is
+  * small, the common top-k-per-entity shape. An optimizer `Rule` that
+  * rewrites the window idiom to this node would DUPLICATE the built-in
+  * coverage, so the operator is exposed as an explicit API instead.
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
