@@ -82,6 +82,60 @@ object Esn {
     phi
   }
 
+  // ---- multivariate input (the reference's (index, value-VECTOR) records)
+
+  final case class MatsM(win: Array[Array[Double]], w: Array[Array[Double]])
+      extends Serializable
+
+  /** Multivariate W_in (nx × nu) + recurrent W. With nu = 1 the draw order
+    * matches [[matrices]], so the scalar path is the nu=1 special case.
+    */
+  def matricesM(nu: Int, nx: Int = Nx, seed: Long = 42L,
+      density: Double = 0.1, targetRho: Double = 0.9): MatsM = {
+    val rng = new SplitMix64(seed)
+    val win = Array.fill(nx, nu)(rng.nextDouble() - 0.5)
+    val w = Array.fill(nx, nx)(
+      if (rng.nextDouble() < density) rng.nextDouble() - 0.5 else 0.0)
+    var v = Array.fill(nx)(1.0)
+    var lambda = 0.0
+    var maxTail = 0.0
+    var it = 0
+    while (it < 200) {
+      val nv = matVec(w, v)
+      lambda = norm2(nv)
+      if (lambda > 0) v = nv.map(_ / lambda)
+      if (it >= 190 && lambda > maxTail) maxTail = lambda
+      it += 1
+    }
+    val rho = if (maxTail > 0) maxTail else 1.0
+    MatsM(win, w.map(_.map(x => x * targetRho / rho)))
+  }
+
+  /** One reservoir update for vector input: x' = tanh(W_in·u + W·x). */
+  def stepM(m: MatsM, x: Array[Double], u: Array[Double]): Array[Double] = {
+    val wx = matVec(m.w, x)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      var s = wx(i)
+      val wi = m.win(i)
+      var j = 0
+      while (j < u.length) { s += wi(j) * u(j); j += 1 }
+      out(i) = math.tanh(s)
+      i += 1
+    }
+    out
+  }
+
+  /** Design vector [1, u..., x...] for the multivariate readout. */
+  def designRowM(u: Array[Double], x: Array[Double]): Array[Double] = {
+    val phi = new Array[Double](1 + u.length + x.length)
+    phi(0) = 1.0
+    System.arraycopy(u, 0, phi, 1, u.length)
+    System.arraycopy(x, 0, phi, 1 + u.length, x.length)
+    phi
+  }
+
   /** Solve (A + λI) w = b by Gaussian elimination with partial pivoting —
     * deterministic, O(d³) on the driver for d = 34.
     */

@@ -123,6 +123,29 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_multi_input",
+      // VECTOR-input ESN (the reference's (index, value-vector) records):
+      // u(t) = [value/scale, hour-of-day/24] — the exogenous time feature
+      // rides along with the series. Per-user held-out MSE of the
+      // multivariate readout.
+      (s, dir) => {
+        import s.implicits._
+        val vs = T(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"),
+            col("event_id"),
+            array(col("value") / Esn.InputScale,
+              (hour(col("ts")).cast("double") / 24.0)).as("u"))
+          .as[(Long, Long, Long, Array[Double])]
+        val model = RcPipeline.fitM(vs, nu = 2, lambda = Lambda)
+        RcPipeline.scoreM(vs, model)
+          .map { case (uid, n, mse) => (uid, n, round6(mse)) }
+          .toDF("user_id", "n_test", "mse")
+          .orderBy("user_id")
+      },
+      None
+    ),
+    Q(
       "rc_lambda_sweep",
       // Ridge-regularization model selection: fit the readout at three λ
       // values over the SAME design rows and report held-out global MSE

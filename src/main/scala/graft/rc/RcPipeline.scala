@@ -67,8 +67,17 @@ object RcPipeline {
   def fitDesigned(
       rows: Dataset[(Long, Long, Long, Array[Double], Option[Double])],
       mats: Esn.Mats, lambda: Double, inputScale: Double, horizon: Int,
-      trainFrac: Double): Model = {
-    val d = 2 + Esn.Nx
+      trainFrac: Double): Model =
+    Model(mats, gramSolve(rows, 2 + Esn.Nx, lambda, horizon, trainFrac),
+      inputScale, horizon, trainFrac)
+
+  /** Shared Gram-matrix aggregation + ridge solve over the train split;
+    * `d` is the design-row width (2+Nx scalar, 1+nu+Nx multivariate).
+    */
+  private def gramSolve(
+      rows: Dataset[(Long, Long, Long, Array[Double], Option[Double])],
+      d: Int, lambda: Double, horizon: Int,
+      trainFrac: Double): Array[Double] = {
     val hz = horizon
     val tf = trainFrac
     val (gram, xty, _) = rows
@@ -97,8 +106,7 @@ object RcPipeline {
           }
           (a1, b1, c1 + c2)
         })
-    Model(mats, Esn.ridgeSolve(gram, xty, lambda), inputScale, horizon,
-      trainFrac)
+    Esn.ridgeSolve(gram, xty, lambda)
   }
 
   /** Per-key MSE of the trained readout on each key's held-out tail
@@ -113,6 +121,74 @@ object RcPipeline {
       rows: Dataset[(Long, Long, Long, Array[Double], Option[Double])],
       model: Model): Dataset[(Long, Long, Double)] = {
     import rows.sparkSession.implicits._
+    val w = model.w
+    val hz = model.horizon
+    val tf = model.trainFrac
+    rows
+      .filter(r => r._5.isDefined && r._2 >= trainCut(r._3, hz, tf))
+      .map { case (key, _, _, phi, tOpt) =>
+        var pred = 0.0
+        var i = 0
+        while (i < phi.length) { pred += w(i) * phi(i); i += 1 }
+        val e = pred - tOpt.get
+        (key, 1L, e * e)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        var se = 0.0; var n = 0L
+        it.foreach { r => se += r._3; n += r._2 }
+        (key, n, se / n)
+      }
+  }
+
+  // ---- multivariate input (the reference's (index, value-VECTOR) records)
+
+  /** (key, order1, order2, feature vector) — features pre-scaled by the
+    * caller; the readout predicts feature 0 at t+h.
+    */
+  type VSample = (Long, Long, Long, Array[Double])
+
+  final case class ModelM(mats: Esn.MatsM, w: Array[Double], horizon: Int,
+      trainFrac: Double) extends Serializable
+
+  /** Design rows for vector input: phi = [1, u..., x...], target =
+    * feature 0 at t+h.
+    */
+  def designM(series: Dataset[VSample], mats: Esn.MatsM, horizon: Int)
+      : Dataset[(Long, Long, Long, Array[Double], Option[Double])] = {
+    import series.sparkSession.implicits._
+    series
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length.toLong
+        var x = new Array[Double](Esn.Nx)
+        rows.iterator.zipWithIndex.map { case ((_, _, _, u), i) =>
+          x = Esn.stepM(mats, x, u)
+          val target =
+            if (i + horizon < rows.length) Some(rows(i + horizon)._4(0))
+            else None
+          (key, i.toLong, n, Esn.designRowM(u, x), target)
+        }
+      }
+  }
+
+  /** Fit the multivariate readout (nu input features). */
+  def fitM(series: Dataset[VSample], nu: Int, lambda: Double,
+      horizon: Int = 1, trainFrac: Double = 0.8,
+      seed: Long = 42L): ModelM = {
+    val mats = Esn.matricesM(nu, seed = seed)
+    val rows = designM(series, mats, horizon)
+    ModelM(mats,
+      gramSolve(rows, 1 + nu + Esn.Nx, lambda, horizon, trainFrac),
+      horizon, trainFrac)
+  }
+
+  /** Per-key held-out MSE for a multivariate model. */
+  def scoreM(series: Dataset[VSample], model: ModelM)
+      : Dataset[(Long, Long, Double)] = {
+    import series.sparkSession.implicits._
+    val rows = designM(series, model.mats, model.horizon)
     val w = model.w
     val hz = model.horizon
     val tf = model.trainFrac

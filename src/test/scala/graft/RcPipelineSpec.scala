@@ -78,6 +78,29 @@ class RcPipelineSpec extends AnyFunSuite {
     assert(w1.sameElements(w2))
   }
 
+  test("multivariate fit with nu=1 matches the scalar pipeline exactly") {
+    import spark.implicits._
+    val mg = mackeyGlass(300)
+    val scalar = spark.createDataset(
+      mg.toSeq.zipWithIndex.map { case (v, t) => (1L, t.toLong, 0L, v) })
+    val vector = spark.createDataset(
+      mg.toSeq.zipWithIndex.map { case (v, t) =>
+        (1L, t.toLong, 0L, Array(v)) })
+    val ws = RcPipeline.fit(scalar, 1e-6).w
+    val wm = RcPipeline.fitM(vector, nu = 1, lambda = 1e-6).w
+    assert(ws.sameElements(wm),
+      "nu=1 multivariate path must be bit-identical to the scalar path")
+  }
+
+  test("rc_multi_input is deterministic and emits finite per-user MSEs") {
+    def run(): Seq[String] =
+      SparkEntry.queries("rc_multi_input")(spark, TestSpark.Sf)
+        .collect().map(_.toString).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a == run())
+  }
+
   test("rc_lambda_sweep emits one finite MSE per candidate lambda") {
     val rows = SparkEntry.queries("rc_lambda_sweep")(spark, TestSpark.Sf)
       .collect()
