@@ -252,6 +252,56 @@ object EventOps extends QueryModule {
           "GROUP BY win_start, event_type ORDER BY win_start, event_type")
     ),
     Q(
+      "stream_stream_join_live",
+      // REAL stream⋈stream interval join: clicks joined to the same
+      // user's purchases within the following hour, both sides
+      // watermarked (bounds the join state) — the hardest streaming join
+      // shape. Batch oracle = the identical interval join on the bounded
+      // table; per-user pair counts keep the output small.
+      (s, dir) => {
+        val name = s"live_ssj_${System.nanoTime()}"
+        val ev = liveEvents(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"),
+            col("event_id").as("cid"))
+          .withWatermark("cts", "1 hour")
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts"),
+            col("event_id").as("pid"))
+          .withWatermark("pts", "1 hour")
+        // stream-stream joins emit append-only: sink the matched PAIRS,
+        // then aggregate the sink table in batch (a keyed aggregation
+        // after the join would never finalize in append mode)
+        val q = clicks.join(buys,
+            col("cu") === col("pu") &&
+              col("pts") >= col("cts") &&
+              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+          .select(col("cu"), col("cid"), col("pid"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("cu").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min("cid").as("first_click_id"),
+            min("pid").as("first_purchase_id"))
+          .orderBy("user_id")
+      },
+      Some(
+        "SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "min(c.event_id) AS first_click_id, " +
+          "min(p.event_id) AS first_purchase_id " +
+          "FROM events c JOIN events p ON c.user_id = p.user_id " +
+          "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+          "AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) " +
+          "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) " +
+          "+ INTERVAL 1 HOUR " +
+          "GROUP BY c.user_id ORDER BY c.user_id")
+    ),
+    Q(
       "stream_custom_state_live",
       // ARBITRARY keyed state in a live stream: mapGroupsWithState carries
       // (count, scaled-int sum, min event id) per user across micro-batches

@@ -333,6 +333,52 @@ object TextOps extends QueryModule {
       None
     ),
     Q(
+      "text_dedup_mllib_lsh",
+      // The SAME near-dup problem through Spark MLlib's estimator API
+      // (north star: "Structured Streaming + MLlib"): CountVectorizer →
+      // MinHashLSH.approxSimilarityJoin, exact-Jaccard re-verified. Seeded
+      // ⇒ deterministic; TextAlgsSpec asserts parity with the exact pairs
+      // on the shared slice. Our hand-rolled text_dedup_minhash remains
+      // the tuned path (banding + lixsize verify).
+      (s, dir) => {
+        import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+        val docs = T(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+        val cv = new CountVectorizer()
+          .setInputCol("toks").setOutputCol("features")
+          .setBinary(true)
+          .fit(docs)
+        val feats = cv.transform(docs)
+        val lsh = new MinHashLSH()
+          .setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(16).setSeed(42L)
+          .fit(feats)
+        lsh.approxSimilarityJoin(feats, feats, 0.2, "jacDist")
+          .select(
+            col("datasetA.doc_id").as("doc_a"),
+            col("datasetB.doc_id").as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          // LSH candidates only — re-verify with EXACT Jaccard >= 0.8 so
+          // the result is hash-seed-independent
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("toks").as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("toks").as("tb")), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("ta")) + size(col("tb")) - col("inter")))
+          .filter(col("jac") >= 0.8)
+          .select(col("doc_a"), col("doc_b"),
+            graft.Det.dround(col("jac"), 6).as("jac"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      None
+    ),
+    Q(
       "text_tfidf",
       // TF-IDF keyword extraction: top-3 terms per document. Three hash
       // aggregates (tf, df, doc counts) + two joins + one window — every

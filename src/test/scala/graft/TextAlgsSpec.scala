@@ -83,6 +83,22 @@ class TextAlgsSpec extends AnyFunSuite {
     assert(TextAlgs.tokenHash64("spark") != TextAlgs.tokenHash64("flink"))
   }
 
+  test("MLlib MinHashLSH finds the same near-dup pairs as exact Jaccard") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val sliceIds = T(spark, TestSpark.Sf, "documents")
+      .filter(col("lang") === "en" && col("source").isin("src0", "src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("text_dedup_near")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllib = SparkEntry.queries("text_dedup_mllib_lsh")(
+      spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => sliceIds(a) && sliceIds(b) }.toSet
+    assert(mllib == exact,
+      s"MLlib LSH missed ${exact.diff(mllib)} / extra ${mllib.diff(exact)}")
+  }
+
   test("MinHash-LSH finds the same near-dup pairs as exact Jaccard") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
