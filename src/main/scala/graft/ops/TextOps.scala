@@ -337,13 +337,21 @@ object TextOps extends QueryModule {
       // The SAME near-dup problem through Spark MLlib's estimator API
       // (north star: "Structured Streaming + MLlib"): CountVectorizer →
       // MinHashLSH.approxSimilarityJoin, exact-Jaccard re-verified. Seeded
-      // ⇒ deterministic; TextAlgsSpec asserts parity with the exact pairs
-      // on the shared slice. Our hand-rolled text_dedup_minhash remains
-      // the tuned path (banding + lixsize verify).
+      // ⇒ deterministic; TextAlgsSpec asserts parity with the exact pairs.
+      //
+      // MEASURED LIMITATION (sf0.1): MLlib MinHashLSH amplifies OR-only
+      // (one hash row per table, candidate if ANY table collides) — on
+      // this shared-vocabulary corpus where typical non-dup pairs already
+      // have Jaccard ~0.25, P(candidate) ≈ 1-(1-j)^16 ≈ 0.99, i.e. it
+      // degenerates to the full quadratic join (102 s vs 2.6 s for our
+      // banded text_dedup_minhash, whose 4-row AND bands give j^4 ≈ 0.004
+      // per band). So this op runs on the same blocked slice as the exact
+      // op; text_dedup_minhash remains the corpus-scale path.
       (s, dir) => {
         import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
         val docs = T(s, dir, "documents")
-          .filter(col("lang") === "en")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
           .select(col("doc_id"),
             array_distinct(split(col("text"), " ")).as("toks"))
         val cv = new CountVectorizer()
