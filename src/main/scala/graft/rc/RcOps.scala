@@ -123,6 +123,34 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_forecast_series",
+      // The forecast itself (what a reference user consumes): per user,
+      // each held-out step's (y_true, y_pred, error) from the trained
+      // readout — not just the aggregate MSE.
+      (s, dir) => {
+        import s.implicits._
+        val mats = Esn.matrices()
+        val rows = RcPipeline
+          .design(series(s, dir), mats, Esn.InputScale, horizon = 1)
+        val model = RcPipeline.fitDesigned(rows, mats, Lambda,
+          Esn.InputScale, horizon = 1, trainFrac = 0.8)
+        val w = model.w
+        rows
+          .filter(r => r._5.isDefined &&
+            r._2 >= RcPipeline.trainCut(r._3, 1, 0.8))
+          .map { case (uid, step, _, phi, tOpt) =>
+            var pred = 0.0
+            var i = 0
+            while (i < phi.length) { pred += w(i) * phi(i); i += 1 }
+            val y = tOpt.get
+            (uid, step, round6(y), round6(pred), round6(pred - y))
+          }
+          .toDF("user_id", "step", "y_true", "y_pred", "err")
+          .orderBy("user_id", "step")
+      },
+      None
+    ),
+    Q(
       "rc_multi_input",
       // VECTOR-input ESN (the reference's (index, value-vector) records):
       // u(t) = [value/scale, hour-of-day/24] — the exogenous time feature
