@@ -333,6 +333,98 @@ object TextOps extends QueryModule {
       None
     ),
     Q(
+      "text_chunk",
+      // document chunking — the pretraining tokenize-and-split pass:
+      // 100-token chunks on an 80-token stride (20 overlap), each with a
+      // content fingerprint. Pure per-row array arithmetic: embarrassingly
+      // parallel, no shuffle until the final output sort.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .withColumn("n", size(col("tk")).cast("long"))
+          .withColumn("pos", explode(expr(
+            "sequence(0L, n - 1, 80L)")))
+          .select(
+            col("doc_id"),
+            (col("pos") / 80).cast("long").as("chunk_idx"),
+            least(lit(100L), col("n") - col("pos")).as("n_toks"),
+            md5(expr("concat_ws(' ', slice(tk, CAST(pos + 1 AS INT), 100))"))
+              .as("fp"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk " +
+          "FROM documents), " +
+          "c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, " +
+          "unnest(range(0, CAST(len(tk) AS BIGINT), 80)) AS pos, tk FROM t) " +
+          "SELECT doc_id, pos // 80 AS chunk_idx, " +
+          "least(100, n - pos) AS n_toks, " +
+          "md5(array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+100 AS INT)], ' ')) " +
+          "AS fp FROM c ORDER BY doc_id, chunk_idx")
+    ),
+    Q(
+      "text_decontaminate",
+      // test-set decontamination: train docs (src0) sharing any trigram
+      // with the test corpus (src1), by shared-shingle count — shingles
+      // are md5 of the joined window (portable, unseeded), the test-side
+      // distinct set is small and broadcasts. The canonical eval-leakage
+      // check run before every pretraining corpus ships.
+      (s, dir) => {
+        val sh = T(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("source"), explode(expr(
+            "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), " +
+              "i -> md5(concat_ws(' ', slice(tk, i, 3)))) " +
+              "ELSE array() END")).as("h"))
+        val testSh = sh.filter(col("source") === "src1")
+          .select("h").distinct()
+        sh.filter(col("source") === "src0")
+          .join(broadcast(testSh), "h")
+          .groupBy("doc_id")
+          .agg(countDistinct("h").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk " +
+          "FROM documents WHERE lang = 'en'), " +
+          "sh AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 3 " +
+          "THEN list_transform(range(1, CAST(len(tk) AS BIGINT) - 1), " +
+          "i -> md5(array_to_string(tk[CAST(i AS INT):CAST(i+2 AS INT)], ' '))) " +
+          "ELSE [] END) AS h FROM tk), " +
+          "test_sh AS (SELECT DISTINCT h FROM sh WHERE source = 'src1') " +
+          "SELECT s.doc_id, CAST(count(DISTINCT s.h) AS BIGINT) AS n_shared " +
+          "FROM sh s JOIN test_sh t ON s.h = t.h WHERE s.source = 'src0' " +
+          "GROUP BY s.doc_id ORDER BY s.doc_id")
+    ),
+    Q(
+      "text_token_budget",
+      // token-budget sampling — the mixture-building primitive: take docs
+      // per language in stable doc_id order until the 20k-token budget is
+      // hit; report kept docs + tokens. One window + one aggregate.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+        T(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("run", sum("toks").over(w))
+          .filter(col("run") <= 20000)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+          .orderBy("lang")
+      },
+      Some(
+        "WITH t AS (SELECT lang, doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks " +
+          "FROM documents), " +
+          "r AS (SELECT lang, doc_id, toks, sum(toks) OVER " +
+          "(PARTITION BY lang ORDER BY doc_id) AS run FROM t) " +
+          "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "sum(toks) AS tokens FROM r WHERE run <= 20000 " +
+          "GROUP BY lang ORDER BY lang")
+    ),
+    Q(
       "text_dedup_mllib_lsh",
       // The SAME near-dup problem through Spark MLlib's estimator API
       // (north star: "Structured Streaming + MLlib"): CountVectorizer →
