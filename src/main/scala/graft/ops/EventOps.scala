@@ -22,7 +22,10 @@ object EventOps extends QueryModule {
   /** events as an unbounded stream: file source over the fixture dir with
     * the raw-nanos schema, converted to µs NTZ like the batch loader.
     */
-  private def liveEvents(s: org.apache.spark.sql.SparkSession,
+  /** File-source streaming read of the events table (raw nanos → µs NTZ);
+    * shared by every *_live query (RcOps reuses it for the streaming ESN).
+    */
+  def liveEvents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

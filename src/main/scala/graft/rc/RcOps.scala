@@ -123,6 +123,40 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_stream_states_live",
+      // The reference's DEFINING shape as a first-class live query: the
+      // keyed ESN reservoir update running INSIDE a Structured Streaming
+      // job (flatMapGroupsWithState carries one 32-double state vector
+      // per user across micro-batches), file source → memory sink.
+      // RcPipelineSpec asserts equality with the batch recurrence.
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_esn_${System.nanoTime()}"
+        val mats = Esn.matrices()
+        val in = graft.ops.EventOps.liveEvents(s, dir)
+          .select(col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+            col("user_id"), col("value"))
+          .as[graft.streaming.StreamingTwins.EsnIn]
+        val q = graft.streaming.StreamingTwins.esnStates(in, mats)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // same round6 (BigDecimal HALF_UP) as the batch query so the
+        // twin-equality spec compares identical representations
+        s.table(name)
+          .as[(Long, Long, Long, Double, Double)]
+          .map { case (uid, step, eid, x0, x1) =>
+            (uid, step, eid, round6(x0), round6(x1)) }
+          .toDF("user_id", "step", "event_id", "x0", "x1")
+          .orderBy("user_id", "step")
+      },
+      None
+    ),
+    Q(
       "rc_forecast_series",
       // The forecast itself (what a reference user consumes): per user,
       // each held-out step's (y_true, y_pred, error) from the trained

@@ -101,6 +101,22 @@ class RcPipelineSpec extends AnyFunSuite {
     assert(a == run())
   }
 
+  test("rc_stream_states_live equals the batch reservoir recurrence") {
+    val live = SparkEntry.queries("rc_stream_states_live")(
+      spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    val batch = SparkEntry.queries("rc_reservoir_states")(
+      spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(live.nonEmpty)
+    assert(live == batch,
+      s"live missed ${batch.diff(live).take(3)} / extra ${live.diff(batch).take(3)}")
+  }
+
   test("rc_lambda_sweep emits one finite MSE per candidate lambda") {
     val rows = SparkEntry.queries("rc_lambda_sweep")(spark, TestSpark.Sf)
       .collect()
