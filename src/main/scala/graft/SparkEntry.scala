@@ -12,8 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, Subqueries,
-    Extras, Workload, Workload2, TextOps, VectorOps, MultimodalOps, RcOps,
-    UdfOps)
+    Extras, Workload, Workload2, TextOps, TextOps2, SketchOps, Reshape,
+    VectorOps, MultimodalOps, RcOps, UdfOps)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 
