@@ -20,10 +20,21 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 8 measured fastest on this box across {4,8,16,32}: above 8 the
+    // per-task scheduling overhead of toy-scale partitions dominates,
+    // at 4 the wide ops are parallelism-starved (192 s vs ~125 s)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size-targeted AQE coalescing (the production setting for big
+      // inputs too): with the default parallelismFirst=true AQE refuses
+      // to coalesce below the parallelism, so at bench scale every tiny
+      // shuffle pays `cpus` task launches
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      // single-JVM locality is meaningless; don't wait for it
+      .config("spark.locality.wait", "0s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

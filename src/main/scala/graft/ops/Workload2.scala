@@ -446,19 +446,23 @@ object Workload2 extends QueryModule {
       // iff the order has >=2 distinct suppliers and exactly one distinct
       // LATE supplier (which must then be s).
       (s, dir) => {
+        // per-order supplier counts come from collect_set over a window
+        // partitioned by the SAME key the join just shuffled on — Catalyst
+        // reuses the exchange, so the whole query is one lineitem⋈orders
+        // shuffle instead of joining the fact against its own aggregate
+        // (which would scan+shuffle it twice)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey")
         val lo = T(s, dir, "lineitem")
           .join(T(s, dir, "orders").filter(col("o_orderstatus") === "F"),
             col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
             col("l_shipdate") >
               date_add(col("o_orderdate").cast("date"), 75).cast("timestamp"))
-        val per = lo.groupBy(col("l_orderkey").as("ok"))
-          .agg(
-            countDistinct(col("l_suppkey")).as("ns"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("nls"))
-        lo.filter(col("late"))
-          .join(per, col("l_orderkey") === col("ok"))
-          .filter(col("ns") >= 2 && col("nls") === 1)
+          .withColumn("ns", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("nls",
+            size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        lo.filter(col("late") && col("ns") >= 2 && col("nls") === 1)
           .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(T(s, dir, "nation")
             .filter(col("n_name") === "NATION_5")),
