@@ -11,7 +11,8 @@ import graft.rc.RcOps
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, Subqueries,
+    Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, EventOps2,
+    Subqueries,
     Extras, Workload, Workload2, TextOps, TextOps2, SketchOps, Reshape,
     VectorOps, MultimodalOps, RcOps, UdfOps)
 

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators, wave 2: OHLC resampling and cohort
+  * retention — the two canonical "events table → product dashboard"
+  * shapes not yet covered by the funnel/anomaly/session family.
+  *
+  * Scale notes: both group by (user/cohort × time-bucket) — the shuffle
+  * key matches the natural partitioning of an event stream, and both
+  * window and aggregate reuse that one exchange. No fact-fact joins.
+  */
+object EventOps2 extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "ts_resample_ohlc",
+      // downsample each user's value series to hourly OHLC bars: open =
+      // first value in the bar by (ts, event_id), close = last, plus
+      // high/low/count. row_number picks open/close — the formulation
+      // that is portable to the oracle (DuckDB arg_min can't take a
+      // composite ordering key).
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          // date_trunc promotes NTZ input back to LTZ — pin NTZ so the
+          // written parquet matches DuckDB's zoneless timestamps
+          .withColumn("bar",
+            date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        val wAsc = Window.partitionBy("user_id", "bar")
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy("user_id", "bar")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy("user_id", "bar")
+          .agg(
+            max(when(col("rn_a") === 1, col("value"))).as("bar_open"),
+            max(when(col("rn_d") === 1, col("value"))).as("bar_close"),
+            max(col("value")).as("bar_high"),
+            min(col("value")).as("bar_low"),
+            count(lit(1)).cast("long").as("n_events"))
+          .orderBy("user_id", "bar")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+          "value, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar " +
+          "FROM events), " +
+          "r AS (SELECT *, " +
+          "row_number() OVER (PARTITION BY user_id, bar " +
+          "ORDER BY ts, event_id) AS rn_a, " +
+          "row_number() OVER (PARTITION BY user_id, bar " +
+          "ORDER BY ts DESC, event_id DESC) AS rn_d FROM e) " +
+          "SELECT user_id, bar, " +
+          "max(CASE WHEN rn_a = 1 THEN value END) AS bar_open, " +
+          "max(CASE WHEN rn_d = 1 THEN value END) AS bar_close, " +
+          "max(value) AS bar_high, min(value) AS bar_low, " +
+          "CAST(count(*) AS BIGINT) AS n_events " +
+          "FROM r GROUP BY user_id, bar ORDER BY user_id, bar")
+    ),
+    Q(
+      "events_retention",
+      // daily cohort retention: users grouped by their first active day,
+      // matrix cell (cohort_day, day_offset) = how many of the cohort
+      // were active that many days later. The min-over-window computes
+      // each user's cohort without a second scan.
+      (s, dir) => {
+        val days = T(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+        val wu = Window.partitionBy("user_id")
+        days
+          .withColumn("cohort_day", min(col("day")).over(wu))
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long")
+              .as("day_offset"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(
+        "WITH d AS (SELECT DISTINCT user_id, " +
+          "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day " +
+          "FROM events), " +
+          "c AS (SELECT user_id, day, min(day) OVER " +
+          "(PARTITION BY user_id) AS cohort_day FROM d) " +
+          "SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+          "FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset")
+    )
+  )
+}

@@ -120,6 +120,92 @@ object TextOps2 extends QueryModule {
           "FROM t GROUP BY 1, 2 ORDER BY lang, reason")
     ),
     Q(
+      "text_dedup_cc",
+      // Connected components of the near-dup graph (token-set Jaccard
+      // >= 0.8 edges on the same blocked slice as text_dedup_near):
+      // every doc gets the min doc_id of its duplicate cluster — the
+      // transitive-closure step real dedup needs (A~B, B~C ⇒ {A,B,C}
+      // dedup together even when A!~C). Pregel-style min-label
+      // propagation: each round is one join + min-agg, state is one
+      // label per node, rounds = cluster diameter (tiny for dup
+      // clusters). At 100 TB this is the alternating large-star/
+      // small-star pattern; labels monotonically decrease so the
+      // exact-sum convergence test is a cheap scalar per round.
+      // Oracle: DuckDB recursive-CTE reachability, min over reach set.
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("tokset"))
+        val a = toks.select(col("doc_id").as("doc_a"),
+          col("tokset").as("set_a"))
+        val b = toks.select(col("doc_id").as("doc_b"),
+          col("tokset").as("set_b"))
+        val pairs = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("set_a"), col("set_b")))
+              .cast("double"))
+          .filter(round(col("inter") / (size(col("set_a")) +
+            size(col("set_b")) - col("inter")), 6) >= 0.8)
+          .select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"),
+            col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+          .persist()
+        var labels = toks.select(col("doc_id"),
+          col("doc_id").as("comp")).persist()
+        var total = labels.agg(sum("comp")).first().getLong(0)
+        var converged = false
+        var iters = 0
+        while (!converged && iters < 20) {
+          val next = labels
+            .join(edges, col("doc_id") === col("src"), "left")
+            .join(labels.select(col("doc_id").as("nid"),
+              col("comp").as("ncomp")),
+              col("dst") === col("nid"), "left")
+            .groupBy(col("doc_id"))
+            .agg(least(min(col("comp")),
+              coalesce(min(col("ncomp")), min(col("comp")))).as("comp"))
+            .persist()
+          val newTotal = next.agg(sum("comp")).first().getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = newTotal == total
+          total = newTotal
+          iters += 1
+        }
+        // materialize the converged labels and return a clean scan plan:
+        // no cache leak, and the (already-executed) iterative lineage
+        // isn't re-run when the caller executes the result
+        val out = graft.Tmp.dir("graft_cc")
+        labels.write.mode("overwrite").parquet(out)
+        edges.unpersist()
+        labels.unpersist()
+        s.read.parquet(out).orderBy("doc_id")
+      },
+      Some(
+        "WITH RECURSIVE " +
+          "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
+          "AS tokset FROM documents WHERE lang = 'en' " +
+          "AND source IN ('src0','src1')), " +
+          "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) AS inter, " +
+          "len(a.tokset) AS la, len(b.tokset) AS lb " +
+          "FROM t a JOIN t b ON a.doc_id < b.doc_id), " +
+          "e AS (SELECT doc_a, doc_b FROM p " +
+          "WHERE round(inter / (la + lb - inter), 6) >= 0.8), " +
+          "ee AS (SELECT doc_a AS a, doc_b AS b FROM e " +
+          "UNION ALL SELECT doc_b, doc_a FROM e), " +
+          "reach(src, node) AS (" +
+          "SELECT doc_id, doc_id FROM t " +
+          "UNION " +
+          "SELECT r.src, ee.b FROM reach r JOIN ee ON r.node = ee.a) " +
+          "SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS comp " +
+          "FROM reach GROUP BY src ORDER BY doc_id")
+    ),
+    Q(
       "text_stratified_sample",
       // Deterministic stratified downsampling: keep doc_id % 10 < rate,
       // rate per source stratum (2/10 for src0-4, 5/10 for the rest).

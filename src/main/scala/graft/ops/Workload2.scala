@@ -488,6 +488,36 @@ object Workload2 extends QueryModule {
           "GROUP BY s_name ORDER BY numwait DESC, s_name")
     ),
     Q(
+      "sql_cte_pipeline",
+      // the pure-SQL surface: a multi-CTE + window-function pipeline run
+      // through spark.sql over a registered view — proves a user can
+      // drive the engine with ANSI SQL alone (every other op here uses
+      // the DataFrame API). Month×status revenue, share-of-month, rank.
+      (s, dir) => {
+        T(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)" +
+            " AS mo, o_orderstatus AS st, " +
+            "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents " +
+            "FROM orders GROUP BY 1, 2) " +
+            "SELECT mo, st, CAST(cents AS DOUBLE)/100.0 AS revenue, " +
+            "round(100.0*cents/sum(cents) OVER (PARTITION BY mo) * 1e6)/1e6" +
+            " AS share_pct, " +
+            "rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS rk " +
+            "FROM m ORDER BY mo, st")
+      },
+      Some(
+        "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)" +
+          " AS mo, o_orderstatus AS st, " +
+          "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents " +
+          "FROM orders GROUP BY 1, 2) " +
+          "SELECT mo, st, CAST(cents AS DOUBLE)/100.0 AS revenue, " +
+          "round(100.0*cents/sum(cents) OVER (PARTITION BY mo) * 1e6)/1e6" +
+          " AS share_pct, " +
+          "rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS rk " +
+          "FROM m ORDER BY mo, st")
+    ),
+    Q(
       "q22_dormant_customers",
       // Q22 analog: above-average-balance customers with no recent orders,
       // rolled up by market segment. The average threshold is an exact
