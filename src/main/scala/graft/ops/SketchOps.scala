@@ -31,10 +31,12 @@ object SketchOps extends QueryModule {
         val sk = ev.agg(
           expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)")
             .as("cms"))
+        // groupBy keeps null keys; estimateCount(null) would throw
         val est = udf((cms: Array[Byte], key: String) =>
-          org.apache.spark.util.sketch.CountMinSketch
-            .readFrom(new java.io.ByteArrayInputStream(cms))
-            .estimateCount(key))
+          Option(key).map(k =>
+            org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(cms))
+              .estimateCount(k)).getOrElse(0L))
         ev.groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("exact_cnt"))
           .join(broadcast(sk))

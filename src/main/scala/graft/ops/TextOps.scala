@@ -421,7 +421,7 @@ object TextOps extends QueryModule {
           "r AS (SELECT lang, doc_id, toks, sum(toks) OVER " +
           "(PARTITION BY lang ORDER BY doc_id) AS run FROM t) " +
           "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
-          "sum(toks) AS tokens FROM r WHERE run <= 20000 " +
+          "CAST(sum(toks) AS BIGINT) AS tokens FROM r WHERE run <= 20000 " +
           "GROUP BY lang ORDER BY lang")
     ),
     Q(

@@ -28,6 +28,10 @@ object TextOps2 extends QueryModule {
         T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             split(col("text"), " ").as("toks"))
+          // <2 tokens: Spark's sequence(0, size-2) would count DOWN and
+          // yield null bigrams while DuckDB's range() is empty — divergent
+          // AND a divide-by-zero on the oracle side. Gate both engines.
+          .filter(size(col("toks")) >= 2)
           .withColumn("bigrams",
             expr("transform(sequence(0, size(toks)-2), " +
               "i -> concat(toks[i], ' ', toks[i+1]))"))
@@ -44,7 +48,7 @@ object TextOps2 extends QueryModule {
           .orderBy("doc_id"),
       Some(
         "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks " +
-          "FROM documents), " +
+          "FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
           "b AS (SELECT doc_id, lang, " +
           "list_transform(range(1, len(toks)), " +
           "i -> toks[i] || ' ' || toks[i+1]) AS bigrams FROM t) " +
@@ -176,6 +180,10 @@ object TextOps2 extends QueryModule {
           total = newTotal
           iters += 1
         }
+        // a diameter->20 graph would otherwise silently ship wrong labels
+        if (!converged) throw new IllegalStateException(
+          s"text_dedup_cc: label propagation not converged after $iters " +
+            "iterations — component diameter exceeds the cap")
         // materialize the converged labels and return a clean scan plan:
         // no cache leak, and the (already-executed) iterative lineage
         // isn't re-run when the caller executes the result

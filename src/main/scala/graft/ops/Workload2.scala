@@ -494,12 +494,14 @@ object Workload2 extends QueryModule {
       // drive the engine with ANSI SQL alone (every other op here uses
       // the DataFrame API). Month×status revenue, share-of-month, rank.
       (s, dir) => {
-        T(s, dir, "orders").createOrReplaceTempView("orders")
+        // query-unique view name: registering "orders" would shadow the
+        // bare table name session-wide for any later spark.sql-based op
+        T(s, dir, "orders").createOrReplaceTempView("sql_cte_orders")
         s.sql(
           "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)" +
             " AS mo, o_orderstatus AS st, " +
             "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents " +
-            "FROM orders GROUP BY 1, 2) " +
+            "FROM sql_cte_orders GROUP BY 1, 2) " +
             "SELECT mo, st, CAST(cents AS DOUBLE)/100.0 AS revenue, " +
             "round(100.0*cents/sum(cents) OVER (PARTITION BY mo) * 1e6)/1e6" +
             " AS share_pct, " +
