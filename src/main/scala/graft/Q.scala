@@ -55,6 +55,30 @@ object Tmp {
     java.nio.file.Files.createTempDirectory(root, prefix).toString
 }
 
+/** Sizing for live Structured Streaming runs.
+  *
+  * A streaming query captures `spark.sql.shuffle.partitions` at its first
+  * batch and that fixes the StateStore partition count for the checkpoint's
+  * lifetime. Sizing it to input parallelism (the batch default) is wrong for
+  * state: every micro-batch commits EVERY state partition (delta file +
+  * maintenance bookkeeping; a stream-stream join keeps four stores per
+  * partition), so an oversized count multiplies fixed per-batch I/O while
+  * each partition holds a sliver of state. Production practice is to size
+  * state partitions to state VOLUME, not core count — the fixture streams
+  * carry at most a few thousand keys, so 4 partitions keeps the per-batch
+  * commit cost flat while the stateless file-scan side still parallelizes
+  * at the source. The session conf is restored afterward so the post-stream
+  * batch aggregations run at full width.
+  */
+object StreamRun {
+  def withStateParts[A](s: SparkSession, n: Int = 4)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+}
+
 /** Deterministic cross-engine floating-point policy.
   *
   * `round(x, s)` is NOT portable: on the same double, Spark rounds the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, QueryModule, T}
+import graft.{Q, QueryModule, StreamRun, T}
 import graft.Det._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,18 +68,20 @@ object EventOps extends QueryModule {
       // batch twin's oracle — streaming and batch must agree exactly.
       (s, dir) => {
         val name = s"live_tumbling_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            dsum(col("value"), 2).as("sum_val"))
-          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
-            col("event_type"), col("n"), col("sum_val"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              dsum(col("value"), 2).as("sum_val"))
+            .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+              col("event_type"), col("n"), col("sum_val"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy("win_start", "event_type")
       },
       Some(
@@ -117,18 +119,20 @@ object EventOps extends QueryModule {
       // against the batch twin's UNION-ALL oracle
       (s, dir) => {
         val name = s"live_sliding_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-          .agg(
-            count(lit(1)).as("n"),
-            dsum(col("value"), 2).as("sum_val"))
-          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
-            col("n"), col("sum_val"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+            .agg(
+              count(lit(1)).as("n"),
+              dsum(col("value"), 2).as("sum_val"))
+            .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+              col("n"), col("sum_val"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy("win_start")
       },
       Some(
@@ -227,22 +231,24 @@ object EventOps extends QueryModule {
       // window-end cutoff.
       (s, dir) => {
         val name = s"live_wm_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so
-          // the cast is value-identical
-          .withColumn("ts", col("ts").cast("timestamp"))
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            dsum(col("value"), 2).as("sum_val"))
-          .select(col("w.start").cast("timestamp_ntz").as("win_start"),
-            col("event_type"), col("n"), col("sum_val"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so
+            // the cast is value-identical
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              dsum(col("value"), 2).as("sum_val"))
+            .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+              col("event_type"), col("n"), col("sum_val"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy("win_start", "event_type")
       },
       Some(
@@ -276,16 +282,18 @@ object EventOps extends QueryModule {
         // stream-stream joins emit append-only: sink the matched PAIRS,
         // then aggregate the sink table in batch (a keyed aggregation
         // after the join would never finalize in append mode)
-        val q = clicks.join(buys,
-            col("cu") === col("pu") &&
-              col("pts") >= col("cts") &&
-              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-          .select(col("cu"), col("cid"), col("pid"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = clicks.join(buys,
+              col("cu") === col("pu") &&
+                col("pts") >= col("cts") &&
+                col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+            .select(col("cu"), col("cid"), col("pid"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name)
           .groupBy(col("cu").as("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -314,31 +322,33 @@ object EventOps extends QueryModule {
         import s.implicits._
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val name = s"live_state_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          .select(col("user_id"), col("event_id"), col("value"))
-          .as[(Long, Long, Double)]
-          .groupByKey(_._1)
-          .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Double)](
-            GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
-            var (n, sum100, firstId) =
-              state.getOption.getOrElse((0L, 0L, Long.MaxValue))
-            it.foreach { case (_, eid, v) =>
-              n += 1
-              // half-away-from-zero, matching the oracle's round()
-              val sc = v * 100
-              sum100 += (if (sc >= 0) math.floor(sc + 0.5)
-                else math.ceil(sc - 0.5)).toLong
-              if (eid < firstId) firstId = eid
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .select(col("user_id"), col("event_id"), col("value"))
+            .as[(Long, Long, Double)]
+            .groupByKey(_._1)
+            .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Double)](
+              GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+              var (n, sum100, firstId) =
+                state.getOption.getOrElse((0L, 0L, Long.MaxValue))
+              it.foreach { case (_, eid, v) =>
+                n += 1
+                // half-away-from-zero, matching the oracle's round()
+                val sc = v * 100
+                sum100 += (if (sc >= 0) math.floor(sc + 0.5)
+                  else math.ceil(sc - 0.5)).toLong
+                if (eid < firstId) firstId = eid
+              }
+              state.update((n, sum100, firstId))
+              (uid, n, firstId, sum100 / 100.0)
             }
-            state.update((n, sum100, firstId))
-            (uid, n, firstId, sum100 / 100.0)
-          }
-          .toDF("user_id", "n", "first_id", "sum_val")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+            .toDF("user_id", "n", "first_id", "sum_val")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // update mode appends one row per key per batch; keep the LAST
         // state per key (max n wins — counts only grow)
         s.table(name)
@@ -396,17 +406,19 @@ object EventOps extends QueryModule {
         val name = s"live_joinstatic_${System.nanoTime()}"
         val dim = broadcast(T(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment")))
-        val q = liveEvents(s, dir)
-          .join(dim, col("user_id") === col("c_custkey"))
-          .groupBy("c_mktsegment")
-          .agg(
-            count(lit(1)).as("n"),
-            dsum(col("value"), 2).as("sum_val"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .join(dim, col("user_id") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+              count(lit(1)).as("n"),
+              dsum(col("value"), 2).as("sum_val"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy("c_mktsegment")
       },
       Some(
@@ -462,20 +474,22 @@ object EventOps extends QueryModule {
       // reports each session's start (= min ts).
       (s, dir) => {
         val name = s"live_session_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          .groupBy(col("user_id"),
-            session_window(col("ts"), "30 minutes").as("sw"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            dsum(col("value"), 2).as("sum_val"))
-          .select(col("user_id"),
-            col("sw.start").cast("timestamp_ntz").as("sess_start"),
-            col("n_events"), col("sum_val"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              dsum(col("value"), 2).as("sum_val"))
+            .select(col("user_id"),
+              col("sw.start").cast("timestamp_ntz").as("sess_start"),
+              col("n_events"), col("sum_val"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name).orderBy("user_id", "sess_start")
       },
       Some(
@@ -500,14 +514,16 @@ object EventOps extends QueryModule {
       // per-type count of distinct keys, not the rows.
       (s, dir) => {
         val name = s"live_dedup_${System.nanoTime()}"
-        val q = liveEvents(s, dir)
-          .withColumn("minute_bucket", date_trunc("minute", col("ts")))
-          .dropDuplicates("user_id", "event_type", "minute_bucket")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamRun.withStateParts(s) {
+          val q = liveEvents(s, dir)
+            .withColumn("minute_bucket", date_trunc("minute", col("ts")))
+            .dropDuplicates("user_id", "event_type", "minute_bucket")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(name)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_keys"))

