@@ -159,6 +159,48 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_stream_states_tws",
+      // The same keyed reservoir on the transformWithState API (arbitrary-
+      // state v2, typed ValueState per key, RocksDB state store) — the
+      // forward-looking state surface next to flatMapGroupsWithState.
+      // Round3Spec asserts row-identical output with rc_stream_states_live.
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_esn_tws_${System.nanoTime()}"
+        val mats = Esn.matrices()
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        graft.StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val in = graft.ops.EventOps.liveEvents(s, dir)
+              .select(col("event_id"),
+                unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+                col("user_id"), col("value"))
+              .as[graft.streaming.StreamingTwins.EsnIn]
+            val q = graft.streaming.StreamingTwins.esnStatesTws(in, mats)
+              .toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        s.table(name)
+          .as[(Long, Long, Long, Double, Double)]
+          .map { case (uid, step, eid, x0, x1) =>
+            (uid, step, eid, round6(x0), round6(x1)) }
+          .toDF("user_id", "step", "event_id", "x0", "x1")
+          .orderBy("user_id", "step")
+      },
+      None
+    ),
+    Q(
       "rc_forecast_series",
       // The forecast itself (what a reference user consumes): per user,
       // each held-out step's (y_true, y_pred, error) from the trained

@@ -72,6 +72,14 @@ class Round3Spec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("rc_stream_states_tws equals rc_stream_states_live row-for-row") {
+    val tws = SparkEntry.queries("rc_stream_states_tws")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    val fmg = SparkEntry.queries("rc_stream_states_live")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(tws == fmg)
+  }
+
   test("source_binary: one file, positive length, stable checksum") {
     val a = SparkEntry.queries("source_binary")(spark, TestSpark.Sf).collect()
     assert(a.length == 1)
