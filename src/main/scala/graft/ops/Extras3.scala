@@ -75,6 +75,96 @@ object Extras3 extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "source_csv_malformed",
+      // Real-world ingestion: a CSV batch with a corrupt row, read in
+      // PERMISSIVE mode with a corrupt-record column — the pipeline keeps
+      // the good rows, counts the bad ones, and nothing throws. The oracle
+      // states the clean-row aggregate from the same fixture slice plus
+      // the known corrupt count.
+      (s, dir) => {
+        val tmp = graft.Tmp.dir("graft_csv_bad")
+        T(s, dir, "orders")
+          .filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "false").csv(tmp)
+        // append one malformed line (non-numeric price)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "part-zz-bad.csv"),
+          "999999999,NOT_A_PRICE\n")
+        val raw = s.read
+          .schema("o_orderkey LONG, o_totalprice DOUBLE, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(tmp)
+        raw.agg(
+          count(when(col("_bad").isNull, 1)).as("n_good"),
+          count(col("_bad")).as("n_corrupt"),
+          dsum(when(col("_bad").isNull, col("o_totalprice"))
+            .otherwise(lit(0.0)), 2).as("total_good"))
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_good, " +
+          "CAST(1 AS BIGINT) AS n_corrupt, " +
+          dsumSql("o_totalprice", 2) + " AS total_good " +
+          "FROM orders WHERE o_orderkey <= 1000")
+    ),
+    Q(
+      "vec_pca_power",
+      // Distributed PCA, top principal axis by power iteration: each round
+      // is ONE treeAggregate producing a 64-double partial (Σ (x-μ)((x-μ)·v)
+      // accumulates in constant size) — covariance never materializes and
+      // nothing shuffles rows, the same constant-partial shape as the RC
+      // readout's Gram accumulation. 12 rounds from a seeded start; sign
+      // fixed by the largest-magnitude component. No oracle (iterative
+      // linalg is not SQL); Round3Spec checks against an in-test exact
+      // driver-side power iteration to 1e-6.
+      (s, dir) => {
+        import s.implicits._
+        val vecs = T(s, dir, "embeddings")
+          .select(col("embedding"))
+          .as[Seq[Float]]
+          .map(_.map(_.toDouble).toArray)
+          .persist()
+        val n = vecs.count().toDouble
+        val dim = 64
+        val mean = vecs.reduce((a, b) => Array.tabulate(dim)(i => a(i) + b(i)))
+          .map(_ / n)
+        val bc = s.sparkContext.broadcast(mean)
+        val rng = new graft.text.SplitMix64(7L)
+        var v = Array.fill(dim)(rng.nextDouble() - 0.5)
+        var lambda = 0.0
+        (1 to 12).foreach { _ =>
+          val bv = s.sparkContext.broadcast(v)
+          val acc = vecs.rdd.treeAggregate(new Array[Double](dim))(
+            (z, x) => {
+              val mu = bc.value; val vv = bv.value
+              var d = 0.0
+              var i = 0
+              while (i < dim) { d += (x(i) - mu(i)) * vv(i); i += 1 }
+              i = 0
+              while (i < dim) { z(i) += (x(i) - mu(i)) * d; i += 1 }
+              z
+            },
+            (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
+          val nrm = math.sqrt(acc.map(x => x * x).sum)
+          lambda = nrm / n
+          v = acc.map(_ / nrm)
+        }
+        vecs.unpersist(blocking = false)
+        // eigenvector sign is arbitrary: fix it by the largest component
+        val piv = v.indices.maxBy(i => math.abs(v(i)))
+        val sign = if (v(piv) < 0) -1.0 else 1.0
+        val out = v.take(8).map(x => BigDecimal(x * sign)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        s.createDataset(out.zipWithIndex.map { case (c, i) =>
+          (i.toLong, c, BigDecimal(lambda)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq).toDF("component", "loading", "eigenvalue")
+          .orderBy("component")
+      },
+      None
+    ),
+    Q(
       "stream_state_reader",
       // State-store introspection: run the windowless streaming count with
       // an explicit checkpoint, then read the checkpoint's STATE STORE as

@@ -80,6 +80,42 @@ class Round3Spec extends AnyFunSuite {
     assert(tws == fmg)
   }
 
+  test("vec_pca_power matches a driver-side exact power iteration") {
+    val rows = SparkEntry.queries("vec_pca_power")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.length == 8)
+    val lam = rows.head.getAs[Double]("eigenvalue")
+    assert(lam > 0)
+    // exact reference: same algorithm, same seed, all in the driver
+    val xs = T(spark, TestSpark.Sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = 64
+    val n = xs.length.toDouble
+    val mean = xs.reduce((a, b) => Array.tabulate(dim)(i => a(i) + b(i)))
+      .map(_ / n)
+    val rng = new graft.text.SplitMix64(7L)
+    var v = Array.fill(dim)(rng.nextDouble() - 0.5)
+    (1 to 12).foreach { _ =>
+      val acc = new Array[Double](dim)
+      xs.foreach { x =>
+        var d = 0.0; var i = 0
+        while (i < dim) { d += (x(i) - mean(i)) * v(i); i += 1 }
+        i = 0
+        while (i < dim) { acc(i) += (x(i) - mean(i)) * d; i += 1 }
+      }
+      val nrm = math.sqrt(acc.map(y => y * y).sum)
+      v = acc.map(_ / nrm)
+    }
+    val piv = v.indices.maxBy(i => math.abs(v(i)))
+    val sign = if (v(piv) < 0) -1.0 else 1.0
+    rows.foreach { r =>
+      val i = r.getAs[Long]("component").toInt
+      assert(math.abs(r.getAs[Double]("loading") - v(i) * sign) < 2e-6,
+        s"component $i: ${r.getAs[Double]("loading")} vs ${v(i) * sign}")
+    }
+  }
+
   test("source_binary: one file, positive length, stable checksum") {
     val a = SparkEntry.queries("source_binary")(spark, TestSpark.Sf).collect()
     assert(a.length == 1)
