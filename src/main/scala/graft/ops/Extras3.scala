@@ -109,6 +109,92 @@ object Extras3 extends QueryModule {
           "FROM orders WHERE o_orderkey <= 1000")
     ),
     Q(
+      "text_unigram_xent",
+      // Unigram cross-entropy scoring — the model-free stand-in for
+      // perplexity filtering: first pass builds the corpus unigram
+      // distribution (a tiny aggregate that broadcasts), second pass
+      // scores each document by the mean -ln p(token). Two scans, no
+      // row shuffle beyond the per-token count.
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tot = toks.count().toDouble
+        val probs = toks.groupBy("tok")
+          .agg((count(lit(1)) / tot).as("p"))
+        toks.join(broadcast(probs), "tok")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_toks"),
+            davg(-log(col("p")), 6).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents), " +
+          "tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tk), " +
+          "pr AS (SELECT tok, count(*) / (SELECT t FROM tot) AS p " +
+          "FROM tk GROUP BY tok) " +
+          "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+          davgSql("-ln(pr.p)", 6) + " AS xent " +
+          "FROM tk JOIN pr ON tk.tok = pr.tok " +
+          "GROUP BY tk.doc_id ORDER BY tk.doc_id")
+    ),
+    Q(
+      "sub_not_in_null",
+      // ANSI NOT IN null semantics — the classic correctness trap: one
+      // NULL in the subquery makes NOT IN yield no rows (three-valued
+      // logic), while the null-filtered form behaves like anti-join. Both
+      // counts emitted side by side; engines must agree exactly.
+      (s, dir) => {
+        T(s, dir, "customer").createOrReplaceTempView("sub_nin_cust")
+        T(s, dir, "orders").createOrReplaceTempView("sub_nin_ord")
+        s.sql(
+          "SELECT " +
+            "(SELECT CAST(count(*) AS BIGINT) FROM sub_nin_cust WHERE " +
+            "c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 " +
+            "THEN NULL ELSE o_custkey END FROM sub_nin_ord)) AS with_null, " +
+            "(SELECT CAST(count(*) AS BIGINT) FROM sub_nin_cust WHERE " +
+            "c_custkey NOT IN (SELECT o_custkey FROM sub_nin_ord " +
+            "WHERE o_custkey IS NOT NULL)) AS without_null")
+      },
+      Some(
+        "SELECT " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE " +
+          "c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 " +
+          "THEN NULL ELSE o_custkey END FROM orders)) AS with_null, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE " +
+          "c_custkey NOT IN (SELECT o_custkey FROM orders " +
+          "WHERE o_custkey IS NOT NULL)) AS without_null")
+    ),
+    Q(
+      "fn_xml",
+      // XML column handling: build an XML fragment from part fields,
+      // parse it back with from_xml (schema-on-read) and xpath_string —
+      // the oracle reconstructs the extracted values from the same fields.
+      (s, dir) =>
+        T(s, dir, "part")
+          .withColumn("xml",
+            concat(lit("<part><key>"), col("p_partkey"),
+              lit("</key><brand>"), col("p_brand"),
+              lit("</brand><size>"), col("p_size"), lit("</size></part>")))
+          .select(
+            col("p_partkey"),
+            expr("from_xml(xml, 'key LONG, brand STRING, size INT')")
+              .as("parsed"),
+            expr("xpath_string(xml, '/part/brand')").as("brand_xp"))
+          .select(
+            col("p_partkey"),
+            col("parsed.key").as("key"),
+            col("parsed.brand").as("brand"),
+            col("parsed.size").cast("long").as("sz"),
+            col("brand_xp"))
+          .orderBy("p_partkey"),
+      Some(
+        "SELECT p_partkey, p_partkey AS key, p_brand AS brand, " +
+          "CAST(p_size AS BIGINT) AS sz, p_brand AS brand_xp " +
+          "FROM part ORDER BY p_partkey")
+    ),
+    Q(
       "vec_pca_power",
       // Distributed PCA, top principal axis by power iteration: each round
       // is ONE treeAggregate producing a 64-double partial (Σ (x-μ)((x-μ)·v)
