@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryModule, T}
 import graft.Det._
+import graft.text.TextAlgs
 import graft.vec.VecAlgs
 import org.apache.spark.sql.functions._
 
@@ -191,6 +192,72 @@ object Curation3 extends QueryModule {
               .as("sim"))
           .filter(col("sim") >= 0.4)
           .orderBy("vec_a", "vec_b")
+      },
+      None
+    ),
+    Q(
+      "text_simhash_near",
+      // SimHash near-dup with PROVABLE candidate recall: the 64-bit
+      // fingerprint splits into 4 bands of 16 bits; by pigeonhole, any
+      // pair at hamming distance <= 3 must agree on at least one whole
+      // band, so banded candidate generation + exact bit_count verify is
+      // EXACT for the <=3 threshold (not a heuristic). Band join is
+      // linear in docs + bucket-local pairs — the simhash index shape
+      // used at corpus scale. No oracle (seeded fingerprint); Round3Spec
+      // proves equality with the brute-force O(n²) scan.
+      (s, dir) => {
+        import s.implicits._
+        val sh = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ts) => (id, TextAlgs.simhash(ts)) }
+          .toDF("doc_id", "sh")
+        val banded = sh
+          .select(col("doc_id"), col("sh"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("bkey",
+            expr("(sh >> (b * 16)) & 65535")) // mask kills sign-fill bits
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.b") === col("y.b") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sh").as("sa"), col("y.sh").as("sb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("bit_count(sa ^ sb)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None
+    ),
+    Q(
+      "ts_ewma",
+      // Exponentially weighted moving average per key (α = 0.2) — the
+      // online smoothing filter of every telemetry pipeline; sequential
+      // per key like the ESN fold, parallel across keys. Emits each
+      // user's final EWMA and step count. No oracle (recursive fold is
+      // not single-statement SQL); Round3Spec checks a driver-side fold.
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var ew = rows.head._4
+            rows.tail.foreach { r => ew = 0.2 * r._4 + 0.8 * ew }
+            (uid, rows.length.toLong,
+              BigDecimal(ew).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          .toDF("user_id", "n", "ewma")
+          .orderBy("user_id")
       },
       None
     ),

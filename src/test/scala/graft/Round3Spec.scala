@@ -72,6 +72,40 @@ class Round3Spec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("text_simhash_near equals the brute-force hamming scan (pigeonhole)") {
+    val banded = SparkEntry.queries("text_simhash_near")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = T(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        graft.text.TextAlgs.simhash(r.getString(1).split(" ").toSeq)))
+    val brute = (for {
+      (ia, sa) <- hashes; (ib, sb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    assert(banded == brute,
+      s"missed ${brute.diff(banded)} extra ${banded.diff(brute)}")
+    assert(brute.nonEmpty) // fixture has exact dups => hamming-0 pairs
+  }
+
+  test("ts_ewma matches a driver-side sequential fold") {
+    val got = SparkEntry.queries("ts_ewma")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = T(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var ew = sorted.head._4
+      sorted.tail.foreach { r => ew = 0.2 * r._4 + 0.8 * ew }
+      val (n, e) = got(uid)
+      assert(n == rs.length.toLong)
+      assert(math.abs(e - ew) < 1e-6, s"user $uid: $e vs $ew")
+    }
+  }
+
   test("rc_stream_states_tws equals rc_stream_states_live row-for-row") {
     val tws = SparkEntry.queries("rc_stream_states_tws")(spark, TestSpark.Sf)
       .collect().map(_.toSeq).toSeq
