@@ -86,6 +86,38 @@ object MultimodalOps extends QueryModule {
       None
     ),
     Q(
+      "mm_resize_stub",
+      // Resize over binary payloads: the STUB downsample keeps every 4th
+      // byte (stride sampling — the 1-D stand-in for image decimation; a
+      // real codec resize swaps only the lambda). Payloads are resized
+      // map-side in partition batches and only (metadata, checksum) rows
+      // flow on — the payload never shuffles. ASCII corpus ⇒ the resized
+      // checksum is oracle-stateable on the string.
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val resized = Array.range(0, bytes.length, 4).map(bytes(_))
+            (id, bytes.length.toLong, resized.length.toLong, resized)
+          })
+          .toDF("doc_id", "orig_len", "new_len", "resized")
+          .withColumn("resized_md5", md5(col("resized")))
+          .select("doc_id", "orig_len", "new_len", "resized_md5")
+          .orderBy("doc_id")
+      },
+      Some(
+        "SELECT doc_id, " +
+          "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_len, " +
+          "CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) " +
+          "AS new_len, " +
+          "md5(array_to_string(list_transform(" +
+          "range(1, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) + 1, 4), " +
+          "i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5 " +
+          "FROM documents ORDER BY doc_id")
+    ),
+    Q(
       "mm_frame_sample",
       // Frame sampling WITHOUT decoding: the payload is treated as fixed
       // 64-byte frames and every 4th frame is sampled — offset arithmetic
