@@ -141,6 +141,45 @@ object Curation3 extends QueryModule {
           "SELECT doc_id, shard, pos FROM s ORDER BY shard, pos")
     ),
     Q(
+      "data_assign_ids",
+      // Distributed contiguous ID assignment — zipWithIndex without a
+      // global sort: rank within each hash shard (one exchange + per-shard
+      // window), then add per-shard prefix offsets (a 16-row aggregate
+      // collected and broadcast). Because the shard is the first hex digit
+      // of the ordering hash, shard-major order IS global hash order, so
+      // the oracle can state the same ids with a single global
+      // row_number(). At 100 TB: 256+ shards, each rank fits one
+      // executor, the offsets stay a KB-sized broadcast.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")
+        val hashed = T(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("shard", substring(col("h"), 1, 1))
+        val offsets = hashed.groupBy("shard")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("shard")
+          .collect()
+          .scanLeft(("", 0L, 0L)) { case ((_, off, cnt), r) =>
+            (r.getString(0), off + cnt, r.getLong(1)) }
+          .drop(1)
+          .map { case (sh, off, _) => sh -> off }
+          .toMap
+        val offCol = offsets.foldLeft(lit(0L)) { case (acc, (sh, off)) =>
+          when(col("shard") === sh, off).otherwise(acc) }
+        hashed
+          .withColumn("id",
+            offCol + row_number().over(w).cast("long") - 1L)
+          .select("doc_id", "id")
+          .orderBy("id")
+      },
+      Some(
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+          "md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS id " +
+          "FROM documents ORDER BY id")
+    ),
+    Q(
       "vec_dedup_lsh",
       // Embedding near-dup, the bucketed scale path: 4 seeded sign-LSH
       // tables of 4 hyperplanes each; a pair is a candidate if ANY table
