@@ -251,6 +251,70 @@ object Extras3 extends QueryModule {
       None
     ),
     Q(
+      "join_dpp",
+      // DYNAMIC partition pruning: the fact table is laid out partitioned
+      // by priority; the dim-side filter is only known at runtime, and
+      // Catalyst injects a dynamicpruning subquery so the fact scan reads
+      // ONLY the partitions matching the filtered dim — the second-line
+      // data-skipping mechanism after static pruning (Round3Spec asserts
+      // `dynamicpruning` in the fact scan's partition filters). At 100 TB
+      // this is what keeps a date-partitioned fact join from scanning
+      // every date.
+      (s, dir) => {
+        val base = graft.Tmp.dir("graft_dpp")
+        T(s, dir, "orders")
+          .write.mode("overwrite")
+          .partitionBy("o_orderpriority")
+          .parquet(base)
+        val fact = s.read.parquet(base)
+        // tiny priority dim built from the same fixture; the filter
+        // selects 2 of 5 partitions and is only resolvable at runtime
+        val dim = T(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri")).distinct()
+          .withColumn("urgent",
+            col("pri").isin("1-URGENT", "2-HIGH"))
+          .filter(col("urgent"))
+        fact.join(dim, fact("o_orderpriority") === dim("pri"))
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("pri")
+      },
+      Some(
+        "SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+          "GROUP BY 1 ORDER BY pri")
+    ),
+    Q(
+      "sql_window_clause",
+      // Pure-SQL named-WINDOW surface: one WINDOW definition shared by
+      // three window functions — proves the ANSI WINDOW clause next to
+      // the DataFrame API (same SQL text runs on both engines).
+      (s, dir) => {
+        T(s, dir, "orders").createOrReplaceTempView("sql_winc_orders")
+        s.sql(
+          "SELECT o_orderkey, o_custkey, " +
+            "rank() OVER w AS rk, " +
+            "CAST(count(*) OVER w AS BIGINT) AS n_so_far, " +
+            "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w " +
+            "AS DOUBLE) / 100.0 AS run_total " +
+            "FROM sql_winc_orders " +
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, " +
+            "o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+            "ORDER BY o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, " +
+          "rank() OVER w AS rk, " +
+          "CAST(count(*) OVER w AS BIGINT) AS n_so_far, " +
+          "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w " +
+          "AS DOUBLE) / 100.0 AS run_total " +
+          "FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, " +
+          "o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "ORDER BY o_orderkey")
+    ),
+    Q(
       "stream_state_reader",
       // State-store introspection: run the windowless streaming count with
       // an explicit checkpoint, then read the checkpoint's STATE STORE as

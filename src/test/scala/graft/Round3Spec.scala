@@ -72,6 +72,12 @@ class Round3Spec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("join_dpp plans a dynamic-pruning subquery on the fact scan") {
+    val plan = SparkEntry.queries("join_dpp")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("text_simhash_near equals the brute-force hamming scan (pigeonhole)") {
     val banded = SparkEntry.queries("text_simhash_near")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
