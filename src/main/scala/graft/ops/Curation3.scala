@@ -301,6 +301,89 @@ object Curation3 extends QueryModule {
       None
     ),
     Q(
+      "ts_autocorr",
+      // Lag-1 autocorrelation per user — the stationarity check run before
+      // fitting any series model. Exact DECIMAL power sums over the
+      // (x, lag(x)) pairs make the correlation aggregation-order-proof
+      // (same idiom as agg_corr); one window pass + one aggregate.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val paired = T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").cast("decimal(18,2)").as("x"))
+          .withColumn("y", lag("x", 1).over(w))
+          .filter(col("y").isNotNull)
+        paired.groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(
+            col("user_id"), col("n"),
+            dround(
+              (col("n").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double")) /
+                sqrt((col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")) *
+                  (col("n").cast("double") * col("syy").cast("double")
+                    - col("sy").cast("double") * col("sy").cast("double"))),
+              6).as("acf1"))
+          .orderBy("user_id")
+      },
+      Some(
+        "WITH p AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x, " +
+          "lag(CAST(value AS DECIMAL(18,2)), 1) OVER " +
+          "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) " +
+          "AS y FROM events), " +
+          "t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, " +
+          "sum(x*y) AS sxy FROM p WHERE y IS NOT NULL GROUP BY user_id) " +
+          "SELECT user_id, n, " +
+          droundSql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6) + " AS acf1 " +
+          "FROM t ORDER BY user_id")
+    ),
+    Q(
+      "text_dedup_keep",
+      // The end of the dedup pipeline: materialize the KEPT corpus — one
+      // keeper (min doc_id) per content fingerprint — and report the
+      // per-language survival funnel. One fingerprint pass + one window
+      // rank; no join back to the corpus.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(concat_ws(" ",
+              array_sort(array_distinct(split(col("text"), " ")))))
+              .as("fp"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+          .orderBy("lang")
+      },
+      Some(
+        "WITH f AS (SELECT doc_id, lang, " +
+          "md5(array_to_string(list_sort(list_distinct(" +
+          "string_split(text, ' '))), ' ')) AS fp FROM documents), " +
+          "r AS (SELECT lang, row_number() OVER " +
+          "(PARTITION BY fp ORDER BY doc_id) = 1 AS keep FROM f) " +
+          "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped " +
+          "FROM r GROUP BY lang ORDER BY lang")
+    ),
+    Q(
       "source_binary",
       // Raw binary ingestion (binaryFile source): the multimodal on-ramp —
       // image/audio/video files land as (path, length, bytes) rows; here
