@@ -351,6 +351,84 @@ object Curation3 extends QueryModule {
           "FROM t ORDER BY user_id")
     ),
     Q(
+      "ts_interpolate",
+      // Gap filling with linear interpolation: per user (first 50 — the
+      // grid bounds the output), build the full hourly grid between first
+      // and last observation, then interpolate missing hours between the
+      // bracketing observations (IGNORE NULLS window scan both ways).
+      // Identical expression trees on both engines make the interpolated
+      // doubles bit-equal; edges clamp to the nearest observed value.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("h")
+        val wPrev = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wNext = w.rowsBetween(0,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val hourly = T(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(((sum(round(col("value") * 100).cast("long")).cast("double")
+            / count(lit(1))) / 100.0).as("val"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("mn"), max("h").as("mx"))
+          .select(col("user_id"),
+            explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+        val joined = grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("pv", last("val", ignoreNulls = true).over(wPrev))
+          .withColumn("pt", last(when(col("val").isNotNull, col("h")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first("val", ignoreNulls = true).over(wNext))
+          .withColumn("nt", first(when(col("val").isNotNull, col("h")),
+            ignoreNulls = true).over(wNext))
+        joined
+          .select(col("user_id"), col("h").cast("timestamp_ntz").as("h"),
+            dround(
+              when(col("val").isNotNull, col("val"))
+                .when(col("pv").isNull, col("nv"))
+                .when(col("nv").isNull, col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv")) *
+                  ((unix_micros(col("h").cast("timestamp"))
+                    - unix_micros(col("pt").cast("timestamp"))).cast("double")
+                    / (unix_micros(col("nt").cast("timestamp"))
+                      - unix_micros(col("pt").cast("timestamp")))
+                      .cast("double"))),
+              4).as("val_i"),
+            col("val").isNotNull.as("observed"))
+          .orderBy("user_id", "h")
+      },
+      Some(
+        "WITH a AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) " +
+          "AS h, (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) " +
+          "/ count(*)) / 100.0 AS val FROM events WHERE user_id < 50 " +
+          "GROUP BY 1, 2), " +
+          "b AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM a GROUP BY 1), " +
+          "g AS (SELECT user_id, unnest(generate_series(mn, mx, " +
+          "INTERVAL 1 HOUR)) AS h FROM b), " +
+          "j AS (SELECT g.user_id, g.h, a.val FROM g LEFT JOIN a " +
+          "ON g.user_id = a.user_id AND g.h = a.h), " +
+          "w AS (SELECT user_id, h, val, " +
+          "last_value(val IGNORE NULLS) OVER wp AS pv, " +
+          "last_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS) " +
+          "OVER wp AS pt, " +
+          "first_value(val IGNORE NULLS) OVER wn AS nv, " +
+          "first_value(CASE WHEN val IS NOT NULL THEN h END IGNORE NULLS) " +
+          "OVER wn AS nt FROM j " +
+          "WINDOW wp AS (PARTITION BY user_id ORDER BY h " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+          "wn AS (PARTITION BY user_id ORDER BY h " +
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+          "SELECT user_id, h, " +
+          droundSql("CASE WHEN val IS NOT NULL THEN val " +
+            "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+            "ELSE pv + (nv - pv) * (CAST(date_diff('microsecond', pt, h) " +
+            "AS DOUBLE) / CAST(date_diff('microsecond', pt, nt) AS DOUBLE)) " +
+            "END", 4) + " AS val_i, " +
+          "val IS NOT NULL AS observed " +
+          "FROM w ORDER BY user_id, h")
+    ),
+    Q(
       "text_dedup_keep",
       // The end of the dedup pipeline: materialize the KEPT corpus — one
       // keeper (min doc_id) per content fingerprint — and report the
