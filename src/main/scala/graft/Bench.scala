@@ -42,6 +42,12 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        // fail fast: a typo'd filter would otherwise report an empty run
+        sys.error(s"SPARK_GRAFT_ONLY names not in queries: $unknown")
+    }
     // sorted order: reproducible run-to-run (Map iteration order is not)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }

@@ -79,6 +79,20 @@ object StreamRun {
   }
 }
 
+/** Pack an ordered (a, b) id pair into ONE long — ids must fit 32 bits
+  * (fixture ids are dense small longs; at >2^32 rows switch to a struct
+  * key). Halves the shuffle width of pair-dedup exchanges; used by the
+  * LSH candidate dedups.
+  */
+object Pack {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+  def pair(a: Column, b: Column): Column =
+    shiftleft(a, 32).bitwiseOR(b)
+  def left(pk: Column): Column = shiftright(pk, 32)
+  def right(pk: Column): Column = pk.bitwiseAND(lit(0xffffffffL))
+}
+
 /** Deterministic cross-engine floating-point policy.
   *
   * `round(x, s)` is NOT portable: on the same double, Spark rounds the

@@ -25,6 +25,17 @@ object Curation3 extends QueryModule {
 
   private val Salt = 8
 
+  /** documents keyed for deterministic hash ordering: (doc_id, h = md5 of
+    * the id, shard = first hex digit of h). Shared by data_shuffle_det and
+    * data_assign_ids — shard-major (shard, h, doc_id) order IS global hash
+    * order because the shard is a prefix of h.
+    */
+  private def md5Sharded(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+
   def queries: Seq[Q] = Seq(
     Q(
       "join_skew_salted",
@@ -124,10 +135,7 @@ object Curation3 extends QueryModule {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("h", "doc_id")
-        T(s, dir, "documents")
-          .select(col("doc_id"),
-            md5(col("doc_id").cast("string")).as("h"))
-          .withColumn("shard", substring(col("h"), 1, 1))
+        md5Sharded(s, dir)
           .withColumn("pos", row_number().over(w).cast("long"))
           .select("doc_id", "shard", "pos")
           .orderBy("shard", "pos")
@@ -153,10 +161,11 @@ object Curation3 extends QueryModule {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("h", "doc_id")
-        val hashed = T(s, dir, "documents")
-          .select(col("doc_id"),
-            md5(col("doc_id").cast("string")).as("h"))
-          .withColumn("shard", substring(col("h"), 1, 1))
+        // the offsets job and the returned plan each scan+hash once; at
+        // production scale persist `hashed` around the offsets collect
+        // (not done here: a cached scan in an oracle plan trips the
+        // cache-leak lint, and the md5 projection is scan-cheap)
+        val hashed = md5Sharded(s, dir)
         val offsets = hashed.groupBy("shard")
           .agg(count(lit(1)).as("cnt"))
           .orderBy("shard")
@@ -206,17 +215,16 @@ object Curation3 extends QueryModule {
             tables.indices.map(t => (id, t, VecAlgs.bucket(tables(t), v)))
           }
           .toDF("vec_id", "table", "bucket")
-        // candidate dedup on a packed single long (ids fit 32 bits) — the
-        // same shuffle-width trick as text_dedup_minhash
+        // candidate dedup on a packed single long (graft.Pack) — the same
+        // shuffle-width trick as text_dedup_minhash
         val cand = feats.as("x").join(feats.as("y"),
             col("x.table") === col("y.table") &&
               col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") < col("y.vec_id"))
-          .select((shiftleft(col("x.vec_id"), 32)
-            .bitwiseOR(col("y.vec_id"))).as("pk"))
+          .select(graft.Pack.pair(col("x.vec_id"), col("y.vec_id")).as("pk"))
           .distinct()
-          .select(shiftright(col("pk"), 32).as("vec_a"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("vec_b"))
+          .select(graft.Pack.left(col("pk")).as("vec_a"),
+            graft.Pack.right(col("pk")).as("vec_b"))
         val vecs = T(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .withColumn("nrm", sqrt(expr("fvdot(embedding, embedding)")))
@@ -321,16 +329,21 @@ object Curation3 extends QueryModule {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"),
             sum(col("x") * col("y")).as("sxy"))
+          // zero variance (single pair or constant series) → 0/0, where
+          // the engines' division semantics differ — emit NULL explicitly
+          // on both sides instead
+          .withColumn("den",
+            (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")))
           .select(
             col("user_id"), col("n"),
-            dround(
-              (col("n").cast("double") * col("sxy").cast("double")
-                - col("sx").cast("double") * col("sy").cast("double")) /
-                sqrt((col("n").cast("double") * col("sxx").cast("double")
-                  - col("sx").cast("double") * col("sx").cast("double")) *
-                  (col("n").cast("double") * col("syy").cast("double")
-                    - col("sy").cast("double") * col("sy").cast("double"))),
-              6).as("acf1"))
+            when(col("den") > 0,
+              dround(
+                (col("n").cast("double") * col("sxy").cast("double")
+                  - col("sx").cast("double") * col("sy").cast("double")) /
+                  sqrt(col("den")), 6)).as("acf1"))
           .orderBy("user_id")
       },
       Some(
@@ -340,15 +353,16 @@ object Curation3 extends QueryModule {
           "AS y FROM events), " +
           "t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
           "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, " +
-          "sum(x*y) AS sxy FROM p WHERE y IS NOT NULL GROUP BY user_id) " +
-          "SELECT user_id, n, " +
+          "sum(x*y) AS sxy FROM p WHERE y IS NOT NULL GROUP BY user_id), " +
+          "d AS (SELECT *, (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+          "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den FROM t) " +
+          "SELECT user_id, n, CASE WHEN den > 0 THEN " +
           droundSql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-            "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
-            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6) + " AS acf1 " +
-          "FROM t ORDER BY user_id")
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(den)", 6) +
+          " ELSE NULL END AS acf1 " +
+          "FROM d ORDER BY user_id")
     ),
     Q(
       "ts_interpolate",

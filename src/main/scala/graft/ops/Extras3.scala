@@ -118,9 +118,15 @@ object Extras3 extends QueryModule {
       (s, dir) => {
         val toks = T(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val tot = toks.count().toDouble
+        // corpus total via a global window over the (vocab-sized) grouped
+        // frame — no separate count() action, so the corpus is tokenized
+        // exactly twice (probs subtree + scoring side), not three times
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy()
         val probs = toks.groupBy("tok")
-          .agg((count(lit(1)) / tot).as("p"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("tok"),
+            (col("cnt") / sum("cnt").over(wAll).cast("double")).as("p"))
         toks.join(broadcast(probs), "tok")
           .groupBy("doc_id")
           .agg(

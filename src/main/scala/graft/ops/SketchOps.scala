@@ -31,13 +31,15 @@ object SketchOps extends QueryModule {
         val sk = ev.agg(
           expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)")
             .as("cms"))
-        // groupBy keeps null keys; estimateCount(null) would throw
+        // groupBy keeps null keys; estimateCount(null) would throw AND the
+        // sketch build skips nulls, so a null group can't satisfy the
+        // est >= exact invariant — exclude it from the probe entirely
         val est = udf((cms: Array[Byte], key: String) =>
-          Option(key).map(k =>
-            org.apache.spark.util.sketch.CountMinSketch
-              .readFrom(new java.io.ByteArrayInputStream(cms))
-              .estimateCount(k)).getOrElse(0L))
-        ev.groupBy("event_type")
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(cms))
+            .estimateCount(key))
+        ev.filter(col("event_type").isNotNull)
+          .groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("exact_cnt"))
           .join(broadcast(sk))
           .select(col("event_type"), col("exact_cnt"),

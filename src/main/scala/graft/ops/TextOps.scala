@@ -202,11 +202,10 @@ object TextOps extends QueryModule {
             col("x.band") === col("y.band") &&
               col("x.bhash") === col("y.bhash") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select((shiftleft(col("x.doc_id"), 32)
-            .bitwiseOR(col("y.doc_id"))).as("pk"))
+          .select(graft.Pack.pair(col("x.doc_id"), col("y.doc_id")).as("pk"))
           .distinct()
-          .select(shiftright(col("pk"), 32).as("doc_a"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"))
+          .select(graft.Pack.left(col("pk")).as("doc_a"),
+            graft.Pack.right(col("pk")).as("doc_b"))
         // verify on the sorted 64-bit token hashes, not string sets: the
         // codegen'd merge-intersect (lixsize) replaces per-pair string
         // hashing — same Jaccard modulo 64-bit collisions (~1e-10 here)
@@ -225,8 +224,8 @@ object TextOps extends QueryModule {
         // materialize eagerly so the cache can be dropped before return
         // (no cache leak into later queries; same pattern as text_dedup_cc)
         val out = graft.Tmp.dir("graft_minhash")
-        result.write.mode("overwrite").parquet(out)
-        docFeats.unpersist(blocking = false)
+        try result.write.mode("overwrite").parquet(out)
+        finally docFeats.unpersist(blocking = false)
         s.read.parquet(out).orderBy("doc_a", "doc_b")
       },
       None

@@ -84,7 +84,8 @@ class Round3Spec extends AnyFunSuite {
     val hashes = T(spark, TestSpark.Sf, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0),
-        graft.text.TextAlgs.simhash(r.getString(1).split(" ").toSeq)))
+        // -1 keeps trailing empty tokens, matching Spark's split()
+        graft.text.TextAlgs.simhash(r.getString(1).split(" ", -1).toSeq)))
     val brute = (for {
       (ia, sa) <- hashes; (ib, sb) <- hashes
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
