@@ -365,6 +365,79 @@ object Curation3 extends QueryModule {
           "FROM d ORDER BY user_id")
     ),
     Q(
+      "events_markov",
+      // First-order transition matrix over event types: lag the per-user
+      // event sequence, count (prev → cur) transitions, and report each
+      // row's share of its source state — the sequence-model summary
+      // (session-flow analysis, synthetic-sequence generation seed). One
+      // window pass + one aggregate; the share divides exact integer
+      // counts, identical on both engines.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy("prev")
+        T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            dround(col("n").cast("double") /
+              sum("n").over(wSrc).cast("double"), 6))
+          .orderBy("prev", "cur")
+      },
+      Some(
+        "WITH p AS (SELECT user_id, event_type, lag(event_type, 1) OVER " +
+          "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) " +
+          "AS prev FROM events), " +
+          "t AS (SELECT prev, event_type AS cur, " +
+          "CAST(count(*) AS BIGINT) AS n FROM p WHERE prev IS NOT NULL " +
+          "GROUP BY prev, event_type) " +
+          "SELECT prev, cur, n, " +
+          droundSql("CAST(n AS DOUBLE) / CAST(sum(n) OVER " +
+            "(PARTITION BY prev) AS DOUBLE)", 6) + " AS share " +
+          "FROM t ORDER BY prev, cur")
+    ),
+    Q(
+      "ts_seasonal",
+      // Hour-of-day seasonal profile: per-hour mean vs the global mean and
+      // the seasonal deviation — the decomposition step before detrending
+      // a diurnal series. Exact scaled-integer sums; the global mean rides
+      // along on a one-row broadcast join.
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .select(hour(col("ts")).cast("long").as("hod"),
+            col("value"))
+        val glob = ev.agg(
+          ((sum(round(col("value") * 100).cast("long")).cast("double")
+            / count(lit(1))) / 100.0).as("gmean"))
+        ev.groupBy("hod")
+          .agg(
+            count(lit(1)).as("n"),
+            ((sum(round(col("value") * 100).cast("long")).cast("double")
+              / count(lit(1))) / 100.0).as("hmean"))
+          .join(broadcast(glob))
+          .select(col("hod"), col("n"),
+            dround(col("hmean"), 4).as("hmean"),
+            dround(col("hmean") - col("gmean"), 4).as("seasonal"))
+          .orderBy("hod")
+      },
+      Some(
+        "WITH e AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) " +
+          "AS hod, value FROM events), " +
+          "g AS (SELECT (CAST(sum(CAST(round(value*100) AS BIGINT)) " +
+          "AS DOUBLE) / count(*)) / 100.0 AS gmean FROM e), " +
+          "h AS (SELECT hod, CAST(count(*) AS BIGINT) AS n, " +
+          "(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) " +
+          "/ count(*)) / 100.0 AS hmean FROM e GROUP BY hod) " +
+          "SELECT hod, n, " + droundSql("hmean", 4) + " AS hmean, " +
+          droundSql("hmean - gmean", 4) + " AS seasonal " +
+          "FROM h, g ORDER BY hod")
+    ),
+    Q(
       "ts_interpolate",
       // Gap filling with linear interpolation: per user (first 50 — the
       // grid bounds the output), build the full hourly grid between first
