@@ -86,10 +86,13 @@ object StreamRun {
   */
 object Pack {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+  import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
   def pair(a: Column, b: Column): Column =
     shiftleft(a, 32).bitwiseOR(b)
-  def left(pk: Column): Column = shiftright(pk, 32)
+  // unsigned shift: an id >= 2^31 sets the sign bit after packing, and an
+  // arithmetic >> would sign-extend it (AlgProperties pins the roundtrip
+  // over the full unsigned-32-bit range)
+  def left(pk: Column): Column = shiftrightunsigned(pk, 32)
   def right(pk: Column): Column = pk.bitwiseAND(lit(0xffffffffL))
 }
 

@@ -110,4 +110,5 @@ object AlgProperties extends Properties("graft.algs") {
       TextAlgs.rollingFingerprint(toks) ==
         TextAlgs.rollingFingerprint(toks)
     }
+
 }

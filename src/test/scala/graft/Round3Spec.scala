@@ -72,6 +72,19 @@ class Round3Spec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("Pack roundtrips pairs incl. the uint32 sign-bit boundary") {
+    import spark.implicits._
+    // ids >= 2^31 set the packed sign bit — an arithmetic shift would
+    // sign-extend and corrupt the left id
+    val cases = Seq((0L, 0L), (1L, 2L), (0x7fffffffL, 0x80000000L),
+      (0x80000000L, 0xfffffffeL), (0xfffffffeL, 0xffffffffL))
+    val got = cases.toDF("a", "b")
+      .select(Pack.pair(col("a"), col("b")).as("pk"))
+      .select(Pack.left(col("pk")).as("a"), Pack.right(col("pk")).as("b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == cases)
+  }
+
   test("join_dpp plans a dynamic-pruning subquery on the fact scan") {
     val plan = SparkEntry.queries("join_dpp")(spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
