@@ -257,6 +257,28 @@ object Extras3 extends QueryModule {
       None
     ),
     Q(
+      "fn_variant",
+      // Spark 4 VARIANT ingestion: parse_json once into the binary
+      // variant encoding, then typed variant_get extraction — the
+      // open-schema path for semi-structured columns (vs the fixed-schema
+      // from_json). Oracle extracts the same values with DuckDB's JSON
+      // functions; per-parity aggregate keeps the output compact.
+      (s, dir) =>
+        T(s, dir, "events")
+          .select(col("event_id"),
+            expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+          .groupBy(pmod(col("k"), lit(7)).as("k_mod7"))
+          .agg(count(lit(1)).as("n"),
+            min("event_id").as("first_id"),
+            sum("k").as("sum_k"))
+          .orderBy("k_mod7"),
+      Some(
+        "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7, " +
+          "CAST(count(*) AS BIGINT) AS n, min(event_id) AS first_id, " +
+          "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) " +
+          "AS sum_k FROM events GROUP BY 1 ORDER BY k_mod7")
+    ),
+    Q(
       "join_dpp",
       // DYNAMIC partition pruning: the fact table is laid out partitioned
       // by priority; the dim-side filter is only known at runtime, and
