@@ -171,14 +171,16 @@ object TextOps2 extends QueryModule {
         var converged = false
         var iters = 0
         while (!converged && iters < 20) {
-          val next = labels
-            .join(edges, col("doc_id") === col("src"), "left")
-            .join(labels.select(col("doc_id").as("nid"),
-              col("comp").as("ncomp")),
-              col("dst") === col("nid"), "left")
+          // one message-passing join per round: every edge (src->dst)
+          // forwards src's label to dst; union with the current labels and
+          // take the min. Equivalent to the two-sided neighbor-min (edges
+          // hold both directions) at half the joins and shuffles per round.
+          val msgs = edges
+            .join(labels, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), col("comp"))
+          val next = labels.select("doc_id", "comp").union(msgs)
             .groupBy(col("doc_id"))
-            .agg(least(min(col("comp")),
-              coalesce(min(col("ncomp")), min(col("comp")))).as("comp"))
+            .agg(min(col("comp")).as("comp"))
             .persist()
           val newTotal = next.agg(sum("comp")).first().getLong(0)
           labels.unpersist()
