@@ -14,7 +14,7 @@ object SparkEntry {
     Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, EventOps2,
     Subqueries,
     Extras, Workload, Workload2, TextOps, TextOps2, SketchOps, Reshape,
-    VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3)
+    VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3, Extras4)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 
