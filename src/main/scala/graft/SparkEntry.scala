@@ -14,7 +14,8 @@ object SparkEntry {
     Scans, Joins, Aggregates, Windows, ScalarFns, EventOps, EventOps2,
     Subqueries,
     Extras, Workload, Workload2, TextOps, TextOps2, SketchOps, Reshape,
-    VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3, Extras4)
+    VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3, Extras4,
+    Extras5)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 

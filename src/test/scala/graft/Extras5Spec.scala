@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-5 operators: bitmap distinct exactness, SCD2 interval algebra,
+  * running-distinct equivalence, mask classification.
+  */
+class Extras5Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("agg_bitmap_distinct equals exact count(DISTINCT user_id)") {
+    val bitmap = SparkEntry.queries("agg_bitmap_distinct")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T(spark, TestSpark.Sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bitmap == exact)
+  }
+
+  test("dim_scd2: versions chain — valid_to equals next valid_from; one current per user") {
+    val rows = SparkEntry.queries("dim_scd2")(spark, TestSpark.Sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(2)) // version
+      // versions are 1..n dense
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      // exactly one current row, and it is the last version
+      assert(sorted.count(_.getBoolean(5)) == 1)
+      assert(sorted.last.getBoolean(5))
+      // intervals chain: valid_to(v) == valid_from(v+1), no gaps/overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val from = a.getAs[java.time.LocalDateTime](3)
+          val to = a.getAs[java.time.LocalDateTime](4)
+          assert(!from.isAfter(to))
+          assert(to == b.getAs[java.time.LocalDateTime](3), s"$a -> $b")
+        case _ => ()
+      }
+      // consecutive versions change state
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) != b.getString(1))
+        case _ => ()
+      }
+    }
+  }
+
+  test("win_distinct_running: final value per user equals exact distinct count") {
+    val runs = SparkEntry.queries("win_distinct_running")(spark, TestSpark.Sf)
+    // last row per user (max event_id per user carries the full-set size
+    // only if it is also last in (ts, event_id) order — take max n_types
+    // instead, which for a growing frame IS the final value)
+    val finals = runs.groupBy("user_id")
+      .agg(max("n_types").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = T(spark, TestSpark.Sf, "events")
+      .groupBy("user_id").agg(countDistinct("event_type").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finals == exact)
+  }
+
+  test("fn_mask: masked outputs preserve length and only substitute classes") {
+    SparkEntry.queries("fn_mask")(spark, TestSpark.Sf).collect().take(50)
+      .foreach { r =>
+        val dflt = r.getString(1)
+        assert(dflt.forall(c => c == 'X' || c == 'x' || c == 'n' ||
+          !c.isLetterOrDigit), dflt)
+      }
+  }
+
+  test("sink_sorted_stats: sorted-layout slice equals direct filter on source") {
+    val viaSink = SparkEntry.queries("sink_sorted_stats")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = T(spark, TestSpark.Sf, "lineitem")
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice"), 2).as("rev"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSink == direct)
+  }
+}
