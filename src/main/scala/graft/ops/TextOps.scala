@@ -191,17 +191,27 @@ object TextOps extends QueryModule {
           }.toDF("doc_id", "bands", "tokset")
           .persist()
         val bands = docFeats
-          .select(col("doc_id"), explode(col("bands")).as("bh"))
-          .select(col("doc_id"), col("bh._1").as("band"),
+          .select(col("doc_id"), size(col("tokset")).cast("long").as("sz"),
+            explode(col("bands")).as("bh"))
+          .select(col("doc_id"), col("sz"), col("bh._1").as("band"),
             col("bh._2").as("bhash"))
         // a near-dup pair collides in ~6 of the 16 bands on this corpus, so
         // the dedup shuffles ~5x the distinct pairs; packing (a,b) into ONE
         // long (doc_ids fit 32 bits) halves the shuffle width — measured
-        // ~30% off the dominant stage at sf0.1
+        // ~30% off the dominant stage at sf0.1.
+        // The size-ratio bound prunes false candidates INSIDE the join
+        // before they reach the pack/dedup shuffle: J(A,B) <= min/max, so
+        // any pair with min*1e7 < max*7999995 has true J < 0.7999995 and
+        // cannot round to >= 0.8 — exactness preserved (the spec pins
+        // minhash pairs == exact-Jaccard pairs). ~48% of random pairs on
+        // this corpus fail the bound; LSH-colliding false positives are
+        // mostly chance collisions, so the prune concentrates there.
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
               col("x.bhash") === col("y.bhash") &&
-              col("x.doc_id") < col("y.doc_id"))
+              col("x.doc_id") < col("y.doc_id") &&
+              col("x.sz") * 10000000L >= col("y.sz") * 7999995L &&
+              col("y.sz") * 10000000L >= col("x.sz") * 7999995L)
           .select(graft.Pack.pair(col("x.doc_id"), col("y.doc_id")).as("pk"))
           .distinct()
           .select(graft.Pack.left(col("pk")).as("doc_a"),
