@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: HOF dot-product idiom → native FloatVecDot
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofVecDot)
     e.injectFunction((
       FunctionIdentifier("fvdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvdot"),

@@ -13,9 +13,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * positional-unnest sum, but ~20× faster: the HOF path interprets a lambda
   * per element, this one is a tight codegen'd loop inside WholeStageCodegen
   * (no UDF serialization, no per-element boxing).
+  *
+  * Null semantics REPLICATE the HOF exactly so that
+  * [[graft.plans.RewriteHofVecDot]] is a sound rewrite on every input:
+  * `zip_with` pads the shorter array with nulls and a null product poisons
+  * the running sum, so a length mismatch or any null element yields NULL —
+  * not a min-length partial sum.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -33,10 +40,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -48,12 +57,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $s;
        """.stripMargin
     })

@@ -202,6 +202,48 @@ object Extras5 extends QueryModule {
           "FROM customer ORDER BY c_custkey")
     ),
     Q(
+      "vec_hof_dot_rewrite",
+      // The PORTABLE dot-product formulation (aggregate ∘ zip_with), made
+      // fast by the injected optimizer rule RewriteHofVecDot, which swaps
+      // in the codegen'd FloatVecDot. Same query shape as vec_knn_query;
+      // Extras5Spec asserts the optimized plan actually contains fvdot
+      // and that results are identical to the explicit-fvdot twin.
+      (s, dir) => {
+        if (!s.experimental.extraOptimizations
+            .contains(graft.plans.RewriteHofVecDot))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.RewriteHofVecDot
+        def hofDot(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * " +
+            s"CAST(y AS DOUBLE)), 0D, (s, x) -> s + x)"
+        val v = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr(hofDot("embedding", "embedding"))).as("nrm"))
+          .filter(col("nrm") > 0)
+        val q = broadcast(v.filter(col("vec_id") === 0)
+          .select(col("embedding").as("eq"), col("nrm").as("nq")))
+        v.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"),
+            dround(expr(hofDot("embedding", "eq")) /
+              (col("nrm") * col("nq")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        "WITH v0 AS (SELECT vec_id, embedding, sqrt((SELECT " +
+          "sum(CAST(x.a AS DOUBLE)*x.a) FROM (SELECT unnest(embedding) " +
+          "AS a) x)) AS nrm FROM embeddings), " +
+          "v AS (SELECT * FROM v0 WHERE nrm > 0), " +
+          "q AS (SELECT embedding AS eq, nrm AS nq FROM v WHERE vec_id = 0) " +
+          "SELECT v.vec_id, " +
+          droundSql("(SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+            "(SELECT unnest(v.embedding) AS x, unnest(q.eq) AS y) z) " +
+            "/ (v.nrm*q.nq)", 6) +
+          " AS sim FROM v, q WHERE v.vec_id <> 0 " +
+          "ORDER BY sim DESC, vec_id LIMIT 5")
+    ),
+    Q(
       "sink_sorted_stats",
       // Zone-map layout sink: range-partition + sort the fact by ship
       // date, write parquet, read a narrow date slice back. The sorted

@@ -69,6 +69,40 @@ class Extras5Spec extends AnyFunSuite {
       }
   }
 
+  test("vec_hof_dot_rewrite: optimizer rule swaps the HOF idiom for fvdot") {
+    val df = SparkEntry.queries("vec_hof_dot_rewrite")(spark, TestSpark.Sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("fvdot"), opt)
+    assert(!opt.toLowerCase.contains("zip_with"), opt)
+  }
+
+  test("vec_hof_dot_rewrite: results identical to the explicit-fvdot twin") {
+    val hof = SparkEntry.queries("vec_hof_dot_rewrite")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    val native = SparkEntry.queries("vec_knn_query")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(hof == native)
+  }
+
+  test("fvdot replicates HOF null semantics (length mismatch, null element)") {
+    import spark.implicits._
+    graft.functions.VecExprs.register(spark)
+    val df = Seq(
+      (Seq(1f, 2f), Seq(3f, 4f)), // clean: 11.0
+      (Seq(1f, 2f), Seq(3f)) // length mismatch: NULL
+    ).toDF("a", "b")
+    val hofExpr = "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * " +
+      "CAST(y AS DOUBLE)), 0D, (s, x) -> s + x)"
+    val rows = df.selectExpr("fvdot(a, b) AS nat", s"$hofExpr AS hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("sink_sorted_stats: sorted-layout slice equals direct filter on source") {
     val viaSink = SparkEntry.queries("sink_sorted_stats")(spark, TestSpark.Sf)
       .collect().map(_.toSeq).toSeq
