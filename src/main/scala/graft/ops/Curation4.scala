@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation wave 4 — the remaining LLM-training data-prep verbs:
+  * content-hash split, source interleaving, context-window packing, and
+  * the staged filter funnel.
+  *
+  * Scale notes:
+  *  - `data_split_hash` is the production train/val/test split: bucket by
+  *    a CONTENT-STABLE hash (md5 of the id), never by position or random()
+  *    — membership survives re-runs, repartitions, and incremental
+  *    appends. One scan, one partial-aggregable groupBy.
+  *  - `data_interleave_sources` realizes a mixing schedule as a
+  *    deterministic total order (round-robin by per-source rank). The
+  *    rank windows partition by source — at 100 TB each source's window
+  *    sorts independently; no global sort is needed until the final
+  *    consumer, which streams in (rn, source) order.
+  *  - `data_pack_ctx` is pretraining sequence packing in its standard
+  *    form: concatenate the shard's token stream, cut every CTX tokens.
+  *    Per-shard running sums (window) place every document at an absolute
+  *    token offset; bin ids are integer division — no sequential driver
+  *    loop, and shards are the parallelism unit exactly as in a real
+  *    packing job.
+  *  - `text_filter_funnel` is the curation report: one scan computes all
+  *    stage flags (each stage ANDs the previous — monotone survival), the
+  *    dedup keeper is selected only among stage-3 survivors via a
+  *    conditional window min, and one aggregate emits the per-stage
+  *    survivor counts.
+  */
+object Curation4 extends QueryModule {
+
+  private val Ctx = 512
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "data_split_hash",
+      // 80/10/10-ish split on the first two hex digits of md5(doc_id):
+      // train < 'cd' (205/256), val < 'e6' (25/256), else test. String
+      // comparison on lowercase hex is identical in both engines.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .withColumn("h2",
+            substring(md5(col("doc_id").cast("string")), 1, 2))
+          .withColumn("split",
+            when(col("h2") < "cd", "train")
+              .when(col("h2") < "e6", "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+          .orderBy("lang", "split"),
+      Some(
+        "WITH d AS (SELECT lang, text, substr(md5(CAST(doc_id AS " +
+          "VARCHAR)), 1, 2) AS h2 FROM documents), " +
+          "sp AS (SELECT lang, text, CASE WHEN h2 < 'cd' THEN 'train' " +
+          "WHEN h2 < 'e6' THEN 'val' ELSE 'test' END AS split FROM d) " +
+          "SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks " +
+          "FROM sp GROUP BY lang, split ORDER BY lang, split")
+    ),
+    Q(
+      "data_interleave_sources",
+      // Round-robin interleave across sources: position p takes the
+      // (p div n_sources)-th document of source (p mod n_sources) — the
+      // deterministic realization of an equal-weight mixing schedule.
+      (s, dir) => {
+        val wSrc = Window.partitionBy("source").orderBy("doc_id")
+        val wAll = Window.orderBy("rn", "source")
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(wSrc))
+          .select(row_number().over(wAll).cast("long").as("pos"),
+            col("source"), col("doc_id"))
+          .orderBy("pos")
+      },
+      Some(
+        "WITH r AS (SELECT doc_id, source, row_number() OVER " +
+          "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+          "SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) " +
+          "AS pos, source, doc_id FROM r ORDER BY pos")
+    ),
+    Q(
+      "data_pack_ctx",
+      // Sequence packing: per md5-shard, documents concatenate in hash
+      // order into one token stream cut every Ctx tokens. Emits each
+      // document's absolute offset and the context windows it lands in.
+      (s, dir) => {
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("shard", substring(col("h"), 1, 1))
+          .withColumn("end_tok", sum("toks").over(w))
+          .select(col("shard"), col("doc_id"), col("toks"),
+            (col("end_tok") - col("toks")).as("start_tok"),
+            expr(s"(end_tok - toks) div $Ctx").as("first_bin"),
+            expr(s"(end_tok - 1) div $Ctx").as("last_bin"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks " +
+          "FROM documents), " +
+          "sh AS (SELECT *, substr(h, 1, 1) AS shard FROM d), " +
+          "c AS (SELECT shard, doc_id, toks, sum(toks) OVER " +
+          "(PARTITION BY shard ORDER BY h, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok " +
+          "FROM sh) " +
+          "SELECT shard, doc_id, toks, end_tok - toks AS start_tok, " +
+          s"(end_tok - toks) // $Ctx AS first_bin, " +
+          s"(end_tok - 1) // $Ctx AS last_bin " +
+          "FROM c ORDER BY doc_id")
+    ),
+    Q(
+      "text_filter_funnel",
+      // Staged curation funnel in ONE scan: length → language → lexical
+      // diversity → exact-dup keeper (selected among stage-3 survivors
+      // only), reported as cumulative survivor counts per stage.
+      (s, dir) => {
+        val base = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            md5(col("text")).as("h"),
+            size(array_distinct(split(col("text"), " "))).cast("double")
+              .as("uniq"),
+            size(split(col("text"), " ")).cast("double").as("toks"))
+          .withColumn("s1", col("n_chars") >= 100)
+          .withColumn("s2", col("s1") && col("lang") =!= "zh")
+          .withColumn("s3", col("s2") && col("uniq") / col("toks") >= 0.35)
+        val keeper = base.withColumn("keep_id",
+          min(when(col("s3"), col("doc_id"))).over(
+            Window.partitionBy("h")))
+          .withColumn("s4", col("s3") && col("doc_id") === col("keep_id"))
+        keeper.agg(
+          count(lit(1)).as("ingest"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("len_ok"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("lang_ok"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("quality_ok"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("dedup_ok"))
+          .selectExpr("stack(5, 0L, 'ingest', ingest, 1L, 'length', " +
+            "len_ok, 2L, 'language', lang_ok, 3L, 'quality', quality_ok, " +
+            "4L, 'dedup', dedup_ok) AS (stage_id, stage, n_docs)")
+          .orderBy("stage_id")
+      },
+      Some(
+        "WITH b AS (SELECT doc_id, lang, n_chars, md5(text) AS h, " +
+          "len(list_distinct(string_split(text, ' '))) * 1.0 AS uniq, " +
+          "len(string_split(text, ' ')) * 1.0 AS toks FROM documents), " +
+          "f AS (SELECT *, (n_chars >= 100) AS s1, " +
+          "(n_chars >= 100 AND lang <> 'zh') AS s2, " +
+          "(n_chars >= 100 AND lang <> 'zh' AND uniq / toks >= 0.35) " +
+          "AS s3 FROM b), " +
+          "k AS (SELECT *, (s3 AND doc_id = min(CASE WHEN s3 THEN doc_id " +
+          "END) OVER (PARTITION BY h)) AS s4 FROM f), " +
+          "a AS (SELECT CAST(count(*) AS BIGINT) AS ingest, " +
+          "CAST(count(*) FILTER (WHERE s1) AS BIGINT) AS len_ok, " +
+          "CAST(count(*) FILTER (WHERE s2) AS BIGINT) AS lang_ok, " +
+          "CAST(count(*) FILTER (WHERE s3) AS BIGINT) AS quality_ok, " +
+          "CAST(count(*) FILTER (WHERE s4) AS BIGINT) AS dedup_ok FROM k) " +
+          "SELECT * FROM (" +
+          "SELECT CAST(0 AS BIGINT) AS stage_id, 'ingest' AS stage, " +
+          "ingest AS n_docs FROM a UNION ALL " +
+          "SELECT 1, 'length', len_ok FROM a UNION ALL " +
+          "SELECT 2, 'language', lang_ok FROM a UNION ALL " +
+          "SELECT 3, 'quality', quality_ok FROM a UNION ALL " +
+          "SELECT 4, 'dedup', dedup_ok FROM a) ORDER BY stage_id")
+    )
+  )
+}

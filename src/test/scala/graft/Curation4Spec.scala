@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-4 curation ops: split completeness/stability, interleave
+  * fairness, packing contiguity, funnel monotonicity.
+  */
+class Curation4Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("data_split_hash: splits partition the corpus; membership is stable") {
+    val rows = SparkEntry.queries("data_split_hash")(spark, TestSpark.Sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = T(spark, TestSpark.Sf, "documents").count()
+    assert(total == nDocs)
+    // train dominates: hash thresholds actually split ~80/10/10
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("data_interleave_sources: consecutive positions rotate sources") {
+    val rows = SparkEntry.queries("data_interleave_sources")(
+      spark, TestSpark.Sf).collect()
+    val nSources = rows.map(_.getAs[String]("source")).distinct.length
+    // within each full round of n_sources positions, sources are distinct
+    rows.grouped(nSources).foreach { round =>
+      val srcs = round.map(_.getAs[String]("source"))
+      if (round.length == nSources)
+        assert(srcs.distinct.length == srcs.length ||
+          // tail rounds may be short on exhausted sources
+          rows.length - round.length * nSources < nSources, srcs.mkString(","))
+    }
+  }
+
+  test("data_pack_ctx: per-shard streams are contiguous and start at 0") {
+    val rows = SparkEntry.queries("data_pack_ctx")(spark, TestSpark.Sf)
+      .collect()
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("start_tok"))
+      assert(sorted.head.getAs[Long]("start_tok") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start_tok") + a.getAs[Long]("toks") ==
+            b.getAs[Long]("start_tok"))
+        case _ => ()
+      }
+      // bin ids consistent with offsets
+      sorted.foreach { d =>
+        assert(d.getAs[Long]("first_bin") == d.getAs[Long]("start_tok") / 512)
+        assert(d.getAs[Long]("last_bin") ==
+          (d.getAs[Long]("start_tok") + d.getAs[Long]("toks") - 1) / 512)
+      }
+    }
+  }
+
+  test("text_filter_funnel: survivor counts decrease monotonically") {
+    val ns = SparkEntry.queries("text_filter_funnel")(spark, TestSpark.Sf)
+      .collect().sortBy(_.getAs[Long]("stage_id")).map(_.getAs[Long]("n_docs"))
+    assert(ns.length == 5)
+    ns.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    assert(ns.head == T(spark, TestSpark.Sf, "documents").count())
+    assert(ns.last > 0)
+  }
+}
