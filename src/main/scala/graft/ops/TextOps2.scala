@@ -165,41 +165,54 @@ object TextOps2 extends QueryModule {
         // fixture scale that variant was measured 2x SLOWER (the extra
         // distinct/anti-join stages dominate the ~200-node slice), so the
         // shipped form keeps the whole slice in the frame.
-        var labels = toks.select(col("doc_id"),
-          col("doc_id").as("comp")).persist()
-        var total = labels.agg(sum("comp")).first().getLong(0)
-        var converged = false
-        var iters = 0
-        while (!converged && iters < 20) {
-          // one message-passing join per round: every edge (src->dst)
-          // forwards src's label to dst; union with the current labels and
-          // take the min. Equivalent to the two-sided neighbor-min (edges
-          // hold both directions) at half the joins and shuffles per round.
-          val msgs = edges
-            .join(labels, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("comp"))
-          val next = labels.select("doc_id", "comp").union(msgs)
-            .groupBy(col("doc_id"))
-            .agg(min(col("comp")).as("comp"))
-            .persist()
-          val newTotal = next.agg(sum("comp")).first().getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = newTotal == total
-          total = newTotal
-          iters += 1
-        }
-        // a diameter->20 graph would otherwise silently ship wrong labels
-        if (!converged) throw new IllegalStateException(
-          s"text_dedup_cc: label propagation not converged after $iters " +
-            "iterations — component diameter exceeds the cap")
-        // materialize the converged labels and return a clean scan plan:
-        // no cache leak, and the (already-executed) iterative lineage
-        // isn't re-run when the caller executes the result
+        // the loop's frames are label tables of a few hundred rows: size
+        // the per-round shuffles to the DATA (like StreamRun does for
+        // state), not the core count — 12+ stages of 32 near-empty tasks
+        // are pure scheduling overhead. At 100 TB labels are sized to the
+        // corpus and this would stay at the session width.
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partsKey)
         val out = graft.Tmp.dir("graft_cc")
-        labels.write.mode("overwrite").parquet(out)
-        edges.unpersist()
-        labels.unpersist()
+        try {
+          s.conf.set(partsKey, "4")
+          var labels = toks.select(col("doc_id"),
+            col("doc_id").as("comp")).persist()
+          var total = labels.agg(sum("comp")).first().getLong(0)
+          var converged = false
+          var iters = 0
+          while (!converged && iters < 20) {
+            // one message-passing join per round: every edge (src->dst)
+            // forwards src's label to dst; union with the current labels
+            // and take the min. Equivalent to the two-sided neighbor-min
+            // (edges hold both directions) at half the joins and shuffles
+            // per round.
+            val msgs = edges
+              .join(labels, col("src") === col("doc_id"))
+              .select(col("dst").as("doc_id"), col("comp"))
+            val next = labels.select("doc_id", "comp").union(msgs)
+              .groupBy(col("doc_id"))
+              .agg(min(col("comp")).as("comp"))
+              .persist()
+            val newTotal = next.agg(sum("comp")).first().getLong(0)
+            labels.unpersist()
+            labels = next
+            converged = newTotal == total
+            total = newTotal
+            iters += 1
+          }
+          // a diameter->20 graph would otherwise silently ship wrong labels
+          if (!converged) throw new IllegalStateException(
+            s"text_dedup_cc: label propagation not converged after $iters " +
+              "iterations — component diameter exceeds the cap")
+          // materialize the converged labels and return a clean scan plan:
+          // no cache leak, and the (already-executed) iterative lineage
+          // isn't re-run when the caller executes the result
+          labels.write.mode("overwrite").parquet(out)
+          labels.unpersist()
+        } finally {
+          edges.unpersist()
+          s.conf.set(partsKey, prevParts)
+        }
         s.read.parquet(out).orderBy("doc_id")
       },
       Some(
