@@ -5,13 +5,18 @@ import graft.Det._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-analytics operators, wave 2: OHLC resampling and cohort
-  * retention — the two canonical "events table → product dashboard"
-  * shapes not yet covered by the funnel/anomaly/session family.
+/** Event-analytics operators, wave 2: OHLC resampling, cohort
+  * retention, and last-touch attribution — canonical "events table →
+  * product dashboard" shapes not covered by the funnel/anomaly/session
+  * family.
   *
-  * Scale notes: both group by (user/cohort × time-bucket) — the shuffle
-  * key matches the natural partitioning of an event stream, and both
-  * window and aggregate reuse that one exchange. No fact-fact joins.
+  * Scale notes: all partition by user (or cohort) × time — the shuffle
+  * key matches the natural partitioning of an event stream, and window
+  * and aggregate reuse that one exchange. No fact-fact joins:
+  * `events_attribution` is the asof-join-with-tolerance computed as a
+  * single window pass over the interleaved stream instead of a
+  * purchase×click range join (which would re-shuffle both slices and
+  * build quadratic candidate pairs per user).
   */
 object EventOps2 extends QueryModule {
 
@@ -89,6 +94,47 @@ object EventOps2 extends QueryModule {
           "SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset, " +
           "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
           "FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset")
+    ),
+    Q(
+      "events_attribution",
+      // Last-touch attribution: each purchase attributes to the user's
+      // most recent click within the preceding 30 minutes (else null) —
+      // the asof-join-with-tolerance, done as ONE window pass over the
+      // interleaved per-user stream: last(click_id ignoring nulls) up to
+      // the current row, then the tolerance null-out. Interval
+      // comparison is exact µs arithmetic on both engines.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"))
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(col("click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"),
+              col("click_id")).as("attributed_click"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, " +
+          "CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+          "lc AS (SELECT *, " +
+          "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
+          "IGNORE NULLS) OVER w AS click_id, " +
+          "last_value(CASE WHEN event_type = 'click' THEN ts END " +
+          "IGNORE NULLS) OVER w AS click_ts " +
+          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+          "SELECT event_id, user_id, " +
+          "CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_id " +
+          "END AS attributed_click " +
+          "FROM lc WHERE event_type = 'purchase' ORDER BY event_id")
     )
   )
 }
