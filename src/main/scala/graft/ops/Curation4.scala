@@ -117,6 +117,31 @@ object Curation4 extends QueryModule {
           "FROM c ORDER BY doc_id")
     ),
     Q(
+      "text_winnow_fp",
+      // Winnowing document fingerprints (the MOSS algorithm): token
+      // 3-gram hashes, window w=4, rightmost-min selection. Per doc:
+      // gram count, fingerprint count, and an order-independent XOR
+      // checksum of the selected hashes. Guarantee (pinned in
+      // Curation4Spec): any shared token run of >= w+k-1 tokens between
+      // two documents shares a fingerprint — the principled basis for
+      // substring-level dedup, vs the fixed-stride chunking of
+      // text_chunk_dedup. No oracle (seeded-hash-specific).
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ts) =>
+            val fps = graft.text.TextAlgs.winnow(ts)
+            (id, math.max(ts.length - 2, 0).toLong, fps.length.toLong,
+              fps.foldLeft(0L)((a, f) => a ^ f._2))
+          }
+          .toDF("doc_id", "n_grams", "n_fps", "fp_xor")
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    Q(
       "text_filter_funnel",
       // Staged curation funnel in ONE scan: length → language → lexical
       // diversity → exact-dup keeper (selected among stage-3 survivors

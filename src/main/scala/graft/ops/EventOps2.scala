@@ -96,6 +96,76 @@ object EventOps2 extends QueryModule {
           "FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset")
     ),
     Q(
+      "ts_cross_corr",
+      // Lagged-zero cross-correlation between each user's hourly click
+      // and view value series, from EXACT decimal power sums (the
+      // agg_corr pattern — associative integer arithmetic, immune to
+      // partial-agg order; only the final closed form runs in double).
+      // Zero-variance series emit NULL explicitly on both engines.
+      (s, dir) => {
+        val hourly = T(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
+            col("event_type"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val c = hourly.filter(col("event_type") === "click")
+          .select(col("user_id"), col("hr"), col("v").as("cv"))
+        val v = hourly.filter(col("event_type") === "view")
+          .select(col("user_id"), col("hr"), col("v").as("vv"))
+        val joined = c.join(v, Seq("user_id", "hr"))
+        val n = count(lit(1)).cast("double")
+        joined.groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("cv")).as("sx"), sum(col("vv")).as("sy"),
+            sum(col("cv") * col("cv")).as("sxx"),
+            sum(col("vv") * col("vv")).as("syy"),
+            sum(col("cv") * col("vv")).as("sxy"))
+          .select(col("user_id"), col("n_hours"),
+            when(
+              (col("n_hours").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n_hours").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double")) > 0,
+              dround(
+                (col("n_hours").cast("double") * col("sxy").cast("double")
+                  - col("sx").cast("double") * col("sy").cast("double")) /
+                  sqrt((col("n_hours").cast("double") *
+                    col("sxx").cast("double")
+                    - col("sx").cast("double") * col("sx").cast("double")) *
+                    (col("n_hours").cast("double") *
+                      col("syy").cast("double")
+                      - col("sy").cast("double") *
+                        col("sy").cast("double"))), 4)).as("xcorr"))
+          .orderBy("user_id")
+      },
+      Some(
+        "WITH h AS (SELECT user_id, date_trunc('hour', " +
+          "CAST(ts AS TIMESTAMP)) AS hr, event_type, " +
+          "sum(CAST(value AS DECIMAL(18,2))) AS v FROM events " +
+          "WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3), " +
+          "j AS (SELECT c.user_id, c.v AS cv, vw.v AS vv " +
+          "FROM (SELECT * FROM h WHERE event_type = 'click') c " +
+          "JOIN (SELECT * FROM h WHERE event_type = 'view') vw " +
+          "USING (user_id, hr)), " +
+          "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours, " +
+          "sum(cv) AS sx, sum(vv) AS sy, sum(cv*cv) AS sxx, " +
+          "sum(vv*vv) AS syy, sum(cv*vv) AS sxy FROM j GROUP BY user_id) " +
+          "SELECT user_id, n_hours, " +
+          "CASE WHEN (CAST(n_hours AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+          "(CAST(n_hours AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+          "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0 THEN " +
+          droundSql(
+            "(CAST(n_hours AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+              "sqrt((CAST(n_hours AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+              "(CAST(n_hours AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+              "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))", 4) +
+          " END AS xcorr FROM p ORDER BY user_id")
+    ),
+    Q(
       "events_attribution",
       // Last-touch attribution: each purchase attributes to the user's
       // most recent click within the preceding 30 minutes (else null) —

@@ -150,4 +150,34 @@ object TextAlgs {
     tokens.foreach { t => h = h * 1000003L + (tokenHash64(t) & Long.MaxValue) }
     h & Long.MaxValue
   }
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 §2): hash every
+    * token k-gram, slide a window of w gram-hashes, select each window's
+    * minimum (rightmost on ties), record each selection once. Guarantees:
+    * every w consecutive grams contribute >= 1 fingerprint (so any shared
+    * run of >= w+k-1 tokens between two documents shares >= 1
+    * fingerprint), at expected density 2/(w+1). Returns (gramPos, hash)
+    * in selection order.
+    */
+  def winnow(tokens: Seq[String], k: Int = 3, w: Int = 4): Seq[(Int, Long)] = {
+    val grams = tokens.iterator.sliding(k).withPartial(false)
+      .map(g => tokenHash64(g.mkString(" ")) & Long.MaxValue).toArray
+    if (grams.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var last = -1
+    val lastStart = math.max(0, grams.length - w)
+    var start = 0
+    while (start <= lastStart) {
+      var best = start
+      var i = start
+      val end = math.min(start + w, grams.length)
+      while (i < end) {
+        if (grams(i) <= grams(best)) best = i // <=: rightmost minimum
+        i += 1
+      }
+      if (best != last) { out += ((best, grams(best))); last = best }
+      start += 1
+    }
+    out.toSeq
+  }
 }

@@ -57,6 +57,41 @@ class Curation4Spec extends AnyFunSuite {
     }
   }
 
+  test("winnow: every window of w grams contains a selected fingerprint") {
+    val rng = new graft.text.SplitMix64(7L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (_ <- 1 to 50) {
+      val n = 3 + (rng.nextLong() & 0x3f).toInt
+      val toks = Seq.fill(n)(vocab((rng.nextLong() & 0x7).toInt))
+      val fps = graft.text.TextAlgs.winnow(toks, k = 3, w = 4)
+      val nGrams = n - 2
+      if (nGrams > 0) {
+        assert(fps.nonEmpty)
+        val pos = fps.map(_._1).toSet
+        for (start <- 0 to math.max(0, nGrams - 4)) {
+          assert((start until math.min(start + 4, nGrams))
+            .exists(pos.contains), s"uncovered window at $start, n=$n")
+        }
+        // selections are monotone positions with in-window gaps
+        assert(fps.map(_._1) == fps.map(_._1).sorted)
+      } else assert(fps.isEmpty)
+    }
+  }
+
+  test("winnow: a shared token run of >= w+k-1 tokens shares a fingerprint") {
+    val rng = new graft.text.SplitMix64(99L)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w", "x", "y")
+    def rand(n: Int) = Seq.fill(n)(vocab((rng.nextLong() & 0x7).toInt))
+    for (_ <- 1 to 20) {
+      val shared = rand(6) // w + k - 1 = 6
+      val docA = rand(10) ++ shared ++ rand(10)
+      val docB = rand(7) ++ shared ++ rand(12)
+      val fpA = graft.text.TextAlgs.winnow(docA).map(_._2).toSet
+      val fpB = graft.text.TextAlgs.winnow(docB).map(_._2).toSet
+      assert(fpA.intersect(fpB).nonEmpty)
+    }
+  }
+
   test("text_filter_funnel: survivor counts decrease monotonically") {
     val ns = SparkEntry.queries("text_filter_funnel")(spark, TestSpark.Sf)
       .collect().sortBy(_.getAs[Long]("stage_id")).map(_.getAs[Long]("n_docs"))
