@@ -63,24 +63,43 @@ object Curation4 extends QueryModule {
     ),
     Q(
       "data_interleave_sources",
-      // Round-robin interleave across sources: position p takes the
-      // (p div n_sources)-th document of source (p mod n_sources) — the
-      // deterministic realization of an equal-weight mixing schedule.
+      // Round-robin interleave across sources — the deterministic
+      // realization of an equal-weight mixing schedule. The position is
+      // ARITHMETIC: pos = (rn-1)*n_sources + src_rank, from the
+      // per-source rank (parallel window) and a broadcast source index —
+      // NO global row_number anywhere (a no-partition window is a
+      // single-task sort, the canonical 100 TB bottleneck; same pattern
+      // as data_assign_ids' per-shard ranks + broadcast offsets).
+      // Positions of exhausted sources leave gaps; consumers stream in
+      // pos order, so density is irrelevant and determinism is total.
       (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"),
+          col("source"))
         val wSrc = Window.partitionBy("source").orderBy("doc_id")
-        val wAll = Window.orderBy("rn", "source")
-        T(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
-          .withColumn("rn", row_number().over(wSrc))
-          .select(row_number().over(wAll).cast("long").as("pos"),
+        val wIdx = Window.orderBy("source") // over the DISTINCT sources only
+        val srcIdx = docs.select("source").distinct()
+          .select(col("source"), row_number().over(wIdx).cast("long")
+            .as("src_rank"),
+            count(lit(1)).over(Window.partitionBy(lit(1))).cast("long")
+              .as("n_src"))
+        docs
+          .withColumn("rn", row_number().over(wSrc).cast("long"))
+          .join(broadcast(srcIdx), "source")
+          .select(
+            ((col("rn") - 1) * col("n_src") + col("src_rank")).as("pos"),
             col("source"), col("doc_id"))
           .orderBy("pos")
       },
       Some(
-        "WITH r AS (SELECT doc_id, source, row_number() OVER " +
-          "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
-          "SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) " +
-          "AS pos, source, doc_id FROM r ORDER BY pos")
+        "WITH si AS (SELECT source, CAST(row_number() OVER (ORDER BY " +
+          "source) AS BIGINT) AS src_rank, CAST((SELECT count(DISTINCT " +
+          "source) FROM documents) AS BIGINT) AS n_src " +
+          "FROM (SELECT DISTINCT source FROM documents)), " +
+          "r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+          "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn " +
+          "FROM documents) " +
+          "SELECT (r.rn - 1) * si.n_src + si.src_rank AS pos, r.source, " +
+          "r.doc_id FROM r JOIN si USING (source) ORDER BY pos")
     ),
     Q(
       "data_pack_ctx",

@@ -22,18 +22,30 @@ class Curation4Spec extends AnyFunSuite {
     assert(bySplit("train") > bySplit.getOrElse("test", 0L))
   }
 
-  test("data_interleave_sources: consecutive positions rotate sources") {
+  test("data_interleave_sources: positions realize the round-robin schedule") {
     val rows = SparkEntry.queries("data_interleave_sources")(
       spark, TestSpark.Sf).collect()
-    val nSources = rows.map(_.getAs[String]("source")).distinct.length
-    // within each full round of n_sources positions, sources are distinct
-    rows.grouped(nSources).foreach { round =>
-      val srcs = round.map(_.getAs[String]("source"))
-      if (round.length == nSources)
-        assert(srcs.distinct.length == srcs.length ||
-          // tail rounds may be short on exhausted sources
-          rows.length - round.length * nSources < nSources, srcs.mkString(","))
+    // recompute the schedule driver-side: src_rank by sorted source name,
+    // rn by doc_id within source, pos = (rn-1)*n_src + src_rank
+    val docs = T(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val srcRank = docs.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expected = docs.groupBy(_._2).iterator.flatMap { case (src, ds) =>
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        id -> (i.toLong * srcRank.size + srcRank(src))
+      }
+    }.toMap
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pos") == expected(r.getAs[Long]("doc_id")),
+        r.toString)
     }
+    // positions are unique and the result arrives pos-sorted
+    val ps = rows.map(_.getAs[Long]("pos"))
+    assert(ps.distinct.length == ps.length)
+    assert(ps.sameElements(ps.sorted))
   }
 
   test("data_pack_ctx: per-shard streams are contiguous and start at 0") {
