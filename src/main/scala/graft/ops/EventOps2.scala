@@ -103,18 +103,21 @@ object EventOps2 extends QueryModule {
       // partial-agg order; only the final closed form runs in double).
       // Zero-variance series emit NULL explicitly on both engines.
       (s, dir) => {
-        val hourly = T(s, dir, "events")
+        // ONE scan + one (user, hour) shuffle: the click/view series
+        // pivot out as conditional sums (null when the type is absent
+        // that hour), and the both-present filter replaces what would
+        // otherwise be a self-join of two filtered aggregates over two
+        // scans of the fact.
+        val joined = T(s, dir, "events")
           .filter(col("event_type").isin("click", "view"))
           .groupBy(col("user_id"),
-            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
-            col("event_type"))
-          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
-        val c = hourly.filter(col("event_type") === "click")
-          .select(col("user_id"), col("hr"), col("v").as("cv"))
-        val v = hourly.filter(col("event_type") === "view")
-          .select(col("user_id"), col("hr"), col("v").as("vv"))
-        val joined = c.join(v, Seq("user_id", "hr"))
-        val n = count(lit(1)).cast("double")
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"))
+          .agg(
+            sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)"))).as("cv"),
+            sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))).as("vv"))
+          .filter(col("cv").isNotNull && col("vv").isNotNull)
         joined.groupBy("user_id")
           .agg(count(lit(1)).as("n_hours"),
             sum(col("cv")).as("sx"), sum(col("vv")).as("sy"),
@@ -141,13 +144,14 @@ object EventOps2 extends QueryModule {
       },
       Some(
         "WITH h AS (SELECT user_id, date_trunc('hour', " +
-          "CAST(ts AS TIMESTAMP)) AS hr, event_type, " +
-          "sum(CAST(value AS DECIMAL(18,2))) AS v FROM events " +
-          "WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3), " +
-          "j AS (SELECT c.user_id, c.v AS cv, vw.v AS vv " +
-          "FROM (SELECT * FROM h WHERE event_type = 'click') c " +
-          "JOIN (SELECT * FROM h WHERE event_type = 'view') vw " +
-          "USING (user_id, hr)), " +
+          "CAST(ts AS TIMESTAMP)) AS hr, " +
+          "sum(CASE WHEN event_type = 'click' THEN " +
+          "CAST(value AS DECIMAL(18,2)) END) AS cv, " +
+          "sum(CASE WHEN event_type = 'view' THEN " +
+          "CAST(value AS DECIMAL(18,2)) END) AS vv FROM events " +
+          "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), " +
+          "j AS (SELECT user_id, cv, vv FROM h " +
+          "WHERE cv IS NOT NULL AND vv IS NOT NULL), " +
           "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours, " +
           "sum(cv) AS sx, sum(vv) AS sy, sum(cv*cv) AS sxx, " +
           "sum(vv*vv) AS syy, sum(cv*vv) AS sxy FROM j GROUP BY user_id) " +
