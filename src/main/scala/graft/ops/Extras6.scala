@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface wave 6: multi-distinct aggregation, null-safe join
+  * equality, and batch upsert/merge.
+  *
+  * Scale notes:
+  *  - `agg_count_distinct_multi`: two different DISTINCT columns in one
+  *    aggregate plan through Catalyst's Expand — the input is replicated
+  *    once per distinct group (×3 here: two distincts + the plain
+  *    count). Correct and single-pass, but at 100 TB the expansion is
+  *    the cost to watch: prefer mergeable sketches (agg_hll_sketch) or
+  *    split aggregations when the multiplier bites.
+  *  - `join_null_safe`: `<=>` (IS NOT DISTINCT FROM) joins NULL keys to
+  *    NULL keys — still hash-partitionable (null hashes like any other
+  *    value under null-safe equality), so the plan stays a plain
+  *    shuffled/broadcast hash join, NOT a nested loop.
+  *  - `data_upsert_merge` is MERGE INTO without a table format: one
+  *    full-outer hash join on the key classifies every row as
+  *    keep/update/insert and coalesces the payload. At 100 TB both
+  *    sides bucket by doc_id and the join is co-located; the action
+  *    breakdown is the audit record a warehouse merge emits.
+  */
+object Extras6 extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "agg_count_distinct_multi",
+      // two DISTINCT columns + a plain count in ONE aggregate (Expand).
+      (s, dir) =>
+        T(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(date_trunc("day", col("ts")).cast("date"))
+              .as("n_days"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      Some(
+        "SELECT event_type, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+          "CAST(count(DISTINCT CAST(date_trunc('day', " +
+          "CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS n_days, " +
+          "CAST(count(*) AS BIGINT) AS n_events " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "join_null_safe",
+      // <=> equality: the NULL group (errors mapped to NULL) joins
+      // across the two halves; a plain = join would silently drop it.
+      // Explicit NULLS FIRST because the engines' default null order
+      // differs.
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .select(nullif(col("event_type"), lit("error")).as("k"),
+            col("user_id"))
+        val l = ev.filter(col("user_id") % 2 === 0)
+          .groupBy("k").agg(count(lit(1)).as("n_even"))
+        val r = ev.filter(col("user_id") % 2 === 1)
+          .groupBy("k").agg(count(lit(1)).as("n_odd"))
+        l.join(r, l("k") <=> r("k"))
+          .select(l("k"), col("n_even"), col("n_odd"))
+          .orderBy(l("k").asc_nulls_first)
+      },
+      Some(
+        "WITH e AS (SELECT nullif(event_type, 'error') AS k, user_id " +
+          "FROM events), " +
+          "l AS (SELECT k, CAST(count(*) AS BIGINT) AS n_even FROM e " +
+          "WHERE user_id % 2 = 0 GROUP BY k), " +
+          "r AS (SELECT k, CAST(count(*) AS BIGINT) AS n_odd FROM e " +
+          "WHERE user_id % 2 = 1 GROUP BY k) " +
+          "SELECT l.k, n_even, n_odd FROM l JOIN r " +
+          "ON l.k IS NOT DISTINCT FROM r.k ORDER BY l.k NULLS FIRST")
+    ),
+    Q(
+      "data_upsert_merge",
+      // MERGE: updates batch = every 10th doc revised (+' v2') plus 50
+      // brand-new ids; full-outer join on doc_id classifies rows and
+      // coalesces payloads; output is the per-action audit.
+      (s, dir) => {
+        val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val upd = base.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+          .unionByName(base.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        base.select(col("doc_id"), col("text").as("old_text"))
+          .join(upd.select(col("doc_id"), col("text").as("new_text")),
+            Seq("doc_id"), "full_outer")
+          .select(
+            when(col("new_text").isNull, "keep")
+              .when(col("old_text").isNull, "insert")
+              .otherwise("update").as("action"),
+            coalesce(col("new_text"), col("old_text")).as("text"))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .orderBy("action")
+      },
+      Some(
+        "WITH base AS (SELECT doc_id, text FROM documents), " +
+          "upd AS (SELECT doc_id, text || ' v2' AS text FROM base " +
+          "WHERE doc_id % 10 = 0 " +
+          "UNION ALL SELECT doc_id + 1000000, text FROM base " +
+          "WHERE doc_id < 50), " +
+          "m AS (SELECT CASE WHEN u.text IS NULL THEN 'keep' " +
+          "WHEN b.text IS NULL THEN 'insert' ELSE 'update' END AS action, " +
+          "coalesce(u.text, b.text) AS text " +
+          "FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id) " +
+          "SELECT action, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
+          "FROM m GROUP BY action ORDER BY action")
+    )
+  )
+}

@@ -103,6 +103,32 @@ class Extras5Spec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("agg_count_distinct_multi plans one Expand-based aggregate") {
+    val p = SparkEntry.queries("agg_count_distinct_multi")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p)
+  }
+
+  test("join_null_safe stays a hash join (null-safe equality is hashable)") {
+    val p = SparkEntry.queries("join_null_safe")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the NULL key group actually joined
+    val rows = SparkEntry.queries("join_null_safe")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.exists(_.isNullAt(0)), rows.mkString(";"))
+  }
+
+  test("data_upsert_merge: action counts reconcile with base and updates") {
+    val m = SparkEntry.queries("data_upsert_merge")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBase = T(spark, TestSpark.Sf, "documents").count()
+    val nUpd = nBase / 10 + math.min(50, nBase) // every 10th (ids dense from 0) + 50 new
+    assert(m("keep") + m("update") == nBase)
+    assert(m("insert") == 50)
+    assert(m("update") + m("insert") == nUpd)
+  }
+
   test("sink_sorted_stats: sorted-layout slice equals direct filter on source") {
     val viaSink = SparkEntry.queries("sink_sorted_stats")(spark, TestSpark.Sf)
       .collect().map(_.toSeq).toSeq
