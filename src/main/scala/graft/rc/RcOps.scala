@@ -305,6 +305,40 @@ object RcOps extends QueryModule {
           .orderBy("user_id")
       },
       None
+    ),
+    Q(
+      "rc_deep_esn",
+      // Deep ESN (stacked reservoirs, after Gallicchio & Micheli's
+      // DeepESN): layer 2 is a reservoir whose INPUT is layer 1's full
+      // state vector — the multivariate machinery (MatsM, nu = Nx)
+      // drives it unchanged, so the deep variant is pure composition.
+      // One per-key fold advances both layers in lockstep; different
+      // seeds decorrelate the two recurrent matrices. Emits the first
+      // two dims of each layer per step, rounded. No oracle (sequential
+      // tanh recurrence); EsnSpec pins the fold row-identical to an
+      // independently-computed driver reference and checks the layers
+      // decorrelate.
+      (s, dir) => {
+        import s.implicits._
+        val m1 = Esn.matrices()
+        val m2 = Esn.matricesM(nu = Esn.Nx, seed = 43L)
+        series(s, dir)
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var x1 = new Array[Double](Esn.Nx)
+            var x2 = new Array[Double](Esn.Nx)
+            rows.iterator.zipWithIndex.map { case ((_, _, _, v), i) =>
+              x1 = Esn.step(m1, x1, v / Esn.InputScale)
+              x2 = Esn.stepM(m2, x2, x1)
+              (uid, i.toLong, round6(x1(0)), round6(x1(1)),
+                round6(x2(0)), round6(x2(1)))
+            }
+          }
+          .toDF("user_id", "step", "l1_x0", "l1_x1", "l2_x0", "l2_x1")
+          .orderBy("user_id", "step")
+      },
+      None
     )
   )
 }

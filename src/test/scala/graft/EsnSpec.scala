@@ -69,6 +69,38 @@ class EsnSpec extends AnyFunSuite {
     }
   }
 
+  test("rc_deep_esn layer-2 states equal the stacked driver reference") {
+    val m1 = Esn.matrices()
+    val m2 = Esn.matricesM(nu = Esn.Nx, seed = 43L)
+    val events = T(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val uid = events.head._1
+    val series = events.filter(_._1 == uid).sortBy(r => (r._3, r._2))
+    var x1 = new Array[Double](Esn.Nx)
+    var x2 = new Array[Double](Esn.Nx)
+    val expected = series.map { r =>
+      x1 = Esn.step(m1, x1, r._4 / Esn.InputScale)
+      x2 = Esn.stepM(m2, x2, x1)
+      (BigDecimal(x1(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(x2(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("rc_deep_esn")(spark, TestSpark.Sf)
+      .filter(col("user_id") === uid)
+      .orderBy("step")
+      .select("l1_x0", "l2_x0")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"deep state mismatch at step $i: $g != $e")
+    }
+    // the two layers decorrelate: their state traces differ
+    assert(got.exists { case (a, b) => a != b })
+  }
+
   test("ridgeSolve inverts a known diagonal system") {
     val d = 4
     val a = Array.tabulate(d, d)((i, j) => if (i == j) 2.0 else 0.0)
