@@ -47,6 +47,32 @@ object Extras6 extends QueryModule {
           "FROM events GROUP BY event_type ORDER BY event_type")
     ),
     Q(
+      "agg_grouping_id",
+      // ROLLUP + GROUPING() flags: the flags (not NULL-ness) identify
+      // subtotal rows, which is what makes rollups safe on nullable
+      // group columns. The flags join the sort key so subtotal levels
+      // order deterministically.
+      (s, dir) =>
+        T(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("g_status"), col("g_prio"), col("n"))
+          .orderBy(col("g_status"), col("g_prio"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, " +
+          "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, " +
+          "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+          "ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, " +
+          "o_orderpriority NULLS FIRST")
+    ),
+    Q(
       "join_null_safe",
       // <=> equality: the NULL group (errors mapped to NULL) joins
       // across the two halves; a plain = join would silently drop it.
