@@ -589,6 +589,59 @@ object EventOps extends QueryModule {
           "AS minute_bucket, min(event_id) AS first_event_id, " +
           "CAST(count(*) AS BIGINT) AS n_in_bucket FROM events " +
           "GROUP BY 1, 2, 3 ORDER BY user_id, event_type, minute_bucket")
+    ),
+    Q(
+      "stream_idle_timeout_live",
+      // Event-time TIMERS on transformWithState: per-user running summary
+      // finalized (emitted + state DELETED) when the watermark passes
+      // lastEvent + 30 min — the state-lifecycle pattern that keeps
+      // unbounded-key streams at bounded state. On this bounded input the
+      // stream ends at watermark = max(ts) - 10 min, so exactly the users
+      // idle >= 30 min before that point finalize — which is the oracle:
+      // users with max(ts_ms) + 30 min <= global max(ts_ms) - 10 min
+      // (watermark and timers are millisecond-floored, so the oracle
+      // floors µs to ms the same way).
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_idle_${System.nanoTime()}"
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val in = liveEvents(s, dir)
+              // watermarks require TIMESTAMP (LTZ); session tz is UTC so
+              // the µs values are unchanged by the cast
+              .withColumn("ts", col("ts").cast("timestamp"))
+              .withWatermark("ts", "10 minutes")
+              .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("tsUs"), col("value"))
+              .as[graft.streaming.StreamingTwins.IdleIn]
+            val q = graft.streaming.StreamingTwins
+              .idleFinalize(in, gapMs = 30L * 60 * 1000)
+              .toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        s.table(name).orderBy("user_id")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value " +
+          "FROM events), " +
+          "m AS (SELECT epoch_us(max(ts)) // 1000 AS mx FROM e), " +
+          "g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+          "sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_val, " +
+          "epoch_us(max(ts)) // 1000 AS last_ms FROM e GROUP BY user_id) " +
+          "SELECT user_id, n_events, sum_val FROM g, m " +
+          "WHERE last_ms + 1800000 <= mx - 600000 ORDER BY user_id")
     )
   )
 }

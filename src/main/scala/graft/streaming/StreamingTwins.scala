@@ -120,4 +120,66 @@ object StreamingTwins {
           out.iterator
       }
   }
+
+  // ---- event-time timers: state finalization + cleanup ----
+
+  final case class IdleIn(user_id: Long, event_id: Long, tsUs: Long,
+      value: Double)
+  final case class IdleState(n: Long, sum100: Long, lastMs: Long)
+  final case class IdleOut(user_id: Long, n_events: Long, sum_val: Double)
+
+  /** Finalize-on-inactivity with EVENT-TIME timers (`TimeMode.EventTime`):
+    * each batch updates the per-key running summary and (re-)registers a
+    * timer at lastEvent + gap; when the WATERMARK passes that point the
+    * timer fires, the summary row is emitted and the state is DELETED —
+    * the state-lifecycle pattern that keeps unbounded-key streams at
+    * bounded state. A timer made stale by newer data in a later batch is
+    * ignored by re-checking against the stored lastMs. (TTLConfig is the
+    * wall-clock cousin of this; event-time timers are the deterministic,
+    * replayable form.)
+    */
+  class IdleFinalizer(gapMs: Long)
+      extends StatefulProcessor[Long, IdleIn, IdleOut] {
+    @transient private var st: ValueState[IdleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IdleState]("idle",
+        Encoders.product[IdleState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[IdleIn],
+        tv: TimerValues): Iterator[IdleOut] = {
+      var (n, s100, last) =
+        if (st.exists()) { val c = st.get(); (c.n, c.sum100, c.lastMs) }
+        else (0L, 0L, Long.MinValue)
+      rows.foreach { r =>
+        n += 1
+        val sc = r.value * 100 // half-away-from-zero, matches the oracle
+        s100 += (if (sc >= 0) math.floor(sc + 0.5)
+          else math.ceil(sc - 0.5)).toLong
+        val ms = r.tsUs / 1000
+        if (ms > last) last = ms
+      }
+      st.update(IdleState(n, s100, last))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[IdleOut] = {
+      if (!st.exists()) return Iterator.empty
+      val cur = st.get()
+      // stale timer (newer data arrived since it was registered): ignore
+      if (info.getExpiryTimeInMs() < cur.lastMs + gapMs) Iterator.empty
+      else {
+        st.clear()
+        Iterator.single(IdleOut(uid, cur.n, cur.sum100 / 100.0))
+      }
+    }
+  }
+
+  def idleFinalize(in: Dataset[IdleIn], gapMs: Long): Dataset[IdleOut] =
+    in.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new IdleFinalizer(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())(Encoders.product[IdleOut])
 }
