@@ -101,6 +101,51 @@ object Extras6 extends QueryModule {
           "ON l.k IS NOT DISTINCT FROM r.k ORDER BY l.k NULLS FIRST")
     ),
     Q(
+      "sql_pipe_syntax",
+      // Spark 4 SQL pipe syntax (|>): the linear FROM-first form of a
+      // filter → aggregate → order pipeline. Same plan as the nested
+      // form; the oracle is the classic formulation.
+      (s, dir) => {
+        T(s, dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+        s.sql(
+          "FROM pipe_lineitem " +
+            "|> WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+            "|> AGGREGATE CAST(count(*) AS BIGINT) AS n, " +
+            "sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 " +
+            "AS revenue GROUP BY l_returnflag " +
+            "|> ORDER BY l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 " +
+          "AS revenue FROM lineitem " +
+          "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
+      "fn_collate",
+      // Spark 4 collations: UTF8_LCASE makes comparison, grouping, and
+      // DISTINCT case-insensitive at the TYPE level. The oracle lowers
+      // explicitly — the pre-collation workaround it replaces.
+      (s, dir) =>
+        T(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("collate(p_name, 'UTF8_LCASE')").as("name_ci"))
+          .withColumn("has_red",
+            col("name_ci").contains(expr("collate('RED', 'UTF8_LCASE')")))
+          .groupBy("has_red")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("name_ci")).as("n_distinct_ci"))
+          .orderBy("has_red"),
+      Some(
+        "WITH p AS (SELECT p_partkey, lower(p_name) AS name_ci " +
+          "FROM part) " +
+          "SELECT contains(name_ci, 'red') AS has_red, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT name_ci) AS BIGINT) AS n_distinct_ci " +
+          "FROM p GROUP BY 1 ORDER BY has_red")
+    ),
+    Q(
       "data_upsert_merge",
       // MERGE: updates batch = every 10th doc revised (+' v2') plus 50
       // brand-new ids; full-outer join on doc_id classifies rows and
