@@ -170,6 +170,49 @@ object EventOps2 extends QueryModule {
           " END AS xcorr FROM p ORDER BY user_id")
     ),
     Q(
+      "ts_outlier_mad",
+      // Robust outlier detection: median absolute deviation per event
+      // type, outliers = |x - med| > 3·MAD. Unlike the z-score op
+      // (events_anomaly), MAD is insensitive to the outliers themselves.
+      // Spark side: TWO window passes over the SAME event_type hash
+      // partitioning (exact percentile as a whole-partition window
+      // aggregate) — one exchange, no self-joins; the oracle reaches the
+      // identical numbers through CTE joins. Exact percentile buffers per
+      // partition — at 100 TB switch the windows to approx_percentile.
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+        T(s, dir, "events")
+          .select(col("event_type"), col("value"))
+          .withColumn("med", expr("percentile(value, 0.5)").over(w))
+          .withColumn("mad",
+            expr("percentile(abs(value - med), 0.5)").over(w))
+          .groupBy("event_type")
+          .agg(
+            dround(first(col("med")), 4).as("med"),
+            dround(first(col("mad")), 4).as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(
+        "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+          "FROM events GROUP BY 1), " +
+          "d AS (SELECT e.event_type, e.value, m.med FROM events e " +
+          "JOIN m USING (event_type)), " +
+          "md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) " +
+          "AS mad FROM d GROUP BY 1), " +
+          "f AS (SELECT d.event_type, d.value, d.med, md.mad FROM d " +
+          "JOIN md USING (event_type)) " +
+          "SELECT event_type, " +
+          droundSql("any_value(med)", 4) + " AS med, " +
+          droundSql("any_value(mad)", 4) + " AS mad, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(*) FILTER (WHERE abs(value - med) > mad * 3) " +
+          "AS BIGINT) AS n_outliers " +
+          "FROM f GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "events_attribution",
       // Last-touch attribution: each purchase attributes to the user's
       // most recent click within the preceding 30 minutes (else null) —
