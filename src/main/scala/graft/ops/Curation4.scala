@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
+import graft.Det.{dround, droundSql}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,6 +135,54 @@ object Curation4 extends QueryModule {
           s"(end_tok - toks) // $Ctx AS first_bin, " +
           s"(end_tok - 1) // $Ctx AS last_bin " +
           "FROM c ORDER BY doc_id")
+    ),
+    Q(
+      "text_quality_model",
+      // Model-based quality scoring as a pure EXPRESSION: a fixed-weight
+      // linear model over four lexical features (the fasttext-quality-
+      // filter shape, with the learned weights frozen into the query).
+      // No UDF, no broadcast — the whole scorer codegens into the scan
+      // projection, which is what makes model-filtering free at 100 TB.
+      // All features derive from integer counts, so the double
+      // arithmetic is bit-identical across engines.
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("double").as("toks"),
+            size(array_distinct(split(col("text"), " "))).cast("double")
+              .as("uniq"),
+            size(filter(split(col("text"), " "),
+              t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+              .as("stops"),
+            length(expr("replace(text, ' ', '')")).cast("double")
+              .as("chars"))
+          .select(col("doc_id"),
+            dround(
+              col("uniq") / col("toks") * 2.0 +
+                col("stops") / col("toks") * 0.5 -
+                col("chars") / col("toks") * 0.1 +
+                col("toks") * 0.01 - 1.0, 6).as("score"))
+          .withColumn("keep", col("score") > 0)
+          .orderBy("doc_id"),
+      Some(
+        "WITH f AS (SELECT doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+          "AS uniq, " +
+          "CAST(len(list_filter(string_split(text, ' '), t -> t IN " +
+          "('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS stops, " +
+          "CAST(length(replace(text, ' ', '')) AS DOUBLE) AS chars " +
+          "FROM documents) " +
+          "SELECT doc_id, " +
+          droundSql(
+            "uniq / toks * 2.0 + stops / toks * 0.5 - " +
+              "chars / toks * 0.1 + toks * 0.01 - 1.0", 6) +
+          " AS score, " +
+          droundSql(
+            "uniq / toks * 2.0 + stops / toks * 0.5 - " +
+              "chars / toks * 0.1 + toks * 0.01 - 1.0", 6) +
+          " > 0 AS keep " +
+          "FROM f ORDER BY doc_id")
     ),
     Q(
       "text_winnow_fp",
