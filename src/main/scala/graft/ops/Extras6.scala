@@ -123,6 +123,27 @@ object Extras6 extends QueryModule {
           "GROUP BY l_returnflag ORDER BY l_returnflag")
     ),
     Q(
+      "fn_format",
+      // printf-style formatting surface: zero-padded ids, fixed-decimal
+      // prices (2-decimal doubles → %.3f appends a zero, no rounding-tie
+      // exposure), dot-padding, data-dependent repeat.
+      (s, dir) =>
+        T(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("format_string('%08d', CAST(p_partkey AS INT))")
+              .as("id_pad"),
+            expr("format_string('%.3f', p_retailprice)").as("price_fmt"),
+            lpad(col("p_name"), 30, ".").as("name_pad"),
+            expr("repeat('*', CAST(p_partkey % 5 AS INT))").as("stars"))
+          .orderBy("p_partkey"),
+      Some(
+        "SELECT p_partkey, printf('%08d', p_partkey) AS id_pad, " +
+          "printf('%.3f', p_retailprice) AS price_fmt, " +
+          "lpad(p_name, 30, '.') AS name_pad, " +
+          "repeat('*', CAST(p_partkey % 5 AS INT)) AS stars " +
+          "FROM part ORDER BY p_partkey")
+    ),
+    Q(
       "fn_collate",
       // Spark 4 collations: UTF8_LCASE makes comparison, grouping, and
       // DISTINCT case-insensitive at the TYPE level. The oracle lowers
