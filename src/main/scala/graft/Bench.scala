@@ -63,8 +63,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fullJson = results.map { case (k, v) => s"\"$k\":${f(v)}" }
       .mkString("{", ",", "}")
+    // a filtered dev run must not clobber the synced full-run record
+    val fullPath =
+      if (only.isDefined) "bench_subset.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullPath),
       s"""{"total":${f(total)},"n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     val qs = headline.flatMap(h => results.collectFirst {

@@ -96,6 +96,27 @@ object Pack {
   def right(pk: Column): Column = pk.bitwiseAND(lit(0xffffffffL))
 }
 
+/** Guard for the O(n²) exactness baselines (pair-cosine, exact Jaccard,
+  * bounded cross joins). Those ops ARE the oracles for the LSH/IVF scale
+  * paths and are only defensible on a bounded slice — this makes the bound
+  * an enforced invariant instead of a scaladoc promise: point one at an
+  * unbounded table and it fails fast instead of melting a cluster with a
+  * quadratic join. The count is a parquet-footer read when `df` is a bare
+  * table scan — keep the guard on the RAW table, before any projection.
+  */
+object Guard {
+  val MaxQuadraticRows = 100000L
+  def quadratic(
+      df: DataFrame, what: String,
+      cap: Long = MaxQuadraticRows): Unit = {
+    val n = df.count()
+    require(n <= cap,
+      s"$what: $n input rows exceed the O(n²) exactness-baseline cap " +
+        s"$cap — use the bucketed scale path (MinHash/SimHash LSH, IVF) " +
+        "instead")
+  }
+}
+
 /** Deterministic cross-engine floating-point policy.
   *
   * `round(x, s)` is NOT portable: on the same double, Spark rounds the

@@ -80,10 +80,58 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode canonical composition (NFC) — the same transform as DuckDB's
+  * `nfc_normalize`. Spark exposes no normalization builtin; a UDF would
+  * drop the projection out of WholeStageCodegen, so this is a native
+  * unary expression (one static Normalizer call per row, codegen'd).
+  * Normalizer.isNormalized short-circuits the (overwhelmingly common)
+  * already-NFC case without allocating.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc expects a string arg, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc"
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    NfcNormalize.nfc(u)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object NfcNormalize {
+  import org.apache.spark.unsafe.types.UTF8String
+  /** static helper shared by eval and generated code */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextExprs {
-  /** Register `lixsize` in the session's function registry (idempotent). */
-  def register(s: SparkSession): Unit =
+  /** Register `lixsize` + `nfc` in the session's function registry
+    * (idempotent). */
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lixsize", args => SortedLongIntersectSize(args.head, args(1)),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc", args => NfcNormalize(args.head),
+      "built-in")
+  }
 }

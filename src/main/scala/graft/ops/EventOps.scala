@@ -542,23 +542,45 @@ object EventOps extends QueryModule {
       // generation order is time-sorted (no event would ever be late), so
       // arrival is a deterministic simulated out-of-order replay ordered
       // by (props.k, event_id).
+      //
+      // The running max decomposes over contiguous ranges of the arrival
+      // order, so NO global-order window exists in the plan (a
+      // no-partition Window is a single-task sort — the driver-of-one
+      // bottleneck): shard = k (the leading order key), per-shard running
+      // max via a partitioned window, cross-shard carry-in via a tiny
+      // per-shard max aggregate collected (|k| rows) and broadcast back —
+      // the data_assign_ids two-level pattern. wm(row) =
+      // max(shard-running-max, prefix-max of all earlier shards).
       (s, dir) => {
-        val w = Window.orderBy("k", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T(s, dir, "events")
+        val ev = T(s, dir, "events")
           .withColumn("k",
             get_json_object(col("props"), "$.k").cast("long"))
-          .withColumn("wm", max("ts").over(w))
-          .filter(
-            unix_micros(col("wm").cast("timestamp")) -
-              unix_micros(col("ts").cast("timestamp")) > 600000000L)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        // per-shard max, collected in shard order → exclusive prefix max
+        val shardMax = ev.groupBy("k")
+          .agg(max("ts_us").as("mx"))
+          .orderBy("k").collect()
+        var run = Long.MinValue
+        val prefix = shardMax.map { r =>
+          val out = (r.getLong(0), run)
+          run = math.max(run, r.getLong(1))
+          out
+        }.toSeq
+        val prefDf = broadcast(
+          s.createDataFrame(prefix).toDF("k", "pref_us"))
+        val wShard = Window.partitionBy("k").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.join(prefDf, Seq("k"))
+          .withColumn("wm_us",
+            greatest(max("ts_us").over(wShard), col("pref_us")))
+          .filter(col("wm_us") - col("ts_us") > 600000000L)
           .select(
             col("event_id"),
             col("user_id"),
             date_trunc("second", col("ts")).cast("timestamp_ntz")
               .as("ts_sec"),
-            date_trunc("second", col("wm")).cast("timestamp_ntz")
-              .as("wm_sec"))
+            date_trunc("second", timestamp_micros(col("wm_us")))
+              .cast("timestamp_ntz").as("wm_sec"))
           .orderBy("event_id")
       },
       Some(

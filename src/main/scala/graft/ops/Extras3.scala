@@ -273,7 +273,11 @@ object Extras3 extends QueryModule {
             sum("k").as("sum_k"))
           .orderBy("k_mod7"),
       Some(
-        "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7, " +
+        // ((k % 7) + 7) % 7 == Spark's pmod for any sign of k — DuckDB's
+        // bare % is sign-preserving, so parity must not depend on the
+        // fixture happening to keep k non-negative
+        "SELECT ((CAST(json_extract(props, '$.k') AS BIGINT) % 7) + 7) % 7 " +
+          "AS k_mod7, " +
           "CAST(count(*) AS BIGINT) AS n, min(event_id) AS first_id, " +
           "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) " +
           "AS sum_k FROM events GROUP BY 1 ORDER BY k_mod7")

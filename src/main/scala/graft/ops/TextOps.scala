@@ -9,14 +9,51 @@ import org.apache.spark.sql.functions._
   * quality scoring, exact/near/MinHash-LSH/SimHash dedup, fingerprinting,
   * BPE-ish token counting, language ID.
   *
+  * The canonical pre-pass for this whole dedup family is `text_normalize`
+  * (TextOps2): NFC + case-fold + punctuation/zero-width strip. The ops
+  * here consume raw `text` because the fixtures are pre-cleaned; a real
+  * corpus pipeline keys them on text_normalize's output instead.
+  *
   * Scale notes: exact dedup is a hash groupBy on md5(text) — one shuffle of
   * (hash, id), never the text bodies. Near-dup has two paths: the
   * oracle-checked exact-Jaccard on a blocked slice (quadratic — test scale
   * only), and the MinHash-LSH path (`text_dedup_minhash`) whose cost is
-  * linear in docs + bucket-local pairs: the 100 TB design. All UDF-based
-  * ops hash fixed-seed Murmur3, so results are identical across executors.
+  * linear in docs + bucket-local pairs: the 100 TB design. No UDFs; the
+  * few typed-map ops hash fixed-seed Murmur3, so results are identical
+  * across executors.
   */
 object TextOps extends QueryModule {
+
+  /** Language-ID as PURE expressions (no UDF — the whole scorer stays in
+    * whole-stage codegen): HAN-block char ratio decides zh; otherwise
+    * marker-stopword hit counts per language, folded to the (max hits,
+    * lexicographically-least lang) winner, 'en' fallback on zero hits.
+    * Mirrors TextAlgs.detectLang exactly — TextAlgsSpec pins parity on
+    * real multilingual strings. HAN detection covers the BMP CJK blocks
+    * plus Ext-B..F (supplementary divergence from UnicodeScript.HAN is
+    * radicals-only — none appear in running text).
+    */
+  private[graft] def langIdExpr(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toks = split(lower(text), "\\s+")
+    // lang-sorted entries + strict > fold == sortBy(-hits, lang).head
+    val entries = TextAlgs.markerLangs.map { case (l, ms) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(ms))).as("n"),
+        lit(l).as("l"))
+    }
+    val best = aggregate(
+      array(entries: _*),
+      struct(lit(-1).as("n"), lit("").as("l")),
+      (acc, x) => when(x.getField("n") > acc.getField("n"), x)
+        .otherwise(acc))
+    val cjk = size(regexp_extract_all(text,
+      lit("[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
+        "\\x{20000}-\\x{2FA1F}]"), lit(0)))
+    when(cjk.cast("double") > length(text).cast("double") * 0.2, lit("zh"))
+      .otherwise(when(best.getField("n") === 0, lit("en"))
+        .otherwise(best.getField("l")))
+  }
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -88,7 +125,9 @@ object TextOps extends QueryModule {
       "text_dedup_near",
       // Exact token-set Jaccard >= 0.8 on a blocked slice (lang='en',
       // two sources) — the oracle-checkable formulation of near-dup.
+      // O(n²) exactness baseline: Guard.quadratic enforces the bound.
       (s, dir) => {
+        graft.Guard.quadratic(T(s, dir, "documents"), "text_dedup_near")
         val toks = T(s, dir, "documents")
           .filter(col("lang") === "en" &&
             col("source").isin("src0", "src1"))
@@ -127,7 +166,9 @@ object TextOps extends QueryModule {
       // as text_dedup_near; threshold 0.01 (shingle overlap is rare by
       // construction here — max pairwise shingle-jaccard is ~0.02, so the
       // low threshold keeps the oracle comparison non-trivial).
+      // O(n²) exactness baseline: Guard.quadratic enforces the bound.
       (s, dir) => {
+        graft.Guard.quadratic(T(s, dir, "documents"), "text_dedup_ngram")
         val sh = T(s, dir, "documents")
           .filter(col("lang") === "en" &&
             col("source").isin("src0", "src1"))
@@ -330,17 +371,17 @@ object TextOps extends QueryModule {
     ),
     Q(
       "text_lang_id",
-      // Heuristic language ID (stopword markers + CJK ratio). The synthetic
-      // corpus shares one vocabulary across langs, so the interesting
-      // assertions live in TextAlgsSpec on real multilingual strings; here
-      // it runs distributed over the corpus (rows-only check).
-      (s, dir) => {
-        val detect = udf((t: String) => TextAlgs.detectLang(t))
+      // Heuristic language ID (stopword markers + CJK ratio) via pure
+      // expressions — langIdExpr above; no UDF anywhere in the plan. The
+      // synthetic corpus shares one vocabulary across langs, so the
+      // interesting assertions live in TextAlgsSpec on real multilingual
+      // strings; here it runs distributed over the corpus (rows-only
+      // check).
+      (s, dir) =>
         T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            detect(col("text")).as("pred_lang"))
-          .orderBy("doc_id")
-      },
+            langIdExpr(col("text")).as("pred_lang"))
+          .orderBy("doc_id"),
       None
     ),
     Q(

@@ -21,6 +21,42 @@ object TextOps2 extends QueryModule {
 
   def queries: Seq[Q] = Seq(
     Q(
+      "text_normalize",
+      // Unicode text normalization — the canonical pre-pass of every
+      // real dedup/curation pipeline (run it before text_dedup_* /
+      // text_decontaminate; the fixtures are pre-cleaned so those ops
+      // take raw text here): NFC canonical composition (the native
+      // `nfc` expression, graft.functions.NfcNormalize — no UDF, stays
+      // in WholeStageCodegen), case-fold, punctuation + zero-width
+      // strip, whitespace collapse. Emits lengths + the normalized
+      // fingerprint; DuckDB's nfc_normalize is the oracle twin, so the
+      // md5 equality proves byte-identical normalization cross-engine.
+      // Pure per-row projection: scan-dominated at 100 TB, no shuffle
+      // until the output sort.
+      (s, dir) => {
+        graft.functions.TextExprs.register(s)
+        T(s, dir, "documents")
+          .withColumn("norm",
+            trim(regexp_replace(regexp_replace(
+              expr("nfc(lower(text))"),
+              "[\\p{P}\\x{200B}-\\x{200D}\\x{FEFF}]+", ""),
+              "\\s+", " ")))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("raw_len"),
+            length(col("norm")).cast("long").as("norm_len"),
+            md5(col("norm")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH n AS (SELECT doc_id, text, " +
+          "trim(regexp_replace(regexp_replace(nfc_normalize(lower(text)), " +
+          "'[\\p{P}\\x{200B}-\\x{200D}\\x{FEFF}]+', '', 'g'), " +
+          "'\\s+', ' ', 'g')) AS norm FROM documents) " +
+          "SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len, " +
+          "CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS fp " +
+          "FROM n ORDER BY doc_id")
+    ),
+    Q(
       "text_repetition",
       // Gopher-style repetition: duplicate-bigram fraction and the share
       // of the single most frequent bigram. Flat per-row HOF math.

@@ -125,7 +125,8 @@ object StreamingTwins {
 
   final case class IdleIn(user_id: Long, event_id: Long, tsUs: Long,
       value: Double)
-  final case class IdleState(n: Long, sum100: Long, lastMs: Long)
+  final case class IdleState(
+      n: Long, sum100: Long, lastMs: Long, expiryMs: Long)
   final case class IdleOut(user_id: Long, n_events: Long, sum_val: Double)
 
   /** Finalize-on-inactivity with EVENT-TIME timers (`TimeMode.EventTime`):
@@ -148,9 +149,10 @@ object StreamingTwins {
 
     override def handleInputRows(uid: Long, rows: Iterator[IdleIn],
         tv: TimerValues): Iterator[IdleOut] = {
-      var (n, s100, last) =
-        if (st.exists()) { val c = st.get(); (c.n, c.sum100, c.lastMs) }
-        else (0L, 0L, Long.MinValue)
+      var (n, s100, last, oldExpiry) =
+        if (st.exists()) {
+          val c = st.get(); (c.n, c.sum100, c.lastMs, c.expiryMs)
+        } else (0L, 0L, Long.MinValue, Long.MinValue)
       rows.foreach { r =>
         n += 1
         val sc = r.value * 100 // half-away-from-zero, matches the oracle
@@ -159,8 +161,16 @@ object StreamingTwins {
         val ms = r.tsUs / 1000
         if (ms > last) last = ms
       }
-      st.update(IdleState(n, s100, last))
-      getHandle.registerTimer(last + gapMs)
+      // one live timer per key: drop the previously registered one before
+      // re-registering, or stale timers accumulate for the stream's
+      // lifetime (the lastMs re-check masks them on fire, but the timer
+      // STATE itself would grow unboundedly — defeating the bounded-state
+      // goal this op advertises)
+      val newExpiry = last + gapMs
+      if (oldExpiry != Long.MinValue && oldExpiry != newExpiry)
+        getHandle.deleteTimer(oldExpiry)
+      st.update(IdleState(n, s100, last, newExpiry))
+      if (oldExpiry != newExpiry) getHandle.registerTimer(newExpiry)
       Iterator.empty
     }
 

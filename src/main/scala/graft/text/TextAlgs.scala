@@ -108,6 +108,11 @@ object TextAlgs {
 
   // ---- language identification (n-gram/stopword heuristic) ----
 
+  /** lang -> stopword markers, exposed (lang-sorted) so the expression
+    * formulation in TextOps.langIdExpr scores the identical table */
+  private[graft] def markerLangs: Seq[(String, Set[String])] =
+    markers.toSeq.sortBy(_._1)
+
   private val markers: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "is", "with", "that", "for"),
     "fr" -> Set("le", "la", "les", "et", "de", "est", "une", "que", "pour"),

@@ -13,6 +13,17 @@ class DetSpec extends AnyFunSuite {
 
   private def nonIntegral(i: Int): Double = math.sin(i) * 100.0 + 1.0 / 3
 
+  test("Guard.quadratic passes under the cap and rejects over it") {
+    import spark.implicits._
+    val small = (1 to 10).toDF("x")
+    graft.Guard.quadratic(small, "test-op", cap = 10L) // no throw
+    val ex = intercept[IllegalArgumentException] {
+      graft.Guard.quadratic((1 to 11).toDF("x"), "test-op", cap = 10L)
+    }
+    assert(ex.getMessage.contains("test-op"))
+    assert(ex.getMessage.contains("scale path"))
+  }
+
   test("davg is partition-layout invariant") {
     import spark.implicits._
     val xs = (1 to 20000).map(i => (i % 7, nonIntegral(i)))

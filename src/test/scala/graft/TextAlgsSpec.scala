@@ -71,6 +71,45 @@ class TextAlgsSpec extends AnyFunSuite {
     assert(TextAlgs.detectLang("xyzzy plugh") == "en")
   }
 
+  test("langIdExpr (pure-expression lang ID) matches TextAlgs.detectLang") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val samples = Seq(
+      "the cat sat with the dog and that is fine",
+      "le chat est sur la table et les livres",
+      "el gato es una mascota y los perros son",
+      "der Hund und die Katze das ist ein Tier",
+      "今天天气很好我们去公园散步吧",
+      "xyzzy plugh",
+      "y de la le el the und",
+      "the und") // tie -> lexicographically least lang ("de")
+    val got = samples.toDF("text")
+      .select(graft.ops.TextOps.langIdExpr(
+        org.apache.spark.sql.functions.col("text")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == samples.map(TextAlgs.detectLang))
+  }
+
+  test("nfc expression + text_normalize pipeline on real Unicode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExprs.register(spark)
+    val composed = "café" // é precomposed
+    val decomposed = "café" // e + combining acute
+    val samples = Seq(
+      decomposed,
+      s"Héllo, Wörld!  $decomposed — ok​ZW")
+    val norm = trim(regexp_replace(regexp_replace(
+      expr("nfc(lower(text))"),
+      "[\\p{P}\\x{200B}-\\x{200D}\\x{FEFF}]+", ""), "\\s+", " "))
+    val got = samples.toDF("text").select(norm.as("n"))
+      .collect().map(_.getString(0)).toSeq
+    // NFC folds the decomposed form onto the precomposed one; punctuation
+    // (incl. em-dash) and zero-width chars strip; whitespace collapses
+    assert(got == Seq(composed, s"héllo wörld $composed okzw"))
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val a = Seq("x", "y", "z")
     assert(TextAlgs.rollingFingerprint(a) == TextAlgs.rollingFingerprint(a))
