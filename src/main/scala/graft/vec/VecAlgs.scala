@@ -26,6 +26,17 @@ object VecAlgs {
     b
   }
 
+  /** Σ (aᵢ−bᵢ)² left-to-right in double — the SAME accumulation order as
+    * the codegen'd fvl2 expression and the DuckDB positional-unnest sum,
+    * so driver-side probe selection (vec_knn_probe) is bit-identical to
+    * both distributed formulations. */
+  def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

@@ -38,6 +38,40 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall, exact=$exact approx=$approx")
   }
 
+  test("vec_knn_probe prunes index partitions and recalls vs exact 5-NN") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("vec_knn_probe")(spark, TestSpark.Sf)
+    // the probed index read must reach the scan as a partition filter on
+    // cid (file-level pruning), not a post-scan row filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no cid partition pruning in plan:\n$plan")
+    val rows = df.collect()
+    // 3 queries x 5 neighbors, ranks 1..5 each, sims within bounds
+    assert(rows.length == 15)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(5L, 17L, 42L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L))
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.0000001))
+    }
+    // recall vs exact brute-force 5-NN per query (nprobe=2 of 4 cells —
+    // a meaningful fraction is required, exactness is not the claim)
+    val vecs = T(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val recalls = Seq(5L, 17L, 42L).map { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (VecAlgs.cosine(qv, v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
+      val got = byQ(qid).map(_.getLong(2)).toSet
+      exact.intersect(got).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall $mean ($recalls)")
+  }
+
   test("exact top-10 pair sim matches a driver-side brute force") {
     import org.apache.spark.sql.functions.col
     val vecs = T(spark, TestSpark.Sf, "embeddings")
