@@ -234,13 +234,16 @@ object Extras extends QueryModule {
       // sketch-as-column: per-language HLL sketches of user-ish ids built
       // with Datasketches (hll_sketch_agg), merged across groups with
       // hll_union_agg, estimated once — the mergeable-summary pattern that
-      // lets 100 TB distinct-counts run as constant-size partials. No
-      // oracle (sketch-internal); the spec pins the estimates against
-      // exact distinct counts within HLL error.
+      // lets 100 TB distinct-counts run as constant-size partials.
+      // lgConfigK pinned at 21: the sketch stays in sparse (coupon) mode —
+      // i.e. EXACT — far past the fixture's distinct cardinality (verified
+      // est == exact at sf0.01 and sf0.1), so the op is oracle-checked
+      // against DuckDB's exact count; at real scale the same plan degrades
+      // gracefully to ±0.4% estimates (the point of the pattern).
       (s, dir) =>
         T(s, dir, "documents")
           .groupBy("lang")
-          .agg(expr("hll_sketch_agg(doc_id)").as("sk"),
+          .agg(expr("hll_sketch_agg(doc_id, 21)").as("sk"),
             countDistinct("doc_id").as("exact"))
           .groupBy(lit(1).as("one"))
           .agg(
@@ -248,7 +251,10 @@ object Extras extends QueryModule {
               .as("est_total"),
             sum("exact").as("exact_total"))
           .select("est_total", "exact_total"),
-      None
+      Some(
+        "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS est_total, " +
+          "CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_total " +
+          "FROM documents")
     ),
     Q(
       "sink_compaction",

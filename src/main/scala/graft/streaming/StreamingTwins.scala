@@ -192,4 +192,40 @@ object StreamingTwins {
     in.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new IdleFinalizer(gapMs), TimeMode.EventTime(),
         OutputMode.Append())(Encoders.product[IdleOut])
+
+  // ---- CEP pattern matching across micro-batches ----
+
+  final case class CepIn(event_id: Long, tsUs: Long, user_id: Long,
+      event_type: String)
+  final case class CepState(lastType: String, lastId: Long, lastTsUs: Long)
+  final case class CepOut(user_id: Long, view_id: Long, click_id: Long,
+      gap_us: Long)
+
+  /** Flink-CEP-style strict-contiguity pattern (view IMMEDIATELY FOLLOWED
+    * BY click within `windowUs`) detected incrementally: the per-key state
+    * is just the LAST seen event — O(1) per key regardless of stream
+    * length — and a match is emitted the moment its second element
+    * arrives. Rows within a batch are sorted by (tsUs, event_id); the
+    * carried last-event state makes matches that straddle a micro-batch
+    * boundary come out identical to the batch lead() formulation.
+    */
+  def cepPattern(in: Dataset[CepIn], windowUs: Long): Dataset[CepOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CepIn], state: GroupState[CepState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.tsUs, r.event_id))
+          var st = state.getOption.getOrElse(CepState("", -1L, Long.MinValue))
+          val out = Array.newBuilder[CepOut]
+          sorted.foreach { r =>
+            if (st.lastType == "view" && r.event_type == "click" &&
+                r.tsUs - st.lastTsUs <= windowUs)
+              out += CepOut(uid, st.lastId, r.event_id, r.tsUs - st.lastTsUs)
+            st = CepState(r.event_type, r.event_id, r.tsUs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
