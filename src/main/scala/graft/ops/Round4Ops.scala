@@ -53,6 +53,12 @@ object Round4Ops extends QueryModule {
   // width, so each interval spans at most 2 buckets
   private val IvUs = 1800L * 1000000L
 
+  // kleene-pattern window: 6 h — wide enough that the (error)* quantifier
+  // actually fires on the fixture's event-gap distribution (12 / 88
+  // multi-error matches at sf0.01 / sf0.1; at 30 min there are zero and
+  // the op would collapse to the strict-contiguity one)
+  private val KleeneUs = 6L * 3600L * 1000000L
+
   def queries: Seq[Q] = Seq(
     Q(
       "sql_recursive_cte",
@@ -177,6 +183,120 @@ object Round4Ops extends QueryModule {
           "CAST(next_tsu - tsu AS BIGINT) AS gap_us FROM n " +
           "WHERE event_type = 'view' AND next_type = 'click' " +
           s"AND next_tsu - tsu <= $IvUs ORDER BY view_id")
+    ),
+    Q(
+      "events_cep_kleene",
+      // Quantified CEP pattern "view (error)* click within 30 min": a view
+      // followed by zero or more errors then a click, contiguous in the
+      // per-user sequence. One window pass: for every row, the LAST
+      // preceding non-error event (last_value IGNORE NULLS over an
+      // unbounded-preceding frame — maintained incrementally); a click
+      // whose last non-error predecessor is a view within the span is a
+      // match, and n_errors falls out of the row-number gap. No self-join,
+      // one exchange on user_id — the scale-correct shape for patterns
+      // with quantifiers, same as the strict-contiguity op.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val prevF = w.rowsBetween(Window.unboundedPreceding, -1)
+        def lastNonErr(c: org.apache.spark.sql.Column) =
+          last(when(col("event_type") =!= "error", c), ignoreNulls = true)
+            .over(prevF)
+        T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("pv_type", lastNonErr(col("event_type")))
+          .withColumn("pv_id", lastNonErr(col("event_id")))
+          .withColumn("pv_tsu", lastNonErr(col("tsu")))
+          .withColumn("pv_rn", lastNonErr(col("rn")))
+          .filter(col("event_type") === "click" &&
+            col("pv_type") === "view" &&
+            col("tsu") - col("pv_tsu") <= KleeneUs)
+          .select(col("user_id"), col("pv_id").as("view_id"),
+            col("event_id").as("click_id"),
+            (col("rn") - col("pv_rn") - 1).as("n_errors"),
+            (col("tsu") - col("pv_tsu")).as("span_us"))
+          .orderBy("view_id")
+      },
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), " +
+          "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY tsu, event_id) AS BIGINT) AS rn FROM e), " +
+          "n AS (SELECT user_id, event_id, event_type, tsu, rn, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN event_type END " +
+          "IGNORE NULLS) OVER wp AS pv_type, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN event_id END " +
+          "IGNORE NULLS) OVER wp AS pv_id, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN tsu END " +
+          "IGNORE NULLS) OVER wp AS pv_tsu, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN rn END " +
+          "IGNORE NULLS) OVER wp AS pv_rn " +
+          "FROM r WINDOW wp AS (PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+          "SELECT user_id, pv_id AS view_id, event_id AS click_id, " +
+          "CAST(rn - pv_rn - 1 AS BIGINT) AS n_errors, " +
+          "CAST(tsu - pv_tsu AS BIGINT) AS span_us FROM n " +
+          "WHERE event_type = 'click' AND pv_type = 'view' " +
+          s"AND tsu - pv_tsu <= $KleeneUs ORDER BY view_id")
+    ),
+    Q(
+      "stream_cep_timeout_live",
+      // CEP ABSENCE detection (Flink's notFollowedBy) live: emit each view
+      // with NO click from that user within 30 min — provable only when
+      // the WATERMARK passes view + 30 min, so matches are event-time
+      // TIMER firings (StreamingTwins.CepTimeout), not row arrivals.
+      // Bounded input ends at watermark = max(ts) - 10 min, so exactly
+      // the views whose deadline falls before that emit — which is the
+      // oracle: NOT EXISTS click within the window, deadline <= final
+      // watermark (ms-floored, the stream_idle_timeout_live convention).
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_cepto_${System.nanoTime()}"
+        // transformWithState timers need the RocksDB provider (multiple
+        // column families) — same dance as stream_idle_timeout_live
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        graft.StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val in = EventOps.liveEvents(s, dir)
+              .withColumn("ts", col("ts").cast("timestamp"))
+              .withWatermark("ts", "10 minutes")
+              .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("tsUs"), col("event_type"))
+              .as[graft.streaming.StreamingTwins.CepToIn]
+            val q = graft.streaming.StreamingTwins.cepTimeout(in, IvUs)
+              .toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        s.table(name)
+          .select("user_id", "view_id", "deadline_ms")
+          .orderBy("view_id")
+      },
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), " +
+          "m AS (SELECT (max(tsu) // 1000) - 600000 AS wm FROM e), " +
+          "v AS (SELECT user_id, event_id, tsu FROM e " +
+          "WHERE event_type = 'view') " +
+          "SELECT v.user_id, v.event_id AS view_id, " +
+          s"CAST((v.tsu + $IvUs) // 1000 AS BIGINT) AS deadline_ms " +
+          "FROM v, m " +
+          s"WHERE (v.tsu + $IvUs) // 1000 <= m.wm " +
+          "AND NOT EXISTS (SELECT 1 FROM e c WHERE c.user_id = v.user_id " +
+          "AND c.event_type = 'click' AND c.tsu > v.tsu " +
+          s"AND c.tsu <= v.tsu + $IvUs) " +
+          "ORDER BY view_id")
     ),
     Q(
       "text_pii_scrub",

@@ -209,6 +209,87 @@ object StreamingTwins {
     * carried last-event state makes matches that straddle a micro-batch
     * boundary come out identical to the batch lead() formulation.
     */
+  // ---- CEP absence detection (notFollowedBy) via event-time timers ----
+
+  final case class CepToIn(user_id: Long, event_id: Long, tsUs: Long,
+      event_type: String)
+  /** pending views awaiting a click; timerMs is the registered timer so it
+    * can be deleted before re-registering (one live timer per key) */
+  final case class CepToState(ids: Array[Long], tsUs: Array[Long],
+      timerMs: Long)
+  final case class CepToOut(user_id: Long, view_id: Long, deadline_ms: Long)
+
+  /** Flink-CEP's `notFollowedBy` within a window: emit each view that saw
+    * NO click of the same user within `windowUs` — provable only once the
+    * WATERMARK passes view + window, so the match is an event-time timer
+    * firing, not a row arriving. State per key is the pending-view list
+    * (bounded by views per window per user, cleared on click or timeout);
+    * clicks prune pending views in-batch, the timer sits at the earliest
+    * pending deadline. This is the streaming primitive batch SQL gets for
+    * free with NOT EXISTS — the oracle states exactly that, bounded by the
+    * final watermark (the repo's stream_idle_timeout_live convention).
+    */
+  class CepTimeout(windowUs: Long)
+      extends StatefulProcessor[Long, CepToIn, CepToOut] {
+    @transient private var st: ValueState[CepToState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CepToState]("cepto",
+        Encoders.product[CepToState], TTLConfig.NONE)
+
+    private def deadlineMs(viewTsUs: Long): Long = (viewTsUs + windowUs) / 1000
+
+    override def handleInputRows(uid: Long, rows: Iterator[CepToIn],
+        tv: TimerValues): Iterator[CepToOut] = {
+      val cur = if (st.exists()) st.get()
+        else CepToState(Array.empty, Array.empty, Long.MinValue)
+      var pending = cur.ids.zip(cur.tsUs).toVector
+      rows.toArray.sortBy(r => (r.tsUs, r.event_id)).foreach { r =>
+        if (r.event_type == "view") pending :+= ((r.event_id, r.tsUs))
+        else if (r.event_type == "click")
+          // a click satisfies every pending view it falls strictly after
+          // and within the window of
+          pending = pending.filterNot { case (_, vts) =>
+            r.tsUs > vts && r.tsUs <= vts + windowUs
+          }
+      }
+      val newTimer =
+        if (pending.isEmpty) Long.MinValue
+        else pending.map(p => deadlineMs(p._2)).min
+      if (cur.timerMs != Long.MinValue && cur.timerMs != newTimer)
+        getHandle.deleteTimer(cur.timerMs)
+      if (newTimer != Long.MinValue && newTimer != cur.timerMs)
+        getHandle.registerTimer(newTimer)
+      st.update(CepToState(pending.map(_._1).toArray,
+        pending.map(_._2).toArray, newTimer))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[CepToOut] = {
+      if (!st.exists()) return Iterator.empty
+      val cur = st.get()
+      val wm = tv.getCurrentWatermarkInMs()
+      val (expired, alive) = cur.ids.zip(cur.tsUs)
+        .partition { case (_, vts) => deadlineMs(vts) <= wm }
+      val out = expired.sortBy(_._1)
+        .map { case (id, vts) => CepToOut(uid, id, deadlineMs(vts)) }
+      if (alive.isEmpty) st.clear()
+      else {
+        val next = alive.map(p => deadlineMs(p._2)).min
+        getHandle.registerTimer(next)
+        st.update(CepToState(alive.map(_._1), alive.map(_._2), next))
+      }
+      out.iterator
+    }
+  }
+
+  def cepTimeout(in: Dataset[CepToIn], windowUs: Long): Dataset[CepToOut] =
+    in.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new CepTimeout(windowUs), TimeMode.EventTime(),
+        OutputMode.Append())(Encoders.product[CepToOut])
+
   def cepPattern(in: Dataset[CepIn], windowUs: Long): Dataset[CepOut] = {
     import in.sparkSession.implicits._
     in.groupByKey(_.user_id)

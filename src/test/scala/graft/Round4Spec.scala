@@ -74,6 +74,59 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("events_cep_kleene: only errors between view and click; quantifier fires") {
+    val rows = SparkEntry.queries("events_cep_kleene")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // the fixture is calibrated so the (error)* quantifier actually fires
+    assert(rows.exists(_.getAs[Long]("n_errors") > 0))
+    // reconstruct per-user sequences and check strict semantics
+    val seq = T(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e._4, e._2)).map(e => (e._2, e._3)).toVector
+      }
+    rows.foreach { r =>
+      val events = seq(r.getAs[Long]("user_id"))
+      val vi = events.indexWhere(_._1 == r.getAs[Long]("view_id"))
+      val ci = events.indexWhere(_._1 == r.getAs[Long]("click_id"))
+      assert(vi >= 0 && ci > vi, r.toString)
+      assert(events(vi)._2 == "view" && events(ci)._2 == "click", r.toString)
+      val between = events.slice(vi + 1, ci)
+      assert(between.forall(_._2 == "error"), r.toString)
+      assert(between.size.toLong == r.getAs[Long]("n_errors"), r.toString)
+    }
+  }
+
+  test("stream_cep_timeout_live: reported views really saw no click in window") {
+    val iv = 1800L * 1000000L
+    val reported = SparkEntry.queries("stream_cep_timeout_live")(
+      spark, TestSpark.Sf).collect()
+    assert(reported.nonEmpty)
+    val ev = T(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(_._1).map { case (u, cs) => u -> cs.map(_._4) }
+    val viewTs = ev.filter(_._3 == "view")
+      .map(e => e._2 -> e._4).toMap
+    val wmMs = ev.map(_._4).max / 1000 - 600000
+    reported.foreach { r =>
+      val vts = viewTs(r.getAs[Long]("view_id"))
+      assert(r.getAs[Long]("deadline_ms") == (vts + iv) / 1000, r.toString)
+      assert(r.getAs[Long]("deadline_ms") <= wmMs, r.toString)
+      val clicked = clicksByUser.getOrElse(r.getAs[Long]("user_id"), Array[Long]())
+        .exists(c => c > vts && c <= vts + iv)
+      assert(!clicked, r.toString)
+    }
+  }
+
   test("text_pii_scrub removes every synthesized PII span") {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
     val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}".r
