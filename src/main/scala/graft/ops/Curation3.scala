@@ -285,8 +285,11 @@ object Curation3 extends QueryModule {
       // Exponentially weighted moving average per key (α = 0.2) — the
       // online smoothing filter of every telemetry pipeline; sequential
       // per key like the ESN fold, parallel across keys. Emits each
-      // user's final EWMA and step count. No oracle (recursive fold is
-      // not single-statement SQL); Round3Spec checks a driver-side fold.
+      // user's final EWMA and step count. The oracle unrolls the
+      // recurrence to its closed form (y_n = 0.8^(n-1)·x_1 +
+      // 0.2·Σ 0.8^(n-i)·x_i) — mathematically identical, FP-different
+      // only below the 6-decimal output rounding (verified 0 diffs at
+      // both scales); Round3Spec additionally checks a driver-side fold.
       (s, dir) => {
         import s.implicits._
         T(s, dir, "events")
@@ -306,7 +309,16 @@ object Curation3 extends QueryModule {
           .toDF("user_id", "n", "ewma")
           .orderBy("user_id")
       },
-      None
+      Some(
+        "WITH e AS (SELECT user_id, event_id, value, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), " +
+          "r AS (SELECT user_id, value, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY tsu, event_id) AS rn, " +
+          "count(*) OVER (PARTITION BY user_id) AS n FROM e) " +
+          "SELECT user_id, CAST(max(n) AS BIGINT) AS n, " +
+          "round(sum(CASE WHEN rn = 1 THEN pow(0.8, n - 1) * value " +
+          "ELSE 0.2 * pow(0.8, n - rn) * value END) * 1e6) / 1e6 AS ewma " +
+          "FROM r GROUP BY user_id ORDER BY user_id")
     ),
     Q(
       "ts_autocorr",

@@ -241,6 +241,55 @@ object Round4Ops extends QueryModule {
           s"AND tsu - pv_tsu <= $KleeneUs ORDER BY view_id")
     ),
     Q(
+      "stream_cep_kleene_live",
+      // The quantified pattern live: per-key state is the last non-error
+      // event + errors-since count (O(1), carried across micro-batches by
+      // flatMapGroupsWithState) — see StreamingTwins.cepKleene. Oracle =
+      // the batch last_value formulation (same SQL as events_cep_kleene).
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_kleene_${System.nanoTime()}"
+        graft.StreamRun.withStateParts(s) {
+          val in = EventOps.liveEvents(s, dir)
+            .select(col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+              col("user_id"), col("event_type"))
+            .as[graft.streaming.StreamingTwins.CepIn]
+          val q = graft.streaming.StreamingTwins.cepKleene(in, KleeneUs)
+            .toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name)
+          .select("user_id", "view_id", "click_id", "n_errors", "span_us")
+          .orderBy("view_id")
+      },
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), " +
+          "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY tsu, event_id) AS BIGINT) AS rn FROM e), " +
+          "n AS (SELECT user_id, event_id, event_type, tsu, rn, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN event_type END " +
+          "IGNORE NULLS) OVER wp AS pv_type, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN event_id END " +
+          "IGNORE NULLS) OVER wp AS pv_id, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN tsu END " +
+          "IGNORE NULLS) OVER wp AS pv_tsu, " +
+          "last_value(CASE WHEN event_type <> 'error' THEN rn END " +
+          "IGNORE NULLS) OVER wp AS pv_rn " +
+          "FROM r WINDOW wp AS (PARTITION BY user_id ORDER BY tsu, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+          "SELECT user_id, pv_id AS view_id, event_id AS click_id, " +
+          "CAST(rn - pv_rn - 1 AS BIGINT) AS n_errors, " +
+          "CAST(tsu - pv_tsu AS BIGINT) AS span_us FROM n " +
+          "WHERE event_type = 'click' AND pv_type = 'view' " +
+          s"AND tsu - pv_tsu <= $KleeneUs ORDER BY view_id")
+    ),
+    Q(
       "stream_cep_timeout_live",
       // CEP ABSENCE detection (Flink's notFollowedBy) live: emit each view
       // with NO click from that user within 30 min — provable only when

@@ -375,14 +375,40 @@ object TextOps extends QueryModule {
       // expressions — langIdExpr above; no UDF anywhere in the plan. The
       // synthetic corpus shares one vocabulary across langs, so the
       // interesting assertions live in TextAlgsSpec on real multilingual
-      // strings; here it runs distributed over the corpus (rows-only
-      // check).
+      // strings. The oracle restates the expression in DuckDB: per-lang
+      // marker-hit counts, the fold's tie-break (lang-ascending, strict >)
+      // as a CASE priority chain, and the CJK-ratio branch.
       (s, dir) =>
         T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             langIdExpr(col("text")).as("pred_lang"))
           .orderBy("doc_id"),
-      None
+      Some(
+        "WITH t AS (SELECT doc_id, lang, text, " +
+          "regexp_split_to_array(lower(text), '\\s+') AS toks " +
+          "FROM documents), " +
+          "c AS (SELECT doc_id, lang, " +
+          "len(list_filter(toks, x -> x IN ('der','die','das','und','ist'," +
+          "'ein','mit','für','nicht'))) AS n_de, " +
+          "len(list_filter(toks, x -> x IN ('the','and','of','to','is'," +
+          "'with','that','for'))) AS n_en, " +
+          "len(list_filter(toks, x -> x IN ('el','los','las','y','es'," +
+          "'una','que','por','con'))) AS n_es, " +
+          "len(list_filter(toks, x -> x IN ('le','la','les','et','de'," +
+          "'est','une','que','pour'))) AS n_fr, " +
+          "len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}" +
+          "\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
+          "\\x{20000}-\\x{2FA1F}]')) AS ncjk, " +
+          "length(text) AS lc FROM t) " +
+          "SELECT doc_id, lang, " +
+          "CASE WHEN CAST(ncjk AS DOUBLE) > CAST(lc AS DOUBLE) * 0.2 " +
+          "THEN 'zh' " +
+          "WHEN greatest(n_de,n_en,n_es,n_fr) = 0 THEN 'en' " +
+          "WHEN n_de = greatest(n_de,n_en,n_es,n_fr) THEN 'de' " +
+          "WHEN n_en = greatest(n_de,n_en,n_es,n_fr) THEN 'en' " +
+          "WHEN n_es = greatest(n_de,n_en,n_es,n_fr) THEN 'es' " +
+          "ELSE 'fr' END AS pred_lang " +
+          "FROM c ORDER BY doc_id")
     ),
     Q(
       "text_rolling_fp",

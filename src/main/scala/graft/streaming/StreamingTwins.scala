@@ -209,6 +209,44 @@ object StreamingTwins {
     * carried last-event state makes matches that straddle a micro-batch
     * boundary come out identical to the batch lead() formulation.
     */
+  final case class KleeneState(lastType: String, lastId: Long,
+      lastTsUs: Long, errSince: Long)
+  final case class KleeneOut(user_id: Long, view_id: Long, click_id: Long,
+      n_errors: Long, span_us: Long)
+
+  /** Quantified CEP pattern (view (error)* click within `windowUs`) live:
+    * per-key state is the last NON-ERROR event plus the count of errors
+    * seen since it — still O(1) per key; a click arriving while that
+    * anchor is a view inside the window emits the match with the error
+    * count, any other non-error event replaces the anchor. Identical to
+    * the batch last_value-IGNORE-NULLS formulation across micro-batch
+    * boundaries because the anchor is carried in state.
+    */
+  def cepKleene(in: Dataset[CepIn], windowUs: Long): Dataset[KleeneOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KleeneState, KleeneOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CepIn], state: GroupState[KleeneState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.tsUs, r.event_id))
+          var st = state.getOption
+            .getOrElse(KleeneState("", -1L, Long.MinValue, 0L))
+          val out = Array.newBuilder[KleeneOut]
+          sorted.foreach { r =>
+            if (r.event_type == "error") st = st.copy(errSince = st.errSince + 1)
+            else {
+              if (r.event_type == "click" && st.lastType == "view" &&
+                  r.tsUs - st.lastTsUs <= windowUs)
+                out += KleeneOut(uid, st.lastId, r.event_id, st.errSince,
+                  r.tsUs - st.lastTsUs)
+              st = KleeneState(r.event_type, r.event_id, r.tsUs, 0L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- CEP absence detection (notFollowedBy) via event-time timers ----
 
   final case class CepToIn(user_id: Long, event_id: Long, tsUs: Long,

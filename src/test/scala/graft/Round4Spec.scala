@@ -102,6 +102,16 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_cep_kleene_live is row-identical to the batch events_cep_kleene") {
+    val live = SparkEntry.queries("stream_cep_kleene_live")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("events_cep_kleene")(spark, TestSpark.Sf)
+      .select("user_id", "view_id", "click_id", "n_errors", "span_us")
+      .orderBy("view_id")
+      .collect().map(_.toSeq).toSeq
+    assert(live == batch)
+  }
+
   test("stream_cep_timeout_live: reported views really saw no click in window") {
     val iv = 1800L * 1000000L
     val reported = SparkEntry.queries("stream_cep_timeout_live")(
