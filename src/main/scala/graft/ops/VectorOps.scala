@@ -385,6 +385,110 @@ object VectorOps extends QueryModule {
           "AS rnk FROM cand) " +
           "SELECT q_id, rnk, vec_id, sim FROM r WHERE rnk <= 5 " +
           "ORDER BY q_id, rnk")
+    ),
+    Q(
+      "vec_knn_refine",
+      // Two-stage ANN serving: COARSE top-50 by QUANTIZED cosine over int8
+      // affine codes (the vec_quantize codes) using the standard
+      // asymmetric-distance correction terms — per-vector (mn, step,
+      // Σcode, Σcode²) are precomputed scalars, so the join-side work is
+      // ONE integer dot product; the reconstruction
+      //   approx_dot = mn_a·mn_q·d + mn_a·step_q·Σc_q + step_a·mn_q·Σc_a
+      //              + step_a·step_q·(c_a·c_q)
+      // and the analogous approx norms are scalar algebra on top. Then
+      // EXACT cosine refine of those 50 to top-5. The production
+      // quantized-index shape: the coarse stage reads only codes (~4x
+      // less bandwidth than floats), originals are fetched for the
+      // candidate set alone. VectorSpec pins the refined top-5 ==
+      // vec_knn_query's exact top-5 (coarse recall 50→5 is 100% here —
+      // a raw unnormalized code dot is NOT: it drops the true top-2);
+      // both stages tie-break on vec_id so the candidate SET is
+      // deterministic.
+      (s, dir) => {
+        val codes = vecs(s, dir)
+          .withColumn("mn", array_min(col("embedding")).cast("double"))
+          .withColumn("step",
+            greatest(array_max(col("embedding")).cast("double") - col("mn"),
+              lit(1e-12)) / 255.0)
+          .withColumn("codes", expr(
+            "transform(embedding, " +
+              "x -> CAST(round((CAST(x AS DOUBLE) - mn) / step) AS BIGINT))"))
+          .withColumn("d", size(col("codes")).cast("double"))
+          .withColumn("s1", expr(
+            "CAST(aggregate(codes, CAST(0 AS BIGINT), " +
+              "(acc, x) -> acc + x) AS DOUBLE)"))
+          .withColumn("s2", expr(
+            "CAST(aggregate(codes, CAST(0 AS BIGINT), " +
+              "(acc, x) -> acc + x * x) AS DOUBLE)"))
+          .withColumn("anrm", sqrt(col("mn") * col("mn") * col("d")
+            + lit(2.0) * col("mn") * col("step") * col("s1")
+            + col("step") * col("step") * col("s2")))
+          .select(col("vec_id"), col("codes"), col("mn"), col("step"),
+            col("d"), col("s1"), col("anrm"))
+        val qCodes = broadcast(codes.filter(col("vec_id") === 0)
+          .select(col("codes").as("qc"), col("mn").as("qmn"),
+            col("step").as("qstep"), col("s1").as("qs1"),
+            col("anrm").as("qnrm")))
+        val coarse = codes.filter(col("vec_id") =!= 0)
+          .crossJoin(qCodes)
+          .withColumn("cdot", expr(
+            "CAST(aggregate(zip_with(codes, qc, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"))
+          .select(col("vec_id"),
+            dround((col("mn") * col("qmn") * col("d")
+              + col("mn") * col("qstep") * col("qs1")
+              + col("step") * col("qmn") * col("s1")
+              + col("step") * col("qstep") * col("cdot"))
+              / (col("anrm") * col("qnrm")), 9).as("csim"))
+          .orderBy(col("csim").desc, col("vec_id"))
+          .limit(50)
+        val v = vecs(s, dir)
+        val q = broadcast(v.filter(col("vec_id") === 0)
+          .select(col("embedding").as("eq"), col("nrm").as("nq")))
+        coarse.select("vec_id")
+          .join(v, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            dround(dotExpr("embedding", "eq") / (col("nrm") * col("nq")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(
+        "WITH v0 AS (SELECT vec_id, embedding, " +
+          "sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
+          "FROM (SELECT unnest(embedding) AS a) x)) AS nrm FROM embeddings), " +
+          "v AS (SELECT * FROM v0 WHERE nrm > 0), " +
+          "c0 AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+          "greatest(CAST(list_max(embedding) AS DOUBLE) " +
+          "- CAST(list_min(embedding) AS DOUBLE), 1e-12) / 255.0 AS step, " +
+          "embedding FROM v), " +
+          "c1 AS (SELECT vec_id, mn, step, list_transform(embedding, " +
+          "x -> CAST(round((CAST(x AS DOUBLE) - mn) / step) AS BIGINT)) " +
+          "AS codes FROM c0), " +
+          "c AS (SELECT vec_id, mn, step, codes, " +
+          "CAST(len(codes) AS DOUBLE) AS d, " +
+          "CAST(list_sum(codes) AS DOUBLE) AS s1, " +
+          "CAST(list_sum(list_transform(codes, x -> x * x)) AS DOUBLE) AS s2 " +
+          "FROM c1), " +
+          "cn AS (SELECT *, sqrt(mn * mn * d + 2.0 * mn * step * s1 " +
+          "+ step * step * s2) AS anrm FROM c), " +
+          "qc AS (SELECT codes AS qcodes, mn AS qmn, step AS qstep, " +
+          "s1 AS qs1, anrm AS qnrm FROM cn WHERE vec_id = 0), " +
+          "coarse AS (SELECT cn.vec_id, " +
+          droundSql("(cn.mn * qc.qmn * cn.d + cn.mn * qc.qstep * qc.qs1 " +
+            "+ cn.step * qc.qmn * cn.s1 + cn.step * qc.qstep * " +
+            "CAST((SELECT sum(z.x * z.y) FROM (SELECT unnest(cn.codes) AS x, " +
+            "unnest(qc.qcodes) AS y) z) AS DOUBLE)) / (cn.anrm * qc.qnrm)", 9) +
+          " AS csim FROM cn, qc WHERE cn.vec_id <> 0 " +
+          "ORDER BY csim DESC, cn.vec_id LIMIT 50), " +
+          "q AS (SELECT embedding AS eq, nrm AS nq FROM v WHERE vec_id = 0) " +
+          "SELECT v.vec_id, " +
+          droundSql("(SELECT sum(CAST(z.x AS DOUBLE)*z.y) FROM " +
+            "(SELECT unnest(v.embedding) AS x, unnest(q.eq) AS y) z) " +
+            "/ (v.nrm*q.nq)", 6) +
+          " AS sim FROM coarse JOIN v ON v.vec_id = coarse.vec_id, q " +
+          "ORDER BY sim DESC, v.vec_id LIMIT 5")
     )
   )
 

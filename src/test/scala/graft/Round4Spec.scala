@@ -200,6 +200,49 @@ class Round4Spec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("CEP pattern and kleene state survive micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingTwins
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val iv = 1800L * 1000000L
+    val kl = 6L * 3600L * 1000000L
+    // arrival order = event time, as in a real stream; splits land
+    // mid-user-sequence so view→click pairs straddle batch boundaries
+    val in = T(spark, TestSpark.Sf, "events")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+        col("user_id"), col("event_type"))
+      .as[StreamingTwins.CepIn]
+      .collect().sortBy(r => (r.tsUs, r.event_id)).toSeq
+
+    def run(twin: org.apache.spark.sql.Dataset[StreamingTwins.CepIn] =>
+        org.apache.spark.sql.DataFrame, batches: Seq[Seq[StreamingTwins.CepIn]])
+        : Seq[Seq[Any]] = {
+      val mem = MemoryStream[StreamingTwins.CepIn]
+      val name = s"cep_mb_${System.nanoTime()}"
+      val q = twin(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).collect().map(_.toSeq.toSeq).toSeq
+          .sortBy(_.mkString(","))
+      } finally q.stop()
+    }
+
+    val thirds = Seq(in.take(400), in.slice(400, 800), in.drop(800))
+      .filter(_.nonEmpty)
+    val p1 = run(d => StreamingTwins.cepPattern(d, iv).toDF(), Seq(in))
+    val p3 = run(d => StreamingTwins.cepPattern(d, iv).toDF(), thirds)
+    assert(p1.nonEmpty && p1 == p3,
+      "cepPattern diverges when state crosses batch boundaries")
+    val k1 = run(d => StreamingTwins.cepKleene(d, kl).toDF(), Seq(in))
+    val k3 = run(d => StreamingTwins.cepKleene(d, kl).toDF(), thirds)
+    assert(k1.nonEmpty && k1 == k3,
+      "cepKleene diverges when state crosses batch boundaries")
+  }
+
   test("agg_hll_sketch: sparse-mode estimate is exact at fixture scale") {
     val r = SparkEntry.queries("agg_hll_sketch")(spark, TestSpark.Sf).first()
     assert(r.getAs[Long]("est_total") == r.getAs[Long]("exact_total"))

@@ -90,4 +90,14 @@ class VectorSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected)
   }
+
+  test("vec_knn_refine: quantized-coarse + exact-refine equals exact 5-NN") {
+    // the coarse stage (top-50 by integer code dot) must have full recall
+    // of the true top-5, so the refined result is exactly vec_knn_query's
+    val refined = SparkEntry.queries("vec_knn_refine")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SparkEntry.queries("vec_knn_query")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined.nonEmpty && refined == exact)
+  }
 }
