@@ -439,6 +439,51 @@ object Round4Ops extends QueryModule {
           s"AND next_tsu - tsu <= $IvUs ORDER BY view_id")
     ),
     Q(
+      "sink_zorder_layout",
+      // Multi-dimensional clustering (Z-order/Morton) sink: interleave the
+      // bits of the two query dimensions (ship-date bucket, quantity) into
+      // one Morton code, range-partition + sort by it, write parquet. A
+      // single-column sort (sink_sorted_stats) gives perfect pruning on
+      // ONE dimension and none on the other; the Morton layout keeps both
+      // dimensions' row-group min/max spans narrow simultaneously, so a
+      // 2-d slice (date range AND quantity range) skips most row groups
+      // on footer stats — the lakehouse OPTIMIZE ZORDER technique, from
+      // public first principles. Answer is layout-independent (oracle
+      // reads the originals); Round4Spec pins the bit-interleave itself.
+      (s, dir) => {
+        val out = graft.Tmp.dir("graft_zorder")
+        // 8-bit buckets: 16-day date buckets (0..255 over ~7 years),
+        // quantity is integer-valued 1..50 already
+        val b1 = least(floor(datediff(col("l_shipdate"),
+          lit("1992-01-01")) / 15).cast("long"), lit(255L))
+        val b2 = least(col("l_quantity").cast("long"), lit(255L))
+        def bit(c: org.apache.spark.sql.Column, i: Int) =
+          shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+        val morton = (0 until 8).map { i =>
+          shiftleft(bit(b1, i), 2 * i)
+            .bitwiseOR(shiftleft(bit(b2, i), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+        T(s, dir, "lineitem")
+          .withColumn("zcode", morton)
+          .repartitionByRange(8, col("zcode"))
+          .sortWithinPartitions("zcode")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_shipdate").between("1996-01-01", "1996-03-31") &&
+            col("l_quantity").between(10, 20))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            graft.Det.dsum(col("l_extendedprice"), 2).as("rev"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+          graft.Det.dsumSql("l_extendedprice", 2) + " AS rev FROM lineitem " +
+          "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31' " +
+          "AND l_quantity BETWEEN 10 AND 20 " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
       "text_dedup_crosslang",
       // Near-dup pairs ACROSS languages (a.lang <> b.lang) — this corpus
       // shares one vocabulary across langs, so transliterated twins exist.

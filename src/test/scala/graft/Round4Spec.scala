@@ -243,6 +243,33 @@ class Round4Spec extends AnyFunSuite {
       "cepKleene diverges when state crosses batch boundaries")
   }
 
+  test("sink_zorder_layout: the Morton interleave is exact") {
+    import spark.implicits._
+    // recompute the op's zcode expression over a driver-checked range
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+    def mortonCol(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      (0 until 8).map { i =>
+        shiftleft(bit(a, i), 2 * i)
+          .bitwiseOR(shiftleft(bit(b, i), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+    def mortonRef(a: Long, b: Long): Long =
+      (0 until 8).map { i =>
+        (((a >>> i) & 1L) << (2 * i)) | (((b >>> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val pairs = for (a <- 0L to 255L by 17L; b <- 0L to 255L by 13L)
+      yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), mortonCol(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == mortonRef(a, b), s"morton($a,$b)")
+    }
+    // the classic identities: all-a bits land on even positions, all-b odd
+    assert(mortonRef(0xFFL, 0L) == 0x5555L && mortonRef(0L, 0xFFL) == 0xAAAAL)
+  }
+
   test("agg_hll_sketch: sparse-mode estimate is exact at fixture scale") {
     val r = SparkEntry.queries("agg_hll_sketch")(spark, TestSpark.Sf).first()
     assert(r.getAs[Long]("est_total") == r.getAs[Long]("exact_total"))
