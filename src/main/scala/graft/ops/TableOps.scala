@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import graft.sources.SnapTable
+import org.apache.spark.sql.functions._
+
+/** Snapshot-table-format tier (graft.sources.SnapTable): versioned
+  * manifests over immutable parquet, the Delta/Iceberg-class capability
+  * re-derived from the published designs. Each op exercises one contract
+  * of the format and is oracle-checked by restating the LOGICAL table
+  * state in SQL over the raw fixtures — the format changes only how that
+  * state is stored and found.
+  *
+  *  - `table_snapshot_append`: two commits, read = union of both (snapshot
+  *    isolation: the read resolves one manifest).
+  *  - `table_time_travel`: three commits, read AS OF version 2 — the v3
+  *    rows are invisible by manifest selection, no data rewrite involved.
+  *  - `table_merge_cow`: copy-on-write MERGE (update + delete + insert in
+  *    one commit); only files containing matched keys are rewritten.
+  *  - `table_changelog`: file-diff CDC between two snapshots — reads only
+  *    added/removed files, classifies insert/update/delete.
+  *  - `table_skip_prune`: manifest min/max file skipping for a key-range
+  *    read (the stats-based pruning layer above parquet row groups).
+  *  - `table_vacuum_read`: vacuum retains the live snapshot's files and
+  *    deletes unreferenced ones; the post-vacuum read is unchanged.
+  */
+object TableOps extends QueryModule {
+
+  /** The MERGE workload every merge-family op shares: every 10th doc
+    * revised, docs with doc_id % 97 == 3 (and not revised) deleted, the
+    * sub-50 ids re-inserted under new ids. Clause overlap is made disjoint
+    * so update/delete order cannot matter.
+    */
+  private def mergedTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = graft.Tmp.dir("graft_snaptab")
+    val base = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("text"))
+    SnapTable.create(s, root,
+      base.repartitionByRange(8, col("doc_id")), "doc_id")
+    val upd = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("_del", lit(false))
+      .unionByName(base
+        .filter(col("doc_id") % 97 === 3 && col("doc_id") % 10 =!= 0)
+        .withColumn("_del", lit(true)))
+      .unionByName(base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("_del", lit(false)))
+    SnapTable.merge(s, root, upd, "doc_id", Some("_del"))
+    root
+  }
+
+  private val mergeBaseSql =
+    "WITH base AS (SELECT doc_id, lang, text FROM documents), " +
+      "upd AS (SELECT doc_id, lang, text || ' v2' AS text, FALSE AS del " +
+      "FROM base WHERE doc_id % 10 = 0 " +
+      "UNION ALL SELECT doc_id, lang, text, TRUE FROM base " +
+      "WHERE doc_id % 97 = 3 AND doc_id % 10 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000, lang, text, FALSE FROM base " +
+      "WHERE doc_id < 50), " +
+      "merged AS (SELECT b.doc_id, b.lang, b.text FROM base b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id) " +
+      "UNION ALL SELECT doc_id, lang, text FROM upd WHERE NOT del) "
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "table_snapshot_append",
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        SnapTable.create(s, root, o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 1)
+          .repartitionByRange(4, col("o_orderkey")))
+        SnapTable.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_orderkey % 3 IN (0, 1) " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_time_travel",
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        SnapTable.create(s, root, o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 1))
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 2))
+        SnapTable.readVersion(s, root, 2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_orderkey % 3 IN (0, 1) " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    ),
+    Q(
+      "table_merge_cow",
+      (s, dir) => {
+        val root = mergedTable(s, dir)
+        SnapTable.read(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .orderBy("lang")
+      },
+      Some(mergeBaseSql +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
+        "FROM merged GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_changelog",
+      (s, dir) => {
+        val root = mergedTable(s, dir)
+        SnapTable.changes(s, root, 1, 2, "doc_id")
+          .groupBy("action")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .orderBy("action")
+      },
+      Some(
+        "WITH base AS (SELECT doc_id, text FROM documents), " +
+          "ch AS (SELECT 'delete' AS action, text FROM base " +
+          "WHERE doc_id % 97 = 3 AND doc_id % 10 <> 0 " +
+          "UNION ALL SELECT 'insert', text FROM base WHERE doc_id < 50 " +
+          "UNION ALL SELECT 'update', text || ' v2' FROM base " +
+          "WHERE doc_id % 10 = 0) " +
+          "SELECT action, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
+          "FROM ch GROUP BY action ORDER BY action")
+    ),
+    Q(
+      "table_skip_prune",
+      // manifest-level file skipping: the table is range-clustered on the
+      // stats column at write, so the [1, 1500] read plans a scan over only
+      // the overlapping files — driver-side, before any task launches
+      // (TableFormatSpec asserts scanned < total at a fixed row layout)
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        SnapTable.create(s, root,
+          o.repartitionByRange(16, col("o_orderkey")), "o_orderkey")
+        val (df, _, _) = SnapTable.readRange(s, root, 1L, 1500L)
+        df.agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("total"),
+          min("o_orderkey").as("first_key"),
+          max("o_orderkey").as("last_key"))
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total, " +
+          "min(o_orderkey) AS first_key, max(o_orderkey) AS last_key " +
+          "FROM orders WHERE o_orderkey BETWEEN 1 AND 1500")
+    ),
+    Q(
+      "table_vacuum_read",
+      (s, dir) => {
+        val root = mergedTable(s, dir)
+        SnapTable.vacuum(root, retainVersions = 1)
+        SnapTable.read(s, root)
+          .groupBy((col("doc_id") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .orderBy("bucket")
+      },
+      Some(mergeBaseSql +
+        "SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
+        "FROM merged GROUP BY 1 ORDER BY bucket")
+    )
+  )
+}

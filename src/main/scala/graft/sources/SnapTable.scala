@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal snapshot table format over parquet — the Delta/Iceberg-style
+  * ACID layer the sandbox has no jars for, re-derived from the published
+  * designs (Delta log protocol, Iceberg manifests) rather than ported.
+  *
+  * Layout:
+  * {{{
+  *   root/_log/v00000001.json     // manifest: file list + per-file stats
+  *   root/_log/v00000002.json
+  *   root/data/c-<uuid>/part-*.parquet   // one immutable dir per commit
+  * }}}
+  *
+  * Core properties, each load-bearing at 100 TB:
+  *
+  *  - **Snapshot isolation.** A manifest is the complete, immutable file
+  *    list of one table version. Readers resolve ONE manifest and never see
+  *    a half-written commit: data files are fully written before the
+  *    manifest that references them exists.
+  *  - **Atomic, optimistic commits.** A commit writes `v{N+1}.json.tmp` and
+  *    promotes it with a create-exclusive atomic move. Two racing writers
+  *    both target N+1; exactly one move succeeds, the loser re-reads the
+  *    log and retries on N+2 (`commitManifest`). On HDFS/local-posix the
+  *    rename is atomic as used here; on S3-class stores the same protocol
+  *    needs a conditional-PUT or a log-service — the manifest format is
+  *    unchanged.
+  *  - **File-level pruning.** Each manifest entry carries `rows/min/max` of
+  *    a declared stats column, so a range predicate skips whole files from
+  *    the DRIVER, before any task launches (`readRange`) — the first-line
+  *    data-skipping mechanism when one table is thousands of files.
+  *  - **Copy-on-write MERGE.** `merge` rewrites ONLY the files that contain
+  *    a matched key (found with one semi-join over the file-path metadata
+  *    column) and carries every untouched file forward by reference. An
+  *    update of 0.1% of keys clustered in 1% of files rewrites 1% of the
+  *    table, not 100%.
+  *  - **File-diff CDC.** `changes(from, to)` reads only the files ADDED and
+  *    REMOVED between two snapshots — carried-forward files cannot contain
+  *    changes by construction — and row-diffs just those. The change feed
+  *    for a small merge costs IO proportional to the merge, not the table.
+  *  - **Vacuum.** Data dirs not referenced by any retained manifest are
+  *    deleted; the live snapshot's files are provably kept because
+  *    retention is expressed in manifests, not timestamps.
+  *
+  * Paths inside a manifest are relative to `root`, so the table is
+  * relocatable (rsync/distcp the directory and it still reads).
+  */
+object SnapTable {
+
+  final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+  final case class Snapshot(
+      version: Int, op: String, statsCol: String, files: Seq[FileEntry])
+
+  // ---------------------------------------------------------------- commits
+
+  /** Create the table at version 1 from `df`; `statsCol` is the long column
+    * whose per-file min/max the manifests index (the natural cluster key).
+    */
+  def create(s: SparkSession, root: String, df: DataFrame,
+      statsCol: String): Int = {
+    Files.createDirectories(Paths.get(root, "_log"))
+    commit(s, root, writeData(s, root, df, statsCol), "create", statsCol)
+  }
+
+  /** Append-only commit: new files plus every file of the parent snapshot. */
+  def append(s: SparkSession, root: String, df: DataFrame): Int = {
+    val parent = load(root, latestVersion(root))
+    val fresh = writeData(s, root, df, parent.statsCol)
+    commit(s, root, parent.files ++ fresh, "append", parent.statsCol)
+  }
+
+  /** Copy-on-write MERGE (upsert + optional delete).
+    *
+    * `updates` carries the table schema plus, when `deleteCol` is set, a
+    * boolean marker column. Matched keys are updated (or deleted when the
+    * marker is true); unmatched keys are inserted. Only files containing a
+    * matched key are rewritten; all others are carried forward.
+    */
+  def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
+      deleteCol: Option[String] = None): Int = {
+    val parent = load(root, latestVersion(root))
+    val keys = updates.select(key).distinct()
+    val withFile = readFiles(s, root, parent.files)
+      .withColumn("_gf_file", col("_metadata.file_path"))
+    // one semi-join over file metadata finds the touched files; file paths
+    // are driver-side metadata (as in every CoW format)
+    val touched = withFile.join(broadcast(keys), Seq(key), "left_semi")
+      .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
+    val touchedRel = parent.files.filter(f =>
+      touched.exists(_.endsWith(f.path)))
+    val carried = parent.files.filterNot(touchedRel.contains)
+    val survivors = withFile
+      .filter(if (touched.isEmpty) lit(false)
+        else col("_gf_file").isInCollection(touched))
+      .drop("_gf_file")
+      .join(broadcast(keys), Seq(key), "left_anti")
+    val incoming = deleteCol match {
+      case Some(d) => updates.filter(!col(d)).drop(d)
+      case None => updates
+    }
+    val rewrite = survivors.unionByName(
+      incoming.select(survivors.columns.map(col).toIndexedSeq: _*))
+    val fresh =
+      if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
+      else writeData(s, root, rewrite, parent.statsCol)
+    commit(s, root, carried ++ fresh, "merge", parent.statsCol)
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  def read(s: SparkSession, root: String): DataFrame =
+    readVersion(s, root, latestVersion(root))
+
+  /** Time travel: the table exactly as of `version`. */
+  def readVersion(s: SparkSession, root: String, version: Int): DataFrame =
+    readFiles(s, root, load(root, version).files)
+
+  /** Range read with manifest-level file skipping: only files whose
+    * [min,max] overlaps [lo,hi] are scanned; the exact predicate is still
+    * applied to the survivors. Returns the pruned frame plus the
+    * (scanned, total) file counts so callers can assert the skip happened.
+    */
+  def readRange(s: SparkSession, root: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val snap = load(root, latestVersion(root))
+    val hit = snap.files.filter(f => f.max >= lo && f.min <= hi)
+    val df = readFiles(s, root, hit)
+      .filter(col(snap.statsCol) >= lo && col(snap.statsCol) <= hi)
+    (df, hit.size, snap.files.size)
+  }
+
+  /** File-diff CDC: row changes between two snapshots, classified
+    * insert / update / delete. Reads ONLY files added or removed between
+    * the snapshots; a row copied verbatim into a rewritten file is
+    * `unchanged` and filtered out. Emits the post-image for inserts and
+    * updates, the pre-image for deletes.
+    */
+  def changes(s: SparkSession, root: String, from: Int, to: Int,
+      key: String): DataFrame = {
+    val a = load(root, from)
+    val b = load(root, to)
+    val aPaths = a.files.map(_.path).toSet
+    val bPaths = b.files.map(_.path).toSet
+    val removed = a.files.filterNot(f => bPaths.contains(f.path))
+    val added = b.files.filterNot(f => aPaths.contains(f.path))
+    val schemaRef = readFiles(s, root,
+      if (removed.nonEmpty) removed else added)
+    def side(fs: Seq[FileEntry]): DataFrame =
+      if (fs.nonEmpty) readFiles(s, root, fs)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaRef.schema)
+    val payload = schemaRef.columns.filterNot(_ == key).toIndexedSeq
+    // presence markers (not payload-null sniffing) classify the join sides:
+    // a legitimately-null payload column must not masquerade as absence
+    val preR = side(removed).withColumn("_pre", lit(true))
+      .select(col(key) +: col("_pre") +: payload.map(c =>
+        col(c).as(s"_pre_$c")): _*)
+    val postR = side(added).withColumn("_post", lit(true))
+      .select(col(key) +: col("_post") +: payload.map(c =>
+        col(c).as(s"_post_$c")): _*)
+    val changed = payload.map(c =>
+      !(col(s"_pre_$c") <=> col(s"_post_$c"))).reduce(_ || _)
+    preR.join(postR, Seq(key), "full_outer")
+      .withColumn("action",
+        when(col("_pre").isNull, "insert")
+          .when(col("_post").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .filter(col("action") =!= "unchanged")
+      .select(col("action") +: col(key) +: payload.map(c =>
+        coalesce(col(s"_post_$c"), col(s"_pre_$c")).as(c)): _*)
+  }
+
+  /** Delete data dirs referenced by NO manifest among the newest
+    * `retainVersions`; older manifests are dropped too. Returns the number
+    * of data files deleted. Live files are safe by construction — retention
+    * is in snapshots, not mtimes.
+    */
+  def vacuum(root: String, retainVersions: Int = 1): Int = {
+    val keep = versions(root).takeRight(retainVersions)
+    val live: Set[String] =
+      keep.flatMap(v => load(root, v).files.map(_.path)).toSet
+    versions(root).dropRight(retainVersions).foreach(v =>
+      Files.delete(manifestPath(root, v)))
+    val dataRoot = Paths.get(root, "data")
+    var removed = 0
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { commitDir =>
+        val files = Files.list(commitDir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        val (dead, alive) = files.partition(f =>
+          !live.contains(Paths.get(root).relativize(f).toString))
+        dead.foreach { f => Files.delete(f); removed += 1 }
+        if (alive.isEmpty) deleteRecursively(commitDir)
+      }
+    }
+    removed
+  }
+
+  def versions(root: String): Seq[Int] =
+    Files.list(Paths.get(root, "_log")).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case ManifestName(v) => v.toInt }
+      .toSeq.sorted
+
+  def latestVersion(root: String): Int = versions(root).max
+
+  // ---------------------------------------------------------------- internals
+
+  private val ManifestName = """v(\d{8})\.json""".r
+
+  private def manifestPath(root: String, v: Int): Path =
+    Paths.get(root, "_log", f"v$v%08d.json")
+
+  /** Write `df` into a fresh immutable commit dir and return its manifest
+    * entries with per-file stats (one footer-cheap agg over the new files
+    * only — the cost every stats-collecting format pays at write time).
+    */
+  private def writeData(s: SparkSession, root: String, df: DataFrame,
+      statsCol: String): Seq[FileEntry] = {
+    val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    val dir = Paths.get(root, "data", dirName)
+    df.write.parquet(dir.toString)
+    val stats = s.read.parquet(dir.toString)
+      .groupBy(col("_metadata.file_path").as("p"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .collect()
+    stats.toIndexedSeq.map { r =>
+      val abs = Paths.get(new java.net.URI(r.getString(0)).getPath)
+      FileEntry(Paths.get(root).toAbsolutePath.relativize(abs).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3))
+    }.sortBy(_.path)
+  }
+
+  /** Optimistic-concurrency commit: serialize the manifest to a tmp file,
+    * atomically promote it to the next version slot; on collision re-read
+    * the log and retry against the new head.
+    */
+  private def commit(s: SparkSession, root: String, files: Seq[FileEntry],
+      op: String, statsCol: String): Int = {
+    var attempt = versions(root).lastOption.getOrElse(0) + 1
+    while (true) {
+      val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
+      Files.write(tmp, render(Snapshot(attempt, op, statsCol, files))
+        .getBytes(StandardCharsets.UTF_8))
+      try {
+        // link(2) is the POSIX create-exclusive primitive: unlike rename(2)
+        // (which silently replaces an existing target) it fails with EEXIST
+        // when the version slot is already taken — the whole optimistic-
+        // concurrency guarantee hangs on this one syscall choice
+        Files.createLink(manifestPath(root, attempt), tmp)
+        Files.delete(tmp)
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          attempt = latestVersion(root) + 1 // lost the race — retry on head
+      }
+    }
+    attempt
+  }
+
+  private def readFiles(s: SparkSession, root: String,
+      files: Seq[FileEntry]): DataFrame = {
+    require(files.nonEmpty, "snapshot has no data files")
+    s.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  private def load(root: String, v: Int): Snapshot = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(manifestPath(root, v)))
+    Snapshot(
+      node.get("version").asInt(),
+      node.get("op").asText(),
+      node.get("statsCol").asText(),
+      node.get("files").elements().asScala.map(f =>
+        FileEntry(f.get("path").asText(), f.get("rows").asLong(),
+          f.get("min").asLong(), f.get("max").asLong())).toSeq)
+  }
+
+  // paths are uuid-based names we generate — no JSON-escaping needed
+  private def render(snap: Snapshot): String = {
+    val files = snap.files.map(f =>
+      s"""{"path":"${f.path}","rows":${f.rows},"min":${f.min},"max":${f.max}}""")
+      .mkString("[", ",", "]")
+    s"""{"version":${snap.version},"op":"${snap.op}",""" +
+      s""""statsCol":"${snap.statsCol}","files":$files}"""
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+}

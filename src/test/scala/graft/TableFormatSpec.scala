@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapTable
+
+/** The snapshot table format's physical contracts — the parts the DuckDB
+  * oracles CANNOT see because they restate only the logical table state:
+  * commit atomicity under a race, copy-on-write touching only matched
+  * files, manifest-level file skipping, and vacuum's live-file safety.
+  */
+class TableFormatSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def freshTable(): String = {
+    val root = Tmp.dir("snaptab_spec")
+    val o = T(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    SnapTable.create(spark, root,
+      o.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    root
+  }
+
+  test("append creates a new version; old version is unchanged (isolation)") {
+    val root = freshTable()
+    val v1Count = SnapTable.read(spark, root).count()
+    SnapTable.append(spark, root,
+      SnapTable.read(spark, root).limit(100))
+    assert(SnapTable.versions(root) == Seq(1, 2))
+    assert(SnapTable.readVersion(spark, root, 1).count() == v1Count)
+    assert(SnapTable.read(spark, root).count() == v1Count + 100)
+  }
+
+  test("commit race: losing writer retries onto the next version slot") {
+    val root = freshTable()
+    // simulate a concurrent winner: occupy the v2 slot out from under an
+    // append already in flight conceptually — the append must land on v3
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_log", "v00000002.json"),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_log", "v00000001.json")))
+    val v = SnapTable.append(spark, root,
+      SnapTable.readVersion(spark, root, 1).limit(10))
+    assert(v == 3)
+    assert(SnapTable.versions(root) == Seq(1, 2, 3))
+    assert(SnapTable.read(spark, root).count() ==
+      SnapTable.readVersion(spark, root, 1).count() + 10)
+  }
+
+  test("merge is copy-on-write: clustered update rewrites only hit files") {
+    val root = freshTable()
+    val before = SnapTable.versions(root)
+    assert(before == Seq(1))
+    val files1 = currentFiles(root)
+    // keys clustered at the low end of the range layout → few files match
+    val upd = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") <= 64)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val nUpd = upd.count()
+    SnapTable.merge(spark, root, upd, "o_orderkey")
+    val files2 = currentFiles(root)
+    val carried = files2.intersect(files1)
+    assert(carried.nonEmpty,
+      s"CoW must carry untouched files forward (v1=${files1.size} " +
+        s"v2=${files2.size} carried=${carried.size})")
+    assert(files2.diff(files1).nonEmpty)
+    // logical result is the full upsert regardless of file physics
+    val merged = SnapTable.read(spark, root)
+    assert(merged.count() == SnapTable.readVersion(spark, root, 1).count())
+    val bumped = merged.join(upd.select("o_orderkey"), "o_orderkey")
+    assert(bumped.count() == nUpd)
+  }
+
+  test("readRange skips files by manifest stats and keeps exact results") {
+    val root = freshTable()
+    val (df, scanned, total) = SnapTable.readRange(spark, root, 1L, 200L)
+    assert(total == 8)
+    assert(scanned < total,
+      s"range-clustered layout must prune files ($scanned/$total)")
+    val expect = T(spark, TestSpark.Sf, "orders")
+      .filter(col("o_orderkey").between(1, 200)).count()
+    assert(df.count() == expect)
+  }
+
+  test("vacuum deletes dead files, keeps the live snapshot byte-identical") {
+    val root = freshTable()
+    val upd = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") <= 64)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    SnapTable.merge(spark, root, upd, "o_orderkey")
+    val liveSum = SnapTable.read(spark, root)
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val removed = SnapTable.vacuum(root, retainVersions = 1)
+    assert(removed > 0, "the rewritten files' originals must be deleted")
+    assert(SnapTable.versions(root) == Seq(2))
+    val afterSum = SnapTable.read(spark, root)
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(afterSum == liveSum)
+  }
+
+  test("changelog classifies delete/insert/update with correct images") {
+    val root = freshTable()
+    val base = SnapTable.readVersion(spark, root, 1)
+    val upd = base.filter(col("o_orderkey") <= 32)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("_del", col("o_orderkey") % 2 === 0)
+      .unionByName(base.limit(1)
+        .withColumn("o_orderkey", lit(99999999L))
+        .withColumn("_del", lit(false)))
+    SnapTable.merge(spark, root, upd, "o_orderkey", Some("_del"))
+    val ch = SnapTable.changes(spark, root, 1, 2, "o_orderkey").cache()
+    val byAction = ch.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val odd = base.filter(col("o_orderkey") <= 32 &&
+      col("o_orderkey") % 2 =!= 0).count()
+    val even = base.filter(col("o_orderkey") <= 32 &&
+      col("o_orderkey") % 2 === 0).count()
+    assert(byAction.get("insert").contains(1L))
+    assert(byAction.get("delete").contains(even))
+    assert(byAction.get("update").contains(odd))
+    // update rows carry the POST image
+    val post = ch.filter(col("action") === "update")
+      .join(base.withColumnRenamed("o_totalprice", "pre_price"),
+        "o_orderkey")
+    assert(post.filter(col("o_totalprice") =!= col("pre_price") + 1.0)
+      .count() == 0)
+    ch.unpersist()
+  }
+
+  private def currentFiles(root: String): Set[String] = {
+    val v = SnapTable.latestVersion(root)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root, "_log", f"v$v%08d.json")))
+    val it = node.get("files").elements()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next().get("path").asText()
+    b.result()
+  }
+}
