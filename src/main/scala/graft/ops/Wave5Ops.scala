@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-4 wave 5: iterative graph analytics, blocked fuzzy matching,
+  * duplicated-span coverage, and incremental (resume-from-checkpoint)
+  * streaming ingestion.
+  *
+  *  - `graph_pagerank`: 5 weighted PageRank iterations over the bipartite
+  *    user↔event_type interaction graph — the canonical iterative
+  *    DataFrame loop (join ranks to edges, aggregate to targets), with a
+  *    per-iteration integer quantization that makes every iteration
+  *    bit-deterministic across engines, so the whole recurrence is
+  *    oracle-checked (unrolled CTE chain on the DuckDB side).
+  *  - `join_fuzzy_levenshtein`: entity-resolution-style fuzzy self-match —
+  *    block on a cheap key, run the expensive edit distance only inside
+  *    blocks. The blocks bound the quadratic term by construction (the
+  *    at-scale contract; an unblocked fuzzy join is never shippable).
+  *  - `text_dup_spans`: duplicated 8-token-span coverage per document —
+  *    the span-level signal substring dedup pipelines threshold on
+  *    (a doc whose spans are mostly seen elsewhere is boilerplate even
+  *    when no whole-doc near-dup fires).
+  *  - `stream_available_now`: Trigger.AvailableNow incremental ETL — two
+  *    invocations share one checkpoint; the second processes ONLY files
+  *    that arrived after the first. Exactly-once is visible in the output
+  *    (row count equals distinct-id count after both runs).
+  */
+object Wave5Ops extends QueryModule {
+
+  /** Unrolled 5-iteration PageRank oracle. Each iteration quantizes
+    * exactly as the Spark side does: per-edge contribution rounded at the
+    * 1e12 grid and summed as BIGINT (associative — immune to partial-agg
+    * order), then the damped rank re-quantized to the same grid.
+    */
+  private def pagerankSql: String = {
+    val base =
+      "WITH ew AS (SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, " +
+        "'t:' || event_type AS dst, count(*) AS w FROM events " +
+        "GROUP BY 1, 2), " +
+        "edges0 AS (SELECT src, dst, w FROM ew " +
+        "UNION ALL SELECT dst, src, w FROM ew), " +
+        "outw AS (SELECT src, sum(w) AS ow FROM edges0 GROUP BY src), " +
+        "edges AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS frac " +
+        "FROM edges0 e JOIN outw o ON e.src = o.src), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM edges0), " +
+        "r0 AS (SELECT node, round(1e12 / (SELECT count(*) FROM nodes)) " +
+        "/ 1e12 AS rank FROM nodes), "
+    val iters = (1 to 5).map { k =>
+      s"r$k AS (SELECT n.node, " +
+        "round((0.15 / (SELECT count(*) FROM nodes) + " +
+        "0.85 * (coalesce(c.s, 0) / 1e12)) * 1e12) / 1e12 AS rank " +
+        "FROM nodes n LEFT JOIN (SELECT e.dst AS node, " +
+        "sum(CAST(round(r.rank * 1e12 * e.frac) AS BIGINT)) AS s " +
+        s"FROM r${k - 1} r JOIN edges e ON e.src = r.node " +
+        "GROUP BY e.dst) c ON n.node = c.node)"
+    }.mkString(", ")
+    base + iters +
+      " SELECT node, CAST(round(rank * 1e12) AS BIGINT) AS rank_e12 " +
+      "FROM r5 ORDER BY node"
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "graph_pagerank",
+      (s, dir) => {
+        // bipartite interaction graph, both directions; edge weight =
+        // interaction count, normalized per source into `frac`
+        val ut = T(s, dir, "events")
+          .groupBy(
+            concat(lit("u:"), col("user_id").cast("string")).as("src"),
+            concat(lit("t:"), col("event_type")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges0 = ut.unionByName(ut.select(
+          col("dst").as("src"), col("src").as("dst"), col("w")))
+        val outw = edges0.groupBy("src").agg(sum("w").as("ow"))
+        val edges = edges0.join(outw, "src")
+          .select(col("src"), col("dst"),
+            (col("w").cast("double") / col("ow")).as("frac"))
+          .persist() // reused 5x — one shuffle to build, then map-side only
+        val nodes = edges.select(col("src").as("node")).distinct().persist()
+        val n = nodes.count()
+        // every iteration lands ranks on the 1e12 integer grid: per-edge
+        // contributions are rounded THEN summed as longs, so neither
+        // engine's float-summation order can leak into the result
+        var rank = nodes.withColumn("rank",
+          lit(math.round(1e12 / n) / 1e12))
+        for (_ <- 1 to 5) {
+          val contrib = rank.join(edges, col("node") === col("src"))
+            .groupBy(col("dst"))
+            .agg(sum(round(col("rank") * 1e12 * col("frac")).cast("long"))
+              .as("contrib"))
+          rank = nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (round((lit(0.15 / n) + lit(0.85) *
+                (coalesce(col("contrib"), lit(0L)) / 1e12)) * 1e12) / 1e12)
+                .as("rank"))
+        }
+        val result = rank.select(col("node"),
+          round(col("rank") * 1e12).cast("long").as("rank_e12"))
+        val out = graft.Tmp.dir("graft_pagerank")
+        try result.write.mode("overwrite").parquet(out)
+        finally { edges.unpersist(false); nodes.unpersist(false) }
+        s.read.parquet(out).orderBy("node")
+      },
+      Some(pagerankSql)
+    ),
+    Q(
+      "join_fuzzy_levenshtein",
+      // blocked fuzzy self-match: the block key caps each comparison set
+      // at ~100 names, so the edit-distance term is linear-in-blocks at
+      // any table size — 100 TB of names shards by block exactly the same
+      (s, dir) => {
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            expr("c_custkey div 100").as("blk"))
+        val a = c.select(col("blk"), col("c_custkey").as("ka"),
+          col("c_name").as("na"))
+        val b = c.select(col("blk"), col("c_custkey").as("kb"),
+          col("c_name").as("nb"))
+        a.join(b, Seq("blk"))
+          .filter(col("ka") < col("kb"))
+          .withColumn("d", levenshtein(col("na"), col("nb")))
+          .filter(col("d") <= 2)
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"))
+          .orderBy("blk")
+      },
+      Some(
+        "WITH c AS (SELECT c_custkey, c_name, c_custkey // 100 AS blk " +
+          "FROM customer) " +
+          "SELECT a.blk, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) = 1 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_d1 " +
+          "FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey " +
+          "WHERE levenshtein(a.c_name, b.c_name) <= 2 " +
+          "GROUP BY a.blk ORDER BY a.blk")
+    ),
+    Q(
+      "text_dup_spans",
+      // duplicated-span coverage: distinct 8-token shingles per doc, a
+      // window count per shingle (one shuffle on the shingle), then a
+      // per-doc rollup — no self-join, cost linear in total shingles
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, size(toks) - 7), " +
+              "i -> array_join(slice(toks, i, 8), ' '))"))).as("sh"))
+        val perShingle = Window.partitionBy("sh")
+        sh.withColumn("ndocs", count(lit(1)).over(perShingle))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_ratio",
+            round(col("n_dup").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+          "FROM documents WHERE lang = 'en'), " +
+          "f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8), " +
+          "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 7), " +
+          "i -> array_to_string(toks[i:i+7], ' ')))) AS sh FROM f), " +
+          "fl AS (SELECT doc_id, " +
+          "count(*) OVER (PARTITION BY sh) AS ndocs FROM sh) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+          "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_dup, " +
+          "round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) " +
+          "AS DOUBLE) / count(*), 6) AS dup_ratio " +
+          "FROM fl GROUP BY doc_id ORDER BY doc_id")
+    ),
+    Q(
+      "stream_available_now",
+      // incremental ingestion: run 1 drains the files present at start;
+      // more files land; run 2 reuses the checkpoint and processes ONLY
+      // the arrivals — the nightly-ETL-as-a-stream pattern. n == n_ids
+      // in the output is the exactly-once witness.
+      (s, dir) => {
+        val src = graft.Tmp.dir("graft_incr_src")
+        val out = graft.Tmp.dir("graft_incr_out")
+        val ckpt = graft.Tmp.dir("graft_incr_ckpt")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(ev.schema).parquet(src)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out); ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+        runOnce()
+        ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+        runOnce()
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("event_id").as("n_ids"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    )
+  )
+}
