@@ -220,24 +220,43 @@ object SnapTable {
     Paths.get(root, "_log", f"v$v%08d.json")
 
   /** Write `df` into a fresh immutable commit dir and return its manifest
-    * entries with per-file stats (one footer-cheap agg over the new files
-    * only — the cost every stats-collecting format pays at write time).
+    * entries. Stats come from the parquet FOOTERS the write already
+    * produced (row counts + column-chunk min/max), not from re-scanning
+    * the data — commit cost is metadata-sized. Footers are read on the
+    * driver here; on a real cluster this loop is a `spark.parallelize`
+    * over file names (footer reads are independent), same as Iceberg's
+    * manifest workers.
     */
   private def writeData(s: SparkSession, root: String, df: DataFrame,
       statsCol: String): Seq[FileEntry] = {
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(root, "data", dirName)
     df.write.parquet(dir.toString)
-    val stats = s.read.parquet(dir.toString)
-      .groupBy(col("_metadata.file_path").as("p"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
-      .collect()
-    stats.toIndexedSeq.map { r =>
-      val abs = Paths.get(new java.net.URI(r.getString(0)).getPath)
-      FileEntry(Paths.get(root).toAbsolutePath.relativize(abs).toString,
-        r.getLong(1), r.getLong(2), r.getLong(3))
-    }.sortBy(_.path)
+    val conf = s.sparkContext.hadoopConfiguration
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          if (blocks.isEmpty) None // empty part file: no entry, no stats
+          else {
+            val rows = blocks.map(_.getRowCount).sum
+            val colStats = blocks.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == statsCol)
+              .map(_.getStatistics))
+            val mins = colStats.map(st =>
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+            val maxs = colStats.map(st =>
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            Some(FileEntry(
+              Paths.get(root).toAbsolutePath.relativize(p).toString,
+              rows, mins.min, maxs.max))
+          }
+        } finally reader.close()
+      }.sortBy(_.path)
   }
 
   /** Optimistic-concurrency commit: serialize the manifest to a tmp file,
