@@ -168,6 +168,77 @@ object TableOps extends QueryModule {
           "FROM orders WHERE o_orderkey BETWEEN 1 AND 1500")
     ),
     Q(
+      "table_schema_evolve",
+      // schema-in-log evolution: v1 lacks o_orderpriority, the v2 APPEND
+      // carries it — old files null-fill the new column on read because
+      // the snapshot schema (not each footer) governs the scan; no data
+      // file is rewritten and no mergeSchema footer sweep happens
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders")
+        SnapTable.create(s, root,
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        SnapTable.append(s, root,
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority")))
+        SnapTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderpriority").asc_nulls_first)
+      },
+      Some(
+        "WITH t AS (SELECT o_orderkey, o_totalprice, " +
+          "NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 " +
+          "UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority " +
+          "FROM orders WHERE o_orderkey % 2 = 1) " +
+          "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM t " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST")
+    ),
+    Q(
+      "table_stream_commit",
+      // streaming → ACID table: each micro-batch lands as ONE snapshot
+      // commit inside foreachBatch, so downstream readers only ever see
+      // whole batches (no partial files), and the table's version history
+      // IS the ingestion audit log. maxFilesPerTrigger forces multiple
+      // batches so the multi-commit path actually runs.
+      (s, dir) => {
+        val src = graft.Tmp.dir("graft_tstream_src")
+        val root = graft.Tmp.dir("graft_tstream_tab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        ev.repartition(4).write.mode("append").parquet(src)
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src)
+          .writeStream
+          .option("checkpointLocation", graft.Tmp.dir("graft_tstream_ck"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(root, "_log")))
+              SnapTable.append(s, root, b)
+            else SnapTable.create(s, root, b, "event_id")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SnapTable.read(s, root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("event_id").as("n_ids"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "table_vacuum_read",
       (s, dir) => {
         val root = mergedTable(s, dir)

@@ -55,8 +55,16 @@ import org.apache.spark.sql.functions._
 object SnapTable {
 
   final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+
+  /** `schemaJson` is the table schema AS OF this snapshot (StructType
+    * JSON). Schema lives in the log, not in data-file footers: a read
+    * applies the snapshot's schema to every file and parquet null-fills
+    * columns a file predates — schema evolution without rewriting a byte
+    * (and without a mergeSchema footer sweep over thousands of files).
+    */
   final case class Snapshot(
-      version: Int, op: String, statsCol: String, files: Seq[FileEntry])
+      version: Int, op: String, statsCol: String, schemaJson: String,
+      files: Seq[FileEntry])
 
   // ---------------------------------------------------------------- commits
 
@@ -66,14 +74,20 @@ object SnapTable {
   def create(s: SparkSession, root: String, df: DataFrame,
       statsCol: String): Int = {
     Files.createDirectories(Paths.get(root, "_log"))
-    commit(s, root, writeData(s, root, df, statsCol), "create", statsCol)
+    commit(s, root, writeData(s, root, df, statsCol), "create", statsCol,
+      df.schema.json)
   }
 
-  /** Append-only commit: new files plus every file of the parent snapshot. */
+  /** Append-only commit: new files plus every file of the parent snapshot.
+    * The incoming frame's schema becomes the snapshot schema — appending
+    * with an added column IS the schema-evolution commit (old files
+    * null-fill it on read).
+    */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
     val parent = load(root, latestVersion(root))
     val fresh = writeData(s, root, df, parent.statsCol)
-    commit(s, root, parent.files ++ fresh, "append", parent.statsCol)
+    commit(s, root, parent.files ++ fresh, "append", parent.statsCol,
+      df.schema.json)
   }
 
   /** Copy-on-write MERGE (upsert + optional delete).
@@ -87,7 +101,7 @@ object SnapTable {
       deleteCol: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
     val keys = updates.select(key).distinct()
-    val withFile = readFiles(s, root, parent.files)
+    val withFile = readFiles(s, root, parent.files, parent.schemaJson)
       .withColumn("_gf_file", col("_metadata.file_path"))
     // one semi-join over file metadata finds the touched files; file paths
     // are driver-side metadata (as in every CoW format)
@@ -110,7 +124,8 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
       else writeData(s, root, rewrite, parent.statsCol)
-    commit(s, root, carried ++ fresh, "merge", parent.statsCol)
+    commit(s, root, carried ++ fresh, "merge", parent.statsCol,
+      parent.schemaJson)
   }
 
   // ---------------------------------------------------------------- reads
@@ -119,8 +134,10 @@ object SnapTable {
     readVersion(s, root, latestVersion(root))
 
   /** Time travel: the table exactly as of `version`. */
-  def readVersion(s: SparkSession, root: String, version: Int): DataFrame =
-    readFiles(s, root, load(root, version).files)
+  def readVersion(s: SparkSession, root: String, version: Int): DataFrame = {
+    val snap = load(root, version)
+    readFiles(s, root, snap.files, snap.schemaJson)
+  }
 
   /** Range read with manifest-level file skipping: only files whose
     * [min,max] overlaps [lo,hi] are scanned; the exact predicate is still
@@ -131,7 +148,7 @@ object SnapTable {
       : (DataFrame, Int, Int) = {
     val snap = load(root, latestVersion(root))
     val hit = snap.files.filter(f => f.max >= lo && f.min <= hi)
-    val df = readFiles(s, root, hit)
+    val df = readFiles(s, root, hit, snap.schemaJson)
       .filter(col(snap.statsCol) >= lo && col(snap.statsCol) <= hi)
     (df, hit.size, snap.files.size)
   }
@@ -150,10 +167,12 @@ object SnapTable {
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
     val added = b.files.filterNot(f => aPaths.contains(f.path))
+    // both sides read under the TO snapshot's schema: pre-images of rows
+    // that predate an added column surface it as null, like the table does
     val schemaRef = readFiles(s, root,
-      if (removed.nonEmpty) removed else added)
+      if (removed.nonEmpty) removed else added, b.schemaJson)
     def side(fs: Seq[FileEntry]): DataFrame =
-      if (fs.nonEmpty) readFiles(s, root, fs)
+      if (fs.nonEmpty) readFiles(s, root, fs, b.schemaJson)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaRef.schema)
     val payload = schemaRef.columns.filterNot(_ == key).toIndexedSeq
@@ -264,12 +283,13 @@ object SnapTable {
     * the log and retry against the new head.
     */
   private def commit(s: SparkSession, root: String, files: Seq[FileEntry],
-      op: String, statsCol: String): Int = {
+      op: String, statsCol: String, schemaJson: String): Int = {
     var attempt = versions(root).lastOption.getOrElse(0) + 1
     while (true) {
       val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
-      Files.write(tmp, render(Snapshot(attempt, op, statsCol, files))
-        .getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp,
+        render(Snapshot(attempt, op, statsCol, schemaJson, files))
+          .getBytes(StandardCharsets.UTF_8))
       try {
         // link(2) is the POSIX create-exclusive primitive: unlike rename(2)
         // (which silently replaces an existing target) it fails with EEXIST
@@ -288,9 +308,11 @@ object SnapTable {
   }
 
   private def readFiles(s: SparkSession, root: String,
-      files: Seq[FileEntry]): DataFrame = {
+      files: Seq[FileEntry], schemaJson: String): DataFrame = {
     require(files.nonEmpty, "snapshot has no data files")
-    s.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    s.read.schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
   private def load(root: String, v: Int): Snapshot = {
@@ -300,6 +322,7 @@ object SnapTable {
       node.get("version").asInt(),
       node.get("op").asText(),
       node.get("statsCol").asText(),
+      node.get("schema").toString,
       node.get("files").elements().asScala.map(f =>
         FileEntry(f.get("path").asText(), f.get("rows").asLong(),
           f.get("min").asLong(), f.get("max").asLong())).toSeq)
@@ -311,7 +334,8 @@ object SnapTable {
       s"""{"path":"${f.path}","rows":${f.rows},"min":${f.min},"max":${f.max}}""")
       .mkString("[", ",", "]")
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
-      s""""statsCol":"${snap.statsCol}","files":$files}"""
+      s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
+      s""""files":$files}"""
   }
 
   private def deleteRecursively(p: Path): Unit = {

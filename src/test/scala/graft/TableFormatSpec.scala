@@ -128,6 +128,54 @@ class TableFormatSpec extends AnyFunSuite {
     ch.unpersist()
   }
 
+  test("schema evolution: snapshot schema governs reads; time travel keeps v1") {
+    val root = freshTable()
+    val extra = T(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey") + 10000000L as "o_orderkey",
+        col("o_totalprice"), col("o_orderpriority"))
+      .limit(50)
+    SnapTable.append(spark, root, extra)
+    val latest = SnapTable.read(spark, root)
+    assert(latest.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    // pre-evolution rows surface the added column as null, new rows as set
+    assert(latest.filter(col("o_orderpriority").isNull).count() ==
+      SnapTable.readVersion(spark, root, 1).count())
+    assert(latest.filter(col("o_orderpriority").isNotNull).count() == 50)
+    // the old snapshot still reads with its own (2-column) schema
+    assert(SnapTable.readVersion(spark, root, 1).columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("stream commits: one snapshot per micro-batch, no partial reads") {
+    val src = Tmp.dir("snaptab_stream_src")
+    val root = Tmp.dir("snaptab_stream_tab")
+    val ev = T(spark, TestSpark.Sf, "events")
+      .select(col("event_id"), col("event_type"))
+    ev.repartition(4).write.mode("append").parquet(src)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .option("checkpointLocation", Tmp.dir("snaptab_stream_ck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(root, "_log")))
+          SnapTable.append(spark, root, b)
+        else SnapTable.create(spark, root, b, "event_id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(SnapTable.versions(root).size == 4,
+      "each micro-batch must land as exactly one commit")
+    assert(SnapTable.read(spark, root).count() == ev.count())
+    // every intermediate snapshot is a readable consistent prefix
+    val sizes = SnapTable.versions(root).map(v =>
+      SnapTable.readVersion(spark, root, v).count())
+    assert(sizes == sizes.sorted && sizes.last == ev.count())
+  }
+
   private def currentFiles(root: String): Set[String] = {
     val v = SnapTable.latestVersion(root)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
