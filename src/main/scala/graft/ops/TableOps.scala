@@ -239,6 +239,35 @@ object TableOps extends QueryModule {
           "FROM events GROUP BY event_type ORDER BY event_type")
     ),
     Q(
+      "table_delete_where",
+      // right-to-be-forgotten: erase every event of a user set by
+      // predicate. CoW means the rewrite touches only files holding those
+      // users' rows; vacuum afterwards makes the erasure physical (the
+      // pre-delete snapshot is dropped, so no time travel resurrects it).
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        SnapTable.create(s, root,
+          ev.repartitionByRange(8, col("event_id")), "event_id")
+        SnapTable.deleteWhere(s, root, col("user_id") % 7 === 3)
+        SnapTable.vacuum(root, retainVersions = 1)
+        SnapTable.read(s, root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events WHERE user_id % 7 <> 3 " +
+          "GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "table_vacuum_read",
       (s, dir) => {
         val root = mergedTable(s, dir)

@@ -128,6 +128,33 @@ object SnapTable {
       parent.schemaJson)
   }
 
+  /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
+    * Only files that contain a matching row are rewritten (without the
+    * matches); untouched files are carried forward. Cost is proportional
+    * to where the matching rows LIVE, not to the table.
+    */
+  def deleteWhere(s: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val parent = load(root, latestVersion(root))
+    val withFile = readFiles(s, root, parent.files, parent.schemaJson)
+      .withColumn("_gf_file", col("_metadata.file_path"))
+    val touched = withFile.filter(predicate)
+      .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
+    val touchedRel = parent.files.filter(f =>
+      touched.exists(_.endsWith(f.path)))
+    val carried = parent.files.filterNot(touchedRel.contains)
+    val survivors = withFile
+      .filter(if (touched.isEmpty) lit(false)
+        else col("_gf_file").isInCollection(touched))
+      .filter(!predicate)
+      .drop("_gf_file")
+    val fresh =
+      if (touchedRel.isEmpty) Seq.empty
+      else writeData(s, root, survivors, parent.statsCol)
+    commit(s, root, carried ++ fresh, "delete", parent.statsCol,
+      parent.schemaJson)
+  }
+
   // ---------------------------------------------------------------- reads
 
   def read(s: SparkSession, root: String): DataFrame =

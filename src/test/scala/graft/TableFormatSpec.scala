@@ -176,6 +176,26 @@ class TableFormatSpec extends AnyFunSuite {
     assert(sizes == sizes.sorted && sizes.last == ev.count())
   }
 
+  test("deleteWhere: physical erasure after vacuum, CoW on touched files") {
+    val root = freshTable()
+    val before = SnapTable.read(spark, root).count()
+    val victims = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 5 === 0).count()
+    SnapTable.deleteWhere(spark, root, col("o_orderkey") % 5 === 0)
+    val after = SnapTable.read(spark, root)
+    assert(after.count() == before - victims)
+    assert(after.filter(col("o_orderkey") % 5 === 0).count() == 0)
+    // pre-delete snapshot still has them — until vacuum drops it
+    assert(SnapTable.readVersion(spark, root, 1)
+      .filter(col("o_orderkey") % 5 === 0).count() == victims)
+    val removed = SnapTable.vacuum(root, retainVersions = 1)
+    assert(removed > 0)
+    assert(SnapTable.versions(root) == Seq(2))
+    // no remaining data file on disk contains a victim row
+    assert(SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 5 === 0).count() == 0)
+  }
+
   private def currentFiles(root: String): Set[String] = {
     val v = SnapTable.latestVersion(root)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
