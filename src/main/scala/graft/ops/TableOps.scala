@@ -268,6 +268,64 @@ object TableOps extends QueryModule {
           "GROUP BY event_type ORDER BY event_type")
     ),
     Q(
+      "table_idempotent_commit",
+      // at-least-once producer, exactly-once table: each micro-batch
+      // commits via appendOnce(txnId = app/batch); the deliberately
+      // redelivered batches after the stream are no-ops because their txn
+      // ids are already in the log. n == n_ids in the output (and row
+      // counts equal to the plain-events oracle) witness the dedup.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_txn_tab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
+        SnapTable.create(s, root, batch(0), "event_id")
+        (1 to 2).foreach(i =>
+          SnapTable.appendOnce(s, root, batch(i), s"ingest-$i"))
+        // the at-least-once retry: every batch is DELIVERED AGAIN; the
+        // txn log makes each a no-op instead of a duplicate append
+        (1 to 2).foreach(i =>
+          SnapTable.appendOnce(s, root, batch(i), s"ingest-$i"))
+        SnapTable.read(s, root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("event_id").as("n_ids"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "table_compact",
+      // OPTIMIZE: five small appends fragment the table; compact rewrites
+      // the live snapshot range-clustered at 4 files. The oracle pins the
+      // content unchanged; TableFormatSpec pins the file physics (count
+      // drops, clustering restores readRange pruning).
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        SnapTable.create(s, root, o.filter(col("o_orderkey") % 5 === 0)
+          .repartition(4), "o_orderkey")
+        (1 to 4).foreach(i => SnapTable.append(s, root,
+          o.filter(col("o_orderkey") % 5 === i).repartition(4)))
+        SnapTable.compact(s, root, targetFiles = 4)
+        SnapTable.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_vacuum_read",
       (s, dir) => {
         val root = mergedTable(s, dir)

@@ -64,7 +64,7 @@ object SnapTable {
     */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry], txn: Option[String] = None)
 
   // ---------------------------------------------------------------- commits
 
@@ -126,6 +126,39 @@ object SnapTable {
       else writeData(s, root, rewrite, parent.statsCol)
     commit(s, root, carried ++ fresh, "merge", parent.statsCol,
       parent.schemaJson)
+  }
+
+  /** Idempotent append for at-least-once producers (the Delta `txn`
+    * action): the commit carries `txnId`, and a redelivery of the same
+    * `txnId` is a no-op returning the version that already holds it. A
+    * streaming foreachBatch keyed by (appId, batchId) gets exactly-once
+    * table contents even when the sink retries a batch.
+    */
+  def appendOnce(s: SparkSession, root: String, df: DataFrame,
+      txnId: String): Int = {
+    val applied = versions(root).map(load(root, _))
+      .find(_.txn.contains(txnId))
+    applied match {
+      case Some(snap) => snap.version // duplicate delivery: already in
+      case None =>
+        val parent = load(root, latestVersion(root))
+        val fresh = writeData(s, root, df, parent.statsCol)
+        commit(s, root, parent.files ++ fresh, "append", parent.statsCol,
+          df.schema.json, txn = Some(txnId))
+    }
+  }
+
+  /** OPTIMIZE: rewrite the live snapshot into `targetFiles` range-clustered
+    * files (content byte-identical, history preserved — the pre-compaction
+    * snapshot stays readable until vacuumed). Small-file pressure is the
+    * tax every streaming-ingested table pays; this is the repair verb.
+    */
+  def compact(s: SparkSession, root: String, targetFiles: Int): Int = {
+    val parent = load(root, latestVersion(root))
+    val rewritten = readFiles(s, root, parent.files, parent.schemaJson)
+      .repartitionByRange(targetFiles, col(parent.statsCol))
+    val fresh = writeData(s, root, rewritten, parent.statsCol)
+    commit(s, root, fresh, "compact", parent.statsCol, parent.schemaJson)
   }
 
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
@@ -310,12 +343,13 @@ object SnapTable {
     * the log and retry against the new head.
     */
   private def commit(s: SparkSession, root: String, files: Seq[FileEntry],
-      op: String, statsCol: String, schemaJson: String): Int = {
+      op: String, statsCol: String, schemaJson: String,
+      txn: Option[String] = None): Int = {
     var attempt = versions(root).lastOption.getOrElse(0) + 1
     while (true) {
       val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
       Files.write(tmp,
-        render(Snapshot(attempt, op, statsCol, schemaJson, files))
+        render(Snapshot(attempt, op, statsCol, schemaJson, files, txn))
           .getBytes(StandardCharsets.UTF_8))
       try {
         // link(2) is the POSIX create-exclusive primitive: unlike rename(2)
@@ -352,7 +386,8 @@ object SnapTable {
       node.get("schema").toString,
       node.get("files").elements().asScala.map(f =>
         FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-          f.get("min").asLong(), f.get("max").asLong())).toSeq)
+          f.get("min").asLong(), f.get("max").asLong())).toSeq,
+      Option(node.get("txn")).map(_.asText()))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -360,9 +395,10 @@ object SnapTable {
     val files = snap.files.map(f =>
       s"""{"path":"${f.path}","rows":${f.rows},"min":${f.min},"max":${f.max}}""")
       .mkString("[", ",", "]")
+    val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
-      s""""files":$files}"""
+      s""""files":$files$txn}"""
   }
 
   private def deleteRecursively(p: Path): Unit = {

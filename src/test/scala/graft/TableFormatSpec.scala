@@ -196,6 +196,44 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_orderkey") % 5 === 0).count() == 0)
   }
 
+  test("appendOnce: redelivered txn is a no-op; new txn commits") {
+    val root = freshTable()
+    val inc = SnapTable.read(spark, root).limit(25)
+    val v2 = SnapTable.appendOnce(spark, root, inc, "job-42")
+    val n2 = SnapTable.read(spark, root).count()
+    // redelivery: same txn id, no new version, no new rows
+    assert(SnapTable.appendOnce(spark, root, inc, "job-42") == v2)
+    assert(SnapTable.versions(root).max == v2)
+    assert(SnapTable.read(spark, root).count() == n2)
+    // a different txn id is a genuine new commit
+    assert(SnapTable.appendOnce(spark, root, inc, "job-43") == v2 + 1)
+    assert(SnapTable.read(spark, root).count() == n2 + 25)
+  }
+
+  test("compact shrinks the file count and preserves content + pruning") {
+    val root = Tmp.dir("snaptab_spec")
+    val o = T(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    SnapTable.create(spark, root, o.filter(col("o_orderkey") % 4 === 0)
+      .repartition(6), "o_orderkey")
+    (1 to 3).foreach(i => SnapTable.append(spark, root,
+      o.filter(col("o_orderkey") % 4 === i).repartition(6)))
+    val filesBefore = currentFiles(root).size
+    // cents-integer sum: associative, so immune to the partition-order
+    // change the compaction rewrite causes
+    def cents() = SnapTable.read(spark, root)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    val before = (SnapTable.read(spark, root).count(), cents())
+    SnapTable.compact(spark, root, targetFiles = 4)
+    assert(currentFiles(root).size == 4)
+    assert(currentFiles(root).size < filesBefore)
+    assert((SnapTable.read(spark, root).count(), cents()) == before)
+    // range clustering restored: a narrow key range prunes again
+    val (_, scanned, total) = SnapTable.readRange(spark, root, 1L, 200L)
+    assert(total == 4 && scanned < total)
+  }
+
   private def currentFiles(root: String): Set[String] = {
     val v = SnapTable.latestVersion(root)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
