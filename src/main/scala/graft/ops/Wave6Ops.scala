@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
-import graft.Det.{dround, droundSql}
+import graft.Det.{davg, davgSql, dround, droundSql}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,6 +124,57 @@ object Wave6Ops extends QueryModule {
           "(len(a.tk) = len(b.tk) AND a.doc_id < b.doc_id))) " +
           "SELECT doc_a, doc_b, cont FROM p WHERE cont >= 0.9 " +
           "ORDER BY doc_a, doc_b")
+    ),
+    Q(
+      "text_bigram_xent",
+      // bigram-LM cross-entropy — one model-quality notch above
+      // text_unigram_xent: p(v|u) = (c(uv)+k) / (c(u)+k·V), add-k
+      // smoothed (k=0.5), scored as the per-doc mean -ln p over its
+      // bigrams. Counts are corpus aggregates that broadcast; the smoothed
+      // probability is derived per row from integers, so both engines
+      // compute bit-identical doubles and davg pins the mean.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bg = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS u, toks[i] AS v))")).as("b"))
+          .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+        val vocab = T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct("tok")).collect()(0).getLong(0)
+        val cuv = bg.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        val cu = bg.groupBy("u").agg(count(lit(1)).as("cu"))
+        bg.join(broadcast(cuv), Seq("u", "v"))
+          .join(broadcast(cu), Seq("u"))
+          .withColumn("p",
+            (col("cuv") + lit(0.5)) / (col("cu") + lit(0.5) * vocab))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            davg(-log(col("p")), 6).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+          "FROM documents), " +
+          "f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2), " +
+          "bg AS (SELECT doc_id, unnest(list_transform(" +
+          "generate_series(2, len(toks)), " +
+          "i -> {'u': toks[i-1], 'v': toks[i]})) AS b FROM f), " +
+          "pairs AS (SELECT doc_id, b.u AS u, b.v AS v FROM bg), " +
+          "vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab " +
+          "FROM (SELECT unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents)), " +
+          "cuv AS (SELECT u, v, count(*) AS cuv FROM pairs GROUP BY 1, 2), " +
+          "cu AS (SELECT u, count(*) AS cu FROM pairs GROUP BY 1), " +
+          "sc AS (SELECT p.doc_id, " +
+          "(cuv.cuv + 0.5) / (cu.cu + 0.5 * (SELECT vocab FROM vv)) AS p " +
+          "FROM pairs p JOIN cuv ON p.u = cuv.u AND p.v = cuv.v " +
+          "JOIN cu ON p.u = cu.u) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+          davgSql("-ln(p)", 6) + " AS xent " +
+          "FROM sc GROUP BY doc_id ORDER BY doc_id")
     ),
     Q(
       "vec_knn_join",

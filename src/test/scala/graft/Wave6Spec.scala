@@ -66,6 +66,36 @@ class Wave6Spec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("text_bigram_xent equals the in-memory brute force") {
+    val texts = T(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val vocab = texts.flatMap(_._2).distinct.length
+    val bigrams = texts.filter(_._2.length >= 2).map { case (id, ts) =>
+      id -> ts.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val cuv = bigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val cu = bigrams.flatMap(_._2.map(_._1)).groupBy(identity)
+      .view.mapValues(_.size)
+    val brute = bigrams.map { case (id, bs) =>
+      // mirror davg's integer-quantized mean exactly
+      val s = bs.map { b =>
+        val p = (cuv(b) + 0.5) / (cu(b._1) + 0.5 * vocab)
+        math.round(-math.log(p) * 1e8)
+      }.sum
+      id -> (bs.size.toLong,
+        math.round(s.toDouble / bs.size / 1e2) / 1e6)
+    }.toMap
+    val got = SparkEntry.queries("text_bigram_xent")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent"))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (id, (n, x)) =>
+      assert(n == brute(id)._1, s"doc $id bigram count")
+      assert(math.abs(x - brute(id)._2) < 1e-9, s"doc $id xent")
+    }
+  }
+
   test("vec_knn_join agrees with vec_knn_query on the shared query") {
     val single = SparkEntry.queries("vec_knn_query")(spark, TestSpark.Sf)
       .collect().take(3)
