@@ -177,6 +177,45 @@ object Wave6Ops extends QueryModule {
           "FROM sc GROUP BY doc_id ORDER BY doc_id")
     ),
     Q(
+      "source_log_lines",
+      // raw-log ingestion: events rendered as key=value text lines (cents
+      // as integers — log text must round-trip, so no float formatting),
+      // read back with spark.read.text + regexp_extract into typed
+      // columns. The classic first mile of log ETL; the oracle states the
+      // logical aggregate straight off the events table, so the whole
+      // render→parse round trip must be lossless to pass.
+      (s, dir) => {
+        val out = graft.Tmp.dir("graft_loglines")
+        T(s, dir, "events")
+          .select(concat(
+            lit("evt id="), col("event_id"),
+            lit(" user="), col("user_id"),
+            lit(" type="), col("event_type"),
+            lit(" cents="), round(col("value") * 100).cast("long"))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(
+            regexp_extract(col("value"), "id=(\\d+)", 1)
+              .cast("long").as("event_id"),
+            regexp_extract(col("value"), "type=(\\w+)", 1)
+              .as("event_type"),
+            regexp_extract(col("value"), "cents=(-?\\d+)", 1)
+              .cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("event_id").as("first_id"),
+            sum("cents").as("total_cents"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "min(event_id) AS first_id, " +
+          "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+          "AS total_cents " +
+          "FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "vec_knn_join",
       // batched kNN join: broadcast the query batch, one corpus scan,
       // per-query rank — at 100 TB the corpus side stays partitioned and

@@ -134,4 +134,39 @@ class PlanSpec extends AnyFunSuite {
     // partial + final pairs around one shuffle
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("join_fuzzy_levenshtein broadcasts the block side, no shuffle join") {
+    val p = planOf("join_fuzzy_levenshtein")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the edit distance runs inside the join condition, once per pair
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("text_dup_spans has no join: explode -> window -> aggregate") {
+    val p = planOf("text_dup_spans")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("vec_knn_join broadcasts the query batch and keeps fvdot codegen'd") {
+    val p = planOf("vec_knn_join")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("fvdot") || p.contains("floatvecdot"), p)
+  }
+
+  test("data_kanon_suppress is two hash aggregates, no join") {
+    val p = planOf("data_kanon_suppress")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2x partial+final
+  }
+
+  test("events_user_journey is one window pass, no self-join") {
+    val p = planOf("events_user_journey")
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
