@@ -326,6 +326,95 @@ object TableOps extends QueryModule {
           "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_zorder_prune",
+      // OPTIMIZE ZORDER on the table format: compact clustered by the
+      // Morton interleave of (custkey bucket, order-day bucket), then
+      // range-read each dimension INDEPENDENTLY — per-column manifest
+      // stats prune files for both, which no single-column sort can do
+      // (TableFormatSpec asserts scanned < total on each axis).
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+              .as("o_day"),
+            col("o_totalprice"))
+        SnapTable.create(s, root, o.repartition(8), "o_orderkey")
+        def bit(c: org.apache.spark.sql.Column, i: Int) =
+          shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+        // 8-bit buckets on both dimensions, widths derived from the actual
+        // column ranges so each dimension fills its bit budget — an
+        // unbalanced interleave lets one dimension dominate the file
+        // splits and the other never prunes (OPTIMIZE computes layout
+        // params from table stats for exactly this reason)
+        val r = o.agg(min("o_custkey"), max("o_custkey"),
+          min("o_day"), max("o_day")).collect()(0)
+        def w(lo: Long, hi: Long) = math.max(1L, (hi - lo + 255) / 256)
+        val w1 = w(r.getLong(0), r.getLong(1))
+        val w2 = w(r.getLong(2), r.getLong(3))
+        val b1 = least(expr(s"(o_custkey - ${r.getLong(0)}) div $w1"),
+          lit(255L))
+        val b2 = least(expr(s"(o_day - ${r.getLong(2)}) div $w2"),
+          lit(255L))
+        val morton = (0 until 8).map { i =>
+          shiftleft(bit(b1, i), 2 * i)
+            .bitwiseOR(shiftleft(bit(b2, i), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+        SnapTable.compact(s, root, targetFiles = 16, clusterBy = Some(morton))
+        val (byCust, _, _) = SnapTable.readRange(s, root, "o_custkey",
+          1L, 500L)
+        val (byDay, _, _) = SnapTable.readRange(s, root, "o_day",
+          1500L, 1900L)
+        byCust.agg(count(lit(1)).as("n_cust_slice"),
+          dsum(col("o_totalprice"), 2).as("total_cust_slice"))
+          .crossJoin(byDay.agg(count(lit(1)).as("n_day_slice"),
+            dsum(col("o_totalprice"), 2).as("total_day_slice")))
+      },
+      Some(
+        "SELECT " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+          "WHERE o_custkey BETWEEN 1 AND 500) AS n_cust_slice, " +
+          "(SELECT " + dsumSql("o_totalprice", 2) + " FROM orders " +
+          "WHERE o_custkey BETWEEN 1 AND 500) AS total_cust_slice, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+          "WHERE datediff('day', DATE '1992-01-01', o_orderdate) " +
+          "BETWEEN 1500 AND 1900) AS n_day_slice, " +
+          "(SELECT " + dsumSql("o_totalprice", 2) + " FROM orders " +
+          "WHERE datediff('day', DATE '1992-01-01', o_orderdate) " +
+          "BETWEEN 1500 AND 1900) AS total_day_slice")
+    ),
+    Q(
+      "table_incremental_agg",
+      // incremental view maintenance: the per-lang aggregate is kept
+      // current by applying the signed CDC delta of the merge commit —
+      // sum(_sign · metric) over ONLY the files the commit touched —
+      // instead of recomputing over the table. The oracle is the full
+      // recompute over the merged state: the two must agree exactly.
+      (s, dir) => {
+        val root = mergedTable(s, dir)
+        val v1 = SnapTable.readVersion(s, root, 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+        val delta = SnapTable.changesDelta(s, root, 1, 2)
+          .groupBy("lang")
+          .agg(sum(col("_sign").cast("long")).as("dn"),
+            sum(col("_sign") * length(col("text"))).cast("long").as("dchars"))
+        v1.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_docs"),
+            (coalesce(col("n_chars"), lit(0L)) +
+              coalesce(col("dchars"), lit(0L))).as("n_chars"))
+          .filter(col("n_docs") > 0)
+          .orderBy("lang")
+      },
+      Some(mergeBaseSql +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
+        "FROM merged GROUP BY lang ORDER BY lang")
+    ),
+    Q(
       "table_vacuum_read",
       (s, dir) => {
         val root = mergedTable(s, dir)

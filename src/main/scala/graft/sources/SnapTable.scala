@@ -54,7 +54,13 @@ import org.apache.spark.sql.functions._
   */
 object SnapTable {
 
-  final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+  /** Per-column [min,max] for every INT64 column the file's footer covers
+    * (Delta/Iceberg collect per-column stats the same way) — any stats'd
+    * column can drive file skipping, which is what makes Z-order layouts
+    * pay off on BOTH clustered dimensions.
+    */
+  final case class FileEntry(path: String, rows: Long,
+      stats: Map[String, (Long, Long)])
 
   /** `schemaJson` is the table schema AS OF this snapshot (StructType
     * JSON). Schema lives in the log, not in data-file footers: a read
@@ -152,11 +158,21 @@ object SnapTable {
     * files (content byte-identical, history preserved — the pre-compaction
     * snapshot stays readable until vacuumed). Small-file pressure is the
     * tax every streaming-ingested table pays; this is the repair verb.
+    * `clusterBy` overrides the layout key — pass a Morton/Z-order code to
+    * cluster on several dimensions at once (OPTIMIZE ZORDER): per-column
+    * manifest stats then prune on EACH interleaved dimension.
     */
-  def compact(s: SparkSession, root: String, targetFiles: Int): Int = {
+  def compact(s: SparkSession, root: String, targetFiles: Int,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
     val parent = load(root, latestVersion(root))
-    val rewritten = readFiles(s, root, parent.files, parent.schemaJson)
-      .repartitionByRange(targetFiles, col(parent.statsCol))
+    val live = readFiles(s, root, parent.files, parent.schemaJson)
+    val rewritten = clusterBy match {
+      case Some(z) => live.withColumn("_gf_z", z)
+        .repartitionByRange(targetFiles, col("_gf_z"))
+        .sortWithinPartitions("_gf_z")
+        .drop("_gf_z")
+      case None => live.repartitionByRange(targetFiles, col(parent.statsCol))
+    }
     val fresh = writeData(s, root, rewritten, parent.statsCol)
     commit(s, root, fresh, "compact", parent.statsCol, parent.schemaJson)
   }
@@ -199,18 +215,58 @@ object SnapTable {
     readFiles(s, root, snap.files, snap.schemaJson)
   }
 
-  /** Range read with manifest-level file skipping: only files whose
-    * [min,max] overlaps [lo,hi] are scanned; the exact predicate is still
-    * applied to the survivors. Returns the pruned frame plus the
-    * (scanned, total) file counts so callers can assert the skip happened.
+  /** Range read with manifest-level file skipping on ANY stats'd column:
+    * only files whose [min,max] for `column` overlaps [lo,hi] are scanned
+    * (files without stats for it are kept conservatively); the exact
+    * predicate still applies to the survivors. Returns the pruned frame
+    * plus the (scanned, total) file counts so callers can assert the skip
+    * happened.
     */
+  def readRange(s: SparkSession, root: String, column: String, lo: Long,
+      hi: Long): (DataFrame, Int, Int) = {
+    val snap = load(root, latestVersion(root))
+    val hit = snap.files.filter(_.stats.get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val df = readFiles(s, root, hit, snap.schemaJson)
+      .filter(col(column) >= lo && col(column) <= hi)
+    (df, hit.size, snap.files.size)
+  }
+
+  /** Range read on the declared cluster column. */
   def readRange(s: SparkSession, root: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
     val snap = load(root, latestVersion(root))
-    val hit = snap.files.filter(f => f.max >= lo && f.min <= hi)
-    val df = readFiles(s, root, hit, snap.schemaJson)
-      .filter(col(snap.statsCol) >= lo && col(snap.statsCol) <= hi)
-    (df, hit.size, snap.files.size)
+    readRange(s, root, snap.statsCol, lo, hi)
+  }
+
+  /** Signed CDC delta for incremental view maintenance: every row of
+    * every ADDED file with `_sign = +1`, every row of every REMOVED file
+    * with `_sign = -1`. Rows a rewrite merely copied cancel out under any
+    * LINEAR aggregate (sum, count, dot products) — so a downstream
+    * aggregate is maintained by adding `sum(_sign * metric)` deltas,
+    * reading only the files the commit touched. Non-linear aggregates
+    * (min/max/distinct) need `changes()` + targeted recompute instead.
+    */
+  def changesDelta(s: SparkSession, root: String, from: Int, to: Int)
+      : DataFrame = {
+    val a = load(root, from)
+    val b = load(root, to)
+    val aPaths = a.files.map(_.path).toSet
+    val bPaths = b.files.map(_.path).toSet
+    val removed = a.files.filterNot(f => bPaths.contains(f.path))
+    val added = b.files.filterNot(f => aPaths.contains(f.path))
+    def side(fs: Seq[FileEntry], sign: Int): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(readFiles(s, root, fs, b.schemaJson)
+        .withColumn("_sign", lit(sign)))
+    (side(added, 1), side(removed, -1)) match {
+      case (Some(x), Some(y)) => x.unionByName(y)
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case (None, None) =>
+        readFiles(s, root, b.files, b.schemaJson)
+          .withColumn("_sign", lit(1)).limit(0)
+    }
   }
 
   /** File-diff CDC: row changes between two snapshots, classified
@@ -323,16 +379,24 @@ object SnapTable {
           if (blocks.isEmpty) None // empty part file: no entry, no stats
           else {
             val rows = blocks.map(_.getRowCount).sum
-            val colStats = blocks.flatMap(_.getColumns.asScala
-              .filter(_.getPath.toDotString == statsCol)
-              .map(_.getStatistics))
-            val mins = colStats.map(st =>
-              st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
-            val maxs = colStats.map(st =>
-              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            // every INT64 column's footer stats, merged across row groups
+            val perCol = blocks.flatMap(_.getColumns.asScala)
+              .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64 &&
+                c.getStatistics != null &&
+                c.getStatistics.hasNonNullValue)
+              .groupBy(_.getPath.toDotString)
+              .map { case (name, cs) =>
+                name -> (
+                  cs.map(_.getStatistics.genericGetMin
+                    .asInstanceOf[java.lang.Long].longValue()).min,
+                  cs.map(_.getStatistics.genericGetMax
+                    .asInstanceOf[java.lang.Long].longValue()).max)
+              }
             Some(FileEntry(
               Paths.get(root).toAbsolutePath.relativize(p).toString,
-              rows, mins.min, maxs.max))
+              rows, perCol))
           }
         } finally reader.close()
       }.sortBy(_.path)
@@ -384,17 +448,23 @@ object SnapTable {
       node.get("op").asText(),
       node.get("statsCol").asText(),
       node.get("schema").toString,
-      node.get("files").elements().asScala.map(f =>
-        FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-          f.get("min").asLong(), f.get("max").asLong())).toSeq,
+      node.get("files").elements().asScala.map { f =>
+        val st = f.get("stats")
+        val stats = st.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+        }.toMap
+        FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
+      }.toSeq,
       Option(node.get("txn")).map(_.asText()))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
   private def render(snap: Snapshot): String = {
-    val files = snap.files.map(f =>
-      s"""{"path":"${f.path}","rows":${f.rows},"min":${f.min},"max":${f.max}}""")
-      .mkString("[", ",", "]")
+    val files = snap.files.map { f =>
+      val st = f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s""""$c":[$mn,$mx]""" }.mkString("{", ",", "}")
+      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st}"""
+    }.mkString("[", ",", "]")
     val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +

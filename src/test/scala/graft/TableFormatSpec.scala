@@ -234,6 +234,68 @@ class TableFormatSpec extends AnyFunSuite {
     assert(total == 4 && scanned < total)
   }
 
+  test("zorder compact prunes on BOTH interleaved dimensions") {
+    val root = Tmp.dir("snaptab_spec")
+    val o = T(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .as("o_day"), col("o_totalprice"))
+    SnapTable.create(spark, root, o.repartition(8), "o_orderkey")
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+    val r = o.agg(min("o_custkey"), max("o_custkey"),
+      min("o_day"), max("o_day")).collect()(0)
+    def w(lo: Long, hi: Long) = math.max(1L, (hi - lo + 255) / 256)
+    val b1 = least(expr(
+      s"(o_custkey - ${r.getLong(0)}) div ${w(r.getLong(0), r.getLong(1))}"),
+      lit(255L))
+    val b2 = least(expr(
+      s"(o_day - ${r.getLong(2)}) div ${w(r.getLong(2), r.getLong(3))}"),
+      lit(255L))
+    val morton = (0 until 8).map { i =>
+      shiftleft(bit(b1, i), 2 * i)
+        .bitwiseOR(shiftleft(bit(b2, i), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    SnapTable.compact(spark, root, targetFiles = 16,
+      clusterBy = Some(morton))
+    val (dfC, scannedC, totalC) =
+      SnapTable.readRange(spark, root, "o_custkey", 1L, 20L)
+    val (dfD, scannedD, totalD) =
+      SnapTable.readRange(spark, root, "o_day", 1500L, 1700L)
+    assert(totalC == 16 && totalD == 16)
+    assert(scannedC < totalC, s"custkey axis must prune ($scannedC/16)")
+    assert(scannedD < totalD, s"day axis must prune ($scannedD/16)")
+    // exactness unaffected by pruning
+    assert(dfC.count() ==
+      o.filter(col("o_custkey").between(1, 20)).count())
+    assert(dfD.count() ==
+      o.filter(col("o_day").between(1500, 1700)).count())
+  }
+
+  test("changesDelta maintains a linear aggregate incrementally") {
+    val root = freshTable()
+    val upd = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") <= 64)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("_del", col("o_orderkey") % 3 === 0)
+    SnapTable.merge(spark, root, upd, "o_orderkey", Some("_del"))
+    def cents(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")),
+        count(lit(1)))
+      .collect()(0)
+    val full = cents(SnapTable.read(spark, root))
+    val base = cents(SnapTable.readVersion(spark, root, 1))
+    val d = SnapTable.changesDelta(spark, root, 1, 2)
+      .agg(sum(col("_sign") *
+        round(col("o_totalprice") * 100).cast("long")),
+        sum(col("_sign").cast("long")))
+      .collect()(0)
+    assert(base.getLong(0) + d.getLong(0) == full.getLong(0),
+      "incremental sum must equal recompute")
+    assert(base.getLong(1) + d.getLong(1) == full.getLong(1),
+      "incremental count must equal recompute")
+  }
+
   private def currentFiles(root: String): Set[String] = {
     val v = SnapTable.latestVersion(root)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
