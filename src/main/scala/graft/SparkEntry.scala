@@ -15,7 +15,8 @@ object SparkEntry {
     Subqueries,
     Extras, Workload, Workload2, TextOps, TextOps2, SketchOps, Reshape,
     VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3, Extras4,
-    Extras5, Curation4, Extras6, Round4Ops, TableOps, Wave5Ops, Wave6Ops)
+    Extras5, Curation4, Extras6, Round4Ops, TableOps, Wave5Ops, Wave6Ops,
+    Wave7Ops)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 
