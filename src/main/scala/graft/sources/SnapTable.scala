@@ -177,6 +177,15 @@ object SnapTable {
     commit(s, root, fresh, "compact", parent.statsCol, parent.schemaJson)
   }
 
+  /** RESTORE: re-commit `version`'s exact file list (and schema) as the
+    * new head. Rollback is one manifest write — no data moves, and the
+    * rolled-back commits stay in history for audit until vacuumed.
+    */
+  def restore(s: SparkSession, root: String, version: Int): Int = {
+    val snap = load(root, version)
+    commit(s, root, snap.files, "restore", snap.statsCol, snap.schemaJson)
+  }
+
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
     * Only files that contain a matching row are rewritten (without the
     * matches); untouched files are carried forward. Cost is proportional
