@@ -75,6 +75,35 @@ class Wave10Spec extends AnyFunSuite {
       math.round(psi * 1e6) / 1e6) < 1e-9)
   }
 
+  test("stream_psi_monitor_live equals the batch per-day recompute") {
+    val vals = T(spark, TestSpark.Sf, "events")
+      .select(col("value"), date_trunc("day", col("ts")).as("d"))
+      .collect().map(r => (r.getDouble(0), r.getAs[Any]("d") match {
+        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        case t: java.time.LocalDateTime => t.toLocalDate
+      }))
+    val lo = vals.map(_._1).min
+    val w = math.max((vals.map(_._1).max - lo) / 10.0, 1e-9)
+    def binOf(v: Double) = math.min(math.floor((v - lo) / w).toLong, 9L)
+    val nb = vals.size
+    val baseline = vals.groupBy(v => binOf(v._1)).view
+      .mapValues(_.size).toMap
+    val brute = vals.groupBy(_._2).map { case (day, g) =>
+      val nDay = g.size
+      val psi = g.groupBy(v => binOf(v._1)).map { case (bin, bg) =>
+        val p = (bg.size + 1).toDouble / (nDay + 10)
+        val q = (baseline(bin) + 1).toDouble / (nb + 10)
+        math.round((p - q) * math.log(p / q) * 1e9)
+      }.sum
+      day -> (nDay.toLong, math.round(psi / 1e9 * 1e6) / 1e6)
+    }
+    val got = SparkEntry.queries("stream_psi_monitor_live")(
+      spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("win_start").toLocalDate,
+        (r.getAs[Long]("n"), r.getAs[Double]("psi")))).toMap
+    assert(got == brute)
+  }
+
   private def dataFileCount(root: String): Long = {
     val dir = java.nio.file.Paths.get(root, "data")
     val s = java.nio.file.Files.walk(dir)
