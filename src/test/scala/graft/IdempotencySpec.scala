@@ -13,7 +13,11 @@ class IdempotencySpec extends AnyFunSuite {
     "sink_parquet", "sink_partitioned_prune", "sink_bucketed_join",
     "sink_compaction", "source_csv_timeseries", "source_json",
     "source_orc", "source_schema_evolution", "sub_lateral",
-    "stream_foreachbatch_sink", "win_range_interval")
+    "stream_foreachbatch_sink", "win_range_interval",
+    // table-format + wave ops: every call builds a fresh Tmp.dir table,
+    // so repeated invocation must be invisible in the results
+    "table_snapshot_append", "table_merge_cow", "table_restore",
+    "stream_available_now", "graph_pagerank", "source_log_lines")
 
   sideEffecting.foreach { name =>
     test(s"$name runs twice in one session with identical results") {
