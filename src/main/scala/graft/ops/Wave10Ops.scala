@@ -122,6 +122,31 @@ object Wave10Ops extends QueryModule {
           "FROM a, b")
     ),
     Q(
+      "agg_decimal_exact",
+      // exact money aggregation in DECIMAL — the path Det.dsum's scaladoc
+      // points to beyond int64 range: sums are exact and associative at
+      // ANY scale (no rounding contract needed), at the cost of decimal
+      // arithmetic instead of codegen'd longs. avg is re-derived from
+      // sum/count so both engines divide once, identically.
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("p"))
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast("decimal(38,2)").as("total"),
+            (sum(col("p")) / count(lit(1))).cast("decimal(38,6)").as("avg_p"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) " +
+          "AS DECIMAL(38,2)) AS total, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / count(*) " +
+          "AS DECIMAL(38,6)) AS avg_p " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
       "table_restore",
       // RESTORE: an append lands bad data; restore(v1) re-commits v1's
       // file list as v3 — no data movement, full audit trail (v2 remains
