@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T, StreamRun}
+import graft.Det.dround
 import org.apache.spark.sql.functions._
 
 /** `stream_psi_monitor_live`: online drift monitoring as a real
@@ -18,7 +19,86 @@ import org.apache.spark.sql.functions._
   */
 object Wave10bOps extends QueryModule {
 
+  /** one ranking pass of the MRL oracle: top-10 neighbors per query
+    * (vec_id < 50) under embedding expression `eExpr`, as CTE
+    * `rank_<tag>` with columns (q_id, nn) — mirrors VectorOps' oracle
+    * conventions (double-widened dot, 6dp rounding, vec_id tiebreak)
+    */
+  private def vecRankSql(tag: String, eExpr: String): String =
+    s"v0_$tag AS (SELECT vec_id, $eExpr AS e FROM base), " +
+      s"vn_$tag AS (SELECT vec_id, e, " +
+      "sqrt((SELECT sum(CAST(z.x AS DOUBLE) * z.x) " +
+      "FROM (SELECT unnest(e) AS x) z)) AS nrm " +
+      s"FROM v0_$tag), " +
+      s"vf_$tag AS (SELECT * FROM vn_$tag WHERE nrm > 0), " +
+      s"q_$tag AS (SELECT vec_id AS q_id, e AS eq, nrm AS nq " +
+      s"FROM vf_$tag WHERE vec_id < 50), " +
+      s"p_$tag AS (SELECT q.q_id, v.vec_id, " +
+      "round((SELECT sum(CAST(z.x AS DOUBLE) * z.y) " +
+      "FROM (SELECT unnest(v.e) AS x, unnest(q.eq) AS y) z) " +
+      "/ (v.nrm * q.nq) * 1e6) / 1e6 AS sim " +
+      s"FROM vf_$tag v, q_$tag q WHERE v.vec_id <> q.q_id), " +
+      s"rank_$tag AS (SELECT q_id, vec_id AS nn FROM " +
+      "(SELECT q_id, vec_id, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk " +
+      s"FROM p_$tag) r WHERE rk <= 10)"
+
   def queries: Seq[Q] = Seq(
+    Q(
+      "vec_mrl_recall",
+      // Matryoshka-style truncation quality: rank the corpus by cosine
+      // under the FULL 64-dim embedding and under the first-16-dims
+      // truncation (renormalized), then measure per-query top-10 overlap.
+      // The evaluation every embedding-dimension-reduction decision needs,
+      // as one query: two ranking passes over the same broadcast query
+      // batch + an overlap join. Sims are rounded to 6dp BEFORE ranking
+      // with vec_id as tiebreak, so both engines rank identically.
+      (s, dir) => {
+        graft.functions.VecExprs.register(s)
+        import org.apache.spark.sql.expressions.Window
+        def ranked(dims: Option[Int], tag: String) = {
+          val emb = dims match {
+            case Some(d) => expr(s"slice(embedding, 1, $d)")
+            case None => col("embedding")
+          }
+          val v = T(s, dir, "embeddings")
+            .select(col("vec_id"), emb.as("e"))
+            .withColumn("nrm", sqrt(expr("fvdot(e, e)")))
+            .filter(col("nrm") > 0)
+          val q = broadcast(v.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("q_id"), col("e").as("eq"),
+              col("nrm").as("nq")))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("vec_id"))
+          v.join(q, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              dround(expr("fvdot(e, eq)") / (col("nrm") * col("nq")), 6)
+                .as("sim"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 10)
+            .select(col("q_id"), col("vec_id").as(s"nn_$tag"))
+        }
+        // LEFT join so zero-overlap queries stay in the denominator
+        ranked(None, "full")
+          .join(ranked(Some(16), "trunc").withColumnRenamed("q_id", "q2"),
+            col("q_id") === col("q2") &&
+              col("nn_full") === col("nn_trunc"), "left")
+          .agg(countDistinct("q_id").as("n_queries"),
+            count(col("nn_trunc")).as("total_overlap"))
+          .select(col("n_queries"), col("total_overlap"),
+            (round(col("total_overlap") / (col("n_queries") * 10.0) * 1e6)
+              / 1e6).as("recall_at_10"))
+      },
+      Some(
+        "WITH base AS (SELECT vec_id, embedding AS e FROM embeddings), " +
+          vecRankSql("full", "e") + ", " +
+          vecRankSql("trunc", "e[1:16]") + " " +
+          "SELECT CAST(count(DISTINCT f.q_id) AS BIGINT) AS n_queries, " +
+          "CAST(count(t.nn) AS BIGINT) AS total_overlap, " +
+          "round(count(t.nn) / (count(DISTINCT f.q_id) * 10.0) * 1e6) " +
+          "/ 1e6 AS recall_at_10 FROM rank_full f " +
+          "LEFT JOIN rank_trunc t ON f.q_id = t.q_id AND f.nn = t.nn")
+    ),
     Q(
       "stream_psi_monitor_live",
       (s, dir) => {
