@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, QueryModule, T}
 import graft.Det._
 import graft.sources.SnapTable
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot-table-format tier (graft.sources.SnapTable): versioned
@@ -413,6 +414,66 @@ object TableOps extends QueryModule {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
         "FROM merged GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_history",
+      // DESCRIBE HISTORY over the shared merge workload: logical row
+      // counts per version come from manifest stats alone (no data files
+      // opened). File counts are layout-dependent, so the op emits the
+      // stable audit columns: version, verb, rows.
+      (s, dir) => {
+        val root = mergedTable(s, dir)
+        SnapTable.history(s, root)
+          .select(col("version"), col("op"), col("n_rows"))
+          .orderBy("version")
+      },
+      Some(
+        "WITH base AS (SELECT doc_id FROM documents), " +
+          "deleted AS (SELECT count(*) AS n FROM base " +
+          "WHERE doc_id % 97 = 3 AND doc_id % 10 <> 0), " +
+          "inserted AS (SELECT count(*) AS n FROM base WHERE doc_id < 50) " +
+          "SELECT CAST(1 AS BIGINT) AS version, 'create' AS op, " +
+          "CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows " +
+          "UNION ALL SELECT 2, 'merge', " +
+          "CAST((SELECT count(*) FROM base) - (SELECT n FROM deleted) " +
+          "+ (SELECT n FROM inserted) AS BIGINT) " +
+          "ORDER BY version")
+    ),
+    Q(
+      "mm_shard_pack",
+      // webdataset-style shard planning: pack blobs (documents' bytes —
+      // octet_length, not char count) into ≤64 KB shards in doc order,
+      // one running-sum window per source shard lane. Emits the shard
+      // manifest a downstream dataloader consumes. An oversized blob
+      // gets its own shard (standard tar-shard semantics).
+      (s, dir) => {
+        val cap = 65536L
+        val lane = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            octet_length(col("text")).cast("long").as("bytes"))
+          .withColumn("prev", coalesce(sum("bytes").over(lane), lit(0L)))
+          .withColumn("shard", floor(col("prev") / cap).cast("long"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum("bytes").as("bytes"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some(
+        "WITH b AS (SELECT source, doc_id, " +
+          "CAST(strlen(text) AS BIGINT) AS bytes FROM documents), " +
+          "r AS (SELECT source, doc_id, bytes, " +
+          "coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          "AS prev FROM b) " +
+          "SELECT source, CAST(floor(prev / 65536) AS BIGINT) AS shard, " +
+          "CAST(count(*) AS BIGINT) AS n_blobs, " +
+          "CAST(sum(bytes) AS BIGINT) AS bytes, " +
+          "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+          "FROM r GROUP BY 1, 2 ORDER BY source, shard")
     ),
     Q(
       "table_vacuum_read",

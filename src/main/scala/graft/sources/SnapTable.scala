@@ -177,6 +177,30 @@ object SnapTable {
     commit(s, root, fresh, "compact", parent.statsCol, parent.schemaJson)
   }
 
+  /** DESCRIBE HISTORY: one row per retained snapshot — version, the verb
+    * that produced it, file count, and LOGICAL row count (from manifest
+    * stats; no data files are opened). The audit surface operators and
+    * humans page through before trusting a table.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = versions(root).map { v =>
+      val snap = load(root, v)
+      org.apache.spark.sql.Row(v.toLong, snap.op,
+        snap.files.size.toLong, snap.files.map(_.rows).sum)
+    }
+    s.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** RESTORE: re-commit `version`'s exact file list (and schema) as the
     * new head. Rollback is one manifest write — no data moves, and the
     * rolled-back commits stay in history for audit until vacuumed.
