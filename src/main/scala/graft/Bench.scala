@@ -16,7 +16,11 @@ object Bench {
     "q10_returned_items", "join_broadcast", "join_asof",
     "win_rank_topn_per_group", "stream_tumbling_1h_live",
     "text_dedup_minhash", "text_dedup_exact", "vec_knn_cosine",
-    "vec_neardup_cosine", "rc_predict_mse", "sort_multi_key")
+    "vec_neardup_cosine", "rc_predict_mse", "sort_multi_key",
+    // round-4 continuation tiers
+    "table_merge_cow", "table_zorder_prune", "graph_pagerank",
+    "stats_ks_drift", "join_geo_radius", "text_dup_spans",
+    "vec_mrl_recall", "stream_psi_monitor_live")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
