@@ -92,6 +92,73 @@ object Wave8Ops extends QueryModule {
           "* 1e6) / 1e6 AS ks FROM c")
     ),
     Q(
+      "stats_ab_uplift",
+      // A/B exposure analysis with a funnel conversion metric: users
+      // split into arms by id parity; a user converts if a purchase
+      // lands within 6 hours of their FIRST click. Per-arm rates,
+      // absolute uplift, and the two-proportion z statistic all come
+      // from four BIGINT counts through one closed-form double
+      // expression written identically in both engines.
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val fc = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("fc"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(fc, "user_id")
+          .filter(col("ts") > col("fc") &&
+            col("ts") <= col("fc") + expr("INTERVAL 6 HOURS"))
+          .select("user_id").distinct()
+          .withColumn("converted", lit(1L))
+        val arms = fc.join(conv, Seq("user_id"), "left")
+          .groupBy((col("user_id") % 2 === 0).as("arm_a"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("converted"), lit(0L))).as("conv"))
+          .collect().map(r => r.getBoolean(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val (na, ca) = arms(true)
+        val (nb, cb) = arms(false)
+        val pa = ca.toDouble / na
+        val pb = cb.toDouble / nb
+        val pool = (ca + cb).toDouble / (na + nb)
+        val z = (pa - pb) /
+          math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+        T(s, dir, "events").limit(1).select(
+          lit(na).as("n_a"), lit(nb).as("n_b"),
+          lit(math.round(pa * 1e6) / 1e6).as("rate_a"),
+          lit(math.round(pb * 1e6) / 1e6).as("rate_b"),
+          lit(math.round((pa - pb) * 1e6) / 1e6).as("uplift"),
+          lit(math.round(z * 1e6) / 1e6).as("z_score"))
+      },
+      Some(
+        "WITH fc AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fc " +
+          "FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+          "conv AS (SELECT DISTINCT e.user_id FROM events e " +
+          "JOIN fc ON e.user_id = fc.user_id " +
+          "WHERE e.event_type = 'purchase' " +
+          "AND CAST(e.ts AS TIMESTAMP) > fc.fc " +
+          "AND CAST(e.ts AS TIMESTAMP) <= fc.fc + INTERVAL 6 HOUR), " +
+          "m AS (SELECT fc.user_id % 2 = 0 AS arm_a, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS conv FROM fc " +
+          "LEFT JOIN conv ON fc.user_id = conv.user_id GROUP BY 1), " +
+          "a AS (SELECT * FROM m WHERE arm_a), " +
+          "b AS (SELECT * FROM m WHERE NOT arm_a) " +
+          "SELECT a.n AS n_a, b.n AS n_b, " +
+          "round(CAST(a.conv AS DOUBLE) / a.n * 1e6) / 1e6 AS rate_a, " +
+          "round(CAST(b.conv AS DOUBLE) / b.n * 1e6) / 1e6 AS rate_b, " +
+          "round((CAST(a.conv AS DOUBLE) / a.n - " +
+          "CAST(b.conv AS DOUBLE) / b.n) * 1e6) / 1e6 AS uplift, " +
+          "round((CAST(a.conv AS DOUBLE) / a.n - " +
+          "CAST(b.conv AS DOUBLE) / b.n) / " +
+          "sqrt((CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n)) * " +
+          "(1 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n)) * " +
+          "(1.0 / a.n + 1.0 / b.n)) * 1e6) / 1e6 AS z_score " +
+          "FROM a, b")
+    ),
+    Q(
       "stats_chi2_independence",
       (s, dir) => {
         val obs = T(s, dir, "events")

@@ -28,6 +28,19 @@ class Wave8Spec extends AnyFunSuite {
     assert(d > 0, "distinct event types should differ somewhere")
   }
 
+  test("stats_ab_uplift: counts conserve clickers; z matches recompute") {
+    val got = SparkEntry.queries("stats_ab_uplift")(spark, TestSpark.Sf)
+      .collect()(0)
+    val clickers = T(spark, TestSpark.Sf, "events")
+      .filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(got.getAs[Long]("n_a") + got.getAs[Long]("n_b") == clickers)
+    val (pa, pb) = (got.getAs[Double]("rate_a"), got.getAs[Double]("rate_b"))
+    assert(math.abs(got.getAs[Double]("uplift") - (pa - pb)) < 2e-6)
+    assert(!got.getAs[Double]("z_score").isNaN,
+      "z must be defined (non-degenerate conversion rates)")
+  }
+
   test("stats_chi2_independence equals the direct contingency recompute") {
     val obs = T(spark, TestSpark.Sf, "events")
       .groupBy(col("event_type"), hour(col("ts")))
