@@ -92,6 +92,79 @@ object Wave8Ops extends QueryModule {
           "* 1e6) / 1e6 AS ks FROM c")
     ),
     Q(
+      "stats_mannwhitney_u",
+      // Mann–Whitney U between the purchase and click value samples —
+      // the nonparametric location test. With ties averaged, 2·R1 is
+      // always integral: per distinct value, sample A's rank-sum
+      // contribution is na·(2·prev + na + nb + 1) where prev is the
+      // count of strictly smaller observations — so U is computed
+      // EXACTLY in BIGINTs via the same sharded prefix-sum machinery as
+      // stats_ks_drift (no single-partition window), and only the final
+      // normalization divides.
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("value").as("v"),
+            (col("event_type") === "purchase").as("is_a"))
+        val perV = ev.groupBy("v")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        val mm = perV.agg(min("v"), max("v")).collect()(0)
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val width = math.max((hi - lo) / 32.0, 1e-9)
+        val sharded = perV.withColumn("shard",
+          least(floor((col("v") - lo) / width).cast("long"), lit(31L)))
+        val local = Window.partitionBy("shard").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefixes = sharded.groupBy("shard")
+          .agg((sum("na") + sum("nb")).as("st"))
+        val wPrev = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = prefixes
+          .withColumn("pt", coalesce(sum("st").over(wPrev), lit(0L)))
+          .select("shard", "pt")
+        val totals = ev.agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)),
+          sum(when(!col("is_a"), 1L).otherwise(0L))).collect()(0)
+        val (n1, n2) = (totals.getLong(0), totals.getLong(1))
+        val r2sum = sharded
+          .withColumn("lpt",
+            coalesce(sum(col("na") + col("nb")).over(local), lit(0L)))
+          .join(broadcast(prev), "shard")
+          .select((col("na") * (lit(2L) * (col("lpt") + col("pt")) +
+            col("na") + col("nb") + 1L)).as("r2"))
+          .agg(sum("r2")).collect()(0).getLong(0)
+        // U1 = R1 - n1(n1+1)/2; emit 2·U1 (integral even with ties)
+        val u2 = r2sum - n1 * (n1 + 1)
+        T(s, dir, "events").limit(1).select(
+          lit(n1).as("n1"), lit(n2).as("n2"),
+          lit(u2).as("u2_scaled"),
+          lit(math.round(u2.toDouble / (2.0 * n1 * n2) * 1e6) / 1e6)
+            .as("u_norm"))
+      },
+      Some(
+        "WITH ev AS (SELECT value AS v, event_type = 'purchase' AS is_a " +
+          "FROM events WHERE event_type IN ('purchase', 'click')), " +
+          "t AS (SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n1, " +
+          "sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n2 FROM ev), " +
+          "perv AS (SELECT v, " +
+          "sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na, " +
+          "sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb " +
+          "FROM ev GROUP BY v), " +
+          "c AS (SELECT v, na, nb, coalesce(sum(na + nb) OVER " +
+          "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)" +
+          ", 0) AS prev FROM perv), " +
+          "r AS (SELECT sum(na * (2 * prev + na + nb + 1)) AS r2 FROM c) " +
+          "SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n1, " +
+          "CAST((SELECT n2 FROM t) AS BIGINT) AS n2, " +
+          "CAST((SELECT r2 FROM r) - (SELECT n1 FROM t) * " +
+          "((SELECT n1 FROM t) + 1) AS BIGINT) AS u2_scaled, " +
+          "round(CAST((SELECT r2 FROM r) - (SELECT n1 FROM t) * " +
+          "((SELECT n1 FROM t) + 1) AS DOUBLE) / " +
+          "(2.0 * (SELECT n1 FROM t) * (SELECT n2 FROM t)) * 1e6) / 1e6 " +
+          "AS u_norm")
+    ),
+    Q(
       "stats_ab_uplift",
       // A/B exposure analysis with a funnel conversion metric: users
       // split into arms by id parity; a user converts if a purchase

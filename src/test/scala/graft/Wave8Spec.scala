@@ -28,6 +28,32 @@ class Wave8Spec extends AnyFunSuite {
     assert(d > 0, "distinct event types should differ somewhere")
   }
 
+  test("stats_mannwhitney_u equals the textbook rank-sum recompute") {
+    val rows = T(spark, TestSpark.Sf, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("value", "event_type").collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val sorted = rows.sortBy(_._1)
+    // average ranks with ties, doubled to stay integral
+    var idx = 0
+    var r2 = 0L
+    while (idx < sorted.length) {
+      var j = idx
+      while (j < sorted.length && sorted(j)._1 == sorted(idx)._1) j += 1
+      val doubledAvgRank = (idx + 1) + j // = 2 * (first + last)/2 ranks
+      r2 += sorted.slice(idx, j).count(_._2).toLong * doubledAvgRank
+      idx = j
+    }
+    val n1 = rows.count(_._2).toLong
+    val n2 = rows.size - n1
+    val u2 = r2 - n1 * (n1 + 1)
+    val got = SparkEntry.queries("stats_mannwhitney_u")(
+      spark, TestSpark.Sf).collect()(0)
+    assert(got.getAs[Long]("u2_scaled") == u2,
+      s"${got.getAs[Long]("u2_scaled")} vs $u2")
+    assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2)
+  }
+
   test("stats_ab_uplift: counts conserve clickers; z matches recompute") {
     val got = SparkEntry.queries("stats_ab_uplift")(spark, TestSpark.Sf)
       .collect()(0)
