@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, QueryModule, T}
 import graft.Det.dround
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 wave 7: burst detection and the grid-blocked spatial join.
@@ -54,6 +55,52 @@ object Wave7Ops extends QueryModule {
           "/ (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))) * 1e6) / 1e6 " +
           "AS fano " +
           "FROM m ORDER BY event_type")
+    ),
+    Q(
+      "agg_pareto_abc",
+      // Pareto/ABC analysis: per return flag, how many parts cover 80%
+      // of revenue. Revenue ranks and cumulative shares run in integer
+      // cents inside a window PARTITIONED by the flag (each frame is one
+      // group's parts — never a no-partition global window), and the 80%
+      // threshold compares cents·5 <= total·4: pure BIGINT, no float
+      // share anywhere.
+      (s, dir) => {
+        val rev = T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"))
+        val byFlag = Window.partitionBy("l_returnflag")
+        val ordered = Window.partitionBy("l_returnflag")
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("total", sum("cents").over(byFlag))
+          .withColumn("cum", sum("cents").over(ordered))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("cum") * 5 <= col("total") * 4, 1L)
+              .otherwise(0L)).as("n_parts_80pct"))
+          .withColumn("concentration",
+            (round(col("n_parts_80pct") / col("n_parts").cast("double")
+              * 1e6) / 1e6))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "WITH rev AS (SELECT l_returnflag, l_partkey, " +
+          "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents " +
+          "FROM lineitem GROUP BY 1, 2), " +
+          "w AS (SELECT l_returnflag, " +
+          "sum(cents) OVER (PARTITION BY l_returnflag) AS total, " +
+          "sum(cents) OVER (PARTITION BY l_returnflag " +
+          "ORDER BY cents DESC, l_partkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+          "FROM rev) " +
+          "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_parts, " +
+          "CAST(sum(CASE WHEN cum * 5 <= total * 4 THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_parts_80pct, " +
+          "round(sum(CASE WHEN cum * 5 <= total * 4 THEN 1 ELSE 0 END) " +
+          "/ CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS concentration " +
+          "FROM w GROUP BY l_returnflag ORDER BY l_returnflag")
     ),
     Q(
       "join_geo_radius",
