@@ -54,6 +54,58 @@ object Wave11Ops extends QueryModule {
           "AS mattr FROM w ORDER BY doc_id")
     ),
     Q(
+      "stats_gini_activity",
+      // Gini coefficient of per-user activity concentration:
+      // G = 2·Σ(rank·c) / (n·Σc) − (n+1)/n over counts sorted ascending.
+      // The global rank is the third use of the sharded prefix pattern
+      // (stats_ks_drift, stats_mannwhitney_u): local row_number per
+      // count-range shard + broadcast prefix row counts — a total order
+      // by (count, user_id) with no single-partition window. Σ(rank·c)
+      // and Σc are BIGINTs; one double formula at the end.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = T(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("c"))
+        val mm = counts.agg(min("c"), max("c")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val width = math.max((hi - lo) / 32 + 1, 1L)
+        val sharded = counts.withColumn("shard",
+          least(((col("c") - lo) / width).cast("long"), lit(31L)))
+        val local = Window.partitionBy("shard")
+          .orderBy(col("c"), col("user_id"))
+        val prefixes = sharded.groupBy("shard")
+          .agg(count(lit(1)).as("sn"))
+        val wPrev = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = prefixes
+          .withColumn("pn", coalesce(sum("sn").over(wPrev), lit(0L)))
+          .select("shard", "pn")
+        val agg = sharded
+          .withColumn("lrk", row_number().over(local).cast("long"))
+          .join(broadcast(prev), "shard")
+          .select(((col("lrk") + col("pn")) * col("c")).as("rc"),
+            col("c"))
+          .agg(count(lit(1)).as("n"), sum("rc").as("s1"), sum("c").as("sc"))
+          .collect()(0)
+        val (n, s1, sc) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        val gini = 2.0 * s1 / (n.toDouble * sc) - (n + 1).toDouble / n
+        T(s, dir, "events").limit(1).select(
+          lit(n).as("n_users"), lit(sc).as("n_events"),
+          lit(math.round(gini * 1e6) / 1e6).as("gini"))
+      },
+      Some(
+        "WITH counts AS (SELECT user_id, count(*) AS c FROM events " +
+          "GROUP BY user_id), " +
+          "r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) " +
+          "AS rk FROM counts), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(rk * c) AS BIGINT) AS s1, " +
+          "CAST(sum(c) AS BIGINT) AS sc FROM r) " +
+          "SELECT n AS n_users, sc AS n_events, " +
+          "round((2.0 * s1 / (CAST(n AS DOUBLE) * sc) - " +
+          "CAST(n + 1 AS DOUBLE) / n) * 1e6) / 1e6 AS gini FROM m")
+    ),
+    Q(
       "events_dau_wau",
       (s, dir) => {
         val active = T(s, dir, "events")

@@ -26,6 +26,23 @@ class Wave11Spec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("stats_gini_activity equals the textbook sorted-rank recompute") {
+    val cs = T(spark, TestSpark.Sf, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = cs.length.toLong
+    val s1 = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val sc = cs.sum
+    val gini = 2.0 * s1 / (n.toDouble * sc) - (n + 1).toDouble / n
+    val got = SparkEntry.queries("stats_gini_activity")(
+      spark, TestSpark.Sf).collect()(0)
+    assert(got.getAs[Long]("n_users") == n)
+    assert(got.getAs[Long]("n_events") == sc)
+    assert(math.abs(got.getAs[Double]("gini") - gini) < 1e-6)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
   test("events_dau_wau equals the per-day brute force") {
     val active = T(spark, TestSpark.Sf, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
