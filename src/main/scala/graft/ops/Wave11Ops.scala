@@ -106,6 +106,46 @@ object Wave11Ops extends QueryModule {
           "CAST(n + 1 AS DOUBLE) / n) * 1e6) / 1e6 AS gini FROM m")
     ),
     Q(
+      "text_mix_entropy",
+      // corpus-mixture balance gate: per lang, the Shannon entropy of its
+      // source mixture (nats) and the evenness ratio H/ln(k) a curation
+      // pipeline thresholds before training. Each -p·ln(p) term is
+      // quantized to 1e9 and integer-summed (the chi²/PSI determinism
+      // trick), so engine-side float summation order cannot move H.
+      (s, dir) => {
+        val counts = T(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        val perLang = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+        counts
+          .withColumn("tot", sum("c").over(perLang))
+          .select(col("lang"),
+            round(-(col("c") / col("tot").cast("double")) *
+              log(col("c") / col("tot").cast("double")) * 1e9)
+              .cast("long").as("term"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("k"),
+            (round(sum("term") / 1e9 * 1e6) / 1e6).as("h_nats"))
+          .withColumn("evenness",
+            round(col("h_nats") / log(col("k").cast("double")) * 1e6) / 1e6)
+          .orderBy("lang")
+      },
+      Some(
+        "WITH counts AS (SELECT lang, source, count(*) AS c " +
+          "FROM documents GROUP BY 1, 2), " +
+          "w AS (SELECT lang, c, " +
+          "sum(c) OVER (PARTITION BY lang) AS tot FROM counts), " +
+          "terms AS (SELECT lang, CAST(round(" +
+          "-(c / CAST(tot AS DOUBLE)) * ln(c / CAST(tot AS DOUBLE)) " +
+          "* 1e9) AS BIGINT) AS term FROM w), " +
+          "h AS (SELECT lang, CAST(count(*) AS BIGINT) AS k, " +
+          "round(sum(term) / 1e9 * 1e6) / 1e6 AS h_nats " +
+          "FROM terms GROUP BY lang) " +
+          "SELECT lang, k, h_nats, " +
+          "round(h_nats / ln(CAST(k AS DOUBLE)) * 1e6) / 1e6 AS evenness " +
+          "FROM h ORDER BY lang")
+    ),
+    Q(
       "events_dau_wau",
       (s, dir) => {
         val active = T(s, dir, "events")

@@ -43,6 +43,28 @@ class Wave11Spec extends AnyFunSuite {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("text_mix_entropy equals the direct recompute and is bounded") {
+    val counts = T(spark, TestSpark.Sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = SparkEntry.queries("text_mix_entropy")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("k"), r.getAs[Double]("h_nats"),
+          r.getAs[Double]("evenness"))).toMap
+    counts.foreach { case (lang, cs) =>
+      val tot = cs.sum.toDouble
+      val h = cs.map { c =>
+        math.round(-(c / tot) * math.log(c / tot) * 1e9)
+      }.sum / 1e9
+      val (k, hn, ev) = got(lang)
+      assert(k == cs.size)
+      assert(math.abs(hn - math.round(h * 1e6) / 1e6) < 1e-9)
+      assert(ev >= 0.0 && ev <= 1.0 + 1e-9,
+        s"evenness must be in [0,1], got $ev")
+    }
+  }
+
   test("events_dau_wau equals the per-day brute force") {
     val active = T(spark, TestSpark.Sf, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
