@@ -15,12 +15,76 @@ import org.apache.spark.sql.functions._
   *  - `text_zipf_slope`: the Zipf exponent of the token frequency
   *    distribution — OLS slope of ln(freq) on ln(rank). The global
   *    frequency rank is the fourth use of the sharded prefix pattern;
-  *    each (ln rank, ln freq) product is 1e6-quantized and integer-summed
-  *    so the regression sums are engine-order-proof.
+  *    each (ln rank, ln freq) term is 1e3-quantized and integer-summed
+  *    so the regression sums are engine-order-proof and n·Σx² stays in
+  *    int64 at any realistic vocabulary.
   */
 object Wave12Ops extends QueryModule {
 
   def queries: Seq[Q] = Seq(
+    Q(
+      "text_zipf_slope",
+      // Zipf exponent of the en token-frequency distribution: OLS slope
+      // of ln(freq) on ln(rank). Global frequency rank via the sharded
+      // prefix pattern (4th use); each regression term is 1e3-quantized
+      // then integer-summed so the OLS sums are engine-order-proof AND
+      // n·Σx² stays within int64 at any realistic vocabulary. A
+      // natural-corpus slope sits near -1; a synthetic-uniform corpus
+      // flattens toward 0 — either way it's the shape gate.
+      (s, dir) => {
+        val freq = T(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val mm = freq.agg(min("f"), max("f")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val width = math.max((hi - lo) / 32 + 1, 1L)
+        val sharded = freq.withColumn("shard",
+          least(((lit(hi) - col("f")) / width).cast("long"), lit(31L)))
+        val local = Window.partitionBy("shard")
+          .orderBy(col("f").desc, col("tok"))
+        val prefixes = sharded.groupBy("shard")
+          .agg(count(lit(1)).as("sn"))
+        val wPrev = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = prefixes
+          .withColumn("pn", coalesce(sum("sn").over(wPrev), lit(0L)))
+          .select("shard", "pn")
+        val terms = sharded
+          .withColumn("lrk", row_number().over(local).cast("long"))
+          .join(broadcast(prev), "shard")
+          .select(
+            round(log((col("lrk") + col("pn")).cast("double")) * 1e3)
+              .cast("long").as("lx"),
+            round(log(col("f").cast("double")) * 1e3)
+              .cast("long").as("ly"))
+        terms.agg(count(lit(1)).as("n"),
+            sum("lx").as("sx"), sum("ly").as("sy"),
+            sum(col("lx") * col("lx")).as("sxx"),
+            sum(col("lx") * col("ly")).as("sxy"))
+          .select(col("n"),
+            (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") * 1e6) / 1e6).as("zipf_slope"))
+      },
+      Some(
+        "WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents WHERE lang = 'en'), " +
+          "freq AS (SELECT tok, count(*) AS f FROM tk GROUP BY tok), " +
+          "r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) " +
+          "AS rk FROM freq), " +
+          "terms AS (SELECT " +
+          "CAST(round(ln(CAST(rk AS DOUBLE)) * 1e3) AS BIGINT) AS lx, " +
+          "CAST(round(ln(CAST(f AS DOUBLE)) * 1e3) AS BIGINT) AS ly " +
+          "FROM r), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy, " +
+          "CAST(sum(lx * lx) AS BIGINT) AS sxx, " +
+          "CAST(sum(lx * ly) AS BIGINT) AS sxy FROM terms) " +
+          "SELECT n, round((n * sxy - sx * sy) / " +
+          "CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) / 1e6 " +
+          "AS zipf_slope FROM m")
+    ),
     Q(
       "ts_acf_lags",
       (s, dir) => {

@@ -41,4 +41,28 @@ class Wave12Spec extends AnyFunSuite {
     // lag-1 autocorrelation of smooth daily traffic should be positive
     assert(got.collect { case ((_, 1L), v) => v }.exists(_ > 0))
   }
+
+  test("text_zipf_slope equals the sorted-rank OLS recompute") {
+    val freq = T(spark, TestSpark.Sf, "documents")
+      .filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1))
+    val terms = freq.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1e3),
+        math.round(math.log(f.toDouble) * 1e3))
+    }
+    val n = terms.length.toLong
+    val sx = terms.map(_._1).sum
+    val sy = terms.map(_._2).sum
+    val sxx = terms.map(t => t._1 * t._1).sum
+    val sxy = terms.map(t => t._1 * t._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val got = SparkEntry.queries("text_zipf_slope")(spark, TestSpark.Sf)
+      .collect()(0)
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("zipf_slope") -
+      math.round(slope * 1e6) / 1e6) < 1e-9)
+  }
 }
