@@ -86,6 +86,40 @@ object Wave12Ops extends QueryModule {
           "AS zipf_slope FROM m")
     ),
     Q(
+      "events_interpurchase",
+      // inter-purchase time distribution: per-user consecutive purchase
+      // gaps (one lag per user timeline — exact µs, the join_asof
+      // discipline), bucketed into hour-scale bins with an overflow
+      // bucket. The retention-modeling input every LTV analysis starts
+      // from; counts are exact integers end to end.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag("ts", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev").cast("timestamp"))).as("gap_us"))
+          .select(least(floor(col("gap_us") / (3600L * 1000000L)),
+            lit(48L)).cast("long").as("gap_hours"))
+          .groupBy("gap_hours")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("gap_hours")
+      },
+      Some(
+        "WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, " +
+          "event_id FROM events WHERE event_type = 'purchase'), " +
+          "g AS (SELECT epoch_us(t) - epoch_us(lag(t, 1) OVER " +
+          "(PARTITION BY user_id ORDER BY t, event_id)) AS gap_us " +
+          "FROM p), " +
+          "b AS (SELECT least(CAST(floor(gap_us / 3600000000) " +
+          "AS BIGINT), 48) AS gap_hours FROM g " +
+          "WHERE gap_us IS NOT NULL) " +
+          "SELECT gap_hours, CAST(count(*) AS BIGINT) AS n " +
+          "FROM b GROUP BY gap_hours ORDER BY gap_hours")
+    ),
+    Q(
       "ts_acf_lags",
       (s, dir) => {
         val daily = T(s, dir, "events")

@@ -65,4 +65,17 @@ class Wave12Spec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("zipf_slope") -
       math.round(slope * 1e6) / 1e6) < 1e-9)
   }
+
+  test("events_interpurchase conserves gaps: sum(n) = purchases - users") {
+    val got = SparkEntry.queries("events_interpurchase")(
+      spark, TestSpark.Sf).collect()
+    val purchases = T(spark, TestSpark.Sf, "events")
+      .filter(col("event_type") === "purchase")
+    val nP = purchases.count()
+    val nU = purchases.select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n")).sum == nP - nU,
+      "each user contributes exactly (purchases - 1) gaps")
+    val hours = got.map(_.getAs[Long]("gap_hours"))
+    assert(hours.forall(h => h >= 0 && h <= 48))
+  }
 }
