@@ -120,6 +120,45 @@ object Wave12Ops extends QueryModule {
           "FROM b GROUP BY gap_hours ORDER BY gap_hours")
     ),
     Q(
+      "join_fulfillment_latency",
+      // order→ship fulfillment latency: the fact-fact join on orderkey,
+      // lag in whole days, exact interpolated p50/p90 per priority (the
+      // agg_percentiles convention: Spark percentile ↔ DuckDB
+      // quantile_cont, dround-pinned). The operational-SLA readout every
+      // fulfillment pipeline watches.
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate"))
+        val l = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lag_days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            graft.Det.dround(
+              expr("percentile(lag_days, 0.5)"), 4).as("p50"),
+            graft.Det.dround(
+              expr("percentile(lag_days, 0.9)"), 4).as("p90"),
+            max("lag_days").as("max_days"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "WITH j AS (SELECT o_orderpriority, " +
+          "CAST(datediff('day', CAST(o_orderdate AS DATE), " +
+          "CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey) " +
+          "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          graft.Det.droundSql("quantile_cont(lag_days, 0.5)", 4) +
+          " AS p50, " +
+          graft.Det.droundSql("quantile_cont(lag_days, 0.9)", 4) +
+          " AS p90, " +
+          "max(lag_days) AS max_days " +
+          "FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    ),
+    Q(
       "ts_acf_lags",
       (s, dir) => {
         val daily = T(s, dir, "events")
