@@ -203,58 +203,80 @@ object Extras3 extends QueryModule {
     Q(
       "vec_pca_power",
       // Distributed PCA, top principal axis by power iteration: each round
-      // is ONE treeAggregate producing a 64-double partial (Σ (x-μ)((x-μ)·v)
+      // is ONE treeAggregate producing a 64-long partial (Σ (x-μ)((x-μ)·v)
       // accumulates in constant size) — covariance never materializes and
       // nothing shuffles rows, the same constant-partial shape as the RC
-      // readout's Gram accumulation. 12 rounds from a seeded start; sign
-      // fixed by the largest-magnitude component. No oracle (iterative
-      // linalg is not SQL); Round3Spec checks against an in-test exact
-      // driver-side power iteration to 1e-6.
+      // readout's Gram accumulation. Every summation boundary (mean, the
+      // per-row dot, the per-component accumulate, the norm square) lands
+      // on a fixed integer grid BEFORE it is summed, so the whole 12-round
+      // recurrence is associative integer arithmetic — immune to partial-
+      // aggregation order AND bit-identical across engines, which is what
+      // lets an iterative-linalg op carry a SQL oracle at all (the same
+      // per-iteration-quantization trick as graph_pagerank; the oracle is
+      // a generated 12-iteration CTE chain over the long-form matrix).
+      // Start vector is the constant unit vector (1/8 per component, unit
+      // 64-dim norm) — SQL-expressible, and convergence only needs a
+      // nonzero overlap with the principal axis. Sign fixed by the
+      // largest-magnitude component. Round3Spec pins the distributed
+      // treeAggregate against an independent sequential driver loop on the
+      // same grids — exact equality, not a tolerance.
       (s, dir) => {
         import s.implicits._
+        val dim = 64
         val vecs = T(s, dir, "embeddings")
           .select(col("embedding"))
           .as[Seq[Float]]
           .map(_.map(_.toDouble).toArray)
           .persist()
-        val n = vecs.count().toDouble
-        val dim = 64
-        val mean = vecs.reduce((a, b) => Array.tabulate(dim)(i => a(i) + b(i)))
-          .map(_ / n)
-        val bc = s.sparkContext.broadcast(mean)
-        val rng = new graft.text.SplitMix64(7L)
-        var v = Array.fill(dim)(rng.nextDouble() - 0.5)
-        var lambda = 0.0
+        val n = vecs.count()
+        // quantized mean: per-component integer sums on the 1e8 grid
+        val msum = vecs.rdd.treeAggregate(new Array[Long](dim))(
+          (z, x) => {
+            var i = 0
+            while (i < dim) { z(i) += PcaQ.rz(x(i) * 1e8); i += 1 }
+            z
+          },
+          (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
+        val mu = msum.map(_ / (1e8 * n))
+        val bc = s.sparkContext.broadcast(mu)
+        var v = Array.fill(dim)(0.125)
+        var norm = 0.0
         (1 to 12).foreach { _ =>
           val bv = s.sparkContext.broadcast(v)
-          val acc = vecs.rdd.treeAggregate(new Array[Double](dim))(
+          val acc = vecs.rdd.treeAggregate(new Array[Long](dim))(
             (z, x) => {
-              val mu = bc.value; val vv = bv.value
-              var d = 0.0
+              val m = bc.value; val vv = bv.value
+              // per-row dot on the 1e9 grid (summed as longs, so the
+              // j-order inside the row cannot matter either)
+              var dq = 0L
               var i = 0
-              while (i < dim) { d += (x(i) - mu(i)) * vv(i); i += 1 }
+              while (i < dim) {
+                dq += PcaQ.rz((x(i) - m(i)) * vv(i) * 1e9); i += 1
+              }
+              val d = dq / 1e9
               i = 0
-              while (i < dim) { z(i) += (x(i) - mu(i)) * d; i += 1 }
+              while (i < dim) {
+                z(i) += PcaQ.rz((x(i) - m(i)) * d * 1e8); i += 1
+              }
               z
             },
             (a, b) => { var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a })
-          val nrm = math.sqrt(acc.map(x => x * x).sum)
-          lambda = nrm / n
-          v = acc.map(_ / nrm)
+          val q = acc.map(sv => PcaQ.rz((sv / 1e8) * (sv / 1e8) * 1e9)).sum
+          norm = math.sqrt(q / 1e9)
+          v = acc.map(sv => (sv / 1e8) / norm)
         }
         vecs.unpersist(blocking = false)
         // eigenvector sign is arbitrary: fix it by the largest component
         val piv = v.indices.maxBy(i => math.abs(v(i)))
         val sign = if (v(piv) < 0) -1.0 else 1.0
-        val out = v.take(8).map(x => BigDecimal(x * sign)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        s.createDataset(out.zipWithIndex.map { case (c, i) =>
-          (i.toLong, c, BigDecimal(lambda)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }.toSeq).toDF("component", "loading", "eigenvalue")
+        val lam = PcaQ.rz(norm / n * 1e4) / 1e4
+        val out = (0 until 8).map { i =>
+          (i.toLong, PcaQ.rz(v(i) * sign * 1e6) / 1e6, lam)
+        }
+        s.createDataset(out).toDF("component", "loading", "eigenvalue")
           .orderBy("component")
       },
-      None
+      Some(PcaQ.oracleSql)
     ),
     Q(
       "fn_variant",
@@ -376,4 +398,57 @@ object Extras3 extends QueryModule {
           "GROUP BY event_type ORDER BY event_type")
     )
   )
+}
+
+/** Quantization contract shared by `vec_pca_power`'s Spark side, its
+  * sequential test reference, and its generated DuckDB oracle. The single
+  * invariant: any value that is about to be SUMMED is first rounded
+  * half-away-from-zero onto a fixed integer grid, so every sum is
+  * associative 64-bit integer arithmetic and both engines (and any
+  * executor-partial order) produce the same bits. Grids: mean 1e8, per-row
+  * dot 1e9, component accumulate 1e8, norm square 1e9 — chosen so the
+  * largest sum (n · max|term|) stays far below 2^63 at any fixture SF and
+  * the 1e-8 grid noise sits two decades under the 1e-6 output rounding.
+  */
+object PcaQ {
+  /** round half-away-from-zero — matches DuckDB/Spark scale-0 `round` on
+    * identical doubles (Math.round alone is half-UP: -2.5 → -2, wrong).
+    */
+  def rz(x: Double): Long =
+    if (x < 0) -math.round(-x) else math.round(x)
+
+  /** 12 unrolled power iterations over the long-form (i, j, xc) matrix.
+    * Each iteration mirrors the Spark side expression-for-expression:
+    * d_i = Σ_j ⌊xc·v_j·1e9⌉ / 1e9, a_j = Σ_i ⌊xc·d_i·1e8⌉,
+    * ‖a‖² = Σ_j ⌊(a_j/1e8)²·1e9⌉, v'_j = (a_j/1e8) / √(‖a‖²/1e9).
+    */
+  def oracleSql: String = {
+    val base =
+      "WITH nn AS (SELECT count(*) AS n FROM embeddings), " +
+        "mt0 AS MATERIALIZED (SELECT vec_id AS i, j, CAST(embedding[j] AS DOUBLE) AS x " +
+        "FROM embeddings, generate_series(1, 64) AS g(j)), " +
+        "mu AS MATERIALIZED (SELECT j, sum(CAST(round(x * 1e8) AS BIGINT)) AS ms " +
+        "FROM mt0 GROUP BY j), " +
+        "mt AS MATERIALIZED (SELECT i, mt0.j, x - ms / (1e8 * (SELECT n FROM nn)) AS xc " +
+        "FROM mt0 JOIN mu ON mt0.j = mu.j), " +
+        "v0 AS MATERIALIZED (SELECT j, 0.125 AS vj FROM generate_series(1, 64) AS g(j)), "
+    val iters = (1 to 12).map { k =>
+      s"d$k AS MATERIALIZED (SELECT i, sum(CAST(round(xc * vj * 1e9) AS BIGINT)) AS dq " +
+        s"FROM mt JOIN v${k - 1} USING (j) GROUP BY i), " +
+        s"a$k AS MATERIALIZED (SELECT j, sum(CAST(round(xc * (dq / 1e9) * 1e8) " +
+        s"AS BIGINT)) AS s2 FROM mt JOIN d$k USING (i) GROUP BY j), " +
+        s"n$k AS MATERIALIZED (SELECT sum(CAST(round((s2 / 1e8) * (s2 / 1e8) * 1e9) " +
+        s"AS BIGINT)) AS q FROM a$k), " +
+        s"v$k AS MATERIALIZED (SELECT j, (s2 / 1e8) / sqrt(q / 1e9) AS vj " +
+        s"FROM a$k, n$k)"
+    }.mkString(", ")
+    base + iters + ", " +
+      "piv AS (SELECT CASE WHEN vj < 0 THEN -1.0 ELSE 1.0 END AS sgn " +
+      "FROM v12 ORDER BY abs(vj) DESC, j LIMIT 1), " +
+      "lam AS (SELECT round(sqrt(q / 1e9) / (SELECT n FROM nn) * 1e4) " +
+      "/ 1e4 AS ev FROM n12) " +
+      "SELECT CAST(j - 1 AS BIGINT) AS component, " +
+      "round(vj * sgn * 1e6) / 1e6 AS loading, ev AS eigenvalue " +
+      "FROM v12, piv, lam WHERE j <= 8 ORDER BY component"
+  }
 }

@@ -134,39 +134,49 @@ class Round3Spec extends AnyFunSuite {
     assert(tws == fmg)
   }
 
-  test("vec_pca_power matches a driver-side exact power iteration") {
+  test("vec_pca_power matches a driver-side quantized power iteration " +
+    "bit-for-bit") {
+    import graft.ops.PcaQ.rz
     val rows = SparkEntry.queries("vec_pca_power")(spark, TestSpark.Sf)
       .collect()
     assert(rows.length == 8)
-    val lam = rows.head.getAs[Double]("eigenvalue")
-    assert(lam > 0)
-    // exact reference: same algorithm, same seed, all in the driver
+    assert(rows.head.getAs[Double]("eigenvalue") > 0)
+    // independent sequential reference on the same integer grids — the
+    // quantization makes the distributed treeAggregate EXACTLY equal to
+    // this loop (associative integer sums), so no tolerance is needed
     val xs = T(spark, TestSpark.Sf, "embeddings")
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = 64
-    val n = xs.length.toDouble
-    val mean = xs.reduce((a, b) => Array.tabulate(dim)(i => a(i) + b(i)))
-      .map(_ / n)
-    val rng = new graft.text.SplitMix64(7L)
-    var v = Array.fill(dim)(rng.nextDouble() - 0.5)
+    val n = xs.length.toLong
+    val msum = new Array[Long](dim)
+    xs.foreach { x =>
+      var i = 0; while (i < dim) { msum(i) += rz(x(i) * 1e8); i += 1 }
+    }
+    val mean = msum.map(_ / (1e8 * n))
+    var v = Array.fill(dim)(0.125)
+    var norm = 0.0
     (1 to 12).foreach { _ =>
-      val acc = new Array[Double](dim)
+      val acc = new Array[Long](dim)
       xs.foreach { x =>
-        var d = 0.0; var i = 0
-        while (i < dim) { d += (x(i) - mean(i)) * v(i); i += 1 }
+        var dq = 0L; var i = 0
+        while (i < dim) { dq += rz((x(i) - mean(i)) * v(i) * 1e9); i += 1 }
+        val d = dq / 1e9
         i = 0
-        while (i < dim) { acc(i) += (x(i) - mean(i)) * d; i += 1 }
+        while (i < dim) { acc(i) += rz((x(i) - mean(i)) * d * 1e8); i += 1 }
       }
-      val nrm = math.sqrt(acc.map(y => y * y).sum)
-      v = acc.map(_ / nrm)
+      val q = acc.map(sv => rz((sv / 1e8) * (sv / 1e8) * 1e9)).sum
+      norm = math.sqrt(q / 1e9)
+      v = acc.map(sv => (sv / 1e8) / norm)
     }
     val piv = v.indices.maxBy(i => math.abs(v(i)))
     val sign = if (v(piv) < 0) -1.0 else 1.0
+    val lam = rz(norm / n * 1e4) / 1e4
     rows.foreach { r =>
       val i = r.getAs[Long]("component").toInt
-      assert(math.abs(r.getAs[Double]("loading") - v(i) * sign) < 2e-6,
+      assert(r.getAs[Double]("loading") == rz(v(i) * sign * 1e6) / 1e6,
         s"component $i: ${r.getAs[Double]("loading")} vs ${v(i) * sign}")
+      assert(r.getAs[Double]("eigenvalue") == lam)
     }
   }
 
