@@ -109,6 +109,36 @@ object TableOps extends QueryModule {
           "GROUP BY o_orderpriority ORDER BY o_orderpriority")
     ),
     Q(
+      "table_partition_evolve",
+      // partition-spec evolution mid-history: era 1 lands clustered on
+      // o_custkey, then the spec evolves (metadata-only — no rewrite;
+      // TableFormatSpec pins the file list) and era 2 lands clustered on
+      // o_orderkey. Each file prunes on its OWN era's clustering via
+      // manifest stats, so the layout change costs one manifest write
+      // instead of the full-table rewrite a path-partitioned format needs.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab_evo")
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        SnapTable.create(s, root, o.filter(col("o_orderkey") % 3 === 0),
+          "o_orderkey", spec = Seq("o_custkey"))
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 1))
+        SnapTable.evolvePartition(s, root, Seq("o_orderkey"))
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 2))
+        val (pruned, _, _) =
+          SnapTable.readRange(s, root, "o_custkey", 1L, 500L)
+        pruned.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_custkey BETWEEN 1 AND 500 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_merge_cow",
       (s, dir) => {
         val root = mergedTable(s, dir)

@@ -54,6 +54,22 @@ import org.apache.spark.sql.functions._
   */
 object SnapTable {
 
+  /** A snapshot-transforming commit (merge / delete / compact / restore)
+    * lost its optimistic-concurrency race: the file list it computed is
+    * stale against the new head, and re-linking it would silently drop the
+    * winner's changes (the classic lost update). The operation must be
+    * re-run against the current head — same contract as Delta's
+    * ConcurrentModificationException family.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** An append's schema breaks the additive-only evolution contract:
+    * every existing column must stay present with an identical type.
+    */
+  final class SchemaEvolutionException(msg: String)
+    extends RuntimeException(msg)
+
   /** Per-column [min,max] for every INT64 column the file's footer covers
     * (Delta/Iceberg collect per-column stats the same way) — any stats'd
     * column can drive file skipping, which is what makes Z-order layouts
@@ -68,9 +84,18 @@ object SnapTable {
     * columns a file predates — schema evolution without rewriting a byte
     * (and without a mergeSchema footer sweep over thousands of files).
     */
+  /** `spec` is the snapshot's PARTITION SPEC: identity partition columns,
+    * recorded in the manifest (Iceberg-style), not in directory paths.
+    * Files written under a spec are range-clustered on it, so their
+    * manifest [min,max] stats make partition pruning a special case of
+    * the existing file skipping — and because every file carries its OWN
+    * stats, the spec can EVOLVE without rewriting a byte: old files keep
+    * pruning under the old clustering, new files under the new.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
-      files: Seq[FileEntry], txn: Option[String] = None)
+      files: Seq[FileEntry], txn: Option[String] = None,
+      spec: Seq[String] = Seq.empty)
 
   // ---------------------------------------------------------------- commits
 
@@ -78,22 +103,49 @@ object SnapTable {
     * whose per-file min/max the manifests index (the natural cluster key).
     */
   def create(s: SparkSession, root: String, df: DataFrame,
-      statsCol: String): Int = {
+      statsCol: String, spec: Seq[String] = Seq.empty): Int = {
     Files.createDirectories(Paths.get(root, "_log"))
-    commit(s, root, writeData(s, root, df, statsCol), "create", statsCol,
-      df.schema.json)
+    val snap = Snapshot(1, "create", statsCol, df.schema.json,
+      writeData(s, root, clusterBySpec(df, spec), statsCol), spec = spec)
+    if (tryLink(root, snap)) 1
+    else throw new ConcurrentCommitException(
+      s"create lost the race for v1 at $root — the table already exists")
+  }
+
+  /** Partition-spec EVOLUTION: a metadata-only commit that declares a new
+    * partition spec for all FUTURE writes. No data file is touched —
+    * the new snapshot carries the parent's file list byte-identically.
+    * Old files still prune on the old spec's columns (their stats don't
+    * change); files appended afterwards are clustered — and prune — on
+    * the new spec. This is what saves the full-table rewrite that
+    * path-partitioned layouts force on a layout change.
+    */
+  def evolvePartition(s: SparkSession, root: String,
+      newSpec: Seq[String]): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(parent.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    newSpec.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    commitExclusive(root, parent, parent.files, "evolve-spec",
+      parent.schemaJson, spec = newSpec)
   }
 
   /** Append-only commit: new files plus every file of the parent snapshot.
     * The incoming frame's schema becomes the snapshot schema — appending
-    * with an added column IS the schema-evolution commit (old files
-    * null-fill it on read).
+    * with an ADDED column IS the schema-evolution commit (old files
+    * null-fill it on read). Evolution is additive-only: dropping or
+    * retyping an existing column is rejected (`SchemaEvolutionException`),
+    * because adopting such a schema would silently null out that column
+    * for every pre-existing file on read.
     */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
     val parent = load(root, latestVersion(root))
-    val fresh = writeData(s, root, df, parent.statsCol)
-    commit(s, root, parent.files ++ fresh, "append", parent.statsCol,
-      df.schema.json)
+    validateEvolution(parent.schemaJson, df.schema)
+    val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+      parent.statsCol)
+    commitAppend(root, parent, fresh, df.schema, txn = None)
   }
 
   /** Copy-on-write MERGE (upsert + optional delete).
@@ -106,6 +158,17 @@ object SnapTable {
   def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
       deleteCol: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
+    if (parent.files.isEmpty) {
+      // empty table: everything is an insert; nothing to rewrite
+      val incoming = deleteCol match {
+        case Some(d) => updates.filter(!col(d)).drop(d)
+        case None => updates
+      }
+      val fresh =
+        if (incoming.isEmpty) Seq.empty
+        else writeData(s, root, incoming, parent.statsCol)
+      return commitExclusive(root, parent, fresh, "merge", parent.schemaJson)
+    }
     val keys = updates.select(key).distinct()
     val withFile = readFiles(s, root, parent.files, parent.schemaJson)
       .withColumn("_gf_file", col("_metadata.file_path"))
@@ -129,8 +192,9 @@ object SnapTable {
       incoming.select(survivors.columns.map(col).toIndexedSeq: _*))
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
-      else writeData(s, root, rewrite, parent.statsCol)
-    commit(s, root, carried ++ fresh, "merge", parent.statsCol,
+      else writeData(s, root, clusterBySpec(rewrite, parent.spec),
+        parent.statsCol)
+    commitExclusive(root, parent, carried ++ fresh, "merge",
       parent.schemaJson)
   }
 
@@ -147,10 +211,15 @@ object SnapTable {
     applied match {
       case Some(snap) => snap.version // duplicate delivery: already in
       case None =>
+        // the check above races with concurrent deliveries of the same
+        // txnId; commitAppend re-verifies the txn against the log after
+        // every lost slot, so the loser of such a race resolves to the
+        // winner's version instead of double-appending
         val parent = load(root, latestVersion(root))
-        val fresh = writeData(s, root, df, parent.statsCol)
-        commit(s, root, parent.files ++ fresh, "append", parent.statsCol,
-          df.schema.json, txn = Some(txnId))
+        validateEvolution(parent.schemaJson, df.schema)
+        val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+          parent.statsCol)
+        commitAppend(root, parent, fresh, df.schema, txn = Some(txnId))
     }
   }
 
@@ -171,10 +240,16 @@ object SnapTable {
         .repartitionByRange(targetFiles, col("_gf_z"))
         .sortWithinPartitions("_gf_z")
         .drop("_gf_z")
-      case None => live.repartitionByRange(targetFiles, col(parent.statsCol))
+      case None =>
+        // a declared partition spec wins over the stats column: compaction
+        // must restore the layout that partition pruning depends on
+        val keys = (if (parent.spec.nonEmpty) parent.spec
+          else Seq(parent.statsCol)).map(col)
+        live.repartitionByRange(targetFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol)
-    commit(s, root, fresh, "compact", parent.statsCol, parent.schemaJson)
+    commitExclusive(root, parent, fresh, "compact", parent.schemaJson)
   }
 
   /** DESCRIBE HISTORY: one row per retained snapshot — version, the verb
@@ -207,7 +282,9 @@ object SnapTable {
     */
   def restore(s: SparkSession, root: String, version: Int): Int = {
     val snap = load(root, version)
-    commit(s, root, snap.files, "restore", snap.statsCol, snap.schemaJson)
+    val head = load(root, latestVersion(root))
+    commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
+      statsCol = snap.statsCol)
   }
 
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
@@ -218,6 +295,9 @@ object SnapTable {
   def deleteWhere(s: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): Int = {
     val parent = load(root, latestVersion(root))
+    if (parent.files.isEmpty) // nothing to delete from: no-op commit
+      return commitExclusive(root, parent, Seq.empty, "delete",
+        parent.schemaJson)
     val withFile = readFiles(s, root, parent.files, parent.schemaJson)
       .withColumn("_gf_file", col("_metadata.file_path"))
     val touched = withFile.filter(predicate)
@@ -232,8 +312,9 @@ object SnapTable {
       .drop("_gf_file")
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
-      else writeData(s, root, survivors, parent.statsCol)
-    commit(s, root, carried ++ fresh, "delete", parent.statsCol,
+      else writeData(s, root, clusterBySpec(survivors, parent.spec),
+        parent.statsCol)
+    commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
 
@@ -360,8 +441,8 @@ object SnapTable {
     val dataRoot = Paths.get(root, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { commitDir =>
-        val files = Files.list(commitDir).iterator().asScala.toSeq
+      listDir(dataRoot).foreach { commitDir =>
+        val files = listDir(commitDir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
         val (dead, alive) = files.partition(f =>
           !live.contains(Paths.get(root).relativize(f).toString))
@@ -373,16 +454,42 @@ object SnapTable {
   }
 
   def versions(root: String): Seq[Int] =
-    Files.list(Paths.get(root, "_log")).iterator().asScala
+    listDir(Paths.get(root, "_log"))
       .map(_.getFileName.toString)
       .collect { case ManifestName(v) => v.toInt }
-      .toSeq.sorted
+      .sorted
 
   def latestVersion(root: String): Int = versions(root).max
 
   // ---------------------------------------------------------------- internals
 
   private val ManifestName = """v(\d{8})\.json""".r
+
+  /** Range-cluster a write by the snapshot's partition spec so each file
+    * covers a narrow slice of the spec columns — tight manifest [min,max]
+    * on them is what turns the generic file skipping into partition
+    * pruning. No-op for unpartitioned tables. The partition count is
+    * pinned to spark.sql.shuffle.partitions EXPLICITLY: an implicit
+    * range shuffle gets AQE-coalesced to one partition on a small
+    * commit, which would collapse the whole commit into a single file
+    * with full-range stats — unprunable. (A production writer sizes
+    * this by target file bytes instead.)
+    */
+  private def clusterBySpec(df: DataFrame, spec: Seq[String]): DataFrame =
+    if (spec.isEmpty) df
+    else {
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.repartitionByRange(n, spec.map(col): _*)
+        .sortWithinPartitions(spec.map(col): _*)
+    }
+
+  // Files.list holds a directory fd until the stream is CLOSED — an
+  // unclosed stream per commit is an fd leak that kills a long-running
+  // writer process
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
 
   private def manifestPath(root: String, v: Int): Path =
     Paths.get(root, "_log", f"v$v%08d.json")
@@ -395,13 +502,13 @@ object SnapTable {
     * over file names (footer reads are independent), same as Iceberg's
     * manifest workers.
     */
-  private def writeData(s: SparkSession, root: String, df: DataFrame,
+  private[graft] def writeData(s: SparkSession, root: String, df: DataFrame,
       statsCol: String): Seq[FileEntry] = {
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(root, "data", dirName)
     df.write.parquet(dir.toString)
     val conf = s.sparkContext.hadoopConfiguration
-    Files.list(dir).iterator().asScala.toSeq
+    listDir(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -435,49 +542,123 @@ object SnapTable {
       }.sortBy(_.path)
   }
 
-  /** Optimistic-concurrency commit: serialize the manifest to a tmp file,
-    * atomically promote it to the next version slot; on collision re-read
-    * the log and retry against the new head.
+  /** One atomic manifest-promotion attempt: serialize to a tmp file, then
+    * claim `snap.version`'s slot with a create-exclusive link. Returns
+    * whether THIS writer won the slot.
+    *
+    * link(2) is the POSIX create-exclusive primitive: unlike rename(2)
+    * (which silently replaces an existing target) it fails with EEXIST
+    * when the version slot is already taken — the whole optimistic-
+    * concurrency guarantee hangs on this one syscall choice.
     */
-  private def commit(s: SparkSession, root: String, files: Seq[FileEntry],
-      op: String, statsCol: String, schemaJson: String,
-      txn: Option[String] = None): Int = {
-    var attempt = versions(root).lastOption.getOrElse(0) + 1
-    while (true) {
-      val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
-      Files.write(tmp,
-        render(Snapshot(attempt, op, statsCol, schemaJson, files, txn))
-          .getBytes(StandardCharsets.UTF_8))
-      try {
-        // link(2) is the POSIX create-exclusive primitive: unlike rename(2)
-        // (which silently replaces an existing target) it fails with EEXIST
-        // when the version slot is already taken — the whole optimistic-
-        // concurrency guarantee hangs on this one syscall choice
-        Files.createLink(manifestPath(root, attempt), tmp)
+  private def tryLink(root: String, snap: Snapshot): Boolean = {
+    val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
+    Files.write(tmp, render(snap).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestPath(root, snap.version), tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp)
-        return attempt
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp)
-          attempt = latestVersion(root) + 1 // lost the race — retry on head
+        false
+    }
+  }
+
+  /** Optimistic commit for APPEND-shaped ops — the fresh files are valid
+    * against ANY head, so losing a race is recoverable: reconcile against
+    * the new head and retry, never re-linking the stale parent's file list
+    * (which would drop the winner's files — a lost update). Reconciling
+    * means: (a) for idempotent appends, re-check whether the new head
+    * already carries our `txn` (the winner may have been a concurrent
+    * redelivery of the SAME txn — then we are the duplicate and resolve to
+    * its version); (b) re-validate schema evolution against the head the
+    * commit will actually land on; (c) rebuild the file list as
+    * head.files ++ fresh. Package-private so the race is unit-testable.
+    */
+  private[graft] def commitAppend(root: String, parent: Snapshot,
+      fresh: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      txn: Option[String]): Int = {
+    var head = parent
+    while (true) {
+      val won = tryLink(root, Snapshot(head.version + 1, "append",
+        head.statsCol, schema.json, head.files ++ fresh, txn, head.spec))
+      if (won) return head.version + 1
+      txn.flatMap(t => versions(root).view.map(load(root, _))
+          .find(_.txn.contains(t))) match {
+        case Some(dup) => return dup.version // our txn already landed
+        case None =>
+          head = load(root, latestVersion(root))
+          validateEvolution(head.schemaJson, schema)
       }
     }
-    attempt
+    -1 // unreachable
+  }
+
+  /** Commit for snapshot-TRANSFORMING ops (merge / delete / compact /
+    * restore): the file list is a function of `parent` specifically, so a
+    * head that moved invalidates it — blind retry would drop the
+    * concurrent commit's changes. Losing the race aborts; the caller
+    * re-reads and re-runs, as in Delta's conflict resolution.
+    */
+  private[graft] def commitExclusive(root: String, parent: Snapshot,
+      files: Seq[FileEntry], op: String, schemaJson: String,
+      statsCol: String = null, spec: Seq[String] = null): Int = {
+    val sc = Option(statsCol).getOrElse(parent.statsCol)
+    val sp = Option(spec).getOrElse(parent.spec)
+    val v = parent.version + 1
+    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp))) v
+    else throw new ConcurrentCommitException(
+      s"$op computed against v${parent.version} lost the race for v$v — " +
+        "its file rewrite is stale; re-read the head and re-run")
+  }
+
+  /** Additive-only schema evolution: every column of the current snapshot
+    * must remain, with an identical type. New trailing columns are the
+    * supported evolution (old files null-fill them on read).
+    */
+  private def validateEvolution(parentSchemaJson: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val parent = org.apache.spark.sql.types.DataType
+      .fromJson(parentSchemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    parent.fields.foreach { pf =>
+      incoming.fields.find(_.name == pf.name) match {
+        case Some(f) if f.dataType == pf.dataType => ()
+        case Some(f) => throw new SchemaEvolutionException(
+          s"append retypes column '${pf.name}' from ${pf.dataType.sql} " +
+            s"to ${f.dataType.sql}; only additive evolution is supported")
+        case None => throw new SchemaEvolutionException(
+          s"append drops column '${pf.name}'; adopting that schema would " +
+            "null it for every existing file — only additive evolution " +
+            "is supported")
+      }
+    }
   }
 
   private def readFiles(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String): DataFrame = {
-    require(files.nonEmpty, "snapshot has no data files")
-    s.read.schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // a snapshot may legally be empty (deleteWhere/merge removed every
+    // row); it reads as an empty frame under the snapshot schema
+    if (files.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      s.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
-  private def load(root: String, v: Int): Snapshot = {
+  private[graft] def load(root: String, v: Int): Snapshot = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(Files.readAllBytes(manifestPath(root, v)))
     Snapshot(
-      node.get("version").asInt(),
+      // the SLOT (filename) is the version, authoritatively: the log is
+      // ordered by slot, and commit progress (head.version + 1) must key
+      // off it — a manifest whose body claims another version must not be
+      // able to wedge the retry loop
+      v,
       node.get("op").asText(),
       node.get("statsCol").asText(),
       node.get("schema").toString,
@@ -488,7 +669,10 @@ object SnapTable {
         }.toMap
         FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
       }.toSeq,
-      Option(node.get("txn")).map(_.asText()))
+      Option(node.get("txn")).map(_.asText()),
+      // absent in pre-evolution manifests → unpartitioned
+      Option(node.get("spec")).map(_.elements().asScala.map(_.asText())
+        .toSeq).getOrElse(Seq.empty))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -499,14 +683,17 @@ object SnapTable {
       s"""{"path":"${f.path}","rows":${f.rows},"stats":$st}"""
     }.mkString("[", ",", "]")
     val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
+    val spec =
+      if (snap.spec.isEmpty) ""
+      else snap.spec.map(c => s""""$c"""").mkString(""","spec":[""", ",", "]")
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
-      s""""files":$files$txn}"""
+      s""""files":$files$txn$spec}"""
   }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 }

@@ -48,6 +48,101 @@ class TableFormatSpec extends AnyFunSuite {
       SnapTable.readVersion(spark, root, 1).count() + 10)
   }
 
+  test("commit collision: rebased append keeps the winner's files") {
+    val root = freshTable()
+    val base = SnapTable.read(spark, root).count()
+    // a loser computes its commit against v1 (files written, not yet
+    // linked)...
+    val stale = SnapTable.load(root, 1)
+    val loserFresh = SnapTable.writeData(spark, root,
+      SnapTable.readVersion(spark, root, 1).limit(10), "o_orderkey")
+    // ...then a winner lands v2 before the loser reaches the link
+    SnapTable.append(spark, root,
+      SnapTable.readVersion(spark, root, 1).limit(20))
+    // the loser's link on v2 now collides; it must rebase onto the new
+    // head — re-linking its stale list would drop the winner's 20 rows
+    val v = SnapTable.commitAppend(root, stale, loserFresh,
+      SnapTable.readVersion(spark, root, 1).schema, txn = None)
+    assert(v == 3)
+    assert(SnapTable.read(spark, root).count() == base + 30,
+      "the retried manifest must still contain the winner's files")
+  }
+
+  test("commit collision: same-txn race resolves to the winner's version") {
+    val root = freshTable()
+    val stale = SnapTable.load(root, 1)
+    val inc = SnapTable.readVersion(spark, root, 1).limit(10)
+    val loserFresh = SnapTable.writeData(spark, root, inc, "o_orderkey")
+    // a concurrent delivery of the SAME txn wins the slot first
+    val winner = SnapTable.appendOnce(spark, root, inc, "txn-race")
+    val n = SnapTable.read(spark, root).count()
+    // the loser must recognize its txn already landed and not re-append
+    val v = SnapTable.commitAppend(root, stale, loserFresh, inc.schema,
+      txn = Some("txn-race"))
+    assert(v == winner)
+    assert(SnapTable.versions(root).max == winner)
+    assert(SnapTable.read(spark, root).count() == n)
+  }
+
+  test("commit collision: merge-style commit aborts, never drops the winner") {
+    val root = freshTable()
+    val stale = SnapTable.load(root, 1)
+    SnapTable.append(spark, root,
+      SnapTable.readVersion(spark, root, 1).limit(5))
+    intercept[SnapTable.ConcurrentCommitException] {
+      SnapTable.commitExclusive(root, stale, stale.files, "merge",
+        stale.schemaJson)
+    }
+    // the aborted commit left no manifest behind
+    assert(SnapTable.versions(root) == Seq(1, 2))
+  }
+
+  test("deleting every row leaves a readable empty table, not a brick") {
+    val root = freshTable()
+    SnapTable.deleteWhere(spark, root, lit(true))
+    val empty = SnapTable.read(spark, root)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+    // and the table keeps working: merge inserts into the empty snapshot
+    SnapTable.merge(spark, root,
+      SnapTable.readVersion(spark, root, 1).limit(7), "o_orderkey")
+    assert(SnapTable.read(spark, root).count() == 7)
+  }
+
+  test("append that drops or retypes a column is rejected") {
+    val root = freshTable()
+    intercept[SnapTable.SchemaEvolutionException] {
+      SnapTable.append(spark, root,
+        SnapTable.read(spark, root).select("o_orderkey"))
+    }
+    intercept[SnapTable.SchemaEvolutionException] {
+      SnapTable.append(spark, root, SnapTable.read(spark, root)
+        .withColumn("o_totalprice", col("o_totalprice").cast("string")))
+    }
+    assert(SnapTable.versions(root) == Seq(1),
+      "rejected appends must not commit")
+  }
+
+  test("partition evolution: metadata-only commit; each era prunes on its spec") {
+    val root = Tmp.dir("snaptab_evo")
+    val o = T(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    SnapTable.create(spark, root, o.filter(col("o_orderkey") % 2 === 0),
+      "o_orderkey", spec = Seq("o_custkey"))
+    val filesBefore = currentFiles(root)
+    SnapTable.evolvePartition(spark, root, Seq("o_orderkey"))
+    assert(currentFiles(root) == filesBefore,
+      "spec evolution must not rewrite or drop any data file")
+    SnapTable.append(spark, root, o.filter(col("o_orderkey") % 2 === 1))
+    // era-1 files were clustered on o_custkey, era-2 files on o_orderkey;
+    // each prunes on its own clustering via per-file manifest stats
+    val (_, sC, tC) = SnapTable.readRange(spark, root, "o_custkey", 1L, 50L)
+    val (_, sK, tK) = SnapTable.readRange(spark, root, "o_orderkey", 1L, 200L)
+    assert(sC < tC, s"old-era files must prune on o_custkey ($sC/$tC)")
+    assert(sK < tK, s"new-era files must prune on o_orderkey ($sK/$tK)")
+    assert(SnapTable.read(spark, root).count() == o.count())
+  }
+
   test("merge is copy-on-write: clustered update rewrites only hit files") {
     val root = freshTable()
     val before = SnapTable.versions(root)
