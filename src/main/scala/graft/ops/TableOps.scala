@@ -65,7 +65,120 @@ object TableOps extends QueryModule {
       "WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id) " +
       "UNION ALL SELECT doc_id, lang, text FROM upd WHERE NOT del) "
 
+  /** One SQL catalog per JVM: register `snap` → a session-scratch
+    * warehouse dir on first use (Spark instantiates the catalog lazily on
+    * first resolution and caches it, so the conf must be set before any
+    * `snap.…` query and never changed after). Each op creates its own
+    * uniquely-named table under it, so ops stay independently re-runnable.
+    */
+  private def sqlWarehouse(
+      s: org.apache.spark.sql.SparkSession): String = this.synchronized {
+    s.conf.getOption("spark.sql.catalog.snap.root").getOrElse {
+      val b = graft.Tmp.dir("graft_snapcat")
+      s.conf.set("spark.sql.catalog.snap",
+        classOf[graft.sources.SnapCatalog].getName)
+      s.conf.set("spark.sql.catalog.snap.root", b)
+      b
+    }
+  }
+
+  private def freshName(): String =
+    "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
   def queries: Seq[Q] = Seq(
+    Q(
+      "table_sql_read",
+      // the DSv2 catalog path: the same snapshot table, reached from plain
+      // SQL. The WHERE range rides the pushed-down filters into manifest
+      // file pruning (SnapScanBuilder), then Spark's vectorized parquet
+      // reader handles the surviving files — SQL users get the identical
+      // skipping the readRange API gives.
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t = freshName()
+        val root = s"$base/main/$t"
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.SnapTable.create(s, root,
+          o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        graft.sources.SnapTable.append(s, root,
+          o.filter(col("o_orderkey") % 3 === 1))
+        s.sql(s"SELECT o_orderstatus, o_totalprice FROM snap.main.$t " +
+            "WHERE o_orderkey BETWEEN 1 AND 2000")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_orderkey % 3 IN (0, 1) " +
+          "AND o_orderkey BETWEEN 1 AND 2000 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_sql_timetravel",
+      // `VERSION AS OF` through the catalog's loadTable(ident, version):
+      // the v3 commit is invisible because the scan resolves v2's manifest
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t = freshName()
+        val root = s"$base/main/$t"
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.sources.SnapTable.create(s, root,
+          o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        graft.sources.SnapTable.append(s, root,
+          o.filter(col("o_orderkey") % 3 === 1))
+        graft.sources.SnapTable.append(s, root,
+          o.filter(col("o_orderkey") % 3 === 2))
+        s.sql(s"SELECT o_orderpriority, o_totalprice " +
+            s"FROM snap.main.$t VERSION AS OF 2")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_orderkey % 3 IN (0, 1) " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    ),
+    Q(
+      "table_sql_insert",
+      // DDL + DML through the catalog: CREATE TABLE (partitioned),
+      // INSERT INTO (ACID append commit), INSERT OVERWRITE (one
+      // replace-contents commit) — then read the final state back via SQL
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+          "PARTITIONED BY (o_custkey)")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT * FROM $v WHERE o_orderkey % 2 = 0")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT * FROM $v WHERE o_orderkey % 2 = 1")
+        s.sql(s"INSERT OVERWRITE snap.main.$t " +
+          s"SELECT * FROM $v WHERE o_custkey % 5 = 0")
+        s.sql(s"SELECT o_custkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE o_custkey % 5 = 0 GROUP BY 1 ORDER BY bucket")
+    ),
     Q(
       "table_snapshot_append",
       (s, dir) => {

@@ -1,0 +1,336 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-v2 catalog over [[SnapTable]] directories: registers the
+  * snapshot-table format with Spark SQL so every `table_*` capability is
+  * reachable from plain SQL —
+  *
+  * {{{
+  *   spark.sql.catalog.snap      = graft.sources.SnapCatalog
+  *   spark.sql.catalog.snap.root = /warehouse
+  *
+  *   SELECT ... FROM snap.db.t                      -- head snapshot
+  *   SELECT ... FROM snap.db.t VERSION AS OF 2      -- time travel
+  *   INSERT INTO snap.db.t SELECT ...               -- ACID append commit
+  *   INSERT OVERWRITE snap.db.t SELECT ...          -- replace-contents commit
+  *   CREATE TABLE snap.db.t (...) PARTITIONED BY (c)-- empty v1 + spec
+  * }}}
+  *
+  * An identifier `snap.db.t` maps to the directory `<root>/db/t`; the
+  * table's manifests stay the single source of truth (the catalog adds no
+  * state of its own, like a path-based Delta catalog). Reads go through a
+  * [[V1Scan]] bridge: the scan prunes FILES on the driver from manifest
+  * [min,max] stats using the pushed-down predicates — so `WHERE k BETWEEN
+  * a AND b` over SQL skips the same files `SnapTable.readRange` would —
+  * then hands the surviving file list to Spark's own vectorized parquet
+  * reader (all pushed filters are also kept as residuals, so row-level
+  * exactness never depends on the pruning). At 100 TB the pruning step is
+  * manifest-sized driver work, identical to the API path.
+  */
+class SnapCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("root")
+    require(base != null,
+      s"spark.sql.catalog.$name.root must point to the warehouse directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(Paths.get(base))(_.resolve(_)).toString
+
+  private def isTable(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, "_log"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(Paths.get(base))(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(p => isTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new SnapV2Table(ident, dir, SnapTable.latestVersion(dir))
+  }
+
+  /** `VERSION AS OF v` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new SnapV2Table(ident, dir, version.toInt)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spec = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity partitioning is supported, got $t")
+    }
+    // stats column drives default clustering: an explicit property wins,
+    // else the first partition column, else the first long column
+    val statsCol = Option(properties.get("statsCol"))
+      .orElse(spec.headOption)
+      .orElse(schema.fields.find(_.dataType == LongType).map(_.name))
+      .getOrElse(schema.fields.head.name)
+    SnapTable.createEmpty(dir, schema, statsCol, spec)
+    new SnapV2Table(ident, dir, 1)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use SnapTable.append (additive schema evolution) or " +
+        "SnapTable.evolvePartition")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(tableDir(ident))
+    if (!isTable(dir.toString)) false
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
+        }
+        Files.delete(p)
+      }
+      rm(dir)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = Paths.get(tableDir(oldIdent))
+    if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
+    val to = Paths.get(tableDir(newIdent))
+    if (isTable(to.toString)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val st = Files.list(Paths.get(base))
+    try st.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p.toString))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      loadNamespaceMetadata(namespace) // throws if absent
+      Array.empty
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    val dir = namespace.foldLeft(Paths.get(base))(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(
+      namespace.foldLeft(Paths.get(base))(_.resolve(_)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(Paths.get(base))(_.resolve(_))
+    if (!Files.isDirectory(dir)) false
+    else if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace not empty")
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
+        }
+        Files.delete(p)
+      }
+      rm(dir)
+      true
+    }
+  }
+}
+
+/** One snapshot of one SnapTable, as a DSv2 table. Reads are served by the
+  * snapshot's immutable manifest (so a query holds a consistent view for
+  * its whole lifetime, whatever commits land meanwhile); writes commit
+  * through the same optimistic protocol as the API.
+  */
+private[sources] class SnapV2Table(ident: Identifier, root: String,
+    version: Int) extends Table with SupportsRead with SupportsWrite {
+
+  private val snap = SnapTable.load(root, version)
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType =
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("version" -> version.toString, "format" -> "snaptable",
+      "spec" -> snap.spec.mkString(",")).asJava
+
+  override def partitioning(): Array[Transform] =
+    snap.spec.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapScanBuilder(root, snap, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            if (overwrite) {
+              // INSERT OVERWRITE: replace the contents in ONE commit —
+              // new files only, carried forward from nothing
+              val parent = SnapTable.load(root,
+                SnapTable.latestVersion(root))
+              val fresh = SnapTable.writeData(data.sparkSession, root,
+                data, parent.statsCol)
+              SnapTable.commitExclusive(root, parent, fresh, "overwrite",
+                parent.schemaJson)
+            } else SnapTable.append(data.sparkSession, root, data)
+            ()
+          }
+      }
+    }
+}
+
+/** Scan builder carrying the two DSv2 pushdowns that matter at manifest
+  * level: column pruning (ReadSchema) and predicate-driven FILE pruning.
+  * Every filter is reported back as residual — the source prunes whole
+  * files, Spark's parquet reader + codegen still evaluate rows exactly.
+  */
+private[graft] class SnapScanBuilder(root: String,
+    snap: SnapTable.Snapshot, full: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var bounds: Map[String, (Long, Long)] = Map.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(c, v: Long) => narrow(c, v, v)
+      case EqualTo(c, v: Int) => narrow(c, v.toLong, v.toLong)
+      case GreaterThan(c, v: Long) => narrow(c, v + 1, Long.MaxValue)
+      case GreaterThan(c, v: Int) => narrow(c, v + 1L, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Int) => narrow(c, v.toLong, Long.MaxValue)
+      case LessThan(c, v: Long) => narrow(c, Long.MinValue, v - 1)
+      case LessThan(c, v: Int) => narrow(c, Long.MinValue, v - 1L)
+      case LessThanOrEqual(c, v: Long) => narrow(c, Long.MinValue, v)
+      case LessThanOrEqual(c, v: Int) => narrow(c, Long.MinValue, v.toLong)
+      case _ => () // unsupported shapes simply don't prune
+    }
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (a, b) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds += c -> (math.max(a, lo), math.min(b, hi))
+    }
+    filters.foreach(walk)
+    filters // all residual: pruning skips files, never rows
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val hit = snap.files.filter(f => bounds.forall { case (c, (lo, hi)) =>
+      f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
+    new SnapV1Scan(root, hit, snap.schemaJson, required)
+  }
+}
+
+/** The scan itself: a [[V1Scan]] bridge whose relation reads the pruned
+  * file list with Spark's native parquet source — vectorized reader,
+  * row-group pushdown and whole-stage codegen all apply downstream.
+  */
+private[graft] class SnapV1Scan(root: String,
+    private[graft] val files: Seq[SnapTable.FileEntry], schemaJson: String,
+    required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new SnapRelation(context, root, files, schemaJson, required)
+      .asInstanceOf[T]
+}
+
+private[sources] class SnapRelation(ctx: SQLContext, root: String,
+    files: Seq[SnapTable.FileEntry], schemaJson: String,
+    required: StructType) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val df = SnapTable.readFiles(ctx.sparkSession, root, files, schemaJson)
+    // a zero-column projection (e.g. COUNT(*)) still needs the row COUNT
+    df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+}

@@ -112,6 +112,20 @@ object SnapTable {
       s"create lost the race for v1 at $root — the table already exists")
   }
 
+  /** CREATE TABLE without data: version 1 is an empty snapshot carrying
+    * only the schema (and optional partition spec) — the DDL-first path
+    * the SQL catalog needs. The first append populates it.
+    */
+  def createEmpty(root: String,
+      schema: org.apache.spark.sql.types.StructType, statsCol: String,
+      spec: Seq[String] = Seq.empty): Int = {
+    Files.createDirectories(Paths.get(root, "_log"))
+    if (tryLink(root, Snapshot(1, "create", statsCol, schema.json,
+        Seq.empty, None, spec))) 1
+    else throw new ConcurrentCommitException(
+      s"create lost the race for v1 at $root — the table already exists")
+  }
+
   /** Partition-spec EVOLUTION: a metadata-only commit that declares a new
     * partition spec for all FUTURE writes. No data file is touched —
     * the new snapshot carries the parent's file list byte-identically.
@@ -637,7 +651,7 @@ object SnapTable {
     }
   }
 
-  private def readFiles(s: SparkSession, root: String,
+  private[sources] def readFiles(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]

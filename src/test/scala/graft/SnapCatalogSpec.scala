@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapCatalog, SnapScanBuilder, SnapTable, SnapV1Scan}
+
+/** The DSv2 catalog's physical contracts: identifier→directory mapping,
+  * VERSION AS OF manifest selection, commit-per-INSERT, pushed-filter →
+  * manifest file pruning, and DDL round trips. Logical results of the SQL
+  * surface are oracle-checked by the `table_sql_*` ops; this spec pins
+  * what SQL results can't show.
+  */
+class SnapCatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val base: String = {
+    val b = Tmp.dir("snapcat_spec")
+    spark.conf.set("spark.sql.catalog.snapt", classOf[SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapt.root", b)
+    b
+  }
+
+  private def orders = T(spark, TestSpark.Sf, "orders")
+    .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  test("SQL read resolves the head; VERSION AS OF selects its manifest") {
+    val root = s"$base/db1/ord"
+    SnapTable.create(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+    SnapTable.append(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    val n1 = orders.filter(col("o_orderkey") % 2 === 0).count()
+    val all = orders.count()
+    assert(spark.sql("SELECT * FROM snapt.db1.ord").count() == all)
+    assert(spark.sql("SELECT * FROM snapt.db1.ord VERSION AS OF 1")
+      .count() == n1)
+    // a query started against the head keeps its snapshot: new commits
+    // don't retroactively change an analyzed plan's manifest
+    val pinned = spark.sql("SELECT count(*) AS n FROM snapt.db1.ord")
+    SnapTable.append(spark, root, orders.limit(10))
+    assert(pinned.collect()(0).getLong(0) == all,
+      "an analyzed query must read the snapshot it resolved")
+  }
+
+  test("INSERT INTO commits append; INSERT OVERWRITE replaces in one commit") {
+    spark.sql("CREATE TABLE snapt.db1.ins " +
+      "(k BIGINT, v DOUBLE) PARTITIONED BY (k)")
+    val root = s"$base/db1/ins"
+    assert(SnapTable.versions(root) == Seq(1))
+    assert(SnapTable.load(root, 1).spec == Seq("k"))
+    spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) / 2 AS v")
+      .createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO snapt.db1.ins SELECT * FROM ins_src")
+    assert(SnapTable.versions(root) == Seq(1, 2))
+    assert(spark.sql("SELECT * FROM snapt.db1.ins").count() == 100)
+    spark.sql("INSERT OVERWRITE snapt.db1.ins " +
+      "SELECT * FROM ins_src WHERE k < 10")
+    assert(SnapTable.versions(root) == Seq(1, 2, 3))
+    assert(SnapTable.load(root, 3).op == "overwrite")
+    assert(spark.sql("SELECT * FROM snapt.db1.ins").count() == 10)
+    // pre-overwrite contents remain reachable by time travel
+    assert(spark.sql("SELECT * FROM snapt.db1.ins VERSION AS OF 2")
+      .count() == 100)
+  }
+
+  test("pushed range predicate prunes files from the manifest") {
+    val root = s"$base/db1/prune"
+    SnapTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val snap = SnapTable.load(root, 1)
+    val b = new SnapScanBuilder(root, snap,
+      spark.sql("SELECT * FROM snapt.db1.prune").schema)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 1L),
+      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 200L)))
+    val scan = b.build().asInstanceOf[SnapV1Scan]
+    assert(snap.files.size == 8)
+    assert(scan.files.size < snap.files.size,
+      s"range-clustered files must prune (${scan.files.size}/8)")
+    // and the SQL result over the same range is exact
+    val expect = orders.filter(col("o_orderkey").between(1, 200)).count()
+    assert(spark.sql("SELECT * FROM snapt.db1.prune " +
+      "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
+  }
+
+  test("column pruning reaches the scan schema") {
+    val df = spark.sql("SELECT o_custkey FROM snapt.db1.prune")
+    // the executed plan's base relation must carry only the one column
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.sameElements(
+      Array("o_custkey"))), s"scan schema not pruned:\n${df.queryExecution}")
+  }
+
+  test("DDL round trip: create/list/rename/drop") {
+    spark.sql("CREATE TABLE snapt.db2.a (k BIGINT, s STRING)")
+    assert(spark.sql("SHOW TABLES IN snapt.db2").collect()
+      .map(_.getString(1)).contains("a"))
+    spark.sql("ALTER TABLE snapt.db2.a RENAME TO db2.b")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/db2/a")))
+    assert(spark.sql("SELECT * FROM snapt.db2.b").count() == 0)
+    spark.sql("DROP TABLE snapt.db2.b")
+    assert(spark.sql("SHOW TABLES IN snapt.db2").count() == 0)
+  }
+}
