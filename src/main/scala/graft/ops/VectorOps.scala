@@ -301,12 +301,15 @@ object VectorOps extends QueryModule {
         import s.implicits._
         VecExprs.register(s)
         val emb = T(s, dir, "embeddings")
-        val cents = broadcast(emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        // hint at the join site only: cents is also collect()ed below for
+        // the driver-side probe ranking, and a broadcast hint on that
+        // non-join plan is dead (HintErrorLogger warns on it)
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         // BUILD: nearest-centroid assignment → parquet partitioned by cid
         val idxDir = graft.Tmp.dir("graft_ivf_idx")
         emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(cents)
+          .crossJoin(broadcast(cents))
           .withColumn("d2", expr("fvl2(embedding, ce)"))
           .groupBy("vec_id")
           .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),

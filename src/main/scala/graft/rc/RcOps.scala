@@ -398,6 +398,43 @@ object RcOps extends QueryModule {
           .orderBy("user_id", "step")
       },
       None
+    ),
+    Q(
+      "rc_ingest_partitioned",
+      // The reference's end-to-end ingest shape: a DIRECTORY of per-key
+      // series files (hive-partitioned key=…/part-*.csv, several part
+      // files per key), read back schema-on-read with the key recovered
+      // from the partition path, then the full RC pipeline (reservoir
+      // fold → ridge readout → held-out MSE) on top. This is how 100 TB
+      // of series actually arrives — thousands of files, not one fixture;
+      // the partition layout means the per-key fold's shuffle reads
+      // colocated file groups. CSV doubles round-trip exactly
+      // (shortest-repr printing), so RcIngestSpec pins the ingested
+      // model bit-identical to the direct in-memory path. No oracle
+      // (sequential tanh recurrence, per SURVEY §2.10 note).
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.Tmp.dir("rc_ingest")
+        // materialize the generator series as a partitioned multi-file
+        // CSV landing zone: 6 key directories × up to 4 part files each
+        s.read.format("rcseries")
+          .option("keys", 6).option("n", 400).load()
+          .repartition(4)
+          .write.mode("overwrite").partitionBy("key")
+          .option("header", "true").csv(out)
+        val series = s.read
+          .option("header", "true")
+          .schema("t LONG, value DOUBLE, key LONG")
+          .csv(out)
+          .select(col("key"), col("t"), lit(0L), col("value"))
+          .as[RcPipeline.Sample]
+        val model = RcPipeline.fit(series, lambda = 1e-6)
+        RcPipeline.score(series, model)
+          .map { case (k, n, mse) => (k, n, round6(mse)) }
+          .toDF("key", "n_test", "mse")
+          .orderBy("key")
+      },
+      None
     )
   )
 }
