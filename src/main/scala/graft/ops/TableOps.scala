@@ -633,6 +633,56 @@ object TableOps extends QueryModule {
         "SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
         "FROM merged GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_multi_txn",
+      // MULTI-TABLE TRANSACTION (graft.sources.SnapTxn, the manifest-of-
+      // manifests layer): orders and their lineitems land in two
+      // SnapTables through ONE atomic transaction per batch, so a
+      // pinned-set reader can never see an order without its lines. Two
+      // tx commits load two orderkey ranges; the result is the
+      // cross-table-consistent join of the PINNED reads. SnapTxnSpec
+      // pins the atomicity/conflict/orphan contracts the logical oracle
+      // can't see; here DuckDB replays the final logical state from the
+      // raw fixtures.
+      (s, dir) => {
+        val txroot = graft.Tmp.dir("graft_snaptxn")
+        val ord = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        SnapTable.create(s, s"$txroot/ord",
+          ord.filter(col("o_orderkey") <= 2000), "o_orderkey")
+        SnapTable.create(s, s"$txroot/li",
+          li.filter(col("l_orderkey") <= 2000), "l_orderkey")
+        graft.sources.SnapTxn.init(txroot, Seq("ord", "li"))
+        graft.sources.SnapTxn.commit(s, txroot, Seq(
+          "ord" -> ord.filter(col("o_orderkey") > 2000 &&
+            col("o_orderkey") <= 4000),
+          "li" -> li.filter(col("l_orderkey") > 2000 &&
+            col("l_orderkey") <= 4000)), note = "load2")
+        graft.sources.SnapTxn.commit(s, txroot, Seq(
+          "ord" -> ord.filter(col("o_orderkey") > 4000 &&
+            col("o_orderkey") <= 6000),
+          "li" -> li.filter(col("l_orderkey") > 4000 &&
+            col("l_orderkey") <= 6000)), note = "load3")
+        graft.sources.SnapTxn.read(s, txroot, "ord")
+          .join(graft.sources.SnapTxn.read(s, txroot, "li"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_lines"),
+            sum(col("l_partkey")).as("sum_part"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o.o_custkey % 10 AS bucket, " +
+          "CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders, " +
+          "CAST(count(*) AS BIGINT) AS n_lines, " +
+          "CAST(sum(l.l_partkey) AS BIGINT) AS sum_part " +
+          "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+          "WHERE o.o_orderkey <= 6000 AND l.l_orderkey <= 6000 " +
+          "GROUP BY 1 ORDER BY bucket")
     )
   )
 }

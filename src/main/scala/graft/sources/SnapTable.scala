@@ -162,6 +162,29 @@ object SnapTable {
     commitAppend(root, parent, fresh, df.schema, txn = None)
   }
 
+  /** PREPARE an append for a multi-table transaction (SnapTxn): the new
+    * snapshot is built from the PINNED parent `pin` — not the per-table
+    * head, which may be another transaction's orphan — and linked at the
+    * next free slot. The resulting version is INVISIBLE to transactional
+    * readers until a tx record pins it; `SnapTxn.publish` is the atomic
+    * visibility point. Slot collisions with concurrent preparers just
+    * move to the next slot: the file list is parent.files ++ fresh
+    * regardless of which slot it lands in, because lineage in tx mode is
+    * defined by the pin chain, not slot adjacency.
+    */
+  private[graft] def prepareAppend(s: SparkSession, root: String,
+      df: DataFrame, pin: Int): Int = {
+    val parent = load(root, pin)
+    validateEvolution(parent.schemaJson, df.schema)
+    val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+      parent.statsCol)
+    var v = latestVersion(root) + 1
+    while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
+        df.schema.json, parent.files ++ fresh, None, parent.spec)))
+      v = latestVersion(root) + 1
+    v
+  }
+
   /** Copy-on-write MERGE (upsert + optional delete).
     *
     * `updates` carries the table schema plus, when `deleteCol` is set, a

@@ -1,0 +1,225 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table TRANSACTIONS over SnapTable — the manifest-of-manifests
+  * layer (SURVEY §11.2 item 4). The same idea Iceberg reaches with a
+  * catalog-level commit: per-table snapshots stay exactly what they are,
+  * and one higher-level, atomically-swapped record PINS a consistent set
+  * of table versions.
+  *
+  * Layout:
+  * {{{
+  *   txroot/<table>/...                // ordinary SnapTables
+  *   txroot/_txlog/t00000001.json     // {"version":1,"note":"init",
+  *                                     //  "pins":{"ord":1,"li":1}}
+  * }}}
+  *
+  * Contract:
+  *
+  *  - **Atomic cross-table visibility.** A transaction PREPARES a new
+  *    per-table snapshot for every table it writes (data files + manifest,
+  *    built from the table version the tx head pins), then PUBLISHES one tx
+  *    record pinning all the new versions at once with the same
+  *    create-exclusive link primitive SnapTable commits use. Readers
+  *    resolve the tx head and time-travel every table to its pinned
+  *    version — they can never observe table A's new version with table
+  *    B's old one.
+  *  - **Crash atomicity.** A crash between prepare and publish leaves
+  *    per-table manifests referenced by NO tx record. They are invisible
+  *    (reads go through pins only) and harmless — the orphaned snapshot is
+  *    garbage, not corruption; `vacuumOrphans` reclaims it.
+  *  - **Optimistic conflict detection.** Publishing retries on a lost tx
+  *    slot after re-reading the head, and aborts with
+  *    `ConcurrentCommitException` iff the new head moved a pin of a table
+  *    THIS tx wrote — first-committer-wins per table, exactly Delta's
+  *    conflict rule lifted one level. Transactions touching disjoint
+  *    tables both land.
+  *  - **Tx-level time travel.** `readAt(tx)` reads any table as of any past
+  *    transaction — the pinned sets are immutable history.
+  *
+  * In tx mode the tx log is the AUTHORITY and per-table logs are storage:
+  * per-table version numbers may skip (an aborted tx's orphans occupy
+  * slots), which is fine because lineage is defined by the pinned chain,
+  * not by slot adjacency — the same way an Iceberg table's metadata files
+  * are only authoritative through the catalog pointer.
+  */
+object SnapTxn {
+
+  /** One committed transaction: the pinned version of EVERY table. */
+  final case class TxRecord(version: Int, note: String,
+      pins: Map[String, Int])
+
+  // ------------------------------------------------------------- lifecycle
+
+  /** Start transactional management over existing SnapTables under
+    * `txroot`: tx v1 pins each table's current head.
+    */
+  def init(txroot: String, tables: Seq[String]): Int = {
+    Files.createDirectories(Paths.get(txroot, "_txlog"))
+    val pins = tables.map(t =>
+      t -> SnapTable.latestVersion(s"$txroot/$t")).toMap
+    if (!tryLink(txroot, TxRecord(1, "init", pins)))
+      throw new SnapTable.ConcurrentCommitException(
+        s"tx log at $txroot already initialized")
+    1
+  }
+
+  /** Atomically append `writes` (table → frame) across tables: all of the
+    * appends become visible in the SAME transaction or none do. Returns
+    * the new tx version.
+    */
+  def commit(s: SparkSession, txroot: String,
+      writes: Seq[(String, DataFrame)], note: String = "txn"): Int = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      "one write per table per transaction")
+    val base = head(txroot)
+    writes.foreach { case (t, _) =>
+      require(base.pins.contains(t), s"table '$t' is not tx-managed") }
+    // PREPARE: per-table snapshots built from the PINNED parents (never
+    // from the per-table head — that may be another tx's orphan)
+    val prepared = writes.map { case (t, df) =>
+      t -> SnapTable.prepareAppend(s, s"$txroot/$t", df, base.pins(t))
+    }.toMap
+    publish(txroot, base, prepared, note)
+  }
+
+  /** PUBLISH: link the tx record pinning `prepared` on top of `base`.
+    * Lost slot → re-read the head; abort iff it moved a pin this tx
+    * wrote, else retry carrying the winner's pins for other tables.
+    * Package-private so the conflict branches are deterministically
+    * unit-testable (pass a deliberately stale `base`).
+    */
+  private[graft] def publish(txroot: String, base: TxRecord,
+      prepared: Map[String, Int], note: String): Int = {
+    var h = base
+    while (true) {
+      if (tryLink(txroot, TxRecord(h.version + 1, note, h.pins ++ prepared)))
+        return h.version + 1
+      val nh = head(txroot)
+      prepared.keys.foreach { t =>
+        if (nh.pins.get(t) != base.pins.get(t))
+          throw new SnapTable.ConcurrentCommitException(
+            s"txn '$note' prepared table '$t' against pin " +
+              s"${base.pins(t)} but a concurrent txn moved it to " +
+              s"${nh.pins(t)} — first committer wins; re-run the txn")
+      }
+      h = nh
+    }
+    -1 // unreachable
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  /** The table as of the CURRENT transaction head. */
+  def read(s: SparkSession, txroot: String, table: String): DataFrame =
+    readAt(s, txroot, table, latestTx(txroot))
+
+  /** The table as of transaction `txVersion` — cross-table-consistent
+    * time travel.
+    */
+  def readAt(s: SparkSession, txroot: String, table: String,
+      txVersion: Int): DataFrame = {
+    val rec = load(txroot, txVersion)
+    require(rec.pins.contains(table),
+      s"table '$table' is not pinned by tx v$txVersion")
+    SnapTable.readVersion(s, s"$txroot/$table", rec.pins(table))
+  }
+
+  def head(txroot: String): TxRecord = load(txroot, latestTx(txroot))
+
+  def latestTx(txroot: String): Int = txVersions(txroot).max
+
+  def txVersions(txroot: String): Seq[Int] = {
+    val st = Files.list(Paths.get(txroot, "_txlog"))
+    try st.iterator().asScala.map(_.getFileName.toString)
+      .collect { case TxName(v) => v.toInt }.toSeq.sorted
+    finally st.close()
+  }
+
+  /** Audit surface: one row per (transaction, table) pin. */
+  def history(s: SparkSession, txroot: String): DataFrame = {
+    val rows = txVersions(txroot).flatMap { v =>
+      val rec = load(txroot, v)
+      rec.pins.toSeq.sortBy(_._1).map { case (t, pv) =>
+        org.apache.spark.sql.Row(v.toLong, rec.note, t, pv.toLong) }
+    }
+    s.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tx_version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pinned_version",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Drop per-table snapshots referenced by NO retained tx record (aborted
+    * or crashed transactions' orphans), then vacuum each table's
+    * unreferenced data dirs. Returns manifests removed.
+    */
+  def vacuumOrphans(txroot: String): Int = {
+    val txs = txVersions(txroot)
+    var removed = 0
+    head(txroot).pins.keys.foreach { t =>
+      val root = s"$txroot/$t"
+      val pinned = txs.map(v => load(txroot, v).pins.getOrElse(t, -1)).toSet
+      SnapTable.versions(root).filterNot(pinned.contains).foreach { v =>
+        Files.delete(Paths.get(root, "_log", f"v$v%08d.json"))
+        removed += 1
+      }
+      SnapTable.vacuum(root, retainVersions =
+        SnapTable.versions(root).size)
+    }
+    removed
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private val TxName = """t(\d{8})\.json""".r
+
+  private def txPath(txroot: String, v: Int): Path =
+    Paths.get(txroot, "_txlog", f"t$v%08d.json")
+
+  // the same create-exclusive link primitive SnapTable.tryLink uses: the
+  // slot claim fails with EEXIST instead of silently replacing
+  private def tryLink(txroot: String, rec: TxRecord): Boolean = {
+    val tmp = Files.createTempFile(Paths.get(txroot, "_txlog"),
+      "tmp", ".json")
+    Files.write(tmp, render(rec).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(txPath(txroot, rec.version), tmp)
+      Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        false
+    }
+  }
+
+  private[graft] def load(txroot: String, v: Int): TxRecord = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(txPath(txroot, v)))
+    TxRecord(v, node.get("note").asText(),
+      node.get("pins").properties().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap)
+  }
+
+  // table names are caller-chosen identifiers; keep them JSON-trivial
+  private def render(rec: TxRecord): String = {
+    rec.pins.keys.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"tx-managed table name '$t' must be [A-Za-z0-9_]+"))
+    val pins = rec.pins.toSeq.sortBy(_._1)
+      .map { case (t, v) => s""""$t":$v""" }.mkString("{", ",", "}")
+    s"""{"version":${rec.version},"note":"${rec.note}","pins":$pins}"""
+  }
+}

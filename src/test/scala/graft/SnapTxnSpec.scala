@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.{SnapTable, SnapTxn}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-table transaction contracts the logical oracle can't see:
+  * atomic cross-table visibility, crash atomicity (orphaned prepares are
+  * invisible), first-committer-wins conflict detection, disjoint-table
+  * concurrency, tx-level time travel, and orphan vacuum.
+  */
+class SnapTxnSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(ks: Range, tag: String) =
+    ks.map(k => (k.toLong, tag)).toDF("k", "v")
+
+  private def setup(): String = {
+    val txroot = Tmp.dir("snaptxn_spec")
+    SnapTable.create(spark, s"$txroot/a", df(0 until 10, "a1"), "k")
+    SnapTable.create(spark, s"$txroot/b", df(0 until 10, "b1"), "k")
+    SnapTxn.init(txroot, Seq("a", "b"))
+    txroot
+  }
+
+  private def ks(txroot: String, t: String): Set[Long] =
+    SnapTxn.read(spark, txroot, t).select("k").collect()
+      .map(_.getLong(0)).toSet
+
+  test("commit makes both tables' writes visible atomically; " +
+      "tx time travel sees the consistent pair") {
+    val txroot = setup()
+    val tx = SnapTxn.commit(spark, txroot, Seq(
+      "a" -> df(10 until 20, "a2"), "b" -> df(10 until 20, "b2")))
+    assert(tx == 2)
+    assert(ks(txroot, "a") == (0L until 20L).toSet)
+    assert(ks(txroot, "b") == (0L until 20L).toSet)
+    // as of tx 1: NEITHER write exists (never one without the other)
+    assert(SnapTxn.readAt(spark, txroot, "a", 1).count() == 10)
+    assert(SnapTxn.readAt(spark, txroot, "b", 1).count() == 10)
+  }
+
+  test("a crashed transaction (prepare without publish) is invisible " +
+      "and does not leak into later commits") {
+    val txroot = setup()
+    // simulate the crash: per-table snapshot linked, no tx record
+    val orphan = SnapTable.prepareAppend(spark, s"$txroot/a",
+      df(900 until 910, "crash"), pin = 1)
+    assert(SnapTable.versions(s"$txroot/a").contains(orphan))
+    assert(ks(txroot, "a") == (0L until 10L).toSet, "orphan leaked")
+    // the next real tx builds from the PIN, not the orphan head
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))
+    assert(ks(txroot, "a") == (0L until 20L).toSet)
+  }
+
+  test("conflicting transactions: first committer wins, loser aborts") {
+    val txroot = setup()
+    val stale = SnapTxn.head(txroot) // both txns start from tx 1
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "winner")))
+    val prepared = Map("a" -> SnapTable.prepareAppend(
+      spark, s"$txroot/a", df(20 until 30, "loser"), pin = 1))
+    val e = intercept[SnapTable.ConcurrentCommitException] {
+      SnapTxn.publish(txroot, stale, prepared, "loser")
+    }
+    assert(e.getMessage.contains("first committer wins"))
+    assert(ks(txroot, "a") == (0L until 20L).toSet) // loser left no trace
+  }
+
+  test("transactions on disjoint tables both land") {
+    val txroot = setup()
+    val stale = SnapTxn.head(txroot)
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))
+    // a tx prepared against the OLD head but touching only table b
+    val prepared = Map("b" -> SnapTable.prepareAppend(
+      spark, s"$txroot/b", df(10 until 20, "b2"), pin = 1))
+    val tx = SnapTxn.publish(txroot, stale, prepared, "disjoint")
+    assert(tx == 3)
+    assert(ks(txroot, "a") == (0L until 20L).toSet) // winner's pin carried
+    assert(ks(txroot, "b") == (0L until 20L).toSet)
+  }
+
+  test("vacuumOrphans reclaims aborted snapshots; pinned history survives") {
+    val txroot = setup()
+    SnapTable.prepareAppend(spark, s"$txroot/a",
+      df(900 until 910, "crash"), pin = 1)
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))
+    val removed = SnapTxn.vacuumOrphans(txroot)
+    assert(removed >= 1)
+    assert(ks(txroot, "a") == (0L until 20L).toSet)
+    assert(SnapTxn.readAt(spark, txroot, "a", 1).count() == 10)
+    // every surviving per-table version is pinned by some tx
+    val pinnedA = SnapTxn.txVersions(txroot)
+      .map(v => SnapTxn.load(txroot, v).pins("a")).toSet
+    assert(SnapTable.versions(s"$txroot/a").toSet == pinnedA)
+  }
+
+  test("history lists one row per (tx, table) pin") {
+    val txroot = setup()
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))
+    val h = SnapTxn.history(spark, txroot).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(h.length == 4) // 2 txs × 2 tables
+    assert(h.contains((1L, "a", 1L)) && h.contains((1L, "b", 1L)))
+    assert(h.count(_._1 == 2L) == 2)
+  }
+}
