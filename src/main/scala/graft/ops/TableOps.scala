@@ -683,6 +683,45 @@ object TableOps extends QueryModule {
           "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
           "WHERE o.o_orderkey <= 6000 AND l.l_orderkey <= 6000 " +
           "GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_stream_source",
+      // STREAMING SOURCE over the table format (graft.sources.SnapStream):
+      // the commit log tailed as micro-batches — offsets are table
+      // versions, the first batch is the discovered snapshot, every later
+      // batch reads exactly the files a commit added (the Delta-streaming
+      // idea re-derived). Three commits land before the stream starts;
+      // AvailableNow drains them through the version-offset path into a
+      // windowless aggregation. SnapStreamSpec pins the incremental
+      // contracts (checkpoint resumption, changes-only startingVersion,
+      // rewrite guard) that this one-shot oracle can't see.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snapstream_op")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+        SnapTable.create(s, root,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id")
+        SnapTable.append(s, root, docs.filter(col("doc_id") % 3 === 1))
+        SnapTable.append(s, root, docs.filter(col("doc_id") % 3 === 2))
+        val name = s"snapstream_op_${System.nanoTime()}"
+        graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(root)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_chars").as("sum_chars"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(name).orderBy("lang")
+      },
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang")
     )
   )
 }

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Structured-Streaming SOURCE over a [[SnapTable]] — tail the commit log
+  * as micro-batches, the Delta-streaming-source idea re-derived:
+  *
+  * {{{
+  *   spark.readStream.format("snapstream").load(root)
+  *     .writeStream...trigger(Trigger.AvailableNow())...
+  * }}}
+  *
+  * Offsets ARE table versions (one `LongOffset` per manifest), so the
+  * checkpoint pins exactly which commits a run has consumed:
+  *
+  *  - **First batch** = the full snapshot as of the version the stream
+  *    discovers at start (or, with `startingVersion`, only the files added
+  *    from that version on — the "changes only" mode).
+  *  - **Every later batch** = the files ADDED between two versions, read
+  *    directly off the manifest diff. An append's batch costs IO
+  *    proportional to the append; nothing is re-read, nothing re-emitted —
+  *    restarting from the checkpoint resumes exactly after the last
+  *    consumed version (exactly-once with an idempotent sink).
+  *  - **Non-append commits** (merge / delete / compact / restore remove
+  *    files) break pure tailing; the source fails the query unless
+  *    `ignoreChanges=true`, which re-emits rewritten files (at-least-once
+  *    for their surviving rows — the same contract as Delta's
+  *    `ignoreChanges`). Metadata-only commits (evolve-spec) add/remove
+  *    nothing and stream through silently.
+  *
+  * Batches return streaming-flagged frames over the native parquet reader
+  * (Bridge.streamingParquet), so scan pushdown and codegen apply — the
+  * source adds manifest arithmetic, not a row path. At 100 TB this is the
+  * incremental-ETL primitive: a downstream job consumes each ingest commit
+  * once, instead of re-scanning the table.
+  */
+class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "snapstream"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapstream requires .load(<table root>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val r = root(parameters)
+    val snap = SnapTable.load(r, SnapTable.latestVersion(r))
+    (shortName(),
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SnapStreamSource(ctx, root(parameters),
+      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+        .exists(_.toBoolean),
+      parameters.get("startingversion").orElse(
+        parameters.get("startingVersion")).map(_.toInt))
+}
+
+class SnapStreamSource(ctx: SQLContext, root: String,
+    ignoreChanges: Boolean, startingVersion: Option[Int]) extends Source {
+
+  // the stream's schema is fixed at start (streaming contract); later
+  // additive evolution null-fills through the parquet read like any
+  // old-file read under a new snapshot schema
+  override val schema: StructType = {
+    val snap = SnapTable.load(root, SnapTable.latestVersion(root))
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+  }
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(SnapTable.latestVersion(root).toLong))
+
+  private def version(o: Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case so: SerializedOffset => LongOffset(so).offset.toInt
+    case other => other.json().trim.toInt
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = version(end)
+    val files = start match {
+      case None =>
+        startingVersion match {
+          case Some(sv) => addedBetween(math.max(sv - 1, 0), endV)
+          case None => SnapTable.load(root, endV).files // full snapshot
+        }
+      case Some(s) => addedBetween(version(s), endV)
+    }
+    Bridge.streamingParquet(ctx.sparkSession,
+      files.map(f => s"$root/${f.path}"), schema)
+  }
+
+  /** Files added in (from, to], validating that tailing is sound: a
+    * version that REMOVES files rewrites history and needs
+    * `ignoreChanges` to stream through.
+    */
+  private def addedBetween(from: Int, to: Int): Seq[SnapTable.FileEntry] = {
+    val vs = SnapTable.versions(root).filter(v => v > from && v <= to)
+    vs.flatMap { v =>
+      val snap = SnapTable.load(root, v)
+      val prevPaths = prevFiles(v).map(_.path).toSet
+      val removed = prevPaths.diff(snap.files.map(_.path).toSet)
+      if (removed.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"snapstream: version $v ('${snap.op}') removed " +
+            s"${removed.size} file(s) — the table was rewritten, not " +
+            "appended to. Restart from a fresh checkpoint for a new " +
+            "snapshot, or set ignoreChanges=true to re-emit rewritten " +
+            "files (at-least-once for their rows)")
+      snap.files.filterNot(f => prevPaths.contains(f.path))
+    }
+  }
+
+  // the previous RETAINED version's files (version numbers may skip:
+  // vacuumed manifests, SnapTxn orphan slots)
+  private def prevFiles(v: Int): Seq[SnapTable.FileEntry] =
+    SnapTable.versions(root).filter(_ < v).lastOption
+      .map(pv => SnapTable.load(root, pv).files)
+      .getOrElse(Seq.empty)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
