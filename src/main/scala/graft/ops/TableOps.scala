@@ -722,6 +722,63 @@ object TableOps extends QueryModule {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(length(text)) AS BIGINT) AS sum_chars " +
           "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_stream_pipeline",
+      // TABLE-TO-TABLE incremental pipeline, exactly-once end to end:
+      // snapstream tails the upstream table's commit log (source side
+      // exactly-once: version offsets in the checkpoint), a stateless
+      // transform runs per batch, and foreachBatch lands each batch in a
+      // DOWNSTREAM SnapTable via appendOnce keyed by batchId — so a
+      // retried batch is a no-op commit (sink side idempotent). This is
+      // the composed shape a 100 TB ingest→curate chain runs on: cost
+      // per hop proportional to the commit, never a table rescan, and
+      // the downstream version history audits the upstream batches.
+      // The stream runs TWICE on one checkpoint (upstream grows between
+      // runs) to exercise the incremental path, not just the snapshot.
+      (s, dir) => {
+        val up = graft.Tmp.dir("graft_pipe_up")
+        val down = graft.Tmp.dir("graft_pipe_down")
+        val ckpt = graft.Tmp.dir("graft_pipe_ckpt")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        def hop(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(up)
+            .select(col("doc_id"), col("lang"),
+              length(col("text")).cast("long").as("n_chars"),
+              (size(split(col("text"), " ")))
+                .cast("long").as("n_toks"))
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(down, "_log")))
+                SnapTable.appendOnce(s, down, b, txnId = s"pipe-$id")
+              else { SnapTable.create(s, down, b, "doc_id"); () }
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        SnapTable.create(s, up, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id")
+        hop() // snapshot batch
+        SnapTable.append(s, up, docs.filter(col("doc_id") % 2 === 1))
+        hop() // incremental batch: only the second commit's files
+        SnapTable.read(s, down)
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum("n_toks").as("sum_toks"))
+          .orderBy("lang")
+      },
+      Some(
+        "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+          "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) " +
+          "AS BIGINT) AS sum_toks " +
+          "FROM documents GROUP BY lang ORDER BY lang")
     )
   )
 }
