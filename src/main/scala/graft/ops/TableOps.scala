@@ -779,6 +779,54 @@ object TableOps extends QueryModule {
           "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) " +
           "AS BIGINT) AS sum_toks " +
           "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_stream_cdc",
+      // STREAMING CHANGE FEED (snapstream readChangeFeed=true — the
+      // Delta-CDF idea on the manifest diff): each drained batch emits
+      // the SIGNED file-level delta (+1 added-file rows, −1 removed-file
+      // rows), so a downstream linear aggregate is maintained through
+      // appends AND deletes/rewrites — copied rows cancel, removed rows
+      // subtract. Three commits (create, append, predicate DELETE) are
+      // each drained through one checkpoint; the maintained view (net
+      // signed sums) must equal the live table, with the deleted group
+      // netting to zero. IO per drain is the commit's file diff, never a
+      // table rescan — incremental view maintenance at commit cost.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_cdc_tab")
+        val sink = graft.Tmp.dir("graft_cdc_sink")
+        val ckpt = graft.Tmp.dir("graft_cdc_ckpt")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def drain(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream")
+            .option("readChangeFeed", "true").load(root)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        SnapTable.create(s, root,
+          ev.filter(col("event_id") % 2 === 0), "event_id")
+        drain()
+        SnapTable.append(s, root, ev.filter(col("event_id") % 2 === 1))
+        drain()
+        SnapTable.deleteWhere(s, root, col("event_type") === "click")
+        drain()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(sum(col("_sign").cast("long")).as("n"),
+            (sum(col("_sign").cast("long") *
+              round(col("value") * 100).cast("long")) / 100).as("sum_val"))
+          .filter(col("n") > 0)
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_val " +
+          "FROM events WHERE event_type <> 'click' " +
+          "GROUP BY event_type ORDER BY event_type")
     )
   )
 }

@@ -52,8 +52,13 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
       : (String, StructType) = {
     val r = root(parameters)
     val snap = SnapTable.load(r, SnapTable.latestVersion(r))
+    val table = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val cdf = parameters.get("readchangefeed").orElse(
+      parameters.get("readChangeFeed")).exists(_.toBoolean)
     (shortName(),
-      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+      if (cdf) table.add("_sign",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      else table)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -63,19 +68,28 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.toBoolean),
       parameters.get("startingversion").orElse(
-        parameters.get("startingVersion")).map(_.toInt))
+        parameters.get("startingVersion")).map(_.toInt),
+      parameters.get("readchangefeed").orElse(
+        parameters.get("readChangeFeed")).exists(_.toBoolean))
 }
 
 class SnapStreamSource(ctx: SQLContext, root: String,
-    ignoreChanges: Boolean, startingVersion: Option[Int]) extends Source {
+    ignoreChanges: Boolean, startingVersion: Option[Int],
+    readChangeFeed: Boolean = false) extends Source {
 
-  // the stream's schema is fixed at start (streaming contract); later
-  // additive evolution null-fills through the parquet read like any
-  // old-file read under a new snapshot schema
-  override val schema: StructType = {
+  private val tableSchema: StructType = {
     val snap = SnapTable.load(root, SnapTable.latestVersion(root))
     DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
   }
+
+  // the stream's schema is fixed at start (streaming contract); later
+  // additive evolution null-fills through the parquet read like any
+  // old-file read under a new snapshot schema. The change feed rides the
+  // table schema plus the signed-delta column.
+  override val schema: StructType =
+    if (readChangeFeed) tableSchema.add("_sign",
+      org.apache.spark.sql.types.IntegerType, nullable = false)
+    else tableSchema
 
   override def getOffset: Option[Offset] =
     Some(LongOffset(SnapTable.latestVersion(root).toLong))
@@ -88,6 +102,7 @@ class SnapStreamSource(ctx: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    if (readChangeFeed) return changeBatch(start.map(version), endV)
     val files = start match {
       case None =>
         startingVersion match {
@@ -98,6 +113,42 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     }
     Bridge.streamingParquet(ctx.sparkSession,
       files.map(f => s"$root/${f.path}"), schema)
+  }
+
+  /** CHANGE-FEED batch (`readChangeFeed=true`): the SIGNED file-diff
+    * between the consumed version and `endV` — every row of every added
+    * file with `_sign = +1`, every row of every removed file with
+    * `_sign = -1` (the batch form is SnapTable.changesDelta; this is its
+    * streaming twin, the Delta CDF idea). Rows a rewrite merely copied
+    * cancel under any linear aggregate, so a downstream sum/count view
+    * is maintained incrementally through merges, deletes and compactions
+    * — no rewrite guard needed, removals are first-class here. The first
+    * batch is the discovered snapshot, all +1 (initial load of the view).
+    */
+  private def changeBatch(start: Option[Int], endV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fromFiles = start match {
+      case Some(sv) => SnapTable.load(root, sv).files
+      case None => startingVersion match {
+        case Some(sv) =>
+          SnapTable.versions(root).filter(_ < sv).lastOption
+            .map(v => SnapTable.load(root, v).files).getOrElse(Seq.empty)
+        case None => Seq.empty // initial load: whole snapshot is +1
+      }
+    }
+    val toFiles = SnapTable.load(root, endV).files
+    val fromPaths = fromFiles.map(_.path).toSet
+    val toPaths = toFiles.map(_.path).toSet
+    def side(fs: Seq[SnapTable.FileEntry], sign: Int) =
+      Bridge.streamingParquet(ctx.sparkSession,
+        fs.map(f => s"$root/${f.path}"), tableSchema)
+        .withColumn("_sign", lit(sign))
+    // both legs are streaming-flagged leaves, so the union stays a legal
+    // streaming batch plan
+    side(toFiles.filterNot(f => fromPaths.contains(f.path)), 1)
+      .unionByName(
+        side(fromFiles.filterNot(f => toPaths.contains(f.path)), -1))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Files added in (from, to], validating that tailing is sound: a

@@ -90,4 +90,32 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(rows.toSet == (0L until 10L).toSet) // nothing lost
     assert(rows.size > 10, "rewritten files re-emit (at-least-once)")
   }
+
+  test("readChangeFeed maintains a view through deletes: signed deltas " +
+      "net to the live table") {
+    val root = Tmp.dir("snapstream_cdc")
+    val sink = Tmp.dir("snapstream_cdc_sink")
+    val ckpt = Tmp.dir("snapstream_cdc_ckpt")
+    def drainCdc(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream.format("snapstream")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    SnapTable.create(spark, root, df(0 until 10, "v1"), "k")
+    drainCdc() // initial load: all +1
+    SnapTable.append(spark, root, df(10 until 20, "v2"))
+    drainCdc() // incremental +1s
+    SnapTable.deleteWhere(spark, root, col("k") < 5)
+    drainCdc() // removed file -1s, rewritten survivors +1
+    val feed = spark.read.parquet(sink).as[(Long, String, Int)].collect()
+    assert(feed.exists(_._3 == -1), "delete emitted no negative deltas")
+    // the NET of the signed feed is exactly the live table
+    val net = feed.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).sum).filter(_._2 != 0).keys
+      .map(_._1).toSeq.sorted
+    assert(net == (5L until 20L))
+  }
 }
