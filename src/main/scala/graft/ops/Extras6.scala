@@ -203,6 +203,62 @@ object Extras6 extends QueryModule {
           "SELECT action, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(length(text)) AS BIGINT) AS n_chars " +
           "FROM m GROUP BY action ORDER BY action")
+    ),
+    Q(
+      "obs_pipeline_metrics",
+      // Single-pass pipeline OBSERVABILITY (org.apache.spark.sql
+      // .Observation / CollectMetrics): data-quality counters ride the
+      // SAME job that produces the business result — input rows, null
+      // keys, discount-band rows and a deterministic revenue sum are
+      // collected as accumulator-style metrics while the query computes
+      // its per-flag aggregate. At 100 TB this is the difference between
+      // monitoring for free and paying a second full scan for counters;
+      // the metrics see PRE-filter rows, which no post-hoc query on the
+      // result could recover. The op emits the observed metrics
+      // themselves (one row per metric) and DuckDB recomputes each from
+      // the raw table.
+      (s, dir) => {
+        import graft.Det.dsum
+        val obs = new org.apache.spark.sql.Observation(
+          s"pipe_${java.util.UUID.randomUUID().toString.take(8)}")
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .observe(obs,
+            count(lit(1)).as("n_in"),
+            sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
+              .as("n_disc"),
+            dsum(col("l_extendedprice"), 2).as("sum_price"))
+        // the business query the metrics ride on
+        val out = li.filter(col("l_quantity") < 10)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_small"))
+        val perFlag = out.collect() // one action: result + metrics
+        val m = obs.get
+        import s.implicits._
+        (Seq(
+          ("n_in", m("n_in").asInstanceOf[Long].toDouble),
+          ("n_disc", m("n_disc").asInstanceOf[Long].toDouble),
+          ("sum_price", m("sum_price").asInstanceOf[Double])) ++
+          perFlag.map(r =>
+            (s"n_small_${r.getString(0)}", r.getLong(1).toDouble)))
+          .toDF("metric", "value")
+          .withColumn("value", graft.Det.dround(col("value"), 2))
+          .orderBy("metric")
+      },
+      Some(
+        "SELECT * FROM (" +
+          "SELECT 'n_in' AS metric, " +
+          "round(count(*) * 1e2) / 1e2 AS value FROM lineitem " +
+          "UNION ALL SELECT 'n_disc', round(sum(CASE WHEN " +
+          "l_discount > 0.05 THEN 1 ELSE 0 END) * 1e2) / 1e2 " +
+          "FROM lineitem " +
+          "UNION ALL SELECT 'sum_price', round((" +
+          "sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2" +
+          ") * 1e2) / 1e2 FROM lineitem " +
+          "UNION ALL SELECT 'n_small_' || l_returnflag, " +
+          "round(count(*) * 1e2) / 1e2 FROM lineitem " +
+          "WHERE l_quantity < 10 GROUP BY l_returnflag" +
+          ") ORDER BY metric")
     )
   )
 }
