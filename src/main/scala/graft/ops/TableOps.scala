@@ -742,19 +742,18 @@ object TableOps extends QueryModule {
         val ckpt = graft.Tmp.dir("graft_pipe_ckpt")
         val docs = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
+        def transform(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"),
+            (size(split(col("text"), " "))).cast("long").as("n_toks"))
         def hop(): Unit = graft.StreamRun.withStateParts(s) {
-          val q = s.readStream.format("snapstream").load(up)
-            .select(col("doc_id"), col("lang"),
-              length(col("text")).cast("long").as("n_chars"),
-              (size(split(col("text"), " ")))
-                .cast("long").as("n_toks"))
+          val q = transform(s.readStream.format("snapstream").load(up))
             .writeStream
             .option("checkpointLocation", ckpt)
+            // EVERY batch (including a retried batch 0) lands through the
+            // idempotent txn path — the downstream table pre-exists
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              if (java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(down, "_log")))
-                SnapTable.appendOnce(s, down, b, txnId = s"pipe-$id")
-              else { SnapTable.create(s, down, b, "doc_id"); () }
+              SnapTable.appendOnce(s, down, b, txnId = s"pipe-$id")
               ()
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -762,6 +761,8 @@ object TableOps extends QueryModule {
           q.awaitTermination()
         }
         SnapTable.create(s, up, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id")
+        SnapTable.createEmpty(down, transform(docs.limit(0)).schema,
           "doc_id")
         hop() // snapshot batch
         SnapTable.append(s, up, docs.filter(col("doc_id") % 2 === 1))
