@@ -122,14 +122,7 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
     val dir = Paths.get(tableDir(ident))
     if (!isTable(dir.toString)) false
     else {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val st = Files.list(p)
-          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
-        }
-        Files.delete(p)
-      }
-      rm(dir)
+      SnapTable.deleteRecursively(dir)
       true
     }
   }
@@ -185,17 +178,17 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(Paths.get(base))(_.resolve(_))
     if (!Files.isDirectory(dir)) false
-    else if (!cascade && listTables(namespace).nonEmpty)
-      throw new IllegalStateException(s"namespace not empty")
     else {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val st = Files.list(p)
-          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
-        }
-        Files.delete(p)
+      // non-cascade emptiness means NO children at all: direct tables
+      // AND nested namespace directories (which listTables can't see) —
+      // a nested table must never be deleted without CASCADE
+      val hasChildren = {
+        val st = Files.list(dir)
+        try st.iterator().hasNext finally st.close()
       }
-      rm(dir)
+      if (!cascade && hasChildren)
+        throw new IllegalStateException(s"namespace not empty")
+      SnapTable.deleteRecursively(dir)
       true
     }
   }
@@ -242,11 +235,15 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             if (overwrite) {
               // INSERT OVERWRITE: replace the contents in ONE commit —
-              // new files only, carried forward from nothing
+              // new files only, carried forward from nothing. The
+              // replacement is clustered on the partition spec like
+              // every other write path, or the overwritten files would
+              // carry full-range stats and lose partition pruning.
               val parent = SnapTable.load(root,
                 SnapTable.latestVersion(root))
               val fresh = SnapTable.writeData(data.sparkSession, root,
-                data, parent.statsCol)
+                SnapTable.clusterBySpec(data, parent.spec),
+                parent.statsCol)
               SnapTable.commitExclusive(root, parent, fresh, "overwrite",
                 parent.schemaJson)
             } else SnapTable.append(data.sparkSession, root, data)

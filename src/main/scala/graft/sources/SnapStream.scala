@@ -106,10 +106,10 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     val files = start match {
       case None =>
         startingVersion match {
-          case Some(sv) => addedBetween(math.max(sv - 1, 0), endV)
+          case Some(sv) => addedBetween(baseBelow(sv), endV)
           case None => SnapTable.load(root, endV).files // full snapshot
         }
-      case Some(s) => addedBetween(version(s), endV)
+      case Some(s) => addedBetween(Some(version(s)), endV)
     }
     Bridge.streamingParquet(ctx.sparkSession,
       files.map(f => s"$root/${f.path}"), schema)
@@ -151,33 +151,49 @@ class SnapStreamSource(ctx: SQLContext, root: String,
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Files added in (from, to], validating that tailing is sound: a
-    * version that REMOVES files rewrites history and needs
-    * `ignoreChanges` to stream through.
+  /** Files added between snapshot `from` and snapshot `to`, as a
+    * HEAD-TO-HEAD manifest diff (files(to) minus files(from)) — not a
+    * per-intermediate-version walk. That makes the batch a pure function
+    * of the two consumed offsets: intermediate slots a SnapTxn prepare
+    * orphaned (or a vacuum dropped) can't distort it, and an
+    * added-then-rewritten file WITHIN the range coalesces to its final
+    * form instead of emitting stale rows. The rewrite guard compares the
+    * same two endpoints: a file of `from` missing in `to` means history
+    * was rewritten, which needs `ignoreChanges` to stream through.
     */
-  private def addedBetween(from: Int, to: Int): Seq[SnapTable.FileEntry] = {
-    val vs = SnapTable.versions(root).filter(v => v > from && v <= to)
-    vs.flatMap { v =>
-      val snap = SnapTable.load(root, v)
-      val prevPaths = prevFiles(v).map(_.path).toSet
-      val removed = prevPaths.diff(snap.files.map(_.path).toSet)
-      if (removed.nonEmpty && !ignoreChanges)
-        throw new IllegalStateException(
-          s"snapstream: version $v ('${snap.op}') removed " +
-            s"${removed.size} file(s) — the table was rewritten, not " +
-            "appended to. Restart from a fresh checkpoint for a new " +
-            "snapshot, or set ignoreChanges=true to re-emit rewritten " +
-            "files (at-least-once for their rows)")
-      snap.files.filterNot(f => prevPaths.contains(f.path))
+  private def addedBetween(from: Option[Int],
+      to: Int): Seq[SnapTable.FileEntry] = {
+    val fromFiles = from match {
+      case None => Seq.empty[SnapTable.FileEntry]
+      case Some(v) =>
+        if (!SnapTable.versions(root).contains(v))
+          throw new IllegalStateException(
+            s"snapstream: consumed version $v was vacuumed from the " +
+              "log — the stream can no longer prove what it has read; " +
+              "restart from a fresh checkpoint (and retain at least the " +
+              "consumed version when vacuuming a tailed table)")
+        SnapTable.load(root, v).files
     }
+    val toSnap = SnapTable.load(root, to)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val removed = fromPaths.diff(toSnap.files.map(_.path).toSet)
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"snapstream: between versions ${from.get} and $to (head op " +
+          s"'${toSnap.op}') ${removed.size} file(s) were removed — the " +
+          "table was rewritten, not appended to. Restart from a fresh " +
+          "checkpoint for a new snapshot, set ignoreChanges=true to " +
+          "re-emit rewritten files (at-least-once for their rows), or " +
+          "tail the signed feed with readChangeFeed=true")
+    toSnap.files.filterNot(f => fromPaths.contains(f.path))
   }
 
-  // the previous RETAINED version's files (version numbers may skip:
-  // vacuumed manifests, SnapTxn orphan slots)
-  private def prevFiles(v: Int): Seq[SnapTable.FileEntry] =
+  /** The latest retained version STRICTLY below `v` (None when none is —
+    * then the base is the empty table): the changes-only anchor for
+    * `startingVersion`, tolerant of vacuumed/skipped slots below it.
+    */
+  private def baseBelow(v: Int): Option[Int] =
     SnapTable.versions(root).filter(_ < v).lastOption
-      .map(pv => SnapTable.load(root, pv).files)
-      .getOrElse(Seq.empty)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -203,7 +203,8 @@ object SnapTable {
       }
       val fresh =
         if (incoming.isEmpty) Seq.empty
-        else writeData(s, root, incoming, parent.statsCol)
+        else writeData(s, root, clusterBySpec(incoming, parent.spec),
+          parent.statsCol)
       return commitExclusive(root, parent, fresh, "merge", parent.schemaJson)
     }
     val keys = updates.select(key).distinct()
@@ -243,15 +244,13 @@ object SnapTable {
     */
   def appendOnce(s: SparkSession, root: String, df: DataFrame,
       txnId: String): Int = {
-    val applied = versions(root).map(load(root, _))
-      .find(_.txn.contains(txnId))
-    applied match {
-      case Some(snap) => snap.version // duplicate delivery: already in
+    // fast path only — avoids writing data files for an obvious duplicate.
+    // CORRECTNESS does not depend on it: commitAppend re-checks the txn
+    // before EVERY link attempt, and a winning link at head+1 proves no
+    // commit (duplicate included) landed between that check and the link.
+    findTxn(root, txnId) match {
+      case Some(v) => v // duplicate delivery: already in
       case None =>
-        // the check above races with concurrent deliveries of the same
-        // txnId; commitAppend re-verifies the txn against the log after
-        // every lost slot, so the loser of such a race resolves to the
-        // winner's version instead of double-appending
         val parent = load(root, latestVersion(root))
         validateEvolution(parent.schemaJson, df.schema)
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
@@ -259,6 +258,13 @@ object SnapTable {
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId))
     }
   }
+
+  /** Newest-first txn lookup (a redelivered batch is almost always
+    * recent, so the common hit is O(1) manifests, not O(history)).
+    */
+  private def findTxn(root: String, txnId: String): Option[Int] =
+    versions(root).reverseIterator
+      .find(v => load(root, v).txn.contains(txnId))
 
   /** OPTIMIZE: rewrite the live snapshot into `targetFiles` range-clustered
     * files (content byte-identical, history preserved — the pre-compaction
@@ -320,8 +326,11 @@ object SnapTable {
   def restore(s: SparkSession, root: String, version: Int): Int = {
     val snap = load(root, version)
     val head = load(root, latestVersion(root))
+    // restore the WHOLE snapshot identity: files, schema, statsCol AND
+    // partition spec — carrying the head's spec would leave the manifest
+    // claiming a clustering the restored files don't have
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
-      statsCol = snap.statsCol)
+      statsCol = snap.statsCol, spec = snap.spec)
   }
 
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
@@ -512,7 +521,8 @@ object SnapTable {
     * with full-range stats — unprunable. (A production writer sizes
     * this by target file bytes instead.)
     */
-  private def clusterBySpec(df: DataFrame, spec: Seq[String]): DataFrame =
+  private[sources] def clusterBySpec(df: DataFrame,
+      spec: Seq[String]): DataFrame =
     if (spec.isEmpty) df
     else {
       val n = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -588,11 +598,20 @@ object SnapTable {
     * when the version slot is already taken — the whole optimistic-
     * concurrency guarantee hangs on this one syscall choice.
     */
-  private def tryLink(root: String, snap: Snapshot): Boolean = {
-    val tmp = Files.createTempFile(Paths.get(root, "_log"), "tmp", ".json")
-    Files.write(tmp, render(snap).getBytes(StandardCharsets.UTF_8))
+  private def tryLink(root: String, snap: Snapshot): Boolean =
+    linkExclusive(Paths.get(root, "_log"),
+      manifestPath(root, snap.version), render(snap))
+
+  /** The shared create-exclusive slot-claim primitive (manifests AND
+    * SnapTxn records): serialize to a tmp file in `dir`, then link(2) it
+    * to `target` — EEXIST means the slot was lost.
+    */
+  private[sources] def linkExclusive(dir: Path, target: Path,
+      content: String): Boolean = {
+    val tmp = Files.createTempFile(dir, "tmp", ".json")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     try {
-      Files.createLink(manifestPath(root, snap.version), tmp)
+      Files.createLink(target, tmp)
       Files.delete(tmp)
       true
     } catch {
@@ -619,16 +638,20 @@ object SnapTable {
       txn: Option[String]): Int = {
     var head = parent
     while (true) {
+      // the txn check runs BEFORE every attempt, not only after a lost
+      // slot: a duplicate that landed before this scan is seen here, and
+      // one that lands after it necessarily occupies head+1, so our link
+      // fails and the loop re-scans — no window remains in which a
+      // duplicate can land unseen while our link still succeeds
+      txn.flatMap(findTxn(root, _)) match {
+        case Some(dup) => return dup // our txn already landed
+        case None => ()
+      }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec))
       if (won) return head.version + 1
-      txn.flatMap(t => versions(root).view.map(load(root, _))
-          .find(_.txn.contains(t))) match {
-        case Some(dup) => return dup.version // our txn already landed
-        case None =>
-          head = load(root, latestVersion(root))
-          validateEvolution(head.schemaJson, schema)
-      }
+      head = load(root, latestVersion(root))
+      validateEvolution(head.schemaJson, schema)
     }
     -1 // unreachable
   }
@@ -728,7 +751,7 @@ object SnapTable {
       s""""files":$files$txn$spec}"""
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sources] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       listDir(p).foreach(deleteRecursively)
     Files.delete(p)

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
@@ -162,20 +161,31 @@ object SnapTxn {
           org.apache.spark.sql.types.LongType))))
   }
 
-  /** Drop per-table snapshots referenced by NO retained tx record (aborted
-    * or crashed transactions' orphans), then vacuum each table's
-    * unreferenced data dirs. Returns manifests removed.
+  /** Drop per-table snapshots created UNDER tx management but referenced
+    * by NO retained tx record (aborted or crashed transactions' orphans),
+    * then vacuum each table's unreferenced data dirs. Pre-init history
+    * (versions at or below the init pins) is legitimate SnapTable
+    * lineage, not orphan garbage, and is kept.
+    *
+    * MAINTENANCE op: run it with no transaction in flight — a concurrent
+    * prepare that has not yet published is indistinguishable from a
+    * crashed one (the same reason Delta's VACUUM documents a retention
+    * horizon no running writer may straddle). Returns manifests removed.
     */
   def vacuumOrphans(txroot: String): Int = {
     val txs = txVersions(txroot)
     var removed = 0
+    val initPins = load(txroot, txs.min).pins
     head(txroot).pins.keys.foreach { t =>
       val root = s"$txroot/$t"
       val pinned = txs.map(v => load(txroot, v).pins.getOrElse(t, -1)).toSet
-      SnapTable.versions(root).filterNot(pinned.contains).foreach { v =>
-        Files.delete(Paths.get(root, "_log", f"v$v%08d.json"))
-        removed += 1
-      }
+      val floor = initPins.getOrElse(t, Int.MaxValue)
+      SnapTable.versions(root)
+        .filter(v => v > floor && !pinned.contains(v))
+        .foreach { v =>
+          Files.delete(Paths.get(root, "_log", f"v$v%08d.json"))
+          removed += 1
+        }
       SnapTable.vacuum(root, retainVersions =
         SnapTable.versions(root).size)
     }
@@ -189,22 +199,11 @@ object SnapTxn {
   private def txPath(txroot: String, v: Int): Path =
     Paths.get(txroot, "_txlog", f"t$v%08d.json")
 
-  // the same create-exclusive link primitive SnapTable.tryLink uses: the
-  // slot claim fails with EEXIST instead of silently replacing
-  private def tryLink(txroot: String, rec: TxRecord): Boolean = {
-    val tmp = Files.createTempFile(Paths.get(txroot, "_txlog"),
-      "tmp", ".json")
-    Files.write(tmp, render(rec).getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(txPath(txroot, rec.version), tmp)
-      Files.delete(tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.delete(tmp)
-        false
-    }
-  }
+  // the shared create-exclusive link primitive: the slot claim fails
+  // with EEXIST instead of silently replacing
+  private def tryLink(txroot: String, rec: TxRecord): Boolean =
+    SnapTable.linkExclusive(Paths.get(txroot, "_txlog"),
+      txPath(txroot, rec.version), render(rec))
 
   private[graft] def load(txroot: String, v: Int): TxRecord = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -214,12 +213,16 @@ object SnapTxn {
         .map(e => e.getKey -> e.getValue.asInt()).toMap)
   }
 
-  // table names are caller-chosen identifiers; keep them JSON-trivial
+  // table names are caller-chosen identifiers; keep them JSON-trivial.
+  // The free-text note is ESCAPED — an unescaped quote would link a
+  // syntactically-broken record and permanently wedge the log.
   private def render(rec: TxRecord): String = {
     rec.pins.keys.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
       s"tx-managed table name '$t' must be [A-Za-z0-9_]+"))
     val pins = rec.pins.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString("{", ",", "}")
-    s"""{"version":${rec.version},"note":"${rec.note}","pins":$pins}"""
+    val note = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(rec.note) // includes the surrounding quotes
+    s"""{"version":${rec.version},"note":$note,"pins":$pins}"""
   }
 }

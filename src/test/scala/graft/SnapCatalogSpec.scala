@@ -103,4 +103,26 @@ class SnapCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE snapt.db2.b")
     assert(spark.sql("SHOW TABLES IN snapt.db2").count() == 0)
   }
+
+  test("DROP NAMESPACE without CASCADE refuses nested namespaces") {
+    base // force catalog init
+    val cat = new SnapCatalog
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", base))
+    cat.initialize("snapt", opts)
+    cat.createNamespace(Array("outer"), java.util.Collections.emptyMap())
+    cat.createNamespace(Array("outer", "inner"),
+      java.util.Collections.emptyMap())
+    SnapTable.create(spark, s"$base/outer/inner/t",
+      orders.limit(10), "o_orderkey")
+    // direct listTables sees no table under outer/, but inner/ holds one:
+    // non-cascade drop must refuse rather than silently delete it
+    intercept[IllegalStateException] {
+      cat.dropNamespace(Array("outer"), false)
+    }
+    assert(SnapTable.read(spark, s"$base/outer/inner/t").count() == 10)
+    assert(cat.dropNamespace(Array("outer"), true))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/outer")))
+  }
 }

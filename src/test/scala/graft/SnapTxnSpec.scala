@@ -94,6 +94,32 @@ class SnapTxnSpec extends AnyFunSuite {
     assert(SnapTable.versions(s"$txroot/a").toSet == pinnedA)
   }
 
+  test("vacuumOrphans keeps pre-init history and pinned versions") {
+    val txroot = Tmp.dir("snaptxn_spec")
+    // the table has real history BEFORE tx management begins
+    SnapTable.create(spark, s"$txroot/a", df(0 until 10, "v1"), "k")
+    SnapTable.append(spark, s"$txroot/a", df(10 until 20, "v2"))
+    SnapTable.create(spark, s"$txroot/b", df(0 until 10, "b1"), "k")
+    SnapTxn.init(txroot, Seq("a", "b")) // pins a=2, b=1
+    SnapTable.prepareAppend(spark, s"$txroot/a",
+      df(900 until 910, "crash"), pin = 2) // orphan v3
+    SnapTxn.commit(spark, txroot, Seq("a" -> df(20 until 30, "a3"))) // v4
+    assert(SnapTxn.vacuumOrphans(txroot) == 1) // ONLY the orphan
+    // pre-init lineage intact: v1 still time-travels
+    assert(SnapTable.versions(s"$txroot/a") == Seq(1, 2, 4))
+    assert(SnapTable.readVersion(spark, s"$txroot/a", 1).count() == 10)
+    assert(ks(txroot, "a") == (0L until 30L).toSet)
+  }
+
+  test("a note with quotes and newlines round-trips the tx log") {
+    val txroot = setup()
+    val note = "load \"q4\" batch\nwith newline \\ backslash"
+    SnapTxn.commit(spark, txroot,
+      Seq("a" -> df(10 until 20, "a2")), note = note)
+    assert(SnapTxn.head(txroot).note == note)
+    assert(ks(txroot, "a") == (0L until 20L).toSet) // log still readable
+  }
+
   test("history lists one row per (tx, table) pin") {
     val txroot = setup()
     SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))

@@ -305,6 +305,38 @@ class TableFormatSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == n2 + 25)
   }
 
+  test("appendOnce: a duplicate that landed BEFORE the head load is " +
+      "seen by the pre-link txn check (no double append)") {
+    val root = freshTable()
+    val inc = SnapTable.read(spark, root).limit(25)
+    val v2 = SnapTable.appendOnce(spark, root, inc, "job-9") // the winner
+    val n = SnapTable.read(spark, root).count()
+    // simulate the TOCTOU loser: its fast-path check ran before the
+    // winner landed (it saw nothing), then it loaded the head AFTER —
+    // i.e. commitAppend is called with the winner already in the parent
+    val parent = SnapTable.load(root, SnapTable.latestVersion(root))
+    val fresh = SnapTable.writeData(spark, root, inc, "o_orderkey")
+    val got = SnapTable.commitAppend(root, parent, fresh,
+      inc.schema, txn = Some("job-9"))
+    assert(got == v2, "loser must resolve to the winner's version")
+    assert(SnapTable.versions(root).max == v2, "no extra version linked")
+    assert(SnapTable.read(spark, root).count() == n, "rows doubled")
+  }
+
+  test("restore returns the whole snapshot identity, including the spec") {
+    import spark.implicits._
+    val root = Tmp.dir("snaptab_spec")
+    val df = (0L until 100L).map(k => (k, k % 7)).toDF("k", "w")
+    SnapTable.create(spark, root, df, "k", spec = Seq("k"))
+    SnapTable.evolvePartition(spark, root, Seq("w"))
+    SnapTable.append(spark, root, df)
+    SnapTable.restore(spark, root, 1)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.spec == Seq("k"),
+      "restored manifest must declare the restored era's clustering")
+    assert(SnapTable.read(spark, root).count() == 100)
+  }
+
   test("compact shrinks the file count and preserves content + pruning") {
     val root = Tmp.dir("snaptab_spec")
     val o = T(spark, TestSpark.Sf, "orders")
