@@ -259,6 +259,54 @@ object Extras6 extends QueryModule {
           "round(count(*) * 1e2) / 1e2 FROM lineitem " +
           "WHERE l_quantity < 10 GROUP BY l_returnflag" +
           ") ORDER BY metric")
+    ),
+    Q(
+      "sql_scripting",
+      // SQL SCRIPTING (Spark 4's ANSI compound statements): DECLARE'd
+      // session variables set from scalar subqueries over the table, a
+      // WHILE loop, and IF/ELSE control flow — procedural orchestration
+      // running INSIDE the engine, where each embedded query still plans
+      // through Catalyst (a 100 TB script body is N optimized jobs, not
+      // a driver-side row loop). The script returns its final SELECT.
+      (s, dir) => {
+        val view = "ord_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        T(s, dir, "orders").createOrReplaceTempView(view)
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        try s.sql(
+          s"""BEGIN
+             |  DECLARE hi BIGINT DEFAULT 0;
+             |  DECLARE lo BIGINT DEFAULT 0;
+             |  DECLARE i INT DEFAULT 1;
+             |  DECLARE ssq BIGINT DEFAULT 0;
+             |  SET hi = (SELECT count(*) FROM $view
+             |            WHERE o_totalprice > 200000);
+             |  SET lo = (SELECT count(*) FROM $view
+             |            WHERE o_totalprice <= 200000);
+             |  WHILE i <= 10 DO
+             |    SET ssq = ssq + i * i;
+             |    SET i = i + 1;
+             |  END WHILE;
+             |  IF hi > lo THEN
+             |    SELECT 'hi' AS side, hi AS n, ssq AS sum_sq;
+             |  ELSE
+             |    SELECT 'lo' AS side, lo AS n, ssq AS sum_sq;
+             |  END IF;
+             |END""".stripMargin)
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.scripting.enabled", p)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      },
+      Some(
+        "WITH c AS (SELECT " +
+          "CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS hi, " +
+          "CAST(count(*) FILTER (o_totalprice <= 200000) AS BIGINT) AS lo " +
+          "FROM orders) " +
+          "SELECT CASE WHEN hi > lo THEN 'hi' ELSE 'lo' END AS side, " +
+          "CASE WHEN hi > lo THEN hi ELSE lo END AS n, " +
+          "CAST(385 AS BIGINT) AS sum_sq FROM c")
     )
   )
 }
