@@ -782,6 +782,53 @@ object TableOps extends QueryModule {
           "FROM documents GROUP BY lang ORDER BY lang")
     ),
     Q(
+      "table_clone",
+      // ZERO-COPY SHALLOW CLONE: the dev/staging fork verb — v1 of the
+      // clone references the source snapshot's files (one manifest
+      // write, no data movement at any table size), then copy-on-write
+      // isolates all divergence: the clone's append lands in its own
+      // data dir and its deleteWhere rewrites only into the clone, while
+      // the source keeps serving its original content untouched. The
+      // result joins both tables' post-divergence aggregates so the
+      // oracle checks ISOLATION, not just the copy.
+      (s, dir) => {
+        val src = graft.Tmp.dir("graft_clone_src")
+        val dst = graft.Tmp.dir("graft_clone_dst")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+        SnapTable.create(s, src, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id")
+        SnapTable.clone(s, src, dst)
+        // diverge the clone both ways; the source must not move
+        SnapTable.append(s, dst, docs.filter(col("doc_id") % 3 === 1))
+        SnapTable.deleteWhere(s, dst, col("lang") === "en")
+        val agg = (t: org.apache.spark.sql.DataFrame) => t
+          .groupBy("lang").agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars"))
+        agg(SnapTable.read(s, src)).withColumnRenamed("n", "src_n")
+          .withColumnRenamed("chars", "src_chars")
+          .join(agg(SnapTable.read(s, dst))
+            .withColumnRenamed("n", "dst_n")
+            .withColumnRenamed("chars", "dst_chars"),
+            Seq("lang"), "full_outer")
+          .orderBy("lang")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, " +
+          "CAST(length(text) AS BIGINT) AS n_chars FROM documents), " +
+          "src AS (SELECT lang, CAST(count(*) AS BIGINT) AS src_n, " +
+          "CAST(sum(n_chars) AS BIGINT) AS src_chars FROM d " +
+          "WHERE doc_id % 3 = 0 GROUP BY lang), " +
+          "dst AS (SELECT lang, CAST(count(*) AS BIGINT) AS dst_n, " +
+          "CAST(sum(n_chars) AS BIGINT) AS dst_chars FROM d " +
+          "WHERE doc_id % 3 IN (0, 1) AND lang <> 'en' GROUP BY lang) " +
+          "SELECT coalesce(src.lang, dst.lang) AS lang, src_n, " +
+          "src_chars, dst_n, dst_chars " +
+          "FROM src FULL OUTER JOIN dst ON src.lang = dst.lang " +
+          "ORDER BY lang")
+    ),
+    Q(
       "table_stream_cdc",
       // STREAMING CHANGE FEED (snapstream readChangeFeed=true — the
       // Delta-CDF idea on the manifest diff): each drained batch emits

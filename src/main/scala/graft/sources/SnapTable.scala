@@ -214,8 +214,7 @@ object SnapTable {
     // are driver-side metadata (as in every CoW format)
     val touched = withFile.join(broadcast(keys), Seq(key), "left_semi")
       .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
-    val touchedRel = parent.files.filter(f =>
-      touched.exists(_.endsWith(f.path)))
+    val touchedRel = matchEntries(root, parent.files, touched)
     val carried = parent.files.filterNot(touchedRel.contains)
     val survivors = withFile
       .filter(if (touched.isEmpty) lit(false)
@@ -295,6 +294,34 @@ object SnapTable {
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson)
   }
 
+  /** SHALLOW CLONE (the Delta CLONE idea): `dstRoot` becomes a new table
+    * whose v1 manifest REFERENCES the source snapshot's data files —
+    * zero bytes copied, clone cost is one manifest write whatever the
+    * table size. Copy-on-write makes divergence natural: appends land in
+    * the clone's own data dir, merge/delete/compact rewrite into it, and
+    * the source never observes any of it (nor vice versa). The
+    * dependency hazard is the same one Delta documents: vacuuming the
+    * SOURCE can delete files a shallow clone still references — deep-copy
+    * (compact the clone) before vacuuming a cloned-from table.
+    */
+  def clone(s: SparkSession, srcRoot: String, dstRoot: String,
+      version: Int = -1): Int = {
+    val v = if (version > 0) version else latestVersion(srcRoot)
+    val snap = load(srcRoot, v)
+    Files.createDirectories(Paths.get(dstRoot, "_log"))
+    // re-point entries at the source's data dir, relative to the clone
+    // root (the table stays relocatable as a UNIT with its source)
+    val rel = Paths.get(dstRoot).toAbsolutePath
+      .relativize(Paths.get(srcRoot).toAbsolutePath)
+    val files = snap.files.map(f =>
+      f.copy(path = rel.resolve(f.path).toString))
+    if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
+        snap.schemaJson, files, None, snap.spec)))
+      throw new ConcurrentCommitException(
+        s"clone lost the race for v1 at $dstRoot — the table already exists")
+    1
+  }
+
   /** DESCRIBE HISTORY: one row per retained snapshot — version, the verb
     * that produced it, file count, and LOGICAL row count (from manifest
     * stats; no data files are opened). The audit surface operators and
@@ -348,8 +375,7 @@ object SnapTable {
       .withColumn("_gf_file", col("_metadata.file_path"))
     val touched = withFile.filter(predicate)
       .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
-    val touchedRel = parent.files.filter(f =>
-      touched.exists(_.endsWith(f.path)))
+    val touchedRel = matchEntries(root, parent.files, touched)
     val carried = parent.files.filterNot(touchedRel.contains)
     val survivors = withFile
       .filter(if (touched.isEmpty) lit(false)
@@ -529,6 +555,21 @@ object SnapTable {
       df.repartitionByRange(n, spec.map(col): _*)
         .sortWithinPartitions(spec.map(col): _*)
     }
+
+  /** Map `_metadata.file_path` URIs back to their manifest entries by
+    * NORMALIZED absolute path — a bare endsWith on the relative entry
+    * breaks for shallow-clone entries ("../src/data/..." is never a
+    * suffix of an absolute URI), which would carry a touched shared file
+    * forward AND rewrite its survivors (row duplication).
+    */
+  private def matchEntries(root: String, files: Seq[FileEntry],
+      touchedUris: Set[String]): Seq[FileEntry] = {
+    val byAbs = files.map(f =>
+      Paths.get(root).resolve(f.path).normalize().toAbsolutePath
+        .toString -> f)
+    byAbs.filter { case (abs, _) =>
+      touchedUris.exists(_.endsWith(abs)) }.map(_._2)
+  }
 
   // Files.list holds a directory fd until the stream is CLOSED — an
   // unclosed stream per commit is an fd leak that kills a long-running

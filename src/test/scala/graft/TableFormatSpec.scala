@@ -337,6 +337,25 @@ class TableFormatSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 100)
   }
 
+  test("shallow clone copies no data files; divergence is isolated") {
+    val root = freshTable()
+    val dst = Tmp.dir("snaptab_clone")
+    SnapTable.clone(spark, root, dst)
+    // zero-copy: the clone has NO data directory of its own yet
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "data")))
+    val srcRows = SnapTable.read(spark, root).count()
+    assert(SnapTable.read(spark, dst).count() == srcRows)
+    // clone diverges; source is untouched (and vice versa)
+    SnapTable.append(spark, dst, SnapTable.read(spark, root).limit(50))
+    SnapTable.append(spark, root, SnapTable.read(spark, root).limit(10))
+    assert(SnapTable.read(spark, dst).count() == srcRows + 50)
+    assert(SnapTable.read(spark, root).count() == srcRows + 10)
+    // the clone's own commits live under its own data dir
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "data")))
+  }
+
   test("compact shrinks the file count and preserves content + pruning") {
     val root = Tmp.dir("snaptab_spec")
     val o = T(spark, TestSpark.Sf, "orders")
