@@ -829,6 +829,46 @@ object TableOps extends QueryModule {
           "ORDER BY lang")
     ),
     Q(
+      "table_delete_mor",
+      // MERGE-ON-READ DELETE (deletion vectors — the Delta DV / Iceberg
+      // v2 position-delete idea): two stacked deletes each commit only
+      // the (file, row-index) positions of their matches — no data file
+      // is rewritten, so delete cost is O(matches) however the rows are
+      // scattered (the worst case for copy-on-write). Reads subtract the
+      // DVs with one broadcast anti-join; OPTIMIZE materializes them.
+      // The op reads through BOTH stacked DVs and then through the
+      // compacted (materialized) snapshot and returns the latter —
+      // TableFormatSpec pins that files were untouched until compaction.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_mor_tab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+        SnapTable.create(s, root,
+          ev.repartitionByRange(8, col("event_id")), "event_id")
+        SnapTable.deleteWhereMoR(s, root, col("event_type") === "error")
+        SnapTable.deleteWhereMoR(s, root, col("user_id") % 10 === 3)
+        val viaDv = SnapTable.read(s, root)
+        SnapTable.compact(s, root, targetFiles = 4)
+        val materialized = SnapTable.read(s, root)
+        // both read paths must agree before the materialized one returns
+        require(viaDv.count() == materialized.count(),
+          "DV read and materialized read disagree")
+        materialized
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"),
+            dsum(col("value"), 2).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+          dsumSql("value", 2) + " AS sum_val " +
+          "FROM events WHERE event_type <> 'error' AND user_id % 10 <> 3 " +
+          "GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "table_stream_cdc",
       // STREAMING CHANGE FEED (snapstream readChangeFeed=true — the
       // Delta-CDF idea on the manifest diff): each drained batch emits

@@ -107,7 +107,14 @@ class SnapStreamSource(ctx: SQLContext, root: String,
       case None =>
         startingVersion match {
           case Some(sv) => addedBetween(baseBelow(sv), endV)
-          case None => SnapTable.load(root, endV).files // full snapshot
+          case None => // full snapshot
+            val snap = SnapTable.load(root, endV)
+            if (snap.dvs.nonEmpty && !ignoreChanges)
+              throw new IllegalStateException(
+                "snapstream: the snapshot carries merge-on-read " +
+                  "deletion vectors, which file-level tailing cannot " +
+                  "see — compact() first, or ignoreChanges=true")
+            snap.files
         }
       case Some(s) => addedBetween(Some(version(s)), endV)
     }
@@ -136,7 +143,12 @@ class SnapStreamSource(ctx: SQLContext, root: String,
         case None => Seq.empty // initial load: whole snapshot is +1
       }
     }
-    val toFiles = SnapTable.load(root, endV).files
+    val toSnap = SnapTable.load(root, endV)
+    require(toSnap.dvs.isEmpty,
+      "snapstream readChangeFeed: merge-on-read deletion vectors are " +
+        "not expressible as a file diff — compact() to materialize " +
+        "them before tailing the change feed")
+    val toFiles = toSnap.files
     val fromPaths = fromFiles.map(_.path).toSet
     val toPaths = toFiles.map(_.path).toSet
     def side(fs: Seq[SnapTable.FileEntry], sign: Int) =
@@ -175,6 +187,12 @@ class SnapStreamSource(ctx: SQLContext, root: String,
         SnapTable.load(root, v).files
     }
     val toSnap = SnapTable.load(root, to)
+    if (toSnap.dvs.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        "snapstream: the snapshot carries merge-on-read deletion " +
+          "vectors, which file-level tailing cannot see — compact() to " +
+          "materialize them, or set ignoreChanges=true to stream the " +
+          "file contents (deleted rows included, at-least-once)")
     val fromPaths = fromFiles.map(_.path).toSet
     val removed = fromPaths.diff(toSnap.files.map(_.path).toSet)
     if (removed.nonEmpty && !ignoreChanges)

@@ -92,10 +92,15 @@ object SnapTable {
     * stats, the spec can EVOLVE without rewriting a byte: old files keep
     * pruning under the old clustering, new files under the new.
     */
+  /** `dvs` are DELETION-VECTOR files (merge-on-read deletes): parquet
+    * files of (file path, row index) pairs under data/, subtracted from
+    * every read of this snapshot. A MoR delete commits a DV instead of
+    * rewriting data files; OPTIMIZE materializes and clears them.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
-      spec: Seq[String] = Seq.empty)
+      spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty)
 
   // ---------------------------------------------------------------- commits
 
@@ -180,7 +185,8 @@ object SnapTable {
       parent.statsCol)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
-        df.schema.json, parent.files ++ fresh, None, parent.spec)))
+        df.schema.json, parent.files ++ fresh, None, parent.spec,
+        parent.dvs)))
       v = latestVersion(root) + 1
     v
   }
@@ -195,6 +201,10 @@ object SnapTable {
   def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
       deleteCol: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
+    require(parent.dvs.isEmpty,
+      "merge on a table with outstanding merge-on-read deletes would " +
+        "resurrect DV'd rows in rewritten files — run compact() first " +
+        "to materialize them")
     if (parent.files.isEmpty) {
       // empty table: everything is an insert; nothing to rewrite
       val incoming = deleteCol match {
@@ -276,7 +286,9 @@ object SnapTable {
   def compact(s: SparkSession, root: String, targetFiles: Int,
       clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
     val parent = load(root, latestVersion(root))
-    val live = readFiles(s, root, parent.files, parent.schemaJson)
+    // DV-aware: compaction MATERIALIZES merge-on-read deletes — the
+    // rewritten files omit DV'd rows and the new snapshot carries none
+    val live = readSnapshot(s, root, parent)
     val rewritten = clusterBy match {
       case Some(z) => live.withColumn("_gf_z", z)
         .repartitionByRange(targetFiles, col("_gf_z"))
@@ -291,7 +303,8 @@ object SnapTable {
           .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol)
-    commitExclusive(root, parent, fresh, "compact", parent.schemaJson)
+    commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
+      dvs = Seq.empty)
   }
 
   /** SHALLOW CLONE (the Delta CLONE idea): `dstRoot` becomes a new table
@@ -315,8 +328,9 @@ object SnapTable {
       .relativize(Paths.get(srcRoot).toAbsolutePath)
     val files = snap.files.map(f =>
       f.copy(path = rel.resolve(f.path).toString))
+    val dvs = snap.dvs.map(p => rel.resolve(p).toString)
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
-        snap.schemaJson, files, None, snap.spec)))
+        snap.schemaJson, files, None, snap.spec, dvs)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -357,7 +371,7 @@ object SnapTable {
     // partition spec — carrying the head's spec would leave the manifest
     // claiming a clustering the restored files don't have
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
-      statsCol = snap.statsCol, spec = snap.spec)
+      statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs)
   }
 
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
@@ -368,6 +382,10 @@ object SnapTable {
   def deleteWhere(s: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): Int = {
     val parent = load(root, latestVersion(root))
+    require(parent.dvs.isEmpty,
+      "copy-on-write delete on a table with outstanding merge-on-read " +
+        "deletes would resurrect DV'd rows in rewritten files — run " +
+        "compact() first to materialize them")
     if (parent.files.isEmpty) // nothing to delete from: no-op commit
       return commitExclusive(root, parent, Seq.empty, "delete",
         parent.schemaJson)
@@ -396,9 +414,88 @@ object SnapTable {
     readVersion(s, root, latestVersion(root))
 
   /** Time travel: the table exactly as of `version`. */
-  def readVersion(s: SparkSession, root: String, version: Int): DataFrame = {
-    val snap = load(root, version)
-    readFiles(s, root, snap.files, snap.schemaJson)
+  def readVersion(s: SparkSession, root: String, version: Int): DataFrame =
+    readSnapshot(s, root, load(root, version))
+
+  /** Snapshot read honoring deletion vectors: DV'd (path, row index)
+    * pairs are subtracted with one left-anti join against the scan's
+    * metadata columns. The DV side is a handful of small parquet files
+    * (broadcast-sized by construction — a DV holds row POSITIONS, not
+    * rows), so the anti-join adds no shuffle to the scan at any table
+    * size; a DV too big to broadcast is the signal to OPTIMIZE.
+    */
+  /** `_metadata.file_path` canonicalized RELATIVE to the table root, so
+    * DV entries stay valid when the table directory moves (the same
+    * relocatability the relative manifest paths give data files).
+    */
+  private def relPathCol(root: String): org.apache.spark.sql.Column = {
+    val uri = Paths.get(root).toAbsolutePath.toUri.toString // trailing '/'
+    expr(s"replace(_metadata.file_path, '$uri', '')")
+  }
+
+  private def readSnapshot(s: SparkSession, root: String,
+      snap: Snapshot): DataFrame = {
+    val base = readFiles(s, root, snap.files, snap.schemaJson)
+    if (snap.dvs.isEmpty || snap.files.isEmpty) base
+    else {
+      val dv = s.read.parquet(snap.dvs.map(p => s"$root/$p"): _*)
+      val cols = base.columns.toIndexedSeq
+      base
+        .withColumn("_gf_p", relPathCol(root))
+        .withColumn("_gf_ri", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("_gf_p") === col("_dv_path") &&
+            col("_gf_ri") === col("_dv_row"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** Merge-on-read DELETE (the Delta deletion-vector / Iceberg v2
+    * position-delete idea): instead of rewriting every file that holds a
+    * matching row, commit a DELETION VECTOR — the (file, row index)
+    * positions of the deleted rows — and leave the data files untouched.
+    * Delete cost is proportional to the MATCHES (positions written),
+    * not to where they live; reads subtract the DV; OPTIMIZE (compact)
+    * materializes the deletes and clears the vectors. The trade against
+    * CoW `deleteWhere` is the classic one: O(matches) write now, a
+    * per-read anti-join until compaction.
+    */
+  def deleteWhereMoR(s: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val parent = load(root, latestVersion(root))
+    if (parent.files.isEmpty)
+      return commitExclusive(root, parent, Seq.empty, "delete-mor",
+        parent.schemaJson)
+    // metadata cols must be captured on the raw scan (they don't survive
+    // joins/projections); prior DVs are then subtracted explicitly so a
+    // second MoR delete doesn't re-mark already-deleted positions
+    val withMeta = readFiles(s, root, parent.files, parent.schemaJson)
+      .withColumn("_dv_path", relPathCol(root))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val undeleted =
+      if (parent.dvs.isEmpty) withMeta
+      else withMeta.join(
+        broadcast(s.read.parquet(parent.dvs.map(p => s"$root/$p"): _*)
+          .withColumnRenamed("_dv_path", "_dv_path0")
+          .withColumnRenamed("_dv_row", "_dv_row0")),
+        col("_dv_path") === col("_dv_path0") &&
+          col("_dv_row") === col("_dv_row0"), "left_anti")
+    val marked = undeleted
+      .filter(predicate)
+      .select("_dv_path", "_dv_row")
+      .persist()
+    try {
+      if (marked.isEmpty)
+        commitExclusive(root, parent, parent.files, "delete-mor",
+          parent.schemaJson)
+      else {
+        val dvName =
+          "data/dv-" + java.util.UUID.randomUUID().toString.take(8)
+        marked.repartition(1).write.parquet(s"$root/$dvName")
+        commitExclusive(root, parent, parent.files, "delete-mor",
+          parent.schemaJson, dvs = parent.dvs :+ dvName)
+      }
+    } finally { marked.unpersist(false); () }
   }
 
   /** Range read with manifest-level file skipping on ANY stats'd column:
@@ -413,7 +510,7 @@ object SnapTable {
     val snap = load(root, latestVersion(root))
     val hit = snap.files.filter(_.stats.get(column)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
-    val df = readFiles(s, root, hit, snap.schemaJson)
+    val df = readSnapshot(s, root, snap.copy(files = hit))
       .filter(col(column) >= lo && col(column) <= hi)
     (df, hit.size, snap.files.size)
   }
@@ -437,6 +534,9 @@ object SnapTable {
       : DataFrame = {
     val a = load(root, from)
     val b = load(root, to)
+    require(a.dvs.isEmpty && b.dvs.isEmpty,
+      "file-diff CDC cannot see merge-on-read deletes (a DV commit adds " +
+        "no files) — compact() to materialize them before diffing")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
@@ -465,6 +565,9 @@ object SnapTable {
       key: String): DataFrame = {
     val a = load(root, from)
     val b = load(root, to)
+    require(a.dvs.isEmpty && b.dvs.isEmpty,
+      "file-diff CDC cannot see merge-on-read deletes (a DV commit adds " +
+        "no files) — compact() to materialize them before diffing")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
@@ -508,18 +611,33 @@ object SnapTable {
     val keep = versions(root).takeRight(retainVersions)
     val live: Set[String] =
       keep.flatMap(v => load(root, v).files.map(_.path)).toSet
+    // deletion-vector DIRS referenced by a retained manifest are live as
+    // units (their parquet part files are positions, not table rows)
+    val liveDvDirs: Set[String] =
+      keep.flatMap(v => load(root, v).dvs).toSet
     versions(root).dropRight(retainVersions).foreach(v =>
       Files.delete(manifestPath(root, v)))
     val dataRoot = Paths.get(root, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
       listDir(dataRoot).foreach { commitDir =>
-        val files = listDir(commitDir)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-        val (dead, alive) = files.partition(f =>
-          !live.contains(Paths.get(root).relativize(f).toString))
-        dead.foreach { f => Files.delete(f); removed += 1 }
-        if (alive.isEmpty) deleteRecursively(commitDir)
+        val relDir = Paths.get(root).relativize(commitDir).toString
+        if (liveDvDirs.contains(relDir)) ()
+        else if (commitDir.getFileName.toString.startsWith("dv-")) {
+          // an unreferenced deletion vector (compacted away or vacuumed
+          // past): reclaim it whole
+          val n = listDir(commitDir)
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          deleteRecursively(commitDir)
+          removed += n
+        } else {
+          val files = listDir(commitDir)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+          val (dead, alive) = files.partition(f =>
+            !live.contains(Paths.get(root).relativize(f).toString))
+          dead.foreach { f => Files.delete(f); removed += 1 }
+          if (alive.isEmpty) deleteRecursively(commitDir)
+        }
       }
     }
     removed
@@ -689,7 +807,8 @@ object SnapTable {
         case None => ()
       }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
-        head.statsCol, schema.json, head.files ++ fresh, txn, head.spec))
+        head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
+        head.dvs))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -705,11 +824,14 @@ object SnapTable {
     */
   private[graft] def commitExclusive(root: String, parent: Snapshot,
       files: Seq[FileEntry], op: String, schemaJson: String,
-      statsCol: String = null, spec: Seq[String] = null): Int = {
+      statsCol: String = null, spec: Seq[String] = null,
+      dvs: Seq[String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
+    val dv = Option(dvs).getOrElse(parent.dvs)
     val v = parent.version + 1
-    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp))) v
+    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv)))
+      v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
         "its file rewrite is stale; re-read the head and re-run")
@@ -773,6 +895,8 @@ object SnapTable {
       Option(node.get("txn")).map(_.asText()),
       // absent in pre-evolution manifests → unpartitioned
       Option(node.get("spec")).map(_.elements().asScala.map(_.asText())
+        .toSeq).getOrElse(Seq.empty),
+      Option(node.get("dvs")).map(_.elements().asScala.map(_.asText())
         .toSeq).getOrElse(Seq.empty))
   }
 
@@ -787,9 +911,12 @@ object SnapTable {
     val spec =
       if (snap.spec.isEmpty) ""
       else snap.spec.map(c => s""""$c"""").mkString(""","spec":[""", ",", "]")
+    val dvs =
+      if (snap.dvs.isEmpty) ""
+      else snap.dvs.map(p => s""""$p"""").mkString(""","dvs":[""", ",", "]")
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
-      s""""files":$files$txn$spec}"""
+      s""""files":$files$txn$spec$dvs}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

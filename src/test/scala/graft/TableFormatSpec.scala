@@ -356,6 +356,46 @@ class TableFormatSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dst, "data")))
   }
 
+  test("merge-on-read delete: no files rewritten, reads subtract the DV, " +
+      "compact materializes, vacuum honors DV liveness") {
+    import org.apache.spark.sql.functions.col
+    val root = freshTable()
+    val before = SnapTable.load(root, SnapTable.latestVersion(root))
+    val total = SnapTable.read(spark, root).count()
+    val nDel = SnapTable.read(spark, root)
+      .filter(col("o_totalprice") > 300000).count()
+    SnapTable.deleteWhereMoR(spark, root, col("o_totalprice") > 300000)
+    val after = SnapTable.load(root, SnapTable.latestVersion(root))
+    // the data files are untouched; only a DV was added
+    assert(after.files == before.files, "MoR delete must not rewrite")
+    assert(after.dvs.size == 1)
+    assert(SnapTable.read(spark, root).count() == total - nDel)
+    // a second MoR delete stacks; already-deleted rows are not re-marked
+    SnapTable.deleteWhereMoR(spark, root, col("o_totalprice") > 250000)
+    val nDel2 = total - SnapTable.read(spark, root).count()
+    assert(SnapTable.read(spark, root)
+      .filter(col("o_totalprice") > 250000).count() == 0)
+    // time travel before the deletes still sees every row
+    assert(SnapTable.readVersion(spark, root, 1).count() == total)
+    // CoW delete and CDC refuse until materialized
+    intercept[IllegalArgumentException] {
+      SnapTable.deleteWhere(spark, root, col("o_totalprice") > 0)
+    }
+    intercept[IllegalArgumentException] {
+      SnapTable.changesDelta(spark, root, 1,
+        SnapTable.latestVersion(root))
+    }
+    // compact materializes: DVs cleared, content identical
+    SnapTable.compact(spark, root, targetFiles = 2)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.dvs.isEmpty)
+    assert(SnapTable.read(spark, root).count() == total - nDel2)
+    // vacuum to the head: the now-unreferenced DV dirs are reclaimed
+    assert(SnapTable.vacuum(root, retainVersions = 1) > 0)
+    assert(SnapTable.read(spark, root).count() == total - nDel2)
+    assert(!graft.sources.SnapTable.versions(root).exists(_ < 4))
+  }
+
   test("compact shrinks the file count and preserves content + pruning") {
     val root = Tmp.dir("snaptab_spec")
     val o = T(spark, TestSpark.Sf, "orders")
