@@ -180,6 +180,37 @@ object TableOps extends QueryModule {
           "WHERE o_custkey % 5 = 0 GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_sql_delete",
+      // DELETE FROM through the catalog (DSv2 SupportsDelete): the SQL
+      // WHERE clause arrives as pushed filters, translates to the CoW
+      // erasure verb, and commits one new snapshot — SQL users get the
+      // GDPR path without touching the API. Two deletes (a compound
+      // predicate and an IN-list) then the surviving state read back.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(s"DELETE FROM snap.main.$t " +
+          "WHERE o_totalprice > 250000 AND o_orderkey > 10000")
+        s.sql(s"DELETE FROM snap.main.$t WHERE o_custkey IN (1, 2, 4, 7)")
+        s.sql(s"SELECT o_custkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "WHERE NOT (o_totalprice > 250000 AND o_orderkey > 10000) " +
+          "AND o_custkey NOT IN (1, 2, 4, 7) GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_snapshot_append",
       (s, dir) => {
         val root = graft.Tmp.dir("graft_snaptab")

@@ -200,9 +200,30 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
   * through the same optimistic protocol as the API.
   */
 private[sources] class SnapV2Table(ident: Identifier, root: String,
-    version: Int) extends Table with SupportsRead with SupportsWrite {
+    version: Int) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   private val snap = SnapTable.load(root, version)
+
+  /** `DELETE FROM snap.db.t WHERE ...` — the SQL surface of the CoW
+    * erasure verb. The WHERE clause arrives as pushed v1 filters; any
+    * translatable conjunction runs through `SnapTable.deleteWhere`
+    * against the CURRENT head (DML never time-travels). Untranslatable
+    * predicates make `canDeleteWhere` return false, so Spark reports the
+    * unsupported shape instead of deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(SnapV2Table.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.toSeq
+      .map(f => SnapV2Table.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"DELETE predicate: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapTable.deleteWhere(SparkSession.active, root, pred)
+    ()
+  }
 
   override def name(): String = ident.toString
 
@@ -251,6 +272,35 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
           }
       }
     }
+}
+
+private[sources] object SnapV2Table {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col => c, lit}
+
+  /** v1 Filter → Column for the DELETE surface; None = untranslatable
+    * (Spark then rejects the DELETE instead of mis-running it).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(c(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(c(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case LessThan(a, v) => Some(c(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case In(a, vs) => Some(c(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(c(a).isNull)
+    case IsNotNull(a) => Some(c(a).isNotNull)
+    case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+    case StringContains(a, v) => Some(c(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Scan builder carrying the two DSv2 pushdowns that matter at manifest
