@@ -900,6 +900,44 @@ object TableOps extends QueryModule {
           "GROUP BY event_type ORDER BY event_type")
     ),
     Q(
+      "table_cdc_mor",
+      // DV-AWARE SIGNED CDC: changesDelta across a mixed commit chain —
+      // an append (v2) then a merge-on-read delete (v3, positions only,
+      // no file touched). The +1 side is the appended files read UNDER
+      // the head's deletion vectors (rows both appended and then DV'd
+      // net out); the -1 side is the DV position diff joined back to
+      // the carried files. A downstream view maintained as
+      // initial-state + signed delta must equal the live table — IO is
+      // the appended files plus the deleted positions, never a rescan.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_cdcmor_tab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+        SnapTable.create(s, root,
+          ev.filter(col("event_id") % 2 === 0)
+            .repartitionByRange(4, col("event_id")), "event_id")
+        SnapTable.append(s, root, ev.filter(col("event_id") % 2 === 1))
+        SnapTable.deleteWhereMoR(s, root, col("event_type") === "error")
+        val signed = SnapTable.readVersion(s, root, 1)
+          .withColumn("_sign", lit(1))
+          .unionByName(SnapTable.changesDelta(s, root, 1,
+            SnapTable.latestVersion(root)))
+        signed
+          .groupBy("event_type")
+          .agg(sum(col("_sign").cast("long")).as("n"),
+            (sum(col("_sign").cast("long") *
+              round(col("value") * 100).cast("long")) / 100).as("sum_val"))
+          .filter(col("n") > 0)
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_val " +
+          "FROM events WHERE event_type <> 'error' " +
+          "GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
       "table_stream_cdc",
       // STREAMING CHANGE FEED (snapstream readChangeFeed=true — the
       // Delta-CDF idea on the manifest diff): each drained batch emits

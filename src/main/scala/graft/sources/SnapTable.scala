@@ -534,25 +534,59 @@ object SnapTable {
       : DataFrame = {
     val a = load(root, from)
     val b = load(root, to)
-    require(a.dvs.isEmpty && b.dvs.isEmpty,
-      "file-diff CDC cannot see merge-on-read deletes (a DV commit adds " +
-        "no files) — compact() to materialize them before diffing")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
     val added = b.files.filterNot(f => aPaths.contains(f.path))
-    def side(fs: Seq[FileEntry], sign: Int): Option[DataFrame] =
+    val carried = b.files.filter(f => aPaths.contains(f.path))
+    // each side reads under ITS endpoint's deletion vectors: a row of an
+    // added file that is already DV'd at `to` was never visible (+1 must
+    // skip it); a row of a removed file that was DV'd at `from` was
+    // already gone (-1 must skip it)
+    def side(fs: Seq[FileEntry], snap: Snapshot,
+        sign: Int): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(readFiles(s, root, fs, b.schemaJson)
+      else Some(readSnapshot(s, root, snap.copy(files = fs))
         .withColumn("_sign", lit(sign)))
-    (side(added, 1), side(removed, -1)) match {
-      case (Some(x), Some(y)) => x.unionByName(y)
-      case (Some(x), None) => x
-      case (None, Some(y)) => y
-      case (None, None) =>
-        readFiles(s, root, b.files, b.schemaJson)
-          .withColumn("_sign", lit(1)).limit(0)
-    }
+    // MoR deletes on CARRIED files surface as position-diff rows: a
+    // position DV'd at `to` but not at `from` is a -1 (the row was
+    // deleted without any file changing); one removed from the DV set
+    // (RESTORE to a pre-delete snapshot) is a +1 resurrect. Positions
+    // referencing added/removed files drop out of the inner join —
+    // those rows are already accounted for by the file sides.
+    val dvSides: Seq[DataFrame] =
+      if (a.dvs == b.dvs || carried.isEmpty) Seq.empty
+      else {
+        def dvDf(snap: Snapshot): Option[DataFrame] =
+          if (snap.dvs.isEmpty) None
+          else Some(s.read.parquet(snap.dvs.map(p => s"$root/$p"): _*))
+        def posDiff(x: Option[DataFrame], y: Option[DataFrame]) =
+          (x, y) match {
+            case (None, _) => None
+            case (Some(xd), None) => Some(xd)
+            case (Some(xd), Some(yd)) => Some(xd.join(yd,
+              Seq("_dv_path", "_dv_row"), "left_anti"))
+          }
+        def rowsAt(positions: DataFrame, sign: Int): DataFrame = {
+          val base = readFiles(s, root, carried, b.schemaJson)
+          val cols = base.columns.toIndexedSeq
+          base
+            .withColumn("_gf_p", relPathCol(root))
+            .withColumn("_gf_ri", col("_metadata.row_index"))
+            .join(broadcast(positions),
+              col("_gf_p") === col("_dv_path") &&
+                col("_gf_ri") === col("_dv_row"))
+            .select(cols.map(col): _*)
+            .withColumn("_sign", lit(sign))
+        }
+        Seq(posDiff(dvDf(b), dvDf(a)).map(rowsAt(_, -1)),
+          posDiff(dvDf(a), dvDf(b)).map(rowsAt(_, 1))).flatten
+      }
+    val sides =
+      Seq(side(added, b, 1), side(removed, a, -1)).flatten ++ dvSides
+    sides.reduceOption(_ unionByName _).getOrElse(
+      readFiles(s, root, b.files, b.schemaJson)
+        .withColumn("_sign", lit(1)).limit(0))
   }
 
   /** File-diff CDC: row changes between two snapshots, classified
@@ -566,8 +600,8 @@ object SnapTable {
     val a = load(root, from)
     val b = load(root, to)
     require(a.dvs.isEmpty && b.dvs.isEmpty,
-      "file-diff CDC cannot see merge-on-read deletes (a DV commit adds " +
-        "no files) — compact() to materialize them before diffing")
+      "classified CDC does not read through deletion vectors — use " +
+        "changesDelta (signed, DV-aware) or compact() first")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))

@@ -377,14 +377,21 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_totalprice") > 250000).count() == 0)
     // time travel before the deletes still sees every row
     assert(SnapTable.readVersion(spark, root, 1).count() == total)
-    // CoW delete and CDC refuse until materialized
+    // CoW delete and classified CDC refuse until materialized
     intercept[IllegalArgumentException] {
       SnapTable.deleteWhere(spark, root, col("o_totalprice") > 0)
     }
     intercept[IllegalArgumentException] {
-      SnapTable.changesDelta(spark, root, 1,
-        SnapTable.latestVersion(root))
+      SnapTable.changes(spark, root, 1,
+        SnapTable.latestVersion(root), "o_orderkey")
     }
+    // the SIGNED feed is DV-aware: both stacked MoR deletes surface as
+    // -1 position rows (no file changed), netting to the live table
+    val delta = SnapTable.changesDelta(spark, root, 1,
+      SnapTable.latestVersion(root))
+    assert(delta.filter(col("_sign") =!= -1).count() == 0)
+    assert(delta.count() == nDel2)
+    assert(delta.filter(col("o_totalprice") <= 250000).count() == 0)
     // compact materializes: DVs cleared, content identical
     SnapTable.compact(spark, root, targetFiles = 2)
     val head = SnapTable.load(root, SnapTable.latestVersion(root))
