@@ -900,6 +900,45 @@ object TableOps extends QueryModule {
           "GROUP BY event_type ORDER BY event_type")
     ),
     Q(
+      "table_constraints",
+      // CHECK CONSTRAINTS (data contracts in the table, not the
+      // pipeline): ADD CONSTRAINT validates existing rows first, then
+      // every append pays one O(batch) predicate pass — a bad batch
+      // fails BEFORE any manifest links, so the table can never hold a
+      // row its contract rejects. Two good batches land, a violating
+      // batch is rejected (leaving no version behind), and the final
+      // state — which the oracle replays — proves exactly the conforming
+      // rows arrived.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_checks_tab")
+        val ord = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+        SnapTable.create(s, root,
+          ord.filter(col("o_orderkey") % 3 === 0), "o_orderkey")
+        SnapTable.addCheck(s, root, "price_pos", "o_totalprice > 0")
+        SnapTable.addCheck(s, root, "key_nonneg", "o_orderkey >= 0")
+        SnapTable.append(s, root, ord.filter(col("o_orderkey") % 3 === 1))
+        // the poisoned batch (negated prices) must be rejected whole
+        val poisoned = ord.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        val rejected =
+          try { SnapTable.append(s, root, poisoned); false }
+          catch { case _: SnapTable.ConstraintViolationException => true }
+        require(rejected, "constraint failed to reject the bad batch")
+        SnapTable.append(s, root, ord.filter(col("o_orderkey") % 3 === 2))
+        SnapTable.read(s, root)
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_cdc_mor",
       // DV-AWARE SIGNED CDC: changesDelta across a mixed commit chain —
       // an append (v2) then a merge-on-read delete (v3, positions only,

@@ -70,6 +70,10 @@ object SnapTable {
   final class SchemaEvolutionException(msg: String)
     extends RuntimeException(msg)
 
+  /** A write's rows violate a declared CHECK constraint. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   /** Per-column [min,max] for every INT64 column the file's footer covers
     * (Delta/Iceberg collect per-column stats the same way) — any stats'd
     * column can drive file skipping, which is what makes Z-order layouts
@@ -97,10 +101,16 @@ object SnapTable {
     * every read of this snapshot. A MoR delete commits a DV instead of
     * rewriting data files; OPTIMIZE materializes and clears them.
     */
+  /** `checks` are named CHECK constraints (SQL boolean expressions over
+    * the row): every append/merge validates its INCOMING rows against
+    * them — one pass over the batch, never the table — and a violation
+    * fails the commit before any manifest links.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
-      spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty)
+      spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty,
+      checks: Map[String, String] = Map.empty)
 
   // ---------------------------------------------------------------- commits
 
@@ -162,6 +172,7 @@ object SnapTable {
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
     val parent = load(root, latestVersion(root))
     validateEvolution(parent.schemaJson, df.schema)
+    validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
       parent.statsCol)
     commitAppend(root, parent, fresh, df.schema, txn = None)
@@ -181,12 +192,13 @@ object SnapTable {
       df: DataFrame, pin: Int): Int = {
     val parent = load(root, pin)
     validateEvolution(parent.schemaJson, df.schema)
+    validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
       parent.statsCol)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
         df.schema.json, parent.files ++ fresh, None, parent.spec,
-        parent.dvs)))
+        parent.dvs, parent.checks)))
       v = latestVersion(root) + 1
     v
   }
@@ -205,6 +217,11 @@ object SnapTable {
       "merge on a table with outstanding merge-on-read deletes would " +
         "resurrect DV'd rows in rewritten files — run compact() first " +
         "to materialize them")
+    // only the INCOMING side can introduce violations (survivors were
+    // validated when they were appended); the delete marker column is
+    // not part of the row contract
+    validateChecks(deleteCol.map(d => updates.filter(!col(d)).drop(d))
+      .getOrElse(updates), parent.checks, "incoming merge")
     if (parent.files.isEmpty) {
       // empty table: everything is an insert; nothing to rewrite
       val incoming = deleteCol match {
@@ -262,6 +279,7 @@ object SnapTable {
       case None =>
         val parent = load(root, latestVersion(root))
         validateEvolution(parent.schemaJson, df.schema)
+        validateChecks(df, parent.checks, "incoming")
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
           parent.statsCol)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId))
@@ -307,6 +325,42 @@ object SnapTable {
       dvs = Seq.empty)
   }
 
+  /** ALTER TABLE ADD CONSTRAINT: declare a named CHECK (a SQL boolean
+    * expression), validating the EXISTING rows first (one scan, as Delta
+    * does) — a table can never hold data its own constraints reject.
+    * Metadata-only commit; every later append/merge validates its
+    * incoming batch against the check at O(batch) cost.
+    */
+  def addCheck(s: SparkSession, root: String, name: String,
+      sqlExpr: String): Int = {
+    val parent = load(root, latestVersion(root))
+    require(!parent.checks.contains(name), s"constraint '$name' exists")
+    validateChecks(readSnapshot(s, root, parent), Map(name -> sqlExpr),
+      s"existing rows")
+    commitExclusive(root, parent, parent.files, "add-check",
+      parent.schemaJson, checks = parent.checks + (name -> sqlExpr))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
+  def dropCheck(root: String, name: String): Int = {
+    val parent = load(root, latestVersion(root))
+    require(parent.checks.contains(name), s"no constraint '$name'")
+    commitExclusive(root, parent, parent.files, "drop-check",
+      parent.schemaJson, checks = parent.checks - name)
+  }
+
+  /** One pass over `df` per write: any row failing a check aborts with
+    * the constraint's name and expression, BEFORE data/manifest writes.
+    */
+  private def validateChecks(df: DataFrame,
+      checks: Map[String, String], what: String): Unit =
+    checks.foreach { case (name, e) =>
+      val bad = df.filter(!expr(e) || expr(e).isNull).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"CHECK constraint '$name' ($e) violated by $bad $what row(s)")
+    }
+
   /** SHALLOW CLONE (the Delta CLONE idea): `dstRoot` becomes a new table
     * whose v1 manifest REFERENCES the source snapshot's data files —
     * zero bytes copied, clone cost is one manifest write whatever the
@@ -330,7 +384,7 @@ object SnapTable {
       f.copy(path = rel.resolve(f.path).toString))
     val dvs = snap.dvs.map(p => rel.resolve(p).toString)
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
-        snap.schemaJson, files, None, snap.spec, dvs)))
+        snap.schemaJson, files, None, snap.spec, dvs, snap.checks)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -371,7 +425,8 @@ object SnapTable {
     // partition spec — carrying the head's spec would leave the manifest
     // claiming a clustering the restored files don't have
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
-      statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs)
+      statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
+      checks = snap.checks)
   }
 
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
@@ -842,7 +897,7 @@ object SnapTable {
       }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
-        head.dvs))
+        head.dvs, head.checks))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -859,12 +914,15 @@ object SnapTable {
   private[graft] def commitExclusive(root: String, parent: Snapshot,
       files: Seq[FileEntry], op: String, schemaJson: String,
       statsCol: String = null, spec: Seq[String] = null,
-      dvs: Seq[String] = null): Int = {
+      dvs: Seq[String] = null,
+      checks: Map[String, String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
+    val ck = Option(checks).getOrElse(parent.checks)
     val v = parent.version + 1
-    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv)))
+    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv,
+        ck)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -931,7 +989,10 @@ object SnapTable {
       Option(node.get("spec")).map(_.elements().asScala.map(_.asText())
         .toSeq).getOrElse(Seq.empty),
       Option(node.get("dvs")).map(_.elements().asScala.map(_.asText())
-        .toSeq).getOrElse(Seq.empty))
+        .toSeq).getOrElse(Seq.empty),
+      Option(node.get("checks")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -948,9 +1009,18 @@ object SnapTable {
     val dvs =
       if (snap.dvs.isEmpty) ""
       else snap.dvs.map(p => s""""$p"""").mkString(""","dvs":[""", ",", "]")
+    val checks =
+      if (snap.checks.isEmpty) ""
+      else {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        // jackson-escaped: constraint expressions contain quotes freely
+        snap.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"${m.writeValueAsString(n)}:${m.writeValueAsString(e)}"
+        }.mkString(""","checks":{""", ",", "}")
+      }
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
-      s""""files":$files$txn$spec$dvs}"""
+      s""""files":$files$txn$spec$dvs$checks}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -403,6 +403,38 @@ class TableFormatSpec extends AnyFunSuite {
     assert(!graft.sources.SnapTable.versions(root).exists(_ < 4))
   }
 
+  test("CHECK constraints: validated on add, enforced per batch, " +
+      "survive commits, droppable") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Tmp.dir("snaptab_checks")
+    SnapTable.create(spark, root,
+      (0L until 100L).map(k => (k, k * 2)).toDF("k", "v"), "k")
+    // adding a check the EXISTING data violates is rejected
+    intercept[SnapTable.ConstraintViolationException] {
+      SnapTable.addCheck(spark, root, "v_small", "v < 100")
+    }
+    SnapTable.addCheck(spark, root, "v_even", "v % 2 = 0")
+    SnapTable.addCheck(spark, root, "k_nonneg", "k >= 0")
+    // a violating batch fails BEFORE committing; table is unchanged
+    val head = SnapTable.latestVersion(root)
+    intercept[SnapTable.ConstraintViolationException] {
+      SnapTable.append(spark, root, Seq((200L, 7L)).toDF("k", "v"))
+    }
+    assert(SnapTable.latestVersion(root) == head)
+    assert(SnapTable.read(spark, root).count() == 100)
+    // a conforming batch passes; the checks survive the commit
+    SnapTable.append(spark, root,
+      (100L until 110L).map(k => (k, k * 4)).toDF("k", "v"))
+    assert(SnapTable.read(spark, root).count() == 110)
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .checks.keySet == Set("v_even", "k_nonneg"))
+    // dropCheck re-opens the gate
+    SnapTable.dropCheck(root, "v_even")
+    SnapTable.append(spark, root, Seq((300L, 7L)).toDF("k", "v"))
+    assert(SnapTable.read(spark, root).count() == 111)
+  }
+
   test("compact shrinks the file count and preserves content + pruning") {
     val root = Tmp.dir("snaptab_spec")
     val o = T(spark, TestSpark.Sf, "orders")
