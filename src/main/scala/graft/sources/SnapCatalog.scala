@@ -319,15 +319,21 @@ private[graft] class SnapScanBuilder(root: String,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // strict bounds tighten by ±1 with SATURATING arithmetic: a plain
+    // v + 1 on GreaterThan(c, Long.MaxValue) would wrap to MinValue and
+    // un-prune everything (conservative keep-at-the-edge is fine — the
+    // residual filter still evaluates rows exactly)
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    def dec(v: Long): Long = if (v == Long.MinValue) v else v - 1
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(c, v: Long) => narrow(c, v, v)
       case EqualTo(c, v: Int) => narrow(c, v.toLong, v.toLong)
-      case GreaterThan(c, v: Long) => narrow(c, v + 1, Long.MaxValue)
+      case GreaterThan(c, v: Long) => narrow(c, inc(v), Long.MaxValue)
       case GreaterThan(c, v: Int) => narrow(c, v + 1L, Long.MaxValue)
       case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
       case GreaterThanOrEqual(c, v: Int) => narrow(c, v.toLong, Long.MaxValue)
-      case LessThan(c, v: Long) => narrow(c, Long.MinValue, v - 1)
+      case LessThan(c, v: Long) => narrow(c, Long.MinValue, dec(v))
       case LessThan(c, v: Int) => narrow(c, Long.MinValue, v - 1L)
       case LessThanOrEqual(c, v: Long) => narrow(c, Long.MinValue, v)
       case LessThanOrEqual(c, v: Int) => narrow(c, Long.MinValue, v.toLong)
@@ -347,7 +353,7 @@ private[graft] class SnapScanBuilder(root: String,
     val hit = snap.files.filter(f => bounds.forall { case (c, (lo, hi)) =>
       f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     })
-    new SnapV1Scan(root, hit, snap.schemaJson, required)
+    new SnapV1Scan(root, hit, snap.dvs, snap.schemaJson, required)
   }
 }
 
@@ -356,19 +362,19 @@ private[graft] class SnapScanBuilder(root: String,
   * row-group pushdown and whole-stage codegen all apply downstream.
   */
 private[graft] class SnapV1Scan(root: String,
-    private[graft] val files: Seq[SnapTable.FileEntry], schemaJson: String,
-    required: StructType) extends V1Scan {
+    private[graft] val files: Seq[SnapTable.FileEntry], dvs: Seq[String],
+    schemaJson: String, required: StructType) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new SnapRelation(context, root, files, schemaJson, required)
+    new SnapRelation(context, root, files, dvs, schemaJson, required)
       .asInstanceOf[T]
 }
 
 private[sources] class SnapRelation(ctx: SQLContext, root: String,
-    files: Seq[SnapTable.FileEntry], schemaJson: String,
+    files: Seq[SnapTable.FileEntry], dvs: Seq[String], schemaJson: String,
     required: StructType) extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -376,7 +382,14 @@ private[sources] class SnapRelation(ctx: SQLContext, root: String,
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] = {
-    val df = SnapTable.readFiles(ctx.sparkSession, root, files, schemaJson)
+    val base = SnapTable.readFiles(ctx.sparkSession, root, files,
+      schemaJson)
+    // SQL reads honor deletion vectors like the API reads do — the
+    // subtraction must run on the raw scan, BEFORE the projection strips
+    // the metadata columns (pruned-away files' positions never match)
+    val df =
+      if (dvs.isEmpty || files.isEmpty) base
+      else SnapTable.subtractDvs(ctx.sparkSession, root, base, dvs)
     // a zero-column projection (e.g. COUNT(*)) still needs the row COUNT
     df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
   }

@@ -382,7 +382,23 @@ object SnapTable {
       .relativize(Paths.get(srcRoot).toAbsolutePath)
     val files = snap.files.map(f =>
       f.copy(path = rel.resolve(f.path).toString))
-    val dvs = snap.dvs.map(p => rel.resolve(p).toString)
+    // DV contents name files relative to the SOURCE root; from the clone
+    // those files are foreign (canonical = absolute path), so the
+    // positions are RE-BASED once here. The DV is guard-bounded small —
+    // the only bytes a "zero-copy" clone ever writes.
+    val dvs =
+      if (snap.dvs.isEmpty) Seq.empty[String]
+      else {
+        val srcAbs = Paths.get(srcRoot).toAbsolutePath.toString
+        val dvName =
+          "data/dv-" + java.util.UUID.randomUUID().toString.take(8)
+        dvRead(s, srcRoot, snap.dvs)
+          .withColumn("_dv_path",
+            when(col("_dv_path").startsWith("/"), col("_dv_path"))
+              .otherwise(concat(lit(srcAbs + "/"), col("_dv_path"))))
+          .write.parquet(s"$dstRoot/$dvName")
+        Seq(dvName)
+      }
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
         snap.schemaJson, files, None, snap.spec, dvs, snap.checks)))
       throw new ConcurrentCommitException(
@@ -450,10 +466,12 @@ object SnapTable {
       .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
     val touchedRel = matchEntries(root, parent.files, touched)
     val carried = parent.files.filterNot(touchedRel.contains)
+    // survivors are the rows where the predicate is false OR NULL — SQL
+    // DELETE semantics; a bare !predicate would silently drop NULL rows
     val survivors = withFile
       .filter(if (touched.isEmpty) lit(false)
         else col("_gf_file").isInCollection(touched))
-      .filter(!predicate)
+      .filter(!coalesce(predicate, lit(false)))
       .drop("_gf_file")
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
@@ -474,35 +492,82 @@ object SnapTable {
 
   /** Snapshot read honoring deletion vectors: DV'd (path, row index)
     * pairs are subtracted with one left-anti join against the scan's
-    * metadata columns. The DV side is a handful of small parquet files
-    * (broadcast-sized by construction — a DV holds row POSITIONS, not
-    * rows), so the anti-join adds no shuffle to the scan at any table
-    * size; a DV too big to broadcast is the signal to OPTIMIZE.
+    * metadata columns. The DV side is broadcast ONLY while its on-disk
+    * size fits `spark.sql.autoBroadcastJoinThreshold` (the write-side
+    * `maxPositions` guard keeps it there in the intended regime); a DV
+    * that outgrew the threshold anyway — many stacked deletes, a raised
+    * guard — degrades to a shuffled anti-join, which is slower but never
+    * plants an unbounded broadcast in every reader's plan.
     */
-  /** `_metadata.file_path` canonicalized RELATIVE to the table root, so
-    * DV entries stay valid when the table directory moves (the same
-    * relocatability the relative manifest paths give data files).
+  /** `_metadata.file_path` canonicalized for DV matching: the URI scheme
+    * is stripped (`file:/x`, `file:///x` → `/x` — Hadoop renders the
+    * single-slash form, `Path.toUri` the triple), then a file under the
+    * table root becomes root-RELATIVE — so DV entries for a table's own
+    * files survive the directory moving, like the relative manifest
+    * paths do. A file OUTSIDE the root (a shallow clone reading its
+    * source's files) keeps its plain absolute path, which is why
+    * `clone` re-bases DV contents (see there).
     */
   private def relPathCol(root: String): org.apache.spark.sql.Column = {
-    val uri = Paths.get(root).toAbsolutePath.toUri.toString // trailing '/'
-    expr(s"replace(_metadata.file_path, '$uri', '')")
+    val abs = Paths.get(root).toAbsolutePath.toString
+    val noScheme = regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    when(noScheme.startsWith(abs + "/"),
+      noScheme.substr(lit(abs.length + 2), length(noScheme)))
+      .otherwise(noScheme)
+  }
+
+  /** On-disk bytes of the referenced DV dirs — driver-side metadata that
+    * decides broadcast vs shuffle for the anti-join.
+    */
+  private def dvDiskBytes(root: String, dvs: Seq[String]): Long =
+    dvs.map { d =>
+      val dir = Paths.get(root).resolve(d)
+      if (!Files.isDirectory(dir)) 0L
+      else listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    }.sum
+
+  private def dvRead(s: SparkSession, root: String,
+      dvs: Seq[String]): DataFrame =
+    s.read.parquet(dvs.map(p => s"$root/$p"): _*)
+
+  /** True iff the DV set is small enough to broadcast. A negative
+    * threshold (broadcast disabled) always says no.
+    */
+  private def dvBroadcastable(s: SparkSession, root: String,
+      dvs: Seq[String]): Boolean = {
+    val limit = s.sessionState.conf.autoBroadcastJoinThreshold
+    limit >= 0 && dvDiskBytes(root, dvs) <= limit
+  }
+
+  private def dvHinted(s: SparkSession, root: String,
+      dvs: Seq[String]): DataFrame = {
+    val dv = dvRead(s, root, dvs)
+    if (dvBroadcastable(s, root, dvs)) broadcast(dv) else dv
+  }
+
+  /** Subtract DV positions from `base`, which MUST be the raw file scan
+    * (metadata columns don't survive joins/projections). Shared by the
+    * API reads, the SQL read path and the CDC sides.
+    */
+  private[sources] def subtractDvs(s: SparkSession, root: String,
+      base: DataFrame, dvs: Seq[String]): DataFrame = {
+    val cols = base.columns.toIndexedSeq
+    base
+      .withColumn("_gf_p", relPathCol(root))
+      .withColumn("_gf_ri", col("_metadata.row_index"))
+      .join(dvHinted(s, root, dvs),
+        col("_gf_p") === col("_dv_path") &&
+          col("_gf_ri") === col("_dv_row"), "left_anti")
+      .select(cols.map(col): _*)
   }
 
   private def readSnapshot(s: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
     val base = readFiles(s, root, snap.files, snap.schemaJson)
     if (snap.dvs.isEmpty || snap.files.isEmpty) base
-    else {
-      val dv = s.read.parquet(snap.dvs.map(p => s"$root/$p"): _*)
-      val cols = base.columns.toIndexedSeq
-      base
-        .withColumn("_gf_p", relPathCol(root))
-        .withColumn("_gf_ri", col("_metadata.row_index"))
-        .join(broadcast(dv),
-          col("_gf_p") === col("_dv_path") &&
-            col("_gf_ri") === col("_dv_row"), "left_anti")
-        .select(cols.map(col): _*)
-    }
+    else subtractDvs(s, root, base, snap.dvs)
   }
 
   /** Merge-on-read DELETE (the Delta deletion-vector / Iceberg v2
@@ -515,8 +580,18 @@ object SnapTable {
     * CoW `deleteWhere` is the classic one: O(matches) write now, a
     * per-read anti-join until compaction.
     */
+  /** Above this many matched positions the MoR delete FALLS BACK to a
+    * (DV-aware) copy-on-write rewrite of the touched files: a DV this
+    * big stops being "a handful of positions" and starts taxing every
+    * subsequent read, while the rewrite is paid once. ~1M positions is a
+    * few MB of parquet — comfortably under the default broadcast
+    * threshold, so reads of guard-compliant tables stay broadcast-shaped.
+    */
+  val DvMaxPositions: Long = 1L << 20
+
   def deleteWhereMoR(s: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate: org.apache.spark.sql.Column,
+      maxPositions: Long = DvMaxPositions): Int = {
     val parent = load(root, latestVersion(root))
     if (parent.files.isEmpty)
       return commitExclusive(root, parent, Seq.empty, "delete-mor",
@@ -530,9 +605,9 @@ object SnapTable {
     val undeleted =
       if (parent.dvs.isEmpty) withMeta
       else withMeta.join(
-        broadcast(s.read.parquet(parent.dvs.map(p => s"$root/$p"): _*)
+        dvHinted(s, root, parent.dvs)
           .withColumnRenamed("_dv_path", "_dv_path0")
-          .withColumnRenamed("_dv_row", "_dv_row0")),
+          .withColumnRenamed("_dv_row", "_dv_row0"),
         col("_dv_path") === col("_dv_path0") &&
           col("_dv_row") === col("_dv_row0"), "left_anti")
     val marked = undeleted
@@ -540,17 +615,77 @@ object SnapTable {
       .select("_dv_path", "_dv_row")
       .persist()
     try {
-      if (marked.isEmpty)
+      val matched = marked.count()
+      if (matched == 0L)
         commitExclusive(root, parent, parent.files, "delete-mor",
           parent.schemaJson)
+      else if (matched > maxPositions)
+        deleteCowUnderDvs(s, root, parent, predicate, marked)
       else {
+        // per-file DV shape: positions hash-clustered by data file, so no
+        // single task funnels the whole vector and one data file's
+        // positions always live in exactly one DV part file. The
+        // partition count is explicit (AQE never coalesces a numbered
+        // repartition) and capped by the touched-file count — a
+        // single-file delete still writes a single part.
+        val touchedFiles = marked.select("_dv_path").distinct().count()
+        val parts = math.min(
+          s.sessionState.conf.numShufflePartitions.toLong,
+          math.max(1L, touchedFiles)).toInt
         val dvName =
           "data/dv-" + java.util.UUID.randomUUID().toString.take(8)
-        marked.repartition(1).write.parquet(s"$root/$dvName")
+        marked.repartition(parts, col("_dv_path"))
+          .sortWithinPartitions("_dv_path", "_dv_row")
+          .write.parquet(s"$root/$dvName")
         commitExclusive(root, parent, parent.files, "delete-mor",
           parent.schemaJson, dvs = parent.dvs :+ dvName)
       }
     } finally { marked.unpersist(false); () }
+  }
+
+  /** The over-threshold fallback: rewrite only the files holding a match,
+    * reading survivors THROUGH the existing deletion vectors (so nothing
+    * DV'd resurrects). DV entries referencing a rewritten file become
+    * inert — their paths leave the file list, so the read-side anti-join
+    * can never match them again — while entries for carried files stay
+    * live; the dirs are reclaimed when compaction or vacuum retires them.
+    */
+  private def deleteCowUnderDvs(s: SparkSession, root: String,
+      parent: Snapshot, predicate: org.apache.spark.sql.Column,
+      marked: DataFrame): Int = {
+    // touched paths are canonical (root-relative for own files, absolute
+    // for a clone's foreign files) — match manifest entries both ways;
+    // the list is manifest-sized driver data
+    val touched = marked.select("_dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rootAbs = Paths.get(root).toAbsolutePath
+    def hit(f: FileEntry): Boolean =
+      touched.contains(f.path) || touched.contains(
+        rootAbs.resolve(f.path).normalize().toString)
+    val touchedEntries = parent.files.filter(hit)
+    val carried = parent.files.filterNot(hit)
+    val scan = readFiles(s, root, touchedEntries, parent.schemaJson)
+      .withColumn("_dv_path", relPathCol(root))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val visible =
+      if (parent.dvs.isEmpty) scan
+      else scan.join(
+        dvHinted(s, root, parent.dvs)
+          .withColumnRenamed("_dv_path", "_dv_path0")
+          .withColumnRenamed("_dv_row", "_dv_row0"),
+        col("_dv_path") === col("_dv_path0") &&
+          col("_dv_row") === col("_dv_row0"), "left_anti")
+    // NULL-predicate rows are NOT deleted (SQL DELETE semantics), so
+    // they must survive the rewrite
+    val survivors = visible
+      .filter(!coalesce(predicate, lit(false)))
+      .drop("_dv_path", "_dv_row")
+    val fresh =
+      if (survivors.isEmpty) Seq.empty
+      else writeData(s, root, clusterBySpec(survivors, parent.spec),
+        parent.statsCol)
+    commitExclusive(root, parent, carried ++ fresh, "delete",
+      parent.schemaJson)
   }
 
   /** Range read with manifest-level file skipping on ANY stats'd column:
@@ -612,9 +747,13 @@ object SnapTable {
     val dvSides: Seq[DataFrame] =
       if (a.dvs == b.dvs || carried.isEmpty) Seq.empty
       else {
+        // position diffs are subsets of the endpoint DVs, so the
+        // endpoints' combined disk size bounds them: broadcast only
+        // while THAT fits the threshold, like every other DV consumer
+        val small = dvBroadcastable(s, root, a.dvs ++ b.dvs)
         def dvDf(snap: Snapshot): Option[DataFrame] =
           if (snap.dvs.isEmpty) None
-          else Some(s.read.parquet(snap.dvs.map(p => s"$root/$p"): _*))
+          else Some(dvRead(s, root, snap.dvs))
         def posDiff(x: Option[DataFrame], y: Option[DataFrame]) =
           (x, y) match {
             case (None, _) => None
@@ -628,7 +767,7 @@ object SnapTable {
           base
             .withColumn("_gf_p", relPathCol(root))
             .withColumn("_gf_ri", col("_metadata.row_index"))
-            .join(broadcast(positions),
+            .join(if (small) broadcast(positions) else positions,
               col("_gf_p") === col("_dv_path") &&
                 col("_gf_ri") === col("_dv_row"))
             .select(cols.map(col): _*)

@@ -104,6 +104,43 @@ class SnapCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN snapt.db2").count() == 0)
   }
 
+  test("strict bounds at Long extremes saturate instead of wrapping") {
+    val root = s"$base/db1/clamp"
+    SnapTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val snap = SnapTable.load(root, 1)
+    def filesFor(f: org.apache.spark.sql.sources.Filter): Int = {
+      val b = new SnapScanBuilder(root, snap,
+        SnapTable.read(spark, root).schema)
+      b.pushFilters(Array(f))
+      b.build().asInstanceOf[SnapV1Scan].files.size
+    }
+    // k > Long.MaxValue matches nothing; a wrapping v+1 would compute
+    // lo = Long.MinValue and un-prune EVERY file
+    assert(filesFor(org.apache.spark.sql.sources.GreaterThan(
+      "o_orderkey", Long.MaxValue)) == 0)
+    assert(filesFor(org.apache.spark.sql.sources.LessThan(
+      "o_orderkey", Long.MinValue)) == 0)
+    // the saturated edge keeps files only if their stats actually reach it
+    assert(filesFor(org.apache.spark.sql.sources.LessThan(
+      "o_orderkey", Long.MaxValue)) == 8)
+  }
+
+  test("SQL reads subtract deletion vectors like the API reads") {
+    val root = s"$base/db1/mor"
+    SnapTable.create(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+    SnapTable.deleteWhereMoR(spark, root, col("o_totalprice") > 200000)
+    val expect = SnapTable.read(spark, root).count()
+    assert(expect < orders.count(), "fixture sanity: the delete matched")
+    assert(spark.sql("SELECT * FROM snapt.db1.mor").count() == expect)
+    // under file pruning too: positions of pruned-out files drop out
+    val lo = spark.sql("SELECT * FROM snapt.db1.mor " +
+      "WHERE o_orderkey BETWEEN 1 AND 200").count()
+    assert(lo == SnapTable.read(spark, root)
+      .filter(col("o_orderkey").between(1, 200)).count())
+  }
+
   test("DROP NAMESPACE without CASCADE refuses nested namespaces") {
     base // force catalog init
     val cat = new SnapCatalog

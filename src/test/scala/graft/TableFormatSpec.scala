@@ -521,6 +521,124 @@ class TableFormatSpec extends AnyFunSuite {
       "incremental count must equal recompute")
   }
 
+  test("MoR delete writes per-file-grouped DV parts, no single-task funnel") {
+    val root = freshTable() // 8 range-clustered files
+    // a delete spread over EVERY file: the DV write must fan out by data
+    // file, not funnel through one task
+    SnapTable.deleteWhereMoR(spark, root, col("o_orderkey") % 5 === 0)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.op == "delete-mor" && head.dvs.size == 1)
+    val dvDir = java.nio.file.Paths.get(root).resolve(head.dvs.head)
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(dvDir)
+    val parts =
+      try st.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    assert(parts.size >= 2,
+      s"a delete spanning 8 files must write >1 DV part (got ${parts.size})")
+    // one data file's positions live in exactly ONE part: a reader of a
+    // single file never needs more than one part's positions
+    val sets = parts.map(p => spark.read.parquet(p.toString)
+      .select("_dv_path").distinct().collect().map(_.getString(0)).toSet)
+    for (i <- sets.indices; j <- (i + 1) until sets.size)
+      assert(sets(i).intersect(sets(j)).isEmpty,
+        "a data file's positions must not straddle DV parts")
+  }
+
+  test("oversized MoR delete falls back to DV-aware copy-on-write") {
+    val root = freshTable()
+    val o = SnapTable.readVersion(spark, root, 1)
+    val total = o.count()
+    SnapTable.deleteWhereMoR(spark, root, col("o_orderkey") % 5 === 0)
+    val headMor = SnapTable.load(root, SnapTable.latestVersion(root))
+    val afterMor = SnapTable.read(spark, root).count()
+    // far more matches than maxPositions: the guard must refuse to grow
+    // the DV and rewrite the touched files instead
+    SnapTable.deleteWhereMoR(spark, root, col("o_totalprice") > 100000,
+      maxPositions = 10)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.op == "delete", "guard must fall back to a CoW commit")
+    assert(head.dvs == headMor.dvs,
+      "prior DV entries stay (inert for rewritten files, live for carried)")
+    assert(head.files != headMor.files, "fallback rewrites touched files")
+    // DV-aware: rows the FIRST delete removed stay removed, the second
+    // delete's matches are gone, and nothing else was lost
+    val live = SnapTable.read(spark, root)
+    assert(live.filter(col("o_orderkey") % 5 === 0).count() == 0)
+    assert(live.filter(col("o_totalprice") > 100000).count() == 0)
+    assert(total > afterMor, "fixture sanity: first delete matched rows")
+    assert(live.count() == SnapTable.readVersion(spark, root, 1)
+      .filter(!(col("o_orderkey") % 5 === 0) &&
+        !(col("o_totalprice") > 100000)).count())
+  }
+
+  test("DV read degrades to a shuffled anti-join over the broadcast cap") {
+    // isolated SQLConf so the threshold games don't leak to other suites
+    val s = TestSpark.spark.newSession()
+    val root = Tmp.dir("snaptab_spec")
+    val o = T(s, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    SnapTable.create(s, root,
+      o.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val expect = o.filter(!(col("o_totalprice") > 300000)).count()
+    SnapTable.deleteWhereMoR(s, root, col("o_totalprice") > 300000)
+    // generous threshold: the DV side is hinted and broadcasts
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val hinted = SnapTable.read(s, root)
+    assert(hinted.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(hinted.count() == expect)
+    // 1-byte threshold: the hint must NOT be planted — the anti-join
+    // shuffles instead of broadcasting an over-cap DV to every executor
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    val shuffled = SnapTable.read(s, root)
+    assert(!shuffled.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "an over-threshold DV must not be broadcast")
+    assert(shuffled.count() == expect)
+  }
+
+  test("shallow clone of a DV-bearing snapshot re-bases the positions") {
+    val root = freshTable()
+    val expectAll = SnapTable.read(spark, root).count()
+    SnapTable.deleteWhereMoR(spark, root, col("o_totalprice") > 300000)
+    val expect = SnapTable.read(spark, root).count()
+    assert(expect < expectAll)
+    val dst = Tmp.dir("snaptab_clone_dv")
+    SnapTable.clone(spark, root, dst)
+    // deleted rows stay deleted through the clone's foreign-file reads
+    assert(SnapTable.read(spark, dst).count() == expect)
+    assert(SnapTable.read(spark, dst)
+      .filter(col("o_totalprice") > 300000).count() == 0)
+    // and the clone's own MoR delete stacks on the re-based vector
+    SnapTable.deleteWhereMoR(spark, dst, col("o_orderkey") % 7 === 0)
+    assert(SnapTable.read(spark, dst).count() ==
+      SnapTable.readVersion(spark, root, 1)
+        .filter(!(col("o_totalprice") > 300000) &&
+          !(col("o_orderkey") % 7 === 0)).count())
+    // source never observes any of it
+    assert(SnapTable.read(spark, root).count() == expect)
+  }
+
+  test("DELETE WHERE keeps rows where the predicate is NULL") {
+    import spark.implicits._
+    val root = Tmp.dir("snaptab_spec")
+    val df = Seq((1L, Option(10.0)), (2L, Option.empty[Double]),
+      (3L, Option(1.0))).toDF("k", "v")
+    SnapTable.create(spark, root, df, "k")
+    SnapTable.deleteWhere(spark, root, col("v") > 5)
+    // SQL DELETE semantics: only predicate=TRUE rows go; NULL survives
+    assert(SnapTable.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // and the MoR fallback path honors the same contract
+    val root2 = Tmp.dir("snaptab_spec")
+    SnapTable.create(spark, root2, df, "k")
+    SnapTable.deleteWhereMoR(spark, root2, col("v") > 5, maxPositions = 0)
+    assert(SnapTable.read(spark, root2).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   private def currentFiles(root: String): Set[String] = {
     val v = SnapTable.latestVersion(root)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
