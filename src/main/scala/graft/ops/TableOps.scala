@@ -120,8 +120,10 @@ object TableOps extends QueryModule {
     ),
     Q(
       "table_sql_timetravel",
-      // `VERSION AS OF` through the catalog's loadTable(ident, version):
-      // the v3 commit is invisible because the scan resolves v2's manifest
+      // `VERSION AS OF` through the catalog's loadTable(ident, version)
+      // AND `TIMESTAMP AS OF` through loadTable(ident, micros): both must
+      // resolve v2's manifest — the v3 commit is invisible to a version
+      // pin and to any wall-clock taken before it
       (s, dir) => {
         val base = sqlWarehouse(s)
         val t = freshName()
@@ -133,10 +135,17 @@ object TableOps extends QueryModule {
             .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
         graft.sources.SnapTable.append(s, root,
           o.filter(col("o_orderkey") % 3 === 1))
+        val tMid = System.currentTimeMillis()
+        Thread.sleep(5) // v3's commit ts must land strictly after tMid
         graft.sources.SnapTable.append(s, root,
           o.filter(col("o_orderkey") % 3 === 2))
-        s.sql(s"SELECT o_orderpriority, o_totalprice " +
-            s"FROM snap.main.$t VERSION AS OF 2")
+        val byVersion = s.sql(s"SELECT o_orderpriority, o_totalprice " +
+          s"FROM snap.main.$t VERSION AS OF 2")
+        val byTs = s.sql(s"SELECT o_orderpriority, o_totalprice " +
+          s"FROM snap.main.$t TIMESTAMP AS OF timestamp_millis($tMid)")
+        require(byTs.count() == byVersion.count(),
+          "TIMESTAMP AS OF must resolve the same snapshot as VERSION AS OF")
+        byTs
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             dsum(col("o_totalprice"), 2).as("total"))

@@ -91,6 +91,17 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
     new SnapV2Table(ident, dir, version.toInt)
   }
 
+  /** `TIMESTAMP AS OF t` time travel: Spark hands the timestamp in
+    * MICROseconds since epoch; the newest manifest committed at or
+    * before it is the snapshot (manifest `ts`, driver-side resolution).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new SnapV2Table(ident, dir,
+      SnapTable.versionAsOf(dir, Math.floorDiv(timestamp, 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -106,11 +106,14 @@ object SnapTable {
     * them — one pass over the batch, never the table — and a violation
     * fails the commit before any manifest links.
     */
+  /** `ts` is the commit wall-clock (epoch millis), stamped when the
+    * manifest serializes — the index `TIMESTAMP AS OF` resolves against.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
       spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty, ts: Long = 0L)
 
   // ---------------------------------------------------------------- commits
 
@@ -416,7 +419,7 @@ object SnapTable {
     val rows = versions(root).map { v =>
       val snap = load(root, v)
       org.apache.spark.sql.Row(v.toLong, snap.op,
-        snap.files.size.toLong, snap.files.map(_.rows).sum)
+        snap.files.size.toLong, snap.files.map(_.rows).sum, snap.ts)
     }
     s.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -427,6 +430,8 @@ object SnapTable {
         org.apache.spark.sql.types.StructField("n_files",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType))))
   }
 
@@ -879,6 +884,20 @@ object SnapTable {
 
   def latestVersion(root: String): Int = versions(root).max
 
+  /** `TIMESTAMP AS OF` resolution: the NEWEST version committed at or
+    * before `tsMillis` — the same contract as Delta/Iceberg timestamp
+    * time travel. Slot order stays authoritative when racing commits
+    * share a millisecond (the scan is over manifests: driver metadata).
+    */
+  def versionAsOf(root: String, tsMillis: Long): Int = {
+    val vs = versions(root)
+    val hit = vs.filter(v => load(root, v).ts <= tsMillis)
+    require(hit.nonEmpty,
+      s"no snapshot at or before ts=$tsMillis — the table's first " +
+        s"commit is ts=${load(root, vs.min).ts}")
+    hit.max
+  }
+
   // ---------------------------------------------------------------- internals
 
   private val ManifestName = """v(\d{8})\.json""".r
@@ -1131,7 +1150,11 @@ object SnapTable {
         .toSeq).getOrElse(Seq.empty),
       Option(node.get("checks")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      // pre-ts manifests fall back to the file's mtime — same clock, set
+      // by the same link(2) that promoted the commit
+      Option(node.get("ts")).map(_.asLong()).getOrElse(
+        Files.getLastModifiedTime(manifestPath(root, v)).toMillis))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -1157,8 +1180,11 @@ object SnapTable {
           s"${m.writeValueAsString(n)}:${m.writeValueAsString(e)}"
         }.mkString(""","checks":{""", ",", "}")
       }
+    // commit ts is stamped at serialization: each link attempt (retries
+    // included) carries the wall-clock of the attempt that actually won
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
+      s""""ts":${System.currentTimeMillis()},""" +
       s""""files":$files$txn$spec$dvs$checks}"""
   }
 

@@ -141,6 +141,33 @@ class SnapCatalogSpec extends AnyFunSuite {
       .filter(col("o_orderkey").between(1, 200)).count())
   }
 
+  test("TIMESTAMP AS OF resolves the newest manifest at or before t") {
+    val root = s"$base/db1/tt"
+    SnapTable.create(spark, root, orders.limit(100), "o_orderkey")
+    val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    SnapTable.append(spark, root, orders.limit(10))
+    val t2 = System.currentTimeMillis(); Thread.sleep(5)
+    SnapTable.append(spark, root, orders.limit(1))
+    assert(SnapTable.versionAsOf(root, t1) == 1)
+    assert(SnapTable.versionAsOf(root, t2) == 2)
+    assert(SnapTable.versionAsOf(root, System.currentTimeMillis()) == 3)
+    // a timestamp before the table existed is an error, not a guess
+    intercept[IllegalArgumentException] {
+      SnapTable.versionAsOf(root, 1L)
+    }
+    // SQL surface: micros → the same resolution
+    assert(spark.sql("SELECT * FROM snapt.db1.tt " +
+      s"TIMESTAMP AS OF timestamp_millis(${t2}L)").count() == 110)
+    assert(spark.sql("SELECT * FROM snapt.db1.tt " +
+      s"TIMESTAMP AS OF timestamp_millis(${t1}L)").count() == 100)
+    // history exposes the commit clock the resolution used
+    val hist = SnapTable.history(spark, root)
+      .select("version", "ts").collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist(1L) <= t1 && hist(2L) <= t2 && hist(2L) > t1 &&
+      hist(3L) > t2)
+  }
+
   test("DROP NAMESPACE without CASCADE refuses nested namespaces") {
     base // force catalog init
     val cat = new SnapCatalog
