@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE compact JSON line (the driver captures only
   * the final ~2000 chars of output, so the line must stay well under that):
-  * `value` is the total seconds across ALL queries; `queries` holds a fixed
-  * headline subset (documented in BASELINE.md); the full per-query map is
-  * written to bench_full.json next to the working dir for analysis.
+  * `value` is the single-shot total seconds across ALL queries; `queries`
+  * holds a fixed headline subset at MIN-OF-`k` (one measurement from the
+  * full pass + k−1 post-pass reruns — the weather-proof regression gate,
+  * see BASELINE.md); the full single-shot per-query map is written to
+  * bench_full.json next to the working dir for analysis.
   */
 object Bench {
   /** Representative subset across operator families — keep in sync with the
@@ -74,10 +76,26 @@ object Bench {
       java.nio.file.Paths.get(fullPath),
       s"""{"total":${f(total)},"n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    val qs = headline.flatMap(h => results.collectFirst {
-      case (k, v) if k == h => s"\"$k\":${f(v)}" })
+    // headline queries re-run twice more after the full pass: the map is
+    // MIN-OF-3 (pass + 2 reruns), the only number stable against host
+    // weather (single-shot swings up to 2× on a noisy box — BASELINE.md
+    // protocol). `value` stays the single-shot all-ops total.
+    val byName = SparkEntry.queries
+    val minK = 3
+    val qs = headline.flatMap { h =>
+      results.collectFirst { case (k, v) if k == h => v }.map { single =>
+        val reruns = (2 to minK).map { _ =>
+          val t0 = System.nanoTime()
+          try { byName(h)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        h -> (single +: reruns).min
+      }
+    }
+    val qsJson = qs.map { case (k, v) => s"\"$k\":${f(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"k":$minK,"queries":$qsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
