@@ -1032,6 +1032,70 @@ object TableOps extends QueryModule {
           "sum(CAST(round(value * 100) AS BIGINT)) / 100 AS sum_val " +
           "FROM events WHERE event_type <> 'click' " +
           "GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "table_spj",
+      // STORAGE-PARTITIONED JOIN: orders and customer both land in the
+      // bucket(8, custkey) layout (one bucket id per file, recorded in
+      // the manifest), both scans report KeyGroupedPartitioning through
+      // the native V2 batch, and the join + per-key aggregate plan with
+      // ZERO shuffle exchanges — asserted on the plan before returning.
+      // At 100 TB this is the table-format capability that deletes the
+      // exchange from a fact-fact join; the broadcast-threshold and AQE
+      // confs are restored before the result evaluates.
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t1 = freshName()
+        val t2 = freshName()
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = T(s, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"))
+        SnapTable.createBucketed(s, s"$base/main/$t1", o, "o_orderkey",
+          "o_custkey", 8)
+        SnapTable.createBucketed(s, s"$base/main/$t2", c, "c_custkey",
+          "c_custkey", 8)
+        val keys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "true")
+        s.conf.set(keys(2), "-1")
+        s.conf.set(keys(3), "false")
+        try {
+          val df = s.sql(
+            s"""SELECT c.c_custkey AS custkey,
+               |  count(*) AS n_orders,
+               |  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100
+               |    AS total
+               |FROM snap.main.$t1 o JOIN snap.main.$t2 c
+               |  ON o.o_custkey = c.c_custkey
+               |GROUP BY c.c_custkey
+               |ORDER BY custkey""".stripMargin)
+          val plan = df.queryExecution.executedPlan.toString
+          // the ONLY exchange allowed is the final ORDER BY's range
+          // repartition — join and aggregate ride the bucket layout
+          require(!plan.contains("Exchange hashpartitioning") &&
+            !plan.contains("BroadcastExchange"),
+            s"table_spj must join and aggregate shuffle-free, got:\n$plan")
+          // executedPlan is cached on the QueryExecution — the conf
+          // restore below cannot re-introduce the exchange
+          df
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(
+        "SELECT c_custkey AS custkey, CAST(count(*) AS BIGINT) " +
+          "AS n_orders, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+          "AS total " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_custkey ORDER BY custkey")
     )
   )
 }

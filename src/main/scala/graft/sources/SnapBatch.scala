@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.graftx.ParquetBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataTypes, IntegerType, LongType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The NATIVE DSv2 batch read path of the snapshot table format: a real
+  * `Batch` whose `InputPartition`s are manifest file groups and whose
+  * reader is Spark's own vectorized parquet reader (via
+  * [[ParquetBridge]]). The V1Scan bridge remains the default read path;
+  * this one exists for the two capabilities a V1 bridge cannot express:
+  *
+  *  - **Storage-partitioned joins**: a bucket-layout table reports
+  *    `KeyGroupedPartitioning(bucket(n, col))` with one input partition
+  *    per bucket id, so Spark joins two co-bucketed tables with NO
+  *    shuffle on either side — at 100 TB the single biggest cost of a
+  *    fact-fact join is that exchange, and it disappears at plan time.
+  *  - **Row-level operations** (SQL MERGE/UPDATE): the group-based
+  *    rewrite needs a scan that can expose a `_file` column and accept a
+  *    runtime `IN (files…)` group filter ([[SnapRowLevelScan]]).
+  *
+  * Reader notes: each file becomes one `PartitionedFile` handed to
+  * Spark's parquet reader function, so row-group pruning and the
+  * vectorized decoder still apply. Rows are materialized through an
+  * `UnsafeProjection` — the same per-row conversion `FileSourceScanExec`
+  * plans for a non-batch parquet read.
+  */
+private[graft] class SnapBatchScan(
+    spark: SparkSession, root: String,
+    protected var files: Seq[SnapTable.FileEntry],
+    schemaJson: String, required: StructType,
+    pushed: Seq[Filter], bucket: Option[(String, Int)])
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  /** `_file` (when present) must be the TRAILING field — Spark appends
+    * metadata columns after data columns, so a pruned schema preserves
+    * that order; the reader splices the constant in via a JoinedRow.
+    */
+  private def fileColLast: Boolean =
+    required.fieldNames.lastOption.contains(SnapBatchScan.FileCol)
+
+  private def parquetRequired: StructType =
+    if (fileColLast) StructType(required.fields.dropRight(1))
+    else {
+      require(!required.fieldNames.contains(SnapBatchScan.FileCol),
+        s"${SnapBatchScan.FileCol} must be the trailing scan column")
+      required
+    }
+
+  override def outputPartitioning(): Partitioning = bucket match {
+    case Some((c, n)) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)),
+        bucketGroups.size)
+    case None => new UnknownPartitioning(files.size)
+  }
+
+  /** Present bucket ids → their files, sorted by id so both sides of a
+    * co-bucketed join enumerate partitions in the same key order.
+    */
+  private def bucketGroups: Seq[(Long, Seq[SnapTable.FileEntry])] = {
+    files.groupBy { f =>
+      f.stats.getOrElse(SnapTable.BucketStatsCol,
+        throw new IllegalStateException(
+          s"bucketed table file ${f.path} lacks " +
+            s"${SnapTable.BucketStatsCol} stats"))._1
+    }.toSeq.sortBy(_._1)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def slices(fs: Seq[SnapTable.FileEntry]): Array[SnapFileSlice] =
+      fs.map { f =>
+        val abs = Paths.get(root).toAbsolutePath.resolve(f.path)
+          .normalize()
+        SnapFileSlice(abs.toString, Files.size(abs), f.path)
+      }.toArray
+    bucket match {
+      case Some(_) =>
+        bucketGroups.map { case (id, fs) =>
+          new SnapInputPartition(slices(fs), Some(id)): InputPartition
+        }.toArray
+      case None =>
+        // one partition per file: simple, and the scheduler re-packs
+        files.map(f =>
+          new SnapInputPartition(slices(Seq(f)), None): InputPartition)
+          .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val readFunc = ParquetBridge.readerFunc(spark,
+      SnapTable.schemaOf(schemaJson), parquetRequired, pushed)
+    new SnapReaderFactory(readFunc, required, fileColLast)
+  }
+}
+
+private[graft] object SnapBatchScan {
+  /** The metadata column naming the data file a row lives in (manifest-
+    * relative path) — the group-rewrite granularity of MERGE/UPDATE.
+    */
+  val FileCol = "_file"
+}
+
+/** One data file of an input partition: absolute path for the reader,
+  * manifest-relative path for the `_file` column and commit bookkeeping.
+  */
+private[graft] final case class SnapFileSlice(abs: String, size: Long,
+    rel: String)
+
+private[graft] class SnapInputPartition(
+    val slices: Array[SnapFileSlice], val bucketId: Option[Long])
+  extends InputPartition with HasPartitionKey {
+
+  override def partitionKey(): InternalRow = bucketId match {
+    case Some(id) => new GenericInternalRow(Array[Any](id.toInt))
+    case None => InternalRow.empty
+  }
+}
+
+private[graft] class SnapReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    required: StructType, fileCol: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SnapInputPartition]
+    new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(required)
+      private val joined = new JoinedRow
+      private val iter: Iterator[InternalRow] =
+        part.slices.iterator.flatMap { f =>
+          val raw = ParquetBridge.rows(
+            readFunc(ParquetBridge.partitionedFile(f.abs, f.size)))
+          if (!fileCol) raw.map(proj)
+          else {
+            val tail = new GenericInternalRow(
+              Array[Any](UTF8String.fromString(f.rel)))
+            raw.map(r => proj(joined(r, tail)))
+          }
+        }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (iter.hasNext) { row = iter.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The catalog's V2 `bucket(n, col)` function — the SAME hash the bucket
+  * write layout uses (`pmod(murmur3_32(long), n)`, seed 42, i.e. Spark's
+  * `hash()` for a LONG column). Registering it is what lets Spark resolve
+  * the `bucket` transform both scans report and conclude the two sides of
+  * a join are co-partitioned.
+  */
+private[graft] object GraftBucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col), n) — the snapshot-table bucket " +
+      "layout hash (longs only, seed 42)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket expects (INT numBuckets, BIGINT col), got $inputType")
+    Bound
+  }
+
+  /** Exactly `pmod(hash(v), n)` for a long `v`. */
+  def bucketId(v: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+    ((h % n) + n) % n
+  }
+
+  object Bound extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      DataTypes.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      bucketId(input.getLong(1), input.getInt(0))
+  }
+}

@@ -43,7 +43,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactness never depends on the pruning). At 100 TB the pruning step is
   * manifest-sized driver work, identical to the API path.
   */
-class SnapCatalog extends TableCatalog with SupportsNamespaces {
+class SnapCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  /** The catalog's V2 functions: just `bucket` — resolving the bucket
+    * transform reported by co-bucketed scans is what enables
+    * storage-partitioned joins.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var base: String = _
@@ -249,10 +263,13 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
     Map("version" -> version.toString, "format" -> "snaptable",
       "spec" -> snap.spec.mkString(",")).asJava
 
-  override def partitioning(): Array[Transform] =
-    snap.spec.map(c =>
+  override def partitioning(): Array[Transform] = snap.bucket match {
+    case Some((c, n)) => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
+    case None => snap.spec.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -275,7 +292,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
                 SnapTable.latestVersion(root))
               val fresh = SnapTable.writeData(data.sparkSession, root,
                 SnapTable.clusterBySpec(data, parent.spec),
-                parent.statsCol)
+                parent.statsCol, parent.bucket)
               SnapTable.commitExclusive(root, parent, fresh, "overwrite",
                 parent.schemaJson)
             } else SnapTable.append(data.sparkSession, root, data)
@@ -325,6 +342,7 @@ private[graft] class SnapScanBuilder(root: String,
 
   private var required: StructType = full
   private var bounds: Map[String, (Long, Long)] = Map.empty
+  private var raw: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -355,6 +373,7 @@ private[graft] class SnapScanBuilder(root: String,
       bounds += c -> (math.max(a, lo), math.min(b, hi))
     }
     filters.foreach(walk)
+    raw = filters // native scan forwards them for parquet row-group pruning
     filters // all residual: pruning skips files, never rows
   }
 
@@ -364,7 +383,16 @@ private[graft] class SnapScanBuilder(root: String,
     val hit = snap.files.filter(f => bounds.forall { case (c, (lo, hi)) =>
       f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     })
-    new SnapV1Scan(root, hit, snap.dvs, snap.schemaJson, required)
+    // bucket-layout tables read through the NATIVE batch scan so the
+    // planner sees their KeyGroupedPartitioning (storage-partitioned
+    // joins); outstanding DVs drop to the V1 bridge, whose read path
+    // subtracts them — correctness first, the SPJ fast path returns
+    // after compaction materializes the deletes
+    if (snap.bucket.isDefined && snap.dvs.isEmpty)
+      new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
+        required, raw.toSeq, snap.bucket)
+    else
+      new SnapV1Scan(root, hit, snap.dvs, snap.schemaJson, required)
   }
 }
 

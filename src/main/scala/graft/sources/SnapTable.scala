@@ -109,11 +109,29 @@ object SnapTable {
   /** `ts` is the commit wall-clock (epoch millis), stamped when the
     * manifest serializes — the index `TIMESTAMP AS OF` resolves against.
     */
+  /** `bucket` is an optional HASH-BUCKET layout `(column, numBuckets)`
+    * (the Iceberg `bucket(n, col)` transform): every data file holds rows
+    * of exactly ONE bucket id `pmod(murmur3(col), n)`, recorded in the
+    * file's stats under the synthetic `_gfb` column. That single-bucket
+    * per-file invariant is what lets the catalog report
+    * `KeyGroupedPartitioning` to Spark and join two co-bucketed tables
+    * with NO shuffle on either side (storage-partitioned joins). Bucket
+    * and range `spec` layouts are mutually exclusive.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
       spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty,
-      checks: Map[String, String] = Map.empty, ts: Long = 0L)
+      checks: Map[String, String] = Map.empty, ts: Long = 0L,
+      bucket: Option[(String, Int)] = None)
+
+  /** The synthetic stats column carrying a file's bucket id. */
+  val BucketStatsCol = "_gfb"
+
+  private[graft] def schemaOf(json: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   // ---------------------------------------------------------------- commits
 
@@ -125,6 +143,31 @@ object SnapTable {
     Files.createDirectories(Paths.get(root, "_log"))
     val snap = Snapshot(1, "create", statsCol, df.schema.json,
       writeData(s, root, clusterBySpec(df, spec), statsCol), spec = spec)
+    if (tryLink(root, snap)) 1
+    else throw new ConcurrentCommitException(
+      s"create lost the race for v1 at $root — the table already exists")
+  }
+
+  /** Create a HASH-BUCKETED table: every write clusters rows into
+    * `numBuckets` buckets of `pmod(murmur3(bucketCol), n)` with one
+    * bucket id per data file. Two tables bucketed with the same `n` on
+    * their join keys storage-partition-join with zero shuffle (the
+    * catalog reports `KeyGroupedPartitioning`). `bucketCol` must be a
+    * LONG column — the layout's hash is pinned to Spark's
+    * `hash()`/murmur3 for longs, the same function the catalog exposes
+    * as its `bucket(n, col)` V2 function.
+    */
+  def createBucketed(s: SparkSession, root: String, df: DataFrame,
+      statsCol: String, bucketCol: String, numBuckets: Int): Int = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(df.schema(bucketCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"bucket column '$bucketCol' must be LONG (the bucket transform " +
+        "hash is pinned to murmur3-of-long)")
+    Files.createDirectories(Paths.get(root, "_log"))
+    val b = Some((bucketCol, numBuckets))
+    val snap = Snapshot(1, "create", statsCol, df.schema.json,
+      writeData(s, root, df, statsCol, b), bucket = b)
     if (tryLink(root, snap)) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
@@ -177,7 +220,7 @@ object SnapTable {
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol)
+      parent.statsCol, parent.bucket)
     commitAppend(root, parent, fresh, df.schema, txn = None)
   }
 
@@ -197,11 +240,11 @@ object SnapTable {
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol)
+      parent.statsCol, parent.bucket)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
         df.schema.json, parent.files ++ fresh, None, parent.spec,
-        parent.dvs, parent.checks)))
+        parent.dvs, parent.checks, bucket = parent.bucket)))
       v = latestVersion(root) + 1
     v
   }
@@ -234,7 +277,7 @@ object SnapTable {
       val fresh =
         if (incoming.isEmpty) Seq.empty
         else writeData(s, root, clusterBySpec(incoming, parent.spec),
-          parent.statsCol)
+          parent.statsCol, parent.bucket)
       return commitExclusive(root, parent, fresh, "merge", parent.schemaJson)
     }
     val keys = updates.select(key).distinct()
@@ -260,7 +303,7 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
-        parent.statsCol)
+        parent.statsCol, parent.bucket)
     commitExclusive(root, parent, carried ++ fresh, "merge",
       parent.schemaJson)
   }
@@ -284,7 +327,7 @@ object SnapTable {
         validateEvolution(parent.schemaJson, df.schema)
         validateChecks(df, parent.checks, "incoming")
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-          parent.statsCol)
+          parent.statsCol, parent.bucket)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId))
     }
   }
@@ -323,7 +366,8 @@ object SnapTable {
         live.repartitionByRange(targetFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
     }
-    val fresh = writeData(s, root, rewritten, parent.statsCol)
+    val fresh = writeData(s, root, rewritten, parent.statsCol,
+      parent.bucket)
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
       dvs = Seq.empty)
   }
@@ -481,7 +525,7 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol)
+        parent.statsCol, parent.bucket)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -688,7 +732,7 @@ object SnapTable {
     val fresh =
       if (survivors.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol)
+        parent.statsCol, parent.bucket)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -956,43 +1000,75 @@ object SnapTable {
     * manifest workers.
     */
   private[graft] def writeData(s: SparkSession, root: String, df: DataFrame,
-      statsCol: String): Seq[FileEntry] = {
+      statsCol: String, bucket: Option[(String, Int)] = None)
+      : Seq[FileEntry] = {
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(root, "data", dirName)
-    df.write.parquet(dir.toString)
+    bucket match {
+      case None =>
+        df.write.parquet(dir.toString)
+        listDir(dir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .flatMap(p => footerEntry(s, root, p)).sortBy(_.path)
+      case Some((bc, n)) =>
+        // one bucket id per FILE, guaranteed by partitionBy: a task
+        // holding several bucket ids writes one file per id under its
+        // `_gfb=<id>` dir. The explicit repartition bounds the task
+        // count (≈1 file per bucket), and the id re-enters the manifest
+        // as [id,id] stats — bucket pruning IS file skipping.
+        val withB = df.withColumn(BucketStatsCol,
+          pmod(hash(col(bc)), lit(n)))
+        withB.repartition(n, col(BucketStatsCol))
+          .sortWithinPartitions(col(bc))
+          .write.partitionBy(BucketStatsCol).parquet(dir.toString)
+        listDir(dir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketStatsCol="))
+          .flatMap { sub =>
+            val id = sub.getFileName.toString
+              .stripPrefix(s"$BucketStatsCol=").toLong
+            listDir(sub)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .flatMap(p => footerEntry(s, root, p))
+              .map(e => e.copy(stats = e.stats + (BucketStatsCol -> (id, id))))
+          }.sortBy(_.path)
+    }
+  }
+
+  /** Manifest entry for one just-written parquet file, from its FOOTER
+    * (row count + every INT64 column's min/max merged across row groups)
+    * — no data re-scan; `None` for an empty part file.
+    */
+  private[sources] def footerEntry(s: SparkSession, root: String,
+      p: Path): Option[FileEntry] = {
     val conf = s.sparkContext.hadoopConfiguration
-    listDir(dir)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .flatMap { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          if (blocks.isEmpty) None // empty part file: no entry, no stats
-          else {
-            val rows = blocks.map(_.getRowCount).sum
-            // every INT64 column's footer stats, merged across row groups
-            val perCol = blocks.flatMap(_.getColumns.asScala)
-              .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.INT64 &&
-                c.getStatistics != null &&
-                c.getStatistics.hasNonNullValue)
-              .groupBy(_.getPath.toDotString)
-              .map { case (name, cs) =>
-                name -> (
-                  cs.map(_.getStatistics.genericGetMin
-                    .asInstanceOf[java.lang.Long].longValue()).min,
-                  cs.map(_.getStatistics.genericGetMax
-                    .asInstanceOf[java.lang.Long].longValue()).max)
-              }
-            Some(FileEntry(
-              Paths.get(root).toAbsolutePath.relativize(p).toString,
-              rows, perCol))
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.isEmpty) None // empty part file: no entry, no stats
+      else {
+        val rows = blocks.map(_.getRowCount).sum
+        val perCol = blocks.flatMap(_.getColumns.asScala)
+          .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT64 &&
+            c.getStatistics != null &&
+            c.getStatistics.hasNonNullValue)
+          .groupBy(_.getPath.toDotString)
+          .map { case (name, cs) =>
+            name -> (
+              cs.map(_.getStatistics.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue()).min,
+              cs.map(_.getStatistics.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue()).max)
           }
-        } finally reader.close()
-      }.sortBy(_.path)
+        Some(FileEntry(
+          Paths.get(root).toAbsolutePath.relativize(p).toString,
+          rows, perCol))
+      }
+    } finally reader.close()
   }
 
   /** One atomic manifest-promotion attempt: serialize to a tmp file, then
@@ -1055,7 +1131,7 @@ object SnapTable {
       }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
-        head.dvs, head.checks))
+        head.dvs, head.checks, bucket = head.bucket))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -1080,7 +1156,7 @@ object SnapTable {
     val ck = Option(checks).getOrElse(parent.checks)
     val v = parent.version + 1
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv,
-        ck)))
+        ck, bucket = parent.bucket)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -1154,7 +1230,9 @@ object SnapTable {
       // pre-ts manifests fall back to the file's mtime — same clock, set
       // by the same link(2) that promoted the commit
       Option(node.get("ts")).map(_.asLong()).getOrElse(
-        Files.getLastModifiedTime(manifestPath(root, v)).toMillis))
+        Files.getLastModifiedTime(manifestPath(root, v)).toMillis),
+      Option(node.get("bucket")).map(b =>
+        (b.get(0).asText(), b.get(1).asInt())))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -1180,12 +1258,14 @@ object SnapTable {
           s"${m.writeValueAsString(n)}:${m.writeValueAsString(e)}"
         }.mkString(""","checks":{""", ",", "}")
       }
+    val bucket = snap.bucket.map { case (c, n) =>
+      s""","bucket":["$c",$n]""" }.getOrElse("")
     // commit ts is stamped at serialization: each link attempt (retries
     // included) carries the wall-clock of the attempt that actually won
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
       s""""ts":${System.currentTimeMillis()},""" +
-      s""""files":$files$txn$spec$dvs$checks}"""
+      s""""files":$files$txn$spec$dvs$checks$bucket}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {
