@@ -1096,6 +1096,91 @@ object TableOps extends QueryModule {
           "AS total " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_custkey ORDER BY custkey")
+    ),
+    Q(
+      "table_sql_merge",
+      // SQL MERGE INTO through the DSv2 row-level-operation API: all
+      // three clause kinds in one statement (matched-update,
+      // matched-delete, not-matched-insert), group-based copy-on-write
+      // underneath — Spark's runtime group filter narrows the rewrite
+      // to files holding a matched key (pinned in SqlMergeSpec), so the
+      // commit cost is O(matched files), not O(table). The oracle
+      // restates the post-merge table directly over the fixtures.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(
+          s"""MERGE INTO snap.main.$t t USING (
+             |  SELECT o_orderkey AS k, o_custkey AS ck,
+             |         o_totalprice + 1000 AS p, FALSE AS del
+             |  FROM $v WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice, TRUE
+             |  FROM $v WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 30000000, o_custkey,
+             |         o_totalprice + 500.25, FALSE
+             |  FROM $v WHERE o_orderkey < 100
+             |) s ON t.o_orderkey = s.k
+             |WHEN MATCHED AND s.del THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_totalprice)
+             |  VALUES (s.k, s.ck, s.p)""".stripMargin)
+        s.sql(s"SELECT o_orderkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "WITH merged AS (" +
+          "SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 " +
+          "THEN o_totalprice + 1000 ELSE o_totalprice END AS p " +
+          "FROM orders " +
+          "WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0) " +
+          "UNION ALL SELECT o_orderkey + 30000000, o_totalprice + 500.25 " +
+          "FROM orders WHERE o_orderkey < 100) " +
+          "SELECT o_orderkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
+          "FROM merged GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_sql_update",
+      // SQL UPDATE through the same row-level-operation path: a
+      // predicate too selective-by-value to be a metadata-only delete
+      // still commits one file-granular CoW snapshot.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(s"UPDATE snap.main.$t SET o_totalprice = o_totalprice + 100" +
+          " WHERE o_custkey % 10 = 3")
+        s.sql(s"SELECT o_custkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round((CASE WHEN o_custkey % 10 = 3 " +
+          "THEN o_totalprice + 100 ELSE o_totalprice END) * 100) " +
+          "AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
     )
   )
 }

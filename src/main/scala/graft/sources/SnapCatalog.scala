@@ -226,9 +226,34 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
   */
 private[sources] class SnapV2Table(ident: Identifier, root: String,
     version: Int) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
 
   private val snap = SnapTable.load(root, version)
+
+  /** SQL MERGE / UPDATE / non-pushable DELETE: group-based copy-on-write
+    * against the CURRENT head (DML never time-travels), with the runtime
+    * group filter narrowing the rewrite to files holding a matched row.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new SnapRowLevelBuilder(root,
+      SnapTable.load(root, SnapTable.latestVersion(root)), info)
+
+  /** `_file`: the manifest-relative data file a row lives in — the
+    * group granularity of the CoW rewrite, and a user-facing audit
+    * column (the Delta/Iceberg `_file`/`input_file_name` idiom).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = SnapBatchScan.FileCol
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.DataTypes.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the row's data file"
+    })
 
   /** `DELETE FROM snap.db.t WHERE ...` — the SQL surface of the CoW
     * erasure verb. The WHERE clause arrives as pushed v1 filters; any
@@ -257,7 +282,8 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
     Map("version" -> version.toString, "format" -> "snaptable",
@@ -421,8 +447,15 @@ private[sources] class SnapRelation(ctx: SQLContext, root: String,
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] = {
-    val base = SnapTable.readFiles(ctx.sparkSession, root, files,
+    val raw = SnapTable.readFiles(ctx.sparkSession, root, files,
       schemaJson)
+    // `_file` (the table's metadata column) resolves from the parquet
+    // file-path metadata, and must be captured on the RAW scan — it
+    // doesn't survive joins/projections
+    val base =
+      if (!required.fieldNames.contains(SnapBatchScan.FileCol)) raw
+      else raw.withColumn(SnapBatchScan.FileCol,
+        SnapTable.relPathCol(root))
     // SQL reads honor deletion vectors like the API reads do — the
     // subtraction must run on the raw scan, BEFORE the projection strips
     // the metadata columns (pruned-away files' positions never match)

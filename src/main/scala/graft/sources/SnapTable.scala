@@ -557,7 +557,8 @@ object SnapTable {
     * source's files) keeps its plain absolute path, which is why
     * `clone` re-bases DV contents (see there).
     */
-  private def relPathCol(root: String): org.apache.spark.sql.Column = {
+  private[sources] def relPathCol(root: String)
+      : org.apache.spark.sql.Column = {
     val abs = Paths.get(root).toAbsolutePath.toString
     val noScheme = regexp_replace(col("_metadata.file_path"),
       "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
@@ -1185,6 +1186,15 @@ object SnapTable {
       }
     }
   }
+
+  /** CHECK-constraint validation over just-written replacement files —
+    * the row-level-operation commit's pre-link gate, bounded by the
+    * rewrite size exactly like the API merge's incoming validation.
+    */
+  private[sources] def validateWrittenChecks(s: SparkSession, root: String,
+      files: Seq[FileEntry], schemaJson: String,
+      checks: Map[String, String], what: String): Unit =
+    validateChecks(readFiles(s, root, files, schemaJson), checks, what)
 
   private[sources] def readFiles(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String): DataFrame = {

@@ -62,13 +62,17 @@ object ParquetBridge {
 
   /** Spark's own parquet [[OutputWriterFactory]] for `schema` — the V2
     * `DataWriter` behind the row-level-operation write creates one
-    * `OutputWriter` per task from it. Serializable by contract.
+    * `OutputWriter` per task from it. Serializable by contract. Also
+    * returns the PREPARED job configuration: `prepareWrite` registers
+    * the write-support class and schema on it, and every task's
+    * `TaskAttemptContext` must carry that config or the writer NPEs.
     */
   def writerFactory(spark: SparkSession, schema: StructType,
-      conf: Configuration): OutputWriterFactory = {
+      conf: Configuration): (OutputWriterFactory, Configuration) = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
-    new ParquetFileFormat().prepareWrite(cs, job,
+    val factory = new ParquetFileFormat().prepareWrite(cs, job,
       Map.empty[String, String], schema)
+    (factory, job.getConfiguration)
   }
 }
