@@ -1181,6 +1181,39 @@ object TableOps extends QueryModule {
           "THEN o_totalprice + 100 ELSE o_totalprice END) * 100) " +
           "AS BIGINT)) / 100 AS total " +
           "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_generated_cols",
+      // GENERATED ALWAYS AS columns: manifest-declared expressions,
+      // computed at write time when the batch omits the column and
+      // VALIDATED row-for-row when it provides one (mismatch fails the
+      // commit — TableFormatSpec pins that). One append of each kind,
+      // then the logical table restated by the oracle computing the
+      // same expression itself.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_gencol")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val schema = org.apache.spark.sql.types.StructType(
+          docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "tlen", org.apache.spark.sql.types.LongType))
+        SnapTable.createEmpty(root, schema, "doc_id")
+        SnapTable.addGenerated(s, root, "tlen",
+          "CAST(length(text) AS BIGINT)")
+        // batch 1 omits the column → computed at write
+        SnapTable.append(s, root, docs.filter(col("doc_id") % 2 === 0))
+        // batch 2 provides it (correctly) → validated, not recomputed
+        SnapTable.append(s, root, docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("tlen", length(col("text")).cast("long")))
+        SnapTable.read(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("tlen")).as("chars"))
+          .orderBy("lang")
+      },
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(length(text)) AS BIGINT) AS chars " +
+          "FROM documents GROUP BY lang ORDER BY lang")
     )
   )
 }

@@ -123,7 +123,8 @@ object SnapTable {
       files: Seq[FileEntry], txn: Option[String] = None,
       spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty,
       checks: Map[String, String] = Map.empty, ts: Long = 0L,
-      bucket: Option[(String, Int)] = None)
+      bucket: Option[(String, Int)] = None,
+      gen: Map[String, String] = Map.empty)
 
   /** The synthetic stats column carrying a file's bucket id. */
   val BucketStatsCol = "_gfb"
@@ -215,8 +216,9 @@ object SnapTable {
     * because adopting such a schema would silently null out that column
     * for every pre-existing file on read.
     */
-  def append(s: SparkSession, root: String, df: DataFrame): Int = {
+  def append(s: SparkSession, root: String, df0: DataFrame): Int = {
     val parent = load(root, latestVersion(root))
+    val df = applyGenerated(df0, parent.gen, "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
@@ -235,8 +237,9 @@ object SnapTable {
     * defined by the pin chain, not slot adjacency.
     */
   private[graft] def prepareAppend(s: SparkSession, root: String,
-      df: DataFrame, pin: Int): Int = {
+      df0: DataFrame, pin: Int): Int = {
     val parent = load(root, pin)
+    val df = applyGenerated(df0, parent.gen, "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
@@ -244,7 +247,8 @@ object SnapTable {
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
         df.schema.json, parent.files ++ fresh, None, parent.spec,
-        parent.dvs, parent.checks, bucket = parent.bucket)))
+        parent.dvs, parent.checks, bucket = parent.bucket,
+        gen = parent.gen)))
       v = latestVersion(root) + 1
     v
   }
@@ -314,7 +318,7 @@ object SnapTable {
     * streaming foreachBatch keyed by (appId, batchId) gets exactly-once
     * table contents even when the sink retries a batch.
     */
-  def appendOnce(s: SparkSession, root: String, df: DataFrame,
+  def appendOnce(s: SparkSession, root: String, df0: DataFrame,
       txnId: String): Int = {
     // fast path only — avoids writing data files for an obvious duplicate.
     // CORRECTNESS does not depend on it: commitAppend re-checks the txn
@@ -324,6 +328,7 @@ object SnapTable {
       case Some(v) => v // duplicate delivery: already in
       case None =>
         val parent = load(root, latestVersion(root))
+        val df = applyGenerated(df0, parent.gen, "incoming")
         validateEvolution(parent.schemaJson, df.schema)
         validateChecks(df, parent.checks, "incoming")
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
@@ -395,6 +400,62 @@ object SnapTable {
     commitExclusive(root, parent, parent.files, "drop-check",
       parent.schemaJson, checks = parent.checks - name)
   }
+
+  /** Declare `column` GENERATED ALWAYS AS (`sqlExpr`) — the Delta
+    * generated-columns idea, manifest-declared like CHECK constraints:
+    * a metadata-only commit after which every append either COMPUTES the
+    * column (when the incoming batch omits it) or VALIDATES the provided
+    * values equal the expression row-for-row (a mismatch fails the
+    * commit before any data writes — a silently divergent generated
+    * column is worse than a failed append). Existing rows are validated
+    * once, here; expressions may reference only non-generated columns
+    * (no chaining), which keeps computation order trivial at any scale.
+    */
+  def addGenerated(s: SparkSession, root: String, column: String,
+      sqlExpr: String): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    require(schema.fieldNames.contains(column),
+      s"generated column '$column' is not in the table schema")
+    require(!parent.gen.contains(column),
+      s"column '$column' already has a generation expression")
+    validateGenerated(readSnapshot(s, root, parent),
+      Map(column -> sqlExpr), "existing")
+    commitExclusive(root, parent, parent.files, "add-generated",
+      parent.schemaJson, gen = parent.gen + (column -> sqlExpr))
+  }
+
+  /** Drop a generation expression (metadata-only; the column stays). */
+  def dropGenerated(root: String, column: String): Int = {
+    val parent = load(root, latestVersion(root))
+    require(parent.gen.contains(column), s"'$column' is not generated")
+    commitExclusive(root, parent, parent.files, "drop-generated",
+      parent.schemaJson, gen = parent.gen - column)
+  }
+
+  /** Compute absent generated columns; validate provided ones. Runs on
+    * every append-family write before schema/check validation.
+    */
+  private def applyGenerated(df: DataFrame, gen: Map[String, String],
+      what: String): DataFrame =
+    if (gen.isEmpty) df
+    else {
+      val (present, absent) = gen.toSeq.sortBy(_._1)
+        .partition { case (c, _) => df.columns.contains(c) }
+      validateGenerated(df, present.toMap, what)
+      absent.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
+    }
+
+  private def validateGenerated(df: DataFrame,
+      gen: Map[String, String], what: String): Unit =
+    gen.foreach { case (c, e) =>
+      if (df.columns.contains(c)) {
+        val bad = df.filter(!(col(c) <=> expr(e))).count()
+        if (bad > 0)
+          throw new ConstraintViolationException(
+            s"generated column '$c' ($e) mismatched by $bad $what row(s)")
+      }
+    }
 
   /** One pass over `df` per write: any row failing a check aborts with
     * the constraint's name and expression, BEFORE data/manifest writes.
@@ -1132,7 +1193,7 @@ object SnapTable {
       }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
-        head.dvs, head.checks, bucket = head.bucket))
+        head.dvs, head.checks, bucket = head.bucket, gen = head.gen))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -1150,14 +1211,16 @@ object SnapTable {
       files: Seq[FileEntry], op: String, schemaJson: String,
       statsCol: String = null, spec: Seq[String] = null,
       dvs: Seq[String] = null,
-      checks: Map[String, String] = null): Int = {
+      checks: Map[String, String] = null,
+      gen: Map[String, String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
     val ck = Option(checks).getOrElse(parent.checks)
+    val gn = Option(gen).getOrElse(parent.gen)
     val v = parent.version + 1
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv,
-        ck, bucket = parent.bucket)))
+        ck, bucket = parent.bucket, gen = gn)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -1242,7 +1305,10 @@ object SnapTable {
       Option(node.get("ts")).map(_.asLong()).getOrElse(
         Files.getLastModifiedTime(manifestPath(root, v)).toMillis),
       Option(node.get("bucket")).map(b =>
-        (b.get(0).asText(), b.get(1).asInt())))
+        (b.get(0).asText(), b.get(1).asInt())),
+      Option(node.get("generated")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -1270,12 +1336,20 @@ object SnapTable {
       }
     val bucket = snap.bucket.map { case (c, n) =>
       s""","bucket":["$c",$n]""" }.getOrElse("")
+    val gen =
+      if (snap.gen.isEmpty) ""
+      else {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        snap.gen.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"${m.writeValueAsString(n)}:${m.writeValueAsString(e)}"
+        }.mkString(""","generated":{""", ",", "}")
+      }
     // commit ts is stamped at serialization: each link attempt (retries
     // included) carries the wall-clock of the attempt that actually won
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
       s""""ts":${System.currentTimeMillis()},""" +
-      s""""files":$files$txn$spec$dvs$checks$bucket}"""
+      s""""files":$files$txn$spec$dvs$checks$bucket$gen}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -649,4 +649,41 @@ class TableFormatSpec extends AnyFunSuite {
     while (it.hasNext) b += it.next().get("path").asText()
     b.result()
   }
+
+  test("generated columns: computed when absent, validated when provided") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Tmp.dir("snaptab_gencol")
+    val base = spark.range(20).selectExpr("id AS k", "id * 3 AS raw")
+    SnapTable.createEmpty(root,
+      StructType(base.schema.fields :+ StructField("dbl", LongType)), "k")
+    SnapTable.addGenerated(spark, root, "dbl", "raw * 2")
+    // manifest round-trip
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .gen == Map("dbl" -> "raw * 2"))
+    // absent → computed at write time (the files themselves carry it)
+    SnapTable.append(spark, root, base.filter(col("k") < 10))
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    val onDisk = spark.read.parquet(
+      head.files.map(f => s"$root/${f.path}"): _*)
+    assert(onDisk.columns.contains("dbl"))
+    assert(onDisk.filter(col("dbl") =!= col("raw") * 2).count() == 0)
+    // provided-correct → validated, accepted
+    SnapTable.append(spark, root, base.filter(col("k") >= 10)
+      .withColumn("dbl", col("raw") * 2))
+    assert(SnapTable.read(spark, root).count() == 20)
+    // provided-WRONG → commit fails before any manifest link
+    val vBefore = SnapTable.latestVersion(root)
+    intercept[SnapTable.ConstraintViolationException] {
+      SnapTable.append(spark, root,
+        base.limit(3).withColumn("dbl", lit(0L)))
+    }
+    assert(SnapTable.latestVersion(root) == vBefore)
+    // drop → the column becomes a plain column again (no validation)
+    SnapTable.dropGenerated(root, "dbl")
+    SnapTable.append(spark, root,
+      spark.range(100, 103).selectExpr("id AS k", "id AS raw",
+        "CAST(7 AS BIGINT) AS dbl"))
+    assert(SnapTable.read(spark, root).count() == 23)
+  }
 }
