@@ -23,19 +23,28 @@ trait QueryModule {
   * from the footer (schema-on-read). At cluster scale these would be
   * partitioned directories — the API is unchanged.
   *
-  * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-  * read as a timestamp; we read it as raw nanos (`nanosAsLong`) and
-  * truncate to µs — exactly DuckDB's `CAST(ts AS TIMESTAMP)` semantics
-  * (verified: DuckDB truncates, and `ts div 1000` on positive longs
-  * truncates identically).
+  * `events.ts` has shipped as TIMESTAMP(NANOS) in some testdata
+  * generations and TIMESTAMP(MICROS) in others, so the loader adapts to
+  * the footer: NANOS is unreadable as a timestamp in Spark 4, so it is
+  * read as raw nanos (`nanosAsLong`) and truncated to µs — exactly
+  * DuckDB's `CAST(ts AS TIMESTAMP)` semantics (verified: DuckDB
+  * truncates, and `ts div 1000` on positive longs truncates
+  * identically); MICROS reads natively and only needs the NTZ cast.
+  * Either way downstream sees `ts TIMESTAMP_NTZ` at µs precision.
   */
 object T {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      val df = s.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+          df.withColumn("ts", org.apache.spark.sql.functions
+            .expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        case _ => // native timestamp footer (µs)
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast("timestamp_ntz"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 }
 

@@ -29,18 +29,25 @@ object EventOps extends QueryModule {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the fixture's ts footer type varies by testdata generation (NANOS
+    // read as raw long vs native MICROS) — probe it with the batch
+    // loader once and mirror its shape in the streaming schema
+    val nanos = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType), // raw nanos
+      StructField("ts", if (nanos) LongType else TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
+    if (nanos)
+      raw.withColumn("ts",
         expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    else raw
   }
 
   def queries: Seq[Q] = Seq(
