@@ -1214,6 +1214,56 @@ object TableOps extends QueryModule {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(length(text)) AS BIGINT) AS chars " +
           "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_branch_wap",
+      // Write-audit-publish over zero-copy branches + immutable tags:
+      // tag the baseline, fork an `audit` branch, append a batch and
+      // scrub its bad rows BRANCH-SIDE (a CoW delete main never sees),
+      // then publish — a fast-forward that hard-links the branch's
+      // files into main (no data copied or moved at any step). Output
+      // proves isolation (main unchanged pre-publish), the published
+      // state, and the tag still pinning the baseline afterwards.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_wap")
+        val orders = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+        SnapTable.create(s, root,
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        SnapTable.createTag(root, "baseline")
+        SnapTable.createBranch(s, root, "audit")
+        val b = SnapTable.branchRoot(root, "audit")
+        SnapTable.append(s, b,
+          orders.filter(col("o_orderkey") % 3 === 1))
+        // the audit gate: anything above the price cap is scrubbed on
+        // the branch before it can reach main
+        SnapTable.deleteWhere(s, b, col("o_totalprice") > 400000.0)
+        val mainPre = SnapTable.read(s, root).count()
+        SnapTable.publishBranch(s, root, "audit")
+        SnapTable.dropBranch(root, "audit") // published links survive
+        SnapTable.read(s, root)
+          .agg(count(lit(1)).as("n_published"),
+            (sum(round(col("o_totalprice") * 100).cast("long")) / 100)
+              .as("total_published"))
+          .withColumn("n_main_pre_publish", lit(mainPre))
+          .withColumn("n_tag_baseline",
+            lit(SnapTable.readTag(s, root, "baseline").count()))
+          .select(col("n_published"), col("total_published"),
+            col("n_main_pre_publish"), col("n_tag_baseline"))
+      },
+      Some(
+        "WITH pub AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1 " +
+          "AND o_totalprice <= 400000) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_published, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+          "AS total_published, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+          "WHERE o_orderkey % 3 = 0) AS n_main_pre_publish, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
+          "WHERE o_orderkey % 3 = 0) AS n_tag_baseline " +
+          "FROM pub")
     )
   )
 }

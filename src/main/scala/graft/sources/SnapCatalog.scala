@@ -99,10 +99,24 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF v` time travel. */
+  /** `VERSION AS OF` accepts a version number, a TAG name (resolves to
+    * its pinned version), or a BRANCH name (resolves to the branch head —
+    * the branch root substitutes for the table root so branch-written
+    * files are read too).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new SnapV2Table(ident, dir, version.toInt)
+    if (version.forall(_.isDigit) && version.nonEmpty)
+      new SnapV2Table(ident, dir, version.toInt)
+    else if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir, "_log", "refs", s"$version.json")))
+      new SnapV2Table(ident, dir, SnapTable.tagVersion(dir, version))
+    else {
+      val b = SnapTable.branchRoot(dir, version)
+      if (!isTable(b)) throw new NoSuchTableException(ident)
+      new SnapV2Table(ident, b, SnapTable.latestVersion(b))
+    }
   }
 
   /** `TIMESTAMP AS OF t` time travel: Spark hands the timestamp in

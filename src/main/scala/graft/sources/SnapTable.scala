@@ -555,6 +555,180 @@ object SnapTable {
       checks = snap.checks)
   }
 
+  // ---------------------------------------------------------------- refs
+
+  /** A branch or tag name: path-safe, no traversal. */
+  private def validateRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name must match [A-Za-z0-9][A-Za-z0-9._-]*: '$name'")
+
+  /** The root directory a branch's own log and data live under. Branch
+    * table state is a full SnapTable rooted here; every existing verb
+    * (append / merge / deleteWhere / compact / history / time travel)
+    * works on a branch by operating on this root.
+    */
+  def branchRoot(root: String, name: String): String = {
+    validateRefName(name)
+    Paths.get(root, "_refs", name).toString
+  }
+
+  /** Create a zero-copy BRANCH at the current head (Iceberg-style ref):
+    * a shallow clone under `root/_refs/<name>` whose v1 references the
+    * fork snapshot's data files in place. Writes to the branch land in
+    * the branch's own data dir; main never sees them until
+    * [[publishBranch]] — the isolation half of write-audit-publish.
+    * Returns the fork version.
+    */
+  def createBranch(s: SparkSession, root: String, name: String): Int = {
+    val b = branchRoot(root, name)
+    require(!Files.exists(Paths.get(b, "_log")),
+      s"branch '$name' already exists at $b")
+    val fork = latestVersion(root)
+    clone(s, root, b, fork)
+    // the fork point publish() rebases/fast-forwards against; written
+    // after the clone's exclusive v1 link, so a concurrent createBranch
+    // of the same name lost in clone() before reaching here
+    Files.write(Paths.get(b, "fork.json"),
+      s"""{"fork":$fork}""".getBytes(StandardCharsets.UTF_8))
+    fork
+  }
+
+  private def forkVersion(branchRoot: String): Int = {
+    val p = Paths.get(branchRoot, "fork.json")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """"fork":(\d+)""".r.findFirstMatchIn(s) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(s"malformed fork.json at $p: $s")
+    }
+  }
+
+  def branches(root: String): Seq[String] = {
+    val refs = Paths.get(root, "_refs")
+    if (!Files.isDirectory(refs)) Seq.empty
+    else listDir(refs).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+  }
+
+  /** Read a branch's current state (sugar over `read(branchRoot)`). */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    read(s, branchRoot(root, name))
+
+  /** Drop a branch. Main stays intact even after a publish: published
+    * files were HARD-LINKED into main's data dir, so deleting the branch
+    * tree removes only the branch's private names.
+    */
+  def dropBranch(root: String, name: String): Unit =
+    deleteRecursively(Paths.get(branchRoot(root, name)))
+
+  /** PUBLISH a branch back to main — the commit half of
+    * write-audit-publish. Zero data movement: branch-written files are
+    * hard-linked into main's data dir and main's next manifest adopts
+    * them.
+    *
+    *  - Main still at the fork point → FAST-FORWARD: main's next version
+    *    is the branch head wholesale (files, schema, checks, generated
+    *    columns). Any sequence of branch ops publishes this way.
+    *  - Main moved since the fork → the publish is replayable only if
+    *    the branch did nothing but APPEND (its new files are valid
+    *    against any head); the append-shaped commit rebases onto the
+    *    current head with an idempotency txn, so a crashed-and-retried
+    *    publish cannot double-append. A branch that ran transforms
+    *    (merge/delete/compact) against a moved main aborts with
+    *    [[ConcurrentCommitException]] — same lost-update contract as
+    *    [[commitExclusive]].
+    *
+    * Branches with outstanding deletion vectors must compact first (the
+    * same resurrect-guard every CoW verb has). Returns the new main
+    * version.
+    */
+  def publishBranch(s: SparkSession, root: String, name: String): Int = {
+    val b = branchRoot(root, name)
+    val bHead = load(b, latestVersion(b))
+    require(bHead.dvs.isEmpty,
+      s"publish of branch '$name' with outstanding merge-on-read " +
+        "deletes would lose them in the re-link — compact() the branch " +
+        "first to materialize them")
+    val fork = forkVersion(b)
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize
+    val bAbs = Paths.get(b).toAbsolutePath.normalize
+    val (fresh, shared) = bHead.files.partition { f =>
+      bAbs.resolve(f.path).normalize.startsWith(bAbs)
+    }
+    val sharedMapped = shared.map { f =>
+      f.copy(path = rootAbs.relativize(
+        bAbs.resolve(f.path).normalize).toString)
+    }
+    val freshMapped = fresh.map { f =>
+      val src = bAbs.resolve(f.path).normalize
+      val dst = rootAbs.resolve(bAbs.relativize(src))
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      f.copy(path = rootAbs.relativize(dst).toString)
+    }
+    val head = load(root, latestVersion(root))
+    if (head.version == fork)
+      commitExclusive(root, head, sharedMapped ++ freshMapped, "publish",
+        bHead.schemaJson, statsCol = bHead.statsCol, spec = bHead.spec,
+        checks = bHead.checks, gen = bHead.gen)
+    else {
+      val transforms = versions(b).map(v => load(b, v).op)
+        .filterNot(op => op == "clone" || op == "append").distinct
+      if (transforms.nonEmpty) throw new ConcurrentCommitException(
+        s"branch '$name' ran [${transforms.mkString(", ")}] against " +
+          s"fork v$fork but main is at v${head.version} — those " +
+          "rewrites are stale against the moved head; re-branch from " +
+          "the current head and re-run the transforms")
+      validateEvolution(head.schemaJson, schemaOf(bHead.schemaJson))
+      commitAppend(root, head, freshMapped, schemaOf(bHead.schemaJson),
+        txn = Some(s"publish:$name:${bHead.version}"))
+    }
+  }
+
+  /** Create an immutable TAG naming `version` (default: current head).
+    * The create is a link(2) exclusive claim — tags cannot be re-pointed,
+    * only dropped and re-created, so an audit trail pinned to a tag
+    * cannot silently drift. Returns the tagged version.
+    */
+  def createTag(root: String, name: String, version: Int = -1): Int = {
+    validateRefName(name)
+    val v = if (version > 0) version else latestVersion(root)
+    load(root, v) // fail fast on a dangling tag
+    val dir = Paths.get(root, "_log", "refs")
+    Files.createDirectories(dir)
+    if (!linkExclusive(dir, dir.resolve(s"$name.json"),
+        s"""{"tag":"$name","version":$v}"""))
+      throw new ConcurrentCommitException(
+        s"tag '$name' already exists — tags are immutable; drop it first")
+    v
+  }
+
+  def tagVersion(root: String, name: String): Int = {
+    validateRefName(name)
+    val p = Paths.get(root, "_log", "refs", s"$name.json")
+    require(Files.exists(p), s"no such tag '$name'")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+  }
+
+  /** Read the table exactly as pinned by a tag. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readVersion(s, root, tagVersion(root, name))
+
+  def tags(root: String): Seq[(String, Int)] = {
+    val dir = Paths.get(root, "_log", "refs")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir).map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") => n.dropRight(5) }
+      .sorted.map(n => n -> tagVersion(root, n))
+  }
+
+  def dropTag(root: String, name: String): Unit = {
+    validateRefName(name)
+    Files.deleteIfExists(Paths.get(root, "_log", "refs", s"$name.json"))
+    ()
+  }
+
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
     * Only files that contain a matching row are rewritten (without the
     * matches); untouched files are carried forward. Cost is proportional
@@ -947,14 +1121,33 @@ object SnapTable {
     * is in snapshots, not mtimes.
     */
   def vacuum(root: String, retainVersions: Int = 1): Int = {
-    val keep = versions(root).takeRight(retainVersions)
+    // TAGGED versions are pinned: their manifests and files survive any
+    // retention window (drop the tag to release them) — without this a
+    // vacuum would silently break every audit pinned to a tag
+    val tagged = tags(root).map(_._2).toSet
+    val keep =
+      (versions(root).takeRight(retainVersions) ++ tagged).distinct.sorted
+    // files under OUR data dir that a live BRANCH still references are
+    // live too: branches fork zero-copy, so their manifests point into
+    // main's data dir until the shared files are rewritten branch-side
+    val branchShared: Set[String] = branches(root).flatMap { name =>
+      val b = branchRoot(root, name)
+      val bAbs = Paths.get(b).toAbsolutePath.normalize
+      val rootAbs = Paths.get(root).toAbsolutePath.normalize
+      versions(b).flatMap(v => load(b, v).files).flatMap { f =>
+        val abs = bAbs.resolve(f.path).normalize
+        if (abs.startsWith(bAbs)) None
+        else Some(rootAbs.relativize(abs).toString)
+      }
+    }.toSet
     val live: Set[String] =
-      keep.flatMap(v => load(root, v).files.map(_.path)).toSet
+      keep.flatMap(v => load(root, v).files.map(_.path)).toSet ++
+        branchShared
     // deletion-vector DIRS referenced by a retained manifest are live as
     // units (their parquet part files are positions, not table rows)
     val liveDvDirs: Set[String] =
       keep.flatMap(v => load(root, v).dvs).toSet
-    versions(root).dropRight(retainVersions).foreach(v =>
+    versions(root).filterNot(keep.contains).foreach(v =>
       Files.delete(manifestPath(root, v)))
     val dataRoot = Paths.get(root, "data")
     var removed = 0
