@@ -1264,6 +1264,98 @@ object TableOps extends QueryModule {
           "(SELECT CAST(count(*) AS BIGINT) FROM orders " +
           "WHERE o_orderkey % 3 = 0) AS n_tag_baseline " +
           "FROM pub")
+    ),
+    Q(
+      "table_stream_upsert",
+      // STREAMING UPSERT sink, exactly-once: snapstream tails the
+      // upstream commit log and foreachBatch lands each batch through
+      // mergeOnce keyed by batchId — the merge-verb twin of the
+      // appendOnce pipeline. A redelivered batch is a no-op txn hit; a
+      // later commit carrying revised rows UPDATES the downstream keys
+      // instead of duplicating them. This is the CDC-consumer shape: a
+      // 100 TB dimension table maintained by key from a change feed,
+      // each hop costing O(batch) + O(files holding matched keys).
+      (s, dir) => {
+        val up = graft.Tmp.dir("graft_ups_up")
+        val down = graft.Tmp.dir("graft_ups_down")
+        val ckpt = graft.Tmp.dir("graft_ups_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        def hop(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(up)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                id: Long) =>
+              SnapTable.mergeOnce(s, down, b, "o_orderkey", None,
+                txnId = s"ups-$id")
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        SnapTable.create(s, up,
+          orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+        SnapTable.append(s, up,
+          orders.filter(col("o_orderkey") % 2 === 1))
+        SnapTable.createEmpty(down, orders.schema, "o_orderkey")
+        hop() // snapshot batch: both commits, all inserts
+        // upstream revision: every %7==0 order re-priced — the hop must
+        // UPDATE those keys downstream, not append duplicates
+        SnapTable.append(s, up,
+          orders.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        hop() // incremental batch: only the revision's files
+        SnapTable.read(s, down)
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("o_totalprice") * 100).cast("long")) / 100)
+              .as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "WITH ups AS (SELECT o_custkey, CASE WHEN o_orderkey % 7 = 0 " +
+          "THEN o_totalprice * 2 ELSE o_totalprice END AS p " +
+          "FROM orders) " +
+          "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
+          "FROM ups GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_sql_ddl_evolve",
+      // ALTER TABLE ADD COLUMN through the catalog: a metadata-only
+      // commit widens the snapshot schema; rows written before it
+      // null-fill the new column on read (no rewrite of any byte), rows
+      // after it carry real values — the SQL face of additive schema
+      // evolution. Aggregates over the mixed table prove both eras read
+      // under one schema.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("text")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t (doc_id BIGINT, lang STRING)")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT doc_id, lang FROM $v WHERE doc_id % 2 = 0")
+        s.sql(s"ALTER TABLE snap.main.$t ADD COLUMN n_chars BIGINT")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT doc_id, lang, CAST(length(text) AS BIGINT) " +
+          s"FROM $v WHERE doc_id % 2 = 1")
+        s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          s"CAST(count(n_chars) AS BIGINT) AS n_evolved, " +
+          s"CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars " +
+          s"FROM snap.main.$t GROUP BY lang ORDER BY lang")
+      },
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) " +
+          "AS n_evolved, " +
+          "CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 " +
+          "THEN length(text) END), 0) AS BIGINT) AS sum_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang")
     )
   )
 }

@@ -151,11 +151,29 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     new SnapV2Table(ident, dir, 1)
   }
 
+  /** `ALTER TABLE … ADD COLUMN` — the SQL face of the format's additive
+    * schema evolution: one metadata commit, old files null-fill on read.
+    * Everything non-additive (drop/rename/retype) is rejected, matching
+    * the append-side evolution contract.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use SnapTable.append (additive schema evolution) or " +
-        "SnapTable.evolvePartition")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "ADD COLUMN must be nullable: existing files null-fill it")
+        SnapTable.addColumn(dir, add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: only additive " +
+          "ADD COLUMN is supported (drop/rename/retype would break " +
+          "existing files' read schema)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(tableDir(ident))

@@ -261,7 +261,7 @@ object SnapTable {
     * matched key are rewritten; all others are carried forward.
     */
   def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
-      deleteCol: Option[String] = None): Int = {
+      deleteCol: Option[String] = None, txn: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
     require(parent.dvs.isEmpty,
       "merge on a table with outstanding merge-on-read deletes would " +
@@ -282,7 +282,8 @@ object SnapTable {
         if (incoming.isEmpty) Seq.empty
         else writeData(s, root, clusterBySpec(incoming, parent.spec),
           parent.statsCol, parent.bucket)
-      return commitExclusive(root, parent, fresh, "merge", parent.schemaJson)
+      return commitExclusive(root, parent, fresh, "merge",
+        parent.schemaJson, txn = txn)
     }
     val keys = updates.select(key).distinct()
     val withFile = readFiles(s, root, parent.files, parent.schemaJson)
@@ -309,8 +310,25 @@ object SnapTable {
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
         parent.statsCol, parent.bucket)
     commitExclusive(root, parent, carried ++ fresh, "merge",
-      parent.schemaJson)
+      parent.schemaJson, txn = txn)
   }
+
+  /** Idempotent MERGE for at-least-once upsert producers — `appendOnce`'s
+    * contract for the merge verb: a redelivery of the same `txnId` is a
+    * no-op returning the version that already holds it. A streaming
+    * foreachBatch keyed by (appId, batchId) gets exactly-once UPSERT
+    * table contents even when the sink retries a batch. (Duplicates are
+    * sequential retries of one sink, not concurrent — a merge that
+    * instead loses its slot to an UNRELATED writer still aborts with
+    * [[ConcurrentCommitException]] and the retry re-merges against the
+    * new head, which is the correct re-computation.)
+    */
+  def mergeOnce(s: SparkSession, root: String, updates: DataFrame,
+      key: String, deleteCol: Option[String], txnId: String): Int =
+    findTxn(root, txnId) match {
+      case Some(v) => v // duplicate delivery: already merged
+      case None => merge(s, root, updates, key, deleteCol, Some(txnId))
+    }
 
   /** Idempotent append for at-least-once producers (the Delta `txn`
     * action): the commit carries `txnId`, and a redelivery of the same
@@ -383,6 +401,24 @@ object SnapTable {
     * Metadata-only commit; every later append/merge validates its
     * incoming batch against the check at O(batch) cost.
     */
+  /** ALTER TABLE ADD COLUMN: a metadata-only commit extending the
+    * snapshot schema — existing files null-fill the new column on read
+    * (which is why it must be nullable), exactly the additive evolution
+    * an append with a wider schema performs, but without needing a
+    * write to carry it.
+    */
+  def addColumn(root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    require(!schema.fieldNames.contains(name),
+      s"column '$name' already exists")
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    commitExclusive(root, parent, parent.files, "add-column", widened.json)
+  }
+
   def addCheck(s: SparkSession, root: String, name: String,
       sqlExpr: String): Int = {
     val parent = load(root, latestVersion(root))
@@ -1405,14 +1441,15 @@ object SnapTable {
       statsCol: String = null, spec: Seq[String] = null,
       dvs: Seq[String] = null,
       checks: Map[String, String] = null,
-      gen: Map[String, String] = null): Int = {
+      gen: Map[String, String] = null,
+      txn: Option[String] = None): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
     val ck = Option(checks).getOrElse(parent.checks)
     val gn = Option(gen).getOrElse(parent.gen)
     val v = parent.version + 1
-    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, None, sp, dv,
+    if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = parent.bucket, gen = gn)))
       v
     else throw new ConcurrentCommitException(

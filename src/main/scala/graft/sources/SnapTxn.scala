@@ -89,6 +89,28 @@ object SnapTxn {
     publish(txroot, base, prepared, note)
   }
 
+  /** Bring an EXISTING SnapTable under transactional management after
+    * init — the tx log gains a pin at the table's current head in its
+    * own tx record, so every earlier tx version is honest about not
+    * covering it (readAt before the registration refuses the table).
+    * A lost slot rebases onto the winner's pins and retries; two racing
+    * registrations of the same table resolve to one winner (the loser
+    * sees the pin appear and aborts).
+    */
+  def register(txroot: String, table: String): Int = {
+    var h = head(txroot)
+    while (true) {
+      require(!h.pins.contains(table),
+        s"table '$table' is already tx-managed")
+      val v = SnapTable.latestVersion(s"$txroot/$table")
+      if (tryLink(txroot, TxRecord(h.version + 1, s"register:$table",
+          h.pins + (table -> v))))
+        return h.version + 1
+      h = head(txroot)
+    }
+    -1 // unreachable
+  }
+
   /** PUBLISH: link the tx record pinning `prepared` on top of `base`.
     * Lost slot → re-read the head; abort iff it moved a pin this tx
     * wrote, else retry carrying the winner's pins for other tables.

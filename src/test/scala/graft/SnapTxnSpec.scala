@@ -120,6 +120,29 @@ class SnapTxnSpec extends AnyFunSuite {
     assert(ks(txroot, "a") == (0L until 20L).toSet) // log still readable
   }
 
+  test("register brings a late table under tx management; earlier tx " +
+      "versions refuse it") {
+    val txroot = setup()
+    SnapTable.create(spark, s"$txroot/c", df(0 until 5, "c1"), "k")
+    val tx = SnapTxn.register(txroot, "c")
+    assert(tx == 2)
+    intercept[IllegalArgumentException] {
+      SnapTxn.register(txroot, "c") // already managed
+    }
+    // cross-table commit including the late table is atomic
+    SnapTxn.commit(spark, txroot, Seq(
+      "a" -> df(10 until 20, "a2"), "c" -> df(5 until 10, "c2")))
+    assert(ks(txroot, "c") == (0L until 10L).toSet)
+    assert(ks(txroot, "a") == (0L until 20L).toSet)
+    // tx 1 predates the registration: honest refusal, not empty data
+    intercept[IllegalArgumentException] {
+      SnapTxn.readAt(spark, txroot, "c", 1)
+    }
+    // direct writes to c between registration and commit are orphans
+    // relative to the pins, exactly like any non-tx write
+    assert(SnapTxn.readAt(spark, txroot, "c", 2).count() == 5)
+  }
+
   test("history lists one row per (tx, table) pin") {
     val txroot = setup()
     SnapTxn.commit(spark, txroot, Seq("a" -> df(10 until 20, "a2")))

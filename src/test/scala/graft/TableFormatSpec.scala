@@ -686,4 +686,40 @@ class TableFormatSpec extends AnyFunSuite {
         "CAST(7 AS BIGINT) AS dbl"))
     assert(SnapTable.read(spark, root).count() == 23)
   }
+
+  test("mergeOnce dedups a redelivered batch; distinct txns both land") {
+    val root = freshTable()
+    val n0 = SnapTable.read(spark, root).count()
+    val upd = SnapTable.read(spark, root).limit(40)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val v = SnapTable.mergeOnce(spark, root, upd, "o_orderkey", None,
+      txnId = "batch-7")
+    // redelivery: same txn, no new version, no double-application
+    assert(SnapTable.mergeOnce(spark, root, upd, "o_orderkey", None,
+      txnId = "batch-7") == v)
+    assert(SnapTable.latestVersion(root) == v)
+    assert(SnapTable.read(spark, root).count() == n0)
+    // a different txn is a real merge
+    val v2 = SnapTable.mergeOnce(spark, root, upd, "o_orderkey", None,
+      txnId = "batch-8")
+    assert(v2 == v + 1)
+    assert(SnapTable.read(spark, root).count() == n0)
+  }
+
+  test("addColumn is a metadata-only commit; old files null-fill") {
+    val root = freshTable()
+    val filesBefore = SnapTable.load(root, SnapTable.latestVersion(root))
+      .files
+    val v = SnapTable.addColumn(root, "note",
+      org.apache.spark.sql.types.StringType)
+    val head = SnapTable.load(root, v)
+    assert(head.files == filesBefore) // no data rewritten or added
+    val df = SnapTable.read(spark, root)
+    assert(df.columns.contains("note"))
+    assert(df.filter(col("note").isNotNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      SnapTable.addColumn(root, "note",
+        org.apache.spark.sql.types.StringType)
+    }
+  }
 }
