@@ -1356,6 +1356,39 @@ object TableOps extends QueryModule {
           "CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 " +
           "THEN length(text) END), 0) AS BIGINT) AS sum_chars " +
           "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "table_point_index",
+      // BLOOM-INDEX point lookups: the table is range-clustered on
+      // l_orderkey, so every file's [min,max] for l_partkey spans the
+      // whole domain — range stats prune NOTHING for a partkey probe.
+      // The per-file bloom sidecar (addBloomIndex) skips the files that
+      // provably lack the key; at 100 TB that's the difference between
+      // a needle lookup reading ~1 file and scanning the table.
+      // TableFormatSpec pins the actual file-skip counts; the oracle
+      // checks the lookups return exactly the right rows.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_bloomix")
+        val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        SnapTable.create(s, root,
+          li.repartitionByRange(8, col("l_orderkey")), "l_orderkey")
+        SnapTable.addBloomIndex(s, root, "l_partkey")
+        Seq(1L, 2L, 3L)
+          .map(p => SnapTable.readPoint(s, root, "l_partkey", p)._1)
+          .reduce(_ unionByName _)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity"), 2).as("qty"),
+            dsum(col("l_extendedprice"), 2).as("revenue"))
+          .orderBy("l_partkey")
+      },
+      Some(
+        "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("l_quantity", 2) + " AS qty, " +
+          dsumSql("l_extendedprice", 2) + " AS revenue " +
+          "FROM lineitem WHERE l_partkey IN (1, 2, 3) " +
+          "GROUP BY l_partkey ORDER BY l_partkey")
     )
   )
 }

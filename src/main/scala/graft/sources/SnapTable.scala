@@ -118,13 +118,21 @@ object SnapTable {
     * with NO shuffle on either side (storage-partitioned joins). Bucket
     * and range `spec` layouts are mutually exclusive.
     */
+  /** `blooms` are BLOOM-INDEX sidecar dirs (parquet of
+    * (file, column, m, bits)): per-file bloom filters over a declared
+    * column, consulted by [[readPoint]] to skip files for equality
+    * lookups where range stats can't prune (uncorrelated / hashed
+    * keys). Files without a bloom entry are always read — the index is
+    * an optimization, never a correctness gate.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
       spec: Seq[String] = Seq.empty, dvs: Seq[String] = Seq.empty,
       checks: Map[String, String] = Map.empty, ts: Long = 0L,
       bucket: Option[(String, Int)] = None,
-      gen: Map[String, String] = Map.empty)
+      gen: Map[String, String] = Map.empty,
+      blooms: Seq[String] = Seq.empty)
 
   /** The synthetic stats column carrying a file's bucket id. */
   val BucketStatsCol = "_gfb"
@@ -1033,6 +1041,119 @@ object SnapTable {
     readRange(s, root, snap.statsCol, lo, hi)
   }
 
+  // --------------------------------------------------------- bloom index
+
+  /** k bit positions for a 64-bit hash via Kirsch-Mitzenmacher double
+    * hashing (`h1 + i*h2 mod m`) — the standard way to get k independent
+    * probes from one hash. Pinned here once; build and probe both call
+    * it, so they can never disagree.
+    */
+  private def bloomPositions(h: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = (h & 0xffffffffL).toInt
+    val h2 = (h >>> 32).toInt
+    Array.tabulate(k)(i => math.floorMod(h1 + i * h2, m))
+  }
+
+  private def bloomSet(bits: Array[Byte], pos: Array[Int]): Unit =
+    pos.foreach(p => bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte)
+
+  private def bloomHas(bits: Array[Byte], pos: Array[Int]): Boolean =
+    pos.forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** Distributed per-group bloom build: constant-size state (the m-bit
+    * set), one pass, map-side partials — the aggregation shape that
+    * scales to a billion rows per file.
+    */
+  private class BloomAgg(mBits: Int, k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      bloomSet(b, bloomPositions(h, mBits, k)); b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Build a per-file BLOOM INDEX over `column` (any hashable type) and
+    * commit it as a parquet SIDECAR (Iceberg's puffin-file idea): rows
+    * `(file, col, m, k, bits)`, one per data file. Pruning for equality
+    * lookups on columns whose values are UNCORRELATED with the file
+    * layout — where per-file [min,max] spans the whole domain and range
+    * stats can't skip anything. Sized from the largest file's row count
+    * for ~`fpp` false positives; the index is data-derived, so a commit
+    * racing it loses nothing (abort + re-run, like any transform).
+    * Appends after the build lack entries and are always read; re-run
+    * `addBloomIndex` to refresh.
+    */
+  def addBloomIndex(s: SparkSession, root: String, column: String,
+      fpp: Double = 0.01): Int = {
+    val parent = load(root, latestVersion(root))
+    require(parent.files.nonEmpty, "bloom index over an empty table")
+    val n = parent.files.map(_.rows).max.toDouble
+    val ln2sq = math.log(2) * math.log(2)
+    val mRaw = math.ceil(n * math.log(1 / fpp) / ln2sq).toLong
+    // byte-aligned, bounded: 1 KiB floor (tiny files), 4 MiB ceiling
+    val mBits = math.min(math.max(mRaw, 8L << 10), 8L << 22).toInt / 8 * 8
+    val k = math.max(1, math.round(mBits / n * math.log(2)).toInt)
+    val agg = udaf(new BloomAgg(mBits, k))
+    val dirName = "data/bx-" + java.util.UUID.randomUUID().toString.take(8)
+    readFiles(s, root, parent.files, parent.schemaJson)
+      .withColumn("_gf_bf", relPathCol(root))
+      .groupBy(col("_gf_bf").as("file"))
+      .agg(agg(xxhash64(col(column))).as("bits"))
+      .select(col("file"), lit(column).as("col"), lit(mBits).as("m"),
+        lit(k).as("k"), col("bits"))
+      // one row per FILE; written at the aggregation's own parallelism —
+      // a wide table's index (100k files × MB-scale bitsets) must not
+      // funnel through one task
+      .write.parquet(s"$root/$dirName")
+    commitExclusive(root, parent, parent.files, "bloom-index",
+      parent.schemaJson, blooms = parent.blooms :+ dirName)
+  }
+
+  /** Equality point lookup through every pruning layer the snapshot has:
+    * manifest range stats first, then the bloom sidecars. The bloom
+    * check runs WHERE THE INDEX LIVES (executors) and only surviving
+    * file names return to the driver — the collect is bounded by the
+    * match count, never the table. Files without an index entry are
+    * read unconditionally. Returns (frame, filesRead, filesTotal).
+    */
+  def readPoint(s: SparkSession, root: String, column: String,
+      value: Long): (DataFrame, Int, Int) = {
+    val snap = load(root, latestVersion(root))
+    // layer 1: range stats (free; exact on the clustered column)
+    val statsHit = snap.files.filter(_.stats.get(column)
+      .forall { case (mn, mx) => mx >= value && mn <= value })
+    val hit =
+      if (snap.blooms.isEmpty) statsHit
+      else {
+        // layer 2: bloom — hash once with the SAME function as the build
+        // (spark's xxhash64 of the column type), probe distributed
+        val h = s.range(1)
+          .select(xxhash64(lit(value))).head().getLong(0)
+        val might = udf((bits: Array[Byte], m: Int, k: Int) =>
+          bloomHas(bits, bloomPositions(h, m, k)))
+        val indexed = s.read.parquet(snap.blooms.map(p => s"$root/$p"): _*)
+          .filter(col("col") === column)
+        val maybe = indexed.filter(might(col("bits"), col("m"), col("k")))
+          .select("file").collect().map(_.getString(0)).toSet
+        val covered = indexed.select("file").collect()
+          .map(_.getString(0)).toSet
+        statsHit.filter(f => maybe.contains(f.path) ||
+          !covered.contains(f.path))
+      }
+    val df = readSnapshot(s, root, snap.copy(files = hit))
+      .filter(col(column) === value)
+    (df, hit.size, snap.files.size)
+  }
+
   /** Signed CDC delta for incremental view maintenance: every row of
     * every ADDED file with `_sign = +1`, every row of every REMOVED file
     * with `_sign = -1`. Rows a rewrite merely copied cancel out under any
@@ -1179,10 +1300,13 @@ object SnapTable {
     val live: Set[String] =
       keep.flatMap(v => load(root, v).files.map(_.path)).toSet ++
         branchShared
-    // deletion-vector DIRS referenced by a retained manifest are live as
-    // units (their parquet part files are positions, not table rows)
+    // deletion-vector and bloom-sidecar DIRS referenced by a retained
+    // manifest are live as units (their parquet part files are
+    // positions/index rows, not table rows)
     val liveDvDirs: Set[String] =
-      keep.flatMap(v => load(root, v).dvs).toSet
+      keep.flatMap { v =>
+        val sn = load(root, v); sn.dvs ++ sn.blooms
+      }.toSet
     versions(root).filterNot(keep.contains).foreach(v =>
       Files.delete(manifestPath(root, v)))
     val dataRoot = Paths.get(root, "data")
@@ -1191,9 +1315,10 @@ object SnapTable {
       listDir(dataRoot).foreach { commitDir =>
         val relDir = Paths.get(root).relativize(commitDir).toString
         if (liveDvDirs.contains(relDir)) ()
-        else if (commitDir.getFileName.toString.startsWith("dv-")) {
-          // an unreferenced deletion vector (compacted away or vacuumed
-          // past): reclaim it whole
+        else if (commitDir.getFileName.toString.startsWith("dv-") ||
+            commitDir.getFileName.toString.startsWith("bx-")) {
+          // an unreferenced deletion vector or bloom sidecar (compacted
+          // away or vacuumed past): reclaim it whole
           val n = listDir(commitDir)
             .count(_.getFileName.toString.endsWith(".parquet"))
           deleteRecursively(commitDir)
@@ -1422,7 +1547,8 @@ object SnapTable {
       }
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
-        head.dvs, head.checks, bucket = head.bucket, gen = head.gen))
+        head.dvs, head.checks, bucket = head.bucket, gen = head.gen,
+        blooms = head.blooms))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -1442,15 +1568,17 @@ object SnapTable {
       dvs: Seq[String] = null,
       checks: Map[String, String] = null,
       gen: Map[String, String] = null,
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None,
+      blooms: Seq[String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
     val ck = Option(checks).getOrElse(parent.checks)
     val gn = Option(gen).getOrElse(parent.gen)
+    val bl = Option(blooms).getOrElse(parent.blooms)
     val v = parent.version + 1
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
-        ck, bucket = parent.bucket, gen = gn)))
+        ck, bucket = parent.bucket, gen = gn, blooms = bl)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -1538,7 +1666,9 @@ object SnapTable {
         (b.get(0).asText(), b.get(1).asInt())),
       Option(node.get("generated")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      Option(node.get("blooms")).map(_.elements().asScala.map(_.asText())
+        .toSeq).getOrElse(Seq.empty))
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -1574,12 +1704,16 @@ object SnapTable {
           s"${m.writeValueAsString(n)}:${m.writeValueAsString(e)}"
         }.mkString(""","generated":{""", ",", "}")
       }
+    val blooms =
+      if (snap.blooms.isEmpty) ""
+      else snap.blooms.map(p => s""""$p"""")
+        .mkString(""","blooms":[""", ",", "]")
     // commit ts is stamped at serialization: each link attempt (retries
     // included) carries the wall-clock of the attempt that actually won
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
       s""""ts":${System.currentTimeMillis()},""" +
-      s""""files":$files$txn$spec$dvs$checks$bucket$gen}"""
+      s""""files":$files$txn$spec$dvs$checks$bucket$gen$blooms}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -706,6 +706,36 @@ class TableFormatSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == n0)
   }
 
+  test("bloom index skips files for point lookups; unindexed appends " +
+      "are always read") {
+    val root = Tmp.dir("bloom_spec")
+    // clustered on k; v is uncorrelated with the layout, so every
+    // file's v-range spans the domain and range stats prune nothing
+    val base = spark.range(0, 10000)
+      .selectExpr("id AS k", "(id * 2654435761) % 10000 AS v")
+    SnapTable.create(spark, root,
+      base.repartitionByRange(8, col("k")), "k")
+    SnapTable.addBloomIndex(spark, root, "v")
+    val probe = 4321L
+    val expect = base.filter(col("v") === probe).count()
+    val (df, read, total) = SnapTable.readPoint(spark, root, "v", probe)
+    assert(df.count() == expect)
+    assert(expect > 0)
+    assert(read < total, s"bloom pruned nothing: $read of $total")
+    // rows appended AFTER the index was built have no bloom entry —
+    // they are read unconditionally, so lookups stay correct
+    SnapTable.append(spark, root,
+      spark.range(0, 5).selectExpr("id + 50000 AS k",
+        "CAST(77777 AS BIGINT) AS v"))
+    val (df2, _, _) = SnapTable.readPoint(spark, root, "v", 77777L)
+    assert(df2.count() == 5)
+    // vacuum keeps the referenced sidecar; the index still prunes
+    SnapTable.vacuum(root, retainVersions = 1)
+    val (df3, read3, total3) = SnapTable.readPoint(spark, root, "v", probe)
+    assert(df3.count() == expect)
+    assert(read3 < total3)
+  }
+
   test("addColumn is a metadata-only commit; old files null-fill") {
     val root = freshTable()
     val filesBefore = SnapTable.load(root, SnapTable.latestVersion(root))
