@@ -1389,6 +1389,34 @@ object TableOps extends QueryModule {
           dsumSql("l_extendedprice", 2) + " AS revenue " +
           "FROM lineitem WHERE l_partkey IN (1, 2, 3) " +
           "GROUP BY l_partkey ORDER BY l_partkey")
+    ),
+    Q(
+      "table_string_prune",
+      // STRING manifest stats: a lang-partitioned table records per-file
+      // [min,max] STRING bounds (short-ASCII guard), so `lang = 'en'`
+      // prunes whole files from the DRIVER exactly like numeric ranges —
+      // the category-predicate skip every curation query over a
+      // 100 TB multilingual corpus leans on. SnapCatalogSpec pins the
+      // actual file-skip counts; the oracle checks the filtered result.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("source"), col("n_chars")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t (doc_id BIGINT, lang STRING, " +
+          "source STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(s"SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(n_chars) AS BIGINT) AS chars " +
+          s"FROM snap.main.$t WHERE lang = 'en' " +
+          s"GROUP BY source ORDER BY source")
+      },
+      Some(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(n_chars) AS BIGINT) AS chars " +
+          "FROM documents WHERE lang = 'en' " +
+          "GROUP BY source ORDER BY source")
     )
   )
 }

@@ -400,6 +400,11 @@ private[graft] class SnapScanBuilder(root: String,
 
   private var required: StructType = full
   private var bounds: Map[String, (Long, Long)] = Map.empty
+  // string bounds: None = unbounded on that side. Only consulted
+  // against files that RECORDED sstats for the column (short-ASCII
+  // guard at write time keeps orderings consistent).
+  private var sBounds: Map[String, (Option[String], Option[String])] =
+    Map.empty
   private var raw: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -424,11 +429,33 @@ private[graft] class SnapScanBuilder(root: String,
       case LessThan(c, v: Int) => narrow(c, Long.MinValue, v - 1L)
       case LessThanOrEqual(c, v: Long) => narrow(c, Long.MinValue, v)
       case LessThanOrEqual(c, v: Int) => narrow(c, Long.MinValue, v.toLong)
+      // string predicates narrow CLOSED bounds (strict variants keep
+      // the closed bound — conservative, the residual filter is exact);
+      // a prefix match is the range [prefix, prefix + maxChar...]
+      case EqualTo(c, v: String) => narrowS(c, Some(v), Some(v))
+      case GreaterThan(c, v: String) => narrowS(c, Some(v), None)
+      case GreaterThanOrEqual(c, v: String) => narrowS(c, Some(v), None)
+      case LessThan(c, v: String) => narrowS(c, None, Some(v))
+      case LessThanOrEqual(c, v: String) => narrowS(c, None, Some(v))
+      case StringStartsWith(c, v) if v.nonEmpty =>
+        // upper bound only correct for data without U+FFFF — which is
+        // guaranteed: sstats are recorded only for ASCII bounds, so a
+        // file holding U+FFFF strings has no entry and is always read
+        narrowS(c, Some(v), Some(v + "￿"))
       case _ => () // unsupported shapes simply don't prune
     }
     def narrow(c: String, lo: Long, hi: Long): Unit = {
       val (a, b) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
       bounds += c -> (math.max(a, lo), math.min(b, hi))
+    }
+    def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (a, b) = sBounds.getOrElse(c,
+        (None: Option[String], None: Option[String]))
+      def maxO(x: Option[String], y: Option[String]) = (x ++ y)
+        .reduceOption((p, q) => if (p >= q) p else q)
+      def minO(x: Option[String], y: Option[String]) = (x ++ y)
+        .reduceOption((p, q) => if (p <= q) p else q)
+      sBounds += c -> (maxO(a, lo), minO(b, hi))
     }
     filters.foreach(walk)
     raw = filters // native scan forwards them for parquet row-group pruning
@@ -438,9 +465,16 @@ private[graft] class SnapScanBuilder(root: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
-    val hit = snap.files.filter(f => bounds.forall { case (c, (lo, hi)) =>
-      f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    })
+    val hit = snap.files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } &&
+      sBounds.forall { case (c, (lo, hi)) =>
+        f.sstats.get(c).forall { case (mn, mx) =>
+          lo.forall(mx >= _) && hi.forall(mn <= _)
+        }
+      }
+    }
     // bucket-layout tables read through the NATIVE batch scan so the
     // planner sees their KeyGroupedPartitioning (storage-partitioned
     // joins); outstanding DVs drop to the V1 bridge, whose read path

@@ -78,9 +78,18 @@ object SnapTable {
     * (Delta/Iceberg collect per-column stats the same way) — any stats'd
     * column can drive file skipping, which is what makes Z-order layouts
     * pay off on BOTH clustered dimensions.
+    *
+    * `sstats` are STRING column [min,max] bounds, recorded only when the
+    * footer values are ASCII and ≤ 64 chars (ASCII keeps parquet's
+    * unsigned-byte ordering identical to String.compareTo; the length
+    * cap keeps manifests metadata-sized — an absent entry just means
+    * "cannot prune this file on this column", never a wrong skip).
+    * They make `lang = 'en'` / category-equality predicates prune files
+    * exactly like numeric ranges do.
     */
   final case class FileEntry(path: String, rows: Long,
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)],
+      sstats: Map[String, (String, String)] = Map.empty)
 
   /** `schemaJson` is the table schema AS OF this snapshot (StructType
     * JSON). Schema lives in the log, not in data-file footers: a read
@@ -1480,9 +1489,28 @@ object SnapTable {
               cs.map(_.getStatistics.genericGetMax
                 .asInstanceOf[java.lang.Long].longValue()).max)
           }
+        // STRING bounds: short-ASCII-only (see FileEntry scaladoc); a
+        // column whose bounds fail the guard is simply not recorded
+        def ok(v: String) = v.length <= 64 && v.forall(_ < 128)
+        val perStr = blocks.flatMap(_.getColumns.asScala)
+          .filter { c =>
+            c.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.BINARY &&
+            c.getPrimitiveType.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation
+                .stringType() &&
+            c.getStatistics != null && c.getStatistics.hasNonNullValue
+          }
+          .groupBy(_.getPath.toDotString)
+          .flatMap { case (name, cs) =>
+            val mn = cs.map(_.getStatistics.minAsString).min
+            val mx = cs.map(_.getStatistics.maxAsString).max
+            if (ok(mn) && ok(mx)) Some(name -> (mn, mx)) else None
+          }
         Some(FileEntry(
           Paths.get(root).toAbsolutePath.relativize(p).toString,
-          rows, perCol))
+          rows, perCol, perStr))
       }
     } finally reader.close()
   }
@@ -1647,7 +1675,13 @@ object SnapTable {
         val stats = st.properties().asScala.map { e =>
           e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
         }.toMap
-        FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats)
+        val sstats = Option(f.get("sstats")).map(_.properties().asScala
+          .map { e =>
+            e.getKey -> (e.getValue.get(0).asText(),
+              e.getValue.get(1).asText())
+          }.toMap).getOrElse(Map.empty[String, (String, String)])
+        FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
+          sstats)
       }.toSeq,
       Option(node.get("txn")).map(_.asText()),
       // absent in pre-evolution manifests → unpartitioned
@@ -1672,11 +1706,19 @@ object SnapTable {
   }
 
   // paths are uuid-based names we generate — no JSON-escaping needed
+  // (string STATS values are data-derived and jackson-escaped)
   private def render(snap: Snapshot): String = {
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
     val files = snap.files.map { f =>
       val st = f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s""""$c":[$mn,$mx]""" }.mkString("{", ",", "}")
-      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st}"""
+      val ss =
+        if (f.sstats.isEmpty) ""
+        else f.sstats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${jm.writeValueAsString(c)}:[${jm.writeValueAsString(mn)}," +
+            s"${jm.writeValueAsString(mx)}]"
+        }.mkString(""","sstats":{""", ",", "}")
+      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss}"""
     }.mkString("[", ",", "]")
     val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
     val spec =

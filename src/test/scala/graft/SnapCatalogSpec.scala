@@ -84,6 +84,34 @@ class SnapCatalogSpec extends AnyFunSuite {
       "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
   }
 
+  test("string equality and prefix predicates prune files via sstats") {
+    val root = s"$base/db1/sprune"
+    val docs = T(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    SnapTable.create(spark, root, docs, "doc_id", spec = Seq("lang"))
+    val snap = SnapTable.load(root, 1)
+    // lang-clustered files must carry string bounds for lang
+    assert(snap.files.forall(_.sstats.contains("lang")))
+    val b = new SnapScanBuilder(root, snap,
+      spark.sql("SELECT * FROM snapt.db1.sprune").schema)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("lang", "en")))
+    val scan = b.build().asInstanceOf[SnapV1Scan]
+    assert(snap.files.size > 1)
+    assert(scan.files.size < snap.files.size,
+      s"lang-clustered files must prune (${scan.files.size}/" +
+        s"${snap.files.size})")
+    // the SQL result through the same path is exact
+    val expect = docs.filter(col("lang") === "en").count()
+    assert(spark.sql(
+      "SELECT * FROM snapt.db1.sprune WHERE lang = 'en'")
+      .count() == expect)
+    val expectGe = docs.filter(col("lang") >= "fr").count()
+    assert(spark.sql(
+      "SELECT * FROM snapt.db1.sprune WHERE lang >= 'fr'")
+      .count() == expectGe)
+  }
+
   test("column pruning reaches the scan schema") {
     val df = spark.sql("SELECT o_custkey FROM snapt.db1.prune")
     // the executed plan's base relation must carry only the one column
