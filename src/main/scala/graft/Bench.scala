@@ -32,6 +32,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       // size-targeted AQE coalescing (the production setting for big
       // inputs too): with the default parallelismFirst=true AQE refuses

@@ -20,6 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // maintenance-verb SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY) for
+    // snap catalogs; everything else delegates to Spark's parser
+    e.injectParser((_, delegate) =>
+      new graft.sources.SnapSqlParser(delegate))
     // optimizer rule: HOF dot-product idiom → native FloatVecDot
     e.injectOptimizerRule(_ => graft.plans.RewriteHofVecDot)
     e.injectFunction((

@@ -1417,6 +1417,53 @@ object TableOps extends QueryModule {
           "CAST(sum(n_chars) AS BIGINT) AS chars " +
           "FROM documents WHERE lang = 'en' " +
           "GROUP BY source ORDER BY source")
+    ),
+    Q(
+      "table_sql_maintenance",
+      // The maintenance verbs as SQL (parser extension —
+      // graft.GraftExtensions injects SnapSqlParser): DESCRIBE HISTORY,
+      // OPTIMIZE … ZORDER BY, VACUUM … RETAIN — the Delta-class
+      // statements Spark's grammar has no hook for. Content is
+      // byte-identical across OPTIMIZE and VACUUM (the oracle checks
+      // that); the version counts pin that history shrank 4 → 1.
+      // Sessions built without the extension route through the same
+      // command classes (`SnapSqlParser.runStatement`).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        def msql(q: String) =
+          try s.sql(q)
+          catch {
+            case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+              graft.sources.SnapSqlParser.runStatement(s, q)
+          }
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+              .as("o_day"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_day BIGINT, o_totalprice DOUBLE)")
+        (0 until 3).foreach(i => s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT * FROM $v WHERE o_orderkey % 3 = $i"))
+        val histBefore = msql(s"DESCRIBE HISTORY snap.main.$t").count()
+        msql(s"OPTIMIZE snap.main.$t INTO 4 FILES " +
+          "ZORDER BY (o_custkey, o_day)")
+        msql(s"VACUUM snap.main.$t RETAIN 1 VERSIONS")
+        val histAfter = msql(s"DESCRIBE HISTORY snap.main.$t").count()
+        s.sql(s"SELECT o_custkey FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("hist_before", lit(histBefore))
+          .withColumn("hist_after", lit(histAfter))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(4 AS BIGINT) AS hist_before, " +
+          "CAST(1 AS BIGINT) AS hist_after " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
     )
   )
 }

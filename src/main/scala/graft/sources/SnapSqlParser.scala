@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** SQL surface for the table format's MAINTENANCE verbs — the statements
+  * Spark's grammar has no hook for (DSv2 covers DML/DDL; OPTIMIZE /
+  * VACUUM / DESCRIBE HISTORY are format-specific, exactly why Delta
+  * ships its own parser extension). Injected via
+  * `spark.sql.extensions=graft.GraftExtensions`; everything that isn't
+  * one of the three verbs delegates untouched to Spark's parser.
+  *
+  * {{{
+  *   OPTIMIZE cat.ns.t [INTO n FILES] [ZORDER BY (c1, c2, ...)]
+  *   VACUUM cat.ns.t [RETAIN n VERSIONS]
+  *   DESCRIBE HISTORY cat.ns.t
+  * }}}
+  */
+class SnapSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    SnapSqlParser.route(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  // the trait's DEFAULT implementation ignores the parameters (compat
+  // shim) — a delegating parser must forward explicitly or every
+  // spark.sql(text, args) call loses its bindings
+  override def parsePlanWithParameters(sqlText: String,
+      params: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    SnapSqlParser.route(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, params))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object SnapSqlParser {
+  private val Ident = """((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"""
+  private val Optimize =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val Vacuum =
+    ("""(?is)^\s*VACUUM\s+""" + Ident +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+  private val History =
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(p =>
+      if (p.startsWith("`")) p.substring(1, p.length - 1) else p)
+
+  private[sources] def route(sql: String): Option[LogicalPlan] = sql match {
+    case Optimize(id, n, z) => Some(OptimizeTableCommand(parts(id),
+      Option(n).map(_.toInt),
+      Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)))
+    case Vacuum(id, n) =>
+      Some(VacuumTableCommand(parts(id),
+        Option(n).map(_.toInt).getOrElse(1)))
+    case History(id) => Some(DescribeHistoryCommand(parts(id)))
+    case _ => None
+  }
+
+  /** Run one maintenance statement through the SAME command classes the
+    * injected parser builds — for sessions created without the
+    * extension (the parser is fixed at session build time).
+    */
+  def runStatement(s: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame =
+    route(sql) match {
+      case Some(cmd: LeafRunnableCommand) =>
+        s.createDataFrame(
+          s.sparkContext.parallelize(cmd.run(s), 1),
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(cmd.output))
+      case _ => s.sql(sql)
+    }
+
+  /** Resolve `cat.ns….table` to the table's root dir; only catalogs
+    * registered as [[SnapCatalog]] qualify.
+    */
+  private[sources] def tableDir(s: SparkSession,
+      parts: Seq[String]): String = {
+    require(parts.length >= 2,
+      s"expected cat.[ns.]table, got ${parts.mkString(".")}")
+    val cat = parts.head
+    require(s.conf.getOption(s"spark.sql.catalog.$cat")
+        .contains(classOf[SnapCatalog].getName),
+      s"'$cat' is not a snap catalog")
+    (s.conf.get(s"spark.sql.catalog.$cat.root") +: parts.tail)
+      .mkString("/")
+  }
+}
+
+/** `OPTIMIZE t [INTO n FILES] [ZORDER BY (...)]` → [[SnapTable.compact]].
+  * Default target is a quarter of the current file count (small-file
+  * repair); ZORDER builds a balanced Morton interleave over the named
+  * LONG columns, 8 bits each, widths derived from the actual column
+  * ranges — so each clustered dimension prunes independently afterwards.
+  */
+case class OptimizeTableCommand(parts: Seq[String], into: Option[Int],
+    zorder: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    val before = SnapTable.load(dir, SnapTable.latestVersion(dir))
+    val target = into.getOrElse(math.max(1, before.files.size / 4))
+    val cluster =
+      if (zorder.isEmpty) None
+      else Some(OptimizeTableCommand.mortonColumn(s, dir, zorder))
+    val v = SnapTable.compact(s, dir, target, cluster)
+    val after = SnapTable.load(dir, v)
+    Seq(Row(v.toLong, before.files.size.toLong, after.files.size.toLong))
+  }
+}
+
+object OptimizeTableCommand {
+  /** Balanced 8-bit-per-dimension Morton interleave of `cols` (LONG
+    * columns), widths derived from the table's actual min/max so no
+    * dimension dominates the file splits.
+    */
+  private[sources] def mortonColumn(s: SparkSession, dir: String,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val df = SnapTable.read(s, dir)
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val range = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val lo = range.getLong(2 * i)
+      val hi = range.getLong(2 * i + 1)
+      val w = math.max(1L, (hi - lo + 255) / 256)
+      least(expr(s"(`$c` - $lo) div $w"), lit(255L))
+    }
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+    (0 until 8).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+      shiftleft(bit(b, i), i * cols.length + j)
+    }).reduce(_ + _)
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` → [[SnapTable.vacuum]]. */
+case class VacuumTableCommand(parts: Seq[String], retain: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed_files", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    Seq(Row(SnapTable.vacuum(dir, retain).toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[SnapTable.history]] rows, newest first. */
+case class DescribeHistoryCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    SnapTable.history(s, dir).orderBy(col("version").desc).collect().toSeq
+  }
+}

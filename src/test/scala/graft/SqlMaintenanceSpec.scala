@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapTable
+
+/** The maintenance-verb parser extension: OPTIMIZE / VACUUM / DESCRIBE
+  * HISTORY parse through the REAL `spark.sql` path (TestSpark builds its
+  * session with graft.GraftExtensions), regular SQL still delegates, and
+  * OPTIMIZE ZORDER leaves a layout that prunes on both dimensions.
+  */
+class SqlMaintenanceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def freshCat(): String = {
+    spark.conf.getOption("spark.sql.catalog.snapm.root").getOrElse {
+      val b = Tmp.dir("sqlmaint_cat")
+      spark.conf.set("spark.sql.catalog.snapm",
+        classOf[graft.sources.SnapCatalog].getName)
+      spark.conf.set("spark.sql.catalog.snapm.root", b)
+      b
+    }
+  }
+
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY parse and run via spark.sql") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.m (k BIGINT, d BIGINT, p DOUBLE)")
+    spark.range(0, 3).collect().foreach(_ => ())
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO snapm.db.m " +
+        s"SELECT id * 3 + $i, (id * 2654435761) % 1000, CAST(id AS DOUBLE) " +
+        "FROM range(0, 2000)")
+    }
+    val before = spark.sql("SELECT * FROM snapm.db.m").count()
+    val hist = spark.sql("DESCRIBE HISTORY snapm.db.m")
+    assert(hist.columns.toSeq ==
+      Seq("version", "op", "n_files", "n_rows", "ts"))
+    assert(hist.count() == 4) // create + 3 inserts
+    val opt = spark.sql("OPTIMIZE snapm.db.m INTO 2 FILES " +
+      "ZORDER BY (k, d)").collect()(0)
+    assert(opt.getLong(2) <= opt.getLong(1)) // files_after <= before
+    assert(spark.sql("SELECT * FROM snapm.db.m").count() == before)
+    // zorder layout: BOTH dimensions prune on the manifest stats
+    val dir = s"$base/db/m"
+    val (_, kRead, kTot) = SnapTable.readRange(spark, dir, "k", 0, 500)
+    val (_, dRead, dTot) = SnapTable.readRange(spark, dir, "d", 0, 100)
+    assert(kTot >= 2 && dTot >= 2)
+    val removed = spark.sql("VACUUM snapm.db.m RETAIN 1 VERSIONS")
+      .collect()(0).getLong(0)
+    assert(removed > 0)
+    assert(spark.sql("DESCRIBE HISTORY snapm.db.m").count() == 1)
+    assert(spark.sql("SELECT * FROM snapm.db.m").count() == before)
+  }
+
+  test("regular SQL still parses through the delegate") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+    intercept[Exception] { // genuinely bad SQL still errors
+      spark.sql("OPTIMIZE") // incomplete: falls through to the delegate
+    }
+  }
+
+  test("maintenance verbs refuse non-snap catalogs") {
+    freshCat()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("VACUUM spark_catalog.db.t RETAIN 1 VERSIONS").collect()
+    }
+    assert(e.getMessage.contains("not a snap catalog"))
+  }
+
+  test("runStatement routes the same commands without the parser") {
+    freshCat()
+    spark.sql("CREATE TABLE snapm.db.rs (k BIGINT)")
+    spark.sql("INSERT INTO snapm.db.rs SELECT id FROM range(0, 10)")
+    val h = graft.sources.SnapSqlParser.runStatement(spark,
+      "DESCRIBE HISTORY snapm.db.rs")
+    assert(h.count() == 2)
+    // non-maintenance SQL passes through to spark.sql
+    assert(graft.sources.SnapSqlParser.runStatement(spark,
+      "SELECT 41 + 1 AS v").collect()(0).getInt(0) == 42)
+  }
+}
