@@ -408,8 +408,18 @@ object SnapTable {
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
       parent.bucket)
+    // a compaction replaces every file, which would silently orphan the
+    // bloom index (entries key on file names) — REBUILD it over the new
+    // files for the same columns, one pass each, proportional to the
+    // rewrite the compaction already paid for
+    val rebuilt =
+      if (parent.blooms.isEmpty) Seq.empty[String]
+      else s.read.parquet(parent.blooms.map(p => s"$root/$p"): _*)
+        .select("col").distinct().collect().map(_.getString(0))
+        .toSeq.sorted
+        .map(c => buildBloomSidecar(s, root, fresh, parent.schemaJson, c))
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
-      dvs = Seq.empty)
+      dvs = Seq.empty, blooms = rebuilt)
   }
 
   /** ALTER TABLE ADD CONSTRAINT: declare a named CHECK (a SQL boolean
@@ -1105,7 +1115,21 @@ object SnapTable {
       fpp: Double = 0.01): Int = {
     val parent = load(root, latestVersion(root))
     require(parent.files.nonEmpty, "bloom index over an empty table")
-    val n = parent.files.map(_.rows).max.toDouble
+    val dirName =
+      buildBloomSidecar(s, root, parent.files, parent.schemaJson,
+        column, fpp)
+    commitExclusive(root, parent, parent.files, "bloom-index",
+      parent.schemaJson, blooms = parent.blooms :+ dirName)
+  }
+
+  /** Write one bloom sidecar over `files` for `column`; returns its
+    * root-relative dir. Sized from the largest file's row count for
+    * ~`fpp` false positives.
+    */
+  private def buildBloomSidecar(s: SparkSession, root: String,
+      files: Seq[FileEntry], schemaJson: String, column: String,
+      fpp: Double = 0.01): String = {
+    val n = files.map(_.rows).max.toDouble
     val ln2sq = math.log(2) * math.log(2)
     val mRaw = math.ceil(n * math.log(1 / fpp) / ln2sq).toLong
     // byte-aligned, bounded: 1 KiB floor (tiny files), 4 MiB ceiling
@@ -1113,7 +1137,7 @@ object SnapTable {
     val k = math.max(1, math.round(mBits / n * math.log(2)).toInt)
     val agg = udaf(new BloomAgg(mBits, k))
     val dirName = "data/bx-" + java.util.UUID.randomUUID().toString.take(8)
-    readFiles(s, root, parent.files, parent.schemaJson)
+    readFiles(s, root, files, schemaJson)
       .withColumn("_gf_bf", relPathCol(root))
       .groupBy(col("_gf_bf").as("file"))
       .agg(agg(xxhash64(col(column))).as("bits"))
@@ -1123,8 +1147,7 @@ object SnapTable {
       // a wide table's index (100k files × MB-scale bitsets) must not
       // funnel through one task
       .write.parquet(s"$root/$dirName")
-    commitExclusive(root, parent, parent.files, "bloom-index",
-      parent.schemaJson, blooms = parent.blooms :+ dirName)
+    dirName
   }
 
   /** Equality point lookup through every pruning layer the snapshot has:
@@ -1140,28 +1163,49 @@ object SnapTable {
     // layer 1: range stats (free; exact on the clustered column)
     val statsHit = snap.files.filter(_.stats.get(column)
       .forall { case (mn, mx) => mx >= value && mn <= value })
-    val hit =
-      if (snap.blooms.isEmpty) statsHit
-      else {
-        // layer 2: bloom — hash once with the SAME function as the build
-        // (spark's xxhash64 of the column type), probe distributed
-        val h = s.range(1)
-          .select(xxhash64(lit(value))).head().getLong(0)
-        val might = udf((bits: Array[Byte], m: Int, k: Int) =>
-          bloomHas(bits, bloomPositions(h, m, k)))
-        val indexed = s.read.parquet(snap.blooms.map(p => s"$root/$p"): _*)
-          .filter(col("col") === column)
-        val maybe = indexed.filter(might(col("bits"), col("m"), col("k")))
-          .select("file").collect().map(_.getString(0)).toSet
-        val covered = indexed.select("file").collect()
-          .map(_.getString(0)).toSet
-        statsHit.filter(f => maybe.contains(f.path) ||
-          !covered.contains(f.path))
-      }
+    val hit = bloomNarrow(s, root, snap, column, lit(value), statsHit)
     val df = readSnapshot(s, root, snap.copy(files = hit))
       .filter(col(column) === value)
     (df, hit.size, snap.files.size)
   }
+
+  /** String point lookup: layer 1 is the STRING manifest bounds
+    * (`sstats`), layer 2 the same bloom probe (xxhash64 hashes the
+    * string exactly as the build did).
+    */
+  def readPoint(s: SparkSession, root: String, column: String,
+      value: String): (DataFrame, Int, Int) = {
+    val snap = load(root, latestVersion(root))
+    val statsHit = snap.files.filter(_.sstats.get(column)
+      .forall { case (mn, mx) => mn <= value && value <= mx })
+    val hit = bloomNarrow(s, root, snap, column, lit(value), statsHit)
+    val df = readSnapshot(s, root, snap.copy(files = hit))
+      .filter(col(column) === value)
+    (df, hit.size, snap.files.size)
+  }
+
+  /** Layer-2 bloom narrowing shared by the typed lookups: hash once with
+    * the SAME function as the build (spark's xxhash64 of the literal),
+    * probe where the index lives, collect only file names. Files the
+    * index doesn't cover stay in.
+    */
+  private def bloomNarrow(s: SparkSession, root: String, snap: Snapshot,
+      column: String, valueLit: org.apache.spark.sql.Column,
+      statsHit: Seq[FileEntry]): Seq[FileEntry] =
+    if (snap.blooms.isEmpty) statsHit
+    else {
+      val h = s.range(1).select(xxhash64(valueLit)).head().getLong(0)
+      val might = udf((bits: Array[Byte], m: Int, k: Int) =>
+        bloomHas(bits, bloomPositions(h, m, k)))
+      val indexed = s.read.parquet(snap.blooms.map(p => s"$root/$p"): _*)
+        .filter(col("col") === column)
+      val maybe = indexed.filter(might(col("bits"), col("m"), col("k")))
+        .select("file").collect().map(_.getString(0)).toSet
+      val covered = indexed.select("file").collect()
+        .map(_.getString(0)).toSet
+      statsHit.filter(f => maybe.contains(f.path) ||
+        !covered.contains(f.path))
+    }
 
   /** Signed CDC delta for incremental view maintenance: every row of
     * every ADDED file with `_sign = +1`, every row of every REMOVED file

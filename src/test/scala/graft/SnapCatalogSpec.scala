@@ -84,6 +84,18 @@ class SnapCatalogSpec extends AnyFunSuite {
       "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
+    spark.sql("CREATE TABLE snapt.db2.ctas AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+    assert(spark.sql("SELECT sum(v) FROM snapt.db2.ctas")
+      .head().getLong(0) == 9900)
+    spark.sql("REPLACE TABLE snapt.db2.ctas AS " +
+      "SELECT id AS k FROM range(0, 5)")
+    assert(spark.sql("SELECT count(*) FROM snapt.db2.ctas")
+      .head().getLong(0) == 5)
+    spark.sql("DROP TABLE snapt.db2.ctas")
+  }
+
   test("string equality and prefix predicates prune files via sstats") {
     val root = s"$base/db1/sprune"
     val docs = T(spark, TestSpark.Sf, "documents")

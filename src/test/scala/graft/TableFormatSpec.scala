@@ -734,6 +734,34 @@ class TableFormatSpec extends AnyFunSuite {
     val (df3, read3, total3) = SnapTable.readPoint(spark, root, "v", probe)
     assert(df3.count() == expect)
     assert(read3 < total3)
+    // compaction replaces every file — the index must be REBUILT over
+    // the new files (same columns), not silently orphaned
+    SnapTable.compact(spark, root, targetFiles = 6)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.blooms.nonEmpty)
+    val (df4, read4, total4) = SnapTable.readPoint(spark, root, "v", probe)
+    assert(df4.count() == expect)
+    assert(read4 < total4,
+      s"post-compact bloom pruned nothing: $read4 of $total4")
+  }
+
+  test("string bloom + sstats point lookup prunes and stays exact") {
+    val root = Tmp.dir("bloom_str_spec")
+    val docs = T(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    SnapTable.create(spark, root,
+      docs.repartitionByRange(8, col("doc_id")), "doc_id")
+    SnapTable.addBloomIndex(spark, root, "source")
+    val expect = docs.filter(col("source") === "src3").count()
+    val (df, read, total) =
+      SnapTable.readPoint(spark, root, "source", "src3")
+    assert(df.count() == expect)
+    assert(read <= total)
+    // a value no file contains: bloom prunes EVERYTHING, zero rows
+    val (dfMiss, readMiss, _) =
+      SnapTable.readPoint(spark, root, "source", "no_such_source")
+    assert(dfMiss.count() == 0)
+    assert(readMiss == 0, s"absent value still read $readMiss files")
   }
 
   test("addColumn is a metadata-only commit; old files null-fill") {
