@@ -64,6 +64,8 @@ object SnapSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val Detail =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
@@ -77,6 +79,7 @@ object SnapSqlParser {
       Some(VacuumTableCommand(parts(id),
         Option(n).map(_.toInt).getOrElse(1)))
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
+    case Detail(id) => Some(DescribeDetailCommand(parts(id)))
     case _ => None
   }
 
@@ -170,6 +173,43 @@ case class VacuumTableCommand(parts: Seq[String], retain: Int)
   override def run(s: SparkSession): Seq[Row] = {
     val dir = SnapSqlParser.tableDir(s, parts)
     Seq(Row(SnapTable.vacuum(dir, retain).toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row of head-snapshot metadata: the
+  * at-a-glance audit before trusting a table (version, verb, file/row
+  * counts, on-disk bytes, layout, outstanding DVs/indexes/constraints).
+  */
+case class DescribeDetailCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_spec", StringType, nullable = false)(),
+    AttributeReference("bucket", StringType, nullable = false)(),
+    AttributeReference("n_dvs", LongType, nullable = false)(),
+    AttributeReference("n_bloom_indexes", LongType, nullable = false)(),
+    AttributeReference("n_checks", LongType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    val v = SnapTable.latestVersion(dir)
+    val snap = SnapTable.load(dir, v)
+    val bytes = snap.files.map { f =>
+      val p = java.nio.file.Paths.get(dir).resolve(f.path).normalize
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+    Seq(Row(dir, v.toLong, snap.op, snap.files.size.toLong,
+      snap.files.map(_.rows).sum, bytes,
+      snap.spec.mkString(","),
+      snap.bucket.map { case (c, n) => s"$c:$n" }.getOrElse(""),
+      snap.dvs.size.toLong, snap.blooms.size.toLong,
+      snap.checks.size.toLong, snap.ts))
   }
 }
 

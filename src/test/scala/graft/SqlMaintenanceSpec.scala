@@ -53,6 +53,17 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM snapm.db.m").count() == before)
   }
 
+  test("DESCRIBE DETAIL reports head-snapshot metadata") {
+    freshCat()
+    spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO snapm.db.det SELECT id FROM range(0, 100)")
+    val d = spark.sql("DESCRIBE DETAIL snapm.db.det").collect()(0)
+    assert(d.getLong(1) == 2) // version
+    assert(d.getLong(4) == 100) // n_rows
+    assert(d.getLong(5) > 0) // size_bytes
+    assert(d.getString(6) == "k") // partition_spec
+  }
+
   test("regular SQL still parses through the delegate") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
     intercept[Exception] { // genuinely bad SQL still errors
