@@ -66,6 +66,9 @@ object SnapSqlParser {
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val Detail =
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
+  private val BloomIdx =
+    ("""(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+""" + Ident +
+      """\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
@@ -80,6 +83,7 @@ object SnapSqlParser {
         Option(n).map(_.toInt).getOrElse(1)))
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
     case Detail(id) => Some(DescribeDetailCommand(parts(id)))
+    case BloomIdx(id, c) => Some(CreateBloomIndexCommand(parts(id), c))
     case _ => None
   }
 
@@ -161,6 +165,23 @@ object OptimizeTableCommand {
     (0 until 8).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
       shiftleft(bit(b, i), i * cols.length + j)
     }).reduce(_ + _)
+  }
+}
+
+/** `CREATE BLOOM INDEX ON t (col)` → [[SnapTable.addBloomIndex]] —
+  * point-lookup file skipping for columns uncorrelated with the layout,
+  * from pure SQL.
+  */
+case class CreateBloomIndexCommand(parts: Seq[String], column: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("indexed_files", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    val v = SnapTable.addBloomIndex(s, dir, column)
+    Seq(Row(v.toLong, SnapTable.load(dir, v).files.size.toLong))
   }
 }
 

@@ -64,6 +64,18 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(d.getString(6) == "k") // partition_spec
   }
 
+  test("CREATE BLOOM INDEX builds the sidecar and DETAIL reports it") {
+    freshCat()
+    spark.sql("CREATE TABLE snapm.db.bx (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapm.db.bx " +
+      "SELECT id, (id * 2654435761) % 5000 FROM range(0, 5000)")
+    val r = spark.sql("CREATE BLOOM INDEX ON snapm.db.bx (v)")
+      .collect()(0)
+    assert(r.getLong(1) > 0) // indexed_files
+    val d = spark.sql("DESCRIBE DETAIL snapm.db.bx").collect()(0)
+    assert(d.getLong(9) == 1) // n_bloom_indexes
+  }
+
   test("regular SQL still parses through the delegate") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
     intercept[Exception] { // genuinely bad SQL still errors
