@@ -1464,6 +1464,102 @@ object TableOps extends QueryModule {
           "CAST(4 AS BIGINT) AS hist_before, " +
           "CAST(1 AS BIGINT) AS hist_after " +
           "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_merge_mor",
+      // SQL MERGE on a MoR-DELETED table — NO compact-first step: the
+      // row-level scan reads THROUGH the outstanding deletion vectors
+      // (the native reader drops DV'd positions per file), so deleted
+      // rows neither match (a merge on a deleted key is an INSERT, as it
+      // must be) nor resurrect in the rewritten files; DV entries for
+      // carried files stay live. SqlMergeSpec pins the physical side.
+      (s, dir) => {
+        val b = sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        SnapTable.deleteWhereMoR(s, s"$b/main/$t",
+          col("o_orderkey") % 5 === 0)
+        require(SnapTable.load(s"$b/main/$t",
+          SnapTable.latestVersion(s"$b/main/$t")).dvs.nonEmpty,
+          "table_merge_mor must run against outstanding DVs")
+        s.sql(
+          s"""MERGE INTO snap.main.$t t USING (
+             |  SELECT o_orderkey AS k, o_totalprice + 1000 AS p
+             |  FROM $v WHERE o_orderkey % 3 = 0
+             |) s ON t.o_orderkey = s.k
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_custkey, o_totalprice)
+             |  VALUES (s.k, -1, s.p)""".stripMargin)
+        s.sql(s"SELECT o_orderkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        // target after the MoR delete = keys with o_orderkey % 5 <> 0;
+        // matched (%3=0) update, DV-deleted %15-multiples re-INSERT
+        "WITH merged AS (" +
+          "SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 " +
+          "THEN o_totalprice + 1000 ELSE o_totalprice END AS p " +
+          "FROM orders WHERE o_orderkey % 5 <> 0 " +
+          "UNION ALL SELECT o_orderkey, o_totalprice + 1000 " +
+          "FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0) " +
+          "SELECT o_orderkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
+          "FROM merged GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_sql_merge_nms",
+      // MERGE with WHEN NOT MATCHED BY SOURCE clauses (Spark 4 grammar):
+      // rows of the TARGET no source row joins are updated or deleted.
+      // These clauses force the full-candidate scan shape — the runtime
+      // group filter cannot narrow to matched files, because a file with
+      // ZERO matches still holds by-source rows to rewrite (SqlMergeSpec
+      // pins that high-range files with no matches are reached).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(
+          s"""MERGE INTO snap.main.$t t USING (
+             |  SELECT o_orderkey AS k, o_totalprice AS p
+             |  FROM $v WHERE o_orderkey % 2 = 0
+             |) s ON t.o_orderkey = s.k
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 100
+             |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 10 = 3
+             |  THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE
+             |  THEN UPDATE SET o_totalprice = t.o_totalprice - 50
+             |""".stripMargin)
+        s.sql(s"SELECT o_custkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "WITH merged AS (" +
+          "SELECT o_custkey, o_totalprice + 100 AS p FROM orders " +
+          "WHERE o_orderkey % 2 = 0 " +
+          "UNION ALL SELECT o_custkey, o_totalprice - 50 FROM orders " +
+          "WHERE o_orderkey % 2 = 1 AND o_custkey % 10 <> 3) " +
+          "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
+          "FROM merged GROUP BY 1 ORDER BY bucket")
     )
   )
 }

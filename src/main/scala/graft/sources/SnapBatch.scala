@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.graftx.ParquetBridge
 import org.apache.spark.sql.sources.Filter
@@ -39,12 +39,27 @@ private[graft] class SnapBatchScan(
     spark: SparkSession, root: String,
     protected var files: Seq[SnapTable.FileEntry],
     schemaJson: String, required: StructType,
-    pushed: Seq[Filter], bucket: Option[(String, Int)])
-  extends Scan with Batch with SupportsReportPartitioning {
+    pushed: Seq[Filter], bucket: Option[(String, Int)],
+    dvs: Seq[String] = Seq.empty)
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** Manifest-derived statistics AFTER file pruning: byte size from the
+    * surviving files on disk, row count from their footer counts (both
+    * already driver-side metadata). Without this Spark costs the scan at
+    * `defaultSizeInBytes` (effectively ∞), so a join against a bucketed
+    * SnapTable could never choose broadcast over a shuffle/SPJ on its
+    * own — the single decision that matters most when one side is a
+    * 100-row dimension and the other is 100 TB.
+    */
+  override def estimateStatistics(): Statistics =
+    SnapStats(files.map(f => Files.size(
+      Paths.get(root).toAbsolutePath.resolve(f.path).normalize())).sum,
+      files.map(_.rows).sum)
 
   /** `_file` (when present) must be the TRAILING field — Spark appends
     * metadata columns after data columns, so a pruned schema preserves
@@ -103,8 +118,31 @@ private[graft] class SnapBatchScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val readFunc = ParquetBridge.readerFunc(spark,
       SnapTable.schemaOf(schemaJson), parquetRequired, pushed)
-    new SnapReaderFactory(readFunc, required, fileColLast)
+    // merge-on-read: deleted positions ride a broadcast keyed by file
+    // path; a DV'd file is read WITHOUT parquet filter pushdown (a
+    // skipped row group would shift every later row index — positional
+    // integrity beats row-group pruning for exactly those files; the
+    // pushed filters are all residual, so Spark still applies them) and
+    // its reader drops the marked row indexes with one advancing pointer
+    val dvPos =
+      if (dvs.isEmpty) Map.empty[String, Array[Long]]
+      else SnapTable.dvPositionsByFile(spark, root, dvs)
+    val plainFunc =
+      if (dvPos.isEmpty || pushed.isEmpty) readFunc
+      else ParquetBridge.readerFunc(spark,
+        SnapTable.schemaOf(schemaJson), parquetRequired, Seq.empty)
+    new SnapReaderFactory(readFunc, plainFunc,
+      spark.sparkContext.broadcast(dvPos), required, fileColLast)
   }
+}
+
+/** Pruned-scan statistics both scan flavors report to the planner. */
+private[graft] final case class SnapStats(bytes: Long, rows: Long)
+  extends Statistics {
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(bytes)
+  override def numRows(): java.util.OptionalLong =
+    java.util.OptionalLong.of(rows)
 }
 
 private[graft] object SnapBatchScan {
@@ -133,8 +171,26 @@ private[graft] class SnapInputPartition(
 private[graft] class SnapReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
       => Iterator[InternalRow],
+    plainFunc: org.apache.spark.sql.execution.datasources.PartitionedFile
+      => Iterator[InternalRow],
+    dvPos: org.apache.spark.broadcast
+      .Broadcast[Map[String, Array[Long]]],
     required: StructType, fileCol: Boolean)
   extends PartitionReaderFactory {
+
+  /** Drop `pos` (ascending row indexes) from a full-file row iterator —
+    * one pointer advance per row, never a per-row search.
+    */
+  private def skipPositions(raw: Iterator[InternalRow],
+      pos: Array[Long]): Iterator[InternalRow] = {
+    var idx = -1L
+    var p = 0
+    raw.filter { _ =>
+      idx += 1
+      while (p < pos.length && pos(p) < idx) p += 1
+      !(p < pos.length && pos(p) == idx)
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SnapInputPartition]
@@ -143,8 +199,16 @@ private[graft] class SnapReaderFactory(
       private val joined = new JoinedRow
       private val iter: Iterator[InternalRow] =
         part.slices.iterator.flatMap { f =>
-          val raw = ParquetBridge.rows(
-            readFunc(ParquetBridge.partitionedFile(f.abs, f.size)))
+          // DV paths are canonical: manifest-relative for the table's
+          // own files, absolute for a clone's foreign files
+          val pos = dvPos.value.get(f.rel)
+            .orElse(dvPos.value.get(f.abs))
+          val pf = ParquetBridge.partitionedFile(f.abs, f.size)
+          val raw = pos match {
+            case None => ParquetBridge.rows(readFunc(pf))
+            case Some(ps) =>
+              skipPositions(ParquetBridge.rows(plainFunc(pf)), ps)
+          }
           if (!fileCol) raw.map(proj)
           else {
             val tail = new GenericInternalRow(

@@ -477,12 +477,12 @@ private[graft] class SnapScanBuilder(root: String,
     }
     // bucket-layout tables read through the NATIVE batch scan so the
     // planner sees their KeyGroupedPartitioning (storage-partitioned
-    // joins); outstanding DVs drop to the V1 bridge, whose read path
-    // subtracts them — correctness first, the SPJ fast path returns
-    // after compaction materializes the deletes
-    if (snap.bucket.isDefined && snap.dvs.isEmpty)
+    // joins); outstanding DVs ride the scan too — the per-file readers
+    // drop the deleted positions, so SPJ survives merge-on-read deletes
+    // (a DV subtraction never moves a row between buckets)
+    if (snap.bucket.isDefined)
       new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
-        required, raw.toSeq, snap.bucket)
+        required, raw.toSeq, snap.bucket, snap.dvs)
     else
       new SnapV1Scan(root, hit, snap.dvs, snap.schemaJson, required)
   }
@@ -494,9 +494,22 @@ private[graft] class SnapScanBuilder(root: String,
   */
 private[graft] class SnapV1Scan(root: String,
     private[graft] val files: Seq[SnapTable.FileEntry], dvs: Seq[String],
-    schemaJson: String, required: StructType) extends V1Scan {
+    schemaJson: String, required: StructType) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Same manifest-derived post-pruning stats as the native scan: the
+    * V1 bridge otherwise costs at `defaultSizeInBytes`, and a small
+    * filtered SnapTable would never be auto-broadcast. Rows is the
+    * footer count of the surviving files — an upper bound when DVs are
+    * outstanding, which only ever errs toward NOT broadcasting.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    SnapStats(files.map(f => Files.size(
+      Paths.get(root).toAbsolutePath.resolve(f.path).normalize())).sum,
+      files.map(_.rows).sum)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -42,11 +42,6 @@ private[sources] class SnapRowLevelOperation(root: String,
     snap: SnapTable.Snapshot,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  require(snap.dvs.isEmpty,
-    s"${cmd.name} on a table with outstanding merge-on-read deletes " +
-      "would resurrect DV'd rows in rewritten files — run compact() " +
-      "first to materialize them")
-
   /** Files the operation's scan ended up covering — the rewrite set the
     * commit swaps out. Defaults to every candidate file (a full rewrite
     * is always correct); the runtime group filter narrows it.
@@ -55,6 +50,14 @@ private[sources] class SnapRowLevelOperation(root: String,
     snap.files
 
   private[sources] def snapJson: String = snap.schemaJson
+
+  /** Outstanding merge-on-read deletes — the operation's scan reads
+    * THROUGH them (the native reader drops DV'd positions per file), so
+    * a MERGE/UPDATE on a MoR-deleted table rewrites only the rows that
+    * are actually visible: nothing DV'd can match, survive, or
+    * resurrect. The commit then decides which DV dirs stay live.
+    */
+  private[sources] def snapDvs: Seq[String] = snap.dvs
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -109,7 +112,7 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     spark: SparkSession, root: String, required: StructType,
     pushed: Seq[Filter])
   extends SnapBatchScan(spark, root, op.scanned, op.snapJson, required,
-    pushed, None) with SupportsRuntimeV2Filtering {
+    pushed, None, op.snapDvs) with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(SnapBatchScan.FileCol))
@@ -186,8 +189,14 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
         s"incoming ${op.command().name().toLowerCase}")
     val scanned = op.scanned.map(_.path).toSet
     val carried = parent.files.filterNot(f => scanned.contains(f.path))
+    // DV entries for rewritten files become inert (their paths leave the
+    // file list, so the read-side subtraction can never match them);
+    // entries for carried files MUST stay live. When nothing is carried
+    // the dirs are provably dead — reclaim them now instead of waxing a
+    // wasted per-read anti-join until vacuum
     SnapTable.commitExclusive(root, parent, carried ++ fresh,
-      op.command().name().toLowerCase + "-sql", parent.schemaJson)
+      op.command().name().toLowerCase + "-sql", parent.schemaJson,
+      dvs = if (carried.isEmpty) Seq.empty else parent.dvs)
     ()
   }
 

@@ -240,7 +240,8 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
       parent.statsCol, parent.bucket)
-    commitAppend(root, parent, fresh, df.schema, txn = None)
+    commitAppend(root, parent, fresh, df.schema, txn = None,
+      freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json))
   }
 
   /** PREPARE an append for a multi-table transaction (SnapTxn): the new
@@ -261,11 +262,12 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
       parent.statsCol, parent.bucket)
+    val bx = appendBlooms(s, root, parent, fresh, df.schema.json)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
         df.schema.json, parent.files ++ fresh, None, parent.spec,
         parent.dvs, parent.checks, bucket = parent.bucket,
-        gen = parent.gen)))
+        gen = parent.gen, blooms = parent.blooms ++ bx)))
       v = latestVersion(root) + 1
     v
   }
@@ -280,10 +282,6 @@ object SnapTable {
   def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
       deleteCol: Option[String] = None, txn: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
-    require(parent.dvs.isEmpty,
-      "merge on a table with outstanding merge-on-read deletes would " +
-        "resurrect DV'd rows in rewritten files — run compact() first " +
-        "to materialize them")
     // only the INCOMING side can introduce violations (survivors were
     // validated when they were appended); the delete marker column is
     // not part of the row contract
@@ -303,8 +301,15 @@ object SnapTable {
         parent.schemaJson, txn = txn)
     }
     val keys = updates.select(key).distinct()
-    val withFile = readFiles(s, root, parent.files, parent.schemaJson)
+    // merge-on-read aware: the scan reads THROUGH outstanding deletion
+    // vectors, so a DV'd row can neither count as a match nor survive
+    // into a rewritten file (resurrection). Rewritten files' DV entries
+    // go inert (their paths leave the list); carried files' stay live.
+    val withFile0 = readFiles(s, root, parent.files, parent.schemaJson)
       .withColumn("_gf_file", col("_metadata.file_path"))
+    val withFile =
+      if (parent.dvs.isEmpty) withFile0
+      else subtractDvs(s, root, withFile0, parent.dvs)
     // one semi-join over file metadata finds the touched files; file paths
     // are driver-side metadata (as in every CoW format)
     val touched = withFile.join(broadcast(keys), Seq(key), "left_semi")
@@ -327,7 +332,8 @@ object SnapTable {
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
         parent.statsCol, parent.bucket)
     commitExclusive(root, parent, carried ++ fresh, "merge",
-      parent.schemaJson, txn = txn)
+      parent.schemaJson,
+      dvs = if (carried.isEmpty) Seq.empty else parent.dvs, txn = txn)
   }
 
   /** Idempotent MERGE for at-least-once upsert producers — `appendOnce`'s
@@ -368,7 +374,9 @@ object SnapTable {
         validateChecks(df, parent.checks, "incoming")
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
           parent.statsCol, parent.bucket)
-        commitAppend(root, parent, fresh, df.schema, txn = Some(txnId))
+        commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
+          freshBlooms =
+            appendBlooms(s, root, parent, fresh, df.schema.json))
     }
   }
 
@@ -410,14 +418,17 @@ object SnapTable {
       parent.bucket)
     // a compaction replaces every file, which would silently orphan the
     // bloom index (entries key on file names) — REBUILD it over the new
-    // files for the same columns, one pass each, proportional to the
-    // rewrite the compaction already paid for
+    // files for the same columns (each at the fpp its index was created
+    // with), one pass each, proportional to the rewrite the compaction
+    // already paid for
     val rebuilt =
       if (parent.blooms.isEmpty) Seq.empty[String]
-      else s.read.parquet(parent.blooms.map(p => s"$root/$p"): _*)
-        .select("col").distinct().collect().map(_.getString(0))
-        .toSeq.sorted
-        .map(c => buildBloomSidecar(s, root, fresh, parent.schemaJson, c))
+      else parent.blooms.map(d => sidecarMeta(s, root, d))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, metas) =>
+          buildBloomSidecar(s, root, fresh, parent.schemaJson, c,
+            metas.head._2)
+        }
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
       dvs = Seq.empty, blooms = rebuilt)
   }
@@ -570,8 +581,17 @@ object SnapTable {
           .write.parquet(s"$dstRoot/$dvName")
         Seq(dvName)
       }
+    // the clone IS the source table's layout: bucket and generated-column
+    // metadata must carry, or clone-side writes would silently stop
+    // bucketing / computing them — and a branch publish would then adopt
+    // a file list whose files lack the layout main's manifest claims.
+    // Bloom sidecars are NOT carried: their entries key on source-relative
+    // file paths that can never match the clone's re-based paths, so a
+    // carried index would cover nothing (files without entries are always
+    // read — correct, just unpruned; re-index the clone to restore it).
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
-        snap.schemaJson, files, None, snap.spec, dvs, snap.checks)))
+        snap.schemaJson, files, None, snap.spec, dvs, snap.checks,
+        bucket = snap.bucket, gen = snap.gen)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -731,9 +751,13 @@ object SnapTable {
     }
     val head = load(root, latestVersion(root))
     if (head.version == fork)
+      // dvs: the published FILE LIST is the branch's (verified DV-free
+      // above); inheriting main's head DVs would carry stale dirs whose
+      // entries reference files no longer in the snapshot — a wasted
+      // per-read anti-join that vacuum then keeps alive forever
       commitExclusive(root, head, sharedMapped ++ freshMapped, "publish",
         bHead.schemaJson, statsCol = bHead.statsCol, spec = bHead.spec,
-        checks = bHead.checks, gen = bHead.gen)
+        dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen)
     else {
       val transforms = versions(b).map(v => load(b, v).op)
         .filterNot(op => op == "clone" || op == "append").distinct
@@ -800,13 +824,25 @@ object SnapTable {
   def deleteWhere(s: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): Int = {
     val parent = load(root, latestVersion(root))
-    require(parent.dvs.isEmpty,
-      "copy-on-write delete on a table with outstanding merge-on-read " +
-        "deletes would resurrect DV'd rows in rewritten files — run " +
-        "compact() first to materialize them")
     if (parent.files.isEmpty) // nothing to delete from: no-op commit
       return commitExclusive(root, parent, Seq.empty, "delete",
         parent.schemaJson)
+    if (parent.dvs.nonEmpty) {
+      // outstanding merge-on-read deletes: route through the DV-aware
+      // rewrite (marks through the vectors, rewrites the touched files
+      // reading through them) so nothing DV'd resurrects
+      val withMeta = readFiles(s, root, parent.files, parent.schemaJson)
+        .withColumn("_dv_path", relPathCol(root))
+        .withColumn("_dv_row", col("_metadata.row_index"))
+      val undeleted = withMeta.join(
+        dvHinted(s, root, parent.dvs)
+          .withColumnRenamed("_dv_path", "_dv_path0")
+          .withColumnRenamed("_dv_row", "_dv_row0"),
+        col("_dv_path") === col("_dv_path0") &&
+          col("_dv_row") === col("_dv_row0"), "left_anti")
+      return deleteCowUnderDvs(s, root, parent, predicate,
+        undeleted.filter(predicate).select("_dv_path", "_dv_row"))
+    }
     val withFile = readFiles(s, root, parent.files, parent.schemaJson)
       .withColumn("_gf_file", col("_metadata.file_path"))
     val touched = withFile.filter(predicate)
@@ -879,6 +915,22 @@ object SnapTable {
   private def dvRead(s: SparkSession, root: String,
       dvs: Seq[String]): DataFrame =
     s.read.parquet(dvs.map(p => s"$root/$p"): _*)
+
+  /** Deleted positions grouped per data file, ASCENDING — the shape the
+    * native scan's per-file readers consume with one advancing pointer.
+    * Driver-side collect bounded by the DV-size guard (`maxPositions`
+    * caps each MoR commit; an over-guard DV materialized via CoW long
+    * before reaching here) — the same order of driver bytes the
+    * broadcast-hinted anti-join plan ships.
+    */
+  private[sources] def dvPositionsByFile(s: SparkSession, root: String,
+      dvs: Seq[String]): Map[String, Array[Long]] =
+    dvRead(s, root, dvs)
+      .groupBy("_dv_path")
+      .agg(sort_array(collect_set(col("_dv_row"))).as("rows"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
 
   /** True iff the DV set is small enough to broadcast. A negative
     * threshold (broadcast disabled) always says no.
@@ -1011,6 +1063,9 @@ object SnapTable {
       touched.contains(f.path) || touched.contains(
         rootAbs.resolve(f.path).normalize().toString)
     val touchedEntries = parent.files.filter(hit)
+    if (touchedEntries.isEmpty) // no file holds a match: no-op commit
+      return commitExclusive(root, parent, parent.files, "delete",
+        parent.schemaJson)
     val carried = parent.files.filterNot(hit)
     val scan = readFiles(s, root, touchedEntries, parent.schemaJson)
       .withColumn("_dv_path", relPathCol(root))
@@ -1100,16 +1155,20 @@ object SnapTable {
     override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** Build a per-file BLOOM INDEX over `column` (any hashable type) and
+  /** Build a per-file BLOOM INDEX over `column` (integral or string) and
     * commit it as a parquet SIDECAR (Iceberg's puffin-file idea): rows
-    * `(file, col, m, k, bits)`, one per data file. Pruning for equality
-    * lookups on columns whose values are UNCORRELATED with the file
-    * layout — where per-file [min,max] spans the whole domain and range
-    * stats can't skip anything. Sized from the largest file's row count
-    * for ~`fpp` false positives; the index is data-derived, so a commit
-    * racing it loses nothing (abort + re-run, like any transform).
-    * Appends after the build lack entries and are always read; re-run
-    * `addBloomIndex` to refresh.
+    * `(file, col, m, k, fpp, bits)`, one per data file. Pruning for
+    * equality lookups on columns whose values are UNCORRELATED with the
+    * file layout — where per-file [min,max] spans the whole domain and
+    * range stats can't skip anything. Sized from the largest file's row
+    * count for ~`fpp` false positives; the index is data-derived, so a
+    * commit racing it loses nothing (abort + re-run, like any transform).
+    *
+    * A re-index RETIRES the column's previous sidecars (they cover a
+    * stale file set; keeping them would make every probe scan stacked
+    * dead indexes and vacuum keep them alive forever). Appends KEEP the
+    * index fresh incrementally: each append-family commit builds sidecar
+    * entries for just its fresh files (see [[appendBlooms]]).
     */
   def addBloomIndex(s: SparkSession, root: String, column: String,
       fpp: Double = 0.01): Int = {
@@ -1118,17 +1177,62 @@ object SnapTable {
     val dirName =
       buildBloomSidecar(s, root, parent.files, parent.schemaJson,
         column, fpp)
+    val kept = parent.blooms
+      .filterNot(d => sidecarMeta(s, root, d)._1 == column)
     commitExclusive(root, parent, parent.files, "bloom-index",
-      parent.schemaJson, blooms = parent.blooms :+ dirName)
+      parent.schemaJson, blooms = kept :+ dirName)
   }
+
+  /** The (column, fpp) a sidecar dir covers — one column per dir by
+    * construction. Pre-`fpp` sidecars report the build default 0.01.
+    * Driver-side metadata read (one footer + one row).
+    */
+  private def sidecarMeta(s: SparkSession, root: String,
+      dir: String): (String, Double) = {
+    val df = s.read.parquet(s"$root/$dir")
+    val r =
+      (if (df.columns.contains("fpp")) df.select(col("col"), col("fpp"))
+       else df.select(col("col"), lit(0.01).as("fpp"))).head()
+    (r.getString(0), r.getDouble(1))
+  }
+
+  /** Incremental index maintenance for append-shaped commits: one
+    * sidecar per indexed column covering ONLY the fresh files — one pass
+    * over the incoming batch per index, never the table. Returns the new
+    * sidecar dirs (stacked onto the snapshot's list; each dir covers a
+    * disjoint file set, unlike a same-column re-index which replaces).
+    */
+  private def appendBlooms(s: SparkSession, root: String,
+      parent: Snapshot, fresh: Seq[FileEntry],
+      schemaJson: String): Seq[String] =
+    if (parent.blooms.isEmpty || fresh.isEmpty) Seq.empty
+    else parent.blooms.map(d => sidecarMeta(s, root, d))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, metas) =>
+        buildBloomSidecar(s, root, fresh, schemaJson, c, metas.head._2)
+      }
 
   /** Write one bloom sidecar over `files` for `column`; returns its
     * root-relative dir. Sized from the largest file's row count for
-    * ~`fpp` false positives.
+    * ~`fpp` false positives. The column is hashed in the PROBE's type —
+    * integral columns cast to long first, because Spark's xxhash64 of an
+    * INT differs from the same value hashed as a BIGINT, and the point
+    * lookup probes with a long literal; a type the probes don't support
+    * is rejected here rather than silently yielding false negatives.
     */
   private def buildBloomSidecar(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String, column: String,
       fpp: Double = 0.01): String = {
+    import org.apache.spark.sql.types._
+    val hashed = schemaOf(schemaJson)(column).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(column).cast(LongType)
+      case StringType => col(column)
+      case other => throw new IllegalArgumentException(
+        s"bloom index on '$column': unsupported type ${other.sql} " +
+          "(integral and string columns only — the probe literal must " +
+          "hash identically to the build)")
+    }
     val n = files.map(_.rows).max.toDouble
     val ln2sq = math.log(2) * math.log(2)
     val mRaw = math.ceil(n * math.log(1 / fpp) / ln2sq).toLong
@@ -1140,9 +1244,9 @@ object SnapTable {
     readFiles(s, root, files, schemaJson)
       .withColumn("_gf_bf", relPathCol(root))
       .groupBy(col("_gf_bf").as("file"))
-      .agg(agg(xxhash64(col(column))).as("bits"))
+      .agg(agg(xxhash64(hashed)).as("bits"))
       .select(col("file"), lit(column).as("col"), lit(mBits).as("m"),
-        lit(k).as("k"), col("bits"))
+        lit(k).as("k"), lit(fpp).as("fpp"), col("bits"))
       // one row per FILE; written at the aggregation's own parallelism —
       // a wide table's index (100k files × MB-scale bitsets) must not
       // funnel through one task
@@ -1186,8 +1290,9 @@ object SnapTable {
 
   /** Layer-2 bloom narrowing shared by the typed lookups: hash once with
     * the SAME function as the build (spark's xxhash64 of the literal),
-    * probe where the index lives, collect only file names. Files the
-    * index doesn't cover stay in.
+    * probe where the index lives, collect ONE (file, survives) verdict
+    * per indexed file — a single driver collect per lookup, bounded by
+    * the indexed-file count. Files the index doesn't cover stay in.
     */
   private def bloomNarrow(s: SparkSession, root: String, snap: Snapshot,
       column: String, valueLit: org.apache.spark.sql.Column,
@@ -1197,14 +1302,17 @@ object SnapTable {
       val h = s.range(1).select(xxhash64(valueLit)).head().getLong(0)
       val might = udf((bits: Array[Byte], m: Int, k: Int) =>
         bloomHas(bits, bloomPositions(h, m, k)))
-      val indexed = s.read.parquet(snap.blooms.map(p => s"$root/$p"): _*)
+      // sidecars may legally stack per column (incremental appends cover
+      // disjoint file sets), so the verdict for a file is the OR of its
+      // entries — max of booleans after the grouped probe
+      val verdict = s.read
+        .parquet(snap.blooms.map(p => s"$root/$p"): _*)
         .filter(col("col") === column)
-      val maybe = indexed.filter(might(col("bits"), col("m"), col("k")))
-        .select("file").collect().map(_.getString(0)).toSet
-      val covered = indexed.select("file").collect()
-        .map(_.getString(0)).toSet
-      statsHit.filter(f => maybe.contains(f.path) ||
-        !covered.contains(f.path))
+        .select(col("file"),
+          might(col("bits"), col("m"), col("k")).as("ok"))
+        .groupBy("file").agg(max(col("ok")).as("ok"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      statsHit.filter(f => verdict.getOrElse(f.path, true))
     }
 
   /** Signed CDC delta for incremental view maintenance: every row of
@@ -1605,7 +1713,8 @@ object SnapTable {
   private[graft] def commitAppend(root: String, parent: Snapshot,
       fresh: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType,
-      txn: Option[String]): Int = {
+      txn: Option[String],
+      freshBlooms: Seq[String] = Seq.empty): Int = {
     var head = parent
     while (true) {
       // the txn check runs BEFORE every attempt, not only after a lost
@@ -1620,7 +1729,9 @@ object SnapTable {
       val won = tryLink(root, Snapshot(head.version + 1, "append",
         head.statsCol, schema.json, head.files ++ fresh, txn, head.spec,
         head.dvs, head.checks, bucket = head.bucket, gen = head.gen,
-        blooms = head.blooms))
+        // fresh sidecars cover only OUR fresh files, so they stack onto
+        // whatever bloom list the head we finally land on carries
+        blooms = head.blooms ++ freshBlooms))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)

@@ -112,6 +112,60 @@ class RefsSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, b).count() == n0)
   }
 
+  test("branch of a bucketed table keeps the layout; generated columns " +
+      "survive branch writes and publish") {
+    val root = Tmp.dir("refs_bucket_spec")
+    val base = spark.range(0, 2000)
+      .selectExpr("id AS k", "id * 3 AS v")
+    SnapTable.createBucketed(spark, root, base, "k", "k", numBuckets = 4)
+    SnapTable.addGenerated(spark, root, "v", "k * 3")
+    SnapTable.createBranch(spark, root, "feature")
+    val b = SnapTable.branchRoot(root, "feature")
+    // the clone must carry bucket + gen: this append has to (a) compute
+    // the generated column and (b) write bucketed files with _gfb stats
+    SnapTable.append(spark, b,
+      spark.range(2000, 2500).selectExpr("id AS k"))
+    val bHead = SnapTable.load(b, SnapTable.latestVersion(b))
+    assert(bHead.bucket.contains(("k", 4)), s"branch lost bucket: $bHead")
+    assert(bHead.gen == Map("v" -> "k * 3"), "branch lost generated cols")
+    assert(bHead.files.forall(_.stats.contains(SnapTable.BucketStatsCol)),
+      "branch-written files lack bucket stats")
+    val v = SnapTable.publishBranch(spark, root, "feature")
+    // published snapshot: every file has the bucket stats the manifest's
+    // bucket claim requires (the native SPJ scan groups by them)
+    val head = SnapTable.load(root, v)
+    assert(head.bucket.contains(("k", 4)))
+    assert(head.files.forall(_.stats.contains(SnapTable.BucketStatsCol)),
+      "published snapshot claims a bucket layout its files lack")
+    assert(SnapTable.read(spark, root).count() == 2500)
+    assert(SnapTable.read(spark, root)
+      .filter(col("v") =!= col("k") * 3).count() == 0)
+  }
+
+  test("fast-forward publish does not inherit main's stale DVs") {
+    val root = freshTable()
+    val n0 = SnapTable.read(spark, root).count()
+    // main takes a MoR delete → head carries a deletion vector
+    val del = SnapTable.read(spark, root)
+      .orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    SnapTable.deleteWhereMoR(spark, root,
+      col("o_orderkey").isInCollection(del))
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .dvs.nonEmpty)
+    SnapTable.createBranch(spark, root, "hygiene")
+    val b = SnapTable.branchRoot(root, "hygiene")
+    // the branch compacts (materializing its re-based DVs) then publishes;
+    // the published manifest's file list is the branch's, so inheriting
+    // main's DV dirs would pin stale dirs referencing absent files
+    SnapTable.compact(spark, b, targetFiles = 2)
+    val v = SnapTable.publishBranch(spark, root, "hygiene")
+    val head = SnapTable.load(root, v)
+    assert(head.dvs.isEmpty,
+      s"fast-forward publish carried stale DVs: ${head.dvs}")
+    assert(SnapTable.read(spark, root).count() == n0 - 5)
+  }
+
   test("catalog VERSION AS OF resolves tags and branches by name") {
     val wh = Tmp.dir("refs_cat")
     val s = spark

@@ -84,6 +84,35 @@ class SnapCatalogSpec extends AnyFunSuite {
       "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
   }
 
+  test("scan statistics come from the manifest and shrink under pushed " +
+      "filters") {
+    val root = s"$base/db1/stats"
+    SnapTable.create(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val snap = SnapTable.load(root, 1)
+    val schema = spark.sql("SELECT * FROM snapt.db1.stats").schema
+    def statsOf(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+      val b = new SnapScanBuilder(root, snap, schema)
+      b.pushFilters(filters)
+      b.build()
+        .asInstanceOf[org.apache.spark.sql.connector.read
+          .SupportsReportStatistics].estimateStatistics()
+    }
+    val full = statsOf(Array.empty)
+    // unfiltered: exact row count from the manifest, real on-disk bytes
+    assert(full.numRows.getAsLong == snap.files.map(_.rows).sum)
+    val diskBytes = snap.files.map(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(root).resolve(f.path))).sum
+    assert(full.sizeInBytes.getAsLong == diskBytes)
+    assert(full.sizeInBytes.getAsLong > 0)
+    // a pruning filter shrinks BOTH estimates (fewer surviving files)
+    val pruned = statsOf(Array(
+      org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 200L)))
+    assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong,
+      s"${pruned.sizeInBytes} !< ${full.sizeInBytes}")
+    assert(pruned.numRows.getAsLong < full.numRows.getAsLong)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
     spark.sql("CREATE TABLE snapt.db2.ctas AS " +
       "SELECT id AS k, id * 2 AS v FROM range(0, 100)")

@@ -101,6 +101,62 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest statistics let the planner auto-broadcast a small " +
+      "bucketed table — no hint") {
+    // default autoBroadcastJoinThreshold (10 MB) stays ON here: the
+    // whole point is that the planner CHOOSES broadcast from the
+    // manifest-derived scan statistics, which defaultSizeInBytes
+    // (effectively infinite) would never allow
+    val saved = Seq("spark.sql.adaptive.enabled").map(k =>
+      k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = T(spark, TestSpark.Sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dim = spark.range(0, 25).selectExpr("id AS c_custkey",
+        "concat('cust#', id) AS c_tier")
+      SnapTable.createBucketed(spark, s"$base/db/statbig", big,
+        "o_orderkey", "o_custkey", 8)
+      SnapTable.createBucketed(spark, s"$base/db/statdim", dim,
+        "c_custkey", "c_custkey", 8)
+      val j = spark.sql(
+        """SELECT b.o_orderkey, d.c_tier
+          |FROM spjt.db.statbig b JOIN spjt.db.statdim d
+          |  ON b.o_custkey = d.c_custkey""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"KB-scale bucketed dim was not auto-broadcast:\n$plan")
+      assert(j.count() ==
+        big.join(dim.withColumnRenamed("c_custkey", "ck"),
+          col("o_custkey") === col("ck")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("merge-on-read deletes ride the native scan: SPJ survives and " +
+      "counts stay exact") {
+    withSpjConf {
+      val root = s"$base/db/dvb"
+      SnapTable.createBucketed(spark, root,
+        spark.range(400).selectExpr("id AS k", "id * 3 AS v"),
+        "k", "k", 4)
+      SnapTable.deleteWhereMoR(spark, root, col("k") < 50)
+      assert(spark.sql("SELECT * FROM spjt.db.dvb").count() == 350)
+      // a DV subtraction never moves a row between buckets, so the
+      // co-bucketed self-join still plans with zero exchanges
+      val j = spark.sql(
+        """SELECT a.k FROM spjt.db.dvb a JOIN spjt.db.dvb b
+          |  ON a.k = b.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() == 350)
+      assert(spark.sql(
+        "SELECT min(k) FROM spjt.db.dvb").head().getLong(0) == 50L)
+    }
+  }
+
   test("appends preserve the bucket layout; mixed-version table still SPJs") {
     withSpjConf {
       val df = spark.range(500)

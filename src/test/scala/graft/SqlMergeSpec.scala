@@ -110,6 +110,99 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(files == manifest)
   }
 
+  test("MERGE on a MoR-deleted table reads through the DVs — no " +
+      "compaction required, nothing resurrects") {
+    val root = s"$base/db/mor1"
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id * 10 AS v")
+        .repartitionByRange(4, col("k")), "k")
+    // MoR-delete keys 0..9: the files keep the rows, a DV hides them
+    SnapTable.deleteWhereMoR(spark, root, col("k") < 10)
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .dvs.nonEmpty)
+    // source matches BOTH deleted keys (5..9 — must behave as absent →
+    // inserts) and live keys (10..14 — updates)
+    spark.range(5, 15).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("mor1_src")
+    spark.sql(
+      """MERGE INTO smt.db.mor1 t USING mor1_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM smt.db.mor1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0..4 stay deleted; 5..14 have v=-1 (re-insert / update); 15..99
+    // untouched. A resurrected DV'd row would surface k∈0..4 or a
+    // duplicate k∈5..9.
+    val expect = (5L until 15L).map(k => (k, -1L)) ++
+      (15L until 100L).map(k => (k, k * 10))
+    assert(got == expect.sortBy(_._1), s"got ${got.take(20)}")
+  }
+
+  test("UPDATE on a MoR-deleted table: DV'd rows neither match nor " +
+      "resurrect; carried files keep their DVs live") {
+    val root = s"$base/db/mor2"
+    // two disjoint key ranges → disjoint file sets, so the UPDATE
+    // rewrites one file set while the OTHER's DV must stay live
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(2, col("k")), "k")
+    SnapTable.append(spark, root,
+      spark.range(1000000, 1000100).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(2, col("k")))
+    // DV-delete five rows in EACH range
+    SnapTable.deleteWhereMoR(spark, root,
+      col("k").isin(0L, 1L, 2L, 3L, 4L,
+        1000000L, 1000001L, 1000002L, 1000003L, 1000004L))
+    // update only the low range (including DV'd keys 0..4, which must
+    // NOT come back)
+    spark.sql("UPDATE smt.db.mor2 SET v = -1 WHERE k < 50")
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.dvs.nonEmpty,
+      "carried files' deletion vectors must survive the partial rewrite")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) " +
+        "AS upd, min(k) AS mk FROM smt.db.mor2").collect()(0)
+    assert(got.getLong(0) == 190, s"rows: ${got.getLong(0)}") // 200 - 10
+    assert(got.getLong(1) == 45, s"updated: ${got.getLong(1)}") // 5..49
+    assert(got.getLong(2) == 5L, "a DV'd row resurrected")
+    // and the high range's DV still applies
+    assert(spark.sql(
+      "SELECT count(*) FROM smt.db.mor2 WHERE k >= 1000000")
+      .collect()(0).getLong(0) == 95)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: unmatched target rows update " +
+      "or delete across the full candidate set") {
+    val root = s"$base/db/nms1"
+    // two disjoint key ranges → disjoint file sets; the source only
+    // matches the LOW range, so the BY SOURCE clauses must reach the
+    // high-range files even though no source row joins them (the group
+    // filter cannot narrow to matched files for these clauses)
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(2, col("k")), "k")
+    SnapTable.append(spark, root,
+      spark.range(1000000, 1000050).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(2, col("k")))
+    spark.range(0, 50).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("nms1_src")
+    spark.sql(
+      """MERGE INTO smt.db.nms1 t USING nms1_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 1000000 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1000
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM smt.db.nms1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 0..49 matched → v=-1; 50..99 unmatched-by-source → v=k+1000;
+    // 1000000.. deleted entirely
+    val expect = (0L until 50L).map(k => (k, -1L)) ++
+      (50L until 100L).map(k => (k, k + 1000))
+    assert(got == expect.sortBy(_._1),
+      s"got ${got.take(10)}...${got.takeRight(5)}")
+  }
+
   test("MERGE enforces CHECK constraints on the rewrite") {
     val root = s"$base/db/c1"
     SnapTable.create(spark, root,

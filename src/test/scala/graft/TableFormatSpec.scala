@@ -377,10 +377,12 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_totalprice") > 250000).count() == 0)
     // time travel before the deletes still sees every row
     assert(SnapTable.readVersion(spark, root, 1).count() == total)
-    // CoW delete and classified CDC refuse until materialized
-    intercept[IllegalArgumentException] {
-      SnapTable.deleteWhere(spark, root, col("o_totalprice") > 0)
-    }
+    // CoW delete is DV-AWARE now (no compact-first refusal): a no-match
+    // predicate routes through the DV-aware rewrite and leaves the
+    // content identical (full semantics pinned in the dedicated spec);
+    // classified CDC still refuses until materialized
+    SnapTable.deleteWhere(spark, root, col("o_totalprice") < -1)
+    assert(SnapTable.read(spark, root).count() == total - nDel2)
     intercept[IllegalArgumentException] {
       SnapTable.changes(spark, root, 1,
         SnapTable.latestVersion(root), "o_orderkey")
@@ -706,8 +708,35 @@ class TableFormatSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == n0)
   }
 
-  test("bloom index skips files for point lookups; unindexed appends " +
-      "are always read") {
+  test("API merge and deleteWhere read through outstanding DVs: " +
+      "deleted rows neither match nor resurrect") {
+    val root = Tmp.dir("dv_cow_spec")
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(4, col("k")), "k")
+    SnapTable.deleteWhereMoR(spark, root, col("k") < 5)
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .dvs.nonEmpty)
+    // merge keys 0..9: DV'd 0..4 must behave as ABSENT (insert), live
+    // 5..9 as matches (update) — and no duplicates may appear
+    SnapTable.merge(spark, root,
+      spark.range(0, 10).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v"),
+      "k")
+    val after = SnapTable.read(spark, root)
+    assert(after.count() == 100)
+    assert(after.select("k").distinct().count() == 100,
+      "a DV'd row resurrected as a duplicate")
+    assert(after.filter(col("v") === -1).count() == 10)
+    // CoW delete through the remaining DVs (their file was rewritten by
+    // the merge, so the entries are inert — but the path must not care)
+    SnapTable.deleteWhere(spark, root, col("k") >= 90)
+    assert(SnapTable.read(spark, root).count() == 90)
+    assert(SnapTable.read(spark, root)
+      .agg(min(col("k"))).head().getLong(0) == 0L)
+  }
+
+  test("bloom index skips files for point lookups; appends stay " +
+      "correct; vacuum and compact keep the index live") {
     val root = Tmp.dir("bloom_spec")
     // clustered on k; v is uncorrelated with the layout, so every
     // file's v-range spans the domain and range stats prune nothing
@@ -722,8 +751,9 @@ class TableFormatSpec extends AnyFunSuite {
     assert(df.count() == expect)
     assert(expect > 0)
     assert(read < total, s"bloom pruned nothing: $read of $total")
-    // rows appended AFTER the index was built have no bloom entry —
-    // they are read unconditionally, so lookups stay correct
+    // appends MAINTAIN the index incrementally — rows appended after the
+    // build get their own sidecar entries, so lookups stay correct AND
+    // keep pruning (the appended values are found, not just never-skipped)
     SnapTable.append(spark, root,
       spark.range(0, 5).selectExpr("id + 50000 AS k",
         "CAST(77777 AS BIGINT) AS v"))
@@ -743,6 +773,87 @@ class TableFormatSpec extends AnyFunSuite {
     assert(df4.count() == expect)
     assert(read4 < total4,
       s"post-compact bloom pruned nothing: $read4 of $total4")
+  }
+
+  test("bloom index on an INT column: build hashes in the probe's type") {
+    // xxhash64 of an IntegerType column differs from the same value
+    // hashed as a BIGINT literal — the build must cast, or every probe
+    // is a false NEGATIVE (silently missing rows, the worst failure an
+    // index can have)
+    val root = Tmp.dir("bloom_int_spec")
+    val base = spark.range(0, 4000)
+      .selectExpr("id AS k", "CAST((id * 2654435761) % 4000 AS INT) AS vi")
+    SnapTable.create(spark, root,
+      base.repartitionByRange(6, col("k")), "k")
+    SnapTable.addBloomIndex(spark, root, "vi")
+    val probe = 1234L
+    val expect = base.filter(col("vi") === probe).count()
+    assert(expect > 0)
+    val (df, read, total) = SnapTable.readPoint(spark, root, "vi", probe)
+    assert(df.count() == expect,
+      s"int-column bloom lost rows: ${df.count()} of $expect")
+    assert(read < total)
+    // unsupported (non-integral, non-string) column types are rejected
+    // at build time instead of silently yielding false negatives
+    val root2 = Tmp.dir("bloom_badtype_spec")
+    SnapTable.create(spark, root2, spark.range(0, 10)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS d"), "k")
+    intercept[IllegalArgumentException] {
+      SnapTable.addBloomIndex(spark, root2, "d")
+    }
+  }
+
+  test("re-index replaces same-column sidecars; appends keep the index " +
+      "fresh; compact rebuilds at the declared fpp") {
+    val root = Tmp.dir("bloom_fresh_spec")
+    // v is EVEN, spans ~[0, 7998] in every file (uncorrelated with the
+    // k layout), so range stats can never prune a probe inside that
+    // span — only the bloom can
+    val base = spark.range(0, 8000)
+      .selectExpr("id AS k", "2 * ((id * 2654435761) % 4000) AS v")
+    SnapTable.create(spark, root,
+      base.repartitionByRange(8, col("k")), "k")
+    SnapTable.addBloomIndex(spark, root, "v", fpp = 0.001)
+    // a refresh RETIRES the previous sidecar for the column — the list
+    // must not stack dead indexes that every probe would scan forever
+    SnapTable.addBloomIndex(spark, root, "v", fpp = 0.001)
+    val afterReindex = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(afterReindex.blooms.size == 1,
+      s"re-index stacked sidecars: ${afterReindex.blooms}")
+    // three appends: each one builds an incremental sidecar over just
+    // its fresh files (also even-valued, full-span — unprunable by
+    // range stats)
+    (1 to 3).foreach { i =>
+      SnapTable.append(spark, root,
+        spark.range(0, 1000).selectExpr(s"id + ${90000 * i} AS k",
+          s"2 * ((id * 48271 + $i * 7) % 4000) AS v"))
+    }
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.blooms.size == 4, s"expected 1+3 sidecars: ${head.blooms}")
+    // an ODD value: absent from every file yet inside every file's
+    // [min,max]. Zero files read PROVES the appended files carry bloom
+    // entries — an unindexed file is always read.
+    val (dfMiss, readMiss, _) = SnapTable.readPoint(spark, root, "v", 4001L)
+    assert(dfMiss.count() == 0)
+    assert(readMiss == 0,
+      s"miss probe read $readMiss files — appended files unindexed")
+    // and a present value is still found exactly
+    val (df, _, _) = SnapTable.readPoint(spark, root, "v", 2714L)
+    assert(df.count() ==
+      SnapTable.read(spark, root).filter(col("v") === 2714L).count())
+    assert(df.count() > 0)
+    // compaction rebuilds ONE sidecar per column, at the fpp the index
+    // was created with (persisted in the sidecar rows, not defaulted)
+    SnapTable.compact(spark, root, targetFiles = 6)
+    val afterCompact = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(afterCompact.blooms.size == 1)
+    val meta = spark.read
+      .parquet(s"$root/${afterCompact.blooms.head}")
+      .select("col", "fpp").distinct().collect()
+    assert(meta.length == 1)
+    assert(meta.head.getString(0) == "v")
+    assert(meta.head.getDouble(1) == 0.001,
+      s"compact rebuild lost the declared fpp: ${meta.head.getDouble(1)}")
   }
 
   test("string bloom + sstats point lookup prunes and stays exact") {
