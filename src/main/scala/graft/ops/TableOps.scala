@@ -1517,6 +1517,104 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_stats_broadcast",
+      // Manifest-derived scan STATISTICS (SupportsReportStatistics on
+      // both scan flavors): the planner sees real post-pruning
+      // bytes/rows instead of defaultSizeInBytes (∞), so a small
+      // dimension SnapTable is auto-broadcast with NO hint — at cluster
+      // scale this is the difference between a broadcast join and a
+      // full shuffle of the 100 TB fact side. The op REQUIRES the
+      // BroadcastHashJoin in the plan, then oracle-checks the join
+      // result itself.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t1 = freshName()
+        val t2 = freshName()
+        val v = "v" + t1
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t1 " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t1 SELECT * FROM $v")
+        s.sql(s"CREATE TABLE snap.main.$t2 (ck BIGINT, tier STRING)")
+        s.sql(s"INSERT INTO snap.main.$t2 " +
+          "SELECT id AS ck, concat('tier', id % 3) AS tier " +
+          "FROM range(0, 100)")
+        val saved = s.conf.getOption("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val df = s.sql(
+            s"""SELECT d.tier, count(*) AS n,
+               |  sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) / 100
+               |    AS total
+               |FROM snap.main.$t1 f JOIN snap.main.$t2 d
+               |  ON f.o_custkey = d.ck
+               |GROUP BY d.tier ORDER BY d.tier""".stripMargin)
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("BroadcastHashJoin"),
+            "manifest statistics must let the planner auto-broadcast " +
+              s"the KB-scale dimension (no hint given), got:\n$plan")
+          df
+        } finally {
+          saved match {
+            case Some(x) => s.conf.set("spark.sql.adaptive.enabled", x)
+            case None => s.conf.unset("spark.sql.adaptive.enabled")
+          }
+        }
+      },
+      Some(
+        // DuckDB's range() names its column "range" (not Spark's "id")
+        "WITH d AS (SELECT range AS ck, " +
+          "'tier' || CAST(range % 3 AS VARCHAR) AS tier " +
+          "FROM range(0, 100)) " +
+          "SELECT tier, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders JOIN d ON o_custkey = ck " +
+          "GROUP BY tier ORDER BY tier")
+    ),
+    Q(
+      "table_sql_ddl_rename",
+      // RENAME / DROP COLUMN through SQL — Delta-style column mapping:
+      // both verbs are ONE manifest write at any table size (pinned in
+      // TableFormatSpec: no data file rewritten). Files written before
+      // the rename keep their physical column name; the mapping resolves
+      // them, so a mixed-era table reads uniformly, UPDATE rewrites
+      // through the mapping, and a dropped column's values can never
+      // resurrect under a re-added name (physical tombstones).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v " +
+          "WHERE o_orderkey % 2 = 0")
+        s.sql(s"ALTER TABLE snap.main.$t RENAME COLUMN " +
+          "o_totalprice TO price")
+        // the second era inserts under the NEW name; files of both eras
+        // must agree on read
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT o_orderkey, o_custkey, o_totalprice AS price FROM $v " +
+          "WHERE o_orderkey % 2 = 1")
+        s.sql(s"UPDATE snap.main.$t SET price = price + 100 " +
+          "WHERE o_orderkey % 7 = 0")
+        s.sql(s"ALTER TABLE snap.main.$t DROP COLUMN o_custkey")
+        s.sql(s"SELECT o_orderkey, price FROM snap.main.$t")
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("price"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_orderkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round((CASE WHEN o_orderkey % 7 = 0 " +
+          "THEN o_totalprice + 100 ELSE o_totalprice END) * 100) " +
+          "AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_sql_merge_nms",
       // MERGE with WHEN NOT MATCHED BY SOURCE clauses (Spark 4 grammar):
       // rows of the TARGET no source row joins are updated or deleted.

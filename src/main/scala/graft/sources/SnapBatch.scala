@@ -37,10 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] class SnapBatchScan(
     spark: SparkSession, root: String,
-    protected var files: Seq[SnapTable.FileEntry],
+    private[graft] var files: Seq[SnapTable.FileEntry],
     schemaJson: String, required: StructType,
     pushed: Seq[Filter], bucket: Option[(String, Int)],
-    dvs: Seq[String] = Seq.empty)
+    dvs: Seq[String] = Seq.empty,
+    colmap: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics {
 
@@ -68,13 +69,22 @@ private[graft] class SnapBatchScan(
   private def fileColLast: Boolean =
     required.fieldNames.lastOption.contains(SnapBatchScan.FileCol)
 
-  private def parquetRequired: StructType =
-    if (fileColLast) StructType(required.fields.dropRight(1))
-    else {
-      require(!required.fieldNames.contains(SnapBatchScan.FileCol),
-        s"${SnapBatchScan.FileCol} must be the trailing scan column")
-      required
-    }
+  /** Parquet-facing required schema: the `_file` metadata column
+    * stripped, and every field at its PHYSICAL name (rows come back
+    * positionally, so the logical-named `required` projects them as-is).
+    */
+  private def parquetRequired: StructType = {
+    val data =
+      if (fileColLast) StructType(required.fields.dropRight(1))
+      else {
+        require(!required.fieldNames.contains(SnapBatchScan.FileCol),
+          s"${SnapBatchScan.FileCol} must be the trailing scan column")
+        required
+      }
+    if (colmap.isEmpty) data
+    else StructType(data.fields.map(f =>
+      f.copy(name = SnapTable.physName(colmap, f.name))))
+  }
 
   override def outputPartitioning(): Partitioning = bucket match {
     case Some((c, n)) =>
@@ -108,16 +118,39 @@ private[graft] class SnapBatchScan(
           new SnapInputPartition(slices(fs), Some(id)): InputPartition
         }.toArray
       case None =>
-        // one partition per file: simple, and the scheduler re-packs
-        files.map(f =>
-          new SnapInputPartition(slices(Seq(f)), None): InputPartition)
+        // BIN-PACK files into byte-targeted partitions (the same knob
+        // Spark's file scan uses): a 100k-small-file table must not
+        // become 100k tasks, and a handful of big files must not
+        // under-parallelize below the session's core count
+        val all = slices(files)
+        val target = math.max(1L, math.min(
+          spark.sessionState.conf.filesMaxPartitionBytes,
+          math.max(1L, all.map(_.size).sum /
+            math.max(1, spark.sparkContext.defaultParallelism))))
+        val bins = Seq.newBuilder[Array[SnapFileSlice]]
+        var bin = Vector.empty[SnapFileSlice]
+        var binBytes = 0L
+        all.sortBy(-_.size).foreach { f =>
+          if (bin.nonEmpty && binBytes + f.size > target) {
+            bins += bin.toArray; bin = Vector.empty; binBytes = 0L
+          }
+          bin :+= f; binBytes += f.size
+        }
+        if (bin.nonEmpty) bins += bin.toArray
+        bins.result()
+          .map(fs => new SnapInputPartition(fs, None): InputPartition)
           .toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // pushed filters reference LOGICAL names; under a column mapping
+    // they are dropped here (they're all residual — Spark re-evaluates
+    // them row-exactly; only parquet row-group pruning is lost)
+    val effPushed = if (colmap.isEmpty) pushed else Seq.empty
     val readFunc = ParquetBridge.readerFunc(spark,
-      SnapTable.schemaOf(schemaJson), parquetRequired, pushed)
+      SnapTable.physSchemaOf(schemaJson, colmap), parquetRequired,
+      effPushed)
     // merge-on-read: deleted positions ride a broadcast keyed by file
     // path; a DV'd file is read WITHOUT parquet filter pushdown (a
     // skipped row group would shift every later row index — positional
@@ -128,9 +161,10 @@ private[graft] class SnapBatchScan(
       if (dvs.isEmpty) Map.empty[String, Array[Long]]
       else SnapTable.dvPositionsByFile(spark, root, dvs)
     val plainFunc =
-      if (dvPos.isEmpty || pushed.isEmpty) readFunc
+      if (dvPos.isEmpty || effPushed.isEmpty) readFunc
       else ParquetBridge.readerFunc(spark,
-        SnapTable.schemaOf(schemaJson), parquetRequired, Seq.empty)
+        SnapTable.physSchemaOf(schemaJson, colmap), parquetRequired,
+        Seq.empty)
     new SnapReaderFactory(readFunc, plainFunc,
       spark.sparkContext.broadcast(dvPos), required, fileColLast)
   }

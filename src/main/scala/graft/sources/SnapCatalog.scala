@@ -167,9 +167,19 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           "ADD COLUMN must be nullable: existing files null-fill it")
         SnapTable.addColumn(dir, add.fieldNames()(0), add.dataType())
+      case rn: TableChange.RenameColumn =>
+        // metadata-only via the column mapping: the physical name in
+        // every existing file stays; old and new files both resolve
+        require(rn.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        SnapTable.renameColumn(dir, rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested DROP COLUMN is not supported")
+        SnapTable.dropColumn(dir, del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE ${other.getClass.getSimpleName}: only additive " +
-          "ADD COLUMN is supported (drop/rename/retype would break " +
+        s"ALTER TABLE ${other.getClass.getSimpleName}: supported " +
+          "changes are ADD/RENAME/DROP COLUMN (retype would break " +
           "existing files' read schema)")
     }
     loadTable(ident)
@@ -465,83 +475,31 @@ private[graft] class SnapScanBuilder(root: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
+    // manifest stats key on PHYSICAL column names; pushed predicates
+    // reference logical ones — map before consulting the entries
     val hit = snap.files.filter { f =>
       bounds.forall { case (c, (lo, hi)) =>
-        f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        f.stats.get(SnapTable.physName(snap.colmap, c))
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
       } &&
       sBounds.forall { case (c, (lo, hi)) =>
-        f.sstats.get(c).forall { case (mn, mx) =>
-          lo.forall(mx >= _) && hi.forall(mn <= _)
-        }
+        f.sstats.get(SnapTable.physName(snap.colmap, c))
+          .forall { case (mn, mx) =>
+            lo.forall(mx >= _) && hi.forall(mn <= _)
+          }
       }
     }
-    // bucket-layout tables read through the NATIVE batch scan so the
-    // planner sees their KeyGroupedPartitioning (storage-partitioned
-    // joins); outstanding DVs ride the scan too — the per-file readers
-    // drop the deleted positions, so SPJ survives merge-on-read deletes
-    // (a DV subtraction never moves a row between buckets)
-    if (snap.bucket.isDefined)
-      new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
-        required, raw.toSeq, snap.bucket, snap.dvs)
-    else
-      new SnapV1Scan(root, hit, snap.dvs, snap.schemaJson, required)
+    // EVERY catalog read goes through the native batch scan: it is the
+    // only scan shape whose statistics and partitioning the planner
+    // actually consults (a V1Scan gets wrapped in Spark's
+    // V1ScanWrapper during pushdown, which hides SupportsReport*, so a
+    // V1-bridged table costs defaultSizeInBytes = ∞ and can never be
+    // auto-broadcast). Bucket layouts additionally report
+    // KeyGroupedPartitioning (storage-partitioned joins); outstanding
+    // DVs ride the scan (per-file readers drop deleted positions);
+    // unbucketed file lists bin-pack into byte-targeted partitions.
+    new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
+      required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap)
   }
 }
 
-/** The scan itself: a [[V1Scan]] bridge whose relation reads the pruned
-  * file list with Spark's native parquet source — vectorized reader,
-  * row-group pushdown and whole-stage codegen all apply downstream.
-  */
-private[graft] class SnapV1Scan(root: String,
-    private[graft] val files: Seq[SnapTable.FileEntry], dvs: Seq[String],
-    schemaJson: String, required: StructType) extends V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-
-  override def readSchema(): StructType = required
-
-  /** Same manifest-derived post-pruning stats as the native scan: the
-    * V1 bridge otherwise costs at `defaultSizeInBytes`, and a small
-    * filtered SnapTable would never be auto-broadcast. Rows is the
-    * footer count of the surviving files — an upper bound when DVs are
-    * outstanding, which only ever errs toward NOT broadcasting.
-    */
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    SnapStats(files.map(f => Files.size(
-      Paths.get(root).toAbsolutePath.resolve(f.path).normalize())).sum,
-      files.map(_.rows).sum)
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new SnapRelation(context, root, files, dvs, schemaJson, required)
-      .asInstanceOf[T]
-}
-
-private[sources] class SnapRelation(ctx: SQLContext, root: String,
-    files: Seq[SnapTable.FileEntry], dvs: Seq[String], schemaJson: String,
-    required: StructType) extends BaseRelation with TableScan {
-
-  override def sqlContext: SQLContext = ctx
-
-  override def schema: StructType = required
-
-  override def buildScan(): RDD[Row] = {
-    val raw = SnapTable.readFiles(ctx.sparkSession, root, files,
-      schemaJson)
-    // `_file` (the table's metadata column) resolves from the parquet
-    // file-path metadata, and must be captured on the RAW scan — it
-    // doesn't survive joins/projections
-    val base =
-      if (!required.fieldNames.contains(SnapBatchScan.FileCol)) raw
-      else raw.withColumn(SnapBatchScan.FileCol,
-        SnapTable.relPathCol(root))
-    // SQL reads honor deletion vectors like the API reads do — the
-    // subtraction must run on the raw scan, BEFORE the projection strips
-    // the metadata columns (pruned-away files' positions never match)
-    val df =
-      if (dvs.isEmpty || files.isEmpty) base
-      else SnapTable.subtractDvs(ctx.sparkSession, root, base, dvs)
-    // a zero-column projection (e.g. COUNT(*)) still needs the row COUNT
-    df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
-  }
-}

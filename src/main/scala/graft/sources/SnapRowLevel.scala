@@ -59,6 +59,8 @@ private[sources] class SnapRowLevelOperation(root: String,
     */
   private[sources] def snapDvs: Seq[String] = snap.dvs
 
+  private[sources] def snapColmap: Map[String, String] = snap.colmap
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -112,7 +114,8 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     spark: SparkSession, root: String, required: StructType,
     pushed: Seq[Filter])
   extends SnapBatchScan(spark, root, op.scanned, op.snapJson, required,
-    pushed, None, op.snapDvs) with SupportsRuntimeV2Filtering {
+    pushed, None, op.snapDvs, op.snapColmap)
+  with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(SnapBatchScan.FileCol))
@@ -168,9 +171,14 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
       : DataWriterFactory = {
     Files.createDirectories(dir)
     val spark = SparkSession.active
-    val (owf, prepared) = ParquetBridge.writerFactory(spark, schema,
+    // rows arrive positionally; the parquet writer must name columns at
+    // their PHYSICAL names so the rewritten files read back under the
+    // table's column mapping like every other file
+    val physSchema = StructType(schema.fields.map(f =>
+      f.copy(name = SnapTable.physName(parent.colmap, f.name))))
+    val (owf, prepared) = ParquetBridge.writerFactory(spark, physSchema,
       spark.sessionState.newHadoopConf())
-    new SnapReplaceWriterFactory(owf, dir.toString, schema,
+    new SnapReplaceWriterFactory(owf, dir.toString, physSchema,
       new SerializableConfiguration(prepared))
   }
 
@@ -186,7 +194,7 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
     if (parent.checks.nonEmpty && fresh.nonEmpty)
       SnapTable.validateWrittenChecks(spark, root, fresh,
         parent.schemaJson, parent.checks,
-        s"incoming ${op.command().name().toLowerCase}")
+        s"incoming ${op.command().name().toLowerCase}", parent.colmap)
     val scanned = op.scanned.map(_.path).toSet
     val carried = parent.files.filterNot(f => scanned.contains(f.path))
     // DV entries for rewritten files become inert (their paths leave the

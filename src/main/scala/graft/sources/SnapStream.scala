@@ -102,6 +102,14 @@ class SnapStreamSource(ctx: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    // the stream reads files by the LOGICAL schema directly; a column
+    // mapping (RENAME/DROP COLUMN) breaks that name identity, and a
+    // mid-stream schema change violates the fixed-schema streaming
+    // contract anyway — same restart-required stance as Delta's
+    require(SnapTable.load(root, endV).colmap.isEmpty,
+      "snapstream: the table has a column mapping (renamed/re-added " +
+        "columns) — streams must restart from a fresh checkpoint after " +
+        "a column-mapping change")
     if (readChangeFeed) return changeBatch(start.map(version), endV)
     val files = start match {
       case None =>

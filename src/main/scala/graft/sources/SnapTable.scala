@@ -134,6 +134,16 @@ object SnapTable {
     * keys). Files without a bloom entry are always read — the index is
     * an optimization, never a correctness gate.
     */
+  /** `colmap` is the COLUMN MAPPING (the Delta column-mapping idea,
+    * name mode): logical column name → the PHYSICAL name stored in data
+    * files, recorded only where they differ. RENAME COLUMN changes the
+    * logical name and keeps the physical one, so no data file is ever
+    * rewritten; every read resolves through the map, every write renames
+    * to physical before the parquet writer. `dead` tombstones the
+    * physical names of DROPPED columns: re-adding a same-named column
+    * must pick a fresh physical name, or old files' dropped values would
+    * resurrect under the new column.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
@@ -141,7 +151,41 @@ object SnapTable {
       checks: Map[String, String] = Map.empty, ts: Long = 0L,
       bucket: Option[(String, Int)] = None,
       gen: Map[String, String] = Map.empty,
-      blooms: Seq[String] = Seq.empty)
+      blooms: Seq[String] = Seq.empty,
+      colmap: Map[String, String] = Map.empty,
+      dead: Seq[String] = Seq.empty)
+
+  /** Physical (on-file) name of a logical column under a column
+    * mapping — identity unless renamed.
+    */
+  private[sources] def physName(colmap: Map[String, String],
+      c: String): String = colmap.getOrElse(c, c)
+
+  /** The snapshot schema with every field at its PHYSICAL name — what
+    * the parquet readers and writers actually see.
+    */
+  private[sources] def physSchemaOf(schemaJson: String,
+      colmap: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val s = schemaOf(schemaJson)
+    if (colmap.isEmpty) s
+    else org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physName(colmap, f.name))))
+  }
+
+  /** Alias a PHYSICAL frame's columns back to their logical names,
+    * passing `extra` columns (metadata captured before this projection)
+    * through untouched. No-op without a mapping.
+    */
+  private[sources] def toLogical(df: DataFrame, schemaJson: String,
+      colmap: Map[String, String],
+      extra: Seq[String] = Seq.empty): DataFrame =
+    if (colmap.isEmpty) df
+    else {
+      val schema = schemaOf(schemaJson)
+      df.select(schema.fields.toIndexedSeq.map(f =>
+        col(physName(colmap, f.name)).as(f.name)) ++ extra.map(col): _*)
+    }
 
   /** The synthetic stats column carrying a file's bucket id. */
   val BucketStatsCol = "_gfb"
@@ -238,10 +282,12 @@ object SnapTable {
     val df = applyGenerated(df0, parent.gen, "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
+    val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket)
+      parent.statsCol, parent.bucket, cm)
     commitAppend(root, parent, fresh, df.schema, txn = None,
-      freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json))
+      freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json),
+      colmap = cm)
   }
 
   /** PREPARE an append for a multi-table transaction (SnapTxn): the new
@@ -260,14 +306,16 @@ object SnapTable {
     val df = applyGenerated(df0, parent.gen, "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
+    val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket)
+      parent.statsCol, parent.bucket, cm)
     val bx = appendBlooms(s, root, parent, fresh, df.schema.json)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
         df.schema.json, parent.files ++ fresh, None, parent.spec,
         parent.dvs, parent.checks, bucket = parent.bucket,
-        gen = parent.gen, blooms = parent.blooms ++ bx)))
+        gen = parent.gen, blooms = parent.blooms ++ bx, colmap = cm,
+        dead = parent.dead)))
       v = latestVersion(root) + 1
     v
   }
@@ -296,7 +344,7 @@ object SnapTable {
       val fresh =
         if (incoming.isEmpty) Seq.empty
         else writeData(s, root, clusterBySpec(incoming, parent.spec),
-          parent.statsCol, parent.bucket)
+          parent.statsCol, parent.bucket, parent.colmap)
       return commitExclusive(root, parent, fresh, "merge",
         parent.schemaJson, txn = txn)
     }
@@ -305,11 +353,13 @@ object SnapTable {
     // vectors, so a DV'd row can neither count as a match nor survive
     // into a rewritten file (resurrection). Rewritten files' DV entries
     // go inert (their paths leave the list); carried files' stay live.
-    val withFile0 = readFiles(s, root, parent.files, parent.schemaJson)
+    val withFile0 = readFilesPhysical(s, root, parent.files,
+        parent.schemaJson, parent.colmap)
       .withColumn("_gf_file", col("_metadata.file_path"))
-    val withFile =
+    val withFile = toLogical(
       if (parent.dvs.isEmpty) withFile0
-      else subtractDvs(s, root, withFile0, parent.dvs)
+      else subtractDvs(s, root, withFile0, parent.dvs),
+      parent.schemaJson, parent.colmap, extra = Seq("_gf_file"))
     // one semi-join over file metadata finds the touched files; file paths
     // are driver-side metadata (as in every CoW format)
     val touched = withFile.join(broadcast(keys), Seq(key), "left_semi")
@@ -330,7 +380,7 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
-        parent.statsCol, parent.bucket)
+        parent.statsCol, parent.bucket, parent.colmap)
     commitExclusive(root, parent, carried ++ fresh, "merge",
       parent.schemaJson,
       dvs = if (carried.isEmpty) Seq.empty else parent.dvs, txn = txn)
@@ -372,11 +422,13 @@ object SnapTable {
         val df = applyGenerated(df0, parent.gen, "incoming")
         validateEvolution(parent.schemaJson, df.schema)
         validateChecks(df, parent.checks, "incoming")
+        val cm = widenColmap(parent, df.schema)
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-          parent.statsCol, parent.bucket)
+          parent.statsCol, parent.bucket, cm)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
           freshBlooms =
-            appendBlooms(s, root, parent, fresh, df.schema.json))
+            appendBlooms(s, root, parent, fresh, df.schema.json),
+          colmap = cm)
     }
   }
 
@@ -415,7 +467,7 @@ object SnapTable {
           .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
-      parent.bucket)
+      parent.bucket, parent.colmap)
     // a compaction replaces every file, which would silently orphan the
     // bloom index (entries key on file names) — REBUILD it over the new
     // files for the same columns (each at the fpp its index was created
@@ -423,12 +475,16 @@ object SnapTable {
     // already paid for
     val rebuilt =
       if (parent.blooms.isEmpty) Seq.empty[String]
-      else parent.blooms.map(d => sidecarMeta(s, root, d))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (c, metas) =>
-          buildBloomSidecar(s, root, fresh, parent.schemaJson, c,
-            metas.head._2)
-        }
+      else {
+        val byPhys = schemaOf(parent.schemaJson).fieldNames
+          .map(n => physName(parent.colmap, n) -> n).toMap
+        parent.blooms.map(d => sidecarMeta(s, root, d))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .flatMap { case (pc, metas) =>
+            byPhys.get(pc).map(c => buildBloomSidecar(s, root, fresh,
+              parent.schemaJson, parent.colmap, c, metas.head._2))
+          }
+      }
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
       dvs = Seq.empty, blooms = rebuilt)
   }
@@ -454,7 +510,124 @@ object SnapTable {
     val widened = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true))
-    commitExclusive(root, parent, parent.files, "add-column", widened.json)
+    val phys = freshPhysName(parent, name)
+    commitExclusive(root, parent, parent.files, "add-column", widened.json,
+      colmap =
+        if (phys == name) parent.colmap else parent.colmap + (name -> phys))
+  }
+
+  /** A physical name for a NEW logical column: the logical name itself
+    * unless some existing file already stores that physical name (a
+    * dropped column's tombstone, or a renamed column's original) — then
+    * old files would resurrect their values under the new column, so a
+    * suffixed fresh name is allocated instead.
+    */
+  private def freshPhysName(parent: Snapshot, name: String): String = {
+    val used = schemaOf(parent.schemaJson).fieldNames
+      .map(physName(parent.colmap, _)).toSet ++ parent.dead
+    if (!used.contains(name)) name
+    else Iterator.from(1).map(i => s"${name}_r$i")
+      .find(!used.contains(_)).get
+  }
+
+  /** Logical columns a snapshot's layout/contract metadata references —
+    * rename/drop of these is refused (the references hold the name in
+    * SQL text or manifest fields; silently re-pointing them is how a
+    * format corrupts a table).
+    */
+  private def requireUnreferenced(parent: Snapshot, c: String,
+      what: String): Unit = {
+    require(!parent.spec.contains(c),
+      s"cannot $what '$c': it is a partition column")
+    require(!parent.bucket.exists(_._1 == c),
+      s"cannot $what '$c': it is the bucket column")
+    require(!parent.gen.contains(c),
+      s"cannot $what '$c': it has a generation expression")
+    def refs(e: String): Set[String] =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name
+        }.toSet
+    (parent.checks ++ parent.gen).foreach { case (n, e) =>
+      require(!refs(e).contains(c),
+        s"cannot $what '$c': referenced by '$n' ($e)")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only, the Delta
+    * column-mapping idea (name mode): the PHYSICAL name in existing
+    * files never changes; the snapshot schema renames the logical field
+    * and `colmap` records logical → physical. Files written before AND
+    * after the rename resolve the column identically, so the verb costs
+    * one manifest write at any table size. A rename of the stats column
+    * follows it. Bloom sidecars key on physical names, so their pruning
+    * survives the rename too.
+    */
+  def renameColumn(root: String, from: String, to: String): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    require(schema.fieldNames.contains(from), s"no column '$from'")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists")
+    requireUnreferenced(parent, from, "rename")
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val phys = physName(parent.colmap, from)
+    val cm = (parent.colmap - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    commitExclusive(root, parent, parent.files, "rename-column",
+      widened.json,
+      statsCol = if (parent.statsCol == from) to else parent.statsCol,
+      colmap = cm)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: the snapshot schema loses
+    * the field, old files keep the bytes (reclaimed as files rewrite),
+    * and the physical name is TOMBSTONED so a later same-named ADD
+    * COLUMN cannot resurrect the dropped values.
+    */
+  def dropColumn(root: String, name: String): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    require(schema.fields.length > 1, "cannot drop the only column")
+    require(parent.statsCol != name,
+      s"cannot drop '$name': it is the stats/cluster column")
+    requireUnreferenced(parent, name, "drop")
+    commitExclusive(root, parent, parent.files, "drop-column",
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name)).json,
+      colmap = parent.colmap - name,
+      dead = parent.dead :+ physName(parent.colmap, name))
+  }
+
+  /** Column-mapping entries for columns an APPEND introduces (additive
+    * evolution): a new logical column whose name collides with a
+    * tombstoned or still-stored physical name gets a fresh physical,
+    * exactly like [[addColumn]].
+    */
+  private def widenColmap(parent: Snapshot,
+      incoming: org.apache.spark.sql.types.StructType)
+      : Map[String, String] = {
+    val parentFields = schemaOf(parent.schemaJson).fieldNames.toSet
+    val fresh = incoming.fieldNames.filterNot(parentFields)
+    if (fresh.isEmpty || (parent.colmap.isEmpty && parent.dead.isEmpty))
+      parent.colmap
+    else {
+      var used = schemaOf(parent.schemaJson).fieldNames
+        .map(physName(parent.colmap, _)).toSet ++ parent.dead
+      var cm = parent.colmap
+      fresh.foreach { n =>
+        val p =
+          if (!used.contains(n)) n
+          else Iterator.from(1).map(i => s"${n}_r$i")
+            .find(!used.contains(_)).get
+        used += p
+        if (p != n) cm += (n -> p)
+      }
+      cm
+    }
   }
 
   def addCheck(s: SparkSession, root: String, name: String,
@@ -591,7 +764,8 @@ object SnapTable {
     // read — correct, just unpruned; re-index the clone to restore it).
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
         snap.schemaJson, files, None, snap.spec, dvs, snap.checks,
-        bucket = snap.bucket, gen = snap.gen)))
+        bucket = snap.bucket, gen = snap.gen, colmap = snap.colmap,
+        dead = snap.dead)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -635,7 +809,7 @@ object SnapTable {
     // claiming a clustering the restored files don't have
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
       statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
-      checks = snap.checks)
+      checks = snap.checks, colmap = snap.colmap, dead = snap.dead)
   }
 
   // ---------------------------------------------------------------- refs
@@ -757,7 +931,8 @@ object SnapTable {
       // per-read anti-join that vacuum then keeps alive forever
       commitExclusive(root, head, sharedMapped ++ freshMapped, "publish",
         bHead.schemaJson, statsCol = bHead.statsCol, spec = bHead.spec,
-        dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen)
+        dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen,
+        colmap = bHead.colmap, dead = bHead.dead)
     else {
       val transforms = versions(b).map(v => load(b, v).op)
         .filterNot(op => op == "clone" || op == "append").distinct
@@ -831,7 +1006,8 @@ object SnapTable {
       // outstanding merge-on-read deletes: route through the DV-aware
       // rewrite (marks through the vectors, rewrites the touched files
       // reading through them) so nothing DV'd resurrects
-      val withMeta = readFiles(s, root, parent.files, parent.schemaJson)
+      val withMeta = readFilesPhysical(s, root, parent.files,
+          parent.schemaJson, parent.colmap)
         .withColumn("_dv_path", relPathCol(root))
         .withColumn("_dv_row", col("_metadata.row_index"))
       val undeleted = withMeta.join(
@@ -841,10 +1017,15 @@ object SnapTable {
         col("_dv_path") === col("_dv_path0") &&
           col("_dv_row") === col("_dv_row0"), "left_anti")
       return deleteCowUnderDvs(s, root, parent, predicate,
-        undeleted.filter(predicate).select("_dv_path", "_dv_row"))
+        toLogical(undeleted, parent.schemaJson, parent.colmap,
+          extra = Seq("_dv_path", "_dv_row"))
+          .filter(predicate).select("_dv_path", "_dv_row"))
     }
-    val withFile = readFiles(s, root, parent.files, parent.schemaJson)
-      .withColumn("_gf_file", col("_metadata.file_path"))
+    val withFile = toLogical(
+      readFilesPhysical(s, root, parent.files, parent.schemaJson,
+        parent.colmap)
+        .withColumn("_gf_file", col("_metadata.file_path")),
+      parent.schemaJson, parent.colmap, extra = Seq("_gf_file"))
     val touched = withFile.filter(predicate)
       .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
     val touchedRel = matchEntries(root, parent.files, touched)
@@ -859,7 +1040,7 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol, parent.bucket)
+        parent.statsCol, parent.bucket, parent.colmap)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -965,9 +1146,15 @@ object SnapTable {
 
   private def readSnapshot(s: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
-    val base = readFiles(s, root, snap.files, snap.schemaJson)
-    if (snap.dvs.isEmpty || snap.files.isEmpty) base
-    else subtractDvs(s, root, base, snap.dvs)
+    // DV subtraction needs the scan's metadata columns, which the
+    // logical-aliasing projection strips — so subtract on the PHYSICAL
+    // frame first, then alias
+    val base = readFilesPhysical(s, root, snap.files, snap.schemaJson,
+      snap.colmap)
+    val sub =
+      if (snap.dvs.isEmpty || snap.files.isEmpty) base
+      else subtractDvs(s, root, base, snap.dvs)
+    toLogical(sub, snap.schemaJson, snap.colmap)
   }
 
   /** Merge-on-read DELETE (the Delta deletion-vector / Iceberg v2
@@ -999,7 +1186,8 @@ object SnapTable {
     // metadata cols must be captured on the raw scan (they don't survive
     // joins/projections); prior DVs are then subtracted explicitly so a
     // second MoR delete doesn't re-mark already-deleted positions
-    val withMeta = readFiles(s, root, parent.files, parent.schemaJson)
+    val withMeta = readFilesPhysical(s, root, parent.files,
+        parent.schemaJson, parent.colmap)
       .withColumn("_dv_path", relPathCol(root))
       .withColumn("_dv_row", col("_metadata.row_index"))
     val undeleted =
@@ -1010,7 +1198,8 @@ object SnapTable {
           .withColumnRenamed("_dv_row", "_dv_row0"),
         col("_dv_path") === col("_dv_path0") &&
           col("_dv_row") === col("_dv_row0"), "left_anti")
-    val marked = undeleted
+    val marked = toLogical(undeleted, parent.schemaJson, parent.colmap,
+        extra = Seq("_dv_path", "_dv_row"))
       .filter(predicate)
       .select("_dv_path", "_dv_row")
       .persist()
@@ -1067,7 +1256,8 @@ object SnapTable {
       return commitExclusive(root, parent, parent.files, "delete",
         parent.schemaJson)
     val carried = parent.files.filterNot(hit)
-    val scan = readFiles(s, root, touchedEntries, parent.schemaJson)
+    val scan = readFilesPhysical(s, root, touchedEntries,
+        parent.schemaJson, parent.colmap)
       .withColumn("_dv_path", relPathCol(root))
       .withColumn("_dv_row", col("_metadata.row_index"))
     val visible =
@@ -1080,13 +1270,14 @@ object SnapTable {
           col("_dv_row") === col("_dv_row0"), "left_anti")
     // NULL-predicate rows are NOT deleted (SQL DELETE semantics), so
     // they must survive the rewrite
-    val survivors = visible
+    val survivors = toLogical(visible, parent.schemaJson, parent.colmap,
+        extra = Seq("_dv_path", "_dv_row"))
       .filter(!coalesce(predicate, lit(false)))
       .drop("_dv_path", "_dv_row")
     val fresh =
       if (survivors.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol, parent.bucket)
+        parent.statsCol, parent.bucket, parent.colmap)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -1101,7 +1292,8 @@ object SnapTable {
   def readRange(s: SparkSession, root: String, column: String, lo: Long,
       hi: Long): (DataFrame, Int, Int) = {
     val snap = load(root, latestVersion(root))
-    val hit = snap.files.filter(_.stats.get(column)
+    val hit = snap.files.filter(
+      _.stats.get(physName(snap.colmap, column))
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val df = readSnapshot(s, root, snap.copy(files = hit))
       .filter(col(column) >= lo && col(column) <= hi)
@@ -1176,9 +1368,12 @@ object SnapTable {
     require(parent.files.nonEmpty, "bloom index over an empty table")
     val dirName =
       buildBloomSidecar(s, root, parent.files, parent.schemaJson,
-        column, fpp)
+        parent.colmap, column, fpp)
+    // sidecars key on the PHYSICAL name, so the same-column comparison
+    // (and the index itself) survives a logical rename
+    val phys = physName(parent.colmap, column)
     val kept = parent.blooms
-      .filterNot(d => sidecarMeta(s, root, d)._1 == column)
+      .filterNot(d => sidecarMeta(s, root, d)._1 == phys)
     commitExclusive(root, parent, parent.files, "bloom-index",
       parent.schemaJson, blooms = kept :+ dirName)
   }
@@ -1206,11 +1401,19 @@ object SnapTable {
       parent: Snapshot, fresh: Seq[FileEntry],
       schemaJson: String): Seq[String] =
     if (parent.blooms.isEmpty || fresh.isEmpty) Seq.empty
-    else parent.blooms.map(d => sidecarMeta(s, root, d))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (c, metas) =>
-        buildBloomSidecar(s, root, fresh, schemaJson, c, metas.head._2)
-      }
+    else {
+      // sidecars store PHYSICAL names; resolve each back to its current
+      // logical column (a since-dropped column has none — its index is
+      // dead weight and gets no fresh entries)
+      val byPhys = schemaOf(parent.schemaJson).fieldNames
+        .map(n => physName(parent.colmap, n) -> n).toMap
+      parent.blooms.map(d => sidecarMeta(s, root, d))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (pc, metas) =>
+          byPhys.get(pc).map(c => buildBloomSidecar(s, root, fresh,
+            schemaJson, parent.colmap, c, metas.head._2))
+        }
+    }
 
   /** Write one bloom sidecar over `files` for `column`; returns its
     * root-relative dir. Sized from the largest file's row count for
@@ -1221,13 +1424,15 @@ object SnapTable {
     * is rejected here rather than silently yielding false negatives.
     */
   private def buildBloomSidecar(s: SparkSession, root: String,
-      files: Seq[FileEntry], schemaJson: String, column: String,
+      files: Seq[FileEntry], schemaJson: String,
+      colmap: Map[String, String], column: String,
       fpp: Double = 0.01): String = {
     import org.apache.spark.sql.types._
+    val phys = physName(colmap, column)
     val hashed = schemaOf(schemaJson)(column).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        col(column).cast(LongType)
-      case StringType => col(column)
+        col(phys).cast(LongType)
+      case StringType => col(phys)
       case other => throw new IllegalArgumentException(
         s"bloom index on '$column': unsupported type ${other.sql} " +
           "(integral and string columns only — the probe literal must " +
@@ -1241,11 +1446,12 @@ object SnapTable {
     val k = math.max(1, math.round(mBits / n * math.log(2)).toInt)
     val agg = udaf(new BloomAgg(mBits, k))
     val dirName = "data/bx-" + java.util.UUID.randomUUID().toString.take(8)
-    readFiles(s, root, files, schemaJson)
+    readFilesPhysical(s, root, files, schemaJson, colmap)
       .withColumn("_gf_bf", relPathCol(root))
       .groupBy(col("_gf_bf").as("file"))
       .agg(agg(xxhash64(hashed)).as("bits"))
-      .select(col("file"), lit(column).as("col"), lit(mBits).as("m"),
+      // `col` records the PHYSICAL name: the index outlives renames
+      .select(col("file"), lit(phys).as("col"), lit(mBits).as("m"),
         lit(k).as("k"), lit(fpp).as("fpp"), col("bits"))
       // one row per FILE; written at the aggregation's own parallelism —
       // a wide table's index (100k files × MB-scale bitsets) must not
@@ -1264,8 +1470,10 @@ object SnapTable {
   def readPoint(s: SparkSession, root: String, column: String,
       value: Long): (DataFrame, Int, Int) = {
     val snap = load(root, latestVersion(root))
-    // layer 1: range stats (free; exact on the clustered column)
-    val statsHit = snap.files.filter(_.stats.get(column)
+    // layer 1: range stats (free; exact on the clustered column) —
+    // manifest stats key on PHYSICAL names, like everything on-file
+    val pc = physName(snap.colmap, column)
+    val statsHit = snap.files.filter(_.stats.get(pc)
       .forall { case (mn, mx) => mx >= value && mn <= value })
     val hit = bloomNarrow(s, root, snap, column, lit(value), statsHit)
     val df = readSnapshot(s, root, snap.copy(files = hit))
@@ -1280,7 +1488,8 @@ object SnapTable {
   def readPoint(s: SparkSession, root: String, column: String,
       value: String): (DataFrame, Int, Int) = {
     val snap = load(root, latestVersion(root))
-    val statsHit = snap.files.filter(_.sstats.get(column)
+    val pc = physName(snap.colmap, column)
+    val statsHit = snap.files.filter(_.sstats.get(pc)
       .forall { case (mn, mx) => mn <= value && value <= mx })
     val hit = bloomNarrow(s, root, snap, column, lit(value), statsHit)
     val df = readSnapshot(s, root, snap.copy(files = hit))
@@ -1307,7 +1516,7 @@ object SnapTable {
       // entries — max of booleans after the grouped probe
       val verdict = s.read
         .parquet(snap.blooms.map(p => s"$root/$p"): _*)
-        .filter(col("col") === column)
+        .filter(col("col") === physName(snap.colmap, column))
         .select(col("file"),
           might(col("bits"), col("m"), col("k")).as("ok"))
         .groupBy("file").agg(max(col("ok")).as("ok"))
@@ -1365,15 +1574,16 @@ object SnapTable {
               Seq("_dv_path", "_dv_row"), "left_anti"))
           }
         def rowsAt(positions: DataFrame, sign: Int): DataFrame = {
-          val base = readFiles(s, root, carried, b.schemaJson)
+          val base = readFilesPhysical(s, root, carried, b.schemaJson,
+            b.colmap)
           val cols = base.columns.toIndexedSeq
-          base
+          toLogical(base
             .withColumn("_gf_p", relPathCol(root))
             .withColumn("_gf_ri", col("_metadata.row_index"))
             .join(if (small) broadcast(positions) else positions,
               col("_gf_p") === col("_dv_path") &&
                 col("_gf_ri") === col("_dv_row"))
-            .select(cols.map(col): _*)
+            .select(cols.map(col): _*), b.schemaJson, b.colmap)
             .withColumn("_sign", lit(sign))
         }
         Seq(posDiff(dvDf(b), dvDf(a)).map(rowsAt(_, -1)),
@@ -1382,7 +1592,7 @@ object SnapTable {
     val sides =
       Seq(side(added, b, 1), side(removed, a, -1)).flatten ++ dvSides
     sides.reduceOption(_ unionByName _).getOrElse(
-      readFiles(s, root, b.files, b.schemaJson)
+      readFiles(s, root, b.files, b.schemaJson, b.colmap)
         .withColumn("_sign", lit(1)).limit(0))
   }
 
@@ -1406,9 +1616,9 @@ object SnapTable {
     // both sides read under the TO snapshot's schema: pre-images of rows
     // that predate an added column surface it as null, like the table does
     val schemaRef = readFiles(s, root,
-      if (removed.nonEmpty) removed else added, b.schemaJson)
+      if (removed.nonEmpty) removed else added, b.schemaJson, b.colmap)
     def side(fs: Seq[FileEntry]): DataFrame =
-      if (fs.nonEmpty) readFiles(s, root, fs, b.schemaJson)
+      if (fs.nonEmpty) readFiles(s, root, fs, b.schemaJson, b.colmap)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaRef.schema)
     val payload = schemaRef.columns.filterNot(_ == key).toIndexedSeq
@@ -1576,9 +1786,16 @@ object SnapTable {
     * over file names (footer reads are independent), same as Iceberg's
     * manifest workers.
     */
-  private[graft] def writeData(s: SparkSession, root: String, df: DataFrame,
-      statsCol: String, bucket: Option[(String, Int)] = None)
+  private[graft] def writeData(s: SparkSession, root: String, df0: DataFrame,
+      statsCol: String, bucket: Option[(String, Int)] = None,
+      colmap: Map[String, String] = Map.empty)
       : Seq[FileEntry] = {
+    // writes land at PHYSICAL column names — the one invariant that
+    // makes renames metadata-only (files before and after a rename
+    // agree on what's on disk)
+    val df = colmap.foldLeft(df0) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
     val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(root, "data", dirName)
     bucket match {
@@ -1587,12 +1804,13 @@ object SnapTable {
         listDir(dir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .flatMap(p => footerEntry(s, root, p)).sortBy(_.path)
-      case Some((bc, n)) =>
+      case Some((bc0, n)) =>
         // one bucket id per FILE, guaranteed by partitionBy: a task
         // holding several bucket ids writes one file per id under its
         // `_gfb=<id>` dir. The explicit repartition bounds the task
         // count (≈1 file per bucket), and the id re-enters the manifest
         // as [id,id] stats — bucket pruning IS file skipping.
+        val bc = physName(colmap, bc0) // the frame is physical by now
         val withB = df.withColumn(BucketStatsCol,
           pmod(hash(col(bc)), lit(n)))
         withB.repartition(n, col(BucketStatsCol))
@@ -1714,7 +1932,12 @@ object SnapTable {
       fresh: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType,
       txn: Option[String],
-      freshBlooms: Seq[String] = Seq.empty): Int = {
+      freshBlooms: Seq[String] = Seq.empty,
+      colmap: Map[String, String] = null): Int = {
+    // mapping entries OUR append minted (fresh columns); merged onto
+    // whichever head's map the commit finally lands on
+    val minted = Option(colmap).getOrElse(parent.colmap)
+      .filterNot { case (k, v) => parent.colmap.get(k).contains(v) }
     var head = parent
     while (true) {
       // the txn check runs BEFORE every attempt, not only after a lost
@@ -1731,7 +1954,8 @@ object SnapTable {
         head.dvs, head.checks, bucket = head.bucket, gen = head.gen,
         // fresh sidecars cover only OUR fresh files, so they stack onto
         // whatever bloom list the head we finally land on carries
-        blooms = head.blooms ++ freshBlooms))
+        blooms = head.blooms ++ freshBlooms,
+        colmap = head.colmap ++ minted, dead = head.dead))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       validateEvolution(head.schemaJson, schema)
@@ -1752,16 +1976,21 @@ object SnapTable {
       checks: Map[String, String] = null,
       gen: Map[String, String] = null,
       txn: Option[String] = None,
-      blooms: Seq[String] = null): Int = {
+      blooms: Seq[String] = null,
+      colmap: Map[String, String] = null,
+      dead: Seq[String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
     val ck = Option(checks).getOrElse(parent.checks)
     val gn = Option(gen).getOrElse(parent.gen)
     val bl = Option(blooms).getOrElse(parent.blooms)
+    val cm = Option(colmap).getOrElse(parent.colmap)
+    val dd = Option(dead).getOrElse(parent.dead)
     val v = parent.version + 1
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
-        ck, bucket = parent.bucket, gen = gn, blooms = bl)))
+        ck, bucket = parent.bucket, gen = gn, blooms = bl, colmap = cm,
+        dead = dd)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -1797,13 +2026,25 @@ object SnapTable {
     */
   private[sources] def validateWrittenChecks(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String,
-      checks: Map[String, String], what: String): Unit =
-    validateChecks(readFiles(s, root, files, schemaJson), checks, what)
+      checks: Map[String, String], what: String,
+      colmap: Map[String, String] = Map.empty): Unit =
+    validateChecks(readFiles(s, root, files, schemaJson, colmap), checks,
+      what)
 
   private[sources] def readFiles(s: SparkSession, root: String,
-      files: Seq[FileEntry], schemaJson: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      files: Seq[FileEntry], schemaJson: String,
+      colmap: Map[String, String] = Map.empty): DataFrame =
+    toLogical(readFilesPhysical(s, root, files, schemaJson, colmap),
+      schemaJson, colmap)
+
+  /** The raw scan at PHYSICAL column names. Callers that need metadata
+    * columns (`_metadata.file_path` / `row_index`) must capture them on
+    * THIS frame, before [[toLogical]]'s projection strips them.
+    */
+  private[sources] def readFilesPhysical(s: SparkSession, root: String,
+      files: Seq[FileEntry], schemaJson: String,
+      colmap: Map[String, String]): DataFrame = {
+    val schema = physSchemaOf(schemaJson, colmap)
     // a snapshot may legally be empty (deleteWhere/merge removed every
     // row); it reads as an empty frame under the snapshot schema
     if (files.isEmpty)
@@ -1857,6 +2098,11 @@ object SnapTable {
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       Option(node.get("blooms")).map(_.elements().asScala.map(_.asText())
+        .toSeq).getOrElse(Seq.empty),
+      Option(node.get("colmap")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      Option(node.get("dead")).map(_.elements().asScala.map(_.asText())
         .toSeq).getOrElse(Seq.empty))
   }
 
@@ -1905,12 +2151,22 @@ object SnapTable {
       if (snap.blooms.isEmpty) ""
       else snap.blooms.map(p => s""""$p"""")
         .mkString(""","blooms":[""", ",", "]")
+    val colmap =
+      if (snap.colmap.isEmpty) ""
+      else snap.colmap.toSeq.sortBy(_._1).map { case (l, p) =>
+        s"${jm.writeValueAsString(l)}:${jm.writeValueAsString(p)}"
+      }.mkString(""","colmap":{""", ",", "}")
+    val dead =
+      if (snap.dead.isEmpty) ""
+      else snap.dead.map(jm.writeValueAsString)
+        .mkString(""","dead":[""", ",", "]")
     // commit ts is stamped at serialization: each link attempt (retries
     // included) carries the wall-clock of the attempt that actually won
     s"""{"version":${snap.version},"op":"${snap.op}",""" +
       s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
       s""""ts":${System.currentTimeMillis()},""" +
-      s""""files":$files$txn$spec$dvs$checks$bucket$gen$blooms}"""
+      s""""files":$files$txn$spec$dvs$checks$bucket$gen$blooms""" +
+      s"""$colmap$dead}"""
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.sources.{SnapCatalog, SnapScanBuilder, SnapTable, SnapV1Scan}
+import graft.sources.{SnapBatchScan, SnapCatalog, SnapScanBuilder, SnapTable}
 
 /** The DSv2 catalog's physical contracts: identifier→directory mapping,
   * VERSION AS OF manifest selection, commit-per-INSERT, pushed-filter →
@@ -74,7 +74,7 @@ class SnapCatalogSpec extends AnyFunSuite {
     b.pushFilters(Array(
       org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", 1L),
       org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", 200L)))
-    val scan = b.build().asInstanceOf[SnapV1Scan]
+    val scan = b.build().asInstanceOf[SnapBatchScan]
     assert(snap.files.size == 8)
     assert(scan.files.size < snap.files.size,
       s"range-clustered files must prune (${scan.files.size}/8)")
@@ -137,7 +137,7 @@ class SnapCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM snapt.db1.sprune").schema)
     b.pushFilters(Array(
       org.apache.spark.sql.sources.EqualTo("lang", "en")))
-    val scan = b.build().asInstanceOf[SnapV1Scan]
+    val scan = b.build().asInstanceOf[SnapBatchScan]
     assert(snap.files.size > 1)
     assert(scan.files.size < snap.files.size,
       s"lang-clustered files must prune (${scan.files.size}/" +
@@ -161,6 +161,42 @@ class SnapCatalogSpec extends AnyFunSuite {
       Array("o_custkey"))), s"scan schema not pruned:\n${df.queryExecution}")
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only through SQL, " +
+      "mixed files read correctly, MERGE works after a rename") {
+    val root = s"$base/db1/colevo"
+    spark.sql("CREATE TABLE snapt.db1.colevo " +
+      "(k BIGINT, v BIGINT, note STRING)")
+    spark.range(100).selectExpr("id AS k", "id * 3 AS v",
+      "concat('n', id) AS note").createOrReplaceTempView("colevo_src")
+    spark.sql("INSERT INTO snapt.db1.colevo SELECT * FROM colevo_src")
+    val filesBefore = SnapTable.load(root,
+      SnapTable.latestVersion(root)).files
+    spark.sql("ALTER TABLE snapt.db1.colevo RENAME COLUMN v TO score")
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .files == filesBefore, "SQL RENAME COLUMN rewrote data")
+    // old files resolve under the new name; an insert AFTER the rename
+    // writes the physical name — both eras agree
+    spark.sql("INSERT INTO snapt.db1.colevo " +
+      "SELECT id AS k, id * 3 AS score, concat('n', id) AS note " +
+      "FROM range(100, 120)")
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.colevo " +
+      "WHERE score = k * 3").head().getLong(0) == 120)
+    // row-level MERGE through the native scan under the column mapping
+    spark.sql("SELECT id AS k, CAST(0 AS BIGINT) AS s FROM range(0, 7)")
+      .createOrReplaceTempView("colevo_upd")
+    spark.sql(
+      """MERGE INTO snapt.db1.colevo t USING colevo_upd u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET score = u.s""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.colevo " +
+      "WHERE score = 0 AND k < 7").head().getLong(0) == 7)
+    // DROP COLUMN: metadata-only; the column disappears from reads
+    spark.sql("ALTER TABLE snapt.db1.colevo DROP COLUMN note")
+    assert(spark.sql("SELECT * FROM snapt.db1.colevo").columns.toSeq ==
+      Seq("k", "score"))
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.colevo")
+      .head().getLong(0) == 120)
+  }
+
   test("DDL round trip: create/list/rename/drop") {
     spark.sql("CREATE TABLE snapt.db2.a (k BIGINT, s STRING)")
     assert(spark.sql("SHOW TABLES IN snapt.db2").collect()
@@ -182,7 +218,7 @@ class SnapCatalogSpec extends AnyFunSuite {
       val b = new SnapScanBuilder(root, snap,
         SnapTable.read(spark, root).schema)
       b.pushFilters(Array(f))
-      b.build().asInstanceOf[SnapV1Scan].files.size
+      b.build().asInstanceOf[SnapBatchScan].files.size
     }
     // k > Long.MaxValue matches nothing; a wrapping v+1 would compute
     // lo = Long.MinValue and un-prune EVERY file

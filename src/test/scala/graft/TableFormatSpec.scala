@@ -875,6 +875,105 @@ class TableFormatSpec extends AnyFunSuite {
     assert(readMiss == 0, s"absent value still read $readMiss files")
   }
 
+  test("renameColumn is metadata-only: no file rewritten, old and new " +
+      "files both resolve, stats/merge/time-travel follow") {
+    val root = Tmp.dir("rename_spec")
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id * 2 AS v",
+        "concat('s', id) AS w").repartitionByRange(4, col("k")), "k")
+    val before = SnapTable.load(root, 1).files
+    SnapTable.renameColumn(root, "v", "val2")
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.files == before, "rename must not touch a data file")
+    assert(head.colmap == Map("val2" -> "v"))
+    // old files resolve the renamed column with their original values
+    val df = SnapTable.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "val2", "w"))
+    assert(df.filter(col("val2") =!= col("k") * 2).count() == 0)
+    // appends AFTER the rename write the PHYSICAL name — a mixed table
+    // still reads uniformly
+    SnapTable.append(spark, root,
+      spark.range(100, 150).selectExpr("id AS k", "id * 2 AS val2",
+        "concat('s', id) AS w"))
+    val mixed = SnapTable.read(spark, root)
+    assert(mixed.count() == 150)
+    assert(mixed.filter(col("val2") =!= col("k") * 2).count() == 0)
+    // manifest range stats keep pruning through the mapping
+    val (rr, hit, total) = SnapTable.readRange(spark, root, "val2",
+      10L, 40L)
+    assert(rr.count() == 16) // val2 even, 10..40
+    assert(hit < total, s"rename broke stats pruning: $hit/$total")
+    // CoW merge via the NEW name
+    SnapTable.merge(spark, root,
+      spark.range(0, 5).selectExpr("id AS k",
+        "CAST(-7 AS BIGINT) AS val2", "concat('m', id) AS w"), "k")
+    assert(SnapTable.read(spark, root)
+      .filter(col("val2") === -7).count() == 5)
+    // time travel shows the schema AS OF the version
+    assert(SnapTable.readVersion(spark, root, 1).columns.toSeq ==
+      Seq("k", "v", "w"))
+    // a rename chain back to the original name stays consistent
+    SnapTable.renameColumn(root, "val2", "v")
+    val back = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(back.colmap.isEmpty, s"identity rename must clear: ${back.colmap}")
+    assert(SnapTable.read(spark, root)
+      .filter(col("v") =!= col("k") * 2 && col("v") =!= -7).count() == 0)
+  }
+
+  test("dropColumn tombstones the physical name: a re-added column " +
+      "cannot resurrect dropped values") {
+    val root = Tmp.dir("drop_spec")
+    SnapTable.create(spark, root,
+      spark.range(50).selectExpr("id AS k", "concat('old', id) AS note"),
+      "k")
+    SnapTable.dropColumn(root, "note")
+    val afterDrop = SnapTable.read(spark, root)
+    assert(afterDrop.columns.toSeq == Seq("k"))
+    // re-ADD a column with the dropped name: old files hold physical
+    // 'note' bytes, so the new column must map to a FRESH physical name
+    // and read as null for every pre-existing row
+    SnapTable.addColumn(root, "note",
+      org.apache.spark.sql.types.StringType)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.dead == Seq("note"))
+    assert(head.colmap.get("note").exists(_ != "note"),
+      s"re-added column must get a fresh physical name: ${head.colmap}")
+    val readd = SnapTable.read(spark, root)
+    assert(readd.filter(col("note").isNotNull).count() == 0,
+      "dropped values resurrected under the re-added column")
+    // new appends populate the fresh physical; old rows stay null
+    SnapTable.append(spark, root,
+      spark.range(50, 60).selectExpr("id AS k", "concat('new', id) AS note"))
+    val after = SnapTable.read(spark, root)
+    assert(after.filter(col("note").isNotNull).count() == 10)
+    assert(after.filter(col("note").startsWith("old")).count() == 0)
+    // guards: layout/contract references refuse the verbs
+    intercept[IllegalArgumentException] {
+      SnapTable.dropColumn(root, "k") // stats column
+    }
+    SnapTable.addCheck(spark, root, "k_nonneg", "k >= 0")
+    intercept[IllegalArgumentException] {
+      SnapTable.renameColumn(root, "k", "key")
+    }
+  }
+
+  test("bloom index keys on physical names: pruning survives a rename") {
+    val root = Tmp.dir("bloom_rename_spec")
+    val base = spark.range(0, 6000)
+      .selectExpr("id AS k", "(id * 2654435761) % 6000 AS v")
+    SnapTable.create(spark, root,
+      base.repartitionByRange(6, col("k")), "k")
+    SnapTable.addBloomIndex(spark, root, "v")
+    SnapTable.renameColumn(root, "v", "u")
+    val probe = 4321L
+    val expect = base.filter(col("v") === probe).count()
+    assert(expect > 0)
+    val (df, read, total) = SnapTable.readPoint(spark, root, "u", probe)
+    assert(df.count() == expect)
+    assert(read < total,
+      s"bloom stopped pruning after the rename: $read/$total")
+  }
+
   test("addColumn is a metadata-only commit; old files null-fill") {
     val root = freshTable()
     val filesBefore = SnapTable.load(root, SnapTable.latestVersion(root))
