@@ -1517,6 +1517,38 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_changes_mor",
+      // CLASSIFIED CDC through merge-on-read deletes: a DV commit
+      // changes no file, yet `changes()` must classify its rows as
+      // deletes — the position diff on carried files joins back to the
+      // rows, so CDC cost stays proportional to the deltas (appended
+      // files + DV positions), never a table rescan. Appended-then-
+      // deleted rows were never visible at either endpoint and are
+      // correctly absent.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_chmor_tab")
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        SnapTable.create(s, root,
+          ev.filter(col("event_id") % 2 === 0)
+            .repartitionByRange(4, col("event_id")), "event_id")
+        SnapTable.append(s, root, ev.filter(col("event_id") % 2 === 1))
+        SnapTable.deleteWhereMoR(s, root, col("event_type") === "error")
+        SnapTable.changes(s, root, 1, SnapTable.latestVersion(root),
+          "event_id")
+          .orderBy("action", "event_id")
+      },
+      Some(
+        // inserts: the appended half, minus rows already deleted at the
+        // `to` endpoint; deletes: v1-era rows the DV hid
+        "SELECT 'insert' AS action, event_id, event_type, user_id " +
+          "FROM events WHERE event_id % 2 = 1 AND event_type <> 'error' " +
+          "UNION ALL " +
+          "SELECT 'delete', event_id, event_type, user_id " +
+          "FROM events WHERE event_id % 2 = 0 AND event_type = 'error' " +
+          "ORDER BY action, event_id")
+    ),
+    Q(
       "table_stats_broadcast",
       // Manifest-derived scan STATISTICS (SupportsReportStatistics on
       // both scan flavors): the planner sees real post-pruning

@@ -1598,36 +1598,76 @@ object SnapTable {
 
   /** File-diff CDC: row changes between two snapshots, classified
     * insert / update / delete. Reads ONLY files added or removed between
-    * the snapshots; a row copied verbatim into a rewritten file is
+    * the snapshots (plus, under merge-on-read, the DV position diffs on
+    * carried files); a row copied verbatim into a rewritten file is
     * `unchanged` and filtered out. Emits the post-image for inserts and
-    * updates, the pre-image for deletes.
+    * updates, the pre-image for deletes. DV-aware on both endpoints:
+    * each side is the rows VISIBLE at its snapshot, so a MoR delete
+    * classifies as a delete with no file diff at all, and a RESTORE
+    * past a MoR delete classifies the resurrected rows as inserts.
     */
   def changes(s: SparkSession, root: String, from: Int, to: Int,
       key: String): DataFrame = {
     val a = load(root, from)
     val b = load(root, to)
-    require(a.dvs.isEmpty && b.dvs.isEmpty,
-      "classified CDC does not read through deletion vectors — use " +
-        "changesDelta (signed, DV-aware) or compact() first")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
     val added = b.files.filterNot(f => aPaths.contains(f.path))
+    val carried = b.files.filter(f => aPaths.contains(f.path))
     // both sides read under the TO snapshot's schema: pre-images of rows
     // that predate an added column surface it as null, like the table does
     val schemaRef = readFiles(s, root,
       if (removed.nonEmpty) removed else added, b.schemaJson, b.colmap)
-    def side(fs: Seq[FileEntry]): DataFrame =
-      if (fs.nonEmpty) readFiles(s, root, fs, b.schemaJson, b.colmap)
+    // each side reads under ITS endpoint's deletion vectors (b.copy
+    // keeps the to-schema while swapping in the endpoint's DV set): a
+    // row invisible at an endpoint was never part of that side's image
+    def side(fs: Seq[FileEntry], dvs: Seq[String]): DataFrame =
+      if (fs.nonEmpty)
+        readSnapshot(s, root, b.copy(files = fs, dvs = dvs))
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaRef.schema)
+    // merge-on-read deletes on CARRIED files are row-level diffs with no
+    // file diff: a position DV'd at `to` but not `from` left the table
+    // (a pre-image with no post-image → classifies delete); one removed
+    // from the DV set (RESTORE) resurrected (→ insert)
+    def carriedAt(positions: DataFrame): DataFrame = {
+      val base = readFilesPhysical(s, root, carried, b.schemaJson,
+        b.colmap)
+      val cols = base.columns.toIndexedSeq
+      val small = dvBroadcastable(s, root, a.dvs ++ b.dvs)
+      toLogical(base
+        .withColumn("_gf_p", relPathCol(root))
+        .withColumn("_gf_ri", col("_metadata.row_index"))
+        .join(if (small) broadcast(positions) else positions,
+          col("_gf_p") === col("_dv_path") &&
+            col("_gf_ri") === col("_dv_row"))
+        .select(cols.map(col): _*), b.schemaJson, b.colmap)
+    }
+    def dvDf(snap: Snapshot): Option[DataFrame] =
+      if (snap.dvs.isEmpty) None else Some(dvRead(s, root, snap.dvs))
+    def posDiff(x: Option[DataFrame], y: Option[DataFrame]) =
+      (x, y) match {
+        case (None, _) => None
+        case (Some(xd), None) => Some(xd)
+        case (Some(xd), Some(yd)) => Some(xd.join(yd,
+          Seq("_dv_path", "_dv_row"), "left_anti"))
+      }
+    val (dvDeleted, dvResurrected) =
+      if (a.dvs == b.dvs || carried.isEmpty) (None, None)
+      else (posDiff(dvDf(b), dvDf(a)).map(carriedAt),
+        posDiff(dvDf(a), dvDf(b)).map(carriedAt))
     val payload = schemaRef.columns.filterNot(_ == key).toIndexedSeq
     // presence markers (not payload-null sniffing) classify the join sides:
     // a legitimately-null payload column must not masquerade as absence
-    val preR = side(removed).withColumn("_pre", lit(true))
+    val preSide = dvDeleted
+      .foldLeft(side(removed, a.dvs))(_ unionByName _)
+    val postSide = dvResurrected
+      .foldLeft(side(added, b.dvs))(_ unionByName _)
+    val preR = preSide.withColumn("_pre", lit(true))
       .select(col(key) +: col("_pre") +: payload.map(c =>
         col(c).as(s"_pre_$c")): _*)
-    val postR = side(added).withColumn("_post", lit(true))
+    val postR = postSide.withColumn("_post", lit(true))
       .select(col(key) +: col("_post") +: payload.map(c =>
         col(c).as(s"_post_$c")): _*)
     val changed = payload.map(c =>

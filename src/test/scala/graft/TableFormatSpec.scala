@@ -379,14 +379,16 @@ class TableFormatSpec extends AnyFunSuite {
     assert(SnapTable.readVersion(spark, root, 1).count() == total)
     // CoW delete is DV-AWARE now (no compact-first refusal): a no-match
     // predicate routes through the DV-aware rewrite and leaves the
-    // content identical (full semantics pinned in the dedicated spec);
-    // classified CDC still refuses until materialized
+    // content identical (full semantics pinned in the dedicated spec)
     SnapTable.deleteWhere(spark, root, col("o_totalprice") < -1)
     assert(SnapTable.read(spark, root).count() == total - nDel2)
-    intercept[IllegalArgumentException] {
-      SnapTable.changes(spark, root, 1,
-        SnapTable.latestVersion(root), "o_orderkey")
-    }
+    // classified CDC reads THROUGH the vectors: rows deleted by the
+    // stacked MoR commits classify as deletes although no file changed
+    val cdc = SnapTable.changes(spark, root, 1,
+      SnapTable.latestVersion(root), "o_orderkey")
+    assert(cdc.filter(col("action") =!= "delete").count() == 0)
+    assert(cdc.count() == nDel2)
+    assert(cdc.filter(col("o_totalprice") <= 250000).count() == 0)
     // the SIGNED feed is DV-aware: both stacked MoR deletes surface as
     // -1 position rows (no file changed), netting to the live table
     val delta = SnapTable.changesDelta(spark, root, 1,
