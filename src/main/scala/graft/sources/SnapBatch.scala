@@ -14,12 +14,17 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataTypes, IntegerType, LongType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The NATIVE DSv2 batch read path of the snapshot table format: a real
+/** THE batch read path of the snapshot table format: a real DSv2
   * `Batch` whose `InputPartition`s are manifest file groups and whose
   * reader is Spark's own vectorized parquet reader (via
-  * [[ParquetBridge]]). The V1Scan bridge remains the default read path;
-  * this one exists for the two capabilities a V1 bridge cannot express:
+  * [[ParquetBridge]]). Every catalog read routes here (the V1 bridge
+  * was retired: Spark wraps a `V1Scan` in `V1ScanWrapper` during
+  * pushdown, which hides `SupportsReportStatistics`, so a V1-bridged
+  * table was un-broadcastable no matter its stats). What one scan shape
+  * buys, all consulted by the planner:
   *
+  *  - **Statistics** ([[estimateStatistics]]): post-pruning manifest
+  *    bytes/rows — small tables auto-broadcast with no hint.
   *  - **Storage-partitioned joins**: a bucket-layout table reports
   *    `KeyGroupedPartitioning(bucket(n, col))` with one input partition
   *    per bucket id, so Spark joins two co-bucketed tables with NO
@@ -28,8 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Row-level operations** (SQL MERGE/UPDATE): the group-based
   *    rewrite needs a scan that can expose a `_file` column and accept a
   *    runtime `IN (files…)` group filter ([[SnapRowLevelScan]]).
+  *  - **Merge-on-read**: deleted positions ride a broadcast and the
+  *    per-file readers skip them (see [[SnapReaderFactory]]).
+  *  - **Split + pack**: unbucketed reads split big files into byte
+  *    ranges and bin-pack small ones into byte-targeted partitions.
   *
-  * Reader notes: each file becomes one `PartitionedFile` handed to
+  * Reader notes: each slice becomes one `PartitionedFile` handed to
   * Spark's parquet reader function, so row-group pruning and the
   * vectorized decoder still apply. Rows are materialized through an
   * `UnsafeProjection` — the same per-row conversion `FileSourceScanExec`
@@ -118,23 +127,34 @@ private[graft] class SnapBatchScan(
           new SnapInputPartition(slices(fs), Some(id)): InputPartition
         }.toArray
       case None =>
-        // BIN-PACK files into byte-targeted partitions (the same knob
-        // Spark's file scan uses): a 100k-small-file table must not
-        // become 100k tasks, and a handful of big files must not
-        // under-parallelize below the session's core count
+        // SPLIT big files into byte ranges (row-group-aligned by the
+        // reader contract: a row group belongs to the range holding its
+        // midpoint), then BIN-PACK ranges into byte-targeted partitions
+        // (the same knobs Spark's file scan uses): a 100k-small-file
+        // table must not become 100k tasks, a single 10 GB file must
+        // not become ONE. DV'd snapshots read whole files — the
+        // position-skip counts rows from the file start, so a split
+        // would shift every later index.
         val all = slices(files)
         val target = math.max(1L, math.min(
           spark.sessionState.conf.filesMaxPartitionBytes,
           math.max(1L, all.map(_.size).sum /
             math.max(1, spark.sparkContext.defaultParallelism))))
+        val split: Seq[SnapFileSlice] =
+          if (dvs.nonEmpty) all.toSeq
+          else all.toSeq.flatMap { f =>
+            if (f.size <= target) Seq(f)
+            else (0L until f.size by target).map(off =>
+              f.copy(start = off, len = math.min(target, f.size - off)))
+          }
         val bins = Seq.newBuilder[Array[SnapFileSlice]]
         var bin = Vector.empty[SnapFileSlice]
         var binBytes = 0L
-        all.sortBy(-_.size).foreach { f =>
-          if (bin.nonEmpty && binBytes + f.size > target) {
+        split.sortBy(-_.length).foreach { f =>
+          if (bin.nonEmpty && binBytes + f.length > target) {
             bins += bin.toArray; bin = Vector.empty; binBytes = 0L
           }
-          bin :+= f; binBytes += f.size
+          bin :+= f; binBytes += f.length
         }
         if (bin.nonEmpty) bins += bin.toArray
         bins.result()
@@ -186,11 +206,14 @@ private[graft] object SnapBatchScan {
   val FileCol = "_file"
 }
 
-/** One data file of an input partition: absolute path for the reader,
-  * manifest-relative path for the `_file` column and commit bookkeeping.
+/** One data file — or one byte RANGE of it — of an input partition:
+  * absolute path for the reader, manifest-relative path for the `_file`
+  * column and commit bookkeeping. `len < 0` means the whole file.
   */
 private[graft] final case class SnapFileSlice(abs: String, size: Long,
-    rel: String)
+    rel: String, start: Long = 0L, len: Long = -1L) {
+  def length: Long = if (len < 0) size else len
+}
 
 private[graft] class SnapInputPartition(
     val slices: Array[SnapFileSlice], val bucketId: Option[Long])
@@ -237,7 +260,8 @@ private[graft] class SnapReaderFactory(
           // own files, absolute for a clone's foreign files
           val pos = dvPos.value.get(f.rel)
             .orElse(dvPos.value.get(f.abs))
-          val pf = ParquetBridge.partitionedFile(f.abs, f.size)
+          val pf = ParquetBridge.partitionedFile(f.abs, f.start,
+            f.length, f.size)
           val raw = pos match {
             case None => ParquetBridge.rows(readFunc(pf))
             case Some(ps) =>

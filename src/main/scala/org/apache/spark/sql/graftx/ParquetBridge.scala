@@ -56,8 +56,17 @@ object ParquetBridge {
     }
 
   def partitionedFile(path: String, size: Long): PartitionedFile =
+    partitionedFile(path, 0L, size, size)
+
+  /** A byte-RANGE of one file: Spark's parquet reader processes exactly
+    * the row groups whose midpoint falls inside [start, start+length),
+    * so disjoint ranges covering the file partition its row groups
+    * without coordination — the standard file-split contract.
+    */
+  def partitionedFile(path: String, start: Long, length: Long,
+      fileSize: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
-      0L, size, Array.empty, 0L, size,
+      start, length, Array.empty, 0L, fileSize,
       Map.empty)
 
   /** Spark's own parquet [[OutputWriterFactory]] for `schema` — the V2

@@ -153,6 +153,39 @@ class SnapCatalogSpec extends AnyFunSuite {
       .count() == expectGe)
   }
 
+  test("native scan splits a big single file and bin-packs small ones") {
+    val root = s"$base/db1/splitpack"
+    // ONE parquet file holding everything (coalesce(1)) — without
+    // byte-range splitting this table can only ever read as one task
+    SnapTable.create(spark, root,
+      orders.coalesce(1), "o_orderkey")
+    assert(SnapTable.load(root, 1).files.size == 1)
+    val saved = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val df = spark.sql("SELECT * FROM snapt.db1.splitpack")
+      assert(df.rdd.getNumPartitions > 1,
+        "a big single file must split into several input partitions")
+      assert(df.count() == orders.count(), "splits lost or doubled rows")
+      assert(df.select("o_orderkey").distinct().count() ==
+        orders.select("o_orderkey").distinct().count())
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    // and the inverse: many small files pack into FEW partitions
+    val root2 = s"$base/db1/packmany"
+    SnapTable.create(spark, root2,
+      orders.repartition(32), "o_orderkey")
+    assert(SnapTable.load(root2, 1).files.size >= 16)
+    val packed = spark.sql("SELECT * FROM snapt.db1.packmany")
+    assert(packed.rdd.getNumPartitions <
+      SnapTable.load(root2, 1).files.size,
+      s"${packed.rdd.getNumPartitions} partitions for " +
+        s"${SnapTable.load(root2, 1).files.size} files — no packing")
+    assert(packed.count() == orders.count())
+  }
+
   test("column pruning reaches the scan schema") {
     val df = spark.sql("SELECT o_custkey FROM snapt.db1.prune")
     // the executed plan's base relation must carry only the one column

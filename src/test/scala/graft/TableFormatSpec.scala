@@ -974,6 +974,17 @@ class TableFormatSpec extends AnyFunSuite {
     assert(df.count() == expect)
     assert(read < total,
       s"bloom stopped pruning after the rename: $read/$total")
+    // compaction on the column-mapped table: rewrites through the
+    // mapping, rebuilds the index via the physical→logical reverse map
+    SnapTable.compact(spark, root, targetFiles = 4)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.blooms.size == 1)
+    val (df2, read2, total2) = SnapTable.readPoint(spark, root, "u", probe)
+    assert(df2.count() == expect)
+    assert(read2 < total2,
+      s"post-compact bloom pruned nothing: $read2/$total2")
+    assert(SnapTable.read(spark, root)
+      .filter(col("u") =!= (col("k") * 2654435761L) % 6000).count() == 0)
   }
 
   test("addColumn is a metadata-only commit; old files null-fill") {
