@@ -1517,6 +1517,92 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_runtime_prune",
+      // RUNTIME (DPP-style) file pruning via SupportsRuntimeV2Filtering:
+      // the fact table's layout column is declared runtime-prunable, so
+      // a selective DIM filter — invisible statically — narrows the
+      // fact file list at execution from manifest [min,max] stats. The
+      // star-join shape every warehouse lives on: at 100 TB, a dim
+      // filter keeping 3 of 300 days reads 1% of the fact files.
+      // SnapCatalogSpec pins the actual file-count narrowing; here the
+      // plan is REQUIRED to carry the runtime filter and the result is
+      // oracle-checked.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val tf = freshName()
+        val td = freshName()
+        val v = "v" + tf
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+              .as("o_day"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$tf (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_day BIGINT, o_totalprice DOUBLE) " +
+          "PARTITIONED BY (o_day)")
+        s.sql(s"INSERT INTO snap.main.$tf SELECT * FROM $v")
+        s.sql(s"CREATE TABLE snap.main.$td (d_day BIGINT, tag STRING)")
+        s.sql(s"INSERT INTO snap.main.$td " +
+          "SELECT DISTINCT o_day, CASE WHEN o_day % 97 = 11 THEN 'hot' " +
+          s"ELSE 'cold' END FROM $v")
+        val df = s.sql(
+          s"""SELECT f.o_day AS day, count(*) AS n,
+             |  sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) / 100
+             |    AS total
+             |FROM snap.main.$tf f JOIN snap.main.$td d
+             |  ON f.o_day = d.d_day
+             |WHERE d.tag = 'hot'
+             |GROUP BY f.o_day ORDER BY day""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("dynamicpruning"),
+          "the fact scan must carry a runtime pruning filter:\n" +
+            df.queryExecution.executedPlan)
+        df
+      },
+      Some(
+        "WITH f AS (SELECT o_orderkey, " +
+          "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) " +
+          "AS BIGINT) AS o_day, o_totalprice FROM orders) " +
+          "SELECT o_day AS day, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM f WHERE o_day % 97 = 11 " +
+          "GROUP BY o_day ORDER BY day")
+    ),
+    Q(
+      "table_agg_pushdown",
+      // COMPLETE aggregate pushdown: un-filtered COUNT(*)/MIN/MAX is
+      // answered from the MANIFEST (footer row counts + per-file
+      // [min,max] stats) — zero data files opened, so the classic
+      // "how big is this table" query costs O(manifest) at 100 TB.
+      // SnapCatalogSpec proves the zero-read claim by deleting the data
+      // files first; here the result is oracle-checked and the plan is
+      // REQUIRED to be the one-row pushed scan (no parquet leaf).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        val df = s.sql(
+          s"""SELECT count(*) AS n, min(o_orderkey) AS min_key,
+             |  max(o_orderkey) AS max_key, min(o_custkey) AS min_cust,
+             |  max(o_custkey) AS max_cust
+             |FROM snap.main.$t""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("SnapAggScan"),
+          "COUNT/MIN/MAX must be answered by the pushed manifest scan:\n" +
+            df.queryExecution.executedPlan)
+        df
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+          "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust " +
+          "FROM orders")
+    ),
+    Q(
       "table_changes_mor",
       // CLASSIFIED CDC through merge-on-read deletes: a DV commit
       // changes no file, yet `changes()` must classify its rows as

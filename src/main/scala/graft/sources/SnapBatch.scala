@@ -50,13 +50,61 @@ private[graft] class SnapBatchScan(
     schemaJson: String, required: StructType,
     pushed: Seq[Filter], bucket: Option[(String, Int)],
     dvs: Seq[String] = Seq.empty,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    runtimePrunable: Seq[String] = Seq.empty)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) FILE pruning: the layout columns — bucket,
+    * partition spec, or the stats/cluster column — are declared
+    * prunable, and a selective join build side arrives as `IN`/`=`
+    * values which manifest [min,max] stats (or bucket ids) turn into a
+    * smaller file list before any task launches. At 100 TB this is
+    * dynamic partition pruning for the table format: a star join whose
+    * dim filter keeps 3 of 300 days reads 1% of the fact files with no
+    * static predicate anywhere. Unparseable predicates prune nothing
+    * (conservative; row-level filters still apply above).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    runtimePrunable
+      // only columns the scan still OUTPUTS: Spark resolves these
+      // against the pruned schema and throws (not skips) on a miss —
+      // a layout column projected away simply isn't runtime-prunable
+      // for that query
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    predicates.foreach { p =>
+      SnapBatchScan.eqValues(p).foreach { case (c, vs) =>
+        val longs = vs.collect { case l: java.lang.Long => l.longValue() }
+        if (longs.size == vs.size && runtimePrunable.contains(c)) {
+          val pc = SnapTable.physName(colmap, c)
+          val bucketIds = bucket.collect { case (bc, n) if bc == c =>
+            longs.map(v => GraftBucketFunction.bucketId(v, n).toLong)
+              .toSet
+          }
+          files = files.filter { f =>
+            val statsOk = f.stats.get(pc).forall { case (mn, mx) =>
+              longs.exists(v => v >= mn && v <= mx)
+            }
+            val bucketOk = bucketIds.forall(ids =>
+              f.stats.get(SnapTable.BucketStatsCol)
+                .forall { case (id, _) => ids.contains(id) })
+            statsOk && bucketOk
+          }
+        }
+      }
+    }
 
   /** Manifest-derived statistics AFTER file pruning: byte size from the
     * surviving files on disk, row count from their footer counts (both
@@ -204,6 +252,29 @@ private[graft] object SnapBatchScan {
     * relative path) — the group-rewrite granularity of MERGE/UPDATE.
     */
   val FileCol = "_file"
+
+  /** `(column, values)` of a runtime `IN(col, …)` / `=(col, v)` V2
+    * predicate over a single top-level column; `None` otherwise.
+    */
+  def eqValues(p: org.apache.spark.sql.connector.expressions.filter
+      .Predicate): Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val children = p.children().toSeq
+    val colName = children.headOption.collect {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames()(0)
+    }
+    colName.flatMap { c =>
+      p.name() match {
+        case "IN" | "=" =>
+          val vs = children.drop(1).collect {
+            case l: Literal[_] => l.value.asInstanceOf[Any]
+          }
+          if (vs.length == children.length - 1) Some(c -> vs) else None
+        case _ => None
+      }
+    }
+  }
 }
 
 /** One data file — or one byte RANGE of it — of an input partition:

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
@@ -34,14 +34,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * An identifier `snap.db.t` maps to the directory `<root>/db/t`; the
   * table's manifests stay the single source of truth (the catalog adds no
-  * state of its own, like a path-based Delta catalog). Reads go through a
-  * [[V1Scan]] bridge: the scan prunes FILES on the driver from manifest
-  * [min,max] stats using the pushed-down predicates — so `WHERE k BETWEEN
-  * a AND b` over SQL skips the same files `SnapTable.readRange` would —
-  * then hands the surviving file list to Spark's own vectorized parquet
-  * reader (all pushed filters are also kept as residuals, so row-level
-  * exactness never depends on the pruning). At 100 TB the pruning step is
-  * manifest-sized driver work, identical to the API path.
+  * state of its own, like a path-based Delta catalog). Reads go through
+  * the NATIVE [[SnapBatchScan]]: the builder prunes FILES on the driver
+  * from manifest [min,max] stats using the pushed-down predicates — so
+  * `WHERE k BETWEEN a AND b` over SQL skips the same files
+  * `SnapTable.readRange` would — then hands the surviving file list to
+  * Spark's own vectorized parquet reader (all pushed filters are also
+  * kept as residuals, so row-level exactness never depends on the
+  * pruning). Un-filtered COUNT/MIN/MAX pushes down COMPLETELY and is
+  * answered from the manifest without opening a file. At 100 TB the
+  * pruning step is manifest-sized driver work, identical to the API
+  * path.
   */
 class SnapCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
@@ -399,16 +402,101 @@ private[sources] object SnapV2Table {
   }
 }
 
-/** Scan builder carrying the two DSv2 pushdowns that matter at manifest
-  * level: column pruning (ReadSchema) and predicate-driven FILE pruning.
-  * Every filter is reported back as residual — the source prunes whole
-  * files, Spark's parquet reader + codegen still evaluate rows exactly.
+/** The completely-pushed-aggregate result: ONE row of LONG values (or
+  * null for MIN/MAX of an empty table), computed on the driver from the
+  * manifest and shipped as the single input partition's payload. No
+  * data file is opened — the spec proves it by deleting them first.
+  */
+private[graft] class SnapAggScan(names: Seq[String],
+    values: Seq[Option[Long]])
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  override def readSchema(): StructType = StructType(
+    names.zip(values).map { case (n, v) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = v.isEmpty)
+    })
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(SnapAggPartition(values))
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    (p: org.apache.spark.sql.connector.read.InputPartition) => {
+      val vs = p.asInstanceOf[SnapAggPartition].values
+      new org.apache.spark.sql.connector.read
+        .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        private var done = false
+        override def next(): Boolean = !done
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+          done = true
+          org.apache.spark.sql.catalyst.InternalRow
+            .fromSeq(vs.map(_.orNull))
+        }
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private[graft] final case class SnapAggPartition(values: Seq[Option[Long]])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Scan builder carrying the DSv2 pushdowns that matter at manifest
+  * level: column pruning (ReadSchema), predicate-driven FILE pruning,
+  * and complete COUNT/MIN/MAX aggregate pushdown. Every filter is
+  * reported back as residual — the source prunes whole files, Spark's
+  * parquet reader + codegen still evaluate rows exactly.
   */
 private[graft] class SnapScanBuilder(root: String,
     snap: SnapTable.Snapshot, full: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var required: StructType = full
+  private var agg: Option[Aggregation] = None
+
+  /** COMPLETE aggregate pushdown — `COUNT(*)` / `MIN(col)` / `MAX(col)`
+    * with no GROUP BY answered from the MANIFEST alone (footer row
+    * counts and per-file [min,max] stats): zero data files are opened,
+    * so `SELECT count(*) FROM t` on a 100 TB table is driver-side
+    * metadata work. Only taken when it is provably exact:
+    *
+    *  - no outstanding deletion vectors (DV'd rows would be counted),
+    *  - no pushed filters (Spark only attempts the pushdown with no
+    *    Filter above the scan, since we report every filter residual —
+    *    checked anyway),
+    *  - MIN/MAX only on columns with INT64 stats in EVERY file
+    *    (parquet footer min/max ignore nulls, exactly like SQL MIN/MAX).
+    */
+  private def answerable(a: Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && raw.isEmpty && snap.dvs.isEmpty && {
+      def statsCol(e: org.apache.spark.sql.connector.expressions
+          .Expression): Option[String] = e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val pc = SnapTable.physName(snap.colmap, f.fieldNames()(0))
+          if (snap.files.forall(_.stats.contains(pc))) Some(pc) else None
+        case _ => None
+      }
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statsCol(m.column).isDefined
+        case m: Max => statsCol(m.column).isDefined
+        case _ => false
+      }
+    }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    answerable(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (!answerable(a)) false // no partial mode: exact or not at all
+    else { agg = Some(a); true }
   private var bounds: Map[String, (Long, Long)] = Map.empty
   // string bounds: None = unbounded on that side. Only consulted
   // against files that RECORDED sstats for the column (short-ASCII
@@ -475,6 +563,30 @@ private[graft] class SnapScanBuilder(root: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
+    agg match {
+      case Some(a) =>
+        def pc(e: org.apache.spark.sql.connector.expressions
+            .Expression): String = e match {
+          case f: NamedReference =>
+            SnapTable.physName(snap.colmap, f.fieldNames()(0))
+          case other => sys.error(s"unexpected agg child $other")
+        }
+        val (names, values) = a.aggregateExpressions.map {
+          case _: CountStar =>
+            ("count(*)", Some(snap.files.map(_.rows).sum))
+          case m: Min =>
+            (s"min", // empty table → SQL MIN is NULL
+              if (snap.files.isEmpty) None
+              else Some(snap.files.map(_.stats(pc(m.column))._1).min))
+          case m: Max =>
+            (s"max",
+              if (snap.files.isEmpty) None
+              else Some(snap.files.map(_.stats(pc(m.column))._2).max))
+          case other => sys.error(s"unpushable aggregate $other")
+        }.toSeq.unzip
+        return new SnapAggScan(names, values)
+      case None => ()
+    }
     // manifest stats key on PHYSICAL column names; pushed predicates
     // reference logical ones — map before consulting the entries
     val hit = snap.files.filter { f =>
@@ -498,8 +610,12 @@ private[graft] class SnapScanBuilder(root: String,
     // KeyGroupedPartitioning (storage-partitioned joins); outstanding
     // DVs ride the scan (per-file readers drop deleted positions);
     // unbucketed file lists bin-pack into byte-targeted partitions.
+    // The LAYOUT columns are declared runtime-prunable (DPP): a
+    // selective join narrows the file list at execution time.
+    val prunable = snap.bucket.map(b => Seq(b._1)).getOrElse(
+      if (snap.spec.nonEmpty) snap.spec else Seq(snap.statsCol))
     new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
-      required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap)
+      required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap, prunable)
   }
 }
 
