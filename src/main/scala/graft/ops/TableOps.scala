@@ -1517,6 +1517,91 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_delete_retention",
+      // METADATA-ONLY retention delete: `DELETE WHERE day < cutoff` on
+      // the cluster column drops every fully-covered file from the
+      // manifest WITHOUT READING IT (stats prove all rows match, null
+      // count proves no NULL survivor) — the TTL/GDPR sweep that runs
+      // nightly on a 100 TB table becomes one manifest write plus one
+      // boundary-file rewrite. The op REQUIRES at most one new data dir
+      // (the boundary), and the oracle restates the surviving rows.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        // o_day is DENSE-uniform over [0, 1000) by construction, so a
+        // cutoff at 500 fully covers some range-clustered files at any
+        // session parallelism / scale factor
+        T(s, dir, "orders").select(col("o_orderkey"),
+            (col("o_orderkey") % 1000).as("o_day"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t (o_orderkey BIGINT, " +
+          "o_day BIGINT, o_totalprice DOUBLE) PARTITIONED BY (o_day)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        val b = s.conf.get("spark.sql.catalog.snap.root")
+        val before = SnapTable.load(s"$b/main/$t", 2)
+        s.sql(s"DELETE FROM snap.main.$t WHERE o_day < 500")
+        val after = SnapTable.load(s"$b/main/$t",
+          SnapTable.latestVersion(s"$b/main/$t"))
+        val dirsBefore = before.files.map(_.path.split("/")(1)).toSet
+        val dirsAfter = after.files.map(_.path.split("/")(1)).toSet
+        require((dirsAfter -- dirsBefore).size <= 1,
+          "retention delete must drop covered files metadata-only, " +
+            s"but wrote dirs ${dirsAfter -- dirsBefore}")
+        require(before.files.exists(f => f.stats.get("o_day")
+            .exists(_._2 < 500) &&
+            !after.files.map(_.path).contains(f.path)),
+          "no fully-covered file was dropped from the manifest")
+        s.sql(s"SELECT o_day, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_day") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "WITH f AS (SELECT o_orderkey % 1000 AS o_day, o_totalprice " +
+          "FROM orders) " +
+          "SELECT o_day % 7 AS bucket, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM f WHERE o_day >= 500 GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_sql_truncate",
+      // TRUNCATE TABLE: one empty-manifest commit — no data file
+      // touched, history (and time travel) intact until vacuum, and the
+      // table immediately writable again.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.sql(s"TRUNCATE TABLE snap.main.$t")
+        require(s.sql(s"SELECT count(*) FROM snap.main.$t")
+          .head().getLong(0) == 0, "truncate left rows behind")
+        // pre-truncate contents reachable by time travel
+        require(s.sql(
+          s"SELECT count(*) FROM snap.main.$t VERSION AS OF 2")
+          .head().getLong(0) > 0, "time travel lost the history")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT * FROM $v WHERE o_orderkey % 9 = 0")
+        s.sql(s"SELECT o_custkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders WHERE o_orderkey % 9 = 0 " +
+          "GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_runtime_prune",
       // RUNTIME (DPP-style) file pruning via SupportsRuntimeV2Filtering:
       // the fact table's layout column is declared runtime-prunable, so

@@ -272,9 +272,20 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
 private[sources] class SnapV2Table(ident: Identifier, root: String,
     version: Int) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with TruncatableTable {
 
   private val snap = SnapTable.load(root, version)
+
+  /** `TRUNCATE TABLE` — one empty-file-list commit against the CURRENT
+    * head: no data file is touched (history keeps them until vacuum),
+    * outstanding DVs are dropped with the files they referenced.
+    */
+  override def truncateTable(): Boolean = {
+    val parent = SnapTable.load(root, SnapTable.latestVersion(root))
+    SnapTable.commitExclusive(root, parent, Seq.empty, "truncate",
+      parent.schemaJson, dvs = Seq.empty)
+    true
+  }
 
   /** SQL MERGE / UPDATE / non-pushable DELETE: group-based copy-on-write
     * against the CURRENT head (DML never time-travels), with the runtime
@@ -316,7 +327,9 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
         throw new UnsupportedOperationException(s"DELETE predicate: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    SnapTable.deleteWhere(SparkSession.active, root, pred)
+    // the raw conjuncts ride along: files whose manifest stats PROVE
+    // every row matches are dropped metadata-only, never opened
+    SnapTable.deleteWhere(SparkSession.active, root, pred, filters.toSeq)
     ()
   }
 

@@ -87,9 +87,16 @@ object SnapTable {
     * They make `lang = 'en'` / category-equality predicates prune files
     * exactly like numeric ranges do.
     */
+  /** `nulls` are per-column NULL counts (for the INT64-stats columns,
+    * recorded only when every row group's footer declares one): the
+    * missing piece that turns [min,max] coverage into a PROOF that a
+    * predicate holds for every row of the file — a NULL makes any
+    * comparison non-true, so metadata-only deletes require nulls == 0.
+    */
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (Long, Long)],
-      sstats: Map[String, (String, String)] = Map.empty)
+      sstats: Map[String, (String, String)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty)
 
   /** `schemaJson` is the table schema AS OF this snapshot (StructType
     * JSON). Schema lives in the log, not in data-file footers: a read
@@ -991,13 +998,58 @@ object SnapTable {
     ()
   }
 
+  /** True iff every conjunct of `proven` is provably TRUE for EVERY row
+    * of `f` from manifest metadata alone — then the file can leave the
+    * manifest without being read (a metadata-only delete). The proof
+    * needs (a) [min,max] of the column fully inside the predicate range
+    * and (b) a recorded null count of ZERO: a NULL row makes the
+    * predicate non-true and must SURVIVE a SQL DELETE, so a file with
+    * unknown or nonzero nulls is never dropped blind.
+    */
+  private def provablyAllMatch(colmap: Map[String, String],
+      f: FileEntry,
+      proven: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    def dec(v: Long): Long = if (v == Long.MinValue) v else v - 1
+    def full(c: String, lo: Long, hi: Long): Boolean = {
+      val pc = physName(colmap, c)
+      f.stats.get(pc).exists { case (mn, mx) => mn >= lo && mx <= hi } &&
+        f.nulls.get(pc).contains(0L)
+    }
+    proven.nonEmpty && proven.forall {
+      case EqualTo(c, v: Long) => full(c, v, v)
+      case EqualTo(c, v: Int) => full(c, v.toLong, v.toLong)
+      case GreaterThan(c, v: Long) => full(c, inc(v), Long.MaxValue)
+      case GreaterThan(c, v: Int) => full(c, v + 1L, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Long) => full(c, v, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Int) => full(c, v.toLong, Long.MaxValue)
+      case LessThan(c, v: Long) => full(c, Long.MinValue, dec(v))
+      case LessThan(c, v: Int) => full(c, Long.MinValue, v - 1L)
+      case LessThanOrEqual(c, v: Long) => full(c, Long.MinValue, v)
+      case LessThanOrEqual(c, v: Int) => full(c, Long.MinValue, v.toLong)
+      case And(l, r) => provablyAllMatch(colmap, f, Seq(l)) &&
+        provablyAllMatch(colmap, f, Seq(r))
+      case _ => false // unsupported shapes are simply not provable
+    }
+  }
+
   /** Copy-on-write DELETE by arbitrary predicate — the GDPR-erasure verb.
     * Only files that contain a matching row are rewritten (without the
     * matches); untouched files are carried forward. Cost is proportional
     * to where the matching rows LIVE, not to the table.
+    *
+    * `proven` (optional) is the predicate as pushable conjuncts: files
+    * whose stats PROVE every row matches are dropped METADATA-ONLY —
+    * never opened — which turns the classic retention delete
+    * (`WHERE day < cutoff` on the cluster column) into one manifest
+    * write at any table size; only boundary files rewrite. The SQL
+    * DELETE surface passes its filters here automatically.
     */
   def deleteWhere(s: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate: org.apache.spark.sql.Column,
+      proven: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : Int = {
     val parent = load(root, latestVersion(root))
     if (parent.files.isEmpty) // nothing to delete from: no-op commit
       return commitExclusive(root, parent, Seq.empty, "delete",
@@ -1021,15 +1073,22 @@ object SnapTable {
           extra = Seq("_dv_path", "_dv_row"))
           .filter(predicate).select("_dv_path", "_dv_row"))
     }
+    // metadata-only drops first: files whose stats prove EVERY row
+    // matches leave the manifest unread (the retention fast path)
+    val (dropped, rest) = parent.files.partition(f =>
+      provablyAllMatch(parent.colmap, f, proven))
+    if (rest.isEmpty)
+      return commitExclusive(root, parent, Seq.empty, "delete",
+        parent.schemaJson)
     val withFile = toLogical(
-      readFilesPhysical(s, root, parent.files, parent.schemaJson,
+      readFilesPhysical(s, root, rest, parent.schemaJson,
         parent.colmap)
         .withColumn("_gf_file", col("_metadata.file_path")),
       parent.schemaJson, parent.colmap, extra = Seq("_gf_file"))
     val touched = withFile.filter(predicate)
       .select("_gf_file").distinct().collect().map(_.getString(0)).toSet
-    val touchedRel = matchEntries(root, parent.files, touched)
-    val carried = parent.files.filterNot(touchedRel.contains)
+    val touchedRel = matchEntries(root, rest, touched)
+    val carried = rest.filterNot(touchedRel.contains)
     // survivors are the rows where the predicate is false OR NULL — SQL
     // DELETE semantics; a bare !predicate would silently drop NULL rows
     val survivors = withFile
@@ -1918,9 +1977,19 @@ object SnapTable {
             val mx = cs.map(_.getStatistics.maxAsString).max
             if (ok(mn) && ok(mx)) Some(name -> (mn, mx)) else None
           }
+        val perNull = blocks.flatMap(_.getColumns.asScala)
+          .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT64 && c.getStatistics != null)
+          .groupBy(_.getPath.toDotString)
+          .flatMap { case (name, cs) =>
+            if (cs.forall(_.getStatistics.isNumNullsSet))
+              Some(name -> cs.map(_.getStatistics.getNumNulls).sum)
+            else None
+          }
         Some(FileEntry(
           Paths.get(root).toAbsolutePath.relativize(p).toString,
-          rows, perCol, perStr))
+          rows, perCol, perStr, perNull))
       }
     } finally reader.close()
   }
@@ -2116,8 +2185,11 @@ object SnapTable {
             e.getKey -> (e.getValue.get(0).asText(),
               e.getValue.get(1).asText())
           }.toMap).getOrElse(Map.empty[String, (String, String)])
+        val nulls = Option(f.get("nulls")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+          .getOrElse(Map.empty[String, Long])
         FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
-          sstats)
+          sstats, nulls)
       }.toSeq,
       Option(node.get("txn")).map(_.asText()),
       // absent in pre-evolution manifests → unpartitioned
@@ -2159,7 +2231,12 @@ object SnapTable {
           s"${jm.writeValueAsString(c)}:[${jm.writeValueAsString(mn)}," +
             s"${jm.writeValueAsString(mx)}]"
         }.mkString(""","sstats":{""", ",", "}")
-      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss}"""
+      val nl =
+        if (f.nulls.isEmpty) ""
+        else f.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
+          s"${jm.writeValueAsString(c)}:$n"
+        }.mkString(""","nulls":{""", ",", "}")
+      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss$nl}"""
     }.mkString("[", ",", "]")
     val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
     val spec =

@@ -153,6 +153,70 @@ class SnapCatalogSpec extends AnyFunSuite {
       .count() == expectGe)
   }
 
+  test("retention DELETE is metadata-only for fully-covered files; " +
+      "boundary files rewrite; NULLs block blind drops") {
+    val root = s"$base/db1/retention"
+    // day-clustered fact: each file covers a narrow day range
+    SnapTable.create(spark, root,
+      spark.range(30000).selectExpr("id % 30 AS day", "id AS v"),
+      "day", spec = Seq("day"))
+    val before = SnapTable.load(root, 1)
+    val dataDirsBefore = before.files.map(_.path.split("/")(1)).toSet
+    assert(before.files.forall(_.nulls.get("day").contains(0L)),
+      "footer null counts must be recorded for the INT64 columns")
+    // DELETE WHERE day < 14: most files are FULLY covered → dropped
+    // from the manifest without being read; at most one boundary file
+    // rewrites
+    spark.sql("DELETE FROM snapt.db1.retention WHERE day < 14")
+    val after = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.retention")
+      .head().getLong(0) == 16000)
+    assert(spark.sql("SELECT min(day) FROM snapt.db1.retention")
+      .head().getLong(0) == 14)
+    // metadata-only proof: fully-covered files left the manifest (never
+    // read), files entirely above the cutoff carried forward untouched,
+    // and only the boundary rewrite wrote a new dir
+    val dataDirsAfter = after.files.map(_.path.split("/")(1)).toSet
+    assert((dataDirsAfter -- dataDirsBefore).size <= 1,
+      s"retention delete rewrote ${dataDirsAfter -- dataDirsBefore}")
+    val afterPaths = after.files.map(_.path).toSet
+    val fullyCovered = before.files.filter(_.stats("day")._2 < 14)
+    val untouched = before.files.filter(_.stats("day")._1 >= 14)
+    assert(fullyCovered.nonEmpty, "fixture: no fully-covered file")
+    assert(fullyCovered.forall(f => !afterPaths.contains(f.path)),
+      "a provably-covered file was not dropped")
+    assert(untouched.forall(f => afterPaths.contains(f.path)),
+      "an untouched file was rewritten")
+    // a nullable column blocks the blind drop: rows where the predicate
+    // is NULL must survive, so the file must be READ, not dropped
+    val root2 = s"$base/db1/retnull"
+    SnapTable.create(spark, root2,
+      spark.range(100).selectExpr("id AS k",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS vn"), "k")
+    spark.sql("DELETE FROM snapt.db1.retnull WHERE vn < 200")
+    // the 10 NULL-vn rows survive (SQL DELETE semantics)
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.retnull")
+      .head().getLong(0) == 10)
+  }
+
+  test("TRUNCATE TABLE commits an empty snapshot; history stays") {
+    val root = s"$base/db1/trunc"
+    SnapTable.create(spark, root,
+      spark.range(500).selectExpr("id AS k", "id * 2 AS v"), "k")
+    spark.sql("TRUNCATE TABLE snapt.db1.trunc")
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.trunc")
+      .head().getLong(0) == 0)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.op == "truncate" && head.files.isEmpty)
+    // pre-truncate contents stay reachable by time travel
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.trunc VERSION AS OF 1")
+      .head().getLong(0) == 500)
+    // and the table keeps working: insert after truncate
+    spark.sql("INSERT INTO snapt.db1.trunc VALUES (1, 2)")
+    assert(spark.sql("SELECT count(*) FROM snapt.db1.trunc")
+      .head().getLong(0) == 1)
+  }
+
   test("COUNT/MIN/MAX push down completely: answered from the manifest " +
       "with zero data files opened") {
     val root = s"$base/db1/aggpush"
