@@ -1861,6 +1861,58 @@ object TableOps extends QueryModule {
           "CAST(count(*) AS BIGINT) AS n, " +
           "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
           "FROM merged GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_convert_inplace",
+      // ZERO-COPY conversion of an existing parquet directory into a
+      // SnapTable (the published CONVERT TO DELTA / add_files idea):
+      // the manifest REFERENCES the files where they lie — nothing is
+      // read, moved, or rewritten except per-file footers. At 100 TB
+      // this is the on-ramp: a plain parquet lake gains ACID commits,
+      // time travel, MERGE and file skipping for the cost of a footer
+      // sweep. The op REQUIRES zero-copy (same file set, untouched
+      // mtimes) and that lifted stats actually prune, then
+      // oracle-checks a post-conversion append + aggregate.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_convert")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // the "pre-existing lake": plain parquet, no table layer
+        o.filter(col("o_orderkey") % 3 =!= 2)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(root)
+        def state() = {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => p.toString ->
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .toMap
+          finally st.close()
+        }
+        val before = state()
+        SnapTable.convertInPlace(s, root, "o_orderkey")
+        require(state() == before,
+          "convert must not touch a data file (paths + mtimes)")
+        // lifted footer stats prune exactly like written-table stats
+        val (_, hit, total) = SnapTable.readRange(s, root,
+          "o_orderkey", 0L, 100L)
+        require(hit < total,
+          s"lifted stats must prune the range read: $hit/$total")
+        // first post-conversion commit: normal append, ACID from here
+        SnapTable.append(s, root, o.filter(col("o_orderkey") % 3 === 2)
+          .repartitionByRange(2, col("o_orderkey")))
+        SnapTable.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     )
   )
 }

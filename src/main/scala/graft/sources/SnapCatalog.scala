@@ -341,7 +341,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
     Map("version" -> version.toString, "format" -> "snaptable",
@@ -364,6 +364,18 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        /** `df.writeStream.toTable("snap.db.t")` — the native
+          * exactly-once streaming sink (one ACID append per epoch,
+          * idempotent under restart via the (queryId, epochId) txn).
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming
+              .StreamingWrite = {
+          require(!overwrite,
+            "streaming Complete mode is not supported — use append " +
+              "mode, or foreachBatch + INSERT OVERWRITE")
+          new SnapStreamingWrite(root, info.schema(), info.queryId())
+        }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             if (overwrite) {

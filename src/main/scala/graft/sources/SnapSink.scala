@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graftx.ParquetBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native Structured-Streaming SINK for the snapshot table format — the
+  * other half of the streaming story ([[SnapStreamSource]] is the read
+  * half): `df.writeStream.toTable("snap.db.t")` appends one ACID commit
+  * per micro-batch with EXACTLY-ONCE semantics, no foreachBatch glue.
+  *
+  * How exactly-once falls out of machinery the format already has:
+  * every epoch's commit carries the idempotency txn
+  * `snapsink:<queryId>:<epochId>`. A restart that replays a committed
+  * epoch re-writes its files, but the commit resolves to the recorded
+  * txn's version and links nothing — the replayed files orphan in their
+  * own data dir and vacuum reclaims them. This is the Delta
+  * `txnAppId/txnVersion` idea, keyed by Spark's streaming (queryId,
+  * epochId) pair, which the checkpoint holds stable across restarts.
+  *
+  * Scale shape: executors stream rows straight into parquet via Spark's
+  * own `OutputWriter` (no per-batch DataFrame materialization, no extra
+  * shuffle — whatever partitioning the query plan ends with is the file
+  * layout); the driver's commit cost is one footer read per written
+  * file plus one manifest link. CHECK constraints and provided
+  * generated columns are validated over just the epoch's files before
+  * the link, like every other append.
+  *
+  * Not supported (fail-fast, restart-shaped like Delta's contracts):
+  * Complete output mode (a streaming TRUNCATE per epoch), bucketed
+  * targets (the layout needs a clustered rewrite per batch — use
+  * foreachBatch + append), generated columns ABSENT from the streamed
+  * frame (nothing can compute them after the executor-side write), and
+  * a column mapping that changes while the stream runs.
+  */
+private[sources] class SnapStreamingWrite(root: String,
+    schema: StructType, queryId: String) extends StreamingWrite {
+
+  private val spark = SparkSession.active
+  private val parent0 =
+    SnapTable.load(root, SnapTable.latestVersion(root))
+  require(parent0.bucket.isEmpty,
+    "streaming write into a bucketed table is not supported — the " +
+      "layout needs a clustered rewrite per batch; use foreachBatch + " +
+      "append")
+  parent0.gen.keys.foreach(c =>
+    require(schema.fieldNames.contains(c),
+      s"generated column '$c' must be included in the streamed frame " +
+        "(the sink cannot compute it after the executor-side write)"))
+
+  /** Captured at query start; epoch commits refuse a changed mapping
+    * (mid-stream RENAME/DROP/re-ADD = schema change under a running
+    * stream; restart from a fresh checkpoint).
+    */
+  private val colmapAtStart = parent0.colmap
+
+  private val physSchema = StructType(schema.fields.map(f =>
+    f.copy(name = SnapTable.physName(colmapAtStart, f.name))))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (owf, prepared) = ParquetBridge.writerFactory(spark, physSchema,
+      spark.sessionState.newHadoopConf())
+    new SnapStreamingWriterFactory(owf, root,
+      "data/s-" + java.util.UUID.randomUUID().toString.take(8),
+      physSchema, new SerializableConfiguration(prepared))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.toSeq.collect {
+      case SnapWriteMessage(p) =>
+        SnapTable.footerEntry(spark, root, Paths.get(p))
+    }.flatten.sortBy(_.path)
+    // an all-empty epoch commits nothing: replaying it is also empty,
+    // so skipping keeps exactly-once without burning a version slot
+    if (fresh.nonEmpty)
+      SnapTable.streamingEpochCommit(spark, root, fresh, schema,
+        s"snapsink:$queryId:$epochId", colmapAtStart)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapWriteMessage(p) => Files.deleteIfExists(Paths.get(p)); ()
+      case _ => ()
+    }
+}
+
+/** One parquet `OutputWriter` per (task, epoch); the epoch id keys the
+  * file path so a factory reused across epochs can never collide, and a
+  * speculative attempt's path differs by taskId (its abort deletes it).
+  */
+private[sources] class SnapStreamingWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    root: String, dirRel: String, schema: StructType,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val dir = Paths.get(root, s"$dirRel-e$epochId")
+    Files.createDirectories(dir)
+    val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value,
+      new org.apache.hadoop.mapreduce.TaskAttemptID("graft", 0,
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId,
+        taskId.toInt))
+    val path = s"$dir/part-$partitionId-$taskId${owf.getFileExtension(tac)}"
+    val w = owf.newInstance(path, schema, tac)
+    new DataWriter[InternalRow] {
+      override def write(r: InternalRow): Unit = w.write(r)
+      override def commit(): WriterCommitMessage = {
+        w.close(); SnapWriteMessage(path)
+      }
+      override def abort(): Unit = {
+        w.close(); Files.deleteIfExists(Paths.get(path)); ()
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -77,9 +77,30 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     ignoreChanges: Boolean, startingVersion: Option[Int],
     readChangeFeed: Boolean = false) extends Source {
 
-  private val tableSchema: StructType = {
+  // schema AND column mapping are captured at source creation: files are
+  // read by their stable PHYSICAL names and aliased to the captured
+  // logical names, so an already-column-mapped table (past RENAME/DROP
+  // COLUMN history) streams fine. A mapping that CHANGES while the
+  // stream runs is a schema change mid-stream and fails the batch —
+  // the same restart-from-fresh-checkpoint contract as Delta's.
+  private val (tableSchema: StructType,
+      colmapAtStart: Map[String, String]) = {
     val snap = SnapTable.load(root, SnapTable.latestVersion(root))
-    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    (DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      snap.colmap)
+  }
+
+  /** Streaming parquet read of `files` under the captured mapping:
+    * physical-schema scan, then a logical-name aliasing projection
+    * (a projection over a streaming leaf is still a streaming plan).
+    */
+  private def readLogical(files: Seq[SnapTable.FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val phys = SnapTable.physSchemaOf(tableSchema.json, colmapAtStart)
+    Bridge.streamingParquet(ctx.sparkSession,
+      files.map(f => s"$root/${f.path}"), phys)
+      .select(tableSchema.fieldNames.map(n =>
+        col(colmapAtStart.getOrElse(n, n)).as(n)).toIndexedSeq: _*)
   }
 
   // the stream's schema is fixed at start (streaming contract); later
@@ -102,14 +123,14 @@ class SnapStreamSource(ctx: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
-    // the stream reads files by the LOGICAL schema directly; a column
-    // mapping (RENAME/DROP COLUMN) breaks that name identity, and a
-    // mid-stream schema change violates the fixed-schema streaming
-    // contract anyway — same restart-required stance as Delta's
-    require(SnapTable.load(root, endV).colmap.isEmpty,
-      "snapstream: the table has a column mapping (renamed/re-added " +
-        "columns) — streams must restart from a fresh checkpoint after " +
-        "a column-mapping change")
+    // a column mapping PRESENT at start streams fine (physical-name
+    // reads, aliased); one that CHANGED since is a mid-stream RENAME /
+    // DROP / re-ADD — a schema change under a running stream, which
+    // violates the fixed-schema contract
+    require(SnapTable.load(root, endV).colmap == colmapAtStart,
+      "snapstream: the table's column mapping changed while the stream " +
+        "ran (RENAME/DROP/re-ADD COLUMN) — restart from a fresh " +
+        "checkpoint to adopt the new schema")
     if (readChangeFeed) return changeBatch(start.map(version), endV)
     val files = start match {
       case None =>
@@ -126,8 +147,7 @@ class SnapStreamSource(ctx: SQLContext, root: String,
         }
       case Some(s) => addedBetween(Some(version(s)), endV)
     }
-    Bridge.streamingParquet(ctx.sparkSession,
-      files.map(f => s"$root/${f.path}"), schema)
+    readLogical(files)
   }
 
   /** CHANGE-FEED batch (`readChangeFeed=true`): the SIGNED file-diff
@@ -160,9 +180,7 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     val fromPaths = fromFiles.map(_.path).toSet
     val toPaths = toFiles.map(_.path).toSet
     def side(fs: Seq[SnapTable.FileEntry], sign: Int) =
-      Bridge.streamingParquet(ctx.sparkSession,
-        fs.map(f => s"$root/${f.path}"), tableSchema)
-        .withColumn("_sign", lit(sign))
+      readLogical(fs).withColumn("_sign", lit(sign))
     // both legs are streaming-flagged leaves, so the union stays a legal
     // streaming batch plan
     side(toFiles.filterNot(f => fromPaths.contains(f.path)), 1)

@@ -151,6 +151,16 @@ object SnapTable {
     * must pick a fresh physical name, or old files' dropped values would
     * resurrect under the new column.
     */
+  /** `filesFrom` is the version whose manifest physically INLINES this
+    * snapshot's file list (set by [[load]]; 0 = not tracked, e.g. a
+    * pre-commit construction). A metadata-only commit — MoR DELETE,
+    * ADD/RENAME/DROP COLUMN, CHECK, bloom index, spec evolution,
+    * RESTORE — serializes `"filesRef": filesFrom` INSTEAD of re-listing
+    * every file: at a million files that turns an O(table) manifest
+    * write into an O(1) one. Ref chains never exceed depth 1: a commit
+    * always refs the version that inlines, and vacuum keeps referenced
+    * manifests alive alongside their referrers.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
@@ -160,7 +170,8 @@ object SnapTable {
       gen: Map[String, String] = Map.empty,
       blooms: Seq[String] = Seq.empty,
       colmap: Map[String, String] = Map.empty,
-      dead: Seq[String] = Seq.empty)
+      dead: Seq[String] = Seq.empty,
+      filesFrom: Int = 0)
 
   /** Physical (on-file) name of a logical column under a column
     * mapping — identity unless renamed.
@@ -254,6 +265,71 @@ object SnapTable {
         Seq.empty, None, spec))) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
+  }
+
+  /** CONVERT a directory of bare parquet files into a SnapTable IN
+    * PLACE (the published `CONVERT TO DELTA` / Iceberg `add_files`
+    * idea, re-derived): no data file is read, moved, or rewritten —
+    * version 1's manifest simply REFERENCES the files where they
+    * already live, with rows / min-max / null-count stats lifted from
+    * their footers. Converting a 100 TB parquet lake costs one footer
+    * read per file (fanned out over the cluster above a small count)
+    * plus one manifest write; from the next commit on the data gets
+    * ACID snapshots, time travel, MERGE, CDC, and file skipping —
+    * over bytes that never moved.
+    *
+    * Contract: `root` is not already a SnapTable; every file shares
+    * the schema (additive differences null-fill like any evolved
+    * read); hive-style `k=v` path encoding is NOT lifted to columns
+    * (partition values must be materialized in the files — run a
+    * normal Spark read+write migration for path-partitioned data).
+    * Converted-in files live OUTSIDE the managed `data/` dir, so
+    * vacuum never reclaims them (conservative: they predate the log
+    * and may be shared); once a compaction rewrites them into managed
+    * dirs, deleting the unreferenced originals is the owner's call.
+    */
+  def convertInPlace(s: SparkSession, root: String,
+      statsCol: String): Int = {
+    val rootPath = Paths.get(root).toAbsolutePath
+    require(!Files.exists(rootPath.resolve("_log")),
+      s"$root is already a SnapTable (has a _log)")
+    val files = {
+      val st = Files.walk(rootPath)
+      try st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toIndexedSeq.sortBy(_.toString)
+      finally st.close()
+    }
+    require(files.nonEmpty, s"no parquet files under $root")
+    // schema from a bounded footer sample (the files share one schema
+    // by contract) — not an O(files) listing through the Spark reader
+    val schema =
+      s.read.parquet(files.take(16).map(_.toString): _*).schema
+    require(schema.fieldNames.contains(statsCol),
+      s"stats column '$statsCol' is not in the discovered schema " +
+        schema.fieldNames.mkString("(", ", ", ")"))
+    // the footer sweep is the only O(files) cost; beyond a driver-loop
+    // scale it runs as a Spark job (footers are read WHERE the task
+    // lands — only FileEntry rows come back)
+    val entries: Seq[FileEntry] =
+      if (files.size <= 64)
+        files.flatMap(p => footerEntry(s, root, p))
+      else {
+        val rootStr = rootPath.toString
+        s.sparkContext
+          .parallelize(files.map(_.toString), math.min(files.size, 256))
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.flatMap(f =>
+              footerEntryConf(conf, rootStr, Paths.get(f)))
+          }.collect().toIndexedSeq
+      }
+    Files.createDirectories(rootPath.resolve("_log"))
+    if (tryLink(root, Snapshot(1, "convert", statsCol, schema.json,
+        entries.sortBy(_.path)))) 1
+    else throw new ConcurrentCommitException(
+      s"convert lost the race for v1 at $root — the table already exists")
   }
 
   /** Partition-spec EVOLUTION: a metadata-only commit that declares a new
@@ -816,7 +892,8 @@ object SnapTable {
     // claiming a clustering the restored files don't have
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
       statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
-      checks = snap.checks, colmap = snap.colmap, dead = snap.dead)
+      checks = snap.checks, colmap = snap.colmap, dead = snap.dead,
+      filesFromHint = snap.filesFrom)
   }
 
   // ---------------------------------------------------------------- refs
@@ -1590,6 +1667,9 @@ object SnapTable {
     * aggregate is maintained by adding `sum(_sign * metric)` deltas,
     * reading only the files the commit touched. Non-linear aggregates
     * (min/max/distinct) need `changes()` + targeted recompute instead.
+    * Both sides emit under the TO snapshot's schema (like `changes()`),
+    * so the delta spans RENAME COLUMN boundaries: pre-images resolve
+    * through the stable physical names to the current logical names.
     */
   def changesDelta(s: SparkSession, root: String, from: Int, to: Int)
       : DataFrame = {
@@ -1600,14 +1680,20 @@ object SnapTable {
     val removed = a.files.filterNot(f => bPaths.contains(f.path))
     val added = b.files.filterNot(f => aPaths.contains(f.path))
     val carried = b.files.filter(f => aPaths.contains(f.path))
-    // each side reads under ITS endpoint's deletion vectors: a row of an
-    // added file that is already DV'd at `to` was never visible (+1 must
-    // skip it); a row of a removed file that was DV'd at `from` was
-    // already gone (-1 must skip it)
-    def side(fs: Seq[FileEntry], snap: Snapshot,
+    // each side reads under ITS endpoint's deletion vectors (a row of an
+    // added file that is already DV'd at `to` was never visible — +1 must
+    // skip it; a row of a removed file that was DV'd at `from` was
+    // already gone — -1 must skip it) but under the TO snapshot's schema
+    // and column mapping: physical names are stable across RENAME COLUMN,
+    // so pre-images of a renamed column surface under its CURRENT logical
+    // name and the union is well-formed across a rename boundary. A
+    // column added in the range null-fills on the -1 side (sums to 0 —
+    // the old snapshot had no values for it), one dropped in the range
+    // leaves the delta like it leaves the table.
+    def side(fs: Seq[FileEntry], dvs: Seq[String],
         sign: Int): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(readSnapshot(s, root, snap.copy(files = fs))
+      else Some(readSnapshot(s, root, b.copy(files = fs, dvs = dvs))
         .withColumn("_sign", lit(sign)))
     // MoR deletes on CARRIED files surface as position-diff rows: a
     // position DV'd at `to` but not at `from` is a -1 (the row was
@@ -1649,7 +1735,8 @@ object SnapTable {
           posDiff(dvDf(a), dvDf(b)).map(rowsAt(_, 1))).flatten
       }
     val sides =
-      Seq(side(added, b, 1), side(removed, a, -1)).flatten ++ dvSides
+      Seq(side(added, b.dvs, 1), side(removed, a.dvs, -1)).flatten ++
+        dvSides
     sides.reduceOption(_ unionByName _).getOrElse(
       readFiles(s, root, b.files, b.schemaJson, b.colmap)
         .withColumn("_sign", lit(1)).limit(0))
@@ -1752,8 +1839,12 @@ object SnapTable {
     // retention window (drop the tag to release them) — without this a
     // vacuum would silently break every audit pinned to a tag
     val tagged = tags(root).map(_._2).toSet
-    val keep =
+    val keep0 =
       (versions(root).takeRight(retainVersions) ++ tagged).distinct.sorted
+    // a retained filesRef manifest needs its (inline) referent to stay
+    // loadable — keep the depth-1 ref closure alongside
+    val keep = (keep0 ++ keep0.map(v => load(root, v).filesFrom)
+      .filter(_ > 0)).distinct.sorted
     // files under OUR data dir that a live BRANCH still references are
     // live too: branches fork zero-copy, so their manifests point into
     // main's data dir until the shared files are rewritten branch-side
@@ -1934,8 +2025,15 @@ object SnapTable {
     * — no data re-scan; `None` for an empty part file.
     */
   private[sources] def footerEntry(s: SparkSession, root: String,
+      p: Path): Option[FileEntry] =
+    footerEntryConf(s.sparkContext.hadoopConfiguration, root, p)
+
+  /** The session-free core of [[footerEntry]] — runs on executors too
+    * (convertInPlace fans the footer sweep out over the cluster).
+    */
+  private[sources] def footerEntryConf(
+      conf: org.apache.hadoop.conf.Configuration, root: String,
       p: Path): Option[FileEntry] = {
-    val conf = s.sparkContext.hadoopConfiguration
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -2072,6 +2170,43 @@ object SnapTable {
     -1 // unreachable
   }
 
+  /** EXACTLY-ONCE epoch commit for the native streaming sink
+    * ([[SnapStreamingWrite]]): an append of already-written files under
+    * an idempotency txn. A replayed epoch (restart re-ran a committed
+    * batch) resolves to the recorded version and links nothing — its
+    * re-written files orphan and vacuum reclaims them. Validation
+    * matches the DataFrame append path, bounded by the epoch's files.
+    */
+  private[graft] def streamingEpochCommit(s: SparkSession, root: String,
+      fresh: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType, txn: String,
+      usedColmap: Map[String, String]): Int = {
+    val parent = load(root, latestVersion(root))
+    findTxn(root, txn) match {
+      case Some(dup) => return dup // epoch already committed
+      case None => ()
+    }
+    // the files were written at the START mapping's physical names;
+    // a commit under a head whose mapping disagrees would mis-file them
+    schema.fieldNames.foreach { n =>
+      require(physName(parent.colmap, n) == physName(usedColmap, n),
+        s"column mapping for '$n' changed while the stream ran " +
+          "(RENAME/DROP/re-ADD COLUMN) — restart from a fresh checkpoint")
+    }
+    require(parent.bucket.isEmpty,
+      "table gained a bucket layout while the stream ran — restart")
+    validateEvolution(parent.schemaJson, schema)
+    if (parent.checks.nonEmpty || parent.gen.nonEmpty) {
+      parent.gen.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"generated column '$c' must be included in the streamed frame"))
+      val df = readFiles(s, root, fresh, schema.json, parent.colmap)
+      validateChecks(df, parent.checks, "incoming stream epoch")
+      validateGenerated(df, parent.gen, "incoming stream epoch")
+    }
+    commitAppend(root, parent, fresh, schema, Some(txn),
+      freshBlooms = appendBlooms(s, root, parent, fresh, schema.json))
+  }
+
   /** Commit for snapshot-TRANSFORMING ops (merge / delete / compact /
     * restore): the file list is a function of `parent` specifically, so a
     * head that moved invalidates it — blind retry would drop the
@@ -2087,7 +2222,8 @@ object SnapTable {
       txn: Option[String] = None,
       blooms: Seq[String] = null,
       colmap: Map[String, String] = null,
-      dead: Seq[String] = null): Int = {
+      dead: Seq[String] = null,
+      filesFromHint: Int = 0): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2097,9 +2233,19 @@ object SnapTable {
     val cm = Option(colmap).getOrElse(parent.colmap)
     val dd = Option(dead).getOrElse(parent.dead)
     val v = parent.version + 1
+    // metadata-only commit (file list identical to the parent's, and the
+    // parent's list is known-inlined at some version): serialize a
+    // filesRef instead of re-listing O(table) entries — `eq` catches the
+    // common parent.files pass-through before paying the deep compare
+    val ref =
+      if (parent.filesFrom > 0 &&
+          ((files eq parent.files) || files == parent.files))
+        parent.filesFrom
+      else filesFromHint // caller-attested (RESTORE: an old version's
+                         // unmodified list re-committed wholesale)
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = parent.bucket, gen = gn, blooms = bl, colmap = cm,
-        dead = dd)))
+        dead = dd, filesFrom = ref)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -2166,6 +2312,16 @@ object SnapTable {
   private[graft] def load(root: String, v: Int): Snapshot = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(Files.readAllBytes(manifestPath(root, v)))
+    // a filesRef manifest shares the referenced (inline) manifest's
+    // file list — resolve the single indirection (depth 1 by
+    // construction: commits always ref the inlining version)
+    val (files: Seq[FileEntry], filesFrom: Int) =
+      Option(node.get("filesRef")) match {
+        case Some(r) =>
+          val ref = r.asInt()
+          (load(root, ref).files, ref)
+        case None => (parseFiles(node), v)
+      }
     Snapshot(
       // the SLOT (filename) is the version, authoritatively: the log is
       // ordered by slot, and commit progress (head.version + 1) must key
@@ -2175,22 +2331,7 @@ object SnapTable {
       node.get("op").asText(),
       node.get("statsCol").asText(),
       node.get("schema").toString,
-      node.get("files").elements().asScala.map { f =>
-        val st = f.get("stats")
-        val stats = st.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-        }.toMap
-        val sstats = Option(f.get("sstats")).map(_.properties().asScala
-          .map { e =>
-            e.getKey -> (e.getValue.get(0).asText(),
-              e.getValue.get(1).asText())
-          }.toMap).getOrElse(Map.empty[String, (String, String)])
-        val nulls = Option(f.get("nulls")).map(_.properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong()).toMap)
-          .getOrElse(Map.empty[String, Long])
-        FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
-          sstats, nulls)
-      }.toSeq,
+      files,
       Option(node.get("txn")).map(_.asText()),
       // absent in pre-evolution manifests → unpartitioned
       Option(node.get("spec")).map(_.elements().asScala.map(_.asText())
@@ -2215,13 +2356,39 @@ object SnapTable {
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       Option(node.get("dead")).map(_.elements().asScala.map(_.asText())
-        .toSeq).getOrElse(Seq.empty))
+        .toSeq).getOrElse(Seq.empty),
+      filesFrom = filesFrom)
   }
+
+  private def parseFiles(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] =
+    node.get("files").elements().asScala.map { f =>
+      val st = f.get("stats")
+      val stats = st.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+      }.toMap
+      val sstats = Option(f.get("sstats")).map(_.properties().asScala
+        .map { e =>
+          e.getKey -> (e.getValue.get(0).asText(),
+            e.getValue.get(1).asText())
+        }.toMap).getOrElse(Map.empty[String, (String, String)])
+      val nulls = Option(f.get("nulls")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty[String, Long])
+      FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
+        sstats, nulls)
+    }.toSeq
 
   // paths are uuid-based names we generate — no JSON-escaping needed
   // (string STATS values are data-derived and jackson-escaped)
   private def render(snap: Snapshot): String = {
     val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a filesRef manifest does not re-list the files: the list IS the
+    // referenced (inline) manifest's, byte-for-byte — commitExclusive
+    // only sets filesFrom after verifying list equality
+    if (snap.filesFrom > 0 && snap.filesFrom != snap.version)
+      return renderMeta(snap) +
+        s""""filesRef":${snap.filesFrom}""" + renderTail(snap)
     val files = snap.files.map { f =>
       val st = f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s""""$c":[$mn,$mx]""" }.mkString("{", ",", "}")
@@ -2238,6 +2405,21 @@ object SnapTable {
         }.mkString(""","nulls":{""", ",", "}")
       s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss$nl}"""
     }.mkString("[", ",", "]")
+    renderMeta(snap) + s""""files":$files""" + renderTail(snap)
+  }
+
+  /** The manifest prefix before the file list / filesRef. Commit ts is
+    * stamped at serialization: each link attempt (retries included)
+    * carries the wall-clock of the attempt that actually won.
+    */
+  private def renderMeta(snap: Snapshot): String =
+    s"""{"version":${snap.version},"op":"${snap.op}",""" +
+      s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
+      s""""ts":${System.currentTimeMillis()},"""
+
+  /** Every manifest field after the file list / filesRef. */
+  private def renderTail(snap: Snapshot): String = {
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
     val txn = snap.txn.map(t => s""","txn":"$t"""").getOrElse("")
     val spec =
       if (snap.spec.isEmpty) ""
@@ -2277,13 +2459,7 @@ object SnapTable {
       if (snap.dead.isEmpty) ""
       else snap.dead.map(jm.writeValueAsString)
         .mkString(""","dead":[""", ",", "]")
-    // commit ts is stamped at serialization: each link attempt (retries
-    // included) carries the wall-clock of the attempt that actually won
-    s"""{"version":${snap.version},"op":"${snap.op}",""" +
-      s""""statsCol":"${snap.statsCol}","schema":${snap.schemaJson},""" +
-      s""""ts":${System.currentTimeMillis()},""" +
-      s""""files":$files$txn$spec$dvs$checks$bucket$gen$blooms""" +
-      s"""$colmap$dead}"""
+    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead}"
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

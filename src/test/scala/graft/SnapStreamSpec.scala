@@ -91,6 +91,83 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(rows.size > 10, "rewritten files re-emit (at-least-once)")
   }
 
+  test("a column-mapped table streams (physical-name reads, logical " +
+      "aliases); a mapping change MID-stream fails with restart advice") {
+    val root = Tmp.dir("snapstream_cm")
+    val sink = Tmp.dir("snapstream_cm_sink")
+    val ckpt = Tmp.dir("snapstream_cm_ckpt")
+    SnapTable.create(spark, root, df(0 until 10, "v1"), "k")
+    SnapTable.renameColumn(root, "v", "tag") // colmap now non-empty
+    drain(root, sink, ckpt)
+    // pre-rename files resolve through the mapping under the NEW name
+    val first = spark.read.parquet(sink)
+    assert(first.columns.toSeq == Seq("k", "tag"))
+    assert(first.as[(Long, String)].collect().toSeq.sorted ==
+      (0L until 10L).map((_, "v1")))
+    // appends under the mapped schema keep streaming incrementally
+    SnapTable.append(spark, root,
+      (10 until 15).map(k => (k.toLong, "v2")).toDF("k", "tag"))
+    drain(root, sink, ckpt)
+    assert(sunk(sink).map(_._1) == (0L until 15L))
+    // a mapping change WITHIN one source lifetime (rename lands between
+    // offset discovery and the batch read) fails with restart advice —
+    // a restarted stream re-captures the new mapping and proceeds
+    val src = new graft.sources.SnapStreamSource(
+      spark.sqlContext, root, false, None, false)
+    SnapTable.renameColumn(root, "tag", "label")
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(
+          SnapTable.latestVersion(root).toLong))
+    }
+    assert(e.getMessage.contains("column mapping changed"))
+  }
+
+  test("native streaming sink: toTable appends one ACID commit per " +
+      "epoch, resumes from the checkpoint, and a replayed epoch is a " +
+      "no-op (exactly-once)") {
+    val base = Tmp.dir("snapsink_wh")
+    spark.conf.set("spark.sql.catalog.snapsink",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapsink.root", base)
+    val src = Tmp.dir("snapsink_src")
+    val ckpt = Tmp.dir("snapsink_ckpt")
+    SnapTable.create(spark, src, df(0 until 10, "v1"), "k")
+    spark.sql("CREATE TABLE snapsink.db.t (k BIGINT, v STRING)")
+    val dst = s"$base/db/t"
+    def drainTo(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream.format("snapstream").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("snapsink.db.t")
+      q.awaitTermination()
+    }
+    drainTo()
+    assert(spark.table("snapsink.db.t").as[(Long, String)]
+      .collect().toSeq.sorted == (0L until 10L).map((_, "v1")))
+    val vAfterFirst = SnapTable.latestVersion(dst)
+    // incremental resume: only the new source commit's rows append
+    SnapTable.append(spark, src, df(10 until 15, "v2"))
+    drainTo()
+    assert(spark.table("snapsink.db.t").count() == 15)
+    // each non-empty epoch = exactly one commit, txn-stamped
+    assert(SnapTable.latestVersion(dst) == vAfterFirst + 1)
+    val head = SnapTable.load(dst, SnapTable.latestVersion(dst))
+    assert(head.txn.exists(_.startsWith("snapsink:")), s"txn=${head.txn}")
+    // REPLAYED epoch (crash after commit, before checkpoint ack): the
+    // same txn resolves to the committed version, nothing re-links
+    val replay = SnapTable.load(dst, SnapTable.latestVersion(dst))
+    val v = SnapTable.streamingEpochCommit(spark, dst, Seq.empty,
+      spark.table("snapsink.db.t").schema, replay.txn.get, replay.colmap)
+    assert(v == SnapTable.latestVersion(dst),
+      "replayed epoch must resolve to the recorded commit")
+    assert(spark.table("snapsink.db.t").count() == 15, "double append")
+    // drain with no new data: no spurious version
+    val vBefore = SnapTable.latestVersion(dst)
+    drainTo()
+    assert(SnapTable.latestVersion(dst) == vBefore)
+  }
+
   test("readChangeFeed maintains a view through deletes: signed deltas " +
       "net to the live table") {
     val root = Tmp.dir("snapstream_cdc")

@@ -525,6 +525,120 @@ class TableFormatSpec extends AnyFunSuite {
       "incremental count must equal recompute")
   }
 
+  test("metadata-only commits write O(1) filesRef manifests; refs " +
+      "resolve, survive vacuum, and restore reuses them") {
+    val root = freshTable() // v1: inline file list
+    def raw(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", f"v$v%08d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    SnapTable.renameColumn(root, "o_totalprice", "price")       // v2
+    SnapTable.addCheck(spark, root, "pos", "price >= 0")        // v3
+    val del = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 100 === 7).count()
+    assert(del > 0)
+    SnapTable.deleteWhereMoR(spark, root,
+      col("o_orderkey") % 100 === 7) // v4
+    Seq(2, 3, 4).foreach { v =>
+      assert(raw(v).contains("\"filesRef\":") && !raw(v).contains("\"files\":"),
+        s"v$v should be a metadata-only ref manifest:\n${raw(v).take(200)}")
+      assert(raw(v).length < raw(1).length / 2,
+        s"ref manifest v$v is not small: ${raw(v).length}")
+      assert(SnapTable.load(root, v).files == SnapTable.load(root, 1).files)
+    }
+    // chains stay depth 1: v3/v4 ref v1 directly, not v2
+    assert(SnapTable.load(root, 4).filesFrom == 1)
+    // an append materializes a fresh inline list again
+    SnapTable.append(spark, root, SnapTable.read(spark, root).limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)) // v5
+    assert(raw(5).contains("\"files\":"))
+    assert(SnapTable.load(root, 5).filesFrom == 5)
+    // RESTORE to the ref-era head re-serializes as a ref, not a re-list
+    SnapTable.restore(spark, root, 4) // v6
+    assert(raw(6).contains("\"filesRef\":1"))
+    assert(SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 100 === 7).count() == 0)
+    // vacuum keeps the ref CLOSURE: retaining only the head keeps v1
+    // loadable because v6 refs it
+    SnapTable.vacuum(root, retainVersions = 1)
+    assert(SnapTable.versions(root).contains(1),
+      "vacuum dropped a manifest the head's filesRef needs")
+    assert(SnapTable.read(spark, root).count() ==
+      SnapTable.load(root, 1).files.map(_.rows).sum - del)
+  }
+
+  test("convertInPlace adopts a parquet dir zero-copy: files untouched, " +
+      "stats lifted from footers, full verb set from the next commit") {
+    val root = Tmp.dir("convert_spec")
+    spark.range(1000)
+      .selectExpr("id AS k", "id * 7 AS v", "concat('s', id % 5) AS tag")
+      .repartitionByRange(70, col("k")) // >64 files: the DISTRIBUTED sweep
+      .write.mode("overwrite").parquet(root)
+    import scala.jdk.CollectionConverters._
+    def files() = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally st.close()
+    }
+    val before = files()
+    assert(before.size > 64)
+    SnapTable.convertInPlace(spark, root, "k")
+    assert(files() == before, "conversion touched a data file")
+    val snap = SnapTable.load(root, 1)
+    assert(snap.op == "convert" && snap.files.size == before.size)
+    assert(snap.files.map(_.rows).sum == 1000)
+    // footer-lifted stats prune ranges AND strings
+    val (rr, hit, total) = SnapTable.readRange(spark, root, "v", 0L, 70L)
+    assert(rr.count() == 11 && hit < total)
+    // the converted table is a full citizen: merge, time travel, CDC
+    SnapTable.merge(spark, root,
+      spark.range(5).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v",
+        "'m' AS tag"), "k")
+    assert(SnapTable.read(spark, root).filter(col("v") === -1)
+      .count() == 5)
+    assert(SnapTable.readVersion(spark, root, 1)
+      .filter(col("v") === -1).count() == 0)
+    assert(SnapTable.changes(spark, root, 1, 2, "k")
+      .filter(col("action") === "update").count() == 5)
+    // refusals: double-convert, absent stats column
+    intercept[IllegalArgumentException] {
+      SnapTable.convertInPlace(spark, root, "k")
+    }
+    val root2 = Tmp.dir("convert_spec2")
+    spark.range(10).selectExpr("id AS k")
+      .write.mode("overwrite").parquet(root2)
+    intercept[IllegalArgumentException] {
+      SnapTable.convertInPlace(spark, root2, "nope")
+    }
+  }
+
+  test("changesDelta spans a RENAME COLUMN boundary: pre-images emit " +
+      "under the current logical name and the delta still nets out") {
+    val root = Tmp.dir("delta_rename_spec")
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "CAST(id * 3 AS DOUBLE) AS m")
+        .repartitionByRange(4, col("k")), "k")
+    SnapTable.renameColumn(root, "m", "metric") // v2, metadata-only
+    // a rewrite AFTER the rename: files added under the new mapping,
+    // files removed that predate it — the union crosses the boundary
+    SnapTable.merge(spark, root,
+      spark.range(0, 10).selectExpr("id AS k",
+        "CAST(-5 AS DOUBLE) AS metric"), "k") // v3
+    val d = SnapTable.changesDelta(spark, root, 1, 3)
+    assert(d.columns.toSeq == Seq("k", "metric", "_sign"),
+      s"delta must emit the TO snapshot's logical names: ${d.columns.toSeq}")
+    def agg(df: org.apache.spark.sql.DataFrame, m: String) = df
+      .agg(sum((if (m == "_signed") col("_sign") * col("metric")
+        else col("metric")).cast("long"))).collect()(0).getLong(0)
+    val base = agg(SnapTable.readVersion(spark, root, 1)
+      .withColumnRenamed("m", "metric"), "metric")
+    val full = agg(SnapTable.read(spark, root), "metric")
+    assert(base + agg(d, "_signed") == full,
+      "delta across the rename must maintain the aggregate")
+  }
+
   test("MoR delete writes per-file-grouped DV parts, no single-task funnel") {
     val root = freshTable() // 8 range-clustered files
     // a delete spread over EVERY file: the DV write must fan out by data
@@ -643,16 +757,9 @@ class TableFormatSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
-  private def currentFiles(root: String): Set[String] = {
-    val v = SnapTable.latestVersion(root)
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        root, "_log", f"v$v%08d.json")))
-    val it = node.get("files").elements()
-    val b = Set.newBuilder[String]
-    while (it.hasNext) b += it.next().get("path").asText()
-    b.result()
-  }
+  private def currentFiles(root: String): Set[String] =
+    SnapTable.load(root, SnapTable.latestVersion(root))
+      .files.map(_.path).toSet
 
   test("generated columns: computed when absent, validated when provided") {
     import org.apache.spark.sql.functions._
