@@ -1863,6 +1863,128 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_sql_convert",
+      // `CONVERT TO SNAP cat.ns.t STATS COLUMN c` — the zero-copy lake
+      // on-ramp from pure SQL: a directory of bare parquet under the
+      // warehouse becomes an ACID table in one statement, immediately
+      // queryable (and writable) as snap.ns.t. Nothing moves: manifests
+      // reference the files in place, stats lift from footers.
+      (s, dir) => {
+        val wh = sqlWarehouse(s)
+        val t = freshName()
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // the "pre-existing lake" sits where the catalog expects tables
+        o.filter(col("o_orderkey") % 4 =!= 0)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$wh/main/$t")
+        val res = graft.sources.SnapSqlParser.runStatement(s,
+          s"CONVERT TO SNAP snap.main.$t STATS COLUMN o_orderkey")
+        require(res.collect()(0).getLong(0) == 1L, "convert is v1")
+        // converted table takes SQL DML like any other
+        val v = "v" + t
+        o.filter(col("o_orderkey") % 4 === 0).createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        s.table(s"snap.main.$t")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_sql_clone",
+      // `CREATE TABLE t2 SHALLOW CLONE t1` — a zero-copy fork from SQL:
+      // t2's v1 references t1's files in place (clone cost = one
+      // manifest write at any table size), divergence is copy-on-write
+      // both ways. The dev/test-against-prod-data primitive: fork a
+      // 100 TB table, experiment, drop — no bytes copied.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t1 = freshName()
+        val t2 = freshName()
+        val v = "v" + t1
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        o.createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t1 " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t1 SELECT * FROM $v " +
+          "WHERE o_orderkey % 2 = 0")
+        graft.sources.SnapSqlParser.runStatement(s,
+          s"CREATE TABLE snap.main.$t2 SHALLOW CLONE snap.main.$t1")
+        // the clone diverges; the source must not see it
+        s.sql(s"INSERT INTO snap.main.$t2 SELECT * FROM $v " +
+          "WHERE o_orderkey % 2 = 1")
+        s.sql(s"UPDATE snap.main.$t2 SET o_totalprice = o_totalprice " +
+          "+ 10 WHERE o_orderkey % 100 = 0")
+        val srcN = s.table(s"snap.main.$t1").count()
+        require(srcN == o.filter(col("o_orderkey") % 2 === 0).count(),
+          s"clone divergence leaked into the source ($srcN rows)")
+        s.table(s"snap.main.$t2")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round((CASE WHEN o_orderkey % 100 = 0 " +
+          "THEN o_totalprice + 10 ELSE o_totalprice END) * 100) " +
+          "AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_stream_native_sink",
+      // NATIVE streaming sink: writeStream.toTable("snap.db.t") — one
+      // ACID append commit per micro-batch, exactly once, with ZERO
+      // foreachBatch glue (the sink twin of the snapstream source).
+      // Exactly-once rides the (queryId, epochId) idempotency txn: a
+      // restart that replays a committed epoch resolves to its recorded
+      // version and links nothing. At 100 TB this is the ingest spine:
+      // executors stream rows straight into parquet (no per-batch
+      // DataFrame materialization), the driver pays one footer read per
+      // file plus one manifest link per epoch.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val up = graft.Tmp.dir("graft_nsink_up")
+        val ckpt = graft.Tmp.dir("graft_nsink_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        def hop(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(up)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"snap.main.$t")
+          q.awaitTermination()
+        }
+        SnapTable.create(s, up,
+          orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+        hop() // snapshot epoch
+        SnapTable.append(s, up, orders.filter(col("o_orderkey") % 2 === 1))
+        hop() // incremental epoch: only the appended commit's files
+        hop() // no new data: no spurious commit, no duplicates
+        s.table(s"snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_convert_inplace",
       // ZERO-COPY conversion of an existing parquet directory into a
       // SnapTable (the published CONVERT TO DELTA / add_files idea):

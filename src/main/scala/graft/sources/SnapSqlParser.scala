@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   OPTIMIZE cat.ns.t [INTO n FILES] [ZORDER BY (c1, c2, ...)]
   *   VACUUM cat.ns.t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY cat.ns.t
+  *   DESCRIBE DETAIL cat.ns.t
+  *   CREATE BLOOM INDEX ON cat.ns.t (col)
+  *   CONVERT TO SNAP 'path' | cat.ns.t STATS COLUMN c
+  *   CREATE TABLE cat.ns.t2 SHALLOW CLONE cat.ns.t [VERSION AS OF v]
   * }}}
   */
 class SnapSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -69,6 +73,13 @@ object SnapSqlParser {
   private val BloomIdx =
     ("""(?is)^\s*CREATE\s+BLOOM\s+INDEX\s+ON\s+""" + Ident +
       """\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
+  private val Convert =
+    ("""(?is)^\s*CONVERT\s+TO\s+SNAP\s+(?:'([^']+)'|""" + Ident +
+      """)\s+STATS\s+COLUMN\s+(\w+)\s*;?\s*$""").r
+  private val Clone =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
@@ -84,6 +95,10 @@ object SnapSqlParser {
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
     case Detail(id) => Some(DescribeDetailCommand(parts(id)))
     case BloomIdx(id, c) => Some(CreateBloomIndexCommand(parts(id), c))
+    case Convert(path, id, c) => Some(ConvertToSnapCommand(
+      Option(path), Option(id).map(parts), c))
+    case Clone(dst, src, v) => Some(ShallowCloneCommand(
+      parts(dst), parts(src), Option(v).map(_.toInt)))
     case _ => None
   }
 
@@ -182,6 +197,46 @@ case class CreateBloomIndexCommand(parts: Seq[String], column: String)
     val dir = SnapSqlParser.tableDir(s, parts)
     val v = SnapTable.addBloomIndex(s, dir, column)
     Seq(Row(v.toLong, SnapTable.load(dir, v).files.size.toLong))
+  }
+}
+
+/** `CONVERT TO SNAP 'path' STATS COLUMN c` (or a `cat.ns.t` identifier
+  * whose directory holds bare parquet) → [[SnapTable.convertInPlace]]:
+  * the zero-copy lake on-ramp from pure SQL. With the identifier form
+  * the converted directory is immediately queryable as that table.
+  */
+case class ConvertToSnapCommand(path: Option[String],
+    ident: Option[Seq[String]], statsCol: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = path.getOrElse(SnapSqlParser.tableDir(s, ident.get))
+    val v = SnapTable.convertInPlace(s, dir, statsCol)
+    val snap = SnapTable.load(dir, v)
+    Seq(Row(v.toLong, snap.files.size.toLong, snap.files.map(_.rows).sum))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF v]` →
+  * [[SnapTable.clone]]: a zero-copy fork — dst's v1 references src's
+  * data files in place, divergence is copy-on-write both ways.
+  */
+case class ShallowCloneCommand(dst: Seq[String], src: Seq[String],
+    version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val srcDir = SnapSqlParser.tableDir(s, src)
+    val dstDir = SnapSqlParser.tableDir(s, dst)
+    val v = SnapTable.clone(s, srcDir, dstDir, version.getOrElse(-1))
+    Seq(Row(v.toLong,
+      SnapTable.load(dstDir, v).files.size.toLong))
   }
 }
 

@@ -91,6 +91,32 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a snap catalog"))
   }
 
+  test("CONVERT TO SNAP (quoted-path form) adopts a raw dir; SHALLOW " +
+      "CLONE VERSION AS OF pins the forked snapshot") {
+    freshCat()
+    // quoted-path convert: a raw parquet dir OUTSIDE any warehouse
+    val raw = Tmp.dir("sqlconv_raw")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(raw)
+    val res = spark.sql(
+      s"CONVERT TO SNAP '$raw' STATS COLUMN k").collect()(0)
+    assert(res.getLong(0) == 1 && res.getLong(2) == 100)
+    assert(SnapTable.read(spark, raw).count() == 100)
+    // clone AS OF: fork v1, not the head
+    spark.sql("CREATE TABLE snapm.db.csrc (k BIGINT)")
+    spark.sql("INSERT INTO snapm.db.csrc SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO snapm.db.csrc SELECT id FROM range(10, 30)")
+    spark.sql("CREATE TABLE snapm.db.cdst SHALLOW CLONE snapm.db.csrc " +
+      "VERSION AS OF 2")
+    assert(spark.table("snapm.db.cdst").count() == 10,
+      "clone must pin the AS OF version's snapshot")
+    assert(spark.table("snapm.db.csrc").count() == 30)
+    // plain CREATE TABLE still delegates to Spark's parser
+    spark.sql("CREATE TABLE snapm.db.plainct (k BIGINT)")
+    assert(spark.table("snapm.db.plainct").count() == 0)
+  }
+
   test("runStatement routes the same commands without the parser") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.rs (k BIGINT)")
