@@ -1863,6 +1863,71 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_rebucket",
+      // BUCKET-LAYOUT EVOLUTION: two tables born UNBUCKETED are
+      // rewritten into the bucket(8, custkey) layout with `rebucket` —
+      // pay the clustering shuffle once, then every later join on the
+      // bucket key is storage-partitioned (zero exchanges, asserted on
+      // the plan). This is how an existing 100 TB table adopts the SPJ
+      // layout without a create-from-scratch migration; n=0 drops the
+      // layout again (range-clustered, also exercised).
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t1 = freshName()
+        val t2 = freshName()
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = T(s, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"))
+        SnapTable.create(s, s"$base/main/$t1",
+          o.repartitionByRange(4, col("o_orderkey")), "o_orderkey")
+        SnapTable.create(s, s"$base/main/$t2",
+          c.repartitionByRange(2, col("c_custkey")), "c_custkey")
+        SnapTable.rebucket(s, s"$base/main/$t1", "o_custkey", 8)
+        SnapTable.rebucket(s, s"$base/main/$t2", "c_custkey", 8)
+        val keys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "true")
+        s.conf.set(keys(2), "-1")
+        s.conf.set(keys(3), "false")
+        try {
+          val df = s.sql(
+            s"""SELECT c.c_custkey AS custkey,
+               |  count(*) AS n_orders,
+               |  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100
+               |    AS total
+               |FROM snap.main.$t1 o JOIN snap.main.$t2 c
+               |  ON o.o_custkey = c.c_custkey
+               |GROUP BY c.c_custkey
+               |ORDER BY custkey""".stripMargin)
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning") &&
+            !plan.contains("BroadcastExchange"),
+            s"rebucketed tables must join shuffle-free, got:\n$plan")
+          // and back OUT of the layout: n=0 range-clusters again
+          SnapTable.rebucket(s, s"$base/main/$t2", "c_custkey", 0)
+          require(SnapTable.load(s"$base/main/$t2",
+            SnapTable.latestVersion(s"$base/main/$t2")).bucket.isEmpty,
+            "rebucket(0) must drop the layout")
+          df
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(
+        "SELECT c_custkey AS custkey, CAST(count(*) AS BIGINT) " +
+          "AS n_orders, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_custkey ORDER BY custkey")
+    ),
+    Q(
       "table_sql_convert",
       // `CONVERT TO SNAP cat.ns.t STATS COLUMN c` — the zero-copy lake
       // on-ramp from pure SQL: a directory of bare parquet under the

@@ -113,11 +113,35 @@ private[graft] class SnapBatchScan(
     * SnapTable could never choose broadcast over a shuffle/SPJ on its
     * own — the single decision that matters most when one side is a
     * 100-row dimension and the other is 100 TB.
+    *
+    * COLUMN statistics ride along for the CBO (`spark.sql.cbo.enabled`):
+    * per-column global [min,max] and null counts folded from the same
+    * manifest entries, for every required LONG column with full stats
+    * coverage. With them Spark's filter/join estimation sees real value
+    * ranges instead of guessing default selectivities — which reorders
+    * multi-join queries correctly at sizes where a wrong build side is
+    * a spilled shuffle.
     */
-  override def estimateStatistics(): Statistics =
+  override def estimateStatistics(): Statistics = {
+    val colStats = required.fields.iterator.flatMap { f =>
+      val pc = SnapTable.physName(colmap, f.name)
+      if (f.dataType != LongType || files.isEmpty ||
+          !files.forall(_.stats.contains(pc))) None
+      else Some(
+        (Expressions.column(f.name)
+            : org.apache.spark.sql.connector.expressions.NamedReference) ->
+          (SnapColStats(
+            files.map(_.stats(pc)._1).min, files.map(_.stats(pc)._2).max,
+            if (files.forall(_.nulls.contains(pc)))
+              Some(files.map(_.nulls(pc)).sum)
+            else None)
+            : org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics))
+    }.toMap
     SnapStats(files.map(f => Files.size(
       Paths.get(root).toAbsolutePath.resolve(f.path).normalize())).sum,
-      files.map(_.rows).sum)
+      files.map(_.rows).sum, colStats)
+  }
 
   /** `_file` (when present) must be the TRAILING field — Spark appends
     * metadata columns after data columns, so a pruned schema preserves
@@ -239,12 +263,34 @@ private[graft] class SnapBatchScan(
 }
 
 /** Pruned-scan statistics both scan flavors report to the planner. */
-private[graft] final case class SnapStats(bytes: Long, rows: Long)
+private[graft] final case class SnapStats(bytes: Long, rows: Long,
+    cols: Map[org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      Map.empty)
   extends Statistics {
   override def sizeInBytes(): java.util.OptionalLong =
     java.util.OptionalLong.of(bytes)
   override def numRows(): java.util.OptionalLong =
     java.util.OptionalLong.of(rows)
+  override def columnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import scala.jdk.CollectionConverters._
+    cols.asJava
+  }
+}
+
+/** One column's manifest-folded statistics, in the CBO's V2 shape. */
+private[graft] final case class SnapColStats(mn: Long, mx: Long,
+    nulls: Option[Long])
+  extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  override def min(): java.util.Optional[Object] =
+    java.util.Optional.of(java.lang.Long.valueOf(mn))
+  override def max(): java.util.Optional[Object] =
+    java.util.Optional.of(java.lang.Long.valueOf(mx))
+  override def nullCount(): java.util.OptionalLong =
+    nulls.map(java.util.OptionalLong.of)
+      .getOrElse(java.util.OptionalLong.empty())
 }
 
 private[graft] object SnapBatchScan {

@@ -551,25 +551,67 @@ object SnapTable {
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
       parent.bucket, parent.colmap)
-    // a compaction replaces every file, which would silently orphan the
-    // bloom index (entries key on file names) — REBUILD it over the new
-    // files for the same columns (each at the fpp its index was created
-    // with), one pass each, proportional to the rewrite the compaction
-    // already paid for
-    val rebuilt =
-      if (parent.blooms.isEmpty) Seq.empty[String]
-      else {
-        val byPhys = schemaOf(parent.schemaJson).fieldNames
-          .map(n => physName(parent.colmap, n) -> n).toMap
-        parent.blooms.map(d => sidecarMeta(s, root, d))
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .flatMap { case (pc, metas) =>
-            byPhys.get(pc).map(c => buildBloomSidecar(s, root, fresh,
-              parent.schemaJson, parent.colmap, c, metas.head._2))
-          }
-      }
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
-      dvs = Seq.empty, blooms = rebuilt)
+      dvs = Seq.empty, blooms = rebuildBlooms(s, root, parent, fresh))
+  }
+
+  /** A full-rewrite verb replaces every file, which would silently
+    * orphan the bloom index (entries key on file names) — REBUILD it
+    * over the new files for the same columns (each at the fpp its index
+    * was created with), one pass each, proportional to the rewrite the
+    * caller already paid for.
+    */
+  private def rebuildBlooms(s: SparkSession, root: String,
+      parent: Snapshot, fresh: Seq[FileEntry]): Seq[String] =
+    if (parent.blooms.isEmpty) Seq.empty[String]
+    else {
+      val byPhys = schemaOf(parent.schemaJson).fieldNames
+        .map(n => physName(parent.colmap, n) -> n).toMap
+      parent.blooms.map(d => sidecarMeta(s, root, d))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (pc, metas) =>
+          byPhys.get(pc).map(c => buildBloomSidecar(s, root, fresh,
+            parent.schemaJson, parent.colmap, c, metas.head._2))
+        }
+    }
+
+  /** BUCKET-LAYOUT EVOLUTION: rewrite the live snapshot into a hash-
+    * bucket layout `bucket(n, bucketCol)` — or out of one
+    * (`numBuckets = 0` drops the layout and range-clusters on the
+    * stats column). Unlike spec evolution this is NECESSARILY O(table):
+    * storage-partitioned-join correctness requires every file to hold
+    * exactly one bucket id, so the verb is an explicit rewrite, priced
+    * like OPTIMIZE — pay the shuffle once, join shuffle-free after.
+    * DV-aware (materializes outstanding MoR deletes) and bloom-index-
+    * preserving, like compact.
+    */
+  def rebucket(s: SparkSession, root: String, bucketCol: String,
+      numBuckets: Int): Int = {
+    val parent = load(root, latestVersion(root))
+    val live = readSnapshot(s, root, parent)
+    if (numBuckets <= 0) {
+      val keys = Seq(col(parent.statsCol))
+      val n = s.sessionState.conf.numShufflePartitions
+      val fresh = writeData(s, root,
+        live.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*),
+        parent.statsCol, None, parent.colmap)
+      return commitExclusive(root, parent, fresh, "rebucket",
+        parent.schemaJson, dvs = Seq.empty,
+        blooms = rebuildBlooms(s, root, parent, fresh), dropBucket = true)
+    }
+    require(schemaOf(parent.schemaJson).fields
+        .exists(f => f.name == bucketCol &&
+          f.dataType == org.apache.spark.sql.types.LongType),
+      s"bucket column '$bucketCol' must be an existing LONG column " +
+        "(the bucket transform hash is pinned to murmur3-of-long)")
+    val b = Some((bucketCol, numBuckets))
+    val fresh = writeData(s, root, live, parent.statsCol, b, parent.colmap)
+    // a bucket layout supersedes a range spec (they are mutually
+    // exclusive — the manifest must not claim a clustering the
+    // bucket-grouped files no longer have)
+    commitExclusive(root, parent, fresh, "rebucket", parent.schemaJson,
+      spec = Seq.empty, dvs = Seq.empty,
+      blooms = rebuildBlooms(s, root, parent, fresh), bucket = b)
   }
 
   /** ALTER TABLE ADD CONSTRAINT: declare a named CHECK (a SQL boolean
@@ -2223,7 +2265,11 @@ object SnapTable {
       blooms: Seq[String] = null,
       colmap: Map[String, String] = null,
       dead: Seq[String] = null,
-      filesFromHint: Int = 0): Int = {
+      filesFromHint: Int = 0,
+      // None would be ambiguous with "drop the layout": null = inherit,
+      // Some(b) = adopt layout b, Some-empty via dropBucket sentinel
+      bucket: Option[(String, Int)] = null,
+      dropBucket: Boolean = false): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2243,8 +2289,11 @@ object SnapTable {
         parent.filesFrom
       else filesFromHint // caller-attested (RESTORE: an old version's
                          // unmodified list re-committed wholesale)
+    val bk =
+      if (dropBucket) None
+      else Option(bucket).getOrElse(parent.bucket)
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
-        ck, bucket = parent.bucket, gen = gn, blooms = bl, colmap = cm,
+        ck, bucket = bk, gen = gn, blooms = bl, colmap = cm,
         dead = dd, filesFrom = ref)))
       v
     else throw new ConcurrentCommitException(

@@ -24,6 +24,35 @@ class SnapCatalogSpec extends AnyFunSuite {
   private def orders = T(spark, TestSpark.Sf, "orders")
     .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  test("manifest column stats reach the CBO: filter estimation uses " +
+      "real [min,max] instead of default selectivity") {
+    val root = s"$base/db1/cbo"
+    SnapTable.create(spark, root,
+      spark.range(10000).selectExpr("id AS k", "id % 7 AS v")
+        .repartitionByRange(8, col("k")), "k")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def est(sql: String): BigInt =
+        spark.sql(sql).queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(sys.error("CBO produced no rowCount"))
+      val narrow = est("SELECT * FROM snapt.db1.cbo WHERE k < 100")
+      val wide = est("SELECT * FROM snapt.db1.cbo WHERE k < 9000")
+      // with real [0, 9999] bounds the range estimates scale with the
+      // predicate's width — defaults would give both the same fraction.
+      // (file pruning also shrinks the scan, so compare RATIOS)
+      assert(narrow < wide,
+        s"estimates ignore column bounds: narrow=$narrow wide=$wide")
+      assert(narrow <= 2000,
+        s"k<100 over [0,9999] must estimate selective, got $narrow")
+    } finally {
+      saved match {
+        case Some(x) => spark.conf.set("spark.sql.cbo.enabled", x)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("SQL read resolves the head; VERSION AS OF selects its manifest") {
     val root = s"$base/db1/ord"
     SnapTable.create(spark, root,
