@@ -1863,6 +1863,56 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_sql_branch",
+      // Branch/tag DDL from SQL (the Iceberg ref-DDL shape): CREATE
+      // BRANCH forks zero-copy, branch writes stay invisible to main,
+      // `VERSION AS OF '<branch>'` reads the branch head from plain
+      // SQL, PUBLISH BRANCH fast-forwards main, and a TAG pins the
+      // pre-publish version immutably for audit. The
+      // write-audit-publish loop with no API calls on the read side.
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        o.createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v " +
+          "WHERE o_orderkey % 2 = 0")
+        val run = (q: String) =>
+          graft.sources.SnapSqlParser.runStatement(s, q)
+        run(s"ALTER TABLE snap.main.$t CREATE TAG before_wip")
+        run(s"ALTER TABLE snap.main.$t CREATE BRANCH wip")
+        // audit-side writes land on the branch root; main can't see them
+        SnapTable.append(s,
+          SnapTable.branchRoot(s"$base/main/$t", "wip"),
+          o.filter(col("o_orderkey") % 2 === 1))
+        val mainN = s.table(s"snap.main.$t").count()
+        val branchN = s.sql(
+          s"SELECT * FROM snap.main.$t VERSION AS OF 'wip'").count()
+        require(branchN > mainN,
+          s"branch writes invisible via SQL AS OF: $branchN vs $mainN")
+        run(s"ALTER TABLE snap.main.$t PUBLISH BRANCH wip")
+        run(s"ALTER TABLE snap.main.$t DROP BRANCH wip")
+        // the tag still reads the pre-publish state
+        require(s.sql(
+          s"SELECT * FROM snap.main.$t VERSION AS OF 'before_wip'")
+          .count() == mainN, "tag must pin the pre-publish version")
+        s.table(s"snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_rebucket",
       // BUCKET-LAYOUT EVOLUTION: two tables born UNBUCKETED are
       // rewritten into the bucket(8, custkey) layout with `rebucket` —

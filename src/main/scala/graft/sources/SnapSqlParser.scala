@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CREATE BLOOM INDEX ON cat.ns.t (col)
   *   CONVERT TO SNAP 'path' | cat.ns.t STATS COLUMN c
   *   CREATE TABLE cat.ns.t2 SHALLOW CLONE cat.ns.t [VERSION AS OF v]
+  *   ALTER TABLE cat.ns.t CREATE|DROP|PUBLISH BRANCH|TAG name
+  *     [AS OF VERSION v]
   * }}}
   */
 class SnapSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -80,6 +82,10 @@ object SnapSqlParser {
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val Ref =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+(CREATE|DROP|PUBLISH)\s+(BRANCH|TAG)\s+(\w+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
@@ -99,6 +105,9 @@ object SnapSqlParser {
       Option(path), Option(id).map(parts), c))
     case Clone(dst, src, v) => Some(ShallowCloneCommand(
       parts(dst), parts(src), Option(v).map(_.toInt)))
+    case Ref(id, verb, kind, name, v) => Some(RefCommand(parts(id),
+      verb.toUpperCase, kind.toUpperCase, name,
+      Option(v).map(_.toInt)))
     case _ => None
   }
 
@@ -237,6 +246,39 @@ case class ShallowCloneCommand(dst: Seq[String], src: Seq[String],
     val v = SnapTable.clone(s, srcDir, dstDir, version.getOrElse(-1))
     Seq(Row(v.toLong,
       SnapTable.load(dstDir, v).files.size.toLong))
+  }
+}
+
+/** `ALTER TABLE t CREATE|DROP|PUBLISH BRANCH|TAG name [AS OF VERSION v]`
+  * — the write-audit-publish refs from SQL (Iceberg's branch/tag DDL
+  * shape): a branch is a zero-copy fork writable via its own root (and
+  * readable as `VERSION AS OF '<branch>'`), a tag an immutable pinned
+  * version, PUBLISH the fast-forward/rebase merge back to main.
+  */
+case class RefCommand(parts: Seq[String], verb: String, kind: String,
+    refName: String, asOf: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    val v: Long = (verb, kind) match {
+      case ("CREATE", "BRANCH") =>
+        require(asOf.isEmpty,
+          "CREATE BRANCH forks the current head (AS OF is for tags)")
+        SnapTable.createBranch(s, dir, refName).toLong
+      case ("CREATE", "TAG") =>
+        SnapTable.createTag(dir, refName, asOf.getOrElse(-1)).toLong
+      case ("DROP", "BRANCH") =>
+        SnapTable.dropBranch(dir, refName); 0L
+      case ("DROP", "TAG") =>
+        SnapTable.dropTag(dir, refName); 0L
+      case ("PUBLISH", "BRANCH") =>
+        SnapTable.publishBranch(s, dir, refName).toLong
+      case other => throw new UnsupportedOperationException(
+        s"$other: PUBLISH applies to branches only")
+    }
+    Seq(Row(v))
   }
 }
 

@@ -70,12 +70,34 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters.get("startingversion").orElse(
         parameters.get("startingVersion")).map(_.toInt),
       parameters.get("readchangefeed").orElse(
-        parameters.get("readChangeFeed")).exists(_.toBoolean))
+        parameters.get("readChangeFeed")).exists(_.toBoolean),
+      parameters.get("maxversionspertrigger").orElse(
+        parameters.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 class SnapStreamSource(ctx: SQLContext, root: String,
     ignoreChanges: Boolean, startingVersion: Option[Int],
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+
+  /** Rate limiting (`maxVersionsPerTrigger=n`): each micro-batch
+    * consumes at most n COMMITS of the tail — the admission-control
+    * knob that keeps a catch-up (a stream restarted after a weekend of
+    * ingest) from planning one giant batch. Offsets are versions, so
+    * capping the offset IS capping the batch; correctness is untouched
+    * (the next trigger resumes exactly where the cap stopped). The
+    * INITIAL snapshot batch is not split — with `startingVersion` the
+    * cap applies from the start, which is the bounded-backfill mode.
+    * Caveat: `Trigger.AvailableNow` falls back to ONE batch for a V1
+    * source, so under a throttle it drains one capped window and
+    * stops — re-run to continue, or use a ProcessingTime trigger for
+    * continuous catch-up.
+    */
+  @volatile private var deliveredUpTo: Option[Int] = None
+
+  private def throttleFloor: Option[Int] =
+    deliveredUpTo.orElse(startingVersion.map(sv =>
+      baseBelow(sv).getOrElse(0)))
 
   // schema AND column mapping are captured at source creation: files are
   // read by their stable PHYSICAL names and aliased to the captured
@@ -112,8 +134,19 @@ class SnapStreamSource(ctx: SQLContext, root: String,
       org.apache.spark.sql.types.IntegerType, nullable = false)
     else tableSchema
 
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(SnapTable.latestVersion(root).toLong))
+  override def getOffset: Option[Offset] = {
+    val latest = SnapTable.latestVersion(root)
+    val capped = (maxVersionsPerTrigger, throttleFloor) match {
+      case (Some(m), Some(f)) =>
+        // cap to an EXISTING slot ≤ floor+m (the log may have gaps:
+        // orphaned txn slots, vacuumed versions); an empty window
+        // degrades to no throttle rather than a phantom offset
+        SnapTable.versions(root).filter(_ <= f + m).lastOption
+          .getOrElse(latest)
+      case _ => latest
+    }
+    Some(LongOffset(capped.toLong))
+  }
 
   private def version(o: Offset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -123,6 +156,7 @@ class SnapStreamSource(ctx: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    deliveredUpTo = Some(endV) // throttle anchor (restart replays seed it)
     // a column mapping PRESENT at start streams fine (physical-name
     // reads, aliased); one that CHANGED since is a mid-stream RENAME /
     // DROP / re-ADD — a schema change under a running stream, which
