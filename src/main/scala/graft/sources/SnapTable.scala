@@ -695,16 +695,34 @@ object SnapTable {
     require(schema.fieldNames.contains(from), s"no column '$from'")
     require(!schema.fieldNames.contains(to),
       s"column '$to' already exists")
-    requireUnreferenced(parent, from, "rename")
     val widened = org.apache.spark.sql.types.StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     val phys = physName(parent.colmap, from)
     val cm = (parent.colmap - from) ++
       (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    // layout and contract metadata FOLLOW the rename (like statsCol):
+    // spec/bucket references re-point, CHECK and generation expressions
+    // are re-written attribute-exactly — the physical layer (stats keys,
+    // file bytes, bucket ids) never referenced the logical name, so the
+    // whole verb stays one manifest write
+    def rewrite(e: String): String =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).transform {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute if a.nameParts == Seq(from) =>
+            org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute(Seq(to))
+        }.sql
     commitExclusive(root, parent, parent.files, "rename-column",
       widened.json,
       statsCol = if (parent.statsCol == from) to else parent.statsCol,
-      colmap = cm)
+      spec = parent.spec.map(c => if (c == from) to else c),
+      checks = parent.checks.view.mapValues(rewrite).toMap,
+      gen = parent.gen.map { case (c, e) =>
+        (if (c == from) to else c) -> rewrite(e) },
+      colmap = cm,
+      bucket = parent.bucket.map { case (c, n) =>
+        (if (c == from) to else c, n) })
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: the snapshot schema loses

@@ -1056,14 +1056,64 @@ class TableFormatSpec extends AnyFunSuite {
     val after = SnapTable.read(spark, root)
     assert(after.filter(col("note").isNotNull).count() == 10)
     assert(after.filter(col("note").startsWith("old")).count() == 0)
-    // guards: layout/contract references refuse the verbs
+    // guards: layout/contract references refuse DROP...
     intercept[IllegalArgumentException] {
       SnapTable.dropColumn(root, "k") // stats column
     }
+    // ...but RENAME rewrites them: the check follows the new name and
+    // still rejects violating appends
     SnapTable.addCheck(spark, root, "k_nonneg", "k >= 0")
-    intercept[IllegalArgumentException] {
-      SnapTable.renameColumn(root, "k", "key")
+    SnapTable.renameColumn(root, "k", "key")
+    val headR = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(headR.statsCol == "key")
+    assert(headR.checks("k_nonneg").contains("key"),
+      s"check must follow the rename: ${headR.checks}")
+    intercept[SnapTable.ConstraintViolationException] {
+      SnapTable.append(spark, root,
+        spark.range(1).selectExpr("CAST(-5 AS BIGINT) AS key",
+          "concat('x', id) AS note"))
     }
+  }
+
+  test("rename follows layout + contract references: bucket column, " +
+      "partition spec, and generation expressions re-point") {
+    // bucket column rename: layout metadata follows, files untouched
+    val broot = Tmp.dir("rename_bucket_spec")
+    SnapTable.createBucketed(spark, broot,
+      spark.range(1000).selectExpr("id AS k", "id % 50 AS g"),
+      "k", "g", 4)
+    val filesBefore = SnapTable.load(broot, 1).files
+    SnapTable.renameColumn(broot, "g", "grp")
+    val bhead = SnapTable.load(broot, SnapTable.latestVersion(broot))
+    assert(bhead.bucket.contains(("grp", 4)))
+    assert(bhead.files == filesBefore)
+    // bucket-clustered appends still work through the renamed layout
+    SnapTable.append(spark, broot,
+      spark.range(1000, 1100).selectExpr("id AS k", "id % 50 AS grp"))
+    assert(SnapTable.read(spark, broot).count() == 1100)
+    // spec + generation expression rename
+    val sroot = Tmp.dir("rename_spec_spec")
+    SnapTable.create(spark, sroot,
+      spark.range(100).selectExpr("id AS k", "id * 2 AS d"),
+      "k", spec = Seq("d"))
+    SnapTable.addGenerated(spark, sroot, "d", "k * 2")
+    SnapTable.renameColumn(sroot, "d", "day")
+    val shead = SnapTable.load(sroot, SnapTable.latestVersion(sroot))
+    assert(shead.spec == Seq("day"))
+    assert(shead.gen.contains("day") && !shead.gen.contains("d"))
+    // a generated-column violation still fails under the NEW name
+    intercept[SnapTable.ConstraintViolationException] {
+      SnapTable.append(spark, sroot,
+        spark.range(1).selectExpr("id + 500 AS k", "CAST(7 AS BIGINT) AS day"))
+    }
+    // rename of a column REFERENCED by the gen expression rewrites it
+    SnapTable.renameColumn(sroot, "k", "key")
+    val shead2 = SnapTable.load(sroot, SnapTable.latestVersion(sroot))
+    assert(shead2.gen("day").contains("key"), s"gen=${shead2.gen}")
+    SnapTable.append(spark, sroot,
+      spark.range(500, 510).selectExpr("id AS key")) // day computed
+    assert(SnapTable.read(spark, sroot)
+      .filter(col("day") =!= col("key") * 2).count() == 0)
   }
 
   test("bloom index keys on physical names: pruning survives a rename") {
