@@ -1863,6 +1863,51 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_add_default",
+      // ADD COLUMN ... DEFAULT — INITIAL defaults (the Iceberg-v3
+      // idea): rows predating the add read the literal instead of
+      // null, decided per FILE from the write era encoded in its data
+      // dir name — a pure codegen expression, metadata-only at any
+      // table size. Post-add rows keep explicit values (NULLs stay
+      // NULL); rewrites materialize; stats/bloom pruning unaffected
+      // (pre-add files simply have no stats for the new column).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        o.createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v " +
+          "WHERE o_orderkey % 2 = 0")
+        val root = s.conf.get("spark.sql.catalog.snap.root") + s"/main/$t"
+        val preAlter = SnapTable.latestVersion(root)
+        s.sql(s"ALTER TABLE snap.main.$t ADD COLUMN channel STRING " +
+          "DEFAULT 'legacy'")
+        // the add is metadata-only even at 100 TB — a filesRef manifest
+        require(SnapTable.load(root, SnapTable.latestVersion(root))
+          .files == SnapTable.load(root, preAlter).files,
+          "ADD COLUMN DEFAULT must not touch a data file")
+        s.sql(s"INSERT INTO snap.main.$t " +
+          s"SELECT o_orderkey, o_custkey, o_totalprice, 'online' " +
+          s"FROM $v WHERE o_orderkey % 2 = 1")
+        s.sql(s"SELECT channel, o_custkey, o_totalprice " +
+          s"FROM snap.main.$t")
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("channel")
+      },
+      Some(
+        "SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' " +
+          "ELSE 'online' END AS channel, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY channel")
+    ),
+    Q(
       "table_sql_branch",
       // Branch/tag DDL from SQL (the Iceberg ref-DDL shape): CREATE
       // BRANCH forks zero-copy, branch writes stay invisible to main,

@@ -51,7 +51,8 @@ private[graft] class SnapBatchScan(
     pushed: Seq[Filter], bucket: Option[(String, Int)],
     dvs: Seq[String] = Seq.empty,
     colmap: Map[String, String] = Map.empty,
-    runtimePrunable: Seq[String] = Seq.empty)
+    runtimePrunable: Seq[String] = Seq.empty,
+    defaults: Map[String, (String, Int)] = Map.empty)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -257,8 +258,25 @@ private[graft] class SnapBatchScan(
       else ParquetBridge.readerFunc(spark,
         SnapTable.physSchemaOf(schemaJson, colmap), parquetRequired,
         Seq.empty)
+    // INITIAL-DEFAULT fill specs, positional over the data fields: a
+    // file whose write era predates a column's add physically lacks it
+    // (the reader yields null for every row), so the reader substitutes
+    // the declared literal — evaluated ONCE here, per-file applicability
+    // decided from the era in the file's dir name
+    val dataFields =
+      if (fileColLast) required.fields.dropRight(1) else required.fields
+    val fillSpecs: Array[(Int, Int, Any)] =
+      dataFields.zipWithIndex.flatMap { case (f, i) =>
+        defaults.get(f.name).map { case (litSql, at) =>
+          val v = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(litSql), f.dataType).eval(null)
+          (i, at, v)
+        }
+      }
     new SnapReaderFactory(readFunc, plainFunc,
-      spark.sparkContext.broadcast(dvPos), required, fileColLast)
+      spark.sparkContext.broadcast(dvPos), required, fileColLast,
+      fillSpecs)
   }
 }
 
@@ -349,8 +367,17 @@ private[graft] class SnapReaderFactory(
       => Iterator[InternalRow],
     dvPos: org.apache.spark.broadcast
       .Broadcast[Map[String, Array[Long]]],
-    required: StructType, fileCol: Boolean)
+    required: StructType, fileCol: Boolean,
+    fillSpecs: Array[(Int, Int, Any)] = Array.empty)
   extends PartitionReaderFactory {
+
+  /** Write era from a manifest-relative path (`data/c<era>-…`); 0 for
+    * pre-era dirs and converted-in files — same contract as
+    * SnapTable.eraExpr on the SQL side.
+    */
+  private def eraOf(rel: String): Int =
+    SnapReaderFactory.EraRx.findFirstMatchIn(rel)
+      .map(_.group(1).toInt).getOrElse(0)
 
   /** Drop `pos` (ascending row indexes) from a full-file row iterator —
     * one pointer advance per row, never a per-row search.
@@ -379,11 +406,34 @@ private[graft] class SnapReaderFactory(
             .orElse(dvPos.value.get(f.abs))
           val pf = ParquetBridge.partitionedFile(f.abs, f.start,
             f.length, f.size)
-          val raw = pos match {
+          val raw0 = pos match {
             case None => ParquetBridge.rows(readFunc(pf))
             case Some(ps) =>
               skipPositions(ParquetBridge.rows(plainFunc(pf)), ps)
           }
+          // initial-default fill for files predating the column's add
+          val era = eraOf(f.rel)
+          val fills = fillSpecs.filter(_._2 > era)
+          val raw =
+            if (fills.isEmpty) raw0
+            else {
+              val dataFields =
+                if (fileCol) required.fields.dropRight(1)
+                else required.fields
+              val exprs = dataFields.zipWithIndex.map { case (fd, i) =>
+                fills.find(_._1 == i) match {
+                  case Some((_, _, v)) =>
+                    org.apache.spark.sql.catalyst.expressions
+                      .Literal(v, fd.dataType)
+                      : org.apache.spark.sql.catalyst.expressions.Expression
+                  case None =>
+                    org.apache.spark.sql.catalyst.expressions
+                      .BoundReference(i, fd.dataType, fd.nullable)
+                }
+              }.toIndexedSeq
+              val fillProj = UnsafeProjection.create(exprs)
+              raw0.map(fillProj)
+            }
           if (!fileCol) raw.map(proj)
           else {
             val tail = new GenericInternalRow(
@@ -406,6 +456,13 @@ private[graft] class SnapReaderFactory(
   * the `bucket` transform both scans report and conclude the two sides of
   * a join are co-partitioned.
   */
+private[graft] object SnapReaderFactory {
+  /** `data/c<era>-…` or `data/s<era>-…`, at path start or after a
+    * slash (clone-shared entries are `../src/data/c<era>-…`).
+    */
+  val EraRx = "(?:^|/)data/[cs](\\d+)-".r
+}
+
 private[graft] object GraftBucketFunction extends UnboundFunction {
 
   override def name(): String = "bucket"

@@ -75,6 +75,13 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Declares `ALTER TABLE … ADD COLUMN … DEFAULT v` support so the
+    * analyzer forwards the default through `TableChange.AddColumn`.
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(Paths.get(base))(_.resolve(_)).toString
@@ -169,7 +176,11 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
           "nested ADD COLUMN is not supported")
         require(add.isNullable,
           "ADD COLUMN must be nullable: existing files null-fill it")
-        SnapTable.addColumn(dir, add.fieldNames()(0), add.dataType())
+        // `... DEFAULT <literal>` becomes an INITIAL default: rows
+        // predating the add read the literal (era-decided per file),
+        // still a metadata-only commit
+        SnapTable.addColumn(dir, add.fieldNames()(0), add.dataType(),
+          Option(add.defaultValue()).map(_.getSql))
       case rn: TableChange.RenameColumn =>
         // metadata-only via the column mapping: the physical name in
         // every existing file stays; old and new files both resolve
@@ -388,7 +399,8 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
                 SnapTable.latestVersion(root))
               val fresh = SnapTable.writeData(data.sparkSession, root,
                 SnapTable.clusterBySpec(data, parent.spec),
-                parent.statsCol, parent.bucket)
+                parent.statsCol, parent.bucket,
+                era = parent.version + 1)
               SnapTable.commitExclusive(root, parent, fresh, "overwrite",
                 parent.schemaJson)
             } else SnapTable.append(data.sparkSession, root, data)
@@ -540,10 +552,51 @@ private[graft] class SnapScanBuilder(root: String,
     // residual filter still evaluates rows exactly)
     def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     def dec(v: Long): Long = if (v == Long.MinValue) v else v - 1
+    // timestamp literals prune like longs: parquet TIMESTAMP(MICROS)
+    // footers are INT64 stats in epoch micros, so a time predicate on
+    // an event-time-clustered table skips files from the driver — the
+    // first-line pruning of every time-series workload. Both literal
+    // shapes Spark pushes (java.sql.Timestamp, java.time.Instant)
+    // convert exactly; the session is pinned UTC.
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+          (t.getNanos % 1000000L) / 1000L))
+      case i: java.time.Instant =>
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L))
+      case l: java.time.LocalDateTime => // TIMESTAMP_NTZ predicates:
+        // parquet NTZ micros encode the local datetime as-if-UTC —
+        // the same frame this conversion uses
+        micros(l.toInstant(java.time.ZoneOffset.UTC))
+      case _ => None
+    }
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(c, v: Long) => narrow(c, v, v)
       case EqualTo(c, v: Int) => narrow(c, v.toLong, v.toLong)
+      // an IN list narrows to its [min,max] envelope — coarse but
+      // driver-cheap, and exactness rides the residual filter
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+        val ls = vs.map {
+          case l: Long => l
+          case i: Int => i.toLong
+        }
+        narrow(c, ls.min, ls.max)
+      case In(c, vs) if vs.nonEmpty && vs.forall(micros(_).isDefined) =>
+        val ls = vs.flatMap(micros)
+        narrow(c, ls.min, ls.max)
+      case EqualTo(c, v) if micros(v).isDefined =>
+        narrow(c, micros(v).get, micros(v).get)
+      case GreaterThan(c, v) if micros(v).isDefined =>
+        narrow(c, inc(micros(v).get), Long.MaxValue)
+      case GreaterThanOrEqual(c, v) if micros(v).isDefined =>
+        narrow(c, micros(v).get, Long.MaxValue)
+      case LessThan(c, v) if micros(v).isDefined =>
+        narrow(c, Long.MinValue, dec(micros(v).get))
+      case LessThanOrEqual(c, v) if micros(v).isDefined =>
+        narrow(c, Long.MinValue, micros(v).get)
       case GreaterThan(c, v: Long) => narrow(c, inc(v), Long.MaxValue)
       case GreaterThan(c, v: Int) => narrow(c, v + 1L, Long.MaxValue)
       case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
@@ -640,7 +693,8 @@ private[graft] class SnapScanBuilder(root: String,
     val prunable = snap.bucket.map(b => Seq(b._1)).getOrElse(
       if (snap.spec.nonEmpty) snap.spec else Seq(snap.statsCol))
     new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
-      required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap, prunable)
+      required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap, prunable,
+      snap.defaults)
   }
 }
 

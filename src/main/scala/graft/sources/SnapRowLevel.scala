@@ -61,6 +61,9 @@ private[sources] class SnapRowLevelOperation(root: String,
 
   private[sources] def snapColmap: Map[String, String] = snap.colmap
 
+  private[sources] def snapDefaults: Map[String, (String, Int)] =
+    snap.defaults
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -114,7 +117,8 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     spark: SparkSession, root: String, required: StructType,
     pushed: Seq[Filter])
   extends SnapBatchScan(spark, root, op.scanned, op.snapJson, required,
-    pushed, None, op.snapDvs, op.snapColmap)
+    pushed, None, op.snapDvs, op.snapColmap,
+    defaults = op.snapDefaults)
   with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
@@ -164,7 +168,11 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
     root: String, parent: SnapTable.Snapshot, schema: StructType)
   extends BatchWrite {
 
-  private val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
+  // era-stamped like every data dir (see SnapTable.writeData): rows a
+  // row-level rewrite lands hold EXPLICIT values for every column of
+  // the write schema, so initial defaults must not re-fill them
+  private val dirName = s"c${parent.version + 1}-" +
+    java.util.UUID.randomUUID().toString.take(8)
   private val dir = Paths.get(root, "data", dirName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)

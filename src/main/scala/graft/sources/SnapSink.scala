@@ -67,8 +67,12 @@ private[sources] class SnapStreamingWrite(root: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val (owf, prepared) = ParquetBridge.writerFactory(spark, physSchema,
       spark.sessionState.newHadoopConf())
+    // era-stamped dir (initial-default boundary): epochs write explicit
+    // values for every streamed column; a concurrent ADD COLUMN lands
+    // strictly later and its default applies only below its version
     new SnapStreamingWriterFactory(owf, root,
-      "data/s-" + java.util.UUID.randomUUID().toString.take(8),
+      s"data/s${SnapTable.latestVersion(root) + 1}-" +
+        java.util.UUID.randomUUID().toString.take(8),
       physSchema, new SerializableConfiguration(prepared))
   }
 

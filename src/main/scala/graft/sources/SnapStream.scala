@@ -106,21 +106,27 @@ class SnapStreamSource(ctx: SQLContext, root: String,
   // stream runs is a schema change mid-stream and fails the batch —
   // the same restart-from-fresh-checkpoint contract as Delta's.
   private val (tableSchema: StructType,
-      colmapAtStart: Map[String, String]) = {
+      colmapAtStart: Map[String, String],
+      defaultsAtStart: Map[String, (String, Int)]) = {
     val snap = SnapTable.load(root, SnapTable.latestVersion(root))
     (DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
-      snap.colmap)
+      snap.colmap, snap.defaults)
   }
 
   /** Streaming parquet read of `files` under the captured mapping:
-    * physical-schema scan, then a logical-name aliasing projection
-    * (a projection over a streaming leaf is still a streaming plan).
+    * physical-schema scan, initial-default fill (the same
+    * era-vs-addedAt expression batch reads use), then a logical-name
+    * aliasing projection (projections over a streaming leaf are still
+    * a streaming plan).
     */
   private def readLogical(files: Seq[SnapTable.FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val phys = SnapTable.physSchemaOf(tableSchema.json, colmapAtStart)
-    Bridge.streamingParquet(ctx.sparkSession,
+    val scan = Bridge.streamingParquet(ctx.sparkSession,
       files.map(f => s"$root/${f.path}"), phys)
+    // an empty batch is a LocalRelation — no _metadata to fill over
+    (if (files.isEmpty) scan
+     else SnapTable.applyDefaults(scan, colmapAtStart, defaultsAtStart))
       .select(tableSchema.fieldNames.map(n =>
         col(colmapAtStart.getOrElse(n, n)).as(n)).toIndexedSeq: _*)
   }
@@ -161,10 +167,15 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     // reads, aliased); one that CHANGED since is a mid-stream RENAME /
     // DROP / re-ADD — a schema change under a running stream, which
     // violates the fixed-schema contract
-    require(SnapTable.load(root, endV).colmap == colmapAtStart,
+    val endSnap = SnapTable.load(root, endV)
+    require(endSnap.colmap == colmapAtStart,
       "snapstream: the table's column mapping changed while the stream " +
         "ran (RENAME/DROP/re-ADD COLUMN) — restart from a fresh " +
         "checkpoint to adopt the new schema")
+    require(endSnap.defaults == defaultsAtStart,
+      "snapstream: the table's initial column defaults changed while " +
+        "the stream ran (ADD COLUMN ... DEFAULT) — restart from a " +
+        "fresh checkpoint to adopt the new schema")
     if (readChangeFeed) return changeBatch(start.map(version), endV)
     val files = start match {
       case None =>

@@ -161,6 +161,17 @@ object SnapTable {
     * always refs the version that inlines, and vacuum keeps referenced
     * manifests alive alongside their referrers.
     */
+  /** `defaults` are INITIAL COLUMN DEFAULTS (the Iceberg-v3
+    * initial-default idea): logical column → (literal SQL text, the
+    * version the column was added at). A file written BEFORE the add
+    * physically lacks the column, so reads fill the default instead of
+    * null — back-filling ADD COLUMN semantics without touching a byte.
+    * Rows written at-or-after the add store explicit values (their
+    * NULLs stay NULL). "Before" is decided per FILE from the write era
+    * encoded in its data-dir name (`c<era>-…`), which makes the fill a
+    * pure codegen expression over `_metadata.file_path` — no membership
+    * sets, at any file count.
+    */
   final case class Snapshot(
       version: Int, op: String, statsCol: String, schemaJson: String,
       files: Seq[FileEntry], txn: Option[String] = None,
@@ -171,7 +182,8 @@ object SnapTable {
       blooms: Seq[String] = Seq.empty,
       colmap: Map[String, String] = Map.empty,
       dead: Seq[String] = Seq.empty,
-      filesFrom: Int = 0)
+      filesFrom: Int = 0,
+      defaults: Map[String, (String, Int)] = Map.empty)
 
   /** Physical (on-file) name of a logical column under a column
     * mapping — identity unless renamed.
@@ -222,7 +234,8 @@ object SnapTable {
       statsCol: String, spec: Seq[String] = Seq.empty): Int = {
     Files.createDirectories(Paths.get(root, "_log"))
     val snap = Snapshot(1, "create", statsCol, df.schema.json,
-      writeData(s, root, clusterBySpec(df, spec), statsCol), spec = spec)
+      writeData(s, root, clusterBySpec(df, spec), statsCol, era = 1),
+      spec = spec)
     if (tryLink(root, snap)) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
@@ -247,7 +260,7 @@ object SnapTable {
     Files.createDirectories(Paths.get(root, "_log"))
     val b = Some((bucketCol, numBuckets))
     val snap = Snapshot(1, "create", statsCol, df.schema.json,
-      writeData(s, root, df, statsCol, b), bucket = b)
+      writeData(s, root, df, statsCol, b, era = 1), bucket = b)
     if (tryLink(root, snap)) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
@@ -367,7 +380,7 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket, cm)
+      parent.statsCol, parent.bucket, cm, era = parent.version + 1)
     commitAppend(root, parent, fresh, df.schema, txn = None,
       freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json),
       colmap = cm)
@@ -391,14 +404,15 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket, cm)
+      parent.statsCol, parent.bucket, cm, era = parent.version + 1)
     val bx = appendBlooms(s, root, parent, fresh, df.schema.json)
+    val widened = widenNullability(parent, df.schema)
     var v = latestVersion(root) + 1
     while (!tryLink(root, Snapshot(v, "txn-append", parent.statsCol,
-        df.schema.json, parent.files ++ fresh, None, parent.spec,
+        widened.json, parent.files ++ fresh, None, parent.spec,
         parent.dvs, parent.checks, bucket = parent.bucket,
         gen = parent.gen, blooms = parent.blooms ++ bx, colmap = cm,
-        dead = parent.dead)))
+        dead = parent.dead, defaults = parent.defaults)))
       v = latestVersion(root) + 1
     v
   }
@@ -427,7 +441,8 @@ object SnapTable {
       val fresh =
         if (incoming.isEmpty) Seq.empty
         else writeData(s, root, clusterBySpec(incoming, parent.spec),
-          parent.statsCol, parent.bucket, parent.colmap)
+          parent.statsCol, parent.bucket, parent.colmap,
+          era = parent.version + 1)
       return commitExclusive(root, parent, fresh, "merge",
         parent.schemaJson, txn = txn)
     }
@@ -437,7 +452,7 @@ object SnapTable {
     // into a rewritten file (resurrection). Rewritten files' DV entries
     // go inert (their paths leave the list); carried files' stay live.
     val withFile0 = readFilesPhysical(s, root, parent.files,
-        parent.schemaJson, parent.colmap)
+        parent.schemaJson, parent.colmap, parent.defaults)
       .withColumn("_gf_file", col("_metadata.file_path"))
     val withFile = toLogical(
       if (parent.dvs.isEmpty) withFile0
@@ -463,7 +478,8 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
-        parent.statsCol, parent.bucket, parent.colmap)
+        parent.statsCol, parent.bucket, parent.colmap,
+        era = parent.version + 1)
     commitExclusive(root, parent, carried ++ fresh, "merge",
       parent.schemaJson,
       dvs = if (carried.isEmpty) Seq.empty else parent.dvs, txn = txn)
@@ -507,7 +523,7 @@ object SnapTable {
         validateChecks(df, parent.checks, "incoming")
         val cm = widenColmap(parent, df.schema)
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-          parent.statsCol, parent.bucket, cm)
+          parent.statsCol, parent.bucket, cm, era = parent.version + 1)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
           freshBlooms =
             appendBlooms(s, root, parent, fresh, df.schema.json),
@@ -550,9 +566,13 @@ object SnapTable {
           .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
-      parent.bucket, parent.colmap)
+      parent.bucket, parent.colmap, era = parent.version + 1)
+    // the rewrite MATERIALIZED every initial default (it read through
+    // the fill), so the defaults map is cleared — steady state after
+    // OPTIMIZE is a defaults-free table (what clone/branch need)
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
-      dvs = Seq.empty, blooms = rebuildBlooms(s, root, parent, fresh))
+      dvs = Seq.empty, blooms = rebuildBlooms(s, root, parent, fresh),
+      defaults = Map.empty)
   }
 
   /** A full-rewrite verb replaces every file, which would silently
@@ -594,10 +614,11 @@ object SnapTable {
       val n = s.sessionState.conf.numShufflePartitions
       val fresh = writeData(s, root,
         live.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*),
-        parent.statsCol, None, parent.colmap)
+        parent.statsCol, None, parent.colmap, era = parent.version + 1)
       return commitExclusive(root, parent, fresh, "rebucket",
         parent.schemaJson, dvs = Seq.empty,
-        blooms = rebuildBlooms(s, root, parent, fresh), dropBucket = true)
+        blooms = rebuildBlooms(s, root, parent, fresh), dropBucket = true,
+        defaults = Map.empty)
     }
     require(schemaOf(parent.schemaJson).fields
         .exists(f => f.name == bucketCol &&
@@ -605,13 +626,15 @@ object SnapTable {
       s"bucket column '$bucketCol' must be an existing LONG column " +
         "(the bucket transform hash is pinned to murmur3-of-long)")
     val b = Some((bucketCol, numBuckets))
-    val fresh = writeData(s, root, live, parent.statsCol, b, parent.colmap)
+    val fresh = writeData(s, root, live, parent.statsCol, b,
+      parent.colmap, era = parent.version + 1)
     // a bucket layout supersedes a range spec (they are mutually
     // exclusive — the manifest must not claim a clustering the
     // bucket-grouped files no longer have)
     commitExclusive(root, parent, fresh, "rebucket", parent.schemaJson,
       spec = Seq.empty, dvs = Seq.empty,
-      blooms = rebuildBlooms(s, root, parent, fresh), bucket = b)
+      blooms = rebuildBlooms(s, root, parent, fresh), bucket = b,
+      defaults = Map.empty)
   }
 
   /** ALTER TABLE ADD CONSTRAINT: declare a named CHECK (a SQL boolean
@@ -626,19 +649,43 @@ object SnapTable {
     * an append with a wider schema performs, but without needing a
     * write to carry it.
     */
+  /** `default`: an INITIAL DEFAULT literal (SQL text, e.g. `"'active'"`
+    * or `"0"`): rows that predate the add read it instead of null —
+    * still a metadata-only commit (the fill is decided per file from
+    * its write era, no byte rewritten). Rows written at-or-after the
+    * add store explicit values; their NULLs stay NULL, standard
+    * initial-default semantics. The literal must be constant-foldable
+    * and castable to `dataType`.
+    */
   def addColumn(root: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Int = {
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
     val schema = schemaOf(parent.schemaJson)
     require(!schema.fieldNames.contains(name),
       s"column '$name' already exists")
+    default.foreach { d =>
+      val parsed = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(d)
+      require(parsed.foldable,
+        s"default for '$name' must be a constant literal, got: $d")
+      // fail now, not at first read, if the literal can't take the type
+      org.apache.spark.sql.catalyst.expressions.Cast(parsed, dataType)
+        .eval(null)
+      ()
+    }
     val widened = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true))
     val phys = freshPhysName(parent, name)
     commitExclusive(root, parent, parent.files, "add-column", widened.json,
       colmap =
-        if (phys == name) parent.colmap else parent.colmap + (name -> phys))
+        if (phys == name) parent.colmap else parent.colmap + (name -> phys),
+      defaults = default match {
+        case Some(d) =>
+          parent.defaults + (name -> (d, parent.version + 1))
+        case None => null // inherit
+      })
   }
 
   /** A physical name for a NEW logical column: the logical name itself
@@ -722,7 +769,9 @@ object SnapTable {
         (if (c == from) to else c) -> rewrite(e) },
       colmap = cm,
       bucket = parent.bucket.map { case (c, n) =>
-        (if (c == from) to else c, n) })
+        (if (c == from) to else c, n) },
+      defaults = parent.defaults.map { case (c, v) =>
+        (if (c == from) to else c) -> v })
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: the snapshot schema loses
@@ -742,7 +791,8 @@ object SnapTable {
       org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name)).json,
       colmap = parent.colmap - name,
-      dead = parent.dead :+ physName(parent.colmap, name))
+      dead = parent.dead :+ physName(parent.colmap, name),
+      defaults = parent.defaults - name)
   }
 
   /** Column-mapping entries for columns an APPEND introduces (additive
@@ -873,6 +923,15 @@ object SnapTable {
       version: Int = -1): Int = {
     val v = if (version > 0) version else latestVersion(srcRoot)
     val snap = load(srcRoot, v)
+    // initial defaults compare file ERAS against the source's version
+    // numbers; the clone restarts numbering at 1, so its future writes
+    // would stamp eras below the source's addedAt and mis-fill their
+    // explicit NULLs. OPTIMIZE materializes the defaults and clears the
+    // map — then the clone is era-space clean.
+    require(snap.defaults.isEmpty,
+      "cannot shallow-clone a snapshot with outstanding initial column " +
+        "defaults (version spaces would collide) — compact() the source " +
+        "first to materialize them")
     Files.createDirectories(Paths.get(dstRoot, "_log"))
     // re-point entries at the source's data dir, relative to the clone
     // root (the table stays relocatable as a UNIT with its source)
@@ -953,7 +1012,7 @@ object SnapTable {
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
       statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
       checks = snap.checks, colmap = snap.colmap, dead = snap.dead,
-      filesFromHint = snap.filesFrom)
+      filesFromHint = snap.filesFrom, defaults = snap.defaults)
   }
 
   // ---------------------------------------------------------------- refs
@@ -1045,6 +1104,11 @@ object SnapTable {
   def publishBranch(s: SparkSession, root: String, name: String): Int = {
     val b = branchRoot(root, name)
     val bHead = load(b, latestVersion(b))
+    // branch files carry BRANCH-space era stamps; a default added on
+    // main since the fork would compare against them wrongly
+    require(load(root, latestVersion(root)).defaults.isEmpty,
+      s"cannot publish into a table with outstanding initial column " +
+        "defaults — compact() main to materialize them first")
     require(bHead.dvs.isEmpty,
       s"publish of branch '$name' with outstanding merge-on-read " +
         "deletes would lose them in the re-link — compact() the branch " +
@@ -1196,7 +1260,7 @@ object SnapTable {
       // rewrite (marks through the vectors, rewrites the touched files
       // reading through them) so nothing DV'd resurrects
       val withMeta = readFilesPhysical(s, root, parent.files,
-          parent.schemaJson, parent.colmap)
+          parent.schemaJson, parent.colmap, parent.defaults)
         .withColumn("_dv_path", relPathCol(root))
         .withColumn("_dv_row", col("_metadata.row_index"))
       val undeleted = withMeta.join(
@@ -1219,7 +1283,7 @@ object SnapTable {
         parent.schemaJson)
     val withFile = toLogical(
       readFilesPhysical(s, root, rest, parent.schemaJson,
-        parent.colmap)
+        parent.colmap, parent.defaults)
         .withColumn("_gf_file", col("_metadata.file_path")),
       parent.schemaJson, parent.colmap, extra = Seq("_gf_file"))
     val touched = withFile.filter(predicate)
@@ -1236,7 +1300,8 @@ object SnapTable {
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol, parent.bucket, parent.colmap)
+        parent.statsCol, parent.bucket, parent.colmap,
+        era = parent.version + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -1346,7 +1411,7 @@ object SnapTable {
     // logical-aliasing projection strips — so subtract on the PHYSICAL
     // frame first, then alias
     val base = readFilesPhysical(s, root, snap.files, snap.schemaJson,
-      snap.colmap)
+      snap.colmap, snap.defaults)
     val sub =
       if (snap.dvs.isEmpty || snap.files.isEmpty) base
       else subtractDvs(s, root, base, snap.dvs)
@@ -1383,7 +1448,7 @@ object SnapTable {
     // joins/projections); prior DVs are then subtracted explicitly so a
     // second MoR delete doesn't re-mark already-deleted positions
     val withMeta = readFilesPhysical(s, root, parent.files,
-        parent.schemaJson, parent.colmap)
+        parent.schemaJson, parent.colmap, parent.defaults)
       .withColumn("_dv_path", relPathCol(root))
       .withColumn("_dv_row", col("_metadata.row_index"))
     val undeleted =
@@ -1453,7 +1518,7 @@ object SnapTable {
         parent.schemaJson)
     val carried = parent.files.filterNot(hit)
     val scan = readFilesPhysical(s, root, touchedEntries,
-        parent.schemaJson, parent.colmap)
+        parent.schemaJson, parent.colmap, parent.defaults)
       .withColumn("_dv_path", relPathCol(root))
       .withColumn("_dv_row", col("_metadata.row_index"))
     val visible =
@@ -1473,7 +1538,8 @@ object SnapTable {
     val fresh =
       if (survivors.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
-        parent.statsCol, parent.bucket, parent.colmap)
+        parent.statsCol, parent.bucket, parent.colmap,
+        era = parent.version + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -1564,7 +1630,7 @@ object SnapTable {
     require(parent.files.nonEmpty, "bloom index over an empty table")
     val dirName =
       buildBloomSidecar(s, root, parent.files, parent.schemaJson,
-        parent.colmap, column, fpp)
+        parent.colmap, column, fpp, parent.defaults)
     // sidecars key on the PHYSICAL name, so the same-column comparison
     // (and the index itself) survives a logical rename
     val phys = physName(parent.colmap, column)
@@ -1622,7 +1688,8 @@ object SnapTable {
   private def buildBloomSidecar(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String,
       colmap: Map[String, String], column: String,
-      fpp: Double = 0.01): String = {
+      fpp: Double = 0.01,
+      defaults: Map[String, (String, Int)] = Map.empty): String = {
     import org.apache.spark.sql.types._
     val phys = physName(colmap, column)
     val hashed = schemaOf(schemaJson)(column).dataType match {
@@ -1642,7 +1709,7 @@ object SnapTable {
     val k = math.max(1, math.round(mBits / n * math.log(2)).toInt)
     val agg = udaf(new BloomAgg(mBits, k))
     val dirName = "data/bx-" + java.util.UUID.randomUUID().toString.take(8)
-    readFilesPhysical(s, root, files, schemaJson, colmap)
+    readFilesPhysical(s, root, files, schemaJson, colmap, defaults)
       .withColumn("_gf_bf", relPathCol(root))
       .groupBy(col("_gf_bf").as("file"))
       .agg(agg(xxhash64(hashed)).as("bits"))
@@ -1780,7 +1847,7 @@ object SnapTable {
           }
         def rowsAt(positions: DataFrame, sign: Int): DataFrame = {
           val base = readFilesPhysical(s, root, carried, b.schemaJson,
-            b.colmap)
+            b.colmap, b.defaults)
           val cols = base.columns.toIndexedSeq
           toLogical(base
             .withColumn("_gf_p", relPathCol(root))
@@ -1798,7 +1865,7 @@ object SnapTable {
       Seq(side(added, b.dvs, 1), side(removed, a.dvs, -1)).flatten ++
         dvSides
     sides.reduceOption(_ unionByName _).getOrElse(
-      readFiles(s, root, b.files, b.schemaJson, b.colmap)
+      readFiles(s, root, b.files, b.schemaJson, b.colmap, b.defaults)
         .withColumn("_sign", lit(1)).limit(0))
   }
 
@@ -1824,7 +1891,8 @@ object SnapTable {
     // both sides read under the TO snapshot's schema: pre-images of rows
     // that predate an added column surface it as null, like the table does
     val schemaRef = readFiles(s, root,
-      if (removed.nonEmpty) removed else added, b.schemaJson, b.colmap)
+      if (removed.nonEmpty) removed else added, b.schemaJson, b.colmap,
+      b.defaults)
     // each side reads under ITS endpoint's deletion vectors (b.copy
     // keeps the to-schema while swapping in the endpoint's DV set): a
     // row invisible at an endpoint was never part of that side's image
@@ -1839,7 +1907,7 @@ object SnapTable {
     // from the DV set (RESTORE) resurrected (→ insert)
     def carriedAt(positions: DataFrame): DataFrame = {
       val base = readFilesPhysical(s, root, carried, b.schemaJson,
-        b.colmap)
+        b.colmap, b.defaults)
       val cols = base.columns.toIndexedSeq
       val small = dvBroadcastable(s, root, a.dvs ++ b.dvs)
       toLogical(base
@@ -2038,7 +2106,7 @@ object SnapTable {
     */
   private[graft] def writeData(s: SparkSession, root: String, df0: DataFrame,
       statsCol: String, bucket: Option[(String, Int)] = None,
-      colmap: Map[String, String] = Map.empty)
+      colmap: Map[String, String] = Map.empty, era: Int = 0)
       : Seq[FileEntry] = {
     // writes land at PHYSICAL column names — the one invariant that
     // makes renames metadata-only (files before and after a rename
@@ -2046,7 +2114,12 @@ object SnapTable {
     val df = colmap.foldLeft(df0) { case (d, (l, p)) =>
       if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
     }
-    val dirName = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    // the dir name carries the WRITE ERA (parent version + 1): a pure
+    // path property every reader can test without metadata lookups —
+    // what decides whether an initial column default applies to a file.
+    // era 0 ("c-") marks pre-era dirs and is older than any version.
+    val dirName = (if (era > 0) s"c$era-" else "c-") +
+      java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(root, "data", dirName)
     bucket match {
       case None =>
@@ -2195,12 +2268,32 @@ object SnapTable {
     * commit will actually land on; (c) rebuild the file list as
     * head.files ++ fresh. Package-private so the race is unit-testable.
     */
+  /** The schema an append ADOPTS must not narrow nullability: a column
+    * nullable in the parent may hold NULLs in existing files, and a
+    * column the append INTRODUCES null-fills for every pre-existing
+    * file — an incoming non-null field (e.g. INSERT of a literal)
+    * widens to nullable, like Delta's schema merge.
+    */
+  private def widenNullability(parent: Snapshot,
+      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val pf = schemaOf(parent.schemaJson).fields.map(f => f.name -> f).toMap
+    org.apache.spark.sql.types.StructType(incoming.fields.map { f =>
+      pf.get(f.name) match {
+        case Some(p) => f.copy(nullable = f.nullable || p.nullable)
+        case None =>
+          if (parent.files.nonEmpty) f.copy(nullable = true) else f
+      }
+    })
+  }
+
   private[graft] def commitAppend(root: String, parent: Snapshot,
       fresh: Seq[FileEntry],
-      schema: org.apache.spark.sql.types.StructType,
+      schema0: org.apache.spark.sql.types.StructType,
       txn: Option[String],
       freshBlooms: Seq[String] = Seq.empty,
       colmap: Map[String, String] = null): Int = {
+    var schema = widenNullability(parent, schema0)
     // mapping entries OUR append minted (fresh columns); merged onto
     // whichever head's map the commit finally lands on
     val minted = Option(colmap).getOrElse(parent.colmap)
@@ -2222,10 +2315,20 @@ object SnapTable {
         // fresh sidecars cover only OUR fresh files, so they stack onto
         // whatever bloom list the head we finally land on carries
         blooms = head.blooms ++ freshBlooms,
-        colmap = head.colmap ++ minted, dead = head.dead))
+        colmap = head.colmap ++ minted, dead = head.dead,
+        defaults = head.defaults))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
+      schema = widenNullability(head, schema0)
       validateEvolution(head.schemaJson, schema)
+      // an ADD COLUMN DEFAULT that landed mid-retry invalidates OUR
+      // already-written files' era stamps for the defaulted column —
+      // re-linking them could mis-fill their explicit NULLs. Abort so
+      // the caller re-runs the write under the new head.
+      if (head.defaults != parent.defaults)
+        throw new ConcurrentCommitException(
+          "column defaults changed while this append retried — its " +
+            "files carry a pre-change era stamp; re-run the append")
     }
     -1 // unreachable
   }
@@ -2287,7 +2390,8 @@ object SnapTable {
       // None would be ambiguous with "drop the layout": null = inherit,
       // Some(b) = adopt layout b, Some-empty via dropBucket sentinel
       bucket: Option[(String, Int)] = null,
-      dropBucket: Boolean = false): Int = {
+      dropBucket: Boolean = false,
+      defaults: Map[String, (String, Int)] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2310,9 +2414,10 @@ object SnapTable {
     val bk =
       if (dropBucket) None
       else Option(bucket).getOrElse(parent.bucket)
+    val dfl = Option(defaults).getOrElse(parent.defaults)
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = bk, gen = gn, blooms = bl, colmap = cm,
-        dead = dd, filesFrom = ref)))
+        dead = dd, filesFrom = ref, defaults = dfl)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -2355,8 +2460,10 @@ object SnapTable {
 
   private[sources] def readFiles(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String,
-      colmap: Map[String, String] = Map.empty): DataFrame =
-    toLogical(readFilesPhysical(s, root, files, schemaJson, colmap),
+      colmap: Map[String, String] = Map.empty,
+      defaults: Map[String, (String, Int)] = Map.empty): DataFrame =
+    toLogical(
+      readFilesPhysical(s, root, files, schemaJson, colmap, defaults),
       schemaJson, colmap)
 
   /** The raw scan at PHYSICAL column names. Callers that need metadata
@@ -2365,7 +2472,8 @@ object SnapTable {
     */
   private[sources] def readFilesPhysical(s: SparkSession, root: String,
       files: Seq[FileEntry], schemaJson: String,
-      colmap: Map[String, String]): DataFrame = {
+      colmap: Map[String, String],
+      defaults: Map[String, (String, Int)] = Map.empty): DataFrame = {
     val schema = physSchemaOf(schemaJson, colmap)
     // a snapshot may legally be empty (deleteWhere/merge removed every
     // row); it reads as an empty frame under the snapshot schema
@@ -2373,8 +2481,39 @@ object SnapTable {
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      s.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      applyDefaults(
+        s.read.schema(schema)
+          .parquet(files.map(f => s"$root/${f.path}"): _*),
+        colmap, defaults)
   }
+
+  /** The write ERA of the file a row came from, as a codegen'd
+    * expression over `_metadata.file_path` (data dirs are named
+    * `c<era>-…` / `s<era>-…`); pre-era dirs ("c-") and converted-in
+    * files (outside data/) read as 0 — older than any version.
+    */
+  private[sources] def eraExpr: org.apache.spark.sql.Column =
+    coalesce(regexp_extract(col("_metadata.file_path"),
+      "/data/[cs](\\d+)-", 1).cast("int"), lit(0))
+
+  /** Initial-default fill over a PHYSICAL scan frame: rows from files
+    * whose era predates a column's add read the declared literal
+    * instead of null. A projection on the scan — `_metadata` stays
+    * resolvable (pinned in MetaProbeSpec), codegen applies, no
+    * membership sets at any file count.
+    */
+  private[sources] def applyDefaults(df: DataFrame,
+      colmap: Map[String, String],
+      defaults: Map[String, (String, Int)]): DataFrame =
+    if (defaults.isEmpty) df
+    else defaults.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (c, (litSql, at))) =>
+        val pc = physName(colmap, c)
+        if (!d.columns.contains(pc)) d
+        else d.withColumn(pc,
+          when(eraExpr < at, expr(litSql).cast(d.schema(pc).dataType))
+            .otherwise(col(pc)))
+    }
 
   private[graft] def load(root: String, v: Int): Snapshot = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2424,7 +2563,11 @@ object SnapTable {
         .getOrElse(Map.empty),
       Option(node.get("dead")).map(_.elements().asScala.map(_.asText())
         .toSeq).getOrElse(Seq.empty),
-      filesFrom = filesFrom)
+      filesFrom = filesFrom,
+      defaults = Option(node.get("defaults")).map(_.properties().asScala
+        .map(e => e.getKey ->
+          (e.getValue.get(0).asText(), e.getValue.get(1).asInt()))
+        .toMap).getOrElse(Map.empty))
   }
 
   private def parseFiles(
@@ -2526,7 +2669,12 @@ object SnapTable {
       if (snap.dead.isEmpty) ""
       else snap.dead.map(jm.writeValueAsString)
         .mkString(""","dead":[""", ",", "]")
-    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead}"
+    val defaults =
+      if (snap.defaults.isEmpty) ""
+      else snap.defaults.toSeq.sortBy(_._1).map { case (c, (e, at)) =>
+        s"${jm.writeValueAsString(c)}:[${jm.writeValueAsString(e)},$at]"
+      }.mkString(""","defaults":{""", ",", "}")
+    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults}"
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

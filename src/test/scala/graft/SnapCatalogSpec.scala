@@ -53,6 +53,35 @@ class SnapCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL ADD COLUMN DEFAULT: native scan fills pre-add rows, " +
+      "post-add writes keep explicit values, UPDATE reads through") {
+    val root = s"$base/db1/dflt"
+    SnapTable.create(spark, root,
+      spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(2, col("k")), "k")
+    spark.sql("ALTER TABLE snapt.db1.dflt ADD COLUMN tier STRING " +
+      "DEFAULT 'basic'")
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .defaults.contains("tier"))
+    // the NATIVE batch scan fills per-file (no nulls from old files)
+    assert(spark.sql("SELECT * FROM snapt.db1.dflt " +
+      "WHERE tier = 'basic'").count() == 50)
+    assert(spark.sql("SELECT * FROM snapt.db1.dflt " +
+      "WHERE tier IS NULL").count() == 0)
+    spark.sql("INSERT INTO snapt.db1.dflt " +
+      "SELECT id AS k, id * 2 AS v, 'pro' AS tier FROM range(50, 60)")
+    assert(spark.sql("SELECT * FROM snapt.db1.dflt " +
+      "WHERE tier = 'pro'").count() == 10)
+    // row-level UPDATE reads through the fill: predicate on the
+    // defaulted column matches pre-add rows
+    spark.sql("UPDATE snapt.db1.dflt SET tier = 'upgraded' " +
+      "WHERE tier = 'basic' AND k < 10")
+    assert(spark.sql("SELECT * FROM snapt.db1.dflt " +
+      "WHERE tier = 'upgraded'").count() == 10)
+    assert(spark.sql("SELECT * FROM snapt.db1.dflt " +
+      "WHERE tier = 'basic'").count() == 40)
+  }
+
   test("SQL read resolves the head; VERSION AS OF selects its manifest") {
     val root = s"$base/db1/ord"
     SnapTable.create(spark, root,
@@ -111,6 +140,45 @@ class SnapCatalogSpec extends AnyFunSuite {
     val expect = orders.filter(col("o_orderkey").between(1, 200)).count()
     assert(spark.sql("SELECT * FROM snapt.db1.prune " +
       "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
+  }
+
+  test("TIMESTAMP and IN-list predicates prune files from the manifest") {
+    val root = s"$base/db1/tsprune"
+    // an event-time-clustered table: ts footer stats are INT64 micros
+    SnapTable.create(spark, root,
+      T(spark, TestSpark.Sf, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .repartitionByRange(8, col("ts")), "event_id")
+    val snap = SnapTable.load(root, 1)
+    val full = spark.sql("SELECT * FROM snapt.db1.tsprune").schema
+    // a one-day window through the NTZ literal Spark pushes
+    val lo = java.time.LocalDateTime.of(2024, 1, 2, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 3, 0, 0)
+    val b = new SnapScanBuilder(root, snap, full)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+      org.apache.spark.sql.sources.LessThan("ts", hi)))
+    val scan = b.build().asInstanceOf[SnapBatchScan]
+    assert(scan.files.size < snap.files.size,
+      s"time-clustered files must prune (${scan.files.size}/8)")
+    // SQL result over the same window is exact
+    val expect = T(spark, TestSpark.Sf, "events")
+      .filter(col("ts") >= lit("2024-01-02").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-03").cast("timestamp_ntz")).count()
+    assert(spark.sql("SELECT * FROM snapt.db1.tsprune " +
+      "WHERE ts >= TIMESTAMP_NTZ'2024-01-02 00:00:00' " +
+      "AND ts < TIMESTAMP_NTZ'2024-01-03 00:00:00'").count() == expect)
+    // IN lists narrow to their [min,max] envelope (key-clustered table)
+    val root2 = s"$base/db1/inprune"
+    SnapTable.create(spark, root2,
+      orders.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+    val snap2 = SnapTable.load(root2, 1)
+    val b2 = new SnapScanBuilder(root2, snap2,
+      spark.sql("SELECT * FROM snapt.db1.inprune").schema)
+    b2.pushFilters(Array(org.apache.spark.sql.sources.In("o_orderkey",
+      Array(1L, 2L, 3L))))
+    assert(b2.build().asInstanceOf[SnapBatchScan].files.size <
+      snap2.files.size, "IN-list envelope must prune")
   }
 
   test("scan statistics come from the manifest and shrink under pushed " +

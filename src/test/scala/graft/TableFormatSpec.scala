@@ -566,6 +566,71 @@ class TableFormatSpec extends AnyFunSuite {
       SnapTable.load(root, 1).files.map(_.rows).sum - del)
   }
 
+  test("ADD COLUMN DEFAULT back-fills pre-existing rows, keeps " +
+      "post-add NULLs, materializes on rewrite, clears on compact") {
+    val root = Tmp.dir("defaults_spec")
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "concat('d', id) AS txt")
+        .repartitionByRange(4, col("k")), "k")
+    SnapTable.addColumn(root, "status",
+      org.apache.spark.sql.types.StringType, Some("'active'")) // v2
+    // metadata-only: no data file touched, and a filesRef manifest
+    assert(SnapTable.load(root, 2).files == SnapTable.load(root, 1).files)
+    // pre-existing rows read the default instead of null
+    val r = SnapTable.read(spark, root)
+    assert(r.filter(col("status") === "active").count() == 100)
+    // post-add rows: explicit values kept, explicit NULLs stay NULL
+    SnapTable.append(spark, root,
+      spark.range(100, 120).selectExpr("id AS k", "concat('d', id) AS txt",
+        "CASE WHEN id % 2 = 0 THEN 'new' END AS status"))
+    val r2 = SnapTable.read(spark, root)
+    assert(r2.filter(col("status").isNull).count() == 10,
+      "explicit post-add NULLs must stay NULL")
+    assert(r2.filter(col("status") === "new").count() == 10)
+    assert(r2.filter(col("status") === "active").count() == 100)
+    // time travel BEFORE the add has no column; at v2 it fills
+    assert(!SnapTable.readVersion(spark, root, 1).columns.contains("status"))
+    assert(SnapTable.readVersion(spark, root, 2)
+      .filter(col("status") === "active").count() == 100)
+    // a CoW rewrite reads THROUGH the fill, so rewritten rows
+    // materialize 'active' (not null)
+    SnapTable.merge(spark, root,
+      spark.range(0, 5).selectExpr("id AS k", "'m' AS txt",
+        "CAST(NULL AS STRING) AS status")
+        .withColumn("status", lit(null).cast("string")), "k")
+    val merged = SnapTable.read(spark, root)
+    // matched keys got explicit NULL; unmatched pre-add rows in the
+    // SAME rewritten files keep their materialized default
+    assert(merged.filter(col("k") < 5 && col("status").isNull)
+      .count() == 5)
+    assert(merged.filter(col("k") >= 5 && col("k") < 100 &&
+      col("status") =!= "active").count() == 0)
+    // SQL point lookups through the native scan see the fill too
+    val expectActive = merged.filter(col("status") === "active").count()
+    // compact materializes + CLEARS the defaults map (clone-ready)
+    SnapTable.compact(spark, root, 2)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.defaults.isEmpty, "compact must clear initial defaults")
+    assert(SnapTable.read(spark, root)
+      .filter(col("status") === "active").count() == expectActive)
+    // clone refuses BEFORE compaction-cleared state... (fresh table)
+    val root2 = Tmp.dir("defaults_clone_src")
+    SnapTable.create(spark, root2,
+      spark.range(10).selectExpr("id AS k"), "k")
+    SnapTable.addColumn(root2, "v",
+      org.apache.spark.sql.types.LongType, Some("7"))
+    intercept[IllegalArgumentException] {
+      SnapTable.clone(spark, root2, Tmp.dir("defaults_clone_dst"))
+    }
+    // numeric default + CDC: pre-images of v1-era rows carry the fill
+    assert(SnapTable.read(spark, root2)
+      .agg(sum(col("v"))).collect()(0).getLong(0) == 70)
+    SnapTable.deleteWhere(spark, root2, col("k") < 3)
+    val ch = SnapTable.changes(spark, root2, 2, 3, "k")
+    assert(ch.filter(col("action") === "delete" && col("v") === 7)
+      .count() == 3, "CDC pre-images must carry the default fill")
+  }
+
   test("convertInPlace adopts a parquet dir zero-copy: files untouched, " +
       "stats lifted from footers, full verb set from the next commit") {
     val root = Tmp.dir("convert_spec")
