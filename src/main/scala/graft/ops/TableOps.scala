@@ -1863,6 +1863,93 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_update_mor",
+      // Merge-on-read UPDATE: one commit = a deletion vector over the
+      // matched positions + fresh files holding the transformed rows —
+      // O(matches) where CoW update pays O(touched files). On a 100 TB
+      // table where every file holds one hot row, that is the
+      // difference between writing megabytes and rewriting the table.
+      // Reads subtract the DV and see exactly-once updated rows;
+      // OPTIMIZE materializes.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_umor_tab")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        SnapTable.create(s, root,
+          o.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+        val before = SnapTable.load(root, 1).files.toSet
+        SnapTable.updateWhereMoR(s, root, col("o_orderkey") % 10 === 3,
+          Map("o_totalprice" -> "o_totalprice * 2"))
+        val head = SnapTable.load(root, SnapTable.latestVersion(root))
+        require(before.subsetOf(head.files.toSet) && head.dvs.nonEmpty,
+          "MoR update must carry every original file and commit a DV")
+        SnapTable.read(s, root)
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+          "THEN o_totalprice * 2 ELSE o_totalprice END) * 100) " +
+          "AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
+      "table_sql_restore",
+      // RESTORE TABLE ... TO VERSION AS OF — SQL rollback as one
+      // manifest write (no data moves, rolled-back commits stay in
+      // history for audit), plus VACUUM DRY RUN as the pre-reclaim
+      // audit: it must list exactly the files a real vacuum would
+      // delete, and delete nothing.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        o.createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")   // v2
+        s.sql(s"DELETE FROM snap.main.$t WHERE o_orderkey % 3 = 0") // v3
+        val run = (q: String) =>
+          graft.sources.SnapSqlParser.runStatement(s, q)
+        val res = run(
+          s"RESTORE TABLE snap.main.$t TO VERSION AS OF 2").collect()(0)
+        require(res.getLong(0) == 2L, s"restored ${res.getLong(0)}")
+        require(s.table(s"snap.main.$t").count() == o.count(),
+          "restore must bring the deleted rows back")
+        // DRY RUN lists, deletes nothing; real vacuum then matches it
+        val root = s.conf.get("spark.sql.catalog.snap.root") + s"/main/$t"
+        val before = SnapTable.load(root,
+          SnapTable.latestVersion(root)).files
+        val planned = run(s"VACUUM snap.main.$t RETAIN 1 VERSIONS " +
+          "DRY RUN").collect().map(_.getString(0)).toSet
+        require(SnapTable.read(s, root).count() == o.count(),
+          "DRY RUN must not delete anything")
+        val removed = run(s"VACUUM snap.main.$t RETAIN 1 VERSIONS")
+          .collect()(0).getLong(0)
+        require(removed == planned.size,
+          s"dry run planned ${planned.size}, vacuum removed $removed")
+        require(SnapTable.load(root,
+          SnapTable.latestVersion(root)).files == before,
+          "vacuum must not touch the live snapshot")
+        s.table(s"snap.main.$t")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_custkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_add_default",
       // ADD COLUMN ... DEFAULT — INITIAL defaults (the Iceberg-v3
       // idea): rows predating the add read the literal instead of

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   * {{{
   *   OPTIMIZE cat.ns.t [INTO n FILES] [ZORDER BY (c1, c2, ...)]
-  *   VACUUM cat.ns.t [RETAIN n VERSIONS]
+  *   VACUUM cat.ns.t [RETAIN n VERSIONS] [DRY RUN]
+  *   RESTORE TABLE cat.ns.t TO VERSION AS OF v | TO TIMESTAMP AS OF 'ts'
   *   DESCRIBE HISTORY cat.ns.t
   *   DESCRIBE DETAIL cat.ns.t
   *   CREATE BLOOM INDEX ON cat.ns.t (col)
@@ -67,7 +68,11 @@ object SnapSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val Restore =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val Detail =
@@ -95,9 +100,11 @@ object SnapSqlParser {
     case Optimize(id, n, z) => Some(OptimizeTableCommand(parts(id),
       Option(n).map(_.toInt),
       Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)))
-    case Vacuum(id, n) =>
+    case Vacuum(id, n, dry) =>
       Some(VacuumTableCommand(parts(id),
-        Option(n).map(_.toInt).getOrElse(1)))
+        Option(n).map(_.toInt).getOrElse(1), dryRun = dry != null))
+    case Restore(id, v, ts) => Some(RestoreTableCommand(parts(id),
+      Option(v).map(_.toInt), Option(ts)))
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
     case Detail(id) => Some(DescribeDetailCommand(parts(id)))
     case BloomIdx(id, c) => Some(CreateBloomIndexCommand(parts(id), c))
@@ -282,15 +289,41 @@ case class RefCommand(parts: Seq[String], verb: String, kind: String,
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` → [[SnapTable.vacuum]]. */
-case class VacuumTableCommand(parts: Seq[String], retain: Int)
-  extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("removed_files", LongType, nullable = false)())
+/** `VACUUM t [RETAIN n VERSIONS] [DRY RUN]` → [[SnapTable.vacuum]] /
+  * [[SnapTable.vacuumPlan]]. DRY RUN lists the would-be-deleted files
+  * and reclaims nothing — the audit before an irreversible verb.
+  */
+case class VacuumTableCommand(parts: Seq[String], retain: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("would_remove", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("removed_files", LongType, nullable = false)())
 
   override def run(s: SparkSession): Seq[Row] = {
     val dir = SnapSqlParser.tableDir(s, parts)
-    Seq(Row(SnapTable.vacuum(dir, retain).toLong))
+    if (dryRun) SnapTable.vacuumPlan(dir, retain).map(Row(_))
+    else Seq(Row(SnapTable.vacuum(dir, retain).toLong))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v | TO TIMESTAMP AS OF 'ts'` →
+  * [[SnapTable.restore]]: rollback as one manifest write.
+  */
+case class RestoreTableCommand(parts: Seq[String], version: Option[Int],
+    timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = SnapSqlParser.tableDir(s, parts)
+    val v = version.getOrElse {
+      val ms = java.sql.Timestamp.valueOf(timestamp.get).getTime
+      SnapTable.versionAsOf(dir, ms)
+    }
+    Seq(Row(v.toLong, SnapTable.restore(s, dir, v).toLong))
   }
 }
 

@@ -1544,6 +1544,138 @@ object SnapTable {
       parent.schemaJson)
   }
 
+  /** Merge-on-read UPDATE: instead of rewriting every file that holds
+    * a match (the CoW shape), ONE commit adds (a) a deletion vector
+    * over the matched positions and (b) fresh files holding the
+    * TRANSFORMED matched rows. Cost is O(matches) — write the updated
+    * rows, not their neighborhoods — against CoW's O(touched files);
+    * the trade is the usual MoR one, a per-read anti-join until
+    * OPTIMIZE. Above `maxPositions` it falls back to a (DV-aware) CoW
+    * rewrite of the touched files, same policy as the MoR delete.
+    * `set` maps column → SQL expression over the PRE-update row;
+    * CHECK constraints and generation expressions validate over the
+    * transformed rows before anything links. NULL-predicate rows are
+    * not updated (SQL UPDATE semantics).
+    */
+  def updateWhereMoR(s: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, String],
+      maxPositions: Long = DvMaxPositions): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' is not in the table schema"))
+    if (parent.files.isEmpty)
+      return commitExclusive(root, parent, Seq.empty, "update-mor",
+        parent.schemaJson)
+    def applySet(rows: DataFrame): DataFrame =
+      rows.select(schema.fieldNames.toIndexedSeq.map(c =>
+        set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
+          .getOrElse(col(c))): _*)
+    val withMeta = readFilesPhysical(s, root, parent.files,
+        parent.schemaJson, parent.colmap, parent.defaults)
+      .withColumn("_dv_path", relPathCol(root))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val undeleted =
+      if (parent.dvs.isEmpty) withMeta
+      else withMeta.join(
+        dvHinted(s, root, parent.dvs)
+          .withColumnRenamed("_dv_path", "_dv_path0")
+          .withColumnRenamed("_dv_row", "_dv_row0"),
+        col("_dv_path") === col("_dv_path0") &&
+          col("_dv_row") === col("_dv_row0"), "left_anti")
+    val matched = toLogical(undeleted, parent.schemaJson, parent.colmap,
+        extra = Seq("_dv_path", "_dv_row"))
+      .filter(predicate)
+      .persist()
+    try {
+      val n = matched.count()
+      if (n == 0L)
+        commitExclusive(root, parent, parent.files, "update-mor",
+          parent.schemaJson)
+      else if (n > maxPositions)
+        updateCowUnderDvs(s, root, parent, predicate,
+          matched.select("_dv_path", "_dv_row"), set, applySet)
+      else {
+        val updated = applySet(matched.drop("_dv_path", "_dv_row"))
+        validateChecks(updated, parent.checks, "updated")
+        validateGenerated(updated, parent.gen, "updated")
+        val touchedFiles =
+          matched.select("_dv_path").distinct().count()
+        val parts = math.min(
+          s.sessionState.conf.numShufflePartitions.toLong,
+          math.max(1L, touchedFiles)).toInt
+        val dvName =
+          "data/dv-" + java.util.UUID.randomUUID().toString.take(8)
+        matched.select("_dv_path", "_dv_row")
+          .repartition(parts, col("_dv_path"))
+          .sortWithinPartitions("_dv_path", "_dv_row")
+          .write.parquet(s"$root/$dvName")
+        val fresh = writeData(s, root,
+          clusterBySpec(updated, parent.spec), parent.statsCol,
+          parent.bucket, parent.colmap, era = parent.version + 1)
+        commitExclusive(root, parent, parent.files ++ fresh,
+          "update-mor", parent.schemaJson,
+          dvs = parent.dvs :+ dvName)
+      }
+    } finally { matched.unpersist(false); () }
+  }
+
+  /** The over-threshold fallback: CoW-rewrite only the files holding a
+    * match, reading survivors through existing DVs, transforming the
+    * matched rows in place.
+    */
+  private def updateCowUnderDvs(s: SparkSession, root: String,
+      parent: Snapshot, predicate: org.apache.spark.sql.Column,
+      marked: DataFrame, set: Map[String, String],
+      applySet: DataFrame => DataFrame): Int = {
+    val touched = marked.select("_dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rootAbs = Paths.get(root).toAbsolutePath
+    def hit(f: FileEntry): Boolean =
+      touched.contains(f.path) || touched.contains(
+        rootAbs.resolve(f.path).normalize().toString)
+    val touchedEntries = parent.files.filter(hit)
+    val carried = parent.files.filterNot(hit)
+    val scan = readFilesPhysical(s, root, touchedEntries,
+        parent.schemaJson, parent.colmap, parent.defaults)
+      .withColumn("_dv_path", relPathCol(root))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val visible =
+      if (parent.dvs.isEmpty) scan
+      else scan.join(
+        dvHinted(s, root, parent.dvs)
+          .withColumnRenamed("_dv_path", "_dv_path0")
+          .withColumnRenamed("_dv_row", "_dv_row0"),
+        col("_dv_path") === col("_dv_path0") &&
+          col("_dv_row") === col("_dv_row0"), "left_anti")
+    val logical = toLogical(visible, parent.schemaJson, parent.colmap,
+      extra = Seq("_dv_path", "_dv_row"))
+      .drop("_dv_path", "_dv_row")
+    val schema = schemaOf(parent.schemaJson)
+    // matched rows transform, the rest of the SAME files copy
+    // verbatim — all SET expressions evaluate over the PRE-update row
+    val rewritten = logical.select(schema.fieldNames.toIndexedSeq
+      .map { c =>
+        set.get(c) match {
+          case Some(e) => when(coalesce(predicate, lit(false)),
+            expr(e).cast(schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val updatedOnly = applySet(logical.filter(predicate))
+    validateChecks(updatedOnly, parent.checks, "updated")
+    validateGenerated(updatedOnly, parent.gen, "updated")
+    val fresh =
+      if (rewritten.isEmpty) Seq.empty
+      else writeData(s, root, clusterBySpec(rewritten, parent.spec),
+        parent.statsCol, parent.bucket, parent.colmap,
+        era = parent.version + 1)
+    commitExclusive(root, parent, carried ++ fresh, "update",
+      parent.schemaJson,
+      dvs = if (carried.isEmpty) Seq.empty else parent.dvs)
+  }
+
   /** Range read with manifest-level file skipping on ANY stats'd column:
     * only files whose [min,max] for `column` overlaps [lo,hi] are scanned
     * (files without stats for it are kept conservatively); the exact
@@ -1962,7 +2094,13 @@ object SnapTable {
     * of data files deleted. Live files are safe by construction — retention
     * is in snapshots, not mtimes.
     */
-  def vacuum(root: String, retainVersions: Int = 1): Int = {
+  /** The liveness scope a vacuum at `retainVersions` would operate
+    * under: (manifest versions kept, live data-file rel paths, live
+    * DV/bloom dirs). Shared by [[vacuum]] and [[vacuumPlan]] so the
+    * dry run can never disagree with the deletion.
+    */
+  private def vacuumScope(root: String, retainVersions: Int)
+      : (Seq[Int], Set[String], Set[String]) = {
     // TAGGED versions are pinned: their manifests and files survive any
     // retention window (drop the tag to release them) — without this a
     // vacuum would silently break every audit pinned to a tag
@@ -1996,6 +2134,36 @@ object SnapTable {
       keep.flatMap { v =>
         val sn = load(root, v); sn.dvs ++ sn.blooms
       }.toSet
+    (keep, live, liveDvDirs)
+  }
+
+  /** DRY RUN: the data files a `vacuum(retainVersions)` would delete,
+    * without deleting anything (manifests included in the count's
+    * scope but only FILES are listed — the audit a human wants before
+    * an irreversible reclaim).
+    */
+  def vacuumPlan(root: String, retainVersions: Int = 1): Seq[String] = {
+    val (_, live, liveDvDirs) = vacuumScope(root, retainVersions)
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    listDir(dataRoot).flatMap { commitDir =>
+      val relDir = Paths.get(root).relativize(commitDir).toString
+      if (liveDvDirs.contains(relDir)) Seq.empty
+      else if (commitDir.getFileName.toString.startsWith("dv-") ||
+          commitDir.getFileName.toString.startsWith("bx-"))
+        listDir(commitDir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => Paths.get(root).relativize(f).toString)
+      else
+        listDir(commitDir)
+          .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+            !live.contains(Paths.get(root).relativize(f).toString))
+          .map(f => Paths.get(root).relativize(f).toString)
+    }.sorted
+  }
+
+  def vacuum(root: String, retainVersions: Int = 1): Int = {
+    val (keep, live, liveDvDirs) = vacuumScope(root, retainVersions)
     versions(root).filterNot(keep.contains).foreach(v =>
       Files.delete(manifestPath(root, v)))
     val dataRoot = Paths.get(root, "data")

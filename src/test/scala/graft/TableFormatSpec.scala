@@ -729,6 +729,55 @@ class TableFormatSpec extends AnyFunSuite {
         "a data file's positions must not straddle DV parts")
   }
 
+  test("MoR update: one O(matches) commit (DV + transformed appends), " +
+      "no touched-file rewrite; oversized falls back to CoW") {
+    val root = freshTable() // 8 range-clustered files of orders
+    val before = SnapTable.load(root, 1)
+    val expect = SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 50 === 0).count()
+    SnapTable.updateWhereMoR(spark, root, col("o_orderkey") % 50 === 0,
+      Map("o_totalprice" -> "o_totalprice + 1000000"))
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.op == "update-mor" && head.dvs.size == 1)
+    // every original file carried forward by reference — only fresh
+    // appended files beyond them
+    assert(before.files.toSet.subsetOf(head.files.toSet),
+      "MoR update must not rewrite a touched file")
+    val r = SnapTable.read(spark, root)
+    assert(r.count() == before.files.map(_.rows).sum, "row count drift")
+    assert(r.filter(col("o_totalprice") > 900000).count() == expect)
+    // a second MoR update stacks (updates previously-updated rows)
+    SnapTable.updateWhereMoR(spark, root, col("o_totalprice") > 900000,
+      Map("o_totalprice" -> "o_totalprice + 1"))
+    assert(SnapTable.read(spark, root)
+      .filter(col("o_totalprice") > 900000).count() == expect)
+    // compact materializes: DVs cleared, content identical
+    val sum0 = SnapTable.read(spark, root)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    SnapTable.compact(spark, root, 4)
+    val headC = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(headC.dvs.isEmpty)
+    assert(SnapTable.read(spark, root)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0) == sum0)
+    // oversized: maxPositions=0 forces the CoW fallback — touched
+    // files leave the list, content stays exact
+    val preCow = SnapTable.load(root, SnapTable.latestVersion(root))
+    SnapTable.updateWhereMoR(spark, root, col("o_orderkey") % 50 === 0,
+      Map("o_totalprice" -> "o_totalprice - 1000001"),
+      maxPositions = 0)
+    val headCow = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(headCow.op == "update" && headCow.dvs.isEmpty)
+    assert(!preCow.files.forall(f => headCow.files.contains(f)),
+      "CoW fallback must rewrite the touched files")
+    assert(SnapTable.read(spark, root)
+      .filter(col("o_orderkey") % 50 === 0 &&
+        col("o_totalprice") > 900000).count() == 0)
+    assert(SnapTable.read(spark, root).count() ==
+      before.files.map(_.rows).sum)
+  }
+
   test("oversized MoR delete falls back to DV-aware copy-on-write") {
     val root = freshTable()
     val o = SnapTable.readVersion(spark, root, 1)
