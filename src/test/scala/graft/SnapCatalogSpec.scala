@@ -142,6 +142,24 @@ class SnapCatalogSpec extends AnyFunSuite {
       "WHERE o_orderkey BETWEEN 1 AND 200").count() == expect)
   }
 
+  test("CREATE TABLE with a column DEFAULT: INSERTs omitting the " +
+      "column take the declared default (metadata rides the schema)") {
+    base // force catalog registration
+    spark.sql("CREATE TABLE snapt.db1.cdef " +
+      "(k BIGINT, tier STRING DEFAULT 'basic')")
+    spark.sql("INSERT INTO snapt.db1.cdef (k) SELECT id FROM range(0, 5)")
+    spark.sql("INSERT INTO snapt.db1.cdef " +
+      "SELECT id, 'pro' FROM range(5, 8)")
+    assert(spark.sql("SELECT * FROM snapt.db1.cdef " +
+      "WHERE tier = 'basic'").count() == 5)
+    assert(spark.sql("SELECT * FROM snapt.db1.cdef " +
+      "WHERE tier = 'pro'").count() == 3)
+    // explicit DEFAULT keyword resolves too
+    spark.sql("INSERT INTO snapt.db1.cdef VALUES (100, DEFAULT)")
+    assert(spark.sql("SELECT * FROM snapt.db1.cdef " +
+      "WHERE k = 100 AND tier = 'basic'").count() == 1)
+  }
+
   test("TIMESTAMP and IN-list predicates prune files from the manifest") {
     val root = s"$base/db1/tsprune"
     // an event-time-clustered table: ts footer stats are INT64 micros
