@@ -32,12 +32,16 @@ import org.apache.spark.util.SerializableConfiguration
   * generated columns are validated over just the epoch's files before
   * the link, like every other append.
   *
+  * Bucketed targets stream too (see the fanout writer below); spec-
+  * clustered targets accept the stream as-is — their new files carry
+  * full-range stats until OPTIMIZE re-clusters (correct, just
+  * unpruned, the usual streaming-ingest trade).
+  *
   * Not supported (fail-fast, restart-shaped like Delta's contracts):
-  * Complete output mode (a streaming TRUNCATE per epoch), bucketed
-  * targets (the layout needs a clustered rewrite per batch — use
-  * foreachBatch + append), generated columns ABSENT from the streamed
-  * frame (nothing can compute them after the executor-side write), and
-  * a column mapping that changes while the stream runs.
+  * Complete output mode (a streaming TRUNCATE per epoch), generated
+  * columns ABSENT from the streamed frame (nothing can compute them
+  * after the executor-side write), and a column mapping or bucket
+  * layout that changes while the stream runs.
   */
 private[sources] class SnapStreamingWrite(root: String,
     schema: StructType, queryId: String) extends StreamingWrite {
@@ -45,10 +49,6 @@ private[sources] class SnapStreamingWrite(root: String,
   private val spark = SparkSession.active
   private val parent0 =
     SnapTable.load(root, SnapTable.latestVersion(root))
-  require(parent0.bucket.isEmpty,
-    "streaming write into a bucketed table is not supported — the " +
-      "layout needs a clustered rewrite per batch; use foreachBatch + " +
-      "append")
   parent0.gen.keys.foreach(c =>
     require(schema.fieldNames.contains(c),
       s"generated column '$c' must be included in the streamed frame " +
@@ -63,6 +63,21 @@ private[sources] class SnapStreamingWrite(root: String,
   private val physSchema = StructType(schema.fields.map(f =>
     f.copy(name = SnapTable.physName(colmapAtStart, f.name))))
 
+  /** BUCKETED targets stream too: the writer FANS OUT per bucket id
+    * (one open file per id per task, the dynamic-partition-write
+    * shape), preserving the one-bucket-per-file invariant storage-
+    * partitioned joins need — with no per-epoch shuffle. More files
+    * per epoch than a clustered batch write, but SPJ groups files BY
+    * ID across any count, and OPTIMIZE consolidates.
+    */
+  private val bucketAtStart: Option[(Int, Int)] = // (field idx, n)
+    parent0.bucket.map { case (bc, n) =>
+      val pc = SnapTable.physName(colmapAtStart, bc)
+      val i = physSchema.fieldNames.indexOf(pc)
+      require(i >= 0, s"bucket column '$bc' must be in the streamed frame")
+      (i, n)
+    }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val (owf, prepared) = ParquetBridge.writerFactory(spark, physSchema,
@@ -73,20 +88,29 @@ private[sources] class SnapStreamingWrite(root: String,
     new SnapStreamingWriterFactory(owf, root,
       s"data/s${SnapTable.latestVersion(root) + 1}-" +
         java.util.UUID.randomUUID().toString.take(8),
-      physSchema, new SerializableConfiguration(prepared))
+      physSchema, new SerializableConfiguration(prepared),
+      bucketAtStart)
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq.collect {
       case SnapWriteMessage(p) =>
-        SnapTable.footerEntry(spark, root, Paths.get(p))
+        SnapTable.footerEntry(spark, root, Paths.get(p)).toSeq
+      case SnapFanoutMessage(ms) =>
+        // each file holds exactly one bucket id — record it as the
+        // [id,id] _gfb stats every bucket-layout consumer keys on
+        ms.flatMap { case SnapBucketWriteMessage(p, id) =>
+          SnapTable.footerEntry(spark, root, Paths.get(p)).map(e =>
+            e.copy(stats = e.stats +
+              (SnapTable.BucketStatsCol -> (id.toLong, id.toLong))))
+        }
     }.flatten.sortBy(_.path)
     // an all-empty epoch commits nothing: replaying it is also empty,
     // so skipping keeps exactly-once without burning a version slot
     if (fresh.nonEmpty)
       SnapTable.streamingEpochCommit(spark, root, fresh, schema,
-        s"snapsink:$queryId:$epochId", colmapAtStart)
+        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket)
     ()
   }
 
@@ -94,18 +118,33 @@ private[sources] class SnapStreamingWrite(root: String,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case SnapWriteMessage(p) => Files.deleteIfExists(Paths.get(p)); ()
+      case SnapFanoutMessage(ms) =>
+        ms.foreach(m => Files.deleteIfExists(Paths.get(m.path))); ()
       case _ => ()
     }
 }
 
-/** One parquet `OutputWriter` per (task, epoch); the epoch id keys the
-  * file path so a factory reused across epochs can never collide, and a
-  * speculative attempt's path differs by taskId (its abort deletes it).
+/** A written file plus the ONE bucket id every row of it carries. */
+private[sources] final case class SnapBucketWriteMessage(path: String,
+  bucketId: Int) extends WriterCommitMessage
+
+/** A batch of commit messages from one fanout task. */
+private[sources] final case class SnapFanoutMessage(
+  msgs: Seq[SnapBucketWriteMessage]) extends WriterCommitMessage
+
+/** One parquet `OutputWriter` per (task, epoch) — or, for a BUCKETED
+  * target, one per (task, epoch, bucket id) with rows routed by the
+  * same murmur3-of-long hash the batch layout uses. The epoch id keys
+  * the file path so a factory reused across epochs can never collide,
+  * and a speculative attempt's path differs by taskId (its abort
+  * deletes it).
   */
 private[sources] class SnapStreamingWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     root: String, dirRel: String, schema: StructType,
-    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+    conf: SerializableConfiguration,
+    bucket: Option[(Int, Int)] = None)
+  extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -116,17 +155,52 @@ private[sources] class SnapStreamingWriterFactory(
       new org.apache.hadoop.mapreduce.TaskAttemptID("graft", 0,
         org.apache.hadoop.mapreduce.TaskType.MAP, partitionId,
         taskId.toInt))
-    val path = s"$dir/part-$partitionId-$taskId${owf.getFileExtension(tac)}"
-    val w = owf.newInstance(path, schema, tac)
-    new DataWriter[InternalRow] {
-      override def write(r: InternalRow): Unit = w.write(r)
-      override def commit(): WriterCommitMessage = {
-        w.close(); SnapWriteMessage(path)
-      }
-      override def abort(): Unit = {
-        w.close(); Files.deleteIfExists(Paths.get(path)); ()
-      }
-      override def close(): Unit = ()
+    val ext = owf.getFileExtension(tac)
+    bucket match {
+      case None =>
+        val path = s"$dir/part-$partitionId-$taskId$ext"
+        val w = owf.newInstance(path, schema, tac)
+        new DataWriter[InternalRow] {
+          override def write(r: InternalRow): Unit = w.write(r)
+          override def commit(): WriterCommitMessage = {
+            w.close(); SnapWriteMessage(path)
+          }
+          override def abort(): Unit = {
+            w.close(); Files.deleteIfExists(Paths.get(path)); ()
+          }
+          override def close(): Unit = ()
+        }
+      case Some((idx, n)) =>
+        new DataWriter[InternalRow] {
+          private val open = scala.collection.mutable.Map.empty[Int,
+            (String, org.apache.spark.sql.execution.datasources
+              .OutputWriter)]
+          private def writerFor(id: Int) =
+            open.getOrElseUpdate(id, {
+              val p = s"$dir/part-$partitionId-$taskId-b$id$ext"
+              (p, owf.newInstance(p, schema, tac))
+            })._2
+          override def write(r: InternalRow): Unit = {
+            // hash(null) is the murmur seed — identical to the batch
+            // layout's pmod(hash(col), n) on a NULL bucket value
+            val id =
+              if (r.isNullAt(idx)) ((42 % n) + n) % n
+              else GraftBucketFunction.bucketId(r.getLong(idx), n)
+            writerFor(id).write(r)
+          }
+          override def commit(): WriterCommitMessage = {
+            open.foreach(_._2._2.close())
+            SnapFanoutMessage(open.toSeq.sortBy(_._1).map {
+              case (id, (p, _)) => SnapBucketWriteMessage(p, id)
+            })
+          }
+          override def abort(): Unit = {
+            open.foreach { case (_, (p, w)) =>
+              w.close(); Files.deleteIfExists(Paths.get(p)); ()
+            }
+          }
+          override def close(): Unit = ()
+        }
     }
   }
 }

@@ -2511,7 +2511,8 @@ object SnapTable {
   private[graft] def streamingEpochCommit(s: SparkSession, root: String,
       fresh: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, txn: String,
-      usedColmap: Map[String, String]): Int = {
+      usedColmap: Map[String, String],
+      usedBucket: Option[(String, Int)] = None): Int = {
     val parent = load(root, latestVersion(root))
     findTxn(root, txn) match {
       case Some(dup) => return dup // epoch already committed
@@ -2524,8 +2525,10 @@ object SnapTable {
         s"column mapping for '$n' changed while the stream ran " +
           "(RENAME/DROP/re-ADD COLUMN) — restart from a fresh checkpoint")
     }
-    require(parent.bucket.isEmpty,
-      "table gained a bucket layout while the stream ran — restart")
+    require(parent.bucket == usedBucket,
+      "the table's bucket layout changed while the stream ran — the " +
+        "epoch's files were routed under the old layout; restart from " +
+        "a fresh checkpoint")
     validateEvolution(parent.schemaJson, schema)
     if (parent.checks.nonEmpty || parent.gen.nonEmpty) {
       parent.gen.keys.foreach(c => require(schema.fieldNames.contains(c),

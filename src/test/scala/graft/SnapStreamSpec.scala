@@ -205,6 +205,67 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(SnapTable.latestVersion(dst) == vBefore)
   }
 
+  test("native sink into a BUCKETED table: fanout writer keeps the " +
+      "one-bucket-per-file invariant, SPJ joins stay zero-shuffle") {
+    val base = Tmp.dir("snapsink_bkt_wh")
+    spark.conf.set("spark.sql.catalog.snapbkt",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapbkt.root", base)
+    val src = Tmp.dir("snapsink_bkt_src")
+    val ckpt = Tmp.dir("snapsink_bkt_ckpt")
+    SnapTable.create(spark, src,
+      (0 until 200).map(k => (k.toLong, s"v$k")).toDF("k", "v"), "k")
+    // the streamed-INTO table is hash-bucketed on k
+    val dst = s"$base/db/bt"
+    SnapTable.createBucketed(spark, dst,
+      spark.range(0).selectExpr("id AS k", "CAST(NULL AS STRING) AS v"),
+      "k", "k", 4)
+    StreamRun.withStateParts(spark) {
+      val q = spark.readStream.format("snapstream").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("snapbkt.db.bt")
+      q.awaitTermination()
+    }
+    // every streamed file carries exactly one bucket id in its stats
+    val head = SnapTable.load(dst, SnapTable.latestVersion(dst))
+    val streamed = head.files.filter(_.path.contains("/s"))
+    assert(streamed.nonEmpty)
+    streamed.foreach { f =>
+      val st = f.stats.get(SnapTable.BucketStatsCol)
+      assert(st.isDefined && st.get._1 == st.get._2,
+        s"${f.path} lacks a single-bucket stat: $st")
+    }
+    assert(spark.table("snapbkt.db.bt").count() == 200)
+    // rows landed in the RIGHT buckets: a co-bucketed SPJ join against
+    // a batch-written twin plans with zero exchanges and agrees
+    val twin = s"$base/db/tw"
+    SnapTable.createBucketed(spark, twin,
+      (0 until 200).map(k => (k.toLong, k * 2L)).toDF("k", "w"),
+      "k", "k", 4)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.take(2).foreach(spark.conf.set(_, "true"))
+    spark.conf.set(keys(2), "-1")
+    spark.conf.set(keys(3), "false")
+    try {
+      val j = spark.sql("SELECT b.k, b.v, t.w FROM snapbkt.db.bt b " +
+        "JOIN snapbkt.db.tw t ON b.k = t.k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("BroadcastExchange"),
+        s"streamed bucket layout must SPJ shuffle-free:\n$plan")
+      assert(j.count() == 200, "mis-routed bucket rows")
+    } finally saved.foreach {
+      case (k, Some(x)) => spark.conf.set(k, x)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("readChangeFeed maintains a view through deletes: signed deltas " +
       "net to the live table") {
     val root = Tmp.dir("snapstream_cdc")
