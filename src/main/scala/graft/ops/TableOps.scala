@@ -1863,6 +1863,58 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_optimize_where",
+      // Partial OPTIMIZE — the operational compaction shape at 100 TB:
+      // `OPTIMIZE t WHERE day BETWEEN a AND b` consolidates ONLY the
+      // files overlapping the range (yesterday's small streaming
+      // files), carries everything else by reference, and keeps
+      // untouched files byte-identical. The op REQUIRES out-of-range
+      // files to survive untouched and in-range small files to shrink
+      // in count, then oracle-checks content identity.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"),
+            (col("o_orderkey") % 30).as("day"))
+        o.createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "day BIGINT) PARTITIONED BY (day)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v " +
+          "WHERE day >= 10") // the "old", already-consolidated region
+        // the "hot" region arrives as many small commits
+        (0 until 5).foreach(i =>
+          s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v " +
+            s"WHERE day = $i OR day = ${i + 5}"))
+        val root = s.conf.get("spark.sql.catalog.snap.root") + s"/main/$t"
+        val before = SnapTable.load(root, SnapTable.latestVersion(root))
+        val cold = before.files.filter(_.stats.get("day")
+          .exists(_._1 >= 10)).toSet
+        val hotN = before.files.size - cold.size
+        graft.sources.SnapSqlParser.runStatement(s,
+          s"OPTIMIZE snap.main.$t INTO 2 FILES WHERE day BETWEEN 0 AND 9")
+        val after = SnapTable.load(root, SnapTable.latestVersion(root))
+        require(cold.subsetOf(after.files.toSet),
+          "partial OPTIMIZE must not touch out-of-range files")
+        val hotAfter = after.files.size - cold.size
+        require(hotAfter < hotN,
+          s"in-range files must consolidate: $hotN -> $hotAfter")
+        s.table(s"snap.main.$t")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("day")
+      },
+      Some(
+        "SELECT o_orderkey % 30 AS day, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY day")
+    ),
+    Q(
       "table_update_mor",
       // Merge-on-read UPDATE: one commit = a deletion vector over the
       // matched positions + fresh files holding the transformed rows —

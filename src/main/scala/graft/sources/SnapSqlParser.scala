@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * one of the three verbs delegates untouched to Spark's parser.
   *
   * {{{
-  *   OPTIMIZE cat.ns.t [INTO n FILES] [ZORDER BY (c1, c2, ...)]
+  *   OPTIMIZE cat.ns.t [INTO n FILES]
+  *     [WHERE c BETWEEN a AND b] [ZORDER BY (c1, c2, ...)]
   *   VACUUM cat.ns.t [RETAIN n VERSIONS] [DRY RUN]
   *   RESTORE TABLE cat.ns.t TO VERSION AS OF v | TO TIMESTAMP AS OF 'ts'
   *   DESCRIBE HISTORY cat.ns.t
@@ -65,6 +66,7 @@ object SnapSqlParser {
   private val Optimize =
     ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
       """(?:\s+INTO\s+(\d+)\s+FILES)?""" +
+      """(?:\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
@@ -97,9 +99,11 @@ object SnapSqlParser {
       if (p.startsWith("`")) p.substring(1, p.length - 1) else p)
 
   private[sources] def route(sql: String): Option[LogicalPlan] = sql match {
-    case Optimize(id, n, z) => Some(OptimizeTableCommand(parts(id),
-      Option(n).map(_.toInt),
-      Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)))
+    case Optimize(id, n, wc, wlo, whi, z) =>
+      Some(OptimizeTableCommand(parts(id),
+        Option(n).map(_.toInt),
+        Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty),
+        Option(wc).map(c => (c, wlo.toLong, whi.toLong))))
     case Vacuum(id, n, dry) =>
       Some(VacuumTableCommand(parts(id),
         Option(n).map(_.toInt).getOrElse(1), dryRun = dry != null))
@@ -156,7 +160,9 @@ object SnapSqlParser {
   * ranges — so each clustered dimension prunes independently afterwards.
   */
 case class OptimizeTableCommand(parts: Seq[String], into: Option[Int],
-    zorder: Seq[String]) extends LeafRunnableCommand {
+    zorder: Seq[String],
+    where: Option[(String, Long, Long)] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("files_before", LongType, nullable = false)(),
@@ -169,7 +175,11 @@ case class OptimizeTableCommand(parts: Seq[String], into: Option[Int],
     val cluster =
       if (zorder.isEmpty) None
       else Some(OptimizeTableCommand.mortonColumn(s, dir, zorder))
-    val v = SnapTable.compact(s, dir, target, cluster)
+    val v = where match {
+      case Some((c, lo, hi)) =>
+        SnapTable.compactWhere(s, dir, c, lo, hi, target, cluster)
+      case None => SnapTable.compact(s, dir, target, cluster)
+    }
     val after = SnapTable.load(dir, v)
     Seq(Row(v.toLong, before.files.size.toLong, after.files.size.toLong))
   }

@@ -637,6 +637,44 @@ object SnapTable {
       defaults = Map.empty)
   }
 
+  /** Partial OPTIMIZE (`OPTIMIZE … WHERE col BETWEEN lo AND hi`): the
+    * operational shape at 100 TB — you compact yesterday's partition,
+    * never the table. Only files whose [min,max] stats OVERLAP the
+    * range (plus files with no stats for the column — they may hold
+    * range rows) are rewritten; everything else is carried by
+    * reference. Touched files read through outstanding DVs (their
+    * MoR debt materializes); carried files keep their DVs live.
+    * Fresh files get incremental bloom-sidecar entries so indexed
+    * lookups keep pruning. Returns the new version.
+    */
+  def compactWhere(s: SparkSession, root: String, column: String,
+      lo: Long, hi: Long, targetFiles: Int,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
+    val parent = load(root, latestVersion(root))
+    val pc = physName(parent.colmap, column)
+    val (touched, carried) = parent.files.partition(f =>
+      f.stats.get(pc).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (touched.isEmpty)
+      return commitExclusive(root, parent, parent.files, "compact",
+        parent.schemaJson)
+    val live = readSnapshot(s, root, parent.copy(files = touched))
+    val keys = clusterBy.map(Seq(_)).getOrElse(
+      (if (parent.spec.nonEmpty) parent.spec
+      else Seq(parent.statsCol)).map(col))
+    val rewritten = live.repartitionByRange(targetFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val fresh = writeData(s, root, rewritten, parent.statsCol,
+      parent.bucket, parent.colmap, era = parent.version + 1)
+    // DV entries for rewritten files go inert (paths leave the list);
+    // carried files' DVs must stay live — cleared only when nothing
+    // is carried. Bloom entries for fresh files stack incrementally.
+    commitExclusive(root, parent, carried ++ fresh, "compact",
+      parent.schemaJson,
+      dvs = if (carried.isEmpty) Seq.empty else parent.dvs,
+      blooms = parent.blooms ++
+        appendBlooms(s, root, parent, fresh, parent.schemaJson))
+  }
+
   /** ALTER TABLE ADD CONSTRAINT: declare a named CHECK (a SQL boolean
     * expression), validating the EXISTING rows first (one scan, as Delta
     * does) — a table can never hold data its own constraints reject.
