@@ -2334,6 +2334,119 @@ object TableOps extends QueryModule {
         "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
           "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_stream_complete",
+      // COMPLETE-mode native sink: a streaming aggregation whose every
+      // epoch REPLACES the table with the full current result — the
+      // streaming MATERIALIZED VIEW over the snapshot format. Each
+      // epoch is one ACID `stream-overwrite` commit (exactly-once via
+      // the (queryId, epochId) txn, like the append sink), so readers
+      // always see one self-consistent aggregate AND can time-travel
+      // to any earlier refresh. At 100 TB the maintained result is
+      // aggregate-sized while the source tail is incremental — the
+      // cheap way to keep a hot rollup fresh over an ingest firehose.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val up = graft.Tmp.dir("graft_cmpl_up")
+        val ckpt = graft.Tmp.dir("graft_cmpl_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderstatus STRING, n BIGINT, cents BIGINT)")
+        val dst = s.conf.get("spark.sql.catalog.snap.root") + s"/main/$t"
+        def refresh(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(up)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long"))
+                .as("cents"))
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"snap.main.$t")
+          q.awaitTermination()
+        }
+        SnapTable.create(s, up,
+          orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+        refresh() // first materialization
+        val v1 = SnapTable.latestVersion(dst)
+        val firstN = s.table(s"snap.main.$t")
+          .agg(sum("n")).collect()(0).getLong(0)
+        SnapTable.append(s, up, orders.filter(col("o_orderkey") % 2 === 1))
+        refresh() // incremental source tail, FULL result replaces
+        val head = SnapTable.load(dst, SnapTable.latestVersion(dst))
+        require(head.op == "stream-overwrite",
+          s"epoch must commit as a replace, got '${head.op}'")
+        require(s.table(s"snap.main.$t")
+          .agg(sum("n")).collect()(0).getLong(0) > firstN,
+          "second refresh must absorb the appended source commit")
+        // the previous refresh stays time-travelable (a version, not a
+        // destructive overwrite)
+        require(SnapTable.readVersion(s, dst, v1)
+          .agg(sum("n")).collect()(0).getLong(0) == firstN,
+          "pre-refresh aggregate must remain readable AS OF its version")
+        s.table(s"snap.main.$t")
+          .select(col("o_orderstatus"), col("n"),
+            (col("cents") / 100).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_stream_v2_read",
+      // NATIVE DSv2 streaming READ: `spark.readStream.table("snap.db.t")`
+      // — the commit-log tail planned as a real MicroBatchStream, which
+      // is what makes Trigger.AvailableNow + maxVersionsPerTrigger drain
+      // a whole backlog in MULTIPLE bounded batches in ONE run (the V1
+      // fallback drained a single capped window). Admission control
+      // bounds every batch; batches read through the same SnapBatchScan
+      // machinery as batch SQL (split/bin-pack, column pruning,
+      // vectorized readers). At 100 TB this is bounded catch-up: a
+      // consumer restarted after a weekend drains n commits as ⌈n/m⌉
+      // executor-sized batches instead of one giant or n unbounded ones.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val sink = graft.Tmp.dir("graft_v2src_sink")
+        val ckpt = graft.Tmp.dir("graft_v2src_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        // a 4-commit backlog before the stream starts
+        (0 until 4).foreach(i =>
+          orders.filter(col("o_orderkey") % 4 === i)
+            .write.mode("append").insertInto(s"snap.main.$t"))
+        graft.StreamRun.withStateParts(s) {
+          val q = s.readStream
+            .option("maxVersionsPerTrigger", "1")
+            .table(s"snap.main.$t")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val batches = java.nio.file.Files.list(
+          java.nio.file.Paths.get(ckpt, "offsets")).count()
+        require(batches >= 3,
+          s"one AvailableNow run must drain the backlog in multiple " +
+            s"rate-limited batches, got $batches")
+        s.read.parquet(sink)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     )
   )
 }

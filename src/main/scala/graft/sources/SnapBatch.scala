@@ -52,7 +52,11 @@ private[graft] class SnapBatchScan(
     dvs: Seq[String] = Seq.empty,
     colmap: Map[String, String] = Map.empty,
     runtimePrunable: Seq[String] = Seq.empty,
-    defaults: Map[String, (String, Int)] = Map.empty)
+    defaults: Map[String, (String, Int)] = Map.empty,
+    streamOptions: Option[org.apache.spark.sql.util
+      .CaseInsensitiveStringMap] = None,
+    filePruner: Seq[SnapTable.FileEntry] => Seq[SnapTable.FileEntry] =
+      identity)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -60,6 +64,22 @@ private[graft] class SnapBatchScan(
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("snap.db.t")` — the native micro-batch
+    * tail of the commit log (see [[SnapMicroBatchStream]]). Available
+    * only through the catalog path, where the reader's options arrive.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val o = streamOptions.getOrElse(
+      throw new UnsupportedOperationException(
+        "streaming read requires the catalog scan path"))
+    new SnapMicroBatchStream(spark, root, required, pushed, filePruner,
+      ignoreChanges = o.getBoolean("ignoreChanges", false),
+      startingVersion = Option(o.get("startingVersion")).map(_.toInt),
+      maxVersionsPerTrigger =
+        Option(o.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 
   /** Runtime (DPP-style) FILE pruning: the layout columns — bucket,
     * partition spec, or the stats/cluster column — are declared

@@ -351,6 +351,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
@@ -368,7 +369,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(root, snap, schema())
+    new SnapScanBuilder(root, snap, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -378,15 +379,15 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
         /** `df.writeStream.toTable("snap.db.t")` — the native
           * exactly-once streaming sink (one ACID append per epoch,
           * idempotent under restart via the (queryId, epochId) txn).
+          * Complete mode arrives here with `truncate()` called: each
+          * epoch then REPLACES the contents in one commit — the
+          * streaming materialized-view shape.
           */
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming
-              .StreamingWrite = {
-          require(!overwrite,
-            "streaming Complete mode is not supported — use append " +
-              "mode, or foreachBatch + INSERT OVERWRITE")
-          new SnapStreamingWrite(root, info.schema(), info.queryId())
-        }
+              .StreamingWrite =
+          new SnapStreamingWrite(root, info.schema(), info.queryId(),
+            replace = overwrite)
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             if (overwrite) {
@@ -488,7 +489,9 @@ private[graft] final case class SnapAggPartition(values: Seq[Option[Long]])
   * parquet reader + codegen still evaluate rows exactly.
   */
 private[graft] class SnapScanBuilder(root: String,
-    snap: SnapTable.Snapshot, full: StructType) extends ScanBuilder
+    snap: SnapTable.Snapshot, full: StructType,
+    options: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -640,6 +643,27 @@ private[graft] class SnapScanBuilder(root: String,
 
   override def pushedFilters(): Array[Filter] = Array.empty
 
+  /** Manifest file pruning from the pushed static predicates — applied
+    * to the snapshot's files at build time, and PER MICRO-BATCH by the
+    * streaming read (each batch's added files prune the same way).
+    * Manifest stats key on PHYSICAL column names; pushed predicates
+    * reference logical ones — map before consulting the entries.
+    */
+  private def pruneByBounds(
+      files: Seq[SnapTable.FileEntry]): Seq[SnapTable.FileEntry] =
+    files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        f.stats.get(SnapTable.physName(snap.colmap, c))
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } &&
+      sBounds.forall { case (c, (lo, hi)) =>
+        f.sstats.get(SnapTable.physName(snap.colmap, c))
+          .forall { case (mn, mx) =>
+            lo.forall(mx >= _) && hi.forall(mn <= _)
+          }
+      }
+    }
+
   override def build(): Scan = {
     agg match {
       case Some(a) =>
@@ -665,20 +689,7 @@ private[graft] class SnapScanBuilder(root: String,
         return new SnapAggScan(names, values)
       case None => ()
     }
-    // manifest stats key on PHYSICAL column names; pushed predicates
-    // reference logical ones — map before consulting the entries
-    val hit = snap.files.filter { f =>
-      bounds.forall { case (c, (lo, hi)) =>
-        f.stats.get(SnapTable.physName(snap.colmap, c))
-          .forall { case (mn, mx) => mx >= lo && mn <= hi }
-      } &&
-      sBounds.forall { case (c, (lo, hi)) =>
-        f.sstats.get(SnapTable.physName(snap.colmap, c))
-          .forall { case (mn, mx) =>
-            lo.forall(mx >= _) && hi.forall(mn <= _)
-          }
-      }
-    }
+    val hit = pruneByBounds(snap.files)
     // EVERY catalog read goes through the native batch scan: it is the
     // only scan shape whose statistics and partitioning the planner
     // actually consults (a V1Scan gets wrapped in Spark's
@@ -694,7 +705,7 @@ private[graft] class SnapScanBuilder(root: String,
       if (snap.spec.nonEmpty) snap.spec else Seq(snap.statsCol))
     new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
       required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap, prunable,
-      snap.defaults)
+      snap.defaults, Some(options), pruneByBounds)
   }
 }
 

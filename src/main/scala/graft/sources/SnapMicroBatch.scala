@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Version offset of the native streaming read: "consumed through table
+  * version v" (0 = nothing consumed yet). The JSON form in the
+  * checkpoint is just the number, so offsets stay human-auditable
+  * against DESCRIBE HISTORY.
+  */
+private[graft] final case class SnapOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** NATIVE DSv2 streaming source over a catalog [[SnapTable]] —
+  * `spark.readStream.table("snap.db.t")`, no format string, no path:
+  *
+  * {{{
+  *   spark.readStream
+  *     .option("maxVersionsPerTrigger", 2)     // admission control
+  *     .table("snap.db.t")
+  *     .writeStream...trigger(Trigger.AvailableNow())...
+  * }}}
+  *
+  * Same tail-the-commit-log semantics as the V1 `snapstream` source
+  * ([[SnapTail]] is shared — full snapshot first, manifest-diff
+  * increments, rewrite guard, `startingVersion`, `ignoreChanges`), but
+  * planned as a real `MicroBatchStream`, which buys what the V1 shape
+  * cannot express:
+  *
+  *  - **`SupportsTriggerAvailableNow`**: the run captures the log head
+  *    at start and drains up to it in MULTIPLE rate-limited batches —
+  *    with `maxVersionsPerTrigger=m` a weekend backlog of n commits
+  *    becomes ⌈n/m⌉ bounded batches in ONE `Trigger.AvailableNow()`
+  *    run, where the V1 fallback drained a single capped window and
+  *    stopped (SURVEY §13.4's known gap, closed here).
+  *  - **`SupportsAdmissionControl`**: rate limiting is a first-class
+  *    planner contract instead of a `getOffset` side effect, and
+  *    commits that land DURING the run are excluded by the captured
+  *    end — the drain provably terminates.
+  *  - **Scan pushdown**: the builder's column pruning and static
+  *    predicates reach every batch — manifest [min,max] file pruning
+  *    applies PER MICRO-BATCH (`pruneFiles`), so a filtered stream
+  *    over a day-clustered table skips non-matching ingest files from
+  *    the driver, and the parquet readers decode only required
+  *    columns. The V1 source always emitted full-schema batches.
+  *
+  * Batches read through the same machinery as batch scans
+  * ([[SnapBatchScan]]'s split/bin-pack partitioning and vectorized
+  * parquet readers, column mapping and initial-default fill included),
+  * so streaming inherits every reader-side invariant from one code
+  * path. The change feed (`readChangeFeed`) stays on the V1 source —
+  * its signed union is a DataFrame-level shape.
+  *
+  * Restart contract: schema, column mapping and defaults are captured
+  * when the stream is created; a mapping or defaults change while the
+  * stream runs fails the batch (restart from a fresh checkpoint), like
+  * Delta and the V1 twin.
+  */
+private[graft] class SnapMicroBatchStream(
+    spark: SparkSession, root: String,
+    required: StructType, pushed: Seq[Filter],
+    pruneFiles: Seq[SnapTable.FileEntry] => Seq[SnapTable.FileEntry],
+    ignoreChanges: Boolean, startingVersion: Option[Int],
+    maxVersionsPerTrigger: Option[Int])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val snapAtStart =
+    SnapTable.load(root, SnapTable.latestVersion(root))
+
+  /** `Trigger.AvailableNow`: the end of THIS run, captured once —
+    * batches drain up to it and no further, so commits landing during
+    * the drain can't keep it alive forever.
+    */
+  @volatile private var preparedEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    preparedEnd = Some(SnapTable.latestVersion(root))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset =
+    SnapOffset(startingVersion
+      .flatMap(sv => SnapTail.baseBelow(root, sv)).getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapOffset(json.trim.toInt)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val floor = start.asInstanceOf[SnapOffset].v
+    val hardEnd = preparedEnd
+      .map(e => math.min(e, SnapTable.latestVersion(root)))
+      .getOrElse(SnapTable.latestVersion(root))
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) =>
+        // cap to an EXISTING slot ≤ floor+m (the log may have gaps:
+        // orphaned txn slots, vacuumed versions); an empty window
+        // degrades to no throttle rather than a phantom offset
+        SnapTable.versions(root)
+          .filter(v => v <= floor + m && v <= hardEnd)
+          .lastOption.getOrElse(hardEnd)
+      case None => hardEnd
+    }
+    SnapOffset(math.max(floor, capped))
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapOffset].v
+    val endV = end.asInstanceOf[SnapOffset].v
+    val endSnap = SnapTable.load(root, endV)
+    require(endSnap.colmap == snapAtStart.colmap,
+      "streaming read: the table's column mapping changed while the " +
+        "stream ran (RENAME/DROP/re-ADD COLUMN) — restart from a fresh " +
+        "checkpoint to adopt the new schema")
+    require(endSnap.defaults == snapAtStart.defaults,
+      "streaming read: the table's initial column defaults changed " +
+        "while the stream ran (ADD COLUMN ... DEFAULT) — restart from " +
+        "a fresh checkpoint to adopt the new schema")
+    val files = SnapTail.addedBetween(root,
+      if (from == 0) None else Some(from), endV, ignoreChanges)
+    // the batch plans through the SAME scan machinery as batch reads:
+    // static-predicate manifest pruning over just this batch's files,
+    // then byte-range split + bin-pack into byte-targeted partitions
+    batchScan(pruneFiles(files)).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    batchScan(Seq.empty).createReaderFactory()
+
+  /** A per-batch [[SnapBatchScan]] under the CAPTURED schema/mapping/
+    * defaults. `dvs` is always empty: a DV-bearing history either
+    * refused the tail (default) or reads file contents wholesale
+    * (`ignoreChanges`, at-least-once — the documented V1 contract).
+    * `bucket` is None — a micro-batch is an ingest increment, not the
+    * keyed whole table, so it must not claim KeyGroupedPartitioning.
+    */
+  private def batchScan(files: Seq[SnapTable.FileEntry]): SnapBatchScan =
+    new SnapBatchScan(spark, root, files, snapAtStart.schemaJson,
+      required, pushed, None, Seq.empty, snapAtStart.colmap, Seq.empty,
+      snapAtStart.defaults)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

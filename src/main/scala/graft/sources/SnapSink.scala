@@ -37,14 +37,22 @@ import org.apache.spark.util.SerializableConfiguration
   * full-range stats until OPTIMIZE re-clusters (correct, just
   * unpruned, the usual streaming-ingest trade).
   *
+  * Complete output mode streams too (`replace = true`): each epoch
+  * REPLACES the table with the full streamed result in one commit —
+  * the streaming materialized-view shape (`df.groupBy(...).agg(...)
+  * .writeStream.outputMode("complete").toTable(...)`), with history
+  * and time travel across epochs for free. Empty epochs commit in
+  * replace mode (the result genuinely became empty) but are skipped
+  * in append mode (nothing to add).
+  *
   * Not supported (fail-fast, restart-shaped like Delta's contracts):
-  * Complete output mode (a streaming TRUNCATE per epoch), generated
-  * columns ABSENT from the streamed frame (nothing can compute them
-  * after the executor-side write), and a column mapping or bucket
-  * layout that changes while the stream runs.
+  * generated columns ABSENT from the streamed frame (nothing can
+  * compute them after the executor-side write), and a column mapping
+  * or bucket layout that changes while the stream runs.
   */
 private[sources] class SnapStreamingWrite(root: String,
-    schema: StructType, queryId: String) extends StreamingWrite {
+    schema: StructType, queryId: String,
+    replace: Boolean = false) extends StreamingWrite {
 
   private val spark = SparkSession.active
   private val parent0 =
@@ -106,9 +114,13 @@ private[sources] class SnapStreamingWrite(root: String,
               (SnapTable.BucketStatsCol -> (id.toLong, id.toLong))))
         }
     }.flatten.sortBy(_.path)
-    // an all-empty epoch commits nothing: replaying it is also empty,
-    // so skipping keeps exactly-once without burning a version slot
-    if (fresh.nonEmpty)
+    if (replace)
+      // Complete mode: the epoch IS the whole result — even empty
+      SnapTable.streamingEpochReplace(spark, root, fresh, schema,
+        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket)
+    // an all-empty append epoch commits nothing: replaying it is also
+    // empty, so skipping keeps exactly-once without burning a version
+    else if (fresh.nonEmpty)
       SnapTable.streamingEpochCommit(spark, root, fresh, schema,
         s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket)
     ()

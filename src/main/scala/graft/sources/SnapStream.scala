@@ -234,6 +234,24 @@ class SnapStreamSource(ctx: SQLContext, root: String,
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  private def addedBetween(from: Option[Int],
+      to: Int): Seq[SnapTable.FileEntry] =
+    SnapTail.addedBetween(root, from, to, ignoreChanges)
+
+  private def baseBelow(v: Int): Option[Int] =
+    SnapTail.baseBelow(root, v)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The tail-diff arithmetic both streaming read paths share (the V1
+  * `snapstream` source above and the native DSv2
+  * [[SnapMicroBatchStream]]): which files a consumed-version window
+  * delivers, and which histories refuse to tail.
+  */
+private[sources] object SnapTail {
+
   /** Files added between snapshot `from` and snapshot `to`, as a
     * HEAD-TO-HEAD manifest diff (files(to) minus files(from)) — not a
     * per-intermediate-version walk. That makes the batch a pure function
@@ -243,9 +261,10 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     * form instead of emitting stale rows. The rewrite guard compares the
     * same two endpoints: a file of `from` missing in `to` means history
     * was rewritten, which needs `ignoreChanges` to stream through.
+    * `from = None` is the initial load: the whole snapshot at `to`.
     */
-  private def addedBetween(from: Option[Int],
-      to: Int): Seq[SnapTable.FileEntry] = {
+  def addedBetween(root: String, from: Option[Int], to: Int,
+      ignoreChanges: Boolean): Seq[SnapTable.FileEntry] = {
     val fromFiles = from match {
       case None => Seq.empty[SnapTable.FileEntry]
       case Some(v) =>
@@ -281,9 +300,6 @@ class SnapStreamSource(ctx: SQLContext, root: String,
     * then the base is the empty table): the changes-only anchor for
     * `startingVersion`, tolerant of vacuumed/skipped slots below it.
     */
-  private def baseBelow(v: Int): Option[Int] =
+  def baseBelow(root: String, v: Int): Option[Int] =
     SnapTable.versions(root).filter(_ < v).lastOption
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }

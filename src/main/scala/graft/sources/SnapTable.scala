@@ -2579,6 +2579,62 @@ object SnapTable {
       freshBlooms = appendBlooms(s, root, parent, fresh, schema.json))
   }
 
+  /** COMPLETE-mode epoch commit for the native streaming sink: each
+    * epoch REPLACES the table's contents with the full streamed result
+    * (a transactional TRUNCATE + append in one commit — the streaming
+    * form of INSERT OVERWRITE). Exactly-once falls out the same way as
+    * the append epochs: a replayed epoch resolves to its recorded txn
+    * version and links nothing. Unlike append epochs, an EMPTY epoch
+    * still commits — in Complete mode the epoch's output IS the whole
+    * result, and an empty result means an empty table.
+    *
+    * The replacement list is independent of the parent's files, so a
+    * lost commit race retries against the new head (re-validating the
+    * mapping/bucket/evolution guards) instead of aborting. Outstanding
+    * DVs die with the files they annotate; bloom sidecars are rebuilt
+    * over just the epoch's files (the old sidecars cover dropped files
+    * — carrying them would be dead weight on every probe).
+    */
+  private[graft] def streamingEpochReplace(s: SparkSession, root: String,
+      fresh: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType, txn: String,
+      usedColmap: Map[String, String],
+      usedBucket: Option[(String, Int)] = None): Int = {
+    while (true) {
+      findTxn(root, txn) match {
+        case Some(dup) => return dup // epoch already committed
+        case None => ()
+      }
+      val parent = load(root, latestVersion(root))
+      schema.fieldNames.foreach { n =>
+        require(physName(parent.colmap, n) == physName(usedColmap, n),
+          s"column mapping for '$n' changed while the stream ran " +
+            "(RENAME/DROP/re-ADD COLUMN) — restart from a fresh checkpoint")
+      }
+      require(parent.bucket == usedBucket,
+        "the table's bucket layout changed while the stream ran — the " +
+          "epoch's files were routed under the old layout; restart from " +
+          "a fresh checkpoint")
+      validateEvolution(parent.schemaJson, schema)
+      if (fresh.nonEmpty && (parent.checks.nonEmpty || parent.gen.nonEmpty)) {
+        parent.gen.keys.foreach(c => require(schema.fieldNames.contains(c),
+          s"generated column '$c' must be included in the streamed frame"))
+        val df = readFiles(s, root, fresh, schema.json, parent.colmap)
+        validateChecks(df, parent.checks, "incoming stream epoch")
+        validateGenerated(df, parent.gen, "incoming stream epoch")
+      }
+      try {
+        return commitExclusive(root, parent, fresh, "stream-overwrite",
+          widenNullability(parent, schema).json, dvs = Seq.empty,
+          txn = Some(txn),
+          blooms = appendBlooms(s, root, parent, fresh, schema.json))
+      } catch {
+        case _: ConcurrentCommitException => () // head moved; re-validate
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Commit for snapshot-TRANSFORMING ops (merge / delete / compact /
     * restore): the file list is a function of `parent` specifically, so a
     * head that moved invalidates it — blind retry would drop the

@@ -266,6 +266,139 @@ class SnapStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("native readStream.table (DSv2): AvailableNow + " +
+      "maxVersionsPerTrigger drains the WHOLE backlog in multiple " +
+      "rate-limited batches in one run, then resumes incrementally") {
+    val base = Tmp.dir("snapv2src_wh")
+    spark.conf.set("spark.sql.catalog.snapv2",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapv2.root", base)
+    val dst = s"$base/db/s"
+    val sink = Tmp.dir("snapv2src_sink")
+    val ckpt = Tmp.dir("snapv2src_ckpt")
+    // a 5-commit backlog before the stream ever starts
+    SnapTable.create(spark, dst, df(0 until 4, "v1"), "k")
+    (1 until 5).foreach(i =>
+      SnapTable.append(spark, dst, df(i * 4 until (i + 1) * 4, s"v${i + 1}")))
+    def drainTable(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("snapv2.db.s")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainTable()
+    // the V1 fallback drained ONE capped window per run; the native
+    // MicroBatchStream must drain the entire captured backlog
+    assert(sunk(sink).map(_._1) == (0L until 20L),
+      "one AvailableNow run must drain the whole backlog")
+    // ...and in RATE-LIMITED batches: one committed offset per consumed
+    // version window (first batch = snapshot at v1, then v2..v5)
+    val batches = java.nio.file.Files.list(
+      java.nio.file.Paths.get(ckpt, "offsets")).count()
+    assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
+    // incremental resume: a later commit arrives alone
+    SnapTable.append(spark, dst, df(20 until 23, "v6"))
+    drainTable()
+    assert(sunk(sink).map(_._1) == (0L until 23L), "lost or duplicated")
+    // no new commits: no spurious batches
+    drainTable()
+    assert(sunk(sink).map(_._1) == (0L until 23L))
+  }
+
+  test("native readStream.table: column pruning reaches the batch " +
+      "readers, and a rewriting commit fails the tail like the V1 twin") {
+    val base = Tmp.dir("snapv2prj_wh")
+    spark.conf.set("spark.sql.catalog.snapv2b",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapv2b.root", base)
+    val dst = s"$base/db/p"
+    SnapTable.create(spark, dst, df(0 until 10, "v1"), "k")
+    val name = s"snapv2_prj_${System.nanoTime()}"
+    StreamRun.withStateParts(spark) {
+      val q = spark.readStream.table("snapv2b.db.p")
+        .select($"k") // projection must prune the scan, not just rows
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(spark.table(name).as[Long].collect().toSeq.sorted
+      == (0L until 10L))
+    // rewrite guard: a delete between runs fails the next batch
+    SnapTable.deleteWhere(spark, dst, col("k") < 3)
+    val ckpt2 = Tmp.dir("snapv2prj_ckpt2")
+    val sink2 = Tmp.dir("snapv2prj_sink2")
+    StreamRun.withStateParts(spark) { // fresh checkpoint: snapshot ok
+      val q = spark.readStream.table("snapv2b.db.p")
+        .writeStream.format("parquet").option("path", sink2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    SnapTable.deleteWhere(spark, dst, col("k") >= 8)
+    val e = intercept[StreamingQueryException] {
+      StreamRun.withStateParts(spark) {
+        val q = spark.readStream.table("snapv2b.db.p")
+          .writeStream.format("parquet").option("path", sink2)
+          .option("checkpointLocation", ckpt2)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    assert(e.getCause.getMessage.contains("rewritten, not appended"))
+  }
+
+  test("Complete-mode native sink: each epoch REPLACES the table in one " +
+      "commit, history stays time-travelable, replayed epochs are no-ops") {
+    val base = Tmp.dir("snapsink_cmpl_wh")
+    spark.conf.set("spark.sql.catalog.snapcmpl",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapcmpl.root", base)
+    val src = Tmp.dir("snapsink_cmpl_src")
+    val ckpt = Tmp.dir("snapsink_cmpl_ckpt")
+    SnapTable.create(spark, src, df(0 until 10, "a"), "k")
+    spark.sql("CREATE TABLE snapcmpl.db.t (v STRING, n BIGINT)")
+    val dst = s"$base/db/t"
+    def refresh(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream.format("snapstream").load(src)
+        .groupBy($"v").agg(count(lit(1)).as("n"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .toTable("snapcmpl.db.t")
+      q.awaitTermination()
+    }
+    refresh()
+    assert(spark.table("snapcmpl.db.t").as[(String, Long)]
+      .collect().toSeq.sorted == Seq(("a", 10L)))
+    val v1 = SnapTable.latestVersion(dst)
+    // second epoch replaces, not appends: the old group's count UPDATES
+    SnapTable.append(spark, src, df(10 until 15, "a"))
+    SnapTable.append(spark, src, df(15 until 18, "b"))
+    refresh()
+    assert(spark.table("snapcmpl.db.t").as[(String, Long)]
+      .collect().toSeq.sorted == Seq(("a", 15L), ("b", 3L)),
+      "epoch must replace the previous result wholesale")
+    val head = SnapTable.load(dst, SnapTable.latestVersion(dst))
+    assert(head.op == "stream-overwrite")
+    assert(head.txn.exists(_.startsWith("snapsink:")))
+    // the first materialization remains readable AS OF its version
+    assert(SnapTable.readVersion(spark, dst, v1).as[(String, Long)]
+      .collect().toSeq == Seq(("a", 10L)))
+    // replayed epoch (crash between commit and checkpoint ack): the
+    // txn resolves to the recorded version — nothing is replaced twice
+    val v = SnapTable.streamingEpochReplace(spark, dst, Seq.empty,
+      spark.table("snapcmpl.db.t").schema, head.txn.get, head.colmap)
+    assert(v == head.version, "replay must resolve to the recorded commit")
+    assert(spark.table("snapcmpl.db.t").count() == 2)
+    // no new source data: no epoch, no spurious version
+    val vBefore = SnapTable.latestVersion(dst)
+    refresh()
+    assert(SnapTable.latestVersion(dst) == vBefore)
+  }
+
   test("readChangeFeed maintains a view through deletes: signed deltas " +
       "net to the live table") {
     val root = Tmp.dir("snapstream_cdc")
