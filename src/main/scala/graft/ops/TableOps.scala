@@ -2398,6 +2398,55 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_clone_defaults",
+      // Shallow clone of a DEFAULTS-BEARING snapshot with NO
+      // compact-first step: initial-default thresholds live in the ERA
+      // space (a monotone watermark, `eraHi`) that the clone inherits,
+      // so clone-side writes stamp strictly above every carried
+      // threshold even though the clone's version numbering restarts at
+      // 1. Carried pre-add files keep filling the default; clone-era
+      // explicit NULLs stay NULL. At 100 TB this matters because the
+      // alternative was rewriting the whole table (OPTIMIZE) before
+      // every zero-copy fork of a table that ever took an
+      // ADD COLUMN DEFAULT.
+      (s, dir) => {
+        val src = graft.Tmp.dir("graft_clonedef_src")
+        val dst = graft.Tmp.dir("graft_clonedef_dst") + "/t"
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        SnapTable.create(s, src,
+          o.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(2, col("o_orderkey")), "o_orderkey")
+        SnapTable.append(s, src, o.filter(col("o_orderkey") % 3 === 1))
+        // v3: the added column back-fills every pre-add row with 5
+        SnapTable.addColumn(src, "priority",
+          org.apache.spark.sql.types.LongType, Some("5"))
+        SnapTable.clone(s, src, dst)
+        // clone-side append: explicit priorities (NULL for every 7th)
+        SnapTable.append(s, dst, o.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("priority",
+            when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+              .otherwise(lit(1L))))
+        SnapTable.read(s, dst)
+          .groupBy(coalesce(col("priority"), lit(-1L)).as("priority"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("priority")
+      },
+      Some(
+        "WITH t AS (" +
+          "SELECT o_orderkey, o_totalprice, 5 AS priority FROM orders " +
+          "WHERE o_orderkey % 3 IN (0, 1) " +
+          "UNION ALL " +
+          "SELECT o_orderkey, o_totalprice, " +
+          "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 1 END " +
+          "FROM orders WHERE o_orderkey % 3 = 2) " +
+          "SELECT CAST(coalesce(priority, -1) AS BIGINT) AS priority, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM t GROUP BY 1 ORDER BY priority")
+    ),
+    Q(
       "table_stream_v2_read",
       // NATIVE DSv2 streaming READ: `spark.readStream.table("snap.db.t")`
       // — the commit-log tail planned as a real MicroBatchStream, which

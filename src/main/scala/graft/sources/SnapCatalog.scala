@@ -401,7 +401,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
               val fresh = SnapTable.writeData(data.sparkSession, root,
                 SnapTable.clusterBySpec(data, parent.spec),
                 parent.statsCol, parent.bucket,
-                era = parent.version + 1)
+                era = SnapTable.eraHiOf(parent) + 1)
               SnapTable.commitExclusive(root, parent, fresh, "overwrite",
                 parent.schemaJson)
             } else SnapTable.append(data.sparkSession, root, data)

@@ -171,7 +171,7 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
   // era-stamped like every data dir (see SnapTable.writeData): rows a
   // row-level rewrite lands hold EXPLICIT values for every column of
   // the write schema, so initial defaults must not re-fill them
-  private val dirName = s"c${parent.version + 1}-" +
+  private val dirName = s"c${SnapTable.eraHiOf(parent) + 1}-" +
     java.util.UUID.randomUUID().toString.take(8)
   private val dir = Paths.get(root, "data", dirName)
 

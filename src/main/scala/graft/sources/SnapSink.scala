@@ -92,9 +92,11 @@ private[sources] class SnapStreamingWrite(root: String,
       spark.sessionState.newHadoopConf())
     // era-stamped dir (initial-default boundary): epochs write explicit
     // values for every streamed column; a concurrent ADD COLUMN lands
-    // strictly later and its default applies only below its version
+    // strictly later and its default applies only above this era (the
+    // epoch commits refuse a defaults map that changed mid-stream)
     new SnapStreamingWriterFactory(owf, root,
-      s"data/s${SnapTable.latestVersion(root) + 1}-" +
+      s"data/s${SnapTable.eraHiOf(SnapTable.load(root,
+        SnapTable.latestVersion(root))) + 1}-" +
         java.util.UUID.randomUUID().toString.take(8),
       physSchema, new SerializableConfiguration(prepared),
       bucketAtStart)
@@ -117,12 +119,14 @@ private[sources] class SnapStreamingWrite(root: String,
     if (replace)
       // Complete mode: the epoch IS the whole result — even empty
       SnapTable.streamingEpochReplace(spark, root, fresh, schema,
-        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket)
+        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket,
+        parent0.defaults)
     // an all-empty append epoch commits nothing: replaying it is also
     // empty, so skipping keeps exactly-once without burning a version
     else if (fresh.nonEmpty)
       SnapTable.streamingEpochCommit(spark, root, fresh, schema,
-        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket)
+        s"snapsink:$queryId:$epochId", colmapAtStart, parent0.bucket,
+        parent0.defaults)
     ()
   }
 

@@ -183,7 +183,23 @@ object SnapTable {
       colmap: Map[String, String] = Map.empty,
       dead: Seq[String] = Seq.empty,
       filesFrom: Int = 0,
-      defaults: Map[String, (String, Int)] = Map.empty)
+      defaults: Map[String, (String, Int)] = Map.empty,
+      eraHi: Int = 0)
+
+  /** The table's ERA high-water mark: a monotone counter the next write
+    * stamps into its data-dir name, and initial-default thresholds
+    * compare against. Historically the era WAS the version number
+    * (every write stamped parent.version + 1), so legacy manifests
+    * without the field read as `eraHi = version` — bitwise-identical
+    * behavior for linear histories. Tracking it separately is what
+    * frees the era space from the VERSION space: a shallow clone (whose
+    * log restarts at v1) carries the source's `eraHi` forward, so
+    * clone-side writes stamp ABOVE every carried threshold instead of
+    * colliding with it — defaults-bearing snapshots clone without a
+    * compact-first step.
+    */
+  private[sources] def eraHiOf(s: Snapshot): Int =
+    math.max(s.eraHi, s.version)
 
   /** Physical (on-file) name of a logical column under a column
     * mapping — identity unless renamed.
@@ -380,7 +396,7 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket, cm, era = parent.version + 1)
+      parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
     commitAppend(root, parent, fresh, df.schema, txn = None,
       freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json),
       colmap = cm)
@@ -404,7 +420,7 @@ object SnapTable {
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
     val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-      parent.statsCol, parent.bucket, cm, era = parent.version + 1)
+      parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
     val bx = appendBlooms(s, root, parent, fresh, df.schema.json)
     val widened = widenNullability(parent, df.schema)
     var v = latestVersion(root) + 1
@@ -442,7 +458,7 @@ object SnapTable {
         if (incoming.isEmpty) Seq.empty
         else writeData(s, root, clusterBySpec(incoming, parent.spec),
           parent.statsCol, parent.bucket, parent.colmap,
-          era = parent.version + 1)
+          era = eraHiOf(parent) + 1)
       return commitExclusive(root, parent, fresh, "merge",
         parent.schemaJson, txn = txn)
     }
@@ -479,7 +495,7 @@ object SnapTable {
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(rewrite, parent.spec),
         parent.statsCol, parent.bucket, parent.colmap,
-        era = parent.version + 1)
+        era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "merge",
       parent.schemaJson,
       dvs = if (carried.isEmpty) Seq.empty else parent.dvs, txn = txn)
@@ -523,7 +539,7 @@ object SnapTable {
         validateChecks(df, parent.checks, "incoming")
         val cm = widenColmap(parent, df.schema)
         val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
-          parent.statsCol, parent.bucket, cm, era = parent.version + 1)
+          parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
           freshBlooms =
             appendBlooms(s, root, parent, fresh, df.schema.json),
@@ -566,10 +582,10 @@ object SnapTable {
           .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
-      parent.bucket, parent.colmap, era = parent.version + 1)
+      parent.bucket, parent.colmap, era = eraHiOf(parent) + 1)
     // the rewrite MATERIALIZED every initial default (it read through
     // the fill), so the defaults map is cleared — steady state after
-    // OPTIMIZE is a defaults-free table (what clone/branch need)
+    // OPTIMIZE is a defaults-free table
     commitExclusive(root, parent, fresh, "compact", parent.schemaJson,
       dvs = Seq.empty, blooms = rebuildBlooms(s, root, parent, fresh),
       defaults = Map.empty)
@@ -614,7 +630,7 @@ object SnapTable {
       val n = s.sessionState.conf.numShufflePartitions
       val fresh = writeData(s, root,
         live.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*),
-        parent.statsCol, None, parent.colmap, era = parent.version + 1)
+        parent.statsCol, None, parent.colmap, era = eraHiOf(parent) + 1)
       return commitExclusive(root, parent, fresh, "rebucket",
         parent.schemaJson, dvs = Seq.empty,
         blooms = rebuildBlooms(s, root, parent, fresh), dropBucket = true,
@@ -627,7 +643,7 @@ object SnapTable {
         "(the bucket transform hash is pinned to murmur3-of-long)")
     val b = Some((bucketCol, numBuckets))
     val fresh = writeData(s, root, live, parent.statsCol, b,
-      parent.colmap, era = parent.version + 1)
+      parent.colmap, era = eraHiOf(parent) + 1)
     // a bucket layout supersedes a range spec (they are mutually
     // exclusive — the manifest must not claim a clustering the
     // bucket-grouped files no longer have)
@@ -664,7 +680,7 @@ object SnapTable {
     val rewritten = live.repartitionByRange(targetFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
     val fresh = writeData(s, root, rewritten, parent.statsCol,
-      parent.bucket, parent.colmap, era = parent.version + 1)
+      parent.bucket, parent.colmap, era = eraHiOf(parent) + 1)
     // DV entries for rewritten files go inert (paths leave the list);
     // carried files' DVs must stay live — cleared only when nothing
     // is carried. Bloom entries for fresh files stack incrementally.
@@ -721,7 +737,9 @@ object SnapTable {
         if (phys == name) parent.colmap else parent.colmap + (name -> phys),
       defaults = default match {
         case Some(d) =>
-          parent.defaults + (name -> (d, parent.version + 1))
+          // threshold in ERA space (== this commit's eraHi): every
+          // existing file's era sits below it, every later write above
+          parent.defaults + (name -> (d, eraHiOf(parent) + 1))
         case None => null // inherit
       })
   }
@@ -961,15 +979,6 @@ object SnapTable {
       version: Int = -1): Int = {
     val v = if (version > 0) version else latestVersion(srcRoot)
     val snap = load(srcRoot, v)
-    // initial defaults compare file ERAS against the source's version
-    // numbers; the clone restarts numbering at 1, so its future writes
-    // would stamp eras below the source's addedAt and mis-fill their
-    // explicit NULLs. OPTIMIZE materializes the defaults and clears the
-    // map — then the clone is era-space clean.
-    require(snap.defaults.isEmpty,
-      "cannot shallow-clone a snapshot with outstanding initial column " +
-        "defaults (version spaces would collide) — compact() the source " +
-        "first to materialize them")
     Files.createDirectories(Paths.get(dstRoot, "_log"))
     // re-point entries at the source's data dir, relative to the clone
     // root (the table stays relocatable as a UNIT with its source)
@@ -1002,10 +1011,18 @@ object SnapTable {
     // file paths that can never match the clone's re-based paths, so a
     // carried index would cover nothing (files without entries are always
     // read — correct, just unpruned; re-index the clone to restore it).
+    // initial defaults carry: thresholds live in the ERA space, and the
+    // clone adopts the source's era watermark (`eraHi`) — its own
+    // writes stamp strictly above every carried threshold even though
+    // its VERSION numbering restarts at 1, so a defaults-bearing
+    // snapshot clones with no compact-first step. Carried files keep
+    // their source-era dir names, so their fill decisions are
+    // unchanged from the source's.
     if (!tryLink(dstRoot, Snapshot(1, "clone", snap.statsCol,
         snap.schemaJson, files, None, snap.spec, dvs, snap.checks,
         bucket = snap.bucket, gen = snap.gen, colmap = snap.colmap,
-        dead = snap.dead)))
+        dead = snap.dead, defaults = snap.defaults,
+        eraHi = eraHiOf(snap))))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -1142,11 +1159,6 @@ object SnapTable {
   def publishBranch(s: SparkSession, root: String, name: String): Int = {
     val b = branchRoot(root, name)
     val bHead = load(b, latestVersion(b))
-    // branch files carry BRANCH-space era stamps; a default added on
-    // main since the fork would compare against them wrongly
-    require(load(root, latestVersion(root)).defaults.isEmpty,
-      s"cannot publish into a table with outstanding initial column " +
-        "defaults — compact() main to materialize them first")
     require(bHead.dvs.isEmpty,
       s"publish of branch '$name' with outstanding merge-on-read " +
         "deletes would lose them in the re-link — compact() the branch " +
@@ -1174,11 +1186,18 @@ object SnapTable {
       // dvs: the published FILE LIST is the branch's (verified DV-free
       // above); inheriting main's head DVs would carry stale dirs whose
       // entries reference files no longer in the snapshot — a wasted
-      // per-read anti-join that vacuum then keeps alive forever
+      // per-read anti-join that vacuum then keeps alive forever.
+      // defaults: the branch's (the published snapshot IS the branch
+      // head — both lineages share one era space, the branch forked
+      // with main's watermark, so its thresholds read correctly here);
+      // eraHi joins the two watermarks so main's next write stamps
+      // above everything either lineage ever wrote
       commitExclusive(root, head, sharedMapped ++ freshMapped, "publish",
         bHead.schemaJson, statsCol = bHead.statsCol, spec = bHead.spec,
         dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen,
-        colmap = bHead.colmap, dead = bHead.dead)
+        colmap = bHead.colmap, dead = bHead.dead,
+        defaults = bHead.defaults,
+        eraHi = math.max(eraHiOf(head), eraHiOf(bHead)) + 1)
     else {
       val transforms = versions(b).map(v => load(b, v).op)
         .filterNot(op => op == "clone" || op == "append").distinct
@@ -1187,9 +1206,20 @@ object SnapTable {
           s"fork v$fork but main is at v${head.version} — those " +
           "rewrites are stale against the moved head; re-branch from " +
           "the current head and re-run the transforms")
+      // REBASE onto a moved main: the branch's files were era-stamped
+      // in the branch's lineage, which is concurrent with — not ordered
+      // against — defaults main gained since the fork; their fill
+      // decisions would be arbitrary. Refuse exactly that overlap.
+      require(head.defaults == load(root, fork).defaults,
+        s"cannot rebase-publish branch '$name': main gained or changed " +
+          "initial column defaults since fork v" + fork + " — the " +
+          "branch's files are concurrent with the column add, so the " +
+          "default/explicit boundary is undefined for them; re-branch " +
+          "from the current head")
       validateEvolution(head.schemaJson, schemaOf(bHead.schemaJson))
       commitAppend(root, head, freshMapped, schemaOf(bHead.schemaJson),
-        txn = Some(s"publish:$name:${bHead.version}"))
+        txn = Some(s"publish:$name:${bHead.version}"),
+        eraFloor = eraHiOf(bHead) + 1)
     }
   }
 
@@ -1339,7 +1369,7 @@ object SnapTable {
       if (touchedRel.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
         parent.statsCol, parent.bucket, parent.colmap,
-        era = parent.version + 1)
+        era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -1577,7 +1607,7 @@ object SnapTable {
       if (survivors.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(survivors, parent.spec),
         parent.statsCol, parent.bucket, parent.colmap,
-        era = parent.version + 1)
+        era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
       parent.schemaJson)
   }
@@ -1651,7 +1681,7 @@ object SnapTable {
           .write.parquet(s"$root/$dvName")
         val fresh = writeData(s, root,
           clusterBySpec(updated, parent.spec), parent.statsCol,
-          parent.bucket, parent.colmap, era = parent.version + 1)
+          parent.bucket, parent.colmap, era = eraHiOf(parent) + 1)
         commitExclusive(root, parent, parent.files ++ fresh,
           "update-mor", parent.schemaJson,
           dvs = parent.dvs :+ dvName)
@@ -1708,7 +1738,7 @@ object SnapTable {
       if (rewritten.isEmpty) Seq.empty
       else writeData(s, root, clusterBySpec(rewritten, parent.spec),
         parent.statsCol, parent.bucket, parent.colmap,
-        era = parent.version + 1)
+        era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "update",
       parent.schemaJson,
       dvs = if (carried.isEmpty) Seq.empty else parent.dvs)
@@ -2320,7 +2350,7 @@ object SnapTable {
     val df = colmap.foldLeft(df0) { case (d, (l, p)) =>
       if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
     }
-    // the dir name carries the WRITE ERA (parent version + 1): a pure
+    // the dir name carries the WRITE ERA (the parent era watermark + 1):
     // path property every reader can test without metadata lookups —
     // what decides whether an initial column default applies to a file.
     // era 0 ("c-") marks pre-era dirs and is older than any version.
@@ -2498,7 +2528,8 @@ object SnapTable {
       schema0: org.apache.spark.sql.types.StructType,
       txn: Option[String],
       freshBlooms: Seq[String] = Seq.empty,
-      colmap: Map[String, String] = null): Int = {
+      colmap: Map[String, String] = null,
+      eraFloor: Int = 0): Int = {
     var schema = widenNullability(parent, schema0)
     // mapping entries OUR append minted (fresh columns); merged onto
     // whichever head's map the commit finally lands on
@@ -2522,7 +2553,12 @@ object SnapTable {
         // whatever bloom list the head we finally land on carries
         blooms = head.blooms ++ freshBlooms,
         colmap = head.colmap ++ minted, dead = head.dead,
-        defaults = head.defaults))
+        defaults = head.defaults,
+        // ≥ the era our files were stamped with (stamp = eraHiOf(parent)
+        // + 1 ≤ eraHiOf(head) + 1) — the counter never regresses.
+        // `eraFloor` covers ADOPTED files stamped in a foreign era
+        // space (rebase publish of a branch whose watermark ran ahead)
+        eraHi = math.max(eraHiOf(head) + 1, eraFloor)))
       if (won) return head.version + 1
       head = load(root, latestVersion(root))
       schema = widenNullability(head, schema0)
@@ -2550,12 +2586,21 @@ object SnapTable {
       fresh: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, txn: String,
       usedColmap: Map[String, String],
-      usedBucket: Option[(String, Int)] = None): Int = {
+      usedBucket: Option[(String, Int)] = None,
+      usedDefaults: Map[String, (String, Int)] = null): Int = {
     val parent = load(root, latestVersion(root))
     findTxn(root, txn) match {
       case Some(dup) => return dup // epoch already committed
       case None => ()
     }
+    // epoch files carry the QUERY-START era stamp; a default added
+    // mid-stream has a threshold above it and would mis-fill their
+    // explicit NULLs — the same restart contract as a mapping change
+    if (usedDefaults != null)
+      require(parent.defaults == usedDefaults,
+        "the table's initial column defaults changed while the stream " +
+          "ran (ADD COLUMN ... DEFAULT) — restart from a fresh " +
+          "checkpoint")
     // the files were written at the START mapping's physical names;
     // a commit under a head whose mapping disagrees would mis-file them
     schema.fieldNames.foreach { n =>
@@ -2599,13 +2644,19 @@ object SnapTable {
       fresh: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, txn: String,
       usedColmap: Map[String, String],
-      usedBucket: Option[(String, Int)] = None): Int = {
+      usedBucket: Option[(String, Int)] = None,
+      usedDefaults: Map[String, (String, Int)] = null): Int = {
     while (true) {
       findTxn(root, txn) match {
         case Some(dup) => return dup // epoch already committed
         case None => ()
       }
       val parent = load(root, latestVersion(root))
+      if (usedDefaults != null)
+        require(parent.defaults == usedDefaults,
+          "the table's initial column defaults changed while the " +
+            "stream ran (ADD COLUMN ... DEFAULT) — restart from a " +
+            "fresh checkpoint")
       schema.fieldNames.foreach { n =>
         require(physName(parent.colmap, n) == physName(usedColmap, n),
           s"column mapping for '$n' changed while the stream ran " +
@@ -2656,7 +2707,8 @@ object SnapTable {
       // Some(b) = adopt layout b, Some-empty via dropBucket sentinel
       bucket: Option[(String, Int)] = null,
       dropBucket: Boolean = false,
-      defaults: Map[String, (String, Int)] = null): Int = {
+      defaults: Map[String, (String, Int)] = null,
+      eraHi: Int = 0): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2680,9 +2732,13 @@ object SnapTable {
       if (dropBucket) None
       else Option(bucket).getOrElse(parent.bucket)
     val dfl = Option(defaults).getOrElse(parent.defaults)
+    // monotone era counter: default = one above the parent's watermark
+    // (covers any era this commit's writeData stamped); callers merging
+    // a FOREIGN era space (branch publish) pass the joint maximum
+    val eh = if (eraHi > 0) eraHi else eraHiOf(parent) + 1
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = bk, gen = gn, blooms = bl, colmap = cm,
-        dead = dd, filesFrom = ref, defaults = dfl)))
+        dead = dd, filesFrom = ref, defaults = dfl, eraHi = eh)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -2832,7 +2888,9 @@ object SnapTable {
       defaults = Option(node.get("defaults")).map(_.properties().asScala
         .map(e => e.getKey ->
           (e.getValue.get(0).asText(), e.getValue.get(1).asInt()))
-        .toMap).getOrElse(Map.empty))
+        .toMap).getOrElse(Map.empty),
+      // absent in legacy manifests → eraHiOf falls back to the version
+      eraHi = Option(node.get("eraHi")).map(_.asInt()).getOrElse(0))
   }
 
   private def parseFiles(
@@ -2939,7 +2997,13 @@ object SnapTable {
       else snap.defaults.toSeq.sortBy(_._1).map { case (c, (e, at)) =>
         s"${jm.writeValueAsString(c)}:[${jm.writeValueAsString(e)},$at]"
       }.mkString(""","defaults":{""", ",", "}")
-    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults}"
+    // only serialized where it DIFFERS from the version (the legacy
+    // implicit value) — linear-history manifests stay byte-compatible
+    val eraHi =
+      if (snap.eraHi > 0 && snap.eraHi != snap.version)
+        s""","eraHi":${snap.eraHi}"""
+      else ""
+    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults$eraHi}"
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -166,6 +166,36 @@ class RefsSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == n0 - 5)
   }
 
+  test("defaults-bearing main branches and publishes without compact: " +
+      "era watermark carries through fork and fast-forward") {
+    val root = Tmp.dir("refs_defaults")
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k"), "k")
+    SnapTable.append(spark, root, spark.range(10, 15)
+      .selectExpr("id AS k"))                          // v2
+    SnapTable.addColumn(root, "v",
+      org.apache.spark.sql.types.LongType, Some("9")) // v3, threshold 3
+    SnapTable.createBranch(spark, root, "feat")
+    val b = SnapTable.branchRoot(root, "feat")
+    // branch-written rows hold explicit values: the explicit NULL must
+    // survive the branch's restarted version space AND the publish
+    SnapTable.append(spark, b, spark.range(15, 18)
+      .selectExpr("id AS k", "CAST(NULL AS BIGINT) AS v"))
+    val v = SnapTable.publishBranch(spark, root, "feat")
+    val head = SnapTable.load(root, v)
+    assert(head.defaults.contains("v"), "publish must carry defaults")
+    val r = SnapTable.read(spark, root)
+    assert(r.filter(col("v") === 9).count() == 15,
+      "pre-add rows must keep the fill after publish")
+    assert(r.filter(col("k") >= 15 && col("v").isNull).count() == 3,
+      "branch-written explicit NULLs must stay NULL after publish")
+    // post-publish main writes stamp above the joint watermark too
+    SnapTable.append(spark, root, spark.range(18, 20)
+      .selectExpr("id AS k", "CAST(NULL AS BIGINT) AS v"))
+    assert(SnapTable.read(spark, root)
+      .filter(col("v").isNull).count() == 5)
+  }
+
   test("catalog VERSION AS OF resolves tags and branches by name") {
     val wh = Tmp.dir("refs_cat")
     val s = spark

@@ -613,20 +613,41 @@ class TableFormatSpec extends AnyFunSuite {
     assert(head.defaults.isEmpty, "compact must clear initial defaults")
     assert(SnapTable.read(spark, root)
       .filter(col("status") === "active").count() == expectActive)
-    // clone refuses BEFORE compaction-cleared state... (fresh table)
+    // a defaults-bearing snapshot CLONES without compact-first: the
+    // era watermark (eraHi) carries, so clone-side writes stamp above
+    // the source threshold even though the clone's VERSION space
+    // restarts at 1 (fresh table with the add at src-v4 so the old
+    // version-keyed eras would have collided: clone-era 2 < addedAt 4)
     val root2 = Tmp.dir("defaults_clone_src")
     SnapTable.create(spark, root2,
-      spark.range(10).selectExpr("id AS k"), "k")
+      spark.range(5).selectExpr("id AS k"), "k")
+    SnapTable.append(spark, root2,
+      spark.range(5, 8).selectExpr("id AS k"))        // v2
+    SnapTable.append(spark, root2,
+      spark.range(8, 10).selectExpr("id AS k"))       // v3
     SnapTable.addColumn(root2, "v",
-      org.apache.spark.sql.types.LongType, Some("7"))
-    intercept[IllegalArgumentException] {
-      SnapTable.clone(spark, root2, Tmp.dir("defaults_clone_dst"))
-    }
+      org.apache.spark.sql.types.LongType, Some("7")) // v4, threshold 4
+    val dst2 = Tmp.dir("defaults_clone_dst")
+    SnapTable.clone(spark, root2, dst2)
+    assert(SnapTable.read(spark, dst2)
+      .agg(sum(col("v"))).collect()(0).getLong(0) == 70,
+      "carried pre-add files must keep filling in the clone")
+    // clone-written rows hold EXPLICIT values: an explicit NULL stays
+    // NULL (under version-keyed eras this append would stamp era 2 <
+    // threshold 4 and be mis-filled)
+    SnapTable.append(spark, dst2, spark.range(10, 13)
+      .selectExpr("id AS k", "CAST(NULL AS BIGINT) AS v"))
+    val cr = SnapTable.read(spark, dst2)
+    assert(cr.filter(col("k") >= 10 && col("v").isNull).count() == 3,
+      "explicit NULLs in clone-era files must stay NULL")
+    assert(cr.filter(col("v") === 7).count() == 10)
+    // ...and the source never observes any of it
+    assert(SnapTable.read(spark, root2).count() == 10)
     // numeric default + CDC: pre-images of v1-era rows carry the fill
     assert(SnapTable.read(spark, root2)
       .agg(sum(col("v"))).collect()(0).getLong(0) == 70)
     SnapTable.deleteWhere(spark, root2, col("k") < 3)
-    val ch = SnapTable.changes(spark, root2, 2, 3, "k")
+    val ch = SnapTable.changes(spark, root2, 4, 5, "k")
     assert(ch.filter(col("action") === "delete" && col("v") === 7)
       .count() == 3, "CDC pre-images must carry the default fill")
   }
