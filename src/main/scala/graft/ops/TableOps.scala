@@ -2398,6 +2398,53 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_sql_properties",
+      // TBLPROPERTIES as versioned manifest metadata: CREATE ...
+      // TBLPROPERTIES persists, SET/UNSET are O(1) metadata commits,
+      // SHOW reads them back, and `snap.`-keys are LIVE engine config —
+      // snap.vacuum.retainVersions drives the default retention of a
+      // bare VACUUM (the Delta table-property idea). At 100 TB the
+      // table carries its own operational policy (retention, tier,
+      // owner) in-band, versioned and restorable like the data.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice " +
+          "DOUBLE) TBLPROPERTIES ('owner.team' = 'ingest', " +
+          "'snap.vacuum.retainVersions' = '3')")
+        (0 until 4).foreach(i =>
+          orders.filter(col("o_orderkey") % 4 === i)
+            .write.mode("append").insertInto(s"snap.main.$t")) // v2..v5
+        s.sql(s"ALTER TABLE snap.main.$t SET TBLPROPERTIES " +
+          "('tier' = 'gold')") // v6, metadata-only
+        val props = s.sql(s"SHOW TBLPROPERTIES snap.main.$t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        require(props.get("owner.team").contains("ingest") &&
+          props.get("tier").contains("gold"),
+          s"properties must round-trip through SHOW, got $props")
+        // declared retention drives the bare VACUUM: of the 6 versions
+        // the last 3 survive (a RETAIN-less default of 1 would keep 2)
+        s.sql(s"VACUUM snap.main.$t").collect()
+        val dirT = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        require(SnapTable.versions(dirT) == Seq(4, 5, 6),
+          "snap.vacuum.retainVersions=3 must keep versions 4..6, got " +
+            SnapTable.versions(dirT).mkString(","))
+        s.table(s"snap.main.$t")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_clone_defaults",
       // Shallow clone of a DEFAULTS-BEARING snapshot with NO
       // compact-first step: initial-default thresholds live in the ERA

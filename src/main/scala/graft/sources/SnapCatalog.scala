@@ -157,7 +157,12 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       .orElse(spec.headOption)
       .orElse(schema.fields.find(_.dataType == LongType).map(_.name))
       .getOrElse(schema.fields.head.name)
-    SnapTable.createEmpty(dir, schema, statsCol, spec)
+    // `TBLPROPERTIES (...)` persist in the manifest; Spark-injected
+    // reserved keys and writer options are not user metadata
+    val userProps = properties.asScala.toMap -- Seq("provider",
+      "location", "owner", "comment", "external", "path", "statsCol") --
+      properties.asScala.keys.filter(_.startsWith("option."))
+    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps)
     new SnapV2Table(ident, dir, 1)
   }
 
@@ -191,6 +196,15 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         SnapTable.dropColumn(dir, del.fieldNames()(0))
+      case set: TableChange.SetProperty =>
+        // SET TBLPROPERTIES: one metadata-only commit per statement's
+        // worth of changes would be ideal; per-change commits keep the
+        // code trivial and statements carry few keys
+        SnapTable.setProperties(dir,
+          Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        SnapTable.setProperties(dir, Map.empty,
+          unset = Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: supported " +
           "changes are ADD/RENAME/DROP COLUMN (retype would break " +
@@ -356,8 +370,9 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
-    Map("version" -> version.toString, "format" -> "snaptable",
-      "spec" -> snap.spec.mkString(",")).asJava
+    (snap.props ++ // engine keys win over a same-named user property
+      Map("version" -> version.toString, "format" -> "snaptable",
+        "spec" -> snap.spec.mkString(","))).asJava
 
   override def partitioning(): Array[Transform] = snap.bucket match {
     case Some((c, n)) => Array(

@@ -105,8 +105,10 @@ object SnapSqlParser {
         Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty),
         Option(wc).map(c => (c, wlo.toLong, whi.toLong))))
     case Vacuum(id, n, dry) =>
+      // no RETAIN clause → the table's declared retention property
+      // (snap.vacuum.retainVersions), else the live snapshot only
       Some(VacuumTableCommand(parts(id),
-        Option(n).map(_.toInt).getOrElse(1), dryRun = dry != null))
+        Option(n).map(_.toInt), dryRun = dry != null))
     case Restore(id, v, ts) => Some(RestoreTableCommand(parts(id),
       Option(v).map(_.toInt), Option(ts)))
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
@@ -303,7 +305,7 @@ case class RefCommand(parts: Seq[String], verb: String, kind: String,
   * [[SnapTable.vacuumPlan]]. DRY RUN lists the would-be-deleted files
   * and reclaims nothing — the audit before an irreversible verb.
   */
-case class VacuumTableCommand(parts: Seq[String], retain: Int,
+case class VacuumTableCommand(parts: Seq[String], retain: Option[Int],
     dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) Seq(
@@ -313,8 +315,9 @@ case class VacuumTableCommand(parts: Seq[String], retain: Int,
 
   override def run(s: SparkSession): Seq[Row] = {
     val dir = SnapSqlParser.tableDir(s, parts)
-    if (dryRun) SnapTable.vacuumPlan(dir, retain).map(Row(_))
-    else Seq(Row(SnapTable.vacuum(dir, retain).toLong))
+    val r = retain.getOrElse(SnapTable.retainDefault(dir))
+    if (dryRun) SnapTable.vacuumPlan(dir, r).map(Row(_))
+    else Seq(Row(SnapTable.vacuum(dir, r).toLong))
   }
 }
 

@@ -184,7 +184,8 @@ object SnapTable {
       dead: Seq[String] = Seq.empty,
       filesFrom: Int = 0,
       defaults: Map[String, (String, Int)] = Map.empty,
-      eraHi: Int = 0)
+      eraHi: Int = 0,
+      props: Map[String, String] = Map.empty)
 
   /** The table's ERA high-water mark: a monotone counter the next write
     * stamps into its data-dir name, and initial-default thresholds
@@ -288,10 +289,11 @@ object SnapTable {
     */
   def createEmpty(root: String,
       schema: org.apache.spark.sql.types.StructType, statsCol: String,
-      spec: Seq[String] = Seq.empty): Int = {
+      spec: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): Int = {
     Files.createDirectories(Paths.get(root, "_log"))
     if (tryLink(root, Snapshot(1, "create", statsCol, schema.json,
-        Seq.empty, None, spec))) 1
+        Seq.empty, None, spec, props = props))) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
   }
@@ -428,7 +430,8 @@ object SnapTable {
         widened.json, parent.files ++ fresh, None, parent.spec,
         parent.dvs, parent.checks, bucket = parent.bucket,
         gen = parent.gen, blooms = parent.blooms ++ bx, colmap = cm,
-        dead = parent.dead, defaults = parent.defaults)))
+        dead = parent.dead, defaults = parent.defaults,
+        eraHi = eraHiOf(parent) + 1, props = parent.props)))
       v = latestVersion(root) + 1
     v
   }
@@ -1022,7 +1025,7 @@ object SnapTable {
         snap.schemaJson, files, None, snap.spec, dvs, snap.checks,
         bucket = snap.bucket, gen = snap.gen, colmap = snap.colmap,
         dead = snap.dead, defaults = snap.defaults,
-        eraHi = eraHiOf(snap))))
+        eraHi = eraHiOf(snap), props = snap.props)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -1067,8 +1070,44 @@ object SnapTable {
     commitExclusive(root, head, snap.files, "restore", snap.schemaJson,
       statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
       checks = snap.checks, colmap = snap.colmap, dead = snap.dead,
-      filesFromHint = snap.filesFrom, defaults = snap.defaults)
+      filesFromHint = snap.filesFrom, defaults = snap.defaults,
+      props = snap.props)
   }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — user key/value metadata in
+    * the manifest, versioned like everything else (history shows when a
+    * property changed; RESTORE rolls properties back with the rest of
+    * the snapshot identity). One metadata-only commit (filesRef-
+    * eligible, O(1) at any file count). A handful of `snap.`-prefixed
+    * keys are LIVE configuration the engine itself consults — e.g.
+    * `snap.vacuum.retainVersions` (the default retention when VACUUM
+    * names none) — everything else is inert audit metadata, the
+    * Delta/Iceberg table-properties idea.
+    */
+  def setProperties(root: String, set: Map[String, String],
+      unset: Seq[String] = Seq.empty): Int = {
+    set.keys.foreach(k => require(k.nonEmpty && !k.contains('\n'),
+      s"malformed property key '$k'"))
+    val parent = load(root, latestVersion(root))
+    commitExclusive(root, parent, parent.files, "set-properties",
+      parent.schemaJson, props = parent.props ++ set -- unset)
+  }
+
+  /** The table's effective retention for a VACUUM that names no RETAIN
+    * clause: the `snap.vacuum.retainVersions` property, else 1 (live
+    * snapshot only). Malformed values fail loudly — a silent fallback
+    * to 1 could delete history the table declared it keeps.
+    */
+  def retainDefault(root: String): Int =
+    load(root, latestVersion(root)).props
+      .get("snap.vacuum.retainVersions") match {
+      case Some(v) =>
+        require(v.matches("\\d+") && v.toInt >= 1,
+          s"snap.vacuum.retainVersions must be a positive integer, " +
+            s"got '$v'")
+        v.toInt
+      case None => 1
+    }
 
   // ---------------------------------------------------------------- refs
 
@@ -1196,7 +1235,7 @@ object SnapTable {
         bHead.schemaJson, statsCol = bHead.statsCol, spec = bHead.spec,
         dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen,
         colmap = bHead.colmap, dead = bHead.dead,
-        defaults = bHead.defaults,
+        defaults = bHead.defaults, props = bHead.props,
         eraHi = math.max(eraHiOf(head), eraHiOf(bHead)) + 1)
     else {
       val transforms = versions(b).map(v => load(b, v).op)
@@ -2553,7 +2592,7 @@ object SnapTable {
         // whatever bloom list the head we finally land on carries
         blooms = head.blooms ++ freshBlooms,
         colmap = head.colmap ++ minted, dead = head.dead,
-        defaults = head.defaults,
+        defaults = head.defaults, props = head.props,
         // ≥ the era our files were stamped with (stamp = eraHiOf(parent)
         // + 1 ≤ eraHiOf(head) + 1) — the counter never regresses.
         // `eraFloor` covers ADOPTED files stamped in a foreign era
@@ -2708,7 +2747,8 @@ object SnapTable {
       bucket: Option[(String, Int)] = null,
       dropBucket: Boolean = false,
       defaults: Map[String, (String, Int)] = null,
-      eraHi: Int = 0): Int = {
+      eraHi: Int = 0,
+      props: Map[String, String] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2736,9 +2776,11 @@ object SnapTable {
     // (covers any era this commit's writeData stamped); callers merging
     // a FOREIGN era space (branch publish) pass the joint maximum
     val eh = if (eraHi > 0) eraHi else eraHiOf(parent) + 1
+    val pr = Option(props).getOrElse(parent.props)
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = bk, gen = gn, blooms = bl, colmap = cm,
-        dead = dd, filesFrom = ref, defaults = dfl, eraHi = eh)))
+        dead = dd, filesFrom = ref, defaults = dfl, eraHi = eh,
+        props = pr)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -2890,7 +2932,10 @@ object SnapTable {
           (e.getValue.get(0).asText(), e.getValue.get(1).asInt()))
         .toMap).getOrElse(Map.empty),
       // absent in legacy manifests → eraHiOf falls back to the version
-      eraHi = Option(node.get("eraHi")).map(_.asInt()).getOrElse(0))
+      eraHi = Option(node.get("eraHi")).map(_.asInt()).getOrElse(0),
+      props = Option(node.get("props")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   private def parseFiles(
@@ -3003,7 +3048,13 @@ object SnapTable {
       if (snap.eraHi > 0 && snap.eraHi != snap.version)
         s""","eraHi":${snap.eraHi}"""
       else ""
-    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults$eraHi}"
+    val props =
+      if (snap.props.isEmpty) ""
+      else snap.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jm.writeValueAsString(k)}:${jm.writeValueAsString(v)}"
+      }.mkString(""","props":{""", ",", "}")
+    s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults" +
+      s"$eraHi$props}"
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

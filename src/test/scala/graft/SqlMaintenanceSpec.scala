@@ -53,6 +53,43 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM snapm.db.m").count() == before)
   }
 
+  test("TBLPROPERTIES: create/set/unset/show, RESTORE rolls them back, " +
+      "and snap.vacuum.retainVersions drives default VACUUM retention") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.props (k BIGINT) " +
+      "TBLPROPERTIES ('team' = 'core', " +
+      "'snap.vacuum.retainVersions' = '3')")
+    val dir = s"$base/db/props"
+    def show(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES snapm.db.props").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show().get("team").contains("core"))
+    assert(show().get("snap.vacuum.retainVersions").contains("3"))
+    // SET adds/overwrites; UNSET drops — each a metadata-only commit
+    spark.sql("ALTER TABLE snapm.db.props SET TBLPROPERTIES " +
+      "('team' = 'infra', 'tier' = 'gold')")
+    assert(show().get("team").contains("infra"))
+    assert(show().get("tier").contains("gold"))
+    val vBefore = SnapTable.latestVersion(dir)
+    spark.sql("ALTER TABLE snapm.db.props UNSET TBLPROPERTIES ('tier')")
+    assert(!show().contains("tier"))
+    // properties are part of the snapshot identity: RESTORE brings the
+    // dropped key back with the rest of the version
+    spark.sql(
+      s"RESTORE TABLE snapm.db.props TO VERSION AS OF $vBefore")
+    assert(show().get("tier").contains("gold"))
+    // a table-declared retention drives a bare VACUUM: 6 inserts, then
+    // VACUUM with no RETAIN keeps the last 3 versions readable
+    (0 until 6).foreach(i => spark.sql(
+      s"INSERT INTO snapm.db.props SELECT id + ${i * 10} " +
+        "FROM range(0, 10)"))
+    spark.sql("VACUUM snapm.db.props").collect()
+    val vs = SnapTable.versions(dir)
+    assert(vs.size == 3, s"retention property must keep 3, got $vs")
+    assert(SnapTable.readVersion(spark, dir, vs.min).count() ==
+      spark.table("snapm.db.props").count() - 20)
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
