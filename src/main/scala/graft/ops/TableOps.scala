@@ -2445,6 +2445,65 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_sql_constraints",
+      // SQL CHECK constraints + generated-column DDL, the Spark-4.1
+      // DSv2 constraint surface: CREATE TABLE declares a CHECK and a
+      // GENERATED ALWAYS AS column, ALTER TABLE ADD CONSTRAINT
+      // validates the WHOLE table before the metadata commit (so the
+      // constraint is reported VALID), DROP CONSTRAINT lifts it. Every
+      // write validates only its incoming batch — at 100 TB the
+      // constraint costs one pass over each commit's rows, never a
+      // table scan (except the explicit one ADD CONSTRAINT buys its
+      // VALID status with).
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          "bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 10), " +
+          "CONSTRAINT price_pos CHECK (o_totalprice > 0))")
+        val dirT = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        // engine-side: absent generated columns are computed; provided
+        // ones validated — the SQL insert provides them
+        s.sql(s"INSERT INTO snap.main.$t " +
+          "SELECT o_orderkey, o_totalprice, o_orderkey % 10 " +
+          s"FROM parquet.`$dir/orders.parquet`")
+        // a violating batch must fail and commit nothing
+        val vBefore = SnapTable.latestVersion(dirT)
+        val failed =
+          try {
+            s.sql(s"INSERT INTO snap.main.$t VALUES (1, -5.0, 1)")
+            false
+          } catch { case _: Exception => true }
+        require(failed && SnapTable.latestVersion(dirT) == vBefore,
+          "violating insert must fail atomically")
+        // ADD CONSTRAINT validates existing rows; an unsatisfiable one
+        // refuses, a satisfied one lands and is reported
+        // (sf fixtures include o_orderkey = 0, so >= 0 is the
+        // satisfiable bound — Spark's own whole-table validation
+        // correctly REFUSES a strict > 0 here)
+        s.sql(s"ALTER TABLE snap.main.$t ADD CONSTRAINT key_pos " +
+          "CHECK (o_orderkey >= 0)")
+        require(SnapTable.load(dirT, SnapTable.latestVersion(dirT))
+          .checks.keySet == Set("price_pos", "key_pos"),
+          "both constraints must be live in the manifest")
+        s.sql(s"ALTER TABLE snap.main.$t DROP CONSTRAINT price_pos")
+        require(SnapTable.load(dirT, SnapTable.latestVersion(dirT))
+          .checks.keySet == Set("key_pos"))
+        s.table(s"snap.main.$t")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      Some(
+        "SELECT o_orderkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_clone_defaults",
       // Shallow clone of a DEFAULTS-BEARING snapshot with NO
       // compact-first step: initial-default thresholds live in the ERA

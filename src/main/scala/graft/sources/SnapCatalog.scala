@@ -75,12 +75,17 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  /** Declares `ALTER TABLE … ADD COLUMN … DEFAULT v` support so the
-    * analyzer forwards the default through `TableChange.AddColumn`.
+  /** Declared SQL-DDL surfaces the analyzer gates on capability:
+    * `ALTER TABLE … ADD COLUMN … DEFAULT v` (forwarded through
+    * `TableChange.AddColumn`), CHECK constraints (`CREATE TABLE (…,
+    * CONSTRAINT n CHECK (…))` / `ALTER TABLE … ADD/DROP CONSTRAINT`),
+    * and `GENERATED ALWAYS AS (…)` columns at CREATE TABLE.
     */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
@@ -162,8 +167,52 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     val userProps = properties.asScala.toMap -- Seq("provider",
       "location", "owner", "comment", "external", "path", "statsCol") --
       properties.asScala.keys.filter(_.startsWith("option."))
-    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps)
+    // `GENERATED ALWAYS AS (expr)` rides in as field metadata: the
+    // expressions become the manifest's generation map — every write
+    // computes an absent generated column and VALIDATES a provided one
+    val gen = schema.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)).toMap
+    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps, gen)
     new SnapV2Table(ident, dir, 1)
+  }
+
+  /** `CREATE TABLE … (…, CONSTRAINT n CHECK (…))` — the constraint-
+    * bearing create arrives through the TableInfo overload; the checks
+    * land as immediate add-check commits on the empty v1 (vacuously
+    * valid), so the table enforces them from its first insert.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    // Spark's own conversion keeps comments and WRITE-side column
+    // DEFAULT metadata (EXISTS/CURRENT_DEFAULT ride the schema into
+    // the manifest, so INSERTs omitting the column resolve them);
+    // `GENERATED ALWAYS AS` is a first-class Column field on this
+    // overload only, so it is re-embedded as the metadata key the
+    // StructType path extracts from
+    val base = org.apache.spark.sql.graftx.Bridge
+      .v2ColumnsToStructType(info.columns())
+    val byName = info.columns().map(c => c.name() -> c).toMap
+    val schema = StructType(base.fields.map { f =>
+      Option(byName(f.name).generationExpression()) match {
+        case Some(e) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, e)
+            .build())
+        case None => f
+      }
+    })
+    createTable(ident, schema, info.partitions(), info.properties())
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        SnapTable.addCheck(SparkSession.active, tableDir(ident),
+          c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforced: ${other.toDDL}")
+    }
+    loadTable(ident)
   }
 
   /** `ALTER TABLE … ADD COLUMN` — the SQL face of the format's additive
@@ -196,6 +245,22 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         SnapTable.dropColumn(dir, del.fieldNames()(0))
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            // validates every EXISTING row before the metadata commit
+            // (hence reported VALID), then every incoming batch forever
+            SnapTable.addCheck(SparkSession.active, dir, c.name,
+              c.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforced: ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists() || SnapTable
+            .load(dir, SnapTable.latestVersion(dir))
+            .checks.contains(dc.name()))
+          SnapTable.dropCheck(dir, dc.name())
       case set: TableChange.SetProperty =>
         // SET TBLPROPERTIES: one metadata-only commit per statement's
         // worth of changes would be ideal; per-change commits keep the
@@ -373,6 +438,22 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
     (snap.props ++ // engine keys win over a same-named user property
       Map("version" -> version.toString, "format" -> "snaptable",
         "spec" -> snap.spec.mkString(","))).asJava
+
+  /** The manifest's CHECK constraints, reported in the DSv2 shape:
+    * enforced (every commit validates its incoming/rewritten rows) and
+    * VALID (add-check validated the whole table before linking) — so
+    * DESCRIBE shows them and the optimizer may exploit them.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def partitioning(): Array[Transform] = snap.bucket match {
     case Some((c, n)) => Array(

@@ -290,10 +290,11 @@ object SnapTable {
   def createEmpty(root: String,
       schema: org.apache.spark.sql.types.StructType, statsCol: String,
       spec: Seq[String] = Seq.empty,
-      props: Map[String, String] = Map.empty): Int = {
+      props: Map[String, String] = Map.empty,
+      gen: Map[String, String] = Map.empty): Int = {
     Files.createDirectories(Paths.get(root, "_log"))
     if (tryLink(root, Snapshot(1, "create", statsCol, schema.json,
-        Seq.empty, None, spec, props = props))) 1
+        Seq.empty, None, spec, props = props, gen = gen))) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
   }

@@ -14,6 +14,17 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `private[sql] CatalogV2Util.v2ColumnsToStructType` — Spark's own
+    * V2-Column → StructType conversion, which keeps comment and
+    * column-DEFAULT metadata intact (a hand-rolled conversion would
+    * silently drop the write-side defaults).
+    */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** A batch of parquet files as a STREAMING-flagged DataFrame — what a V1
     * streaming `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`). Exactly FileStreamSource's own shape: resolve a

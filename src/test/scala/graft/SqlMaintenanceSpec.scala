@@ -90,6 +90,47 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       spark.table("snapm.db.props").count() - 20)
   }
 
+  test("SQL CHECK constraints: CREATE TABLE CONSTRAINT, ADD/DROP " +
+      "CONSTRAINT, enforcement on insert, and generated columns DDL") {
+    val base = freshCat()
+    // constraint declared at CREATE TABLE + a generated column
+    spark.sql("CREATE TABLE snapm.db.ck (k BIGINT, v BIGINT, " +
+      "k2 BIGINT GENERATED ALWAYS AS (k * 2), " +
+      "CONSTRAINT v_pos CHECK (v > 0))")
+    val dir = s"$base/db/ck"
+    val head0 = SnapTable.load(dir, SnapTable.latestVersion(dir))
+    assert(head0.checks.get("v_pos").exists(_.contains(">")),
+      s"create-time constraint must land in the manifest: ${head0.checks}")
+    assert(head0.gen.contains("k2"),
+      s"generation expression must land in the manifest: ${head0.gen}")
+    // a valid API append computes the absent generated column
+    SnapTable.append(spark, dir, spark.range(1, 6)
+      .selectExpr("id AS k", "id AS v"))
+    assert(spark.table("snapm.db.ck").selectExpr("sum(k2)")
+      .head().getLong(0) == 30)
+    // enforcement: a violating batch fails, nothing commits
+    val vBefore = SnapTable.latestVersion(dir)
+    intercept[Exception] {
+      SnapTable.append(spark, dir, spark.range(0, 3)
+        .selectExpr("id AS k", "id - 5 AS v"))
+    }
+    assert(SnapTable.latestVersion(dir) == vBefore)
+    // ALTER TABLE ADD CONSTRAINT validates existing rows first
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapm.db.ck ADD CONSTRAINT v_big " +
+        "CHECK (v > 100)")
+    }
+    spark.sql("ALTER TABLE snapm.db.ck ADD CONSTRAINT v_small " +
+      "CHECK (v < 100)")
+    assert(SnapTable.load(dir, SnapTable.latestVersion(dir))
+      .checks.contains("v_small"))
+    // DROP CONSTRAINT lifts enforcement
+    spark.sql("ALTER TABLE snapm.db.ck DROP CONSTRAINT v_pos")
+    SnapTable.append(spark, dir, spark.range(90, 93)
+      .selectExpr("id AS k", "id - 100 AS v")) // v < 0 now fine
+    assert(spark.table("snapm.db.ck").count() == 8)
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")

@@ -218,9 +218,14 @@ class SqlMergeSpec extends AnyFunSuite {
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
-    assert(chain(e).exists(
-      _.isInstanceOf[SnapTable.ConstraintViolationException]),
-      s"expected ConstraintViolationException, got $e")
+    // either guard may fire first: Spark's own enforcement (the table
+    // REPORTS its checks via constraints(), so the MERGE plan carries
+    // a CheckInvariant that throws during the rewrite) or the engine's
+    // pre-commit batch validation — both abort before any link
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[SnapTable.ConstraintViolationException] ||
+        String.valueOf(t.getMessage).contains("CHECK_CONSTRAINT")),
+      s"expected a constraint violation, got $e")
     // and nothing committed
     assert(spark.sql("SELECT min(v) FROM smt.db.c1")
       .collect()(0).getDouble(0) == 0.0)
