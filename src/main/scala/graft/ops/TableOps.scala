@@ -2504,6 +2504,47 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_identity",
+      // IDENTITY columns (GENERATED ALWAYS AS IDENTITY): values are
+      // assigned ABOVE the manifest high-water mark — one stats fold on
+      // the driver plus one distributed zipWithIndex pass over just the
+      // incoming batch; no sequence table, no global sort, no data
+      // scan. Gaps are legal (standard identity semantics), which is
+      // exactly what keeps assignment O(batch) at any table size. The
+      // oracle is exact because the op feeds a globally range-sorted
+      // batch: assignment order == o_orderkey order, so the ids are
+      // 10 + 2 * rank.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t (" +
+          "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+          "INCREMENT BY 2), o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val dirT = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        val orders = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        SnapTable.append(s, dirT, orders)
+        // a second batch must continue strictly above the first's mark
+        SnapTable.append(s, dirT, orders.limit(0))
+        val n = s.table(s"snap.main.$t").count()
+        val ids = s.table(s"snap.main.$t")
+        require(ids.select(countDistinct(col("id"))).head().getLong(0)
+          == n, "identity values must be unique")
+        s.table(s"snap.main.$t")
+          .select(col("id"), col("o_orderkey"),
+            dround(col("o_totalprice"), 2).as("price"))
+          .orderBy("id")
+      },
+      Some(
+        "SELECT 8 + 2 * row_number() OVER (ORDER BY o_orderkey) " +
+          "AS id, o_orderkey, " +
+          "round(o_totalprice * 1e2) / 1e2 AS price " +
+          "FROM orders ORDER BY id")
+    ),
+    Q(
       "table_clone_defaults",
       // Shallow clone of a DEFAULTS-BEARING snapshot with NO
       // compact-first step: initial-default thresholds live in the ERA

@@ -85,7 +85,8 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     java.util.EnumSet.of(
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
@@ -147,7 +148,13 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    doCreate(ident, schema, partitions, properties, Map.empty)
+
+  private def doCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      idents: Map[String, (Long, Long, Boolean)]): Table = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val spec = partitions.toSeq.map {
@@ -173,7 +180,8 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     val gen = schema.fields.flatMap(f =>
       org.apache.spark.sql.catalyst.util.GeneratedColumn
         .getGenerationExpression(f).map(f.name -> _)).toMap
-    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps, gen)
+    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps, gen,
+      idents)
     new SnapV2Table(ident, dir, 1)
   }
 
@@ -204,7 +212,12 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         case None => f
       }
     })
-    createTable(ident, schema, info.partitions(), info.properties())
+    // `GENERATED ALWAYS AS IDENTITY [(START WITH s INCREMENT BY i)]`
+    // (and the BY DEFAULT form) — first-class Column fields here
+    val idents = info.columns().flatMap(c =>
+      Option(c.identityColumnSpec()).map(sp => c.name() ->
+        (sp.getStart, sp.getStep, sp.isAllowExplicitInsert))).toMap
+    doCreate(ident, schema, info.partitions(), info.properties(), idents)
     info.constraints().foreach {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         SnapTable.addCheck(SparkSession.active, tableDir(ident),

@@ -34,6 +34,14 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] class SnapRowLevelBuilder(root: String,
     snap: SnapTable.Snapshot, info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
+  // a row-level write carries every column explicitly (matched rows
+  // keep their values; MERGE inserts provide them) — only legal for
+  // BY DEFAULT identity columns
+  snap.idents.foreach { case (c, (_, _, allow)) =>
+    require(allow, s"identity column '$c' is GENERATED ALWAYS — " +
+      "row-level SQL writes provide explicit values; declare it " +
+      "BY DEFAULT")
+  }
   override def build(): RowLevelOperation =
     new SnapRowLevelOperation(root, snap, info.command)
 }

@@ -61,6 +61,12 @@ private[sources] class SnapStreamingWrite(root: String,
     require(schema.fieldNames.contains(c),
       s"generated column '$c' must be included in the streamed frame " +
         "(the sink cannot compute it after the executor-side write)"))
+  parent0.idents.foreach { case (c, (_, _, allow)) =>
+    require(allow && schema.fieldNames.contains(c),
+      s"identity column '$c': the streaming sink cannot assign values " +
+        "(executor-side writes see no table-wide high-water mark) — " +
+        "declare it BY DEFAULT and stream explicit values")
+  }
 
   /** Captured at query start; epoch commits refuse a changed mapping
     * (mid-stream RENAME/DROP/re-ADD = schema change under a running

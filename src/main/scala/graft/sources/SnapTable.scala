@@ -185,7 +185,8 @@ object SnapTable {
       filesFrom: Int = 0,
       defaults: Map[String, (String, Int)] = Map.empty,
       eraHi: Int = 0,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      idents: Map[String, (Long, Long, Boolean)] = Map.empty)
 
   /** The table's ERA high-water mark: a monotone counter the next write
     * stamps into its data-dir name, and initial-default thresholds
@@ -291,10 +292,18 @@ object SnapTable {
       schema: org.apache.spark.sql.types.StructType, statsCol: String,
       spec: Seq[String] = Seq.empty,
       props: Map[String, String] = Map.empty,
-      gen: Map[String, String] = Map.empty): Int = {
+      gen: Map[String, String] = Map.empty,
+      idents: Map[String, (Long, Long, Boolean)] = Map.empty): Int = {
+    idents.foreach { case (c, (_, step, _)) =>
+      require(schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.LongType),
+        s"identity column '$c' must be BIGINT")
+      require(step != 0, s"identity column '$c': step must be nonzero")
+    }
     Files.createDirectories(Paths.get(root, "_log"))
     if (tryLink(root, Snapshot(1, "create", statsCol, schema.json,
-        Seq.empty, None, spec, props = props, gen = gen))) 1
+        Seq.empty, None, spec, props = props, gen = gen,
+        idents = idents))) 1
     else throw new ConcurrentCommitException(
       s"create lost the race for v1 at $root — the table already exists")
   }
@@ -394,7 +403,8 @@ object SnapTable {
     */
   def append(s: SparkSession, root: String, df0: DataFrame): Int = {
     val parent = load(root, latestVersion(root))
-    val df = applyGenerated(df0, parent.gen, "incoming")
+    val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
+      "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
@@ -418,7 +428,8 @@ object SnapTable {
   private[graft] def prepareAppend(s: SparkSession, root: String,
       df0: DataFrame, pin: Int): Int = {
     val parent = load(root, pin)
-    val df = applyGenerated(df0, parent.gen, "incoming")
+    val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
+      "incoming")
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
@@ -432,7 +443,8 @@ object SnapTable {
         parent.dvs, parent.checks, bucket = parent.bucket,
         gen = parent.gen, blooms = parent.blooms ++ bx, colmap = cm,
         dead = parent.dead, defaults = parent.defaults,
-        eraHi = eraHiOf(parent) + 1, props = parent.props)))
+        eraHi = eraHiOf(parent) + 1, props = parent.props,
+        idents = parent.idents)))
       v = latestVersion(root) + 1
     v
   }
@@ -447,6 +459,13 @@ object SnapTable {
   def merge(s: SparkSession, root: String, updates: DataFrame, key: String,
       deleteCol: Option[String] = None, txn: Option[String] = None): Int = {
     val parent = load(root, latestVersion(root))
+    // MERGE's updates frame carries the full row, so identity values
+    // arrive EXPLICIT — only legal for BY DEFAULT identity columns
+    parent.idents.foreach { case (c, (_, _, allow)) =>
+      require(allow, s"identity column '$c' is GENERATED ALWAYS — " +
+        "MERGE provides explicit values; declare it BY DEFAULT, or " +
+        "append() inserts instead")
+    }
     // only the INCOMING side can introduce violations (survivors were
     // validated when they were appended); the delete marker column is
     // not part of the row contract
@@ -538,7 +557,8 @@ object SnapTable {
       case Some(v) => v // duplicate delivery: already in
       case None =>
         val parent = load(root, latestVersion(root))
-        val df = applyGenerated(df0, parent.gen, "incoming")
+        val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
+          "incoming")
         validateEvolution(parent.schemaJson, df.schema)
         validateChecks(df, parent.checks, "incoming")
         val cm = widenColmap(parent, df.schema)
@@ -831,6 +851,8 @@ object SnapTable {
       bucket = parent.bucket.map { case (c, n) =>
         (if (c == from) to else c, n) },
       defaults = parent.defaults.map { case (c, v) =>
+        (if (c == from) to else c) -> v },
+      idents = parent.idents.map { case (c, v) =>
         (if (c == from) to else c) -> v })
   }
 
@@ -852,7 +874,8 @@ object SnapTable {
         schema.fields.filterNot(_.name == name)).json,
       colmap = parent.colmap - name,
       dead = parent.dead :+ physName(parent.colmap, name),
-      defaults = parent.defaults - name)
+      defaults = parent.defaults - name,
+      idents = parent.idents - name)
   }
 
   /** Column-mapping entries for columns an APPEND introduces (additive
@@ -946,6 +969,49 @@ object SnapTable {
       absent.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
     }
 
+  /** IDENTITY column fill (`GENERATED ALWAYS AS IDENTITY`): a batch
+    * that omits the column gets monotone values assigned above the
+    * table's HIGH-WATER MARK, read off the manifest's per-file
+    * [min,max] stats — no data scan, no sequence table, the
+    * Delta-identity idea. Values are unique and step-aligned from the
+    * declared start; GAPS are legal (standard identity semantics —
+    * concurrent/aborted writes burn ranges), which is what lets
+    * assignment stay one distributed pass (`zipWithIndex`: a count job
+    * plus per-partition offsets, no global sort, no driver loop). A
+    * batch that PROVIDES the column is refused unless the column was
+    * declared `BY DEFAULT` (allowExplicitInsert); explicit values
+    * advance the high-water mark through the ordinary file stats.
+    */
+  private def fillIdentity(s: SparkSession, parent: Snapshot,
+      df: DataFrame): DataFrame =
+    parent.idents.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (c, (start, step, allow))) =>
+        if (d.columns.contains(c)) {
+          require(allow,
+            s"identity column '$c' is GENERATED ALWAYS — explicit " +
+              "values are refused (declare it BY DEFAULT to allow them)")
+          d
+        } else {
+          val pc = physName(parent.colmap, c)
+          // high-water from manifest stats; files missing stats for the
+          // column (pre-identity history) can't move the mark
+          val marks = parent.files.flatMap(_.stats.get(pc))
+            .map { case (mn, mx) => if (step > 0) mx else mn }
+          val base =
+            if (marks.isEmpty) start - step
+            else if (step > 0) math.max(marks.max, start - step)
+            else math.min(marks.min, start - step)
+          val schema = org.apache.spark.sql.types.StructType(
+            d.schema.fields :+ org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.LongType, nullable = false))
+          s.createDataFrame(
+            d.rdd.zipWithIndex().map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq :+ (base + step * (i + 1)))
+            }, schema)
+        }
+    }
+
   private def validateGenerated(df: DataFrame,
       gen: Map[String, String], what: String): Unit =
     gen.foreach { case (c, e) =>
@@ -1026,7 +1092,8 @@ object SnapTable {
         snap.schemaJson, files, None, snap.spec, dvs, snap.checks,
         bucket = snap.bucket, gen = snap.gen, colmap = snap.colmap,
         dead = snap.dead, defaults = snap.defaults,
-        eraHi = eraHiOf(snap), props = snap.props)))
+        eraHi = eraHiOf(snap), props = snap.props,
+        idents = snap.idents)))
       throw new ConcurrentCommitException(
         s"clone lost the race for v1 at $dstRoot — the table already exists")
     1
@@ -1072,7 +1139,7 @@ object SnapTable {
       statsCol = snap.statsCol, spec = snap.spec, dvs = snap.dvs,
       checks = snap.checks, colmap = snap.colmap, dead = snap.dead,
       filesFromHint = snap.filesFrom, defaults = snap.defaults,
-      props = snap.props)
+      props = snap.props, idents = snap.idents)
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES — user key/value metadata in
@@ -1237,6 +1304,7 @@ object SnapTable {
         dvs = Seq.empty, checks = bHead.checks, gen = bHead.gen,
         colmap = bHead.colmap, dead = bHead.dead,
         defaults = bHead.defaults, props = bHead.props,
+        idents = bHead.idents,
         eraHi = math.max(eraHiOf(head), eraHiOf(bHead)) + 1)
     else {
       val transforms = versions(b).map(v => load(b, v).op)
@@ -2594,6 +2662,7 @@ object SnapTable {
         blooms = head.blooms ++ freshBlooms,
         colmap = head.colmap ++ minted, dead = head.dead,
         defaults = head.defaults, props = head.props,
+        idents = head.idents,
         // ≥ the era our files were stamped with (stamp = eraHiOf(parent)
         // + 1 ≤ eraHiOf(head) + 1) — the counter never regresses.
         // `eraFloor` covers ADOPTED files stamped in a foreign era
@@ -2749,7 +2818,8 @@ object SnapTable {
       dropBucket: Boolean = false,
       defaults: Map[String, (String, Int)] = null,
       eraHi: Int = 0,
-      props: Map[String, String] = null): Int = {
+      props: Map[String, String] = null,
+      idents: Map[String, (Long, Long, Boolean)] = null): Int = {
     val sc = Option(statsCol).getOrElse(parent.statsCol)
     val sp = Option(spec).getOrElse(parent.spec)
     val dv = Option(dvs).getOrElse(parent.dvs)
@@ -2778,10 +2848,11 @@ object SnapTable {
     // a FOREIGN era space (branch publish) pass the joint maximum
     val eh = if (eraHi > 0) eraHi else eraHiOf(parent) + 1
     val pr = Option(props).getOrElse(parent.props)
+    val ids = Option(idents).getOrElse(parent.idents)
     if (tryLink(root, Snapshot(v, op, sc, schemaJson, files, txn, sp, dv,
         ck, bucket = bk, gen = gn, blooms = bl, colmap = cm,
         dead = dd, filesFrom = ref, defaults = dfl, eraHi = eh,
-        props = pr)))
+        props = pr, idents = ids)))
       v
     else throw new ConcurrentCommitException(
       s"$op computed against v${parent.version} lost the race for v$v — " +
@@ -2936,7 +3007,11 @@ object SnapTable {
       eraHi = Option(node.get("eraHi")).map(_.asInt()).getOrElse(0),
       props = Option(node.get("props")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      idents = Option(node.get("idents")).map(_.properties().asScala
+        .map(e => e.getKey -> (e.getValue.get(0).asLong(),
+          e.getValue.get(1).asLong(), e.getValue.get(2).asBoolean()))
+        .toMap).getOrElse(Map.empty))
   }
 
   private def parseFiles(
@@ -3054,8 +3129,14 @@ object SnapTable {
       else snap.props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${jm.writeValueAsString(k)}:${jm.writeValueAsString(v)}"
       }.mkString(""","props":{""", ",", "}")
+    val idents =
+      if (snap.idents.isEmpty) ""
+      else snap.idents.toSeq.sortBy(_._1).map {
+        case (c, (st, sp, al)) =>
+          s"${jm.writeValueAsString(c)}:[$st,$sp,$al]"
+      }.mkString(""","idents":{""", ",", "}")
     s"$txn$spec$dvs$checks$bucket$gen$blooms$colmap$dead$defaults" +
-      s"$eraHi$props}"
+      s"$eraHi$props$idents}"
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

@@ -12,6 +12,7 @@ import graft.sources.SnapTable
   */
 class SqlMaintenanceSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
 
   private def freshCat(): String = {
     spark.conf.getOption("spark.sql.catalog.snapm.root").getOrElse {
@@ -129,6 +130,51 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     SnapTable.append(spark, dir, spark.range(90, 93)
       .selectExpr("id AS k", "id - 100 AS v")) // v < 0 now fine
     assert(spark.table("snapm.db.ck").count() == 8)
+  }
+
+  test("identity columns: GENERATED ALWAYS AS IDENTITY assigns " +
+      "monotone values above the manifest high-water mark; ALWAYS " +
+      "refuses explicit values, BY DEFAULT accepts them") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.idt (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+      "INCREMENT BY 2), v STRING)")
+    val dir = s"$base/db/idt"
+    val head0 = SnapTable.load(dir, SnapTable.latestVersion(dir))
+    assert(head0.idents.get("id").contains((10L, 2L, false)),
+      s"identity spec must land in the manifest: ${head0.idents}")
+    // API append WITHOUT the column: values assigned from START
+    SnapTable.append(spark, dir,
+      spark.range(3).selectExpr("concat('a', id) AS v"))
+    val ids1 = spark.table("snapm.db.idt").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids1 == Seq(10L, 12L, 14L), s"got $ids1")
+    // second batch continues ABOVE the high-water mark (manifest stats)
+    SnapTable.append(spark, dir,
+      spark.range(2).selectExpr("concat('b', id) AS v"))
+    val ids2 = spark.table("snapm.db.idt").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids2.size == 5 && ids2.distinct.size == 5 &&
+      ids2.drop(3).forall(_ > 14L), s"got $ids2")
+    assert(ids2.forall(i => (i - 10) % 2 == 0), s"step-aligned: $ids2")
+    // ALWAYS: a batch PROVIDING the column is refused
+    val e = intercept[Exception] {
+      SnapTable.append(spark, dir,
+        spark.range(1).selectExpr("99L AS id", "'x' AS v"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // BY DEFAULT twin: explicit values accepted AND advance the mark
+    spark.sql("CREATE TABLE snapm.db.idd (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")
+    val dir2 = s"$base/db/idd"
+    SnapTable.append(spark, dir2,
+      spark.range(1).selectExpr("1000L AS id", "'x' AS v"))
+    SnapTable.append(spark, dir2,
+      spark.range(2).selectExpr("concat('y', id) AS v"))
+    val ids3 = spark.table("snapm.db.idd").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids3.head == 1000L && ids3.tail.forall(_ > 1000L) &&
+      ids3.distinct.size == 3, s"got $ids3")
   }
 
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
