@@ -2504,6 +2504,54 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_sql_merge_evolve",
+      // MERGE WITH SCHEMA EVOLUTION (AUTOMATIC_SCHEMA_EVOLUTION
+      // capability): source-only columns are ADDED to the target by the
+      // analyzer through one metadata-only add-column commit, then the
+      // merge re-resolves against the widened schema — untouched files
+      // null-fill the new column on read, nothing rewrites beyond the
+      // matched files. The Delta schema-evolution MERGE, at the same
+      // O(matched files) cost as a plain MERGE.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        orders.write.mode("append").insertInto(s"snap.main.$t")
+        // source carries a column the target lacks
+        T(s, dir, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"))
+          .createOrReplaceTempView(s"${t}_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO snap.main.$t t
+             |USING ${t}_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        val dirT = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        require(SnapTable.load(dirT, SnapTable.latestVersion(dirT))
+          .op != "create", "merge must have committed")
+        s.table(s"snap.main.$t")
+          .select(col("o_orderkey"),
+            dround(col("o_totalprice"), 2).as("price"),
+            col("o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, " +
+          "round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 " +
+          "ELSE o_totalprice END * 1e2) / 1e2 AS price, " +
+          "CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus END " +
+          "AS o_orderstatus " +
+          "FROM orders ORDER BY o_orderkey")
+    ),
+    Q(
       "table_identity",
       // IDENTITY columns (GENERATED ALWAYS AS IDENTITY): values are
       // assigned ABOVE the manifest high-water mark — one stats fold on

@@ -445,7 +445,11 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer ADD-COLUMNs the
+      // source-only fields through alterTable (a metadata-only commit
+      // here), then re-resolves the merge against the widened schema
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] =
     (snap.props ++ // engine keys win over a same-named user property

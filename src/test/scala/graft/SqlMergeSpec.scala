@@ -230,4 +230,33 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(spark.sql("SELECT min(v) FROM smt.db.c1")
       .collect()(0).getDouble(0) == 0.0)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns are ADDED to " +
+      "the target (metadata commit), untouched rows null-fill") {
+    val root = s"$base/db/se1"
+    SnapTable.create(spark, root,
+      spark.range(20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(2, col("k")), "k")
+    spark.range(15, 25)
+      .selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v",
+        "concat('t', id) AS tag")
+      .createOrReplaceTempView("se1_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO smt.db.se1 t
+        |USING se1_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(SnapTable.schemaOf(head.schemaJson).fieldNames
+      .contains("tag"), "schema evolution must add the source column")
+    val got = spark.sql(
+      "SELECT k, v, tag FROM smt.db.se1 ORDER BY k").collect()
+    assert(got.length == 25)
+    // untouched pre-evolution rows read NULL for the new column
+    assert(got.take(15).forall(_.isNullAt(2)))
+    // matched + inserted rows carry the source values
+    assert(got.drop(15).forall(r => r.getString(2) == s"t${r.getLong(0)}"
+      && r.getDouble(1) == r.getLong(0) * 2.0))
+  }
 }
