@@ -2504,6 +2504,53 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_write_default",
+      // ADD COLUMN DEFAULT doubles as the WRITE default (Spark's
+      // CURRENT_DEFAULT schema metadata, resolved by the analyzer for
+      // INSERTs that omit the column) while pre-add rows era-fill the
+      // immutable INITIAL default from the manifest; ALTER COLUMN SET
+      // DEFAULT then changes only what FUTURE short inserts resolve —
+      // history never rewrites, reads never change. All metadata-only
+      // commits.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(s"ALTER TABLE snap.main.$t ADD COLUMN src STRING " +
+          "DEFAULT 'bulk'")
+        // short INSERT resolves the write default...
+        s.sql(s"INSERT INTO snap.main.$t (o_orderkey, o_totalprice) " +
+          s"SELECT o_orderkey, o_totalprice FROM " +
+          s"parquet.`$dir/orders.parquet` WHERE o_orderkey % 4 = 1")
+        // ...SET DEFAULT redirects only future inserts
+        s.sql(s"ALTER TABLE snap.main.$t ALTER COLUMN src " +
+          "SET DEFAULT 'late'")
+        s.sql(s"INSERT INTO snap.main.$t (o_orderkey, o_totalprice) " +
+          s"SELECT o_orderkey, o_totalprice FROM " +
+          s"parquet.`$dir/orders.parquet` WHERE o_orderkey % 4 = 3")
+        s.table(s"snap.main.$t")
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("src")
+      },
+      Some(
+        "WITH t AS (SELECT o_totalprice, 'bulk' AS src FROM orders " +
+          "WHERE o_orderkey % 2 = 0 " +
+          "UNION ALL SELECT o_totalprice, 'bulk' FROM orders " +
+          "WHERE o_orderkey % 4 = 1 " +
+          "UNION ALL SELECT o_totalprice, 'late' FROM orders " +
+          "WHERE o_orderkey % 4 = 3) " +
+          "SELECT src, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM t GROUP BY src ORDER BY src")
+    ),
+    Q(
       "table_sql_merge_evolve",
       // MERGE WITH SCHEMA EVOLUTION (AUTOMATIC_SCHEMA_EVOLUTION
       // capability): source-only columns are ADDED to the target by the

@@ -258,6 +258,13 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         SnapTable.dropColumn(dir, del.fieldNames()(0))
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          "nested ALTER COLUMN DEFAULT is not supported")
+        // empty string = DROP DEFAULT (Spark's encoding); write-side
+        // only — the manifest's era-decided INITIAL default is immutable
+        SnapTable.setWriteDefault(dir, ud.fieldNames()(0),
+          Option(ud.newDefaultValue()).filter(_.nonEmpty))
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints

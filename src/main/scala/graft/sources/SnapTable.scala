@@ -752,9 +752,26 @@ object SnapTable {
         .eval(null)
       ()
     }
+    val newField = {
+      val f = org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true)
+      default match {
+        case Some(d) => f.copy(metadata =
+          // Spark's write-side default resolution keys: an INSERT that
+          // omits the column takes CURRENT_DEFAULT — so the one DDL
+          // gives Delta-complete semantics (old rows era-fill the
+          // initial default, new short INSERTs resolve the write
+          // default). Initial fill stays immutable in the manifest
+          // even if the write default is later altered.
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", d)
+            .putString("EXISTS_DEFAULT", d)
+            .build())
+        case None => f
+      }
+    }
     val widened = org.apache.spark.sql.types.StructType(
-      schema.fields :+ org.apache.spark.sql.types.StructField(
-        name, dataType, nullable = true))
+      schema.fields :+ newField)
     val phys = freshPhysName(parent, name)
     commitExclusive(root, parent, parent.files, "add-column", widened.json,
       colmap =
@@ -766,6 +783,42 @@ object SnapTable {
           parent.defaults + (name -> (d, eraHiOf(parent) + 1))
         case None => null // inherit
       })
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT v | DROP DEFAULT` —
+    * changes the WRITE-side default only (what an INSERT omitting the
+    * column resolves, via the schema's CURRENT_DEFAULT metadata). The
+    * INITIAL default — what pre-add rows read, era-decided from the
+    * manifest — is immutable, per the Iceberg-v3 initial-default
+    * contract: altering a default must never rewrite history.
+    */
+  def setWriteDefault(root: String, name: String,
+      default: Option[String]): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    default.foreach { d =>
+      val parsed = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parseExpression(d)
+      require(parsed.foldable,
+        s"default for '$name' must be a constant literal, got: $d")
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          default match {
+            case Some(d) =>
+              f.copy(metadata = mb.putString("CURRENT_DEFAULT", d).build())
+            case None =>
+              f.copy(metadata = mb.remove("CURRENT_DEFAULT").build())
+          }
+        }
+      })
+    commitExclusive(root, parent, parent.files, "set-default",
+      widened.json)
   }
 
   /** A physical name for a NEW logical column: the logical name itself

@@ -177,6 +177,37 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       ids3.distinct.size == 3, s"got $ids3")
   }
 
+  test("ADD COLUMN DEFAULT doubles as the WRITE default; " +
+      "SET/DROP DEFAULT alters the write side, never history") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.wd (k BIGINT)")
+    spark.sql("INSERT INTO snapm.db.wd SELECT id FROM range(0, 3)")
+    spark.sql("ALTER TABLE snapm.db.wd ADD COLUMN tier STRING " +
+      "DEFAULT 'basic'")
+    // initial fill: pre-add rows read the default
+    assert(spark.sql("SELECT count(*) FROM snapm.db.wd " +
+      "WHERE tier = 'basic'").head().getLong(0) == 3)
+    // WRITE default: an INSERT omitting the column resolves it too
+    spark.sql("INSERT INTO snapm.db.wd (k) VALUES (100)")
+    assert(spark.sql("SELECT tier FROM snapm.db.wd WHERE k = 100")
+      .head().getString(0) == "basic")
+    // SET DEFAULT changes only the write side...
+    spark.sql("ALTER TABLE snapm.db.wd ALTER COLUMN tier " +
+      "SET DEFAULT 'pro'")
+    spark.sql("INSERT INTO snapm.db.wd (k) VALUES (101)")
+    assert(spark.sql("SELECT tier FROM snapm.db.wd WHERE k = 101")
+      .head().getString(0) == "pro")
+    // ...pre-add history still reads the ORIGINAL initial default
+    assert(spark.sql("SELECT count(*) FROM snapm.db.wd " +
+      "WHERE k < 3 AND tier = 'basic'").head().getLong(0) == 3)
+    // DROP DEFAULT removes the write default from the schema
+    spark.sql("ALTER TABLE snapm.db.wd ALTER COLUMN tier DROP DEFAULT")
+    val dir = s"$base/db/wd"
+    val f = SnapTable.schemaOf(SnapTable.load(dir,
+      SnapTable.latestVersion(dir)).schemaJson)("tier")
+    assert(!f.metadata.contains("CURRENT_DEFAULT"))
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
