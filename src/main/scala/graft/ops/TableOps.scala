@@ -2504,6 +2504,54 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_cluster_by",
+      // Declarative CLUSTER BY (the liquid-clustering idea): layout
+      // metadata, not a partition spec — every write morton-clusters
+      // its batch on the declared columns (per-batch ranges, one agg
+      // over the batch), a bare OPTIMIZE re-materializes table-wide,
+      // and ALTER TABLE CLUSTER BY re-points without rewriting
+      // anything. Each declared dimension's manifest [min,max] stats
+      // prune independently — at 100 TB this replaces the
+      // over-partitioned directory tree with a layout that follows the
+      // query patterns and evolves by metadata.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+          "CLUSTER BY (o_orderkey, o_custkey)")
+        val dirT = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        s.sql(s"INSERT INTO snap.main.$t " +
+          "SELECT o_orderkey, o_custkey, o_totalprice " +
+          s"FROM parquet.`$dir/orders.parquet`")
+        // both declared dimensions prune straight off the write
+        val (_, kHit, kTot) = SnapTable.readRange(s, dirT,
+          "o_orderkey", 0, 200)
+        val (_, cHit, cTot) = SnapTable.readRange(s, dirT,
+          "o_custkey", 0, 20)
+        require(kTot >= 4 && kHit < kTot && cHit < cTot,
+          s"clustered write must prune both dims: k $kHit/$kTot, " +
+            s"c $cHit/$cTot")
+        // bare OPTIMIZE re-clusters by the declared columns
+        graft.sources.SnapSqlParser.runStatement(s,
+          s"OPTIMIZE snap.main.$t INTO 4 FILES").collect()
+        require(SnapTable.clusterColumns(dirT) ==
+          Seq("o_orderkey", "o_custkey"))
+        s.table(s"snap.main.$t")
+          .filter(col("o_custkey") <= 20)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders WHERE o_custkey <= 20 " +
+          "GROUP BY o_custkey ORDER BY o_custkey")
+    ),
+    Q(
       "table_write_default",
       // ADD COLUMN DEFAULT doubles as the WRITE default (Spark's
       // CURRENT_DEFAULT schema metadata, resolved by the analyzer for

@@ -157,16 +157,29 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       idents: Map[String, (Long, Long, Boolean)]): Table = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val spec = partitions.toSeq.map {
+    // `CLUSTER BY (cols)` arrives as a cluster_by transform: declared
+    // clustering metadata, not a partition spec — stored as the
+    // snap.clusterBy property the write paths and OPTIMIZE consult
+    val (clusterT, specT) =
+      partitions.toSeq.partition(_.name == "cluster_by")
+    val clusterCols = clusterT.flatMap(
+      _.references.map(_.fieldNames.mkString(".")))
+    val spec = specT.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case t => throw new UnsupportedOperationException(
         s"only identity partitioning is supported, got $t")
     }
+    require(clusterCols.isEmpty || spec.isEmpty,
+      "CLUSTER BY is exclusive with PARTITIONED BY")
+    clusterCols.foreach(c => require(schema.fields.exists(f =>
+      f.name == c && f.dataType == LongType),
+      s"cluster column '$c' must be a BIGINT column"))
     // stats column drives default clustering: an explicit property wins,
     // else the first partition column, else the first long column
     val statsCol = Option(properties.get("statsCol"))
       .orElse(spec.headOption)
+      .orElse(clusterCols.headOption)
       .orElse(schema.fields.find(_.dataType == LongType).map(_.name))
       .getOrElse(schema.fields.head.name)
     // `TBLPROPERTIES (...)` persist in the manifest; Spark-injected
@@ -180,8 +193,10 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     val gen = schema.fields.flatMap(f =>
       org.apache.spark.sql.catalyst.util.GeneratedColumn
         .getGenerationExpression(f).map(f.name -> _)).toMap
-    SnapTable.createEmpty(dir, schema, statsCol, spec, userProps, gen,
-      idents)
+    SnapTable.createEmpty(dir, schema, statsCol, spec,
+      userProps ++ (if (clusterCols.isEmpty) Map.empty
+        else Map("snap.clusterBy" -> clusterCols.mkString(","))),
+      gen, idents)
     new SnapV2Table(ident, dir, 1)
   }
 
@@ -258,6 +273,11 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         SnapTable.dropColumn(dir, del.fieldNames()(0))
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (cols) | NONE
+        SnapTable.setClusterBy(dir,
+          cb.clusteringColumns().toSeq
+            .map(_.fieldNames.mkString(".")))
       case ud: TableChange.UpdateColumnDefaultValue =>
         require(ud.fieldNames.length == 1,
           "nested ALTER COLUMN DEFAULT is not supported")
@@ -519,7 +539,7 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
               val parent = SnapTable.load(root,
                 SnapTable.latestVersion(root))
               val fresh = SnapTable.writeData(data.sparkSession, root,
-                SnapTable.clusterBySpec(data, parent.spec),
+                SnapTable.clusterFor(data, parent),
                 parent.statsCol, parent.bucket,
                 era = SnapTable.eraHiOf(parent) + 1)
               SnapTable.commitExclusive(root, parent, fresh, "overwrite",

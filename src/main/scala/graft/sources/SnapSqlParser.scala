@@ -174,9 +174,16 @@ case class OptimizeTableCommand(parts: Seq[String], into: Option[Int],
     val dir = SnapSqlParser.tableDir(s, parts)
     val before = SnapTable.load(dir, SnapTable.latestVersion(dir))
     val target = into.getOrElse(math.max(1, before.files.size / 4))
-    val cluster =
-      if (zorder.isEmpty) None
-      else Some(OptimizeTableCommand.mortonColumn(s, dir, zorder))
+    // explicit ZORDER BY wins; else the table's declared CLUSTER BY
+    // (one column sorts directly, several interleave) — a bare
+    // OPTIMIZE on a clustered table re-materializes its own layout
+    val effective =
+      if (zorder.nonEmpty) zorder else SnapTable.clusterColumns(dir)
+    val cluster = effective match {
+      case Seq() => None
+      case Seq(c) => Some(col(c))
+      case cols => Some(OptimizeTableCommand.mortonColumn(s, dir, cols))
+    }
     val v = where match {
       case Some((c, lo, hi)) =>
         SnapTable.compactWhere(s, dir, c, lo, hi, target, cluster)
@@ -193,22 +200,8 @@ object OptimizeTableCommand {
     * dimension dominates the file splits.
     */
   private[sources] def mortonColumn(s: SparkSession, dir: String,
-      cols: Seq[String]): org.apache.spark.sql.Column = {
-    val df = SnapTable.read(s, dir)
-    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val range = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val lo = range.getLong(2 * i)
-      val hi = range.getLong(2 * i + 1)
-      val w = math.max(1L, (hi - lo + 255) / 256)
-      least(expr(s"(`$c` - $lo) div $w"), lit(255L))
-    }
-    def bit(c: org.apache.spark.sql.Column, i: Int) =
-      shiftrightunsigned(c, i).bitwiseAND(lit(1L))
-    (0 until 8).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
-      shiftleft(bit(b, i), i * cols.length + j)
-    }).reduce(_ + _)
-  }
+      cols: Seq[String]): org.apache.spark.sql.Column =
+    SnapTable.mortonOf(SnapTable.read(s, dir), cols)
 }
 
 /** `CREATE BLOOM INDEX ON t (col)` → [[SnapTable.addBloomIndex]] —

@@ -408,7 +408,7 @@ object SnapTable {
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
-    val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+    val fresh = writeData(s, root, clusterFor(df, parent),
       parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
     commitAppend(root, parent, fresh, df.schema, txn = None,
       freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json),
@@ -433,7 +433,7 @@ object SnapTable {
     validateEvolution(parent.schemaJson, df.schema)
     validateChecks(df, parent.checks, "incoming")
     val cm = widenColmap(parent, df.schema)
-    val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+    val fresh = writeData(s, root, clusterFor(df, parent),
       parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
     val bx = appendBlooms(s, root, parent, fresh, df.schema.json)
     val widened = widenNullability(parent, df.schema)
@@ -479,7 +479,7 @@ object SnapTable {
       }
       val fresh =
         if (incoming.isEmpty) Seq.empty
-        else writeData(s, root, clusterBySpec(incoming, parent.spec),
+        else writeData(s, root, clusterFor(incoming, parent),
           parent.statsCol, parent.bucket, parent.colmap,
           era = eraHiOf(parent) + 1)
       return commitExclusive(root, parent, fresh, "merge",
@@ -516,7 +516,7 @@ object SnapTable {
       incoming.select(survivors.columns.map(col).toIndexedSeq: _*))
     val fresh =
       if (touchedRel.isEmpty && incoming.isEmpty) Seq.empty
-      else writeData(s, root, clusterBySpec(rewrite, parent.spec),
+      else writeData(s, root, clusterFor(rewrite, parent),
         parent.statsCol, parent.bucket, parent.colmap,
         era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "merge",
@@ -562,7 +562,7 @@ object SnapTable {
         validateEvolution(parent.schemaJson, df.schema)
         validateChecks(df, parent.checks, "incoming")
         val cm = widenColmap(parent, df.schema)
-        val fresh = writeData(s, root, clusterBySpec(df, parent.spec),
+        val fresh = writeData(s, root, clusterFor(df, parent),
           parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
         commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
           freshBlooms =
@@ -848,6 +848,8 @@ object SnapTable {
       s"cannot $what '$c': it is the bucket column")
     require(!parent.gen.contains(c),
       s"cannot $what '$c': it has a generation expression")
+    require(!clusterProp(parent).contains(c),
+      s"cannot $what '$c': it is a declared CLUSTER BY column")
     def refs(e: String): Set[String] =
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(e).collect {
@@ -906,7 +908,12 @@ object SnapTable {
       defaults = parent.defaults.map { case (c, v) =>
         (if (c == from) to else c) -> v },
       idents = parent.idents.map { case (c, v) =>
-        (if (c == from) to else c) -> v })
+        (if (c == from) to else c) -> v },
+      props = parent.props.map {
+        case ("snap.clusterBy", v) => "snap.clusterBy" ->
+          v.split(",").map(x => if (x == from) to else x).mkString(",")
+        case kv => kv
+      })
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: the snapshot schema loses
@@ -1528,7 +1535,7 @@ object SnapTable {
       .drop("_gf_file")
     val fresh =
       if (touchedRel.isEmpty) Seq.empty
-      else writeData(s, root, clusterBySpec(survivors, parent.spec),
+      else writeData(s, root, clusterFor(survivors, parent),
         parent.statsCol, parent.bucket, parent.colmap,
         era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
@@ -1766,7 +1773,7 @@ object SnapTable {
       .drop("_dv_path", "_dv_row")
     val fresh =
       if (survivors.isEmpty) Seq.empty
-      else writeData(s, root, clusterBySpec(survivors, parent.spec),
+      else writeData(s, root, clusterFor(survivors, parent),
         parent.statsCol, parent.bucket, parent.colmap,
         era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "delete",
@@ -1841,7 +1848,7 @@ object SnapTable {
           .sortWithinPartitions("_dv_path", "_dv_row")
           .write.parquet(s"$root/$dvName")
         val fresh = writeData(s, root,
-          clusterBySpec(updated, parent.spec), parent.statsCol,
+          clusterFor(updated, parent), parent.statsCol,
           parent.bucket, parent.colmap, era = eraHiOf(parent) + 1)
         commitExclusive(root, parent, parent.files ++ fresh,
           "update-mor", parent.schemaJson,
@@ -1897,7 +1904,7 @@ object SnapTable {
     validateGenerated(updatedOnly, parent.gen, "updated")
     val fresh =
       if (rewritten.isEmpty) Seq.empty
-      else writeData(s, root, clusterBySpec(rewritten, parent.spec),
+      else writeData(s, root, clusterFor(rewritten, parent),
         parent.statsCol, parent.bucket, parent.colmap,
         era = eraHiOf(parent) + 1)
     commitExclusive(root, parent, carried ++ fresh, "update",
@@ -2466,6 +2473,85 @@ object SnapTable {
       df.repartitionByRange(n, spec.map(col): _*)
         .sortWithinPartitions(spec.map(col): _*)
     }
+
+  /** The declared CLUSTER BY columns (the liquid-clustering idea):
+    * layout metadata in the `snap.clusterBy` table property — writes
+    * cluster incoming batches on them, OPTIMIZE re-clusters the whole
+    * table on them, and per-file [min,max] stats then prune on each.
+    */
+  private[sources] def clusterProp(snap: Snapshot): Seq[String] =
+    snap.props.get("snap.clusterBy").toSeq
+      .flatMap(_.split(",").toSeq).filter(_.nonEmpty)
+
+  /** Write-side clustering: an explicit partition spec wins; else the
+    * declared CLUSTER BY columns — one column range-clusters like a
+    * spec, several interleave a per-batch Morton code so every
+    * dimension's stats stay tight in every file. Cost is the sort the
+    * write already pays for any clustered layout; the Morton ranges
+    * come from ONE aggregate over the incoming batch (not the table).
+    */
+  private[sources] def clusterFor(df: DataFrame,
+      snap: Snapshot): DataFrame =
+    if (snap.spec.nonEmpty) clusterBySpec(df, snap.spec)
+    else clusterProp(snap) match {
+      case Seq() => df
+      case Seq(c) => clusterBySpec(df, Seq(c))
+      case cols =>
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.withColumn("_gf_z", mortonOf(df, cols))
+          .repartitionByRange(n, col("_gf_z"))
+          .sortWithinPartitions("_gf_z")
+          .drop("_gf_z")
+    }
+
+  /** Balanced 8-bit-per-dimension Morton interleave of `cols` (LONG
+    * columns) over `df`'s actual value ranges — no dimension dominates
+    * the file splits. One agg job over `df` to find the ranges.
+    */
+  private[sources] def mortonOf(df: DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val range = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      if (range.isNullAt(2 * i)) lit(0L) // empty/all-null batch
+      else {
+        val lo = range.getLong(2 * i)
+        val hi = range.getLong(2 * i + 1)
+        val w = math.max(1L, (hi - lo + 255) / 256)
+        least(expr(s"(`$c` - $lo) div $w"), lit(255L))
+      }
+    }
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftrightunsigned(c, i).bitwiseAND(lit(1L))
+    (0 until 8).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+      shiftleft(bit(b, i), i * cols.length + j)
+    }).reduce(_ + _)
+  }
+
+  /** Declared CLUSTER BY columns of the head snapshot. */
+  def clusterColumns(root: String): Seq[String] =
+    clusterProp(load(root, latestVersion(root)))
+
+  /** `ALTER TABLE … CLUSTER BY (cols…) | NONE` — re-point the declared
+    * clustering in one metadata commit. Future writes adopt it
+    * immediately; OPTIMIZE materializes it table-wide. Exclusive with
+    * a partition spec or bucket layout (one physical order per table).
+    */
+  def setClusterBy(root: String, cols: Seq[String]): Int = {
+    val parent = load(root, latestVersion(root))
+    require(parent.spec.isEmpty && parent.bucket.isEmpty,
+      "CLUSTER BY is exclusive with a partition spec or bucket layout")
+    val schema = schemaOf(parent.schemaJson)
+    cols.foreach(c => require(schema.fields.exists(f => f.name == c &&
+      f.dataType == org.apache.spark.sql.types.LongType),
+      s"cluster column '$c' must be an existing BIGINT column " +
+        "(the Morton interleave and manifest range stats are INT64)"))
+    commitExclusive(root, parent, parent.files, "set-cluster",
+      parent.schemaJson,
+      props =
+        if (cols.isEmpty) parent.props - "snap.clusterBy"
+        else parent.props + ("snap.clusterBy" -> cols.mkString(",")))
+  }
 
   /** Map `_metadata.file_path` URIs back to their manifest entries by
     * NORMALIZED absolute path — a bare endsWith on the relative entry

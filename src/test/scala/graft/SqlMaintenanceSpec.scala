@@ -208,6 +208,47 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(!f.metadata.contains("CURRENT_DEFAULT"))
   }
 
+  test("CLUSTER BY: declared clustering drives the write layout " +
+      "(both dimensions prune), OPTIMIZE re-materializes it, ALTER " +
+      "CLUSTER BY re-points it") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.cl (k BIGINT, d BIGINT, p DOUBLE) " +
+      "CLUSTER BY (k, d)")
+    val dir = s"$base/db/cl"
+    assert(SnapTable.clusterColumns(dir) == Seq("k", "d"))
+    // one INSERT: the write itself morton-clusters the batch, so BOTH
+    // dimensions' manifest stats prune immediately — no OPTIMIZE needed
+    spark.sql("INSERT INTO snapm.db.cl " +
+      "SELECT id, (id * 2654435761) % 1000, CAST(id AS DOUBLE) " +
+      "FROM range(0, 8000)")
+    val (_, kHit, kTot) = SnapTable.readRange(spark, dir, "k", 0, 999)
+    val (_, dHit, dTot) = SnapTable.readRange(spark, dir, "d", 0, 124)
+    assert(kTot >= 4 && kHit < kTot,
+      s"k must prune on a clustered write: $kHit/$kTot")
+    assert(dHit < dTot,
+      s"d must prune on a clustered write: $dHit/$dTot")
+    // correctness unaffected by the layout
+    assert(spark.sql("SELECT count(*) FROM snapm.db.cl " +
+      "WHERE d BETWEEN 0 AND 124").head().getLong(0) ==
+      spark.range(0, 8000).filter("(id * 2654435761) % 1000 <= 124")
+        .count())
+    // a bare OPTIMIZE re-clusters BY THE DECLARED COLUMNS
+    spark.sql("OPTIMIZE snapm.db.cl INTO 4 FILES").collect()
+    val (_, kHit2, kTot2) = SnapTable.readRange(spark, dir, "k", 0, 999)
+    assert(kTot2 == 4 && kHit2 < kTot2,
+      s"post-OPTIMIZE k pruning: $kHit2/$kTot2")
+    // ALTER re-points; dropping a cluster column refuses
+    spark.sql("ALTER TABLE snapm.db.cl CLUSTER BY (d)")
+    assert(SnapTable.clusterColumns(dir) == Seq("d"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapm.db.cl DROP COLUMN d")
+    }
+    spark.sql("OPTIMIZE snapm.db.cl INTO 4 FILES").collect()
+    val (_, dHit3, dTot3) = SnapTable.readRange(spark, dir, "d", 0, 124)
+    assert(dTot3 == 4 && dHit3 == 1,
+      s"single-column recluster must range-pack d: $dHit3/$dTot3")
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
