@@ -76,7 +76,9 @@ private[graft] class SnapBatchScan(
         "streaming read requires the catalog scan path"))
     new SnapMicroBatchStream(spark, root, required, pushed, filePruner,
       ignoreChanges = o.getBoolean("ignoreChanges", false),
-      startingVersion = Option(o.get("startingVersion")).map(_.toInt),
+      startingVersion = Option(o.get("startingVersion")).map(_.toInt)
+        .orElse(Option(o.get("startingTimestamp"))
+          .map(SnapTail.startingVersionAt(root, _))),
       maxVersionsPerTrigger =
         Option(o.get("maxVersionsPerTrigger")).map(_.toInt))
   }

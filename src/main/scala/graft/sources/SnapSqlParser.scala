@@ -70,7 +70,8 @@ object SnapSqlParser {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
@@ -104,11 +105,14 @@ object SnapSqlParser {
         Option(n).map(_.toInt),
         Option(z).map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty),
         Option(wc).map(c => (c, wlo.toLong, whi.toLong))))
-    case Vacuum(id, n, dry) =>
+    case Vacuum(id, n, unit, dry) =>
       // no RETAIN clause → the table's declared retention property
-      // (snap.vacuum.retainVersions), else the live snapshot only
+      // (snap.vacuum.retainVersions), else the live snapshot only;
+      // RETAIN n HOURS keeps every version committed inside the window
       Some(VacuumTableCommand(parts(id),
-        Option(n).map(_.toInt), dryRun = dry != null))
+        Option(n).map(_.toInt),
+        hours = Option(unit).exists(_.equalsIgnoreCase("HOURS")),
+        dryRun = dry != null))
     case Restore(id, v, ts) => Some(RestoreTableCommand(parts(id),
       Option(v).map(_.toInt), Option(ts)))
     case History(id) => Some(DescribeHistoryCommand(parts(id)))
@@ -299,7 +303,8 @@ case class RefCommand(parts: Seq[String], verb: String, kind: String,
   * and reclaims nothing — the audit before an irreversible verb.
   */
 case class VacuumTableCommand(parts: Seq[String], retain: Option[Int],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false, hours: Boolean = false)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) Seq(
       AttributeReference("would_remove", StringType, nullable = false)())
@@ -308,7 +313,16 @@ case class VacuumTableCommand(parts: Seq[String], retain: Option[Int],
 
   override def run(s: SparkSession): Seq[Row] = {
     val dir = SnapSqlParser.tableDir(s, parts)
-    val r = retain.getOrElse(SnapTable.retainDefault(dir))
+    // time-based retention maps onto version retention: keep every
+    // version whose commit ts falls inside the window (at least the
+    // live head) — same liveness scope, so DRY RUN stays exact
+    val r =
+      if (hours) {
+        val cutoff = System.currentTimeMillis() -
+          retain.get.toLong * 3600000L
+        math.max(1, SnapTable.versions(dir)
+          .count(v => SnapTable.load(dir, v).ts >= cutoff))
+      } else retain.getOrElse(SnapTable.retainDefault(dir))
     if (dryRun) SnapTable.vacuumPlan(dir, r).map(Row(_))
     else Seq(Row(SnapTable.vacuum(dir, r).toLong))
   }

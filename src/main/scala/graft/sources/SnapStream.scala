@@ -68,7 +68,10 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.toBoolean),
       parameters.get("startingversion").orElse(
-        parameters.get("startingVersion")).map(_.toInt),
+        parameters.get("startingVersion")).map(_.toInt)
+        .orElse(parameters.get("startingtimestamp").orElse(
+          parameters.get("startingTimestamp"))
+          .map(SnapTail.startingVersionAt(root(parameters), _))),
       parameters.get("readchangefeed").orElse(
         parameters.get("readChangeFeed")).exists(_.toBoolean),
       parameters.get("maxversionspertrigger").orElse(
@@ -302,4 +305,18 @@ private[sources] object SnapTail {
     */
   def baseBelow(root: String, v: Int): Option[Int] =
     SnapTable.versions(root).filter(_ < v).lastOption
+
+  /** `startingTimestamp` → the earliest version committed AT OR AFTER
+    * it (Delta's startingTimestamp contract) — all older → one past
+    * the head, i.e. only future commits stream. Accepts epoch millis
+    * or `yyyy-MM-dd HH:mm:ss[.f]`.
+    */
+  def startingVersionAt(root: String, ts: String): Int = {
+    val ms =
+      if (ts.forall(_.isDigit)) ts.toLong
+      else java.sql.Timestamp.valueOf(ts).getTime
+    SnapTable.versions(root)
+      .find(v => SnapTable.load(root, v).ts >= ms)
+      .getOrElse(SnapTable.latestVersion(root) + 1)
+  }
 }

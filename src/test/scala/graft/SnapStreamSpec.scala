@@ -350,6 +350,26 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(e.getCause.getMessage.contains("rewritten, not appended"))
   }
 
+  test("startingTimestamp resolves to the earliest version committed " +
+      "at-or-after it (both source flavors)") {
+    val root = Tmp.dir("snapstream_ts")
+    SnapTable.create(spark, root, df(0 until 5, "v1"), "k")
+    Thread.sleep(10) // distinct commit timestamps
+    SnapTable.append(spark, root, df(5 until 9, "v2"))
+    val cut = SnapTable.load(root, 2).ts
+    val name = s"snapstream_ts_${System.nanoTime()}"
+    StreamRun.withStateParts(spark) {
+      val q = spark.readStream.format("snapstream")
+        .option("startingTimestamp", cut.toString).load(root)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(spark.table(name).as[(Long, String)].collect().toSeq.sorted
+      == (5L until 9L).map((_, "v2")),
+      "only the at-or-after-cutoff commit must stream")
+  }
+
   test("Complete-mode native sink: each epoch REPLACES the table in one " +
       "commit, history stays time-travelable, replayed epochs are no-ops") {
     val base = Tmp.dir("snapsink_cmpl_wh")

@@ -249,6 +249,22 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       s"single-column recluster must range-pack d: $dHit3/$dTot3")
   }
 
+  test("VACUUM RETAIN n HOURS keeps every version inside the window") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.vh (k BIGINT)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO snapm.db.vh SELECT id + ${i * 10} FROM range(0, 5)"))
+    val dir = s"$base/db/vh"
+    // everything was committed seconds ago: a 1-hour window keeps all
+    val removed = spark.sql("VACUUM snapm.db.vh RETAIN 1 HOURS")
+      .head().getLong(0)
+    assert(removed == 0, s"nothing is outside the window, removed $removed")
+    assert(SnapTable.versions(dir).size == 4)
+    // and the version form still reclaims (sanity that HOURS did gate)
+    spark.sql("VACUUM snapm.db.vh RETAIN 1 VERSIONS").collect()
+    assert(SnapTable.versions(dir).size == 1)
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
