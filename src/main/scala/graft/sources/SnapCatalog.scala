@@ -502,9 +502,16 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
   override def partitioning(): Array[Transform] = snap.bucket match {
     case Some((c, n)) => Array(
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
-    case None => snap.spec.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+    case None =>
+      val cl = SnapTable.clusterProp(snap)
+      if (cl.nonEmpty) // SHOW CREATE TABLE renders `CLUSTER BY (…)`
+        Array(org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(cl.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c))))
+      else snap.spec.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+        .toArray
   }
 
   override def newScanBuilder(

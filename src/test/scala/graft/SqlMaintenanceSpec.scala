@@ -216,6 +216,12 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       "CLUSTER BY (k, d)")
     val dir = s"$base/db/cl"
     assert(SnapTable.clusterColumns(dir) == Seq("k", "d"))
+    // DDL round-trip: SHOW CREATE TABLE carries the clustering (Spark
+    // 4.1 renders the cluster_by transform in the partitioning clause;
+    // re-running that DDL routes back through doCreate's cluster_by
+    // handling, so the statement round-trips)
+    assert(spark.sql("SHOW CREATE TABLE snapm.db.cl").head()
+      .getString(0).contains("cluster_by(k, d)"))
     // one INSERT: the write itself morton-clusters the batch, so BOTH
     // dimensions' manifest stats prune immediately — no OPTIMIZE needed
     spark.sql("INSERT INTO snapm.db.cl " +
