@@ -38,5 +38,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lixsize"),
       new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "lixsize"),
       (args: Seq[Expression]) => SortedLongIntersectSize(args.head, args(1))))
+    // CDC table-valued functions (the Delta `table_changes` idea):
+    //   SELECT * FROM snap_changes('cat.ns.t' | '/table/root', key, v1, v2)
+    //   SELECT * FROM snap_changes_delta('cat.ns.t' | ..., v1, v2)
+    // classified (insert/update/delete + images, keyed) and signed
+    // (+1/-1 rows whose linear aggregates maintain a view) CDC from
+    // plain SQL. Arguments must be literals; the table reference is a
+    // snap-catalog identifier or a filesystem root.
+    e.injectTableFunction((
+      FunctionIdentifier("snap_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "snap_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "snap_changes(table, keyColumn, fromVersion, toVersion)")
+        val Seq(t, k, f, v) = args.map(GraftExtensions.lit)
+        GraftExtensions.plan(s =>
+          graft.sources.SnapTable.changes(s,
+            GraftExtensions.rootOf(s, t), f.toInt, v.toInt, k))
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("snap_changes_delta"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "snap_changes_delta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "snap_changes_delta(table, fromVersion, toVersion)")
+        val Seq(t, f, v) = args.map(GraftExtensions.lit)
+        GraftExtensions.plan(s =>
+          graft.sources.SnapTable.changesDelta(s,
+            GraftExtensions.rootOf(s, t), f.toInt, v.toInt))
+      }))
   }
+}
+
+object GraftExtensions {
+  private def lit(e: Expression): String = {
+    require(e.foldable, s"literal argument expected, got $e")
+    String.valueOf(e.eval(null))
+  }
+
+  /** A catalog identifier (`cat.ns.t`, resolved against a registered
+    * snap catalog) or a filesystem table root, to the root directory.
+    */
+  private def rootOf(s: org.apache.spark.sql.SparkSession,
+      t: String): String =
+    if (t.contains("/")) t
+    else graft.sources.SnapSqlParser.tableDir(s,
+      t.split('.').toSeq)
+
+  private def plan(build: org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    build(org.apache.spark.sql.SparkSession.active)
+      .queryExecution.logical
 }

@@ -2504,6 +2504,43 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_sql_cdc_tvf",
+      // CDC as TABLE-VALUED FUNCTIONS (the Delta table_changes idea):
+      // `SELECT ... FROM snap_changes(t, key, v1, v2)` (classified,
+      // keyed actions + images) and `snap_changes_delta(t, v1, v2)`
+      // (signed rows whose linear aggregates maintain a view) — the
+      // incremental-ETL read surface from plain SQL, injected via
+      // SparkSessionExtensions.injectTableFunction. Cost is the file
+      // DIFF between the two versions, never a table scan.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        orders.write.mode("append").insertInto(s"snap.main.$t") // v2
+        s.sql(s"DELETE FROM snap.main.$t WHERE o_orderkey % 10 = 3") // v3
+        // signed feed nets to the live table; classified feed names
+        // exactly the deleted keys
+        val live = s.sql(s"SELECT sum(CAST(round(o_totalprice * 100) " +
+          s"AS BIGINT)) FROM snap.main.$t").head().getLong(0)
+        val net = s.sql("SELECT sum(CAST(round(o_totalprice * 100) AS " +
+          s"BIGINT) * _sign) FROM snap_changes_delta('snap.main.$t', 1, 3)")
+          .head().getLong(0)
+        require(net == live, s"signed deltas must net to live: $net/$live")
+        s.sql(
+          s"SELECT action, o_orderkey, " +
+            "round(o_totalprice * 1e2) / 1e2 AS price " +
+            s"FROM snap_changes('snap.main.$t', 'o_orderkey', 2, 3) " +
+            "ORDER BY o_orderkey")
+      },
+      Some(
+        "SELECT 'delete' AS action, o_orderkey, " +
+          "round(o_totalprice * 1e2) / 1e2 AS price FROM orders " +
+          "WHERE o_orderkey % 10 = 3 ORDER BY o_orderkey")
+    ),
+    Q(
       "table_cluster_by",
       // Declarative CLUSTER BY (the liquid-clustering idea): layout
       // metadata, not a partition spec — every write morton-clusters

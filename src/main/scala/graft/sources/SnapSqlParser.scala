@@ -146,7 +146,7 @@ object SnapSqlParser {
   /** Resolve `cat.ns….table` to the table's root dir; only catalogs
     * registered as [[SnapCatalog]] qualify.
     */
-  private[sources] def tableDir(s: SparkSession,
+  private[graft] def tableDir(s: SparkSession,
       parts: Seq[String]): String = {
     require(parts.length >= 2,
       s"expected cat.[ns.]table, got ${parts.mkString(".")}")

@@ -271,6 +271,27 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(SnapTable.versions(dir).size == 1)
   }
 
+  test("snap_changes / snap_changes_delta TVFs: CDC from plain SQL") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.cdc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapm.db.cdc SELECT id, id * 10 " +
+      "FROM range(0, 10)")                                   // v2
+    spark.sql("DELETE FROM snapm.db.cdc WHERE k < 3")        // v3
+    // classified: keyed insert/update/delete actions with images
+    val ch = spark.sql(
+      "SELECT action, k, v FROM snap_changes('snapm.db.cdc', 'k', 2, 3) " +
+        "ORDER BY k").collect()
+    assert(ch.forall(_.getString(0) == "delete") && ch.length == 3,
+      s"got ${ch.mkString(",")}")
+    assert(ch.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    // signed: deltas net to the live table under a linear aggregate
+    val net = spark.sql(
+      "SELECT sum(v * _sign) FROM snap_changes_delta('snapm.db.cdc', 1, 3)")
+      .head().getLong(0)
+    assert(net == spark.sql("SELECT sum(v) FROM snapm.db.cdc")
+      .head().getLong(0), "signed deltas must net to the live sum")
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
     freshCat()
     spark.sql("CREATE TABLE snapm.db.det (k BIGINT) PARTITIONED BY (k)")
