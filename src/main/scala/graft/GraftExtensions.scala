@@ -56,6 +56,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.sources.SnapTable.changes(s,
             GraftExtensions.rootOf(s, t), f.toInt, v.toInt, k))
       }))
+    // queryable commit log: SELECT * FROM snap_history('cat.ns.t')
+    // WHERE op = 'delete' — DESCRIBE HISTORY as a relation, filterable
+    // and joinable like any other
+    e.injectTableFunction((
+      FunctionIdentifier("snap_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "snap_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "snap_history(table)")
+        val t = GraftExtensions.lit(args.head)
+        GraftExtensions.plan(s =>
+          graft.sources.SnapTable.history(s,
+            GraftExtensions.rootOf(s, t)))
+      }))
     e.injectTableFunction((
       FunctionIdentifier("snap_changes_delta"),
       new ExpressionInfo(classOf[GraftExtensions].getName,

@@ -2504,6 +2504,44 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_double_prune",
+      // DOUBLE-column manifest stats (dstats): footer [min,max] bounds
+      // for DOUBLE columns ride the manifest (NaN bounds rejected), so
+      // price/score RANGE predicates skip files from the driver exactly
+      // like INT64 key ranges — the missing pruning dimension for
+      // money/metric columns that aren't the cluster key but correlate
+      // with it, or that the table is explicitly clustered on (as
+      // here). The op plan-requires the file skip, then oracle-checks
+      // the range aggregate.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_dprune")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"))
+        SnapTable.create(s, root,
+          o.repartitionByRange(6, col("o_totalprice")), "o_orderkey")
+        val snap = SnapTable.load(root, SnapTable.latestVersion(root))
+        require(snap.files.forall(_.dstats.contains("o_totalprice")),
+          "manifest must carry DOUBLE bounds")
+        val b = new graft.sources.SnapScanBuilder(root, snap,
+          SnapTable.schemaOf(snap.schemaJson))
+        b.pushFilters(Array(org.apache.spark.sql.sources
+          .LessThanOrEqual("o_totalprice", 50000.0)))
+        val scan = b.build()
+          .asInstanceOf[graft.sources.SnapBatchScan]
+        require(scan.files.size < snap.files.size,
+          s"price range must prune files: ${scan.files.size}/" +
+            s"${snap.files.size}")
+        SnapTable.read(s, root)
+          .filter(col("o_totalprice") <= 50000.0)
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders WHERE o_totalprice <= 50000.0")
+    ),
+    Q(
       "table_sql_cdc_tvf",
       // CDC as TABLE-VALUED FUNCTIONS (the Delta table_changes idea):
       // `SELECT ... FROM snap_changes(t, key, v1, v2)` (classified,

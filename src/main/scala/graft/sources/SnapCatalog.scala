@@ -690,6 +690,9 @@ private[graft] class SnapScanBuilder(root: String,
   // guard at write time keeps orderings consistent).
   private var sBounds: Map[String, (Option[String], Option[String])] =
     Map.empty
+  // DOUBLE bounds, kept CLOSED on both sides (strict variants keep the
+  // closed bound — conservative; the residual filter is row-exact)
+  private var dBounds: Map[String, (Double, Double)] = Map.empty
   private var raw: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -755,6 +758,19 @@ private[graft] class SnapScanBuilder(root: String,
       case LessThan(c, v: Int) => narrow(c, Long.MinValue, v - 1L)
       case LessThanOrEqual(c, v: Long) => narrow(c, Long.MinValue, v)
       case LessThanOrEqual(c, v: Int) => narrow(c, Long.MinValue, v.toLong)
+      case EqualTo(c, v: Double) => narrowD(c, v, v)
+      case GreaterThan(c, v: Double) =>
+        narrowD(c, v, Double.PositiveInfinity)
+      case GreaterThanOrEqual(c, v: Double) =>
+        narrowD(c, v, Double.PositiveInfinity)
+      case LessThan(c, v: Double) =>
+        narrowD(c, Double.NegativeInfinity, v)
+      case LessThanOrEqual(c, v: Double) =>
+        narrowD(c, Double.NegativeInfinity, v)
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Double]) =>
+        val ds = vs.map(_.asInstanceOf[Double])
+        if (!ds.exists(_.isNaN)) narrowD(c, ds.min, ds.max)
       // string predicates narrow CLOSED bounds (strict variants keep
       // the closed bound — conservative, the residual filter is exact);
       // a prefix match is the range [prefix, prefix + maxChar...]
@@ -774,6 +790,12 @@ private[graft] class SnapScanBuilder(root: String,
       val (a, b) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
       bounds += c -> (math.max(a, lo), math.min(b, hi))
     }
+    def narrowD(c: String, lo: Double, hi: Double): Unit =
+      if (!lo.isNaN && !hi.isNaN) {
+        val (a, b) = dBounds.getOrElse(c,
+          (Double.NegativeInfinity, Double.PositiveInfinity))
+        dBounds += c -> (math.max(a, lo), math.min(b, hi))
+      }
     def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
       val (a, b) = sBounds.getOrElse(c,
         (None: Option[String], None: Option[String]))
@@ -808,6 +830,10 @@ private[graft] class SnapScanBuilder(root: String,
           .forall { case (mn, mx) =>
             lo.forall(mx >= _) && hi.forall(mn <= _)
           }
+      } &&
+      dBounds.forall { case (c, (lo, hi)) =>
+        f.dstats.get(SnapTable.physName(snap.colmap, c))
+          .forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
     }
 

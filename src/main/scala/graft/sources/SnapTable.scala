@@ -93,10 +93,15 @@ object SnapTable {
     * predicate holds for every row of the file — a NULL makes any
     * comparison non-true, so metadata-only deletes require nulls == 0.
     */
+  /** `dstats` are DOUBLE-column [min,max] bounds (footer-derived, NaN
+    * bounds rejected per the parquet ordering caveat): price/score
+    * range predicates prune files exactly like the INT64 stats do.
+    */
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (Long, Long)],
       sstats: Map[String, (String, String)] = Map.empty,
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty,
+      dstats: Map[String, (Double, Double)] = Map.empty)
 
   /** `schemaJson` is the table schema AS OF this snapshot (StructType
     * JSON). Schema lives in the log, not in data-file footers: a read
@@ -2691,6 +2696,23 @@ object SnapTable {
             val mx = cs.map(_.getStatistics.maxAsString).max
             if (ok(mn) && ok(mx)) Some(name -> (mn, mx)) else None
           }
+        // DOUBLE bounds: parquet writers omit min/max when NaN is
+        // present, but be defensive — a NaN bound orders arbitrarily
+        // and could mis-prune, so reject it outright
+        val perDbl = blocks.flatMap(_.getColumns.asScala)
+          .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.DOUBLE &&
+            c.getStatistics != null &&
+            c.getStatistics.hasNonNullValue)
+          .groupBy(_.getPath.toDotString)
+          .flatMap { case (name, cs) =>
+            val mn = cs.map(_.getStatistics.genericGetMin
+              .asInstanceOf[java.lang.Double].doubleValue()).min
+            val mx = cs.map(_.getStatistics.genericGetMax
+              .asInstanceOf[java.lang.Double].doubleValue()).max
+            if (mn.isNaN || mx.isNaN) None else Some(name -> (mn, mx))
+          }
         val perNull = blocks.flatMap(_.getColumns.asScala)
           .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
             org.apache.parquet.schema.PrimitiveType
@@ -2703,7 +2725,7 @@ object SnapTable {
           }
         Some(FileEntry(
           Paths.get(root).toAbsolutePath.relativize(p).toString,
-          rows, perCol, perStr, perNull))
+          rows, perCol, perStr, perNull, perDbl))
       }
     } finally reader.close()
   }
@@ -3168,8 +3190,13 @@ object SnapTable {
       val nulls = Option(f.get("nulls")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty[String, Long])
+      val dstats = Option(f.get("dstats")).map(_.properties().asScala
+        .map { e =>
+          e.getKey -> (e.getValue.get(0).asDouble(),
+            e.getValue.get(1).asDouble())
+        }.toMap).getOrElse(Map.empty[String, (Double, Double)])
       FileEntry(f.get("path").asText(), f.get("rows").asLong(), stats,
-        sstats, nulls)
+        sstats, nulls, dstats)
     }.toSeq
 
   // paths are uuid-based names we generate — no JSON-escaping needed
@@ -3196,7 +3223,15 @@ object SnapTable {
         else f.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
           s"${jm.writeValueAsString(c)}:$n"
         }.mkString(""","nulls":{""", ",", "}")
-      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss$nl}"""
+      val ds =
+        if (f.dstats.isEmpty) ""
+        else f.dstats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          // Locale.ROOT-stable, round-trip-exact double text
+          s"${jm.writeValueAsString(c)}:[" +
+            java.lang.Double.toString(mn) + "," +
+            java.lang.Double.toString(mx) + "]"
+        }.mkString(""","dstats":{""", ",", "}")
+      s"""{"path":"${f.path}","rows":${f.rows},"stats":$st$ss$nl$ds}"""
     }.mkString("[", ",", "]")
     renderMeta(snap) + s""""files":$files""" + renderTail(snap)
   }

@@ -122,6 +122,32 @@ class SnapCatalogSpec extends AnyFunSuite {
       .count() == 100)
   }
 
+  test("DOUBLE-column range predicates prune files from dstats") {
+    val root = s"$base/db1/dprune"
+    SnapTable.create(spark, root,
+      spark.range(8000).selectExpr("id AS k",
+        "CAST(id AS DOUBLE) * 1.5 AS price")
+        .repartitionByRange(8, col("k")), "k")
+    val snap = SnapTable.load(root, 1)
+    assert(snap.files.forall(_.dstats.contains("price")),
+      "footer sweep must record DOUBLE bounds")
+    val b = new SnapScanBuilder(root, snap,
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+        SnapTable.schemaOf(snap.schemaJson)).schema)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.LessThan("price", 1000.0)))
+    val scan = b.build().asInstanceOf[SnapBatchScan]
+    assert(snap.files.size == 8)
+    assert(scan.files.size < snap.files.size,
+      s"price range must prune (${scan.files.size}/8)")
+    // SQL over the same range is exact (residual filter stays)
+    spark.conf.set("spark.sql.catalog.snapt.root", base)
+    val n = spark.range(8000).filter("id * 1.5 < 1000.0").count()
+    assert(SnapTable.read(spark, root)
+      .filter(col("price") < 1000.0).count() == n)
+  }
+
   test("pushed range predicate prunes files from the manifest") {
     val root = s"$base/db1/prune"
     SnapTable.create(spark, root,

@@ -290,6 +290,9 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(net == spark.sql("SELECT sum(v) FROM snapm.db.cdc")
       .head().getLong(0), "signed deltas must net to the live sum")
+    // queryable history: the commit log as a filterable relation
+    assert(spark.sql("SELECT version FROM snap_history('snapm.db.cdc') " +
+      "WHERE op = 'delete'").head().getLong(0) == 3L)
   }
 
   test("DESCRIBE DETAIL reports head-snapshot metadata") {
