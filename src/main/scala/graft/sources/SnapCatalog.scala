@@ -592,14 +592,15 @@ private[sources] object SnapV2Table {
   * manifest and shipped as the single input partition's payload. No
   * data file is opened — the spec proves it by deleting them first.
   */
-private[graft] class SnapAggScan(names: Seq[String],
-    values: Seq[Option[Long]])
+private[graft] class SnapAggScan(
+    cols: Seq[(String, org.apache.spark.sql.types.DataType, Option[Any])])
   extends Scan with org.apache.spark.sql.connector.read.Batch {
 
+  private def values: Seq[Option[Any]] = cols.map(_._3)
+
   override def readSchema(): StructType = StructType(
-    names.zip(values).map { case (n, v) =>
-      org.apache.spark.sql.types.StructField(n,
-        org.apache.spark.sql.types.LongType, nullable = v.isEmpty)
+    cols.map { case (n, dt, v) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable = v.isEmpty)
     })
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -626,7 +627,7 @@ private[graft] class SnapAggScan(names: Seq[String],
     }
 }
 
-private[graft] final case class SnapAggPartition(values: Seq[Option[Long]])
+private[graft] final case class SnapAggPartition(values: Seq[Option[Any]])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Scan builder carrying the DSv2 pushdowns that matter at manifest
@@ -667,7 +668,11 @@ private[graft] class SnapScanBuilder(root: String,
           .Expression): Option[String] = e match {
         case f: NamedReference if f.fieldNames.length == 1 =>
           val pc = SnapTable.physName(snap.colmap, f.fieldNames()(0))
-          if (snap.files.forall(_.stats.contains(pc))) Some(pc) else None
+          // INT64 stats or DOUBLE dstats, covering EVERY file (both
+          // footer families ignore nulls, exactly like SQL MIN/MAX)
+          if (snap.files.forall(_.stats.contains(pc)) ||
+              snap.files.forall(_.dstats.contains(pc))) Some(pc)
+          else None
         case _ => None
       }
       a.aggregateExpressions.forall {
@@ -846,20 +851,33 @@ private[graft] class SnapScanBuilder(root: String,
             SnapTable.physName(snap.colmap, f.fieldNames()(0))
           case other => sys.error(s"unexpected agg child $other")
         }
-        val (names, values) = a.aggregateExpressions.map {
+        def minMax(c: String, isMin: Boolean)
+            : (org.apache.spark.sql.types.DataType, Option[Any]) =
+          // empty table → SQL MIN/MAX is NULL
+          if (snap.files.isEmpty)
+            (if (snap.files.forall(_.stats.contains(c))) LongType
+             else org.apache.spark.sql.types.DoubleType, None)
+          else if (snap.files.forall(_.stats.contains(c)))
+            (LongType, Some(
+              if (isMin) snap.files.map(_.stats(c)._1).min
+              else snap.files.map(_.stats(c)._2).max))
+          else
+            (org.apache.spark.sql.types.DoubleType, Some(
+              if (isMin) snap.files.map(_.dstats(c)._1).min
+              else snap.files.map(_.dstats(c)._2).max))
+        val cols = a.aggregateExpressions.toSeq.map {
           case _: CountStar =>
-            ("count(*)", Some(snap.files.map(_.rows).sum))
+            ("count(*)", LongType,
+              Some(snap.files.map(_.rows).sum): Option[Any])
           case m: Min =>
-            (s"min", // empty table → SQL MIN is NULL
-              if (snap.files.isEmpty) None
-              else Some(snap.files.map(_.stats(pc(m.column))._1).min))
+            val (dt, v) = minMax(pc(m.column), isMin = true)
+            ("min", dt, v)
           case m: Max =>
-            (s"max",
-              if (snap.files.isEmpty) None
-              else Some(snap.files.map(_.stats(pc(m.column))._2).max))
+            val (dt, v) = minMax(pc(m.column), isMin = false)
+            ("max", dt, v)
           case other => sys.error(s"unpushable aggregate $other")
-        }.toSeq.unzip
-        return new SnapAggScan(names, values)
+        }
+        return new SnapAggScan(cols)
       case None => ()
     }
     val hit = pruneByBounds(snap.files)

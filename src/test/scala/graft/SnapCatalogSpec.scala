@@ -366,11 +366,13 @@ class SnapCatalogSpec extends AnyFunSuite {
     val expectN = orders.count()
     val expectMin = orders.agg(min("o_orderkey")).head().getLong(0)
     val expectMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    // DOUBLE columns answer from dstats
+    val expectPMax = orders.agg(max("o_totalprice")).head().getDouble(0)
     def q() = spark.sql("SELECT count(*), min(o_orderkey), " +
-      "max(o_orderkey) FROM snapt.db1.aggpush").head()
+      "max(o_orderkey), max(o_totalprice) FROM snapt.db1.aggpush").head()
     val r = q()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
-      ((expectN, expectMin, expectMax)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((expectN, expectMin, expectMax, expectPMax)))
     // the PROOF no file is read: delete every data file; the manifest
     // alone still answers
     import scala.jdk.CollectionConverters._
@@ -383,8 +385,8 @@ class SnapCatalogSpec extends AnyFunSuite {
     assert(parquets.nonEmpty)
     parquets.foreach(java.nio.file.Files.delete)
     val r2 = q()
-    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) ==
-      ((expectN, expectMin, expectMax)),
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2),
+      r2.getDouble(3)) == ((expectN, expectMin, expectMax, expectPMax)),
       "aggregate pushdown read a data file")
     // a WHERE clause blocks the pushdown (filters are residual here), so
     // the query must fail on the missing files rather than mis-answer
