@@ -2846,8 +2846,11 @@ object TableOps extends QueryModule {
             .start()
           q.awaitTermination()
         }
-        val batches = java.nio.file.Files.list(
-          java.nio.file.Paths.get(ckpt, "offsets")).count()
+        val batches = {
+          val st = java.nio.file.Files.list(
+            java.nio.file.Paths.get(ckpt, "offsets"))
+          try st.count() finally st.close()
+        }
         require(batches >= 3,
           s"one AvailableNow run must drain the backlog in multiple " +
             s"rate-limited batches, got $batches")

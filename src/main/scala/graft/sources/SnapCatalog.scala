@@ -216,6 +216,14 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     val base = org.apache.spark.sql.graftx.Bridge
       .v2ColumnsToStructType(info.columns())
     val byName = info.columns().map(c => c.name() -> c).toMap
+    info.constraints().foreach {
+      case _: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        ()
+      case other => throw new UnsupportedOperationException(
+        // checked BEFORE doCreate: a failure here must not leave a
+        // half-created table behind the failed statement
+        s"only CHECK constraints are enforced: ${other.toDDL}")
+    }
     val schema = StructType(base.fields.map { f =>
       Option(byName(f.name).generationExpression()) match {
         case Some(e) => f.copy(metadata =
@@ -237,8 +245,7 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         SnapTable.addCheck(SparkSession.active, tableDir(ident),
           c.name(), c.predicateSql())
-      case other => throw new UnsupportedOperationException(
-        s"only CHECK constraints are enforced: ${other.toDDL}")
+      case _ => () // pre-validated above
     }
     loadTable(ident)
   }
@@ -304,12 +311,21 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       case set: TableChange.SetProperty =>
         // SET TBLPROPERTIES: one metadata-only commit per statement's
         // worth of changes would be ideal; per-change commits keep the
-        // code trivial and statements carry few keys
-        SnapTable.setProperties(dir,
-          Map(set.property() -> set.value()))
+        // code trivial and statements carry few keys. The clusterBy
+        // live-config key routes through its VALIDATED verb.
+        if (set.property() == "snap.clusterBy")
+          SnapTable.setClusterBy(dir,
+            set.value().split(",").toSeq.map(_.trim)
+              .filter(_.nonEmpty))
+        else
+          SnapTable.setProperties(dir,
+            Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
-        SnapTable.setProperties(dir, Map.empty,
-          unset = Seq(rm.property()))
+        if (rm.property() == "snap.clusterBy")
+          SnapTable.setClusterBy(dir, Seq.empty)
+        else
+          SnapTable.setProperties(dir, Map.empty,
+            unset = Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: supported " +
           "changes are ADD/RENAME/DROP COLUMN (retype would break " +
@@ -667,12 +683,20 @@ private[graft] class SnapScanBuilder(root: String,
       def statsCol(e: org.apache.spark.sql.connector.expressions
           .Expression): Option[String] = e match {
         case f: NamedReference if f.fieldNames.length == 1 =>
-          val pc = SnapTable.physName(snap.colmap, f.fieldNames()(0))
-          // INT64 stats or DOUBLE dstats, covering EVERY file (both
-          // footer families ignore nulls, exactly like SQL MIN/MAX)
-          if (snap.files.forall(_.stats.contains(pc)) ||
-              snap.files.forall(_.dstats.contains(pc))) Some(pc)
-          else None
+          val name = f.fieldNames()(0)
+          val pc = SnapTable.physName(snap.colmap, name)
+          // the stats family must MATCH the declared type, covering
+          // EVERY file (both footer families ignore nulls, exactly
+          // like SQL MIN/MAX)
+          val covered = SnapTable.schemaOf(snap.schemaJson)
+            .fields.find(_.name == name).map(_.dataType) match {
+            case Some(LongType) =>
+              snap.files.forall(_.stats.contains(pc))
+            case Some(org.apache.spark.sql.types.DoubleType) =>
+              snap.files.forall(_.dstats.contains(pc))
+            case _ => false
+          }
+          if (covered) Some(pc) else None
         case _ => None
       }
       a.aggregateExpressions.forall {
@@ -851,13 +875,18 @@ private[graft] class SnapScanBuilder(root: String,
             SnapTable.physName(snap.colmap, f.fieldNames()(0))
           case other => sys.error(s"unexpected agg child $other")
         }
+        // the output TYPE comes from the declared schema (an empty
+        // table must still answer MIN(double) as a NULL DOUBLE, not a
+        // vacuously-chosen BIGINT); stats family follows the type
+        val byPhys = SnapTable.schemaOf(snap.schemaJson).fields
+          .map(f => SnapTable.physName(snap.colmap, f.name) ->
+            f.dataType).toMap
         def minMax(c: String, isMin: Boolean)
-            : (org.apache.spark.sql.types.DataType, Option[Any]) =
+            : (org.apache.spark.sql.types.DataType, Option[Any]) = {
+          val dt = byPhys(c)
           // empty table → SQL MIN/MAX is NULL
-          if (snap.files.isEmpty)
-            (if (snap.files.forall(_.stats.contains(c))) LongType
-             else org.apache.spark.sql.types.DoubleType, None)
-          else if (snap.files.forall(_.stats.contains(c)))
+          if (snap.files.isEmpty) (dt, None)
+          else if (dt == LongType)
             (LongType, Some(
               if (isMin) snap.files.map(_.stats(c)._1).min
               else snap.files.map(_.stats(c)._2).max))
@@ -865,6 +894,7 @@ private[graft] class SnapScanBuilder(root: String,
             (org.apache.spark.sql.types.DoubleType, Some(
               if (isMin) snap.files.map(_.dstats(c)._1).min
               else snap.files.map(_.dstats(c)._2).max))
+        }
         val cols = a.aggregateExpressions.toSeq.map {
           case _: CountStar =>
             ("count(*)", LongType,

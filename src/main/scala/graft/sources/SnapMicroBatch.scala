@@ -101,11 +101,12 @@ private[graft] class SnapMicroBatchStream(
       .getOrElse(SnapTable.latestVersion(root))
     val capped = maxVersionsPerTrigger match {
       case Some(m) =>
-        // cap to an EXISTING slot ≤ floor+m (the log may have gaps:
-        // orphaned txn slots, vacuumed versions); an empty window
-        // degrades to no throttle rather than a phantom offset
+        // cap to an EXISTING slot in (floor, floor+m] (the log may
+        // have gaps: orphaned txn slots, vacuumed versions); an empty
+        // window degrades to no throttle rather than matching the
+        // floor itself and stalling forever
         SnapTable.versions(root)
-          .filter(v => v <= floor + m && v <= hardEnd)
+          .filter(v => v > floor && v <= floor + m && v <= hardEnd)
           .lastOption.getOrElse(hardEnd)
       case None => hardEnd
     }

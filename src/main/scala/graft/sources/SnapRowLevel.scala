@@ -34,14 +34,17 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] class SnapRowLevelBuilder(root: String,
     snap: SnapTable.Snapshot, info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
-  // a row-level write carries every column explicitly (matched rows
-  // keep their values; MERGE inserts provide them) — only legal for
-  // BY DEFAULT identity columns
-  snap.idents.foreach { case (c, (_, _, allow)) =>
-    require(allow, s"identity column '$c' is GENERATED ALWAYS — " +
-      "row-level SQL writes provide explicit values; declare it " +
-      "BY DEFAULT")
-  }
+  // UPDATE/MERGE writes carry every column explicitly (MERGE inserts
+  // provide identity values; UPDATE could SET one) — only legal for
+  // BY DEFAULT identity columns. DELETE only carries EXISTING values
+  // of surviving rows forward, so it stays legal on ALWAYS tables.
+  if (info.command != org.apache.spark.sql.connector.write
+      .RowLevelOperation.Command.DELETE)
+    snap.idents.foreach { case (c, (_, _, allow)) =>
+      require(allow, s"identity column '$c' is GENERATED ALWAYS — " +
+        "row-level SQL writes provide explicit values; declare it " +
+        "BY DEFAULT")
+    }
   override def build(): RowLevelOperation =
     new SnapRowLevelOperation(root, snap, info.command)
 }

@@ -321,7 +321,7 @@ case class VacuumTableCommand(parts: Seq[String], retain: Option[Int],
         val cutoff = System.currentTimeMillis() -
           retain.get.toLong * 3600000L
         math.max(1, SnapTable.versions(dir)
-          .count(v => SnapTable.load(dir, v).ts >= cutoff))
+          .count(v => SnapTable.tsOf(dir, v) >= cutoff))
       } else retain.getOrElse(SnapTable.retainDefault(dir))
     if (dryRun) SnapTable.vacuumPlan(dir, r).map(Row(_))
     else Seq(Row(SnapTable.vacuum(dir, r).toLong))

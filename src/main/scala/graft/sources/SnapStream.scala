@@ -150,7 +150,8 @@ class SnapStreamSource(ctx: SQLContext, root: String,
         // cap to an EXISTING slot ≤ floor+m (the log may have gaps:
         // orphaned txn slots, vacuumed versions); an empty window
         // degrades to no throttle rather than a phantom offset
-        SnapTable.versions(root).filter(_ <= f + m).lastOption
+        SnapTable.versions(root)
+          .filter(v => v > f && v <= f + m).lastOption
           .getOrElse(latest)
       case _ => latest
     }

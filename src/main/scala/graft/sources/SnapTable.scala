@@ -64,6 +64,14 @@ object SnapTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** A commit retry observed a concurrent writer advancing an identity
+    * column's high-water mark: the already-written files may duplicate
+    * its values, so the append must RE-ASSIGN (not relink). The append
+    * wrappers catch this internally and re-run against the new head.
+    */
+  final class IdentityRaceException(msg: String)
+    extends RuntimeException(msg)
+
   /** An append's schema breaks the additive-only evolution contract:
     * every existing column must stay present with an identical type.
     */
@@ -407,17 +415,40 @@ object SnapTable {
     * for every pre-existing file on read.
     */
   def append(s: SparkSession, root: String, df0: DataFrame): Int = {
-    val parent = load(root, latestVersion(root))
-    val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
-      "incoming")
-    validateEvolution(parent.schemaJson, df.schema)
-    validateChecks(df, parent.checks, "incoming")
-    val cm = widenColmap(parent, df.schema)
-    val fresh = writeData(s, root, clusterFor(df, parent),
-      parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
-    commitAppend(root, parent, fresh, df.schema, txn = None,
-      freshBlooms = appendBlooms(s, root, parent, fresh, df.schema.json),
-      colmap = cm)
+    var attempts = 0
+    while (true) {
+      val parent = load(root, latestVersion(root))
+      // PHYSICAL names of identity columns THIS append will assign —
+      // the race-detection key for the relink guard below
+      val assigned = parent.idents.keys.toSeq.sorted
+        .filterNot(df0.columns.contains)
+        .map(physName(parent.colmap, _))
+      val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
+        "incoming")
+      validateEvolution(parent.schemaJson, df.schema)
+      validateChecks(df, parent.checks, "incoming")
+      val cm = widenColmap(parent, df.schema)
+      val fresh = writeData(s, root, clusterFor(df, parent),
+        parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
+      try
+        return commitAppend(root, parent, fresh, df.schema, txn = None,
+          freshBlooms =
+            appendBlooms(s, root, parent, fresh, df.schema.json),
+          colmap = cm, identAssigned = assigned)
+      catch {
+        // a concurrent writer claimed the same identity range: the
+        // whole assignment re-runs against the new head (orphaned
+        // attempt files are vacuum-reclaimed, like any lost race).
+        // One writer wins every round, so n contenders converge in at
+        // most n rounds; the backoff de-synchronizes the herd.
+        case _: IdentityRaceException if attempts < 64 =>
+          attempts += 1
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(10L * attempts))
+      }
+    }
+    -1 // unreachable
   }
 
   /** PREPARE an append for a multi-table transaction (SnapTxn): the new
@@ -433,6 +464,12 @@ object SnapTable {
   private[graft] def prepareAppend(s: SparkSession, root: String,
       df0: DataFrame, pin: Int): Int = {
     val parent = load(root, pin)
+    // the pinned-parent commit shape cannot re-assign on a race, so
+    // engine-assigned identity values are refused here (explicit
+    // BY DEFAULT values flow through fine)
+    require(parent.idents.keys.forall(df0.columns.contains),
+      "identity assignment is not supported under multi-table " +
+        "transactions — provide explicit values (BY DEFAULT column)")
     val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
       "incoming")
     validateEvolution(parent.schemaJson, df.schema)
@@ -562,6 +599,9 @@ object SnapTable {
       case Some(v) => v // duplicate delivery: already in
       case None =>
         val parent = load(root, latestVersion(root))
+        val assigned = parent.idents.keys.toSeq.sorted
+          .filterNot(df0.columns.contains)
+          .map(physName(parent.colmap, _))
         val df = applyGenerated(fillIdentity(s, parent, df0), parent.gen,
           "incoming")
         validateEvolution(parent.schemaJson, df.schema)
@@ -569,10 +609,16 @@ object SnapTable {
         val cm = widenColmap(parent, df.schema)
         val fresh = writeData(s, root, clusterFor(df, parent),
           parent.statsCol, parent.bucket, cm, era = eraHiOf(parent) + 1)
-        commitAppend(root, parent, fresh, df.schema, txn = Some(txnId),
+        try commitAppend(root, parent, fresh, df.schema,
+          txn = Some(txnId), identAssigned = assigned,
           freshBlooms =
             appendBlooms(s, root, parent, fresh, df.schema.json),
           colmap = cm)
+        catch {
+          // re-run wholesale: the txn check keeps the retry idempotent
+          case _: IdentityRaceException =>
+            appendOnce(s, root, df0, txnId)
+        }
     }
   }
 
@@ -1069,11 +1115,19 @@ object SnapTable {
           val schema = org.apache.spark.sql.types.StructType(
             d.schema.fields :+ org.apache.spark.sql.types.StructField(
               c, org.apache.spark.sql.types.LongType, nullable = false))
-          s.createDataFrame(
+          val filled = s.createDataFrame(
             d.rdd.zipWithIndex().map { case (r, i) =>
               org.apache.spark.sql.Row.fromSeq(
                 r.toSeq :+ (base + step * (i + 1)))
             }, schema)
+          // restore the DECLARED column order (the fill appended at the
+          // end; committing that order would silently reorder the table
+          // schema on the first short append) — evolution-new columns
+          // keep their incoming positions after the declared ones
+          val declared = schemaOf(parent.schemaJson).fieldNames
+            .filter(filled.columns.contains)
+          val extra = filled.columns.filterNot(declared.contains)
+          filled.select((declared ++ extra).map(col).toIndexedSeq: _*)
         }
     }
 
@@ -1221,6 +1275,16 @@ object SnapTable {
       unset: Seq[String] = Seq.empty): Int = {
     set.keys.foreach(k => require(k.nonEmpty && !k.contains('\n'),
       s"malformed property key '$k'"))
+    // live-config keys with their own validated verbs must not be
+    // smuggled in raw (an unvalidated snap.clusterBy would break every
+    // subsequent write)
+    require(!set.contains("snap.clusterBy") &&
+      !unset.contains("snap.clusterBy"),
+      "set/unset 'snap.clusterBy' via ALTER TABLE ... CLUSTER BY " +
+        "(cols)|NONE — it validates column types and layout exclusivity")
+    set.get("snap.vacuum.retainVersions").foreach(v =>
+      require(v.matches("\\d+") && v.toInt >= 1,
+        s"snap.vacuum.retainVersions must be a positive integer, got '$v'"))
     val parent = load(root, latestVersion(root))
     commitExclusive(root, parent, parent.files, "set-properties",
       parent.schemaJson, props = parent.props ++ set -- unset)
@@ -2378,6 +2442,21 @@ object SnapTable {
     (keep, live, liveDvDirs)
   }
 
+  /** Commit wall-clock of version `v`, by ts-only manifest PEEK (no
+    * file-list parse, no filesRef resolution) — the time-based
+    * retention scan reads O(versions) timestamps, not O(versions x
+    * files) manifests.
+    */
+  private[sources] def tsOf(root: String, v: Int): Long = {
+    val head = new String(Files.readAllBytes(manifestPath(root, v)),
+      StandardCharsets.UTF_8)
+    """"ts":(\d+)""".r.findFirstMatchIn(head) match {
+      case Some(m) => m.group(1).toLong
+      case None => Files.getLastModifiedTime(manifestPath(root, v))
+        .toMillis
+    }
+  }
+
   /** DRY RUN: the data files a `vacuum(retainVersions)` would delete,
     * without deleting anything (manifests included in the count's
     * scope but only FILES are listed — the audit a human wants before
@@ -2711,7 +2790,12 @@ object SnapTable {
               .asInstanceOf[java.lang.Double].doubleValue()).min
             val mx = cs.map(_.getStatistics.genericGetMax
               .asInstanceOf[java.lang.Double].doubleValue()).max
-            if (mn.isNaN || mx.isNaN) None else Some(name -> (mn, mx))
+            // non-finite bounds are rejected: NaN orders arbitrarily,
+            // and a bare Infinity token would be unreadable to the
+            // manifest parser — one such value must not brick the table
+            if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite)
+              None
+            else Some(name -> (mn, mx))
           }
         val perNull = blocks.flatMap(_.getColumns.asScala)
           .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
@@ -2798,7 +2882,8 @@ object SnapTable {
       txn: Option[String],
       freshBlooms: Seq[String] = Seq.empty,
       colmap: Map[String, String] = null,
-      eraFloor: Int = 0): Int = {
+      eraFloor: Int = 0,
+      identAssigned: Seq[String] = Seq.empty): Int = {
     var schema = widenNullability(parent, schema0)
     // mapping entries OUR append minted (fresh columns); merged onto
     // whichever head's map the commit finally lands on
@@ -2841,6 +2926,19 @@ object SnapTable {
         throw new ConcurrentCommitException(
           "column defaults changed while this append retried — its " +
             "files carry a pre-change era stamp; re-run the append")
+      // identity values were assigned against the STALE parent's
+      // high-water mark: a concurrent commit that stamped values for
+      // the same column may have claimed the same range — relinking
+      // would duplicate ids. Abort; the append wrapper re-assigns
+      // against the new head and rewrites.
+      if (identAssigned.nonEmpty && {
+            val known = parent.files.map(_.path).toSet
+            head.files.exists(f => !known.contains(f.path) &&
+              identAssigned.exists(f.stats.contains))
+          })
+        throw new IdentityRaceException(
+          "a concurrent commit advanced the identity high-water mark " +
+            "while this append retried — re-assign against the new head")
     }
     -1 // unreachable
   }

@@ -104,4 +104,41 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(retries.get() > 0,
       "no commit race was exercised — increase contention")
   }
+
+  test("concurrent appends to a GENERATED ALWAYS identity table never " +
+      "duplicate values (race detection re-assigns, not relinks)") {
+    val root = Tmp.dir("conc_ident")
+    SnapTable.createEmpty(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))),
+      "id", idents = Map("id" -> (1L, 1L, false)))
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val failures = new AtomicInteger(0)
+    (0 until 8).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (0 until 3).foreach { b =>
+            SnapTable.append(spark, root,
+              spark.range(40).selectExpr(s"id + ${t * 1000 + b} AS v"))
+          } catch { case x: Throwable =>
+            failures.incrementAndGet(); x.printStackTrace()
+          }
+        }
+      })
+      ()
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "pool timeout")
+    assert(failures.get() == 0, s"${failures.get()} thread(s) failed")
+    val got = SnapTable.read(spark, root)
+    assert(got.count() == 8L * 3 * 40)
+    assert(got.select(countDistinct(col("id"))).head().getLong(0) ==
+      8L * 3 * 40, "duplicate identity values under concurrency")
+  }
 }

@@ -296,8 +296,11 @@ class SnapStreamSpec extends AnyFunSuite {
       "one AvailableNow run must drain the whole backlog")
     // ...and in RATE-LIMITED batches: one committed offset per consumed
     // version window (first batch = snapshot at v1, then v2..v5)
-    val batches = java.nio.file.Files.list(
-      java.nio.file.Paths.get(ckpt, "offsets")).count()
+    val batches = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(ckpt, "offsets"))
+      try st.count() finally st.close()
+    }
     assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
     // incremental resume: a later commit arrives alone
     SnapTable.append(spark, dst, df(20 until 23, "v6"))

@@ -163,6 +163,13 @@ class SqlMaintenanceSpec extends AnyFunSuite {
         spark.range(1).selectExpr("99L AS id", "'x' AS v"))
     }
     assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // DELETE carries only EXISTING identity values, so it stays legal
+    // on a GENERATED ALWAYS table (only UPDATE/MERGE are refused)
+    spark.sql("DELETE FROM snapm.db.idt WHERE v = 'a0'")
+    assert(spark.table("snapm.db.idt").count() == 4)
+    intercept[Exception] {
+      spark.sql("UPDATE snapm.db.idt SET v = 'x' WHERE id = 12")
+    }
     // BY DEFAULT twin: explicit values accepted AND advance the mark
     spark.sql("CREATE TABLE snapm.db.idd (" +
       "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")
