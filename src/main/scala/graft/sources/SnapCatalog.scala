@@ -499,6 +499,30 @@ private[sources] class SnapV2Table(ident: Identifier, root: String,
       Map("version" -> version.toString, "format" -> "snaptable",
         "spec" -> snap.spec.mkString(","))).asJava
 
+  /** V2 columns with the manifest's GENERATION expressions and
+    * IDENTITY specs attached — DESCRIBE and SHOW CREATE TABLE then
+    * render `GENERATED ALWAYS AS (…)` / `… AS IDENTITY` and the
+    * emitted DDL round-trips through createTable.
+    */
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => VCol}
+    org.apache.spark.sql.graftx.Bridge.structTypeToV2Columns(schema())
+      .map { c =>
+        snap.idents.get(c.name()) match {
+          case Some((st, sp, al)) => VCol.create(c.name(), c.dataType(),
+            c.nullable(), c.comment(),
+            new org.apache.spark.sql.connector.catalog
+              .IdentityColumnSpec(st, sp, al), c.metadataInJSON())
+          case None => snap.gen.get(c.name()) match {
+            case Some(e) => VCol.create(c.name(), c.dataType(),
+              c.nullable(), c.comment(), e, c.metadataInJSON())
+            case None => c
+          }
+        }
+      }
+  }
+
   /** The manifest's CHECK constraints, reported in the DSv2 shape:
     * enforced (every commit validates its incoming/rewritten rows) and
     * VALID (add-check validated the whole table before linking) — so

@@ -1094,9 +1094,17 @@ object SnapTable {
     * advance the high-water mark through the ordinary file stats.
     */
   private def fillIdentity(s: SparkSession, parent: Snapshot,
-      df: DataFrame): DataFrame =
-    parent.idents.toSeq.sortBy(_._1).foldLeft(df) {
-      case (d, (c, (start, step, allow))) =>
+      df0: DataFrame): DataFrame =
+    parent.idents.toSeq.sortBy(_._1).foldLeft(df0) {
+      case (d0, (c, (start, step, allow))) =>
+        // SQL INSERTs that OMIT the column arrive with it padded to
+        // NULL (Spark's by-name resolution can't express absence); an
+        // entirely-null ALWAYS column therefore means "assign", while
+        // any actual value stays refused — the Postgres/Delta contract
+        val d =
+          if (d0.columns.contains(c) && !allow &&
+              d0.filter(col(c).isNotNull).isEmpty) d0.drop(c)
+          else d0
         if (d.columns.contains(c)) {
           require(allow,
             s"identity column '$c' is GENERATED ALWAYS — explicit " +

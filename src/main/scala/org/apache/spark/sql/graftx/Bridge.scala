@@ -14,6 +14,14 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Inverse direction: StructType → V2 Columns (comments and DEFAULT
+    * metadata preserved), for `Table.columns()` overrides.
+    */
+  def structTypeToV2Columns(schema: org.apache.spark.sql.types.StructType)
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .structTypeToV2Columns(schema)
+
   /** `private[sql] CatalogV2Util.v2ColumnsToStructType` — Spark's own
     * V2-Column → StructType conversion, which keeps comment and
     * column-DEFAULT metadata intact (a hand-rolled conversion would

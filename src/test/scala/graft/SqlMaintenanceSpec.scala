@@ -163,6 +163,12 @@ class SqlMaintenanceSpec extends AnyFunSuite {
         spark.range(1).selectExpr("99L AS id", "'x' AS v"))
     }
     assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // SQL INSERT omitting the column (Spark pads it NULL) assigns too
+    spark.sql("INSERT INTO snapm.db.idt (v) VALUES ('sql1')")
+    val sqlId = spark.sql(
+      "SELECT id FROM snapm.db.idt WHERE v = 'sql1'").head().getLong(0)
+    assert(sqlId > 14 && (sqlId - 10) % 2 == 0, s"got $sqlId")
+    spark.sql("DELETE FROM snapm.db.idt WHERE v = 'sql1'")
     // DELETE carries only EXISTING identity values, so it stays legal
     // on a GENERATED ALWAYS table (only UPDATE/MERGE are refused)
     spark.sql("DELETE FROM snapm.db.idt WHERE v = 'a0'")
