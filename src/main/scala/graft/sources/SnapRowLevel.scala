@@ -34,17 +34,11 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] class SnapRowLevelBuilder(root: String,
     snap: SnapTable.Snapshot, info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
-  // UPDATE/MERGE writes carry every column explicitly (MERGE inserts
-  // provide identity values; UPDATE could SET one) — only legal for
-  // BY DEFAULT identity columns. DELETE only carries EXISTING values
-  // of surviving rows forward, so it stays legal on ALWAYS tables.
-  if (info.command != org.apache.spark.sql.connector.write
-      .RowLevelOperation.Command.DELETE)
-    snap.idents.foreach { case (c, (_, _, allow)) =>
-      require(allow, s"identity column '$c' is GENERATED ALWAYS — " +
-        "row-level SQL writes provide explicit values; declare it " +
-        "BY DEFAULT")
-    }
+  // Identity columns survive row-level writes: matched/copied rows
+  // carry their existing (non-null) values; a MERGE insert action that
+  // leaves an ALWAYS column NULL gets a fresh value assigned at commit
+  // (SnapTable.relayoutRowLevel — the same NULL-means-assign contract
+  // as short SQL INSERTs). DELETE only carries existing values forward.
   override def build(): RowLevelOperation =
     new SnapRowLevelOperation(root, snap, info.command)
 }
@@ -203,10 +197,14 @@ private[sources] class SnapReplaceBatchWrite(op: SnapRowLevelOperation,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val fresh = messages.toSeq.collect {
+    val raw = messages.toSeq.collect {
       case SnapWriteMessage(path) =>
         SnapTable.footerEntry(spark, root, Paths.get(path))
     }.flatten.sortBy(_.path)
+    // bucketed tables re-layout the rewrite into the table's bucket
+    // scheme; GENERATED ALWAYS identity NULLs (MERGE inserts) get
+    // values assigned — both one bounded pass over just the rewrite
+    val fresh = SnapTable.relayoutRowLevel(spark, root, parent, raw)
     // the written rows are the touched files' complete replacement —
     // validate declared CHECK constraints over them before any link
     // (bounded by the rewrite size, same contract as the API merge)

@@ -2660,6 +2660,86 @@ object SnapTable {
       touchedUris.exists(_.endsWith(abs)) }.map(_._2)
   }
 
+  /** Re-layout pass for SQL row-level rewrites (MERGE/UPDATE/DELETE via
+    * DSv2): the replace write lands raw task files, but two table
+    * contracts are per-FILE properties the raw layout can't satisfy —
+    *
+    *  1. BUCKETED tables claim one bucket id per file (`_gfb` stats);
+    *     raw rewrite files carry no such stats, so the next native read
+    *     would fail its bucket-grouping invariant. The rewrite rows are
+    *     re-laid-out through the same bucketed [[writeData]] path every
+    *     API write uses (and re-clustered per the table's CLUSTER BY).
+    *  2. GENERATED ALWAYS identity columns: a MERGE insert action
+    *     cannot express column absence — inserted rows arrive with the
+    *     column NULL. NULL means ASSIGN (the same contract as short SQL
+    *     INSERTs): fresh values land above the table's high-water mark,
+    *     while matched/copied rows keep their existing ids. (An UPDATE
+    *     that explicitly SETs an ALWAYS column to a non-null value is
+    *     indistinguishable from a carried value at this layer and is
+    *     not refused — the analysis-time guard is Spark's to add.)
+    *
+    * Cost: one bounded read+write over just the REWRITTEN files (never
+    * the table), only when the table is bucketed or an ALWAYS identity
+    * file actually contains NULLs (detected from footer null counts —
+    * no scan). The raw task files are deleted; they were never linked
+    * into any manifest.
+    */
+  private[sources] def relayoutRowLevel(s: SparkSession, root: String,
+      parent: Snapshot, fresh: Seq[FileEntry]): Seq[FileEntry] = {
+    if (fresh.isEmpty) return fresh
+    val always = parent.idents.toSeq.sortBy(_._1)
+      .filter { case (_, (_, _, allow)) => !allow }
+    val needIdent = always.exists { case (c, _) =>
+      val pc = physName(parent.colmap, c)
+      fresh.exists(e => e.nulls.getOrElse(pc,
+        if (e.stats.contains(pc)) 0L else e.rows) > 0)
+    }
+    if (parent.bucket.isEmpty && !needIdent) return fresh
+    val absPaths = fresh.map(e =>
+      Paths.get(root).toAbsolutePath.resolve(e.path).normalize())
+    // files are written at PHYSICAL names; rename back to logical so the
+    // identity fill, CLUSTER BY and bucketed writeData all see the
+    // names they were declared with
+    var df = s.read.parquet(absPaths.map(_.toString): _*)
+    parent.colmap.foreach { case (l, p) =>
+      if (df.columns.contains(p)) df = df.withColumnRenamed(p, l)
+    }
+    if (needIdent) always.foreach { case (c, (start, step, _)) =>
+      if (df.columns.contains(c)) {
+        val nullPart = df.filter(col(c).isNull).drop(c)
+        if (!nullPart.isEmpty) {
+          val pc = physName(parent.colmap, c)
+          // high-water over the PRE-op table (rewritten-away files'
+          // ids existed; never reissue them) plus the non-null ids the
+          // rewrite itself carries (parquet min/max ignore nulls)
+          val marks = (parent.files ++ fresh).flatMap(_.stats.get(pc))
+            .map { case (mn, mx) => if (step > 0) mx else mn }
+          val base =
+            if (marks.isEmpty) start - step
+            else if (step > 0) math.max(marks.max, start - step)
+            else math.min(marks.min, start - step)
+          val order = df.columns.toIndexedSeq
+          val schema2 = org.apache.spark.sql.types.StructType(
+            nullPart.schema.fields :+ org.apache.spark.sql.types
+              .StructField(c, org.apache.spark.sql.types.LongType,
+                nullable = true))
+          val filled = s.createDataFrame(
+            nullPart.rdd.zipWithIndex().map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq :+ (base + step * (i + 1)))
+            }, schema2)
+          df = df.filter(col(c).isNotNull)
+            .select(order.map(col): _*)
+            .unionByName(filled.select(order.map(col): _*))
+        }
+      }
+    }
+    val out = writeData(s, root, clusterFor(df, parent), parent.statsCol,
+      parent.bucket, parent.colmap, eraHiOf(parent) + 1)
+    absPaths.foreach(p => Files.deleteIfExists(p))
+    out
+  }
+
   // Files.list holds a directory fd until the stream is CLOSED — an
   // unclosed stream per commit is an fd leak that kills a long-running
   // writer process

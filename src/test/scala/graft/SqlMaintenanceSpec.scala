@@ -170,12 +170,30 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(sqlId > 14 && (sqlId - 10) % 2 == 0, s"got $sqlId")
     spark.sql("DELETE FROM snapm.db.idt WHERE v = 'sql1'")
     // DELETE carries only EXISTING identity values, so it stays legal
-    // on a GENERATED ALWAYS table (only UPDATE/MERGE are refused)
+    // on a GENERATED ALWAYS table
     spark.sql("DELETE FROM snapm.db.idt WHERE v = 'a0'")
     assert(spark.table("snapm.db.idt").count() == 4)
-    intercept[Exception] {
-      spark.sql("UPDATE snapm.db.idt SET v = 'x' WHERE id = 12")
-    }
+    // UPDATE carries existing ids through the rewrite — legal, and the
+    // touched row keeps its id
+    spark.sql("UPDATE snapm.db.idt SET v = 'a1x' WHERE id = 12")
+    assert(spark.sql("SELECT v FROM snapm.db.idt WHERE id = 12")
+      .head().getString(0) == "a1x")
+    // MERGE insert actions can't express column absence: an inserted
+    // row leaving the ALWAYS column NULL gets a fresh step-aligned id
+    // above the high-water mark; matched rows keep theirs
+    spark.sql("""MERGE INTO snapm.db.idt t
+      USING (SELECT 'b0' AS mv, 'b0y' AS nv UNION ALL
+             SELECT 'zz' AS mv, 'znew' AS nv) s
+      ON t.v = s.mv
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (NULL, s.nv)""")
+    val after = spark.table("snapm.db.idt")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(after.values.exists(_ == "b0y") &&
+      after.values.exists(_ == "znew"), s"got $after")
+    val newId = after.find(_._2 == "znew").get._1
+    assert(newId > 14 && (newId - 10) % 2 == 0 &&
+      after.keys.toSeq.distinct.size == after.size, s"got $after")
     // BY DEFAULT twin: explicit values accepted AND advance the mark
     spark.sql("CREATE TABLE snapm.db.idd (" +
       "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")

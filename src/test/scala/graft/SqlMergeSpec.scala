@@ -50,6 +50,45 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(head.op == "merge-sql")
   }
 
+  test("MERGE/UPDATE on a BUCKETED table re-lays the rewrite into the " +
+      "bucket scheme: every file keeps a single-bucket claim") {
+    val root = s"$base/db/mb"
+    SnapTable.createBucketed(spark, root,
+      spark.range(200).selectExpr("id AS k", "id * 3 AS v"),
+      "k", "k", 4)
+    spark.range(150, 230).selectExpr("id AS k", "CAST(-7 AS BIGINT) AS v")
+      .createOrReplaceTempView("mb_src")
+    spark.sql(
+      """MERGE INTO smt.db.mb t USING mb_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.bucket.contains(("k", 4)), s"layout kept: ${head.bucket}")
+    // the rewritten files (like every other file) claim exactly one
+    // bucket, and the claim matches the write hash — without this the
+    // native scan's bucket grouping fails on the next read
+    head.files.foreach { f =>
+      val (lo, hi) = f.stats.getOrElse(SnapTable.BucketStatsCol,
+        fail(s"${f.path} lost its bucket stats after the SQL rewrite"))
+      assert(lo == hi && lo >= 0 && lo < 4, s"${f.path}: [$lo,$hi]")
+    }
+    // and the table still reads through the native bucketed scan
+    val got = spark.sql("SELECT k, v FROM smt.db.mb ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = (0L until 150L).map(k => (k, k * 3)) ++
+      (150L until 230L).map(k => (k, -7L))
+    assert(got == expect)
+    // UPDATE takes the same path
+    spark.sql("UPDATE smt.db.mb SET v = 0 WHERE k < 10")
+    val h2 = SnapTable.load(root, SnapTable.latestVersion(root))
+    h2.files.foreach { f =>
+      assert(f.stats.contains(SnapTable.BucketStatsCol), f.path)
+    }
+    assert(spark.sql("SELECT sum(v) FROM smt.db.mb WHERE k < 10")
+      .head().getLong(0) == 0L)
+  }
+
   test("MERGE rewrites ONLY files containing a matched key") {
     val root = s"$base/db/m2"
     // two widely separated key ranges → two disjoint file sets
