@@ -2864,6 +2864,57 @@ object TableOps extends QueryModule {
         "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
           "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_stream_v2_cdf",
+      // NATIVE V2 change-data feed: `readStream.table("snap.db.t
+      // .changes")` — the CHANGES companion table (Iceberg metadata-
+      // table idea) carries the +`_sign`/`_version` schema through
+      // analysis, which reader options on the base table cannot. Two
+      // AvailableNow drains of ONE checkpoint: the first delivers the
+      // discovered snapshot as +1, the second the per-commit signed
+      // diffs of a later append AND a CoW delete — and because rewrite-
+      // copied rows cancel under any linear aggregate, the signed sums
+      // below maintain the live view incrementally. At 100 TB this is
+      // the standard incremental-materialization contract: each drain
+      // reads only the commits' diff legs, never the table.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val sink = graft.Tmp.dir("graft_v2cdf_sink")
+        val ckpt = graft.Tmp.dir("graft_v2cdf_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        def drain(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.table(s"snap.main.$t.changes")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // initial load: snapshot, all +1
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(s"DELETE FROM snap.main.$t WHERE o_orderkey % 10 = 3")
+        drain() // diff legs: +adds, then the CoW rewrite's +/- rows
+        s.read.parquet(sink)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("_sign")).as("n"),
+            (sum(col("_sign") *
+              round(col("o_totalprice") * 100).cast("long")) / 100)
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders WHERE o_orderkey % 10 <> 3 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     )
   )
 }

@@ -110,7 +110,20 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // `db.t.changes` — the CHANGES companion table (the Iceberg
+      // metadata-table idea): parses as Identifier([db, t], "changes"),
+      // so when no real table shadows that name, serve the change feed
+      // of the base table the namespace denotes
+      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+        val baseIdent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val baseDir = tableDir(baseIdent)
+        if (isTable(baseDir))
+          return new SnapChangesTable(ident, baseDir)
+      }
+      throw new NoSuchTableException(ident)
+    }
     new SnapV2Table(ident, dir, SnapTable.latestVersion(dir))
   }
 

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapCatalog, SnapTable}
+
+/** The `.changes` companion table: batch and streaming signed change
+  * feed through the native DSv2 path.
+  */
+class SnapChangesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val base: String = {
+    val b = Tmp.dir("changes_spec")
+    spark.conf.set("spark.sql.catalog.sct", classOf[SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sct.root", b)
+    b
+  }
+
+  test("batch: signed changelog reconstructs every transition and nets " +
+      "to the current table") {
+    val root = s"$base/db/cb"
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k")      // v1
+    SnapTable.append(spark, root,
+      spark.range(10, 15).selectExpr("id AS k", "id AS v"))       // v2
+    SnapTable.deleteWhere(spark, root, col("k") < 3)              // v3
+    val changes = spark.read.table("sct.db.cb.changes")
+    assert(changes.columns.takeRight(2).toSeq ==
+      Seq("_sign", "_version"))
+    // net effect equals the live table
+    val net = changes.groupBy("k")
+      .agg(sum(col("_sign")).as("s"), max("v").as("v"))
+      .filter(col("s") > 0)
+    assert(net.select("k").as[Long].collect().sorted.toSeq ==
+      (3L until 15L))
+    // per-version legs: v1 all +1, v2 five +1, v3 is a CoW rewrite of
+    // the file(s) holding k<3 — adds survivors, removes originals
+    val byVer = changes.groupBy("_version", "_sign").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(byVer((1L, 1)) == 10)
+    assert(byVer((2L, 1)) == 5)
+    assert(byVer.get((3L, -1)).exists(_ >= 3), s"got $byVer")
+    assert(byVer.getOrElse((3L, -1), 0L) -
+      byVer.getOrElse((3L, 1), 0L) == 3, "v3 nets to -3 rows")
+    // startingVersion narrows the window to the diff feed
+    val fromV3 = spark.read.option("startingVersion", "3")
+      .table("sct.db.cb.changes")
+    assert(fromV3.select("_version").distinct().as[Long].collect()
+      .toSeq == Seq(3L))
+  }
+
+  test("streaming: initial +1 snapshot, then per-commit signed diffs " +
+      "across runs of one checkpoint") {
+    val root = s"$base/db/cs"
+    val sink = Tmp.dir("changes_sink")
+    val ckpt = Tmp.dir("changes_ckpt")
+    SnapTable.create(spark, root,
+      spark.range(5).selectExpr("id AS k", "id * 2 AS v"), "k")
+    def drain(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream.table("sct.db.cs.changes")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // initial load: 5 rows, all +1, version = head(=1)
+    val first = spark.read.parquet(sink)
+    assert(first.count() == 5 &&
+      first.select("_sign").distinct().as[Int].collect().toSeq ==
+        Seq(1))
+    // two more commits: an append and a CoW delete
+    SnapTable.append(spark, root,
+      spark.range(5, 8).selectExpr("id AS k", "id * 2 AS v"))     // v2
+    SnapTable.deleteWhere(spark, root, col("k") === 0)            // v3
+    drain() // diff feed: +3 at v2, rewrite legs at v3
+    val all = spark.read.parquet(sink)
+    val net = all.groupBy("k").agg(sum("_sign").as("s"))
+      .filter(col("s") > 0).select("k").as[Long].collect().sorted
+    assert(net.toSeq == (1L to 7L),
+      "signed stream nets to the live table")
+    assert(all.filter(col("_version") === 2 && col("_sign") === 1)
+      .count() == 3)
+    assert(all.filter(col("_version") === 3 && col("_sign") === -1)
+      .count() >= 1, "the delete's rewrite emits -1 rows")
+  }
+
+  test("merge-on-read DVs refuse the feed with a compact-first error") {
+    val root = s"$base/db/cd"
+    SnapTable.create(spark, root,
+      spark.range(20).selectExpr("id AS k", "id AS v"), "k")
+    SnapTable.deleteWhereMoR(spark, root, col("k") < 5)
+    val e = intercept[Exception] {
+      spark.read.table("sct.db.cd.changes").collect()
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+}
