@@ -80,7 +80,9 @@ private[graft] class SnapBatchScan(
         .orElse(Option(o.get("startingTimestamp"))
           .map(SnapTail.startingVersionAt(root, _))),
       maxVersionsPerTrigger =
-        Option(o.get("maxVersionsPerTrigger")).map(_.toInt))
+        Option(o.get("maxVersionsPerTrigger")).map(_.toInt),
+      maxRowsPerTrigger =
+        Option(o.get("maxRowsPerTrigger")).map(_.toLong))
   }
 
   /** Runtime (DPP-style) FILE pruning: the layout columns — bucket,

@@ -20,7 +20,8 @@ private[graft] final case class SnapOffset(v: Int) extends Offset {
   *
   * {{{
   *   spark.readStream
-  *     .option("maxVersionsPerTrigger", 2)     // admission control
+  *     .option("maxVersionsPerTrigger", 2)     // admission by commits
+  *     .option("maxRowsPerTrigger", 100000)    // …or by manifest rows
   *     .table("snap.db.t")
   *     .writeStream...trigger(Trigger.AvailableNow())...
   * }}}
@@ -65,7 +66,8 @@ private[graft] class SnapMicroBatchStream(
     required: StructType, pushed: Seq[Filter],
     pruneFiles: Seq[SnapTable.FileEntry] => Seq[SnapTable.FileEntry],
     ignoreChanges: Boolean, startingVersion: Option[Int],
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -110,7 +112,34 @@ private[graft] class SnapMicroBatchStream(
           .lastOption.getOrElse(hardEnd)
       case None => hardEnd
     }
-    SnapOffset(math.max(floor, capped))
+    // ROWS-based admission (`maxRowsPerTrigger`): extend the window one
+    // version at a time while the cumulative added-row count (manifest
+    // footer counts — no data read) stays under the cap; the first
+    // version always admits so a single oversized commit can't stall
+    // the stream. Composes with the version cap: both bounds hold.
+    val rowCapped = maxRowsPerTrigger match {
+      case Some(maxRows) =>
+        val vs = SnapTable.versions(root)
+          .filter(v => v > floor && v <= capped).sorted
+        var rows = 0L
+        var end = floor
+        var prev = if (floor == 0) Seq.empty[SnapTable.FileEntry]
+          else SnapTable.load(root, floor).files
+        val it = vs.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val v = it.next()
+          val cur = SnapTable.load(root, v).files
+          val prevPaths = prev.map(_.path).toSet
+          val added = cur.filterNot(f => prevPaths.contains(f.path))
+            .map(_.rows).sum
+          if (end != floor && rows + added > maxRows) stop = true
+          else { rows += added; end = v; prev = cur }
+        }
+        end
+      case None => capped
+    }
+    SnapOffset(math.max(floor, rowCapped))
   }
 
   override def planInputPartitions(start: Offset,

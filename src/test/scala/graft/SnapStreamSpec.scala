@@ -311,6 +311,46 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(sunk(sink).map(_._1) == (0L until 23L))
   }
 
+  test("native readStream.table: maxRowsPerTrigger admits whole " +
+      "versions up to the row budget; an oversized commit still admits") {
+    val base = Tmp.dir("snapv2rows_wh")
+    spark.conf.set("spark.sql.catalog.snapv2r",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapv2r.root", base)
+    val dst = s"$base/db/r"
+    val sink = Tmp.dir("snapv2rows_sink")
+    val ckpt = Tmp.dir("snapv2rows_ckpt")
+    // 5-commit backlog, 4 rows per commit (manifest row counts drive
+    // admission — no data read)
+    SnapTable.create(spark, dst, df(0 until 4, "v1"), "k")
+    (1 until 5).foreach(i =>
+      SnapTable.append(spark, dst, df(i * 4 until (i + 1) * 4, s"v${i + 1}")))
+    def drainRows(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream
+        .option("maxRowsPerTrigger", "8")
+        .table("snapv2r.db.r")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainRows()
+    assert(sunk(sink).map(_._1) == (0L until 20L),
+      "row-capped drain must still deliver the whole backlog")
+    // 20 rows at <=8 rows (2 versions) per batch: at least 3 batches
+    val batches = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(ckpt, "offsets"))
+      try st.count() finally st.close()
+    }
+    assert(batches >= 3, s"expected >=3 row-capped batches, got $batches")
+    // a single commit BIGGER than the cap admits alone (no stall)
+    SnapTable.append(spark, dst, df(20 until 40, "big"))
+    drainRows()
+    assert(sunk(sink).map(_._1) == (0L until 40L),
+      "an oversized commit must admit as its own batch")
+  }
+
   test("native readStream.table: column pruning reaches the batch " +
       "readers, and a rewriting commit fails the tail like the V1 twin") {
     val base = Tmp.dir("snapv2prj_wh")
