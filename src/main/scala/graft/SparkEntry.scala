@@ -17,7 +17,8 @@ object SparkEntry {
     VectorOps, MultimodalOps, RcOps, UdfOps, Curation3, Extras3, Extras4,
     Extras5, Curation4, Extras6, Round4Ops, TableOps, Wave5Ops, Wave6Ops,
     Wave7Ops, Wave8Ops, Wave9Ops, Wave10Ops, Wave10bOps, Wave11Ops,
-    Wave12Ops, Wave13Ops, Wave14Ops, Wave15Ops, Wave16Ops, Wave17Ops)
+    Wave12Ops, Wave13Ops, Wave14Ops, Wave15Ops, Wave16Ops, Wave17Ops,
+    Wave18Ops)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 
