@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // snap catalogs; everything else delegates to Spark's parser
     e.injectParser((_, delegate) =>
       new graft.sources.SnapSqlParser(delegate))
+    // persistent snap-catalog views: OSS Spark has the DSv2 ViewCatalog
+    // API but no analyzer wiring for it — this rule substitutes view
+    // references with their stored (re-parsed) definitions at
+    // resolution time; the parser above carries the DDL verbs
+    e.injectResolutionRule(session =>
+      new graft.sources.SnapViewSubstitution(session))
     // optimizer rule: HOF dot-product idiom → native FloatVecDot
     e.injectOptimizerRule(_ => graft.plans.RewriteHofVecDot)
     e.injectFunction((

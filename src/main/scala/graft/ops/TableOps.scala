@@ -2866,6 +2866,41 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_sql_view",
+      // persistent SQL views in the snap catalog: CREATE VIEW stores
+      // the defining text as warehouse metadata (DSv2 ViewCatalog +
+      // graft's own analyzer wiring — OSS Spark has the API but no
+      // resolution rule); reads substitute the text, so the view sees
+      // LIVE table data, composes with joins, and costs one metadata
+      // file read at analysis time whatever the data size.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(s"CREATE VIEW snap.main.${t}_v AS " +
+          s"SELECT o_orderstatus, o_totalprice FROM snap.main.$t " +
+          "WHERE o_totalprice > 100000")
+        val out = s.sql(
+          s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+            s"AS total FROM snap.main.${t}_v " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        val rows = out.collect()
+        s.sql(s"DROP VIEW snap.main.${t}_v")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+          "AS total FROM orders WHERE o_totalprice > 100000 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_stream_v2_cdf",
       // NATIVE V2 change-data feed: `readStream.table("snap.db.t
       // .changes")` — the CHANGES companion table (Iceberg metadata-

@@ -47,7 +47,92 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path.
   */
 class SnapCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+
+  // ------------------------------------------------------------- views
+  // DSv2 ViewCatalog: CREATE/SHOW/DROP/ALTER/RENAME VIEW against this
+  // catalog. Storage + resolution live in [[SnapViews]]; Spark itself
+  // re-parses the stored SQL in the stored analysis context.
+
+  override def listViews(namespace: String*)
+      : Array[org.apache.spark.sql.connector.catalog.Identifier] =
+    SnapViews.list(base, namespace.toArray)
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!SnapViews.exists(base, ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    SnapViews.load(base, ident)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    SnapViews.exists(base, ident)
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (isTable(tableDir(info.ident())))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(info.ident())
+    try SnapViews.write(base, info, replace = false)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(info.ident())
+    }
+    SnapViews.load(base, info.ident())
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !SnapViews.exists(base, info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    SnapViews.write(base, info, replace = true)
+    SnapViews.load(base, info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val v = loadView(ident)
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.put(s.property, s.value)
+      case r: ViewChange.RemoveProperty => props.remove(r.property)
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change $other")
+    }
+    SnapViews.write(base,
+      new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
+        v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+        v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+        props),
+      replace = true)
+    SnapViews.load(base, ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(SnapViews.path(base, ident))
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!SnapViews.exists(base, oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (SnapViews.exists(base, newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    val dst = SnapViews.path(base, newIdent)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(SnapViews.path(base, oldIdent), dst)
+    ()
+  }
 
   /** The catalog's V2 functions: just `bucket` — resolving the bucket
     * transform reported by co-bucketed scans is what enables

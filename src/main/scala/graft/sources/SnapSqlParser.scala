@@ -95,6 +95,26 @@ object SnapSqlParser {
       """\s+(CREATE|DROP|PUBLISH)\s+(BRANCH|TAG)\s+(\w+)""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
 
+  // --- persistent views in snap catalogs (OSS Spark's analyzer has no
+  // V2-view DDL wiring, so the verbs route here; reads substitute via
+  // SnapViewSubstitution). Only statements whose target names a
+  // registered SnapCatalog are intercepted — session-catalog views
+  // delegate untouched.
+  private val CreateView =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" + Ident +
+      """\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val DropView =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" + Ident +
+      """\s*;?\s*$""").r
+  private val ShowViews =
+    ("""(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+""" + Ident +
+      """\s*;?\s*$""").r
+
+  private def snapCat(cat: String): Boolean =
+    SparkSession.getActiveSession.exists(s =>
+      s.conf.getOption(s"spark.sql.catalog.$cat")
+        .contains(classOf[SnapCatalog].getName))
+
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(p =>
       if (p.startsWith("`")) p.substring(1, p.length - 1) else p)
@@ -125,6 +145,15 @@ object SnapSqlParser {
     case Ref(id, verb, kind, name, v) => Some(RefCommand(parts(id),
       verb.toUpperCase, kind.toUpperCase, name,
       Option(v).map(_.toInt)))
+    case CreateView(orRep, id, query)
+        if parts(id).length >= 3 && snapCat(parts(id).head) =>
+      Some(CreateSnapViewCommand(parts(id), query.trim, orRep != null))
+    case DropView(ifEx, id)
+        if parts(id).length >= 3 && snapCat(parts(id).head) =>
+      Some(DropSnapViewCommand(parts(id), ifEx != null))
+    case ShowViews(id)
+        if parts(id).length >= 2 && snapCat(parts(id).head) =>
+      Some(ShowSnapViewsCommand(parts(id)))
     case _ => None
   }
 
