@@ -2866,6 +2866,39 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_sql_call",
+      // Spark-4 stored procedures (`CALL snap.system.…`) — the
+      // Iceberg-style maintenance entry points over the same engine
+      // verbs as OPTIMIZE/VACUUM/RESTORE: compact an appended table to
+      // 2 files, tag the head, read back through the tag. Logical
+      // contents are layout-independent — the oracle reads the source.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0 until 3).foreach(i =>
+          orders.filter(col("o_orderkey") % 3 === i)
+            .write.mode("append").insertInto(s"snap.main.$t"))
+        val v = s.sql(s"CALL snap.system.compact('main.$t', 2)")
+          .head().getLong(0)
+        s.sql(s"CALL snap.system.create_tag('main.$t', 'audited', $v)")
+          .collect()
+        s.sql(
+          s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+            s"AS total FROM snap.main.$t VERSION AS OF 'audited' " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+          "AS total FROM orders " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_sql_view",
       // persistent SQL views in the snap catalog: CREATE VIEW stores
       // the defining text as warehouse metadata (DSv2 ViewCatalog +

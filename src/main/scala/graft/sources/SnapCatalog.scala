@@ -48,7 +48,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class SnapCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // -------------------------------------------------------- procedures
+  // `CALL snap.system.<proc>(…)` — Spark 4's stored-procedure surface
+  // over the same SnapTable maintenance verbs the parser extension's
+  // OPTIMIZE/VACUUM/RESTORE statements run (see [[SnapProcedures]]).
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    SnapProcedures.load(base, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = SnapProcedures.list(namespace)
 
   // ------------------------------------------------------------- views
   // DSv2 ViewCatalog: CREATE/SHOW/DROP/ALTER/RENAME VIEW against this

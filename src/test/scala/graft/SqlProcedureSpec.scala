@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapCatalog, SnapTable}
+
+/** `CALL snap.system.<proc>(…)` — the DSv2 ProcedureCatalog surface. */
+class SqlProcedureSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val base: String = {
+    val b = Tmp.dir("sqlproc_spec")
+    spark.conf.set("spark.sql.catalog.spc", classOf[SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spc.root", b)
+    b
+  }
+
+  test("CALL compact / vacuum / rollback round trip") {
+    val root = s"$base/db/t"
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id AS v")
+        .repartition(8), "k")
+    SnapTable.append(spark, root,
+      spark.range(100, 120).selectExpr("id AS k", "id AS v")
+        .repartition(4))
+    val before = SnapTable.load(root, SnapTable.latestVersion(root))
+      .files.size
+    assert(before >= 10)
+    val r = spark.sql("CALL spc.system.compact('db.t', 2)").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 3,
+      "compact commits v3 and reports it")
+    val after = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(after.files.size <= 2)
+    assert(spark.sql("SELECT count(*) FROM spc.db.t").head().getLong(0)
+      == 120)
+    // rollback to v2 (pre-compaction CONTENTS, new version)
+    val rb = spark.sql("CALL spc.system.rollback('db.t', 2)").collect()
+    assert(rb(0).getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM spc.db.t").head().getLong(0)
+      == 120)
+    // vacuum keeps the table readable
+    spark.sql("CALL spc.system.vacuum('db.t', 1)").collect()
+    assert(spark.sql("SELECT count(*) FROM spc.db.t").head().getLong(0)
+      == 120)
+  }
+
+  test("CALL create_tag / create_branch / publish_branch") {
+    val root = s"$base/db/b"
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k")
+    SnapTable.append(spark, root,
+      spark.range(10, 15).selectExpr("id AS k", "id AS v"))
+    spark.sql("CALL spc.system.create_tag('db.b', 'first', 1)").collect()
+    // tag resolves through VERSION AS OF
+    assert(spark.sql(
+      "SELECT count(*) FROM spc.db.b VERSION AS OF 'first'")
+      .head().getLong(0) == 10)
+    spark.sql("CALL spc.system.create_branch('db.b', 'wap')").collect()
+    // write to the branch root, publish, see the rows on main
+    SnapTable.append(spark, SnapTable.branchRoot(root, "wap"),
+      spark.range(15, 18).selectExpr("id AS k", "id AS v"))
+    val p = spark.sql(
+      "CALL spc.system.publish_branch('db.b', 'wap')").collect()
+    assert(p(0).getLong(0) >= 3)
+    assert(spark.sql("SELECT count(*) FROM spc.db.b").head().getLong(0)
+      == 18)
+  }
+
+  test("unknown procedure names fail with the catalog's listing") {
+    val e = intercept[Exception] {
+      spark.sql("CALL spc.system.nonsense('db.t')").collect()
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("nonsense"), e.getMessage)
+  }
+}
