@@ -2866,6 +2866,34 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_files_meta",
+      // the `.files` metadata companion table (Iceberg's idea): the
+      // head manifest as a queryable relation — file paths, footer row
+      // counts, byte sizes, stats bounds — served driver-local from
+      // metadata already in memory (zero data-file opens). The op
+      // checks the TABLE-LEVEL invariants SQL users audit with it:
+      // file count matches the write layout, row counts conserve.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .repartition(4)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(
+          s"SELECT CAST(count(*) AS BIGINT) AS n_files, " +
+            "CAST(sum(rows) AS BIGINT) AS total_rows, " +
+            "CAST(min(rows) > 0 AS BOOLEAN) AS all_nonempty, " +
+            "CAST(min(size_bytes) > 0 AS BOOLEAN) AS all_sized " +
+            s"FROM snap.main.$t.files")
+      },
+      Some(
+        "SELECT CAST(4 AS BIGINT) AS n_files, " +
+          "CAST(count(*) AS BIGINT) AS total_rows, " +
+          "true AS all_nonempty, true AS all_sized FROM orders")
+    ),
+    Q(
       "table_sql_call",
       // Spark-4 stored procedures (`CALL snap.system.…`) — the
       // Iceberg-style maintenance entry points over the same engine

@@ -214,12 +214,15 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       // metadata-table idea): parses as Identifier([db, t], "changes"),
       // so when no real table shadows that name, serve the change feed
       // of the base table the namespace denotes
-      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      if ((ident.name() == "changes" || ident.name() == "files") &&
+          ident.namespace().nonEmpty) {
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val baseDir = tableDir(baseIdent)
         if (isTable(baseDir))
-          return new SnapChangesTable(ident, baseDir)
+          return if (ident.name() == "changes")
+            new SnapChangesTable(ident, baseDir)
+          else new SnapFilesTable(ident, baseDir)
       }
       throw new NoSuchTableException(ident)
     }

@@ -177,6 +177,60 @@ private[sources] class SnapChangesStream(spark: SparkSession,
   override def stop(): Unit = ()
 }
 
+/** The FILES companion table — `snap.db.t.files`: the head snapshot's
+  * manifest as a queryable relation (the Iceberg `.files` metadata
+  * table): one row per data file with its path, footer row count,
+  * on-disk size, write era, and the table's stats-column bounds. A
+  * driver-local scan — the manifest is already in memory; no data file
+  * opens.
+  */
+private[sources] class SnapFilesTable(ident: Identifier, root: String)
+  extends Table with SupportsRead {
+
+  private val snap =
+    SnapTable.load(root, SnapTable.latestVersion(root))
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("size_bytes", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("stats_min", LongType,
+      nullable = true),
+    org.apache.spark.sql.types.StructField("stats_max", LongType,
+      nullable = true)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val out = schema()
+    val pc = SnapTable.physName(snap.colmap, snap.statsCol)
+    val fileRows = snap.files.map { f =>
+      val abs = java.nio.file.Paths.get(root).toAbsolutePath
+        .resolve(f.path).normalize()
+      val sz =
+        if (java.nio.file.Files.exists(abs))
+          java.nio.file.Files.size(abs)
+        else 0L
+      val st = f.stats.get(pc)
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
+        f.rows, sz,
+        st.map(_._1).orNull, st.map(_._2).orNull)): InternalRow
+    }.toArray
+    new Scan with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = out
+      override def rows(): Array[InternalRow] = fileRows
+    }
+  }
+}
+
 /** A data partition plus the (sign, version) constants its rows carry. */
 private[sources] final case class SnapSignedPartition(
     inner: InputPartition, sign: Int, version: Long)

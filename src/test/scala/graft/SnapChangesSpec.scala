@@ -89,6 +89,26 @@ class SnapChangesSpec extends AnyFunSuite {
       .count() >= 1, "the delete's rewrite emits -1 rows")
   }
 
+  test(".files metadata table mirrors the manifest exactly") {
+    val root = s"$base/db/fm"
+    SnapTable.create(spark, root,
+      spark.range(100).selectExpr("id AS k", "id AS v")
+        .repartition(4), "k")
+    SnapTable.append(spark, root,
+      spark.range(100, 120).selectExpr("id AS k", "id AS v"))
+    val got = spark.read.table("sct.db.fm.files").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val snap = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(got.length == snap.files.size)
+    assert(got.map(_._2).sum == 120)
+    got.foreach { case (path, rows, size, lo, hi) =>
+      val f = snap.files.find(_.path == path).get
+      assert(rows == f.rows && size > 0 && lo <= hi)
+      assert(f.stats("k") == ((lo, hi)))
+    }
+  }
+
   test("merge-on-read DVs refuse the feed with a compact-first error") {
     val root = s"$base/db/cd"
     SnapTable.create(spark, root,
