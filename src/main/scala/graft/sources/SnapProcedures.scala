@@ -66,12 +66,17 @@ private[sources] class SnapProcedure(base: String, proc: String)
       override def isDeterministic: Boolean = false
 
       override def parameters(): Array[ProcedureParameter] = proc match {
+        // trailing params carry DEFAULTs (Spark fills omitted args at
+        // bind time): compact defaults to quarter-the-file-count
+        // (sentinel 0, resolved in call), vacuum to live-snapshot-only
         case "compact" => Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("target_files", LongType).build())
+          ProcedureParameter.in("target_files", LongType)
+            .defaultValue("0").build())
         case "vacuum" => Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("retain_versions", LongType).build())
+          ProcedureParameter.in("retain_versions", LongType)
+            .defaultValue("1").build())
         case "rollback" => Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build())
@@ -91,7 +96,11 @@ private[sources] class SnapProcedure(base: String, proc: String)
         val dir = (base +: table.split('.').toSeq).mkString("/")
         val (v, msg) = proc match {
           case "compact" =>
-            val t = input.getLong(1).toInt
+            val requested = input.getLong(1).toInt
+            val t =
+              if (requested > 0) requested
+              else math.max(1, SnapTable
+                .load(dir, SnapTable.latestVersion(dir)).files.size / 4)
             val nv = SnapTable.compact(s, dir, t)
             (nv.toLong, s"compacted to <= $t files")
           case "vacuum" =>

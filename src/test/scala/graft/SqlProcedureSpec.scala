@@ -67,6 +67,21 @@ class SqlProcedureSpec extends AnyFunSuite {
       == 18)
   }
 
+  test("omitted trailing args take their declared defaults") {
+    val root = s"$base/db/d"
+    SnapTable.create(spark, root,
+      spark.range(80).selectExpr("id AS k", "id AS v")
+        .repartition(8), "k")
+    // compact() with no target: quarter-the-file-count (8 → 2)
+    spark.sql("CALL spc.system.compact('db.d')").collect()
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.files.size <= 2, s"got ${head.files.size} files")
+    // vacuum() with no retention: live snapshot only, table readable
+    spark.sql("CALL spc.system.vacuum('db.d')").collect()
+    assert(spark.sql("SELECT count(*) FROM spc.db.d").head().getLong(0)
+      == 80)
+  }
+
   test("unknown procedure names fail with the catalog's listing") {
     val e = intercept[Exception] {
       spark.sql("CALL spc.system.nonsense('db.t')").collect()
