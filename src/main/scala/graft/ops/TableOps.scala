@@ -2866,6 +2866,46 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_type_widen",
+      // TYPE-WIDENING evolution (int→bigint, float→double): a
+      // metadata-only ALTER — parquet's reader-side promotion resolves
+      // the narrow legacy files under the wide schema, no rewrite.
+      // Half the rows land pre-widen (INT32/FLOAT files), half after
+      // (INT64/DOUBLE files); one aggregate reads both generations.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, qty INT, price FLOAT)")
+        val src = T(s, dir, "lineitem").select(
+          col("l_orderkey").as("o_orderkey"),
+          col("l_quantity").cast("int").as("qty"),
+          col("l_extendedprice").cast("float").as("price"))
+        src.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(s"ALTER TABLE snap.main.$t ALTER COLUMN qty TYPE BIGINT")
+        s.sql(s"ALTER TABLE snap.main.$t ALTER COLUMN price TYPE DOUBLE")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("qty").cast("long"),
+            col("price").cast("double"))
+          .write.mode("append").insertInto(s"snap.main.$t")
+        s.sql(
+          s"SELECT o_orderkey % 7 AS b, CAST(count(*) AS BIGINT) AS n, " +
+            "CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+            "sum(CAST(round(price * 100) AS BIGINT)) / 100 AS total " +
+            s"FROM snap.main.$t GROUP BY 1 ORDER BY b")
+      },
+      Some(
+        // the float→double promotion preserves the FLOAT32 values
+        // exactly, so rounding the promoted doubles equals rounding
+        // the floats on the DuckDB side
+        "SELECT l_orderkey % 7 AS b, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty, " +
+          "sum(CAST(round(CAST(CAST(l_extendedprice AS FLOAT) " +
+          "AS DOUBLE) * 100) AS BIGINT)) / 100 AS total " +
+          "FROM lineitem GROUP BY 1 ORDER BY b")
+    ),
+    Q(
       "table_files_meta",
       // the `.files` metadata companion table (Iceberg's idea): the
       // head manifest as a queryable relation — file paths, footer row

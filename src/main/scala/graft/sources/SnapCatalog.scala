@@ -395,6 +395,13 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         SnapTable.dropColumn(dir, del.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (int→bigint, float→double): metadata-only —
+        // parquet's type promotion reads old narrow files under the
+        // wide schema, so no data file is rewritten
+        require(ut.fieldNames.length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        SnapTable.widenColumn(dir, ut.fieldNames()(0), ut.newDataType())
       case cb: TableChange.ClusterBy =>
         // ALTER TABLE ... CLUSTER BY (cols) | NONE
         SnapTable.setClusterBy(dir,

@@ -989,6 +989,50 @@ object SnapTable {
       idents = parent.idents - name)
   }
 
+  /** TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`): INT →
+    * BIGINT and FLOAT → DOUBLE, metadata-only — parquet's reader-side
+    * type promotion resolves old narrow files under the wide schema,
+    * so no data file is rewritten (the Iceberg type-evolution set for
+    * primitives). Safety fences:
+    *
+    *  - the BUCKET column refuses (`hash(int)` ≠ `hash(long)` in
+    *    Spark's murmur3 — widening would silently invalidate every
+    *    file's bucket claim);
+    *  - identity columns refuse (they are declared BIGINT);
+    *  - manifest INT64 stats were never recorded for INT32 files, so
+    *    pruning and aggregate pushdown stay conservative over legacy
+    *    files (missing stats = keep / bail) and resume on new files.
+    */
+  def widenColumn(root: String,
+      column: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    val parent = load(root, latestVersion(root))
+    val schema = schemaOf(parent.schemaJson)
+    val f = schema.fields.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$column'"))
+    val ok = (f.dataType, to) match {
+      case (org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported type change ${f.dataType.simpleString} " +
+      s"-> ${to.simpleString}: only widening INT->BIGINT and " +
+      "FLOAT->DOUBLE are metadata-only")
+    parent.bucket.foreach { case (bc, _) =>
+      require(bc != column,
+        s"cannot widen bucket column '$column': the bucket hash is " +
+          "type-sensitive — existing file claims would break")
+    }
+    require(!parent.idents.contains(column),
+      s"cannot change the type of identity column '$column'")
+    commitExclusive(root, parent, parent.files, "widen-column",
+      org.apache.spark.sql.types.StructType(schema.fields.map(x =>
+        if (x.name == column) x.copy(dataType = to) else x)).json)
+  }
+
   /** Column-mapping entries for columns an APPEND introduces (additive
     * evolution): a new logical column whose name collides with a
     * tombstoned or still-stored physical name gets a fresh physical,

@@ -208,6 +208,47 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       ids3.distinct.size == 3, s"got $ids3")
   }
 
+  test("ALTER COLUMN TYPE widens INT->BIGINT and FLOAT->DOUBLE " +
+      "metadata-only; mixed files read correctly; bucket refuses") {
+    val base = freshCat()
+    spark.sql("CREATE TABLE snapm.db.wt (k BIGINT, i INT, f FLOAT)")
+    spark.sql("INSERT INTO snapm.db.wt VALUES (1, 10, CAST(1.5 AS FLOAT))," +
+      " (2, 20, CAST(2.5 AS FLOAT))")
+    val dir = s"$base/db/wt"
+    val filesBefore = SnapTable
+      .load(dir, SnapTable.latestVersion(dir)).files.map(_.path)
+    spark.sql("ALTER TABLE snapm.db.wt ALTER COLUMN i TYPE BIGINT")
+    spark.sql("ALTER TABLE snapm.db.wt ALTER COLUMN f TYPE DOUBLE")
+    val head = SnapTable.load(dir, SnapTable.latestVersion(dir))
+    assert(head.files.map(_.path) == filesBefore,
+      "widening must not rewrite any data file")
+    assert(SnapTable.schemaOf(head.schemaJson)("i").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // post-widen writes land wide; mixed files read under one schema
+    spark.sql("INSERT INTO snapm.db.wt VALUES " +
+      "(3, 3000000000, 3.5)") // a value that needs BIGINT
+    val got = spark.sql(
+      "SELECT k, i, f FROM snapm.db.wt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10L, 1.5), (2L, 20L, 2.5),
+      (3L, 3000000000L, 3.5)))
+    // narrowing and unrelated changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapm.db.wt ALTER COLUMN i TYPE INT")
+    }
+    // the bucket column's hash is type-sensitive: widening it refuses
+    val broot = s"$base/db/wb"
+    SnapTable.createBucketed(spark, broot,
+      spark.range(10).selectExpr("id AS k", "CAST(id AS INT) AS v"),
+      "k", "k", 2)
+    val e = intercept[Exception] {
+      SnapTable.widenColumn(broot, "k",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("bucket") ||
+      e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
   test("ADD COLUMN DEFAULT doubles as the WRITE default; " +
       "SET/DROP DEFAULT alters the write side, never history") {
     val base = freshCat()
