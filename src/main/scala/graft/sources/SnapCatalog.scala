@@ -214,15 +214,18 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
       // metadata-table idea): parses as Identifier([db, t], "changes"),
       // so when no real table shadows that name, serve the change feed
       // of the base table the namespace denotes
-      if ((ident.name() == "changes" || ident.name() == "files") &&
-          ident.namespace().nonEmpty) {
+      val metaNames = Set("changes", "files", "history", "refs")
+      if (metaNames.contains(ident.name()) && ident.namespace().nonEmpty) {
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val baseDir = tableDir(baseIdent)
         if (isTable(baseDir))
-          return if (ident.name() == "changes")
-            new SnapChangesTable(ident, baseDir)
-          else new SnapFilesTable(ident, baseDir)
+          return ident.name() match {
+            case "changes" => new SnapChangesTable(ident, baseDir)
+            case "files" => new SnapFilesTable(ident, baseDir)
+            case "history" => new SnapHistoryTable(ident, baseDir)
+            case _ => new SnapRefsTable(ident, baseDir)
+          }
       }
       throw new NoSuchTableException(ident)
     }

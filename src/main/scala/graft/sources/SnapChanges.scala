@@ -231,6 +231,88 @@ private[sources] class SnapFilesTable(ident: Identifier, root: String)
   }
 }
 
+/** The HISTORY companion table — `snap.db.t.history`: the commit log
+  * as a relation (version, op, file/row counts, commit timestamp) —
+  * the metadata-table twin of DESCRIBE HISTORY / the snap_history TVF.
+  */
+private[sources] class SnapHistoryTable(ident: Identifier, root: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_files", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("ts", LongType,
+      nullable = false)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val out = schema()
+    val hist = SnapTable.versions(root).sorted.map { v =>
+      val s = SnapTable.load(root, v)
+      new GenericInternalRow(Array[Any](v.toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.op),
+        s.files.size.toLong, s.files.map(_.rows).sum,
+        s.ts)): InternalRow
+    }.toArray
+    new Scan with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = out
+      override def rows(): Array[InternalRow] = hist
+    }
+  }
+}
+
+/** The REFS companion table — `snap.db.t.refs`: branches and tags as a
+  * relation (kind, name, pinned/head version).
+  */
+private[sources] class SnapRefsTable(ident: Identifier, root: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("version", LongType,
+      nullable = false)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val out = schema()
+    def str(x: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val refRows: Array[InternalRow] =
+      (SnapTable.tags(root).sortBy(_._1).map { case (n, v) =>
+        new GenericInternalRow(
+          Array[Any](str("tag"), str(n), v.toLong)): InternalRow
+      } ++ SnapTable.branches(root).sorted.map { b =>
+        val head = SnapTable
+          .latestVersion(SnapTable.branchRoot(root, b))
+        new GenericInternalRow(
+          Array[Any](str("branch"), str(b), head.toLong)): InternalRow
+      }).toArray
+    new Scan with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = out
+      override def rows(): Array[InternalRow] = refRows
+    }
+  }
+}
+
 /** A data partition plus the (sign, version) constants its rows carry. */
 private[sources] final case class SnapSignedPartition(
     inner: InputPartition, sign: Int, version: Long)

@@ -109,6 +109,30 @@ class SnapChangesSpec extends AnyFunSuite {
     }
   }
 
+  test(".history and .refs metadata tables mirror the log and refs") {
+    val root = s"$base/db/hr"
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k"), "k")
+    SnapTable.append(spark, root,
+      spark.range(10, 15).selectExpr("id AS k"))
+    SnapTable.createTag(root, "gold", 1)
+    SnapTable.createBranch(spark, root, "exp")
+    val hist = spark.read.table("sct.db.hr.history").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // create + append + branch fork commits; ops and row counts mirror
+    assert(hist.map(_._1).toSeq == hist.map(_._1).sorted.toSeq)
+    assert(hist.head == ((1L, "create", 10L)))
+    assert(hist.exists(h => h._2 == "append" && h._3 == 15L))
+    val refs = spark.read.table("sct.db.hr.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.contains(("tag", "gold", 1L)))
+    assert(refs.exists(r => r._1 == "branch" && r._2 == "exp"))
+    // metadata tables compose with SQL
+    assert(spark.sql(
+      "SELECT max(version) FROM sct.db.hr.history").head().getLong(0)
+      >= 2L)
+  }
+
   test("merge-on-read DVs refuse the feed with a compact-first error") {
     val root = s"$base/db/cd"
     SnapTable.create(spark, root,
