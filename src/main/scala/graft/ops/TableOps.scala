@@ -2866,6 +2866,36 @@ object TableOps extends QueryModule {
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "table_sql_ctas",
+      // CREATE TABLE AS SELECT and REPLACE TABLE AS SELECT through the
+      // catalog (Spark's non-atomic V2 path: create-then-append /
+      // drop-create-append — a failure can leave an empty table but
+      // never torn data, because the append itself is one snapshot
+      // commit). RTAS swaps the definition AND contents in place.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t AS " +
+          s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $v " +
+          "WHERE o_orderkey % 3 = 0")
+        // RTAS: new schema AND new contents, same name
+        s.sql(s"REPLACE TABLE snap.main.$t AS " +
+          s"SELECT o_orderstatus, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+          s"FROM $v WHERE o_orderkey % 3 <> 0")
+        s.sql(s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          s"sum(cents) / 100 AS total FROM snap.main.$t " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 " +
+          "AS total FROM orders WHERE o_orderkey % 3 <> 0 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_type_widen",
       // TYPE-WIDENING evolution (int→bigint, float→double): a
       // metadata-only ALTER — parquet's reader-side promotion resolves
