@@ -73,6 +73,25 @@ object Esn {
     out
   }
 
+  /** One LEAKY-INTEGRATOR update (Jaeger's standard ESN formulation):
+    * x' = (1−α)·x + α·tanh(W_in·u + W·x). α = 1 reduces exactly to
+    * [[step]]; smaller α slows the state's time constant so the
+    * reservoir integrates over longer input horizons — the knob that
+    * matches reservoir dynamics to the signal's timescale.
+    */
+  def stepLeaky(m: Mats, x: Array[Double], u: Double,
+      alpha: Double): Array[Double] = {
+    val wx = matVec(m.w, x)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      out(i) = (1 - alpha) * x(i) +
+        alpha * math.tanh(m.win(i) * u + wx(i))
+      i += 1
+    }
+    out
+  }
+
   /** Design vector [1, u, x₀..x₃₁] for the linear readout. */
   def designRow(u: Double, x: Array[Double]): Array[Double] = {
     val phi = new Array[Double](2 + x.length)

@@ -111,6 +111,32 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_leaky_esn",
+      // Leaky-integrator reservoir (x' = (1−α)x + α·tanh(W_in u + W x),
+      // α = 0.5): the timescale-matched ESN variant. Same parallel-
+      // across-keys shape as rc_reservoir_states; LeakyEsnSpec pins the
+      // pure-Scala replay, the α=1 reduction to the plain step, and the
+      // slower state dynamics.
+      (s, dir) => {
+        import s.implicits._
+        val mats = Esn.matrices()
+        series(s, dir)
+          .groupByKey(_._1)
+          .flatMapGroups { (key, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var x = new Array[Double](Esn.Nx)
+            rows.iterator.zipWithIndex.map { case ((_, _, _, v), i) =>
+              x = Esn.stepLeaky(mats, x, v / Esn.InputScale, 0.5)
+              (key, i.toLong, round6(x(0)), round6(x(1)), round6(x(2)),
+                round6(x(3)))
+            }
+          }
+          .toDF("user_id", "step", "x0", "x1", "x2", "x3")
+          .orderBy("user_id", "step")
+      },
+      None
+    ),
+    Q(
       "rc_readout_train",
       // Ridge readout W_out = (XᵀX + λI)⁻¹ Xᵀy over the train split.
       (s, dir) => {
