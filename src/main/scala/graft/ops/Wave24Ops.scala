@@ -74,10 +74,13 @@ object Wave24Ops extends QueryModule {
             count(lit(1)).as("n_nodes"),
             sum(when(col("node").startsWith("t:"), 1L).otherwise(0L))
               .as("n_type_nodes"))
-          .orderBy("dist")
-        out.count() // materialize before releasing the edge cache
+        // snapshot the |dists|-row result eagerly so BOTH caches can be
+        // released before returning — the caller's plan reads the
+        // checkpoint, not a leaked InMemoryRelation
+        val snap = out.localCheckpoint(true)
+        dists.unpersist()
         edges.unpersist()
-        out
+        snap.orderBy("dist")
       },
       Some(
         "WITH RECURSIVE edges AS (" +

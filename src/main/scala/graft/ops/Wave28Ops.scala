@@ -67,7 +67,7 @@ object Wave28Ops extends QueryModule {
           .groupBy("hod")
           .agg((sum(round(col("yc") - col("trend_c")).cast("long"))
             .cast("double") / count(lit(1))).as("seas_c"))
-        detr.join(broadcast(seasonal), "hod")
+        val out = detr.join(broadcast(seasonal), "hod")
           .select(
             timestamp_seconds(col("hb") * 3600L).cast("timestamp_ntz")
               .as("h"),
@@ -76,7 +76,11 @@ object Wave28Ops extends QueryModule {
             dround(col("seas_c") / 100, 4).as("seasonal"),
             dround((col("yc") - col("trend_c") - col("seas_c")) / 100, 4)
               .as("resid"))
-          .orderBy("h")
+        // snapshot the |hours|-row result eagerly so the spine cache is
+        // released before returning (no leaked InMemoryRelation)
+        val snap = out.localCheckpoint(true)
+        hourly.unpersist()
+        snap.orderBy("h")
       },
       Some(
         "WITH hourly AS (SELECT " +
