@@ -1153,6 +1153,60 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_merge_api",
+      // the Spark-4 `Dataset.mergeInto` builder — MERGE declared in code
+      // instead of SQL text (the programmatic upsert surface ETL
+      // frameworks generate). Resolves through the SAME DSv2
+      // row-level-operation path as table_sql_merge, so the group-based
+      // CoW narrowing applies unchanged; clauses here: conditional
+      // matched-update, matched-delete, and not-matched-insert.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        val src = s.table(v)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            (col("o_totalprice") + 250).as("p"))
+          .filter(col("k") % 5 === 0 || col("k") < 200)
+          .alias("src")
+        src.mergeInto(s"snap.main.$t",
+            col(s"$t.o_orderkey") === col("src.k"))
+          .whenMatched(col("src.k") % 25 === 0).delete()
+          .whenMatched().update(Map(
+            "o_totalprice" -> col("src.p")))
+          .whenNotMatched().insert(Map(
+            "o_orderkey" -> (col("src.k") + 40000000L),
+            "o_custkey" -> col("src.ck"),
+            "o_totalprice" -> col("src.p")))
+          .merge()
+        s.sql(s"SELECT o_orderkey, o_totalprice FROM snap.main.$t")
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("bucket")
+      },
+      // every source row matches (the source is drawn from the target
+      // keys), so the not-matched insert contributes nothing: the
+      // post-merge table = target minus %25 keys, with +250 on the other
+      // source keys
+      Some(
+        "WITH merged AS (" +
+          "SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 " +
+          "OR o_orderkey < 200 THEN o_totalprice + 250 " +
+          "ELSE o_totalprice END AS p FROM orders " +
+          "WHERE NOT ((o_orderkey % 5 = 0 OR o_orderkey < 200) " +
+          "AND o_orderkey % 25 = 0)) " +
+          "SELECT o_orderkey % 10 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(p * 100) AS BIGINT)) / 100 AS total " +
+          "FROM merged GROUP BY 1 ORDER BY bucket")
+    ),
+    Q(
       "table_sql_update",
       // SQL UPDATE through the same row-level-operation path: a
       // predicate too selective-by-value to be a metadata-only delete
