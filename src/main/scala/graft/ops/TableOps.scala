@@ -1207,6 +1207,46 @@ object TableOps extends QueryModule {
           "FROM merged GROUP BY 1 ORDER BY bucket")
     ),
     Q(
+      "table_limit_pushdown",
+      // DSv2 LIMIT pushdown (SupportsPushDownLimit): a head query over
+      // the native scan truncates the FILE LIST to a prefix whose
+      // manifest row counts cover the limit — asserted in-op: the
+      // limited plan's scan holds strictly fewer files than the table,
+      // but still at least the limit's worth of rows. Reported as
+      // partially pushed, so Spark's own limit stays above the scan and
+      // exactness never depends on the truncation.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(16, col("o_orderkey"))
+          .createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        val limited = s.sql(s"SELECT * FROM snap.main.$t LIMIT 1200")
+        val scanFiles = limited.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+            b.scan.asInstanceOf[graft.sources.SnapBatchScan].files
+        }.head
+        val total = s.sql(s"SELECT * FROM snap.main.$t")
+          .queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+                .BatchScanExec =>
+              b.scan.asInstanceOf[graft.sources.SnapBatchScan].files
+          }.head
+        require(scanFiles.size < total.size,
+          s"LIMIT must truncate the file list " +
+            s"(${scanFiles.size}/${total.size})")
+        require(scanFiles.map(_.rows).sum >= 1200,
+          "the kept prefix must cover the limit")
+        limited.agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT CAST(least(1200, count(*)) AS BIGINT) AS n FROM orders")
+    ),
+    Q(
       "table_sql_update",
       // SQL UPDATE through the same row-level-operation path: a
       // predicate too selective-by-value to be a metadata-only delete

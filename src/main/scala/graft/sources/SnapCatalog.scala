@@ -806,7 +806,8 @@ private[graft] class SnapScanBuilder(root: String,
     options: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -862,6 +863,16 @@ private[graft] class SnapScanBuilder(root: String,
   override def pushAggregation(a: Aggregation): Boolean =
     if (!answerable(a)) false // no partial mode: exact or not at all
     else { agg = Some(a); true }
+  /** LIMIT pushdown: a head query needs only a PREFIX of the file list
+    * whose manifest row counts cover the limit — `SELECT * FROM t LIMIT
+    * 10` on a 100 TB table opens one file. Always reported as PARTIALLY
+    * pushed, so Spark keeps its own limit above the scan and the
+    * truncation only has to be an upper bound, never an exact cap.
+    */
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
   private var bounds: Map[String, (Long, Long)] = Map.empty
   // string bounds: None = unbounded on that side. Only consulted
   // against files that RECORDED sstats for the column (short-ASCII
@@ -1059,7 +1070,24 @@ private[graft] class SnapScanBuilder(root: String,
         return new SnapAggScan(cols)
       case None => ()
     }
-    val hit = pruneByBounds(snap.files)
+    val pruned = pruneByBounds(snap.files)
+    // file-list truncation under a pushed LIMIT is sound only when every
+    // manifest row survives to the scan output: no residual filters (a
+    // prefix file could match zero rows), no deletion vectors (footer
+    // counts overstate live rows), no bucket layout (KeyGrouped
+    // partitioning must expose every bucket)
+    val hit = limit match {
+      case Some(n) if raw.isEmpty && snap.dvs.isEmpty &&
+          snap.bucket.isEmpty =>
+        val keep = Seq.newBuilder[SnapTable.FileEntry]
+        var acc = 0L
+        val it = pruned.iterator
+        while (acc < n && it.hasNext) {
+          val f = it.next(); keep += f; acc += f.rows
+        }
+        keep.result()
+      case _ => pruned
+    }
     // EVERY catalog read goes through the native batch scan: it is the
     // only scan shape whose statistics and partitioning the planner
     // actually consults (a V1Scan gets wrapped in Spark's

@@ -628,4 +628,46 @@ class SnapCatalogSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/outer")))
   }
+
+  test("pushed LIMIT truncates the file list to a covering prefix; " +
+      "filters and DVs disable the truncation") {
+    val root = s"$base/db1/limpush"
+    SnapTable.create(spark, root,
+      spark.range(8000).selectExpr("id AS k", "id % 7 AS v")
+        .repartitionByRange(8, col("k")), "k")
+    def builder(snap: SnapTable.Snapshot) = new SnapScanBuilder(root, snap,
+      SnapTable.schemaOf(snap.schemaJson))
+    val snap1 = SnapTable.load(root, 1)
+    assert(snap1.files.size == 8)
+    // plain head query: one file covers LIMIT 10
+    val b1 = builder(snap1)
+    assert(b1.pushLimit(10))
+    val s1 = b1.build().asInstanceOf[SnapBatchScan]
+    assert(s1.files.size == 1, s"prefix of ${s1.files.size} files")
+    assert(s1.files.map(_.rows).sum >= 10)
+    // a larger limit keeps proportionally more files, still a prefix
+    val b2 = builder(snap1)
+    assert(b2.pushLimit(2500))
+    val s2 = b2.build().asInstanceOf[SnapBatchScan]
+    assert(s2.files.size == 3 && s2.files == snap1.files.take(3))
+    // residual filters: a prefix file may match nothing — no truncation
+    val b3 = builder(snap1)
+    b3.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("v", 3L)))
+    assert(b3.pushLimit(10))
+    val s3 = b3.build().asInstanceOf[SnapBatchScan]
+    assert(s3.files.size == 8, "filters must disable truncation")
+    // deletion vectors: footer counts overstate live rows — no truncation
+    SnapTable.deleteWhereMoR(spark, root, col("k") < 900)
+    val snap2 = SnapTable.load(root, 2)
+    assert(snap2.dvs.nonEmpty)
+    val b4 = builder(snap2)
+    assert(b4.pushLimit(10))
+    val s4 = b4.build().asInstanceOf[SnapBatchScan]
+    assert(s4.files.size == snap2.files.size,
+      "DVs must disable truncation")
+    // end to end: the SQL head query stays exact
+    assert(spark.sql(
+      "SELECT * FROM snapt.db1.limpush LIMIT 10").count() == 10)
+  }
 }
