@@ -1247,6 +1247,44 @@ object TableOps extends QueryModule {
       Some("SELECT CAST(least(1200, count(*)) AS BIGINT) AS n FROM orders")
     ),
     Q(
+      "table_topn_pushdown",
+      // DSv2 TopN pushdown (SupportsPushDownTopN): ORDER BY key LIMIT n
+      // on a range-clustered table keeps only the files whose [min,max]
+      // can reach the top-n threshold — the "latest n orders" query
+      // reads O(1) files at any table size. Deterministic output (the
+      // exact top 20 by (key)), so the oracle restates it directly;
+      // the file-cover assertion runs in-op.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val v = "v" + t
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(16, col("o_orderkey"))
+          .createOrReplaceTempView(v)
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"INSERT INTO snap.main.$t SELECT * FROM $v")
+        def files(sql: String) =
+          s.sql(sql).queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+                .BatchScanExec =>
+              b.scan.asInstanceOf[graft.sources.SnapBatchScan].files
+          }.head
+        val q = s"SELECT o_orderkey, o_totalprice FROM snap.main.$t " +
+          "ORDER BY o_orderkey DESC LIMIT 20"
+        val covered = files(q)
+        val total = files(s"SELECT * FROM snap.main.$t")
+        require(covered.size < total.size,
+          s"TopN must truncate the file list " +
+            s"(${covered.size}/${total.size})")
+        s.sql(q).select(col("o_orderkey"),
+          dround(col("o_totalprice"), 2).as("price"))
+      },
+      Some(
+        "SELECT o_orderkey, " + droundSql("o_totalprice", 2) +
+          " AS price FROM orders ORDER BY o_orderkey DESC LIMIT 20")
+    ),
+    Q(
       "table_sql_update",
       // SQL UPDATE through the same row-level-operation path: a
       // predicate too selective-by-value to be a metadata-only delete

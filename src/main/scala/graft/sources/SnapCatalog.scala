@@ -807,7 +807,8 @@ private[graft] class SnapScanBuilder(root: String,
       CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -872,6 +873,80 @@ private[graft] class SnapScanBuilder(root: String,
   private var limit: Option[Int] = None
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown: `ORDER BY k LIMIT n` keeps only files that can hold
+    * a top-n row. Threshold cover: walk files by their FAR bound (max
+    * for ASC, min for DESC) accumulating non-null row counts until ≥ the
+    * non-null rows needed; every qualifying row is ≤ that threshold τ
+    * and any row ≤ τ lives in a file whose NEAR bound ≤ τ, so keeping
+    * {near bound ≤ τ} is a proven superset. NULL ordering is honored
+    * through the recorded per-file null counts — an ABSENT null count
+    * means unknown and disables the truncation (same contract as
+    * metadata-only deletes). Like LIMIT, always reported partially
+    * pushed: Spark's own TopN stays above the scan, so exactness never
+    * rests on the cover.
+    */
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NullOrdering, SortDirection}
+    orders match {
+      case Array(o) => o.expression() match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val name = f.fieldNames()(0)
+          val pc = SnapTable.physName(snap.colmap, name)
+          val isLong = SnapTable.schemaOf(snap.schemaJson).fields
+            .find(_.name == name).exists(_.dataType == LongType)
+          // coverage: every file needs a RECORDED null count, and INT64
+          // stats unless it is all-null
+          val covered = isLong && snap.files.forall(f =>
+            f.nulls.contains(pc) &&
+              (f.stats.contains(pc) || f.rows == f.nulls(pc)))
+          if (!covered) false
+          else {
+            topN = Some((pc,
+              o.direction() == SortDirection.DESCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+            true
+          }
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  private def topNCover(files: Seq[SnapTable.FileEntry]): Seq[
+      SnapTable.FileEntry] = topN match {
+    case Some((pc, desc, nullsFirst, n))
+        if raw.isEmpty && snap.dvs.isEmpty && snap.bucket.isEmpty =>
+      def nn(f: SnapTable.FileEntry): Long = f.rows - f.nulls(pc)
+      val totalNulls = files.map(_.nulls(pc)).sum
+      val totalNN = files.map(nn).sum
+      val needed: Long = if (nullsFirst) (n: Long) - totalNulls else n
+      if (nullsFirst && needed <= 0) files.filter(_.nulls(pc) > 0)
+      else if (needed >= totalNN) files // every value row qualifies
+      else {
+        val valueFiles = files.filter(nn(_) > 0)
+        val byFar = valueFiles.sortBy(f =>
+          if (desc) -f.stats(pc)._1 else f.stats(pc)._2)
+        var acc = 0L
+        var tau = 0L
+        val it = byFar.iterator
+        while (acc < needed && it.hasNext) {
+          val f = it.next()
+          acc += nn(f)
+          tau = if (desc) f.stats(pc)._1 else f.stats(pc)._2
+        }
+        val valueKeep = files.filter(f => nn(f) > 0 &&
+          (if (desc) f.stats(pc)._2 >= tau else f.stats(pc)._1 <= tau))
+        if (nullsFirst) files.filter(f =>
+          f.nulls(pc) > 0 || valueKeep.contains(f))
+        else valueKeep
+      }
+    case _ => files
+  }
 
   private var bounds: Map[String, (Long, Long)] = Map.empty
   // string bounds: None = unbounded on that side. Only consulted
@@ -1070,14 +1145,15 @@ private[graft] class SnapScanBuilder(root: String,
         return new SnapAggScan(cols)
       case None => ()
     }
-    val pruned = pruneByBounds(snap.files)
+    val pruned = topNCover(pruneByBounds(snap.files))
     // file-list truncation under a pushed LIMIT is sound only when every
     // manifest row survives to the scan output: no residual filters (a
     // prefix file could match zero rows), no deletion vectors (footer
     // counts overstate live rows), no bucket layout (KeyGrouped
-    // partitioning must expose every bucket)
+    // partitioning must expose every bucket). Never combined with a
+    // pushed TopN — an arbitrary prefix is not a top-n cover.
     val hit = limit match {
-      case Some(n) if raw.isEmpty && snap.dvs.isEmpty &&
+      case Some(n) if topN.isEmpty && raw.isEmpty && snap.dvs.isEmpty &&
           snap.bucket.isEmpty =>
         val keep = Seq.newBuilder[SnapTable.FileEntry]
         var acc = 0L

@@ -670,4 +670,68 @@ class SnapCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT * FROM snapt.db1.limpush LIMIT 10").count() == 10)
   }
+
+  test("pushed TopN keeps only files whose bounds reach the top-n " +
+      "threshold; nulls and filters are honored") {
+    import org.apache.spark.sql.connector.expressions.{
+      Expressions, SortDirection, NullOrdering}
+    val root = s"$base/db1/topnpush"
+    SnapTable.create(spark, root,
+      spark.range(8000).selectExpr(
+        "id AS k", "IF(id % 1000 = 999, NULL, id) AS s")
+        .repartitionByRange(8, col("k")), "k")
+    val snap = SnapTable.load(root, 1)
+    assert(snap.files.size == 8)
+    assert(snap.files.forall(f => f.nulls.contains("s")),
+      "footer sweep must record null counts")
+    def builder() = new SnapScanBuilder(root, snap,
+      SnapTable.schemaOf(snap.schemaJson))
+    def order(dir: SortDirection, no: NullOrdering) =
+      Expressions.sort(Expressions.column("s"), dir, no)
+    // ASC NULLS LAST: the 10 smallest s live in the first file only
+    val b1 = builder()
+    assert(b1.pushTopN(Array(order(SortDirection.ASCENDING,
+      NullOrdering.NULLS_LAST)), 10))
+    val s1 = b1.build().asInstanceOf[SnapBatchScan]
+    assert(s1.files.size == 1 && s1.files.head == snap.files.head,
+      s"asc cover ${s1.files.size}/8")
+    // DESC NULLS LAST: only the last file
+    val b2 = builder()
+    assert(b2.pushTopN(Array(order(SortDirection.DESCENDING,
+      NullOrdering.NULLS_LAST)), 10))
+    val s2 = b2.build().asInstanceOf[SnapBatchScan]
+    assert(s2.files.size == 1 && s2.files.head == snap.files.last,
+      s"desc cover ${s2.files.size}/8")
+    // ASC NULLS FIRST, n ≤ #nulls: only null-bearing files (every file
+    // has one null here, so all 8 stay — the cover is the null set)
+    val b3 = builder()
+    assert(b3.pushTopN(Array(order(SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)), 5))
+    val s3 = b3.build().asInstanceOf[SnapBatchScan]
+    assert(s3.files == snap.files.filter(_.nulls("s") > 0))
+    // residual filters disable the truncation
+    val b4 = builder()
+    b4.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("k", 7999L)))
+    assert(b4.pushTopN(Array(order(SortDirection.ASCENDING,
+      NullOrdering.NULLS_LAST)), 10))
+    val s4 = b4.build().asInstanceOf[SnapBatchScan]
+    assert(s4.files.size == 1 && s4.files.head == snap.files.last,
+      "bound pruning still applies, but no top-n truncation below it")
+    // end to end: ORDER BY + LIMIT over SQL is exact under both null
+    // orderings (Spark's ASC default is NULLS FIRST)
+    val got = spark.sql("SELECT s FROM snapt.db1.topnpush " +
+      "ORDER BY s NULLS LAST LIMIT 10").collect().map(_.getLong(0)).toSeq
+    assert(got == (0L to 9L).toSeq)
+    val gotNf = spark.sql("SELECT s FROM snapt.db1.topnpush " +
+      "ORDER BY s LIMIT 10").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(gotNf == Seq.fill(8)(-1L) ++ Seq(0L, 1L),
+      s"8 nulls then the smallest values: $gotNf")
+    val gotDesc = spark.sql("SELECT s FROM snapt.db1.topnpush " +
+      "ORDER BY s DESC NULLS LAST LIMIT 3").collect()
+      .map(_.getLong(0)).toSeq
+    assert(gotDesc == Seq(7998L, 7997L, 7996L),
+      s"desc top-3 $gotDesc (7999 is NULL)")
+  }
 }
