@@ -1098,6 +1098,72 @@ object TableOps extends QueryModule {
           "GROUP BY c_custkey ORDER BY custkey")
     ),
     Q(
+      "table_spj_nosort",
+      // SPJ with REPORTED ORDERING (SupportsReportOrdering): the bucket
+      // write path lands every file internally sorted by the bucket
+      // column, and a one-file-per-bucket table reports that per-
+      // partition order — so the co-bucketed join plans SortMergeJoin
+      // with ZERO exchanges AND ZERO SortExec. At 100 TB the two big
+      // costs of a fact-fact join (the shuffle, then the per-partition
+      // sort of both sides) both disappear at plan time; asserted on
+      // the executed plan in-op.
+      (s, dir) => {
+        val base = sqlWarehouse(s)
+        val t1 = freshName()
+        val t2 = freshName()
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = T(s, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"))
+        SnapTable.createBucketed(s, s"$base/main/$t1", o, "o_orderkey",
+          "o_custkey", 8)
+        SnapTable.createBucketed(s, s"$base/main/$t2", c, "c_custkey",
+          "c_custkey", 8)
+        val keys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "true")
+        s.conf.set(keys(2), "-1")
+        s.conf.set(keys(3), "false")
+        try {
+          val df = s.sql(
+            s"""SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal
+               |FROM snap.main.$t1 o JOIN snap.main.$t2 c
+               |  ON o.o_custkey = c.c_custkey
+               |ORDER BY o.o_orderkey""".stripMargin)
+          // the final ORDER BY adds its own exchange+sort ABOVE the
+          // join, so the claim is asserted on the JOIN subtree
+          val smj = df.queryExecution.executedPlan.collectFirst {
+            case j: org.apache.spark.sql.execution.joins
+                .SortMergeJoinExec => j
+          }.getOrElse(sys.error("table_spj_nosort: no SortMergeJoin " +
+            s"in:\n${df.queryExecution.executedPlan}"))
+          val bad = smj.collect {
+            case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => e
+            case so: org.apache.spark.sql.execution.SortExec => so
+          }
+          require(bad.isEmpty,
+            s"SPJ join subtree must be exchange- and sort-free:\n$smj")
+          df.select(col("o_orderkey"),
+            dround(col("o_totalprice"), 2).as("price"),
+            dround(col("c_acctbal"), 2).as("acctbal"))
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(
+        "SELECT o_orderkey, " + droundSql("o_totalprice", 2) +
+          " AS price, " + droundSql("c_acctbal", 2) + " AS acctbal " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "ORDER BY o_orderkey")
+    ),
+    Q(
       "table_sql_merge",
       // SQL MERGE INTO through the DSv2 row-level-operation API: all
       // three clause kinds in one statement (matched-update,

@@ -59,6 +59,7 @@ private[graft] class SnapBatchScan(
       identity)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -198,6 +199,27 @@ private[graft] class SnapBatchScan(
         bucketGroups.size)
     case None => new UnknownPartitioning(files.size)
   }
+
+  /** Per-partition ordering report: the bucket WRITE path sorts every
+    * file by the bucket column before it lands
+    * (`sortWithinPartitions(bc)` in SnapTable.writeData), so a bucket
+    * group made of ONE file is already ordered — reported here, a
+    * co-bucketed storage-partitioned join plans SortMergeJoin with NO
+    * SortExec on either side (zero-Exchange AND zero-Sort). Multi-file
+    * groups (post-append) concatenate overlapping ranges and claim
+    * nothing; OPTIMIZE restores the one-file-per-bucket state and with
+    * it the claim. ASC with default NULLS FIRST matches the write sort.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucket match {
+      case Some((c, _)) if required.fieldNames.contains(c) &&
+          bucketGroups.forall(_._2.size == 1) =>
+        Array(Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions
+            .SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   /** Present bucket ids → their files, sorted by id so both sides of a
     * co-bucketed join enumerate partitions in the same key order.

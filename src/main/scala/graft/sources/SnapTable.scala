@@ -2835,8 +2835,15 @@ object SnapTable {
         val bc = physName(colmap, bc0) // the frame is physical by now
         val withB = df.withColumn(BucketStatsCol,
           pmod(hash(col(bc)), lit(n)))
+        // sort by (bucket id, bucket col): the partitioned writer
+        // requires task rows ordered by its partition columns and
+        // inserts its OWN (unstable, id-only) sort when they are not —
+        // leading with the id makes that required ordering already
+        // satisfied, so the writer keeps the bc order and every data
+        // file lands internally sorted by the bucket column (the
+        // invariant SnapBatchScan.outputOrdering reports)
         withB.repartition(n, col(BucketStatsCol))
-          .sortWithinPartitions(col(bc))
+          .sortWithinPartitions(col(BucketStatsCol), col(bc))
           .write.partitionBy(BucketStatsCol).parquet(dir.toString)
         listDir(dir)
           .filter(p => Files.isDirectory(p) &&

@@ -101,6 +101,50 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("one-file-per-bucket tables report ordering: the SPJ plans " +
+      "SortMergeJoin with ZERO SortExec; an append revokes the claim") {
+    withSpjConf {
+      val o = T(spark, TestSpark.Sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = T(spark, TestSpark.Sf, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      SnapTable.createBucketed(spark, s"$base/db/os8", o, "o_orderkey",
+        "o_custkey", 8)
+      SnapTable.createBucketed(spark, s"$base/db/cs8", c, "c_custkey",
+        "c_custkey", 8)
+      def planOf() = spark.sql(
+        """SELECT o.o_orderkey, o.o_totalprice, c.c_name
+          |FROM spjt.db.os8 o JOIN spjt.db.cs8 c
+          |  ON o.o_custkey = c.c_custkey""".stripMargin)
+      val joined = planOf()
+      val exec = joined.queryExecution.executedPlan
+      assert(exec.toString.contains("SortMergeJoin"))
+      assert(!exec.toString.contains("Exchange"))
+      val sorts = exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"write-path bucket sort must satisfy the SMJ ordering:\n$exec")
+      // correctness unchanged
+      val expect = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name")
+      assert(joined.exceptAll(expect).isEmpty &&
+        expect.exceptAll(joined).isEmpty)
+      // an append makes a bucket group multi-file: files are each
+      // sorted but overlap, so the scan must STOP claiming ordering
+      // and the SMJ re-sorts (correctness over optimism)
+      SnapTable.append(spark, s"$base/db/cs8", c.limit(50))
+      val joined2 = planOf()
+      val sorts2 = joined2.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts2.nonEmpty,
+        "multi-file bucket groups must not claim ordering")
+      assert(joined2.count() == expect.count() + c.limit(50)
+        .join(o, col("c_custkey") === col("o_custkey")).count())
+    }
+  }
+
   test("manifest statistics let the planner auto-broadcast a small " +
       "bucketed table — no hint") {
     // default autoBroadcastJoinThreshold (10 MB) stays ON here: the
