@@ -70,32 +70,37 @@ object Wave22Ops extends QueryModule {
     book.map { case (mk, old) => mk -> updated.getOrElse(mk, old) }
   }
 
-  /** Nearest-code assignment under a broadcast codebook. */
+  /** Nearest-code assignment under a broadcast codebook: MAP-SIDE — the
+    * codebook rides a broadcast closure and each subvector row computes
+    * its own argmin (sequential i-order fold, strict `<`, so distances
+    * and the lowest-code tie-break are bit-identical to the former
+    * join/min(struct) formulation but with ZERO shuffle per pass; at
+    * scale the K×rows join blow-up this replaces is the difference
+    * between one narrow scan and K copies of the table per iteration).
+    */
   private def assign(s: SparkSession, sub: DataFrame,
       book: Map[(Int, Int), Array[Double]]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = book.toSeq.map { case ((m, c), arr) =>
-      org.apache.spark.sql.Row(m, c, arr.toSeq)
+    val bb = s.sparkContext.broadcast(book)
+    val nearest = udf { (m: Int, sv: Seq[Double]) =>
+      val b = bb.value
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < K) {
+        val ce = b((m, c))
+        var d = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val t = sv(i) - ce(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      (bestC, bestD)
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("m",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("ce",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))))
-    val cents = broadcast(
-      s.createDataFrame(rows.asJava, schema))
-    sub.join(cents, Seq("m"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(sv, ce, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("code"))).as("best"),
-        first("sv").as("sv"))
+    sub.withColumn("bd", nearest(col("m"), col("sv")))
       .select(col("vec_id"), col("m"), col("sv"),
-        col("best.code").as("code"), col("best.d2").as("d2"))
+        col("bd._1").as("code"), col("bd._2").as("d2"))
   }
 
   def queries: Seq[Q] = Seq(
