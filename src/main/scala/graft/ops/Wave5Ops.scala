@@ -137,8 +137,12 @@ object Wave5Ops extends QueryModule {
         // the per-block dedup shard, still broadcast-sized.
         a.as("x").join(broadcast(b.as("y")),
             col("x.blk") === col("y.blk") && col("ka") < col("kb"))
-          .withColumn("d", levenshtein(col("na"), col("nb")))
-          .filter(col("d") <= 2)
+          // BOUNDED edit distance (threshold form): the DP early-exits
+          // once a row of the band exceeds 2 and returns -1 — O(k·n)
+          // per pair instead of O(n²), same kept pairs (d>2 was
+          // filtered anyway; -1 filters identically)
+          .withColumn("d", levenshtein(col("na"), col("nb"), 2))
+          .filter(col("d") >= 0)
           .groupBy(col("x.blk").as("blk"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"))
