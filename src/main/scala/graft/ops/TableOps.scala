@@ -1351,6 +1351,45 @@ object TableOps extends QueryModule {
           " AS price FROM orders ORDER BY o_orderkey DESC LIMIT 20")
     ),
     Q(
+      "table_export_manifest",
+      // interop export (the symlink-manifest idea): a snapshot's file
+      // list written as one text manifest that ANY engine can consume —
+      // external readers get a consistent point-in-time view without
+      // speaking the commit log. The op proves the exported list is the
+      // snapshot: reading exactly the manifest's files reproduces the
+      // table. Driver-side cost is one metadata listing — the same
+      // O(|files|) every manifest format pays.
+      (s, dir) => {
+        val root = graft.Tmp.dir("graft_snaptab")
+        val o = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        SnapTable.create(s, root,
+          o.repartitionByRange(8, col("o_orderkey")), "o_orderkey")
+        val snap = SnapTable.load(root, 1)
+        val exportDir = graft.Tmp.dir("graft_manifest_out")
+        val manifest = java.nio.file.Paths.get(exportDir, "manifest.txt")
+        java.nio.file.Files.write(manifest,
+          snap.files.map(f => java.nio.file.Paths.get(root)
+            .toAbsolutePath.resolve(f.path).normalize().toString)
+            .sorted.mkString("\n").getBytes("UTF-8"))
+        // an external engine's view: just the listed files
+        val listed = new String(java.nio.file.Files.readAllBytes(manifest),
+          "UTF-8").split("\n").toSeq
+        require(listed.size == snap.files.size && listed.forall(p =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+          "manifest must list exactly the snapshot's live files")
+        s.read.schema(o.schema).parquet(listed: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          dsumSql("o_totalprice", 2) + " AS total FROM orders " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
       "table_sql_update",
       // SQL UPDATE through the same row-level-operation path: a
       // predicate too selective-by-value to be a metadata-only delete
