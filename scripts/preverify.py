@@ -14,6 +14,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canontype(t):
+    """Canonical type label: collapse unit-only variants that the driver's
+    hasher treats as equal (it hashes python values of the same repr), but
+    keep width differences (int64 vs int128/decimal) distinct."""
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", canontype(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((t.field(i).name, canontype(t.field(i).type))
+                                for i in range(t.num_fields)))
+    return str(t)
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -33,6 +54,25 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0
+    # Oracle type-leak sweep: DESCRIBE every oracle and fail on result
+    # columns whose DuckDB type Spark cannot emit (HUGEINT from sum(BIGINT),
+    # DECIMAL(38,x) from sum(DECIMAL)) — these hash-mismatch at the driver
+    # even when every value is identical.
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+        except Exception:
+            continue  # ORAFAIL surfaces below with the real error
+        # DECIMAL(38,x) is fine — Spark emits it too (sum over decimal);
+        # only int128 types have no Spark/parquet counterpart. Any
+        # decimal-vs-double drift is caught by the per-query TYPEFAIL.
+        leaks = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+        for c, t in leaks:
+            print(f"TYPELEAK {name}.{c}: oracle yields {t}; "
+                  f"CAST it in the oracle SQL")
+            n_fail += 1
     for name in sorted(os.listdir(outdir)):
         qdir = os.path.join(outdir, name)
         if not os.path.isdir(qdir):
@@ -61,6 +101,21 @@ def main():
         gcols, wcols = sorted(got.column_names), sorted(want.column_names)
         if gcols != wcols:
             print(f"COLFAIL  {name}: spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        # Type-exact gate (the driver's hash is type-sensitive): compare
+        # Arrow types per column after canonicalizing unit-only variants
+        # (timestamp precision, date32/64, large vs plain string/binary).
+        tbad = []
+        for c in gcols:
+            gt = canontype(got.schema.field(c).type)
+            wt = canontype(want.schema.field(c).type)
+            if gt != wt:
+                tbad.append((c, str(got.schema.field(c).type),
+                             str(want.schema.field(c).type)))
+        if tbad:
+            for c, g, w in tbad:
+                print(f"TYPEFAIL {name}.{c}: spark={g} oracle={w}")
             n_fail += 1
             continue
         grows = [tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()]

@@ -348,7 +348,7 @@ object Extras3 extends QueryModule {
         T(s, dir, "orders").createOrReplaceTempView("sql_winc_orders")
         s.sql(
           "SELECT o_orderkey, o_custkey, " +
-            "rank() OVER w AS rk, " +
+            "CAST(rank() OVER w AS BIGINT) AS rk, " +
             "CAST(count(*) OVER w AS BIGINT) AS n_so_far, " +
             "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w " +
             "AS DOUBLE) / 100.0 AS run_total " +
@@ -359,7 +359,7 @@ object Extras3 extends QueryModule {
       },
       Some(
         "SELECT o_orderkey, o_custkey, " +
-          "rank() OVER w AS rk, " +
+          "CAST(rank() OVER w AS BIGINT) AS rk, " +
           "CAST(count(*) OVER w AS BIGINT) AS n_so_far, " +
           "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w " +
           "AS DOUBLE) / 100.0 AS run_total " +

@@ -599,7 +599,7 @@ object TextOps extends QueryModule {
           .join(nd, Seq("lang"))
           .withColumn("tfidf", graft.Det.dround(
             col("tf") * log(col("nd").cast("double") / col("df")), 6))
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select("doc_id", "rn", "tok", "tfidf")
           .orderBy("doc_id", "rn")
@@ -640,7 +640,7 @@ object TextOps extends QueryModule {
             .as("bigram"))
           .groupBy("lang", "bigram")
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 10)
           .select("lang", "rn", "bigram", "cnt")
           .orderBy("lang", "rn")

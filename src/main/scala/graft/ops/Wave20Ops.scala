@@ -58,7 +58,7 @@ object Wave20Ops extends QueryModule {
       },
       Some(
         "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
-          "sum(CAST(round(o_totalprice) AS BIGINT)) AS dollars " +
+          "CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars " +
           "FROM orders GROUP BY 1), " +
           "b AS (SELECT day, dollars, " +
           "count(*) OVER win AS n, " +

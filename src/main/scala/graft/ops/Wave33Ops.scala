@@ -86,7 +86,7 @@ object Wave33Ops extends QueryModule {
         val w = Window.partitionBy("lang")
           .orderBy(col("score").desc, col("doc_id"))
         scored
-          .withColumn("bucket", ntile(3).over(w))
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
           .groupBy("lang", "bucket")
           .agg(
             count(lit(1)).as("n_docs"),

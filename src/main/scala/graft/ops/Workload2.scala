@@ -505,7 +505,7 @@ object Workload2 extends QueryModule {
             "SELECT mo, st, CAST(cents AS DOUBLE)/100.0 AS revenue, " +
             "round(100.0*cents/sum(cents) OVER (PARTITION BY mo) * 1e6)/1e6" +
             " AS share_pct, " +
-            "rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS rk " +
+            "CAST(rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS BIGINT) AS rk " +
             "FROM m ORDER BY mo, st")
       },
       Some(
@@ -516,7 +516,7 @@ object Workload2 extends QueryModule {
           "SELECT mo, st, CAST(cents AS DOUBLE)/100.0 AS revenue, " +
           "round(100.0*cents/sum(cents) OVER (PARTITION BY mo) * 1e6)/1e6" +
           " AS share_pct, " +
-          "rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS rk " +
+          "CAST(rank() OVER (PARTITION BY mo ORDER BY cents DESC, st) AS BIGINT) AS rk " +
           "FROM m ORDER BY mo, st")
     ),
     Q(

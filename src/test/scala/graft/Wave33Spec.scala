@@ -36,11 +36,11 @@ class Wave33Spec extends AnyFunSuite {
       "outranks tail on mean log-frequency") {
     val got = SparkEntry.queries("text_ccnet_buckets")(spark, TestSpark.Sf)
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     val byLang = got.groupBy(_._1)
     byLang.foreach { case (lang, bs) =>
-      assert(bs.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$lang buckets")
+      assert(bs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"$lang buckets")
       val sizes = bs.sortBy(_._2).map(_._3)
       assert(sizes.max - sizes.min <= 1, s"$lang ntile balance: $sizes")
       val head = bs.find(_._2 == 1).get._4
