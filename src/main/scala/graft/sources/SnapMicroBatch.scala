@@ -105,11 +105,15 @@ private[graft] class SnapMicroBatchStream(
       case Some(m) =>
         // cap to an EXISTING slot in (floor, floor+m] (the log may
         // have gaps: orphaned txn slots, vacuumed versions); an empty
-        // window degrades to no throttle rather than matching the
-        // floor itself and stalling forever
-        SnapTable.versions(root)
-          .filter(v => v > floor && v <= floor + m && v <= hardEnd)
-          .lastOption.getOrElse(hardEnd)
+        // window advances to the FIRST retained version above the
+        // floor — progress continues past a vacuum gap while the
+        // batch stays bounded (falling to hardEnd would silently
+        // drop the throttle and admit the whole backlog at once)
+        val retained = SnapTable.versions(root)
+          .filter(v => v > floor && v <= hardEnd)
+        retained.filter(_ <= floor + m).lastOption
+          .orElse(retained.sorted.headOption)
+          .getOrElse(hardEnd)
       case None => hardEnd
     }
     // ROWS-based admission (`maxRowsPerTrigger`): extend the window one

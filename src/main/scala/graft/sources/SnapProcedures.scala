@@ -73,10 +73,14 @@ private[sources] class SnapProcedure(base: String, proc: String)
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("target_files", LongType)
             .defaultValue("0").build())
+        // sentinel 0 = "table's declared retention" (the
+        // snap.vacuum.retainVersions property, else 1), resolved in
+        // call() — a literal default of 1 here could delete history
+        // the table's own policy says to keep
         case "vacuum" => Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("retain_versions", LongType)
-            .defaultValue("1").build())
+            .defaultValue("0").build())
         case "rollback" => Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build())
@@ -104,7 +108,9 @@ private[sources] class SnapProcedure(base: String, proc: String)
             val nv = SnapTable.compact(s, dir, t)
             (nv.toLong, s"compacted to <= $t files")
           case "vacuum" =>
-            val keep = input.getLong(1).toInt
+            val requested = input.getLong(1).toInt
+            val keep = if (requested >= 1) requested
+              else SnapTable.retainDefault(dir)
             val removed = SnapTable.vacuum(dir, keep)
             (SnapTable.latestVersion(dir).toLong,
               s"removed $removed files")

@@ -63,7 +63,18 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // LEGACY path-based entry point. The native DSv2 surfaces cover
+    // everything this source does, plus multi-window AvailableNow
+    // draining and scan pushdown (inherent V1 limits — the V1 Source
+    // API drains ONE window per AvailableNow run): use
+    // `readStream.table("snap.db.t")` for the tail and
+    // `readStream.table("snap.db.t.changes")` for the change feed.
+    org.slf4j.LoggerFactory.getLogger(classOf[SnapStreamProvider]).warn(
+      "format(\"snapstream\") is the LEGACY V1 entry point (one capped " +
+        "window per AvailableNow run, no scan pushdown); prefer " +
+        "readStream.table(\"snap.db.t\") / (\"snap.db.t.changes\") on a " +
+        "registered catalog table")
     new SnapStreamSource(ctx, root(parameters),
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.toBoolean),
@@ -76,6 +87,7 @@ class SnapStreamProvider extends StreamSourceProvider with DataSourceRegister {
         parameters.get("readChangeFeed")).exists(_.toBoolean),
       parameters.get("maxversionspertrigger").orElse(
         parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 }
 
 class SnapStreamSource(ctx: SQLContext, root: String,
@@ -149,9 +161,12 @@ class SnapStreamSource(ctx: SQLContext, root: String,
       case (Some(m), Some(f)) =>
         // cap to an EXISTING slot ≤ floor+m (the log may have gaps:
         // orphaned txn slots, vacuumed versions); an empty window
-        // degrades to no throttle rather than a phantom offset
-        SnapTable.versions(root)
-          .filter(v => v > f && v <= f + m).lastOption
+        // advances to the FIRST retained version above the floor so
+        // catch-up after a vacuum gap stays bounded instead of
+        // admitting the whole backlog in one batch
+        val retained = SnapTable.versions(root).filter(_ > f)
+        retained.filter(_ <= f + m).lastOption
+          .orElse(retained.sorted.headOption)
           .getOrElse(latest)
       case _ => latest
     }

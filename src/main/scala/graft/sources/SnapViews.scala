@@ -193,7 +193,11 @@ case class CreateSnapViewCommand(parts: Seq[String], query: String,
       .asInstanceOf[ViewCatalog]
     val ns = parts.tail.dropRight(1).toArray
     val ident = Identifier.of(ns, parts.last)
-    val schema = s.sql(query).schema // analysis only, nothing runs
+    // parseQuery rejects commands/DML up front (CREATE VIEW ... AS
+    // INSERT/CALL/...) — `s.sql` on such a body would EXECUTE it
+    // eagerly at CREATE VIEW time instead of capturing a schema
+    val parsed = s.sessionState.sqlParser.parseQuery(query)
+    val schema = s.sessionState.executePlan(parsed).analyzed.schema
     val info = new ViewInfo(ident, query, parts.head, ns, schema,
       schema.fieldNames, Array.empty, Array.empty,
       new java.util.HashMap[String, String]())

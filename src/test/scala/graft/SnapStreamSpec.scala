@@ -160,6 +160,48 @@ class SnapStreamSpec extends AnyFunSuite {
     assert(offset() == 5L)  // caught up: offset stable, no empty batches
   }
 
+  test("admission across a log gap stays BOUNDED: an empty throttle " +
+      "window advances to the first retained version, not the head") {
+    val root = Tmp.dir("snapstream_gap")
+    SnapTable.create(spark, root, df(0 until 4, "v1"), "k")      // v1
+    (1 until 6).foreach(i =>
+      SnapTable.append(spark, root,
+        df(i * 4 until (i + 1) * 4, s"v${i + 1}")))              // v2..v6
+    // orphan gap: aborted-tx slots vacuumed away — v2..v4 manifests
+    // gone, log = [1, 5, 6]; the consumed floor (v1) is retained
+    (2 to 4).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "_log", f"v$v%08d.json"))
+    }
+    assert(SnapTable.versions(root) == Seq(1, 5, 6))
+    // V2 native source: window (1, 1+1] holds no retained version; the
+    // cap must fall to v5 (first retained above the floor), NOT v6
+    // (which would silently admit the entire backlog in one batch)
+    val snap = SnapTable.load(root, SnapTable.latestVersion(root))
+    val mb = new graft.sources.SnapMicroBatchStream(spark, root,
+      SnapTable.schemaOf(snap.schemaJson), Seq.empty,
+      identity, false, None, Some(1))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end1 = mb.latestOffset(graft.sources.SnapOffset(1),
+      ReadLimit.allAvailable())
+    assert(end1 == graft.sources.SnapOffset(5),
+      s"bounded catch-up: expected v5, got $end1")
+    // the NEXT window then admits v6 — progress continues
+    val end2 = mb.latestOffset(graft.sources.SnapOffset(5),
+      ReadLimit.allAvailable())
+    assert(end2 == graft.sources.SnapOffset(6))
+    // V1 source: same bounded fallback through getOffset
+    val v1src = new graft.sources.SnapStreamSource(
+      spark.sqlContext, root, ignoreChanges = false,
+      startingVersion = Some(5), maxVersionsPerTrigger = Some(1))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val o = v1src.getOffset.get match {
+      case LongOffset(v) => v
+      case other => other.json().trim.toLong
+    }
+    assert(o == 5L, s"V1 bounded catch-up: expected 5, got $o")
+  }
+
   test("native streaming sink: toTable appends one ACID commit per " +
       "epoch, resumes from the checkpoint, and a replayed epoch is a " +
       "no-op (exactly-once)") {

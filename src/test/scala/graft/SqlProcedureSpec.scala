@@ -82,6 +82,32 @@ class SqlProcedureSpec extends AnyFunSuite {
       == 80)
   }
 
+  test("CALL vacuum with no retention honors the table's declared " +
+      "snap.vacuum.retainVersions property") {
+    val root = s"$base/db/vr"
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k")       // v1
+    spark.sql("ALTER TABLE spc.db.vr SET TBLPROPERTIES (" +
+      "'snap.vacuum.retainVersions' = '3')")                       // v2
+    SnapTable.append(spark, root,
+      spark.range(10, 20).selectExpr("id AS k", "id AS v"))        // v3
+    SnapTable.append(spark, root,
+      spark.range(20, 30).selectExpr("id AS k", "id AS v"))        // v4
+    spark.sql("CALL spc.system.vacuum('db.vr')").collect()
+    // declared retention (3) keeps v2..v4 (plus any filesRef closure);
+    // a live-only default would have dropped v2
+    assert(Set(2, 3, 4).subsetOf(SnapTable.versions(root).toSet),
+      "procedure default = the table's declared retention (3), " +
+        s"not live-only; got ${SnapTable.versions(root)}")
+    // an explicit retention still wins over the property
+    spark.sql("CALL spc.system.vacuum('db.vr', 1)").collect()
+    assert(!SnapTable.versions(root).contains(2) &&
+      SnapTable.versions(root).contains(4),
+      s"explicit retain=1 wins: got ${SnapTable.versions(root)}")
+    assert(spark.sql("SELECT count(*) FROM spc.db.vr").head()
+      .getLong(0) == 30)
+  }
+
   test("unknown procedure names fail with the catalog's listing") {
     val e = intercept[Exception] {
       spark.sql("CALL spc.system.nonsense('db.t')").collect()

@@ -103,4 +103,27 @@ class SqlViewSpec extends AnyFunSuite {
     spark.sql("DROP VIEW svw.db.l2")
     spark.sql("DROP VIEW svw.db.l1renamed")
   }
+
+  test("CREATE VIEW rejects a command/DML body instead of executing it") {
+    SnapTable.create(spark, s"$base/db/vt",
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k")
+    val before = SnapTable.latestVersion(s"$base/db/vt")
+    // an INSERT body must neither run nor be stored
+    intercept[Exception] {
+      spark.sql("CREATE VIEW svw.db.evil AS " +
+        "INSERT INTO svw.db.vt SELECT 99 AS k, 99 AS v")
+    }
+    assert(SnapTable.latestVersion(s"$base/db/vt") == before,
+      "CREATE VIEW must not execute the body: no commit may land")
+    assert(spark.table("svw.db.vt").count() == 10)
+    // a maintenance CALL body must not run either
+    intercept[Exception] {
+      spark.sql("CREATE VIEW svw.db.evil2 AS " +
+        "CALL svw.system.compact('db.vt')")
+    }
+    assert(SnapTable.latestVersion(s"$base/db/vt") == before)
+    val views = spark.sql("SHOW VIEWS IN svw.db").collect()
+      .map(_.getString(1))
+    assert(!views.contains("evil") && !views.contains("evil2"))
+  }
 }
