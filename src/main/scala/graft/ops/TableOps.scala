@@ -3318,6 +3318,55 @@ object TableOps extends QueryModule {
           "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
           "FROM orders WHERE o_orderkey % 10 <> 3 " +
           "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "table_stream_v2_cdf_mor",
+      // V2 change-data feed over a MERGE-ON-READ delete: the `.changes`
+      // companion is DV-aware — a DV-only commit (no file added or
+      // removed) streams as position-diff −1 rows read keep-only from
+      // the carried files, so a downstream signed aggregate stays
+      // incrementally correct without ever compacting. At 100 TB this
+      // is the point of MoR: the delete writes a few KB of positions,
+      // and the feed reads ONLY the carried files holding them — the
+      // DV diff is computed from the sidecars, never a table scan.
+      (s, dir) => {
+        sqlWarehouse(s)
+        val t = freshName()
+        val root = s.conf.get("spark.sql.catalog.snap.root") +
+          s"/main/$t"
+        val sink = graft.Tmp.dir("graft_v2cdfm_sink")
+        val ckpt = graft.Tmp.dir("graft_v2cdfm_ckpt")
+        val orders = T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("append").insertInto(s"snap.main.$t")
+        def drain(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.table(s"snap.main.$t.changes")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // initial load: snapshot, all +1
+        SnapTable.deleteWhereMoR(s, root,
+          col("o_orderkey") % 10 === 4) // DV-only commit, no file diff
+        drain() // position-diff leg: the deleted pre-images, sign -1
+        s.read.parquet(sink)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("_sign")).as("n"),
+            (sum(col("_sign") *
+              round(col("o_totalprice") * 100).cast("long")) / 100)
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100 AS total " +
+          "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
     )
   )
 }

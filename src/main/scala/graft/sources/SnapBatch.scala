@@ -397,7 +397,9 @@ private[graft] final case class SnapFileSlice(abs: String, size: Long,
 }
 
 private[graft] class SnapInputPartition(
-    val slices: Array[SnapFileSlice], val bucketId: Option[Long])
+    val slices: Array[SnapFileSlice], val bucketId: Option[Long],
+    val dvOverride: Option[Map[String, Array[Long]]] = None,
+    val dvKeepOnly: Boolean = false)
   extends InputPartition with HasPartitionKey {
 
   override def partitionKey(): InternalRow = bucketId match {
@@ -439,6 +441,22 @@ private[graft] class SnapReaderFactory(
     }
   }
 
+  /** Keep ONLY `pos` (ascending row indexes) from a full-file row
+    * iterator — the inverse of [[skipPositions]], used by the change
+    * feed's DV position-diff legs (a MoR delete's pre-image rows are
+    * exactly the newly-DV'd positions of a carried file).
+    */
+  private def keepPositions(raw: Iterator[InternalRow],
+      pos: Array[Long]): Iterator[InternalRow] = {
+    var idx = -1L
+    var p = 0
+    raw.filter { _ =>
+      idx += 1
+      while (p < pos.length && pos(p) < idx) p += 1
+      p < pos.length && pos(p) == idx
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SnapInputPartition]
     new PartitionReader[InternalRow] {
@@ -447,16 +465,25 @@ private[graft] class SnapReaderFactory(
       private val iter: Iterator[InternalRow] =
         part.slices.iterator.flatMap { f =>
           // DV paths are canonical: manifest-relative for the table's
-          // own files, absolute for a clone's foreign files
-          val pos = dvPos.value.get(f.rel)
-            .orElse(dvPos.value.get(f.abs))
+          // own files, absolute for a clone's foreign files. A
+          // partition-level override (the change feed's per-version
+          // endpoint DVs / position-diff legs) beats the scan-level
+          // broadcast.
+          val posSrc = part.dvOverride.getOrElse(dvPos.value)
+          val pos = posSrc.get(f.rel).orElse(posSrc.get(f.abs))
           val pf = ParquetBridge.partitionedFile(f.abs, f.start,
             f.length, f.size)
-          val raw0 = pos match {
-            case None => ParquetBridge.rows(readFunc(pf))
-            case Some(ps) =>
-              skipPositions(ParquetBridge.rows(plainFunc(pf)), ps)
-          }
+          val raw0 =
+            if (part.dvKeepOnly) pos match {
+              case Some(ps) if ps.nonEmpty =>
+                keepPositions(ParquetBridge.rows(plainFunc(pf)), ps)
+              case _ => Iterator.empty[InternalRow]
+            }
+            else pos match {
+              case None => ParquetBridge.rows(readFunc(pf))
+              case Some(ps) =>
+                skipPositions(ParquetBridge.rows(plainFunc(pf)), ps)
+            }
           // initial-default fill for files predating the column's add
           val era = eraOf(f.rel)
           val fills = fillSpecs.filter(_._2 > era)

@@ -1176,7 +1176,8 @@ private[graft] class SnapScanBuilder(root: String,
     // The LAYOUT columns are declared runtime-prunable (DPP): a
     // selective join narrows the file list at execution time.
     val prunable = snap.bucket.map(b => Seq(b._1)).getOrElse(
-      if (snap.spec.nonEmpty) snap.spec else Seq(snap.statsCol))
+      if (snap.spec.nonEmpty) snap.spec
+      else Seq(snap.statsCol).filter(_.nonEmpty))
     new SnapBatchScan(SparkSession.active, root, hit, snap.schemaJson,
       required, raw.toSeq, snap.bucket, snap.dvs, snap.colmap, prunable,
       snap.defaults, Some(options), pruneByBounds)

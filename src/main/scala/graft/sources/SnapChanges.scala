@@ -33,8 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * zero-copy JoinedRow — no per-row branching, no union plan of 2·v
   * scans on the driver.
   *
-  * Contracts: merge-on-read DV snapshots refuse (a DV is not a file
-  * diff — compact first, same as the V1 feed); vacuum must retain the
+  * Contracts: merge-on-read DV snapshots are fully supported — file
+  * legs read only the rows VISIBLE at their endpoint (endpoint DVs
+  * skip), and a DV change on a CARRIED file surfaces as a
+  * position-diff leg (newly-DV'd position → −1 delete with no file
+  * diff; un-DV'd via RESTORE → +1 resurrect), the same classification
+  * the `changes()` API uses; vacuum must retain the
   * window being read (removed files are read for their −1 rows);
   * streaming requires the column mapping and defaults to stay stable
   * across the run (restart from a fresh checkpoint to adopt changes).
@@ -86,12 +90,12 @@ private[sources] class SnapChangesScan(spark: SparkSession, root: String,
     val vs = SnapTable.versions(root)
       .filter(v => v <= ev && sv.forall(v >= _)).sorted
     require(vs.nonEmpty, s"no retained versions in the requested window")
-    val initial = Seq((vs.head, 1,
-      SnapChanges.dvFree(root, vs.head).files))
-    val diffs = SnapChanges.signedDiffs(root, vs.head, ev)
-    (initial ++ diffs).flatMap { case (v, sign, fs) =>
-      SnapChanges.innerPartitions(spark, root, snap, base, fs)
-        .map(p => SnapSignedPartition(p, sign, v.toLong): InputPartition)
+    val legs = SnapChanges.initialLeg(root, vs.head) +:
+      SnapChanges.signedDiffs(spark, root, vs.head, ev)
+    legs.flatMap { leg =>
+      SnapChanges.innerPartitions(spark, root, snap, base, leg)
+        .map(p =>
+          SnapSignedPartition(p, leg.sign, leg.v.toLong): InputPartition)
     }.toArray
   }
 
@@ -161,12 +165,14 @@ private[sources] class SnapChangesStream(spark: SparkSession,
     val legs =
       if (from == 0)
         // initial load: the whole discovered snapshot as +1 (vacuumed
-        // intermediate history is irrelevant — only live files read)
-        Seq((endV, 1, SnapChanges.dvFree(root, endV).files))
-      else SnapChanges.signedDiffs(root, from, endV)
-    legs.flatMap { case (v, sign, fs) =>
-      SnapChanges.innerPartitions(spark, root, snapAtStart, base, fs)
-        .map(p => SnapSignedPartition(p, sign, v.toLong): InputPartition)
+        // intermediate history is irrelevant — only live files read,
+        // under the snapshot's own DVs)
+        Seq(SnapChanges.initialLeg(root, endV))
+      else SnapChanges.signedDiffs(spark, root, from, endV)
+    legs.flatMap { leg =>
+      SnapChanges.innerPartitions(spark, root, snapAtStart, base, leg)
+        .map(p =>
+          SnapSignedPartition(p, leg.sign, leg.v.toLong): InputPartition)
     }.toArray
   }
 
@@ -320,44 +326,116 @@ private[sources] final case class SnapSignedPartition(
 
 private[sources] object SnapChanges {
 
-  private[sources] def dvFree(root: String, v: Int): SnapTable.Snapshot = {
+  /** One signed changelog leg: `files` read at version `v` with sign
+    * `sign`, under the `dvs` of the endpoint the rows were visible at.
+    * `keep = Some(positions)` inverts the DV filter — the leg emits
+    * ONLY those row positions (a MoR position-diff on carried files);
+    * `keep = None` emits the files' rows MINUS the `dvs` positions
+    * (an ordinary endpoint-visible file read).
+    */
+  private[sources] final case class SignedLeg(v: Int, sign: Int,
+      files: Seq[SnapTable.FileEntry], dvs: Seq[String],
+      keep: Option[Map[String, Array[Long]]] = None)
+
+  /** The initial-load leg: the whole snapshot at `v`, all +1, read
+    * under its own DVs (only rows VISIBLE at `v`).
+    */
+  private[sources] def initialLeg(root: String, v: Int): SignedLeg = {
     val s = SnapTable.load(root, v)
-    require(s.dvs.isEmpty,
-      "changes feed: merge-on-read deletion vectors are not " +
-        "expressible as a file diff — compact() to materialize them " +
-        "before reading the change feed")
-    s
+    SignedLeg(v, 1, s.files, s.dvs)
   }
 
-  /** Per-version signed file diffs over (`from`, `to`]: for each
-    * retained version, the files it added (+1) and removed (−1)
-    * relative to its predecessor. Empty legs are dropped.
+  private def absOf(root: String, rel: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.resolve(rel)
+      .normalize().toString
+
+  /** Per-version signed diffs over (`from`, `to`]: for each retained
+    * version, the files it added (+1, visible rows only) and removed
+    * (−1, rows visible at the predecessor) — and, when the version
+    * changed the DV set on CARRIED files, position-diff legs: a
+    * position DV'd at `v` but not before is a −1 (merge-on-read delete
+    * with no file diff), one un-DV'd (RESTORE past a MoR delete) a +1
+    * resurrect. Empty legs are dropped. Position maps are restricted
+    * to the leg's own files so the per-partition payload stays
+    * bounded by that version's actual deletes.
     */
-  private[sources] def signedDiffs(root: String, from: Int, to: Int)
-      : Seq[(Int, Int, Seq[SnapTable.FileEntry])] = {
+  private[sources] def signedDiffs(spark: SparkSession, root: String,
+      from: Int, to: Int): Seq[SignedLeg] = {
     val vs = SnapTable.versions(root).filter(v => v > from && v <= to)
       .sorted
-    var prev = SnapTable.load(root, from).files
+    var prev = SnapTable.load(root, from)
     vs.flatMap { v =>
-      val cur = dvFree(root, v).files
-      val prevP = prev.map(_.path).toSet
-      val curP = cur.map(_.path).toSet
-      val adds = cur.filterNot(f => prevP.contains(f.path))
-      val removes = prev.filterNot(f => curP.contains(f.path))
+      val cur = SnapTable.load(root, v)
+      val prevP = prev.files.map(_.path).toSet
+      val curP = cur.files.map(_.path).toSet
+      val adds = cur.files.filterNot(f => prevP.contains(f.path))
+      val removes = prev.files.filterNot(f => curP.contains(f.path))
+      val carried = cur.files.filter(f => prevP.contains(f.path))
+      val fileLegs = Seq(
+        SignedLeg(v, 1, adds, cur.dvs),
+        SignedLeg(v, -1, removes, prev.dvs)).filter(_.files.nonEmpty)
+      val dvLegs =
+        if (cur.dvs == prev.dvs || carried.isEmpty) Seq.empty
+        else {
+          def posOf(dvs: Seq[String]): Map[String, Array[Long]] =
+            if (dvs.isEmpty) Map.empty
+            else SnapTable.dvPositionsByFile(spark, root, dvs)
+          val pCur = posOf(cur.dvs)
+          val pPrev = posOf(prev.dvs)
+          def diff(a: Map[String, Array[Long]],
+              b: Map[String, Array[Long]]): Map[String, Array[Long]] =
+            a.map { case (k, ps) =>
+              val bs = b.getOrElse(k, Array.empty[Long]).toSet
+              k -> ps.filterNot(bs) // stays ascending: filter of sorted
+            }.filter(_._2.nonEmpty)
+          // positions on added/removed files are already accounted for
+          // by the file legs reading under endpoint DVs — only CARRIED
+          // files surface as position-diff rows
+          def carriedLeg(sign: Int, m: Map[String, Array[Long]],
+              planDvs: Seq[String]): Option[SignedLeg] = {
+            val fs = carried.filter(f =>
+              m.contains(f.path) || m.contains(absOf(root, f.path)))
+            if (fs.isEmpty) None
+            else Some(SignedLeg(v, sign, fs, planDvs, Some(m)))
+          }
+          Seq(
+            carriedLeg(-1, diff(pCur, pPrev), cur.dvs),
+            carriedLeg(1, diff(pPrev, pCur), prev.dvs)).flatten
+        }
       prev = cur
-      Seq((v, 1, adds), (v, -1, removes)).filter(_._3.nonEmpty)
+      fileLegs ++ dvLegs
     }
   }
 
   /** Plan one leg's files through the ordinary batch-scan machinery
-    * (byte-range splits + bin-packing under the captured schema).
+    * (byte-range splits + bin-packing under the captured schema; DV'd
+    * legs read whole files — positional integrity). The leg's DV
+    * positions ride each partition as an override (restricted to that
+    * leg's files) because different legs read under DIFFERENT endpoint
+    * DV sets — one scan-level broadcast can't serve them all.
     */
   private[sources] def innerPartitions(spark: SparkSession, root: String,
       snap: SnapTable.Snapshot, base: StructType,
-      fs: Seq[SnapTable.FileEntry]): Array[InputPartition] =
-    new SnapBatchScan(spark, root, fs, snap.schemaJson, base,
-      Seq.empty, None, Seq.empty, snap.colmap, Seq.empty, snap.defaults)
-      .planInputPartitions()
+      leg: SignedLeg): Array[InputPartition] = {
+    val parts = new SnapBatchScan(spark, root, leg.files,
+      snap.schemaJson, base, Seq.empty, None, leg.dvs, snap.colmap,
+      Seq.empty, snap.defaults).planInputPartitions()
+    val posMap: Option[Map[String, Array[Long]]] = leg.keep.orElse {
+      if (leg.dvs.isEmpty) None
+      else {
+        val all = SnapTable.dvPositionsByFile(spark, root, leg.dvs)
+        val rel = leg.files.map(_.path).toSet
+        val abs = leg.files.map(f => absOf(root, f.path)).toSet
+        Some(all.filter { case (k, _) => rel(k) || abs(k) })
+      }
+    }
+    if (posMap.isEmpty) parts
+    else parts.map { p =>
+      val sp = p.asInstanceOf[SnapInputPartition]
+      new SnapInputPartition(sp.slices, sp.bucketId, posMap,
+        leg.keep.isDefined): InputPartition
+    }
+  }
 
   private[sources] def readerFactory(spark: SparkSession, root: String,
       snap: SnapTable.Snapshot, base: StructType, full: StructType)

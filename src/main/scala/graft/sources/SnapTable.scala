@@ -650,10 +650,13 @@ object SnapTable {
         .drop("_gf_z")
       case None =>
         // a declared partition spec wins over the stats column: compaction
-        // must restore the layout that partition pruning depends on
+        // must restore the layout that partition pruning depends on. A
+        // retired stats role (DROP COLUMN) leaves no cluster key —
+        // plain size-targeted repartition, no range clustering
         val keys = (if (parent.spec.nonEmpty) parent.spec
-          else Seq(parent.statsCol)).map(col)
-        live.repartitionByRange(targetFiles, keys: _*)
+          else Seq(parent.statsCol).filter(_.nonEmpty)).map(col)
+        if (keys.isEmpty) live.repartition(targetFiles)
+        else live.repartitionByRange(targetFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
     }
     val fresh = writeData(s, root, rewritten, parent.statsCol,
@@ -701,10 +704,13 @@ object SnapTable {
     val parent = load(root, latestVersion(root))
     val live = readSnapshot(s, root, parent)
     if (numBuckets <= 0) {
-      val keys = Seq(col(parent.statsCol))
+      val keys = Seq(parent.statsCol).filter(_.nonEmpty).map(col)
       val n = s.sessionState.conf.numShufflePartitions
-      val fresh = writeData(s, root,
-        live.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*),
+      val declustered =
+        if (keys.isEmpty) live.repartition(n) // stats role retired
+        else live.repartitionByRange(n, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      val fresh = writeData(s, root, declustered,
         parent.statsCol, None, parent.colmap, era = eraHiOf(parent) + 1)
       return commitExclusive(root, parent, fresh, "rebucket",
         parent.schemaJson, dvs = Seq.empty,
@@ -751,9 +757,11 @@ object SnapTable {
     val live = readSnapshot(s, root, parent.copy(files = touched))
     val keys = clusterBy.map(Seq(_)).getOrElse(
       (if (parent.spec.nonEmpty) parent.spec
-      else Seq(parent.statsCol)).map(col))
-    val rewritten = live.repartitionByRange(targetFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
+      else Seq(parent.statsCol).filter(_.nonEmpty)).map(col))
+    val rewritten =
+      if (keys.isEmpty) live.repartition(targetFiles) // role retired
+      else live.repartitionByRange(targetFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
     val fresh = writeData(s, root, rewritten, parent.statsCol,
       parent.bucket, parent.colmap, era = eraHiOf(parent) + 1)
     // DV entries for rewritten files go inert (paths leave the list);
@@ -971,20 +979,40 @@ object SnapTable {
     * the field, old files keep the bytes (reclaimed as files rewrite),
     * and the physical name is TOMBSTONED so a later same-named ADD
     * COLUMN cannot resurrect the dropped values.
+    *
+    * Index/stats references RETIRE with the column instead of refusing
+    * (they are optimizations, not semantics): dropping the stats/
+    * cluster column clears the role (compaction stops range-clustering
+    * until a new one is declared; per-column footer stats still prune),
+    * and the column's bloom sidecars leave the manifest (nothing can
+    * probe a dropped column; keeping them would pin the dirs live in
+    * vacuum forever and tax every other column's probe). References
+    * that change SEMANTICS — partition spec, bucket column, CHECK and
+    * generation expressions — still refuse.
     */
   def dropColumn(root: String, name: String): Int = {
     val parent = load(root, latestVersion(root))
     val schema = schemaOf(parent.schemaJson)
     require(schema.fieldNames.contains(name), s"no column '$name'")
     require(schema.fields.length > 1, "cannot drop the only column")
-    require(parent.statsCol != name,
-      s"cannot drop '$name': it is the stats/cluster column")
     requireUnreferenced(parent, name, "drop")
+    val phys = physName(parent.colmap, name)
+    val keptBlooms =
+      if (parent.blooms.isEmpty) parent.blooms
+      else SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession) match {
+        case Some(s) =>
+          parent.blooms.filterNot(d => sidecarMeta(s, root, d)._1 == phys)
+        case None => parent.blooms // no session to read sidecar meta:
+          // keep them (appendBlooms already treats them as dead weight)
+      }
     commitExclusive(root, parent, parent.files, "drop-column",
       org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name)).json,
+      statsCol = if (parent.statsCol == name) "" else parent.statsCol,
+      blooms = keptBlooms,
       colmap = parent.colmap - name,
-      dead = parent.dead :+ physName(parent.colmap, name),
+      dead = parent.dead :+ phys,
       defaults = parent.defaults - name,
       idents = parent.idents - name)
   }

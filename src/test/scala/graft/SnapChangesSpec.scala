@@ -133,14 +133,86 @@ class SnapChangesSpec extends AnyFunSuite {
       >= 2L)
   }
 
-  test("merge-on-read DVs refuse the feed with a compact-first error") {
+  test("merge-on-read DVs: a MoR delete surfaces as -1 position-diff " +
+      "rows, RESTORE past it resurrects as +1, net equals the table") {
     val root = s"$base/db/cd"
     SnapTable.create(spark, root,
-      spark.range(20).selectExpr("id AS k", "id AS v"), "k")
-    SnapTable.deleteWhereMoR(spark, root, col("k") < 5)
-    val e = intercept[Exception] {
-      spark.read.table("sct.db.cd.changes").collect()
+      spark.range(20).selectExpr("id AS k", "id AS v"), "k")       // v1
+    SnapTable.deleteWhereMoR(spark, root, col("k") < 5)            // v2: DV only
+    val changes = spark.read.table("sct.db.cd.changes")
+    val byVer = changes.groupBy("_version", "_sign").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(byVer((1L, 1)) == 20, s"initial load, got $byVer")
+    assert(byVer.get((2L, -1)).contains(5L),
+      s"MoR delete = 5 position-diff -1 rows with no file diff: $byVer")
+    assert(!byVer.contains((2L, 1)), "no +1 leg at a pure-DV commit")
+    // the -1 rows are exactly the deleted keys, pre-image payload intact
+    val del = changes.filter(col("_version") === 2)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(del == (0L until 5L).map(k => (k, k)))
+    // net of the feed equals the live table
+    val net = changes.groupBy("k").agg(sum("_sign").as("s"))
+      .filter(col("s") > 0).select("k").as[Long].collect().sorted
+    assert(net.toSeq == (5L until 20L))
+    // RESTORE past the MoR delete: carried files, DV set shrinks to
+    // empty -> +1 resurrect leg for exactly the formerly-DV'd rows
+    SnapTable.restore(spark, root, 1)                              // v3
+    val afterRestore = spark.read.table("sct.db.cd.changes")
+    val v3 = afterRestore.filter(col("_version") === 3)
+    assert(v3.filter(col("_sign") === 1).count() == 5 &&
+      v3.filter(col("_sign") === -1).count() == 0,
+      "restore resurrects the 5 DV'd rows as +1")
+    assert(v3.select("k").as[Long].collect().sorted.toSeq ==
+      (0L until 5L))
+    val net2 = afterRestore.groupBy("k").agg(sum("_sign").as("s"))
+      .filter(col("s") > 0).count()
+    assert(net2 == 20 && spark.read.table("sct.db.cd").count() == 20)
+  }
+
+  test("merge-on-read DVs: initial load on a DV-bearing snapshot " +
+      "emits only visible rows; streaming feed carries the MoR delete") {
+    val root = s"$base/db/ce"
+    SnapTable.create(spark, root,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k")       // v1
+    SnapTable.deleteWhereMoR(spark, root, col("k") >= 8)           // v2
+    // full batch feed: v1 initial load (10 rows +1), v2 MoR delete
+    // (2 position-diff rows -1)
+    val feed = spark.read.table("sct.db.ce.changes")
+    val byVer = feed.groupBy("_version", "_sign").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(byVer == Map((1L, 1) -> 10L, (2L, -1) -> 2L), s"$byVer")
+    // batch startingVersion=2: the window's first version contributes
+    // its VISIBLE snapshot (+1) — 8 rows, reading through the DV
+    val fromV2 = spark.read.option("startingVersion", "2")
+      .table("sct.db.ce.changes")
+    assert(fromV2.count() == 8 &&
+      fromV2.select("_sign").distinct().as[Int].collect().toSeq ==
+        Seq(1))
+    // streaming: a fresh checkpoint's initial load reads THROUGH the
+    // DV (8 visible rows, all +1), then a later MoR delete streams -1
+    val sink = Tmp.dir("changes_mor_sink")
+    val ckpt = Tmp.dir("changes_mor_ckpt")
+    def drain(): Unit = StreamRun.withStateParts(spark) {
+      val q = spark.readStream.table("sct.db.ce.changes")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
-    assert(e.getMessage.contains("compact"), e.getMessage)
+    drain()
+    val first = spark.read.parquet(sink)
+    assert(first.count() == 8 &&
+      first.select("_sign").distinct().as[Int].collect().toSeq ==
+        Seq(1))
+    SnapTable.deleteWhereMoR(spark, root, col("k") === 0)          // v3
+    drain()
+    val second = spark.read.parquet(sink)
+    assert(second.count() == 9)
+    val minus = second.filter(col("_sign") === -1)
+      .select("k", "_version").as[(Long, Long)].collect().toSeq
+    assert(minus == Seq((0L, 3L)))
   }
 }

@@ -1191,11 +1191,9 @@ class TableFormatSpec extends AnyFunSuite {
     val after = SnapTable.read(spark, root)
     assert(after.filter(col("note").isNotNull).count() == 10)
     assert(after.filter(col("note").startsWith("old")).count() == 0)
-    // guards: layout/contract references refuse DROP...
-    intercept[IllegalArgumentException] {
-      SnapTable.dropColumn(root, "k") // stats column
-    }
-    // ...but RENAME rewrites them: the check follows the new name and
+    // (a stats-column drop RETIRES the role instead of refusing —
+    // covered by its own test below; semantic references still refuse)
+    // RENAME rewrites contract references: the check follows the new name and
     // still rejects violating appends
     SnapTable.addCheck(spark, root, "k_nonneg", "k >= 0")
     SnapTable.renameColumn(root, "k", "key")
@@ -1207,6 +1205,53 @@ class TableFormatSpec extends AnyFunSuite {
       SnapTable.append(spark, root,
         spark.range(1).selectExpr("CAST(-5 AS BIGINT) AS key",
           "concat('x', id) AS note"))
+    }
+  }
+
+  test("dropColumn retires index/stats references: bloom sidecars " +
+      "leave the manifest (vacuum reclaims them), a stats-column drop " +
+      "clears the role, semantic references still refuse") {
+    val root = Tmp.dir("drop_retire_spec")
+    SnapTable.create(spark, root,
+      spark.range(2000).selectExpr("id AS k",
+        "(id * 2654435761) % 10000 AS v", "id % 7 AS w"), "k")
+    SnapTable.addBloomIndex(spark, root, "v")
+    assert(SnapTable.load(root, SnapTable.latestVersion(root))
+      .blooms.nonEmpty)
+    // drop the INDEXED column: succeeds, sidecars retired with it
+    SnapTable.dropColumn(root, "v")
+    val head = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head.blooms.isEmpty,
+      s"dropped column's sidecars must retire: ${head.blooms}")
+    assert(SnapTable.read(spark, root).columns.toSeq == Seq("k", "w"))
+    // ...and vacuum reclaims the now-unreferenced sidecar dir
+    SnapTable.vacuum(root, retainVersions = 1)
+    val bxDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "data")).iterator()
+    val hasBx = Iterator.continually(bxDirs)
+      .takeWhile(_.hasNext).map(_.next())
+      .exists(_.getFileName.toString.startsWith("bx-"))
+    assert(!hasBx, "vacuum must reclaim the retired bloom sidecar dir")
+    // drop the STATS column: the role retires instead of refusing
+    SnapTable.dropColumn(root, "k")
+    val head2 = SnapTable.load(root, SnapTable.latestVersion(root))
+    assert(head2.statsCol == "", s"stats role: '${head2.statsCol}'")
+    assert(SnapTable.read(spark, root).columns.toSeq == Seq("w"))
+    // the table stays fully operational without a stats role:
+    // append, compact (plain repartition — no cluster key), read
+    SnapTable.append(spark, root,
+      spark.range(10).selectExpr("id % 7 AS w"))
+    SnapTable.compact(spark, root, targetFiles = 2)
+    assert(SnapTable.read(spark, root).count() == 2010)
+    assert(SnapTable.read(spark, root)
+      .groupBy("w").count().count() == 7)
+    // semantic references still refuse: CHECK constraint
+    val root2 = Tmp.dir("drop_refuse_spec")
+    SnapTable.create(spark, root2,
+      spark.range(10).selectExpr("id AS k", "id AS a", "id AS b"), "k")
+    SnapTable.addCheck(spark, root2, "a_pos", "a >= 0")
+    intercept[IllegalArgumentException] {
+      SnapTable.dropColumn(root2, "a")
     }
   }
 
