@@ -301,10 +301,14 @@ object VectorOps extends QueryModule {
         import s.implicits._
         VecExprs.register(s)
         val emb = T(s, dir, "embeddings")
+        // ⌈√n⌉ seed centroids (VecAlgs.cellCount): per-cell population
+        // stays ~√n as the index grows — the IVF sizing rule — and the
+        // centroid table stays broadcast-small (capped 65536)
+        val k = graft.vec.VecAlgs.cellCount(emb.count())
         // hint at the join site only: cents is also collect()ed below for
         // the driver-side probe ranking, and a broadcast hint on that
         // non-join plan is dead (HintErrorLogger warns on it)
-        val cents = emb.filter(col("vec_id") < 4)
+        val cents = emb.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         // BUILD: nearest-centroid assignment → parquet partitioned by cid
         val idxDir = graft.Tmp.dir("graft_ivf_idx")
@@ -359,7 +363,8 @@ object VectorOps extends QueryModule {
       },
       Some(
         "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings " +
-          "WHERE vec_id < 4), " +
+          "WHERE vec_id < LEAST(65536, GREATEST(1, " +
+          "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))), " +
           "v0 AS (SELECT vec_id, embedding, " +
           "sqrt((SELECT sum(CAST(x.a AS DOUBLE)*x.a) " +
           "FROM (SELECT unnest(embedding) AS a) x)) AS nrm " +

@@ -30,7 +30,12 @@ object Wave32Ops extends QueryModule {
           .select(col("vec_id"), expr(
             "transform(embedding, x -> " +
               "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-        val cents = broadcast(gridded.filter(col("vec_id") < 16)
+        // ⌈√n⌉ centroids (VecAlgs.cellCount): per-cell population stays
+        // ~√n as the table grows, so the within-cell pairwise stage is
+        // n·√n work, never n² — the count() is one metadata-cheap
+        // aggregate, paid once per build
+        val k = graft.vec.VecAlgs.cellCount(gridded.count())
+        val cents = broadcast(gridded.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("g").as("cg")))
         // nearest centroid on exact integer L2; ties → lowest cid
         val cells = gridded.crossJoin(cents)
@@ -70,7 +75,9 @@ object Wave32Ops extends QueryModule {
         "WITH g AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
           "FROM embeddings), " +
-          "c AS (SELECT vec_id AS cid, g AS cg FROM g WHERE vec_id < 16), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g WHERE vec_id < " +
+          "LEAST(65536, GREATEST(1, CAST(ceil(sqrt((" +
+          "SELECT count(*) FROM embeddings))) AS BIGINT)))), " +
           "cells AS (SELECT vec_id, g, " +
           "(SELECT cid FROM c ORDER BY list_sum(list_transform(" +
           "list_zip(g.g, c.cg), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +

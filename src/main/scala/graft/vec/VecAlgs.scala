@@ -5,6 +5,17 @@ import graft.text.SplitMix64
 /** Pure, deterministic vector helpers for the ANN operators. */
 object VecAlgs {
 
+  /** Bucket/centroid count for the cell-partitioned ANN and semantic-
+    * dedup operators: ⌈√n⌉ cells keep the EXPECTED per-cell population
+    * at ~√n, so the within-cell quadratic work is n·√n total and keeps
+    * shrinking relative to n as the table grows — the standard IVF
+    * sizing rule. Fixed floors/caps protect tiny fixtures (≥1) and the
+    * broadcast centroid table (≤65536: a 64-dim float codebook at the
+    * cap is ~16 MB, still broadcastable).
+    */
+  def cellCount(n: Long): Long =
+    math.min(65536L, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+
   /** Seeded random hyperplanes (nPlanes x dim) for sign-LSH bucketing. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rng = new SplitMix64(seed)

@@ -100,4 +100,25 @@ class VectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(refined.nonEmpty && refined == exact)
   }
+
+  test("cell count scales as ceil(sqrt(n)) with floor and broadcast cap") {
+    import graft.vec.VecAlgs.cellCount
+    // scaling: 100x the data -> 10x the cells, per-cell population ~sqrt(n)
+    assert(cellCount(100L) == 10L)
+    assert(cellCount(10000L) == 100L)
+    assert(cellCount(1000000L) == 1000L)
+    assert(cellCount(25L) == 5L && cellCount(26L) == 6L) // ceil
+    assert(cellCount(0L) == 1L && cellCount(1L) == 1L)   // floor
+    assert(cellCount(Long.MaxValue) == 65536L)           // broadcast cap
+    // the parameterized ops follow it on the fixture (n=500 -> 23 cells;
+    // vec_semdedup emits one row per non-empty cell, bounded by k and
+    // strictly more than the old fixed 16 at this n)
+    val n = T(spark, TestSpark.Sf, "embeddings").count()
+    val k = cellCount(n)
+    assert(k == math.ceil(math.sqrt(n.toDouble)).toLong)
+    val cells = SparkEntry.queries("vec_semdedup")(spark, TestSpark.Sf)
+      .select("cell").distinct().count()
+    assert(cells <= k && cells > 16,
+      s"semdedup cells follow cellCount($n)=$k, got $cells")
+  }
 }

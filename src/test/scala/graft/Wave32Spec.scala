@@ -15,7 +15,8 @@ class Wave32Spec extends AnyFunSuite {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)
         .map(x => math.round(x.toDouble * 1e7)).toArray))
-    val cents = embs.filter(_._1 < 16)
+    val k = graft.vec.VecAlgs.cellCount(embs.length.toLong)
+    val cents = embs.filter(_._1 < k)
     val cells = embs.map { case (id, g) =>
       val cell = cents.map { case (cid, cg) =>
         (g.zip(cg).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
