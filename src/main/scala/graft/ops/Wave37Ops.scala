@@ -1,0 +1,293 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 wave 37: iterative graph algorithms + time-series motifs +
+  * snapshot-incremental dedup.
+  *
+  *  - `graph_label_propagation` is synchronous LPA community detection
+  *    on the co-supplier graph (suppliers sharing an order are
+  *    adjacent): 3 fixed iterations, each vertex adopts its neighbors'
+  *    MODE label (ties → lowest label) — the standard large-graph
+  *    community baseline (one join + one argmax aggregate per
+  *    iteration, shuffling on vertex id; no vertex ever holds more
+  *    than its neighbor multiset). Fixed iteration count keeps it
+  *    DuckDB-replayable (3 unrolled CTEs) — fully oracle-checked,
+  *    unlike most published LPA demos.
+  *  - `graph_k_core` is the k-core peel (k=3): 3 rounds of "drop
+  *    vertices with degree < k", reporting |V|/|E| after each round —
+  *    the densest-subgraph prefilter used before expensive community/
+  *    motif mining. Each round is one degree aggregate + one semi-join.
+  *  - `ts_sax_motifs` is SAX motif discovery over the hourly event-count
+  *    series: non-overlapping 8-hour windows, per-window z-normalize
+  *    (from exact integer sums — mean/sd combine identical int64s with
+  *    identical IEEE ops), discretize to a 4-symbol alphabet at the
+  *    standard N(0,1) breakpoints (−0.67/0/+0.67), and count repeated
+  *    words per event type — repeated words ARE the motifs. The SAX
+  *    trick is what makes motif mining linear: similarity search over
+  *    words is hash-groupable, never a quadratic subsequence scan.
+  *  - `data_incremental_dedup` is snapshot-incremental exact dedup: a
+  *    fingerprint table (SnapTable) absorbs batch 1; batch 2 lands as a
+  *    commit and ONLY its signed delta (`changesDelta` — the +1 rows of
+  *    the append) is fingerprinted and anti-joined against the known
+  *    set. At 100 TB this is the only affordable dedup cadence: each
+  *    increment costs O(batch + matching index partitions), never a
+  *    re-scan of the corpus.
+  */
+object Wave37Ops extends QueryModule {
+
+  /** Part CO-PURCHASE graph: parts are adjacent when they appear in
+    * the SAME ORDER at least TWICE (u < v, support ≥ 2). The support
+    * threshold is what keeps the graph sparse and meaningful: random
+    * single co-occurrences — the bulk of all pairs — drop out, exactly
+    * the market-basket pruning rule. Pair generation is keyed per
+    * order (≤ C(items,2) per basket, like `agg_basket_lift`), so it is
+    * linear in orders, never a free self-join.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("wt"))
+      .filter(col("wt") >= 2)
+      .select("u", "v")
+  }
+
+  private val edgesSql =
+    "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+      "FROM lineitem), " +
+      "e AS (SELECT u, v FROM (SELECT a.pk AS u, b.pk AS v, " +
+      "count(*) AS wt FROM li a JOIN li b ON a.ok = b.ok " +
+      "AND a.pk < b.pk GROUP BY 1, 2) WHERE wt >= 2), "
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "graph_label_propagation",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        // undirected adjacency: each edge contributes both directions
+        val adj = e.select(col("u").as("src"), col("v").as("dst"))
+          .union(e.select(col("v").as("src"), col("u").as("dst")))
+        var labels = adj.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          // mode of neighbor labels, ties -> lowest label: min over
+          // (-count, label) structs — one argmax aggregate per round
+          labels = adj
+            .join(labels, adj("dst") === labels("node"))
+            .groupBy(col("src"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("src").as("node"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("label")))
+              .as("best"))
+            .select(col("node"), col("best.label").as("label"))
+        }
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("n_nodes"))
+          .filter(col("n_nodes") >= 2) // singleton "communities" are noise
+          .orderBy(col("n_nodes").desc, col("label"))
+      },
+      Some(
+        edgesSql +
+          "adj AS (SELECT u AS src, v AS dst FROM e " +
+          "UNION ALL SELECT v AS src, u AS dst FROM e), " +
+          "l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj), " +
+          "l1 AS (SELECT src AS node, (min({'nc': -cnt, 'l': label})).l " +
+          "AS label FROM (SELECT a.src, l.label, count(*) AS cnt " +
+          "FROM adj a JOIN l0 l ON a.dst = l.node GROUP BY 1, 2) " +
+          "GROUP BY src), " +
+          "l2 AS (SELECT src AS node, (min({'nc': -cnt, 'l': label})).l " +
+          "AS label FROM (SELECT a.src, l.label, count(*) AS cnt " +
+          "FROM adj a JOIN l1 l ON a.dst = l.node GROUP BY 1, 2) " +
+          "GROUP BY src), " +
+          "l3 AS (SELECT src AS node, (min({'nc': -cnt, 'l': label})).l " +
+          "AS label FROM (SELECT a.src, l.label, count(*) AS cnt " +
+          "FROM adj a JOIN l2 l ON a.dst = l.node GROUP BY 1, 2) " +
+          "GROUP BY src) " +
+          "SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l3 " +
+          "GROUP BY label HAVING count(*) >= 2 " +
+          "ORDER BY n_nodes DESC, label")
+    ),
+    Q(
+      "graph_k_core",
+      (s, dir) => {
+        val e0 = coPurchaseEdges(s, dir)
+        def degrees(e: DataFrame): DataFrame =
+          e.select(col("u").as("node"))
+            .union(e.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+        def peel(e: DataFrame): DataFrame = {
+          val keep = degrees(e).filter(col("deg") >= 3)
+            .select("node")
+          e.join(keep.withColumnRenamed("node", "u"), Seq("u"))
+            .join(keep.withColumnRenamed("node", "v"), Seq("v"))
+            .select("u", "v")
+        }
+        def stats(e: DataFrame, round: Int): DataFrame =
+          e.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(degrees(e).agg(count(lit(1)).as("n_nodes")))
+            .select(lit(round.toLong).as("round"), col("n_nodes"),
+              col("n_edges"))
+        val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
+        stats(e0, 0).union(stats(e1, 1)).union(stats(e2, 2))
+          .union(stats(e3, 3)).orderBy("round")
+      },
+      Some(
+        edgesSql +
+          "d0 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
+          "FROM e UNION ALL SELECT v FROM e) GROUP BY node), " +
+          "e1 AS (SELECT u, v FROM e WHERE u IN (SELECT node FROM d0 " +
+          "WHERE deg >= 3) AND v IN (SELECT node FROM d0 WHERE deg >= 3)), " +
+          "d1 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
+          "FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node), " +
+          "e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM d1 " +
+          "WHERE deg >= 3) AND v IN (SELECT node FROM d1 WHERE deg >= 3)), " +
+          "d2 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
+          "FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node), " +
+          "e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM d2 " +
+          "WHERE deg >= 3) AND v IN (SELECT node FROM d2 WHERE deg >= 3)) " +
+          "SELECT * FROM (" +
+          "SELECT CAST(0 AS BIGINT) AS round, (SELECT CAST(count(DISTINCT node) AS BIGINT) " +
+          "FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)) AS n_nodes, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges " +
+          "UNION ALL SELECT 1, (SELECT CAST(count(DISTINCT node) AS BIGINT) " +
+          "FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)), " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM e1) " +
+          "UNION ALL SELECT 2, (SELECT CAST(count(DISTINCT node) AS BIGINT) " +
+          "FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)), " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM e2) " +
+          "UNION ALL SELECT 3, (SELECT CAST(count(DISTINCT node) AS BIGINT) " +
+          "FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)), " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM e3)) ORDER BY round")
+    ),
+    Q(
+      "ts_sax_motifs",
+      (s, dir) => {
+        // hourly event COUNTS (integers — z-norm inputs stay exact)
+        val hourly = T(s, dir, "events")
+          .select(col("event_type"),
+            (unix_timestamp(col("ts")) / 3600L).cast("long").as("hr"))
+          .groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("x"))
+        // global dense hour index per type, then non-overlapping windows
+        // of 8 — the window id is pure integer arithmetic on the index
+        val idx = hourly
+          .withColumn("i", (row_number().over(Window
+            .partitionBy("event_type").orderBy("hr")) - 1).cast("long"))
+          .withColumn("w", (col("i") / 8).cast("long"))
+          .withColumn("j", pmod(col("i"), lit(8)))
+        // per-window z-norm from exact integer sums; symbols at the
+        // N(0,1) quartile breakpoints -0.67 / 0 / 0.67
+        val wstats = idx.groupBy("event_type", "w")
+          .agg(count(lit(1)).as("wn"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("wn") === 8) // complete windows only
+        val sym = idx.join(wstats, Seq("event_type", "w"))
+          .withColumn("mean", col("sx").cast("double") / 8)
+          .withColumn("sd", sqrt(
+            (col("sxx").cast("double") * 8 -
+              col("sx").cast("double") * col("sx")) / 64))
+          .withColumn("z",
+            when(col("sd") === 0, lit(0.0))
+              .otherwise((col("x") - col("mean")) / col("sd")))
+          .withColumn("c",
+            when(col("z") < -0.67, "a").when(col("z") < 0, "b")
+              .when(col("z") < 0.67, "c").otherwise("d"))
+        // ordered word: sort the (j, symbol) pairs, then join symbols —
+        // collect_list order is nondeterministic, the sort restores it
+        val words = sym.groupBy("event_type", "w")
+          .agg(concat_ws("", transform(array_sort(
+            collect_list(struct(col("j"), col("c")))),
+            x => x.getField("c"))).as("word"))
+          .select("event_type", "w", "word")
+        words.groupBy("event_type", "word")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2) // repeated word = motif
+          .orderBy(col("event_type"), col("n").desc, col("word"))
+      },
+      Some(
+        "WITH hourly AS (SELECT event_type, " +
+          "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, " +
+          "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+          "idx AS (SELECT event_type, x, " +
+          "CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) " +
+          "- 1 AS BIGINT) AS i FROM hourly), " +
+          "wi AS (SELECT event_type, x, i // 8 AS w, i % 8 AS j FROM idx), " +
+          "ws AS (SELECT event_type, w, count(*) AS wn, " +
+          "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx " +
+          "FROM wi GROUP BY 1, 2), " +
+          "sym AS (SELECT wi.event_type, wi.w, wi.j, " +
+          "CASE WHEN sd = 0 THEN 0.0 ELSE (x - mean) / sd END AS z " +
+          "FROM wi JOIN (SELECT event_type, w, " +
+          "CAST(sx AS DOUBLE) / 8 AS mean, " +
+          "sqrt((CAST(sxx AS DOUBLE) * 8 - CAST(sx AS DOUBLE) * sx) / 64) " +
+          "AS sd FROM ws WHERE wn = 8) st " +
+          "ON wi.event_type = st.event_type AND wi.w = st.w), " +
+          "ch AS (SELECT event_type, w, j, CASE WHEN z < -0.67 THEN 'a' " +
+          "WHEN z < 0 THEN 'b' WHEN z < 0.67 THEN 'c' ELSE 'd' END AS c " +
+          "FROM sym), " +
+          "words AS (SELECT event_type, w, " +
+          "string_agg(c, '' ORDER BY j) AS word FROM ch GROUP BY 1, 2) " +
+          "SELECT event_type, word, CAST(count(*) AS BIGINT) AS n " +
+          "FROM words GROUP BY 1, 2 HAVING count(*) >= 2 " +
+          "ORDER BY event_type, n DESC, word")
+    ),
+    Q(
+      "data_incremental_dedup",
+      (s, dir) => {
+        import graft.sources.SnapTable
+        val root = graft.Tmp.dir("graft_incdedup") + "/t"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        // batch 1: the first half of the corpus, fingerprinted
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("fp", md5(col("text")))
+        SnapTable.create(s, root,
+          b1.select(col("doc_id"), col("lang"), col("fp")), "doc_id") // v1
+        // batch 2: the other half — some texts duplicate batch 1's
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("fp", md5(col("text")))
+        SnapTable.append(s, root,
+          b2.select(col("doc_id"), col("lang"), col("fp")))            // v2
+        // incremental: fingerprint ONLY the commit's +1 delta rows and
+        // anti-join the PRE-commit fingerprint set (version 1) — the
+        // corpus is never re-scanned
+        val delta = SnapTable.changesDelta(s, root, 1, 2)
+          .filter(col("_sign") === 1)
+        val known = SnapTable.readVersion(s, root, 1)
+          .select(col("fp")).distinct()
+        val fresh = delta.join(known, Seq("fp"), "left_anti")
+        delta.groupBy("lang").agg(count(lit(1)).as("n_new"))
+          .join(fresh.groupBy("lang")
+            .agg(count(lit(1)).as("n_unique")), Seq("lang"), "left")
+          .select(col("lang"), col("n_new"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            (col("n_new") - coalesce(col("n_unique"), lit(0L)))
+              .as("n_dups"))
+          .orderBy("lang")
+      },
+      Some(
+        "WITH b1 AS (SELECT md5(text) AS fp FROM documents " +
+          "WHERE doc_id % 2 = 0), " +
+          "b2 AS (SELECT doc_id, lang, md5(text) AS fp FROM documents " +
+          "WHERE doc_id % 2 = 1), " +
+          "fresh AS (SELECT lang, count(*) AS n_unique FROM b2 " +
+          "WHERE fp NOT IN (SELECT fp FROM b1) GROUP BY lang), " +
+          "alln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new " +
+          "FROM b2 GROUP BY lang) " +
+          "SELECT alln.lang, n_new, " +
+          "CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique, " +
+          "CAST(n_new - coalesce(n_unique, 0) AS BIGINT) AS n_dups " +
+          "FROM alln LEFT JOIN fresh ON alln.lang = fresh.lang " +
+          "ORDER BY alln.lang")
+    )
+  )
+}
