@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * snapshot-incremental dedup.
   *
   *  - `graph_label_propagation` is synchronous LPA community detection
-  *    on the co-supplier graph (suppliers sharing an order are
-  *    adjacent): 3 fixed iterations, each vertex adopts its neighbors'
+  *    on the support≥2 part co-purchase graph:
+  *    3 fixed iterations, each vertex adopts its neighbors'
   *    MODE label (ties → lowest label) — the standard large-graph
   *    community baseline (one join + one argmax aggregate per
   *    iteration, shuffling on vertex id; no vertex ever holds more
@@ -124,8 +124,15 @@ object Wave37Ops extends QueryModule {
           e.select(col("u").as("node"))
             .union(e.select(col("v").as("node")))
             .groupBy("node").agg(count(lit(1)).as("deg"))
+        // k = ceil(mean degree) of the ROUND-0 graph: peeling below the
+        // mean bites at every scale (a fixed literal k is the whole
+        // graph once density crosses it); one 1-row frame, broadcast
+        val kdf = broadcast(e0.agg(count(lit(1)).as("ne"))
+          .crossJoin(degrees(e0).agg(count(lit(1)).as("nv")))
+          .select(ceil(lit(2.0) * col("ne") / col("nv")).as("k")))
         def peel(e: DataFrame): DataFrame = {
-          val keep = degrees(e).filter(col("deg") >= 3)
+          val keep = degrees(e).crossJoin(kdf)
+            .filter(col("deg") >= col("k"))
             .select("node")
           e.join(keep.withColumnRenamed("node", "u"), Seq("u"))
             .join(keep.withColumnRenamed("node", "v"), Seq("v"))
@@ -142,18 +149,24 @@ object Wave37Ops extends QueryModule {
       },
       Some(
         edgesSql +
+          "kv AS (SELECT ceil(2.0 * (SELECT count(*) FROM e) / " +
+          "(SELECT count(DISTINCT node) FROM (SELECT u AS node FROM e " +
+          "UNION ALL SELECT v FROM e))) AS k), " +
           "d0 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
           "FROM e UNION ALL SELECT v FROM e) GROUP BY node), " +
           "e1 AS (SELECT u, v FROM e WHERE u IN (SELECT node FROM d0 " +
-          "WHERE deg >= 3) AND v IN (SELECT node FROM d0 WHERE deg >= 3)), " +
+          "WHERE deg >= (SELECT k FROM kv)) AND v IN (SELECT node FROM d0 " +
+          "WHERE deg >= (SELECT k FROM kv))), " +
           "d1 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
           "FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node), " +
           "e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM d1 " +
-          "WHERE deg >= 3) AND v IN (SELECT node FROM d1 WHERE deg >= 3)), " +
+          "WHERE deg >= (SELECT k FROM kv)) AND v IN (SELECT node FROM d1 " +
+          "WHERE deg >= (SELECT k FROM kv))), " +
           "d2 AS (SELECT node, count(*) AS deg FROM (SELECT u AS node " +
           "FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node), " +
           "e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM d2 " +
-          "WHERE deg >= 3) AND v IN (SELECT node FROM d2 WHERE deg >= 3)) " +
+          "WHERE deg >= (SELECT k FROM kv)) AND v IN (SELECT node FROM d2 " +
+          "WHERE deg >= (SELECT k FROM kv))) " +
           "SELECT * FROM (" +
           "SELECT CAST(0 AS BIGINT) AS round, (SELECT CAST(count(DISTINCT node) AS BIGINT) " +
           "FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)) AS n_nodes, " +
