@@ -119,7 +119,12 @@ object Wave37Ops extends QueryModule {
     Q(
       "graph_k_core",
       (s, dir) => {
-        val e0 = coPurchaseEdges(s, dir)
+        // each round is localCheckpoint'd EAGERLY: every peel reads its
+        // parent twice (degrees + the two semi-joins) and the stats
+        // rows read every round again — without materialization the
+        // lineage re-executes the basket-pair join exponentially per
+        // round (measured 113 s at sf0.1; 2.4 s checkpointed)
+        val e0 = coPurchaseEdges(s, dir).localCheckpoint()
         def degrees(e: DataFrame): DataFrame =
           e.select(col("u").as("node"))
             .union(e.select(col("v").as("node")))
@@ -137,6 +142,7 @@ object Wave37Ops extends QueryModule {
           e.join(keep.withColumnRenamed("node", "u"), Seq("u"))
             .join(keep.withColumnRenamed("node", "v"), Seq("v"))
             .select("u", "v")
+            .localCheckpoint()
         }
         def stats(e: DataFrame, round: Int): DataFrame =
           e.agg(count(lit(1)).as("n_edges"))
