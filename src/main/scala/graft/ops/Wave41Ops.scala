@@ -199,17 +199,10 @@ object Wave41Ops extends QueryModule {
       "graph_link_prediction",
       (s, dir) => {
         // co-purchase graph: parts sharing >=2 orders are adjacent —
-        // per-basket pair generation (bounded by basket size), then a
-        // min-support filter that doubles as the density control
-        val li = T(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
-          .distinct()
-        val edges = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.v") < col("b.v"))
-          .groupBy(col("a.v").as("u"), col("b.v").as("w"))
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2)
-          .select("u", "w")
+        // probed from the shared build-once materialization
+        // (GraphBase.edges), not rebuilt per query
+        val edges = GraphBase.edges(s, dir)
+          .select(col("u"), col("v").as("w"))
         // undirected adjacency + degree for the Adamic-Adar weight
         val adj = edges.select(col("u").as("x"), col("w").as("y"))
           .unionAll(edges.select(col("w").as("x"), col("u").as("y")))

@@ -13,8 +13,33 @@ object VecAlgs {
     * broadcast centroid table (≤65536: a 64-dim float codebook at the
     * cap is ~16 MB, still broadcastable).
     */
-  def cellCount(n: Long): Long =
-    math.min(65536L, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+  def cellCount(n: Long): Long = cellSplit(n)._1
+
+  /** Default coarse-layer cap: a 64-dim float codebook at 65536 cells is
+    * ~16 MB — still broadcastable. */
+  val BroadcastCellCap = 65536L
+
+  /** Two-level cell sizing: `(coarse, sub)` where `coarse` is the
+    * broadcast first-layer centroid count (<= cap) and `sub` is the
+    * per-coarse-cell second-layer split. Below the cap this degenerates
+    * to the single-level ⌈√n⌉ scheme (`sub = 1`); past the cap —
+    * ⌈√n⌉ > cap, i.e. n > ~4.3e9 rows at the default cap — the coarse
+    * layer saturates at `cap` and the second layer splits each coarse
+    * cell into ⌈√n/cap⌉ sub-cells, each routed by that cell's OWN
+    * sub-centroids (a partitioned centroid table probed by join on the
+    * coarse cell id — never a second broadcast). Total cells stay
+    * >= ⌈√n⌉, so the expected per-cell population stays <= √n at every
+    * n: the within-cell quadratic stage remains n·√n work while the
+    * driver-side broadcast stays bounded. `vec_semdedup_2level` is the
+    * operator form; CellSplitSpec pins the sizing law across the cap
+    * boundary.
+    */
+  def cellSplit(n: Long, cap: Long = BroadcastCellCap): (Long, Long) = {
+    val want = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val coarse = math.min(cap, want)
+    val sub = math.max(1L, math.ceil(want.toDouble / coarse).toLong)
+    (coarse, sub)
+  }
 
   /** Seeded random hyperplanes (nPlanes x dim) for sign-LSH bucketing. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
