@@ -25,17 +25,21 @@ object Bench {
     "vec_mrl_recall", "stream_psi_monitor_live")
 
   /** Recorded clean-JVM min-of-k floors (seconds) for escalation: the
-    * round-7 judge min-of-4 audit plus BASELINE.md's documented
-    * headline floors, sf0.1 local[32]. An op absent here never
-    * escalates past min-of-3. Update when BASELINE.md records new
-    * floors.
+    * round-9 judge min-of-4 audit (BASELINE.md "Round-9 record") over
+    * the round-7 records, sf0.1 local[32]. An op absent here never
+    * escalates past min-of-3. A floor must be a MEASURED clean min-of-k
+    * — a guessed floor below every observed value makes the escalation
+    * rule fire on every run (the round-7 `graph_pagerank -> 1.67`
+    * mistake). Update when BASELINE.md records new floors.
     */
   private val cleanFloor = Map(
     "agg_pricing_summary" -> 0.20, "q10_returned_items" -> 0.70,
     "q11_value_concentration" -> 0.79, "q12_late_shipping" -> 0.83,
     "win_rank_topn_per_group" -> 0.32, "multimodal_join" -> 0.26,
     "obs_pipeline_metrics" -> 0.37, "text_dedup_minhash" -> 4.12,
-    "graph_triangle_count" -> 3.22, "graph_pagerank" -> 1.67,
+    "graph_triangle_count" -> 1.24, "graph_pagerank" -> 2.67,
+    "graph_k_core" -> 1.25, "graph_label_propagation" -> 0.72,
+    "graph_link_prediction" -> 0.37,
     "vec_neardup_cosine" -> 2.60, "agg_basket_lift" -> 2.26,
     "join_geo_radius" -> 2.28)
 
@@ -79,18 +83,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    // Locale.ROOT: the f"" interpolator is locale-sensitive and would emit
-    // decimal COMMAS (invalid JSON) on comma-decimal JVM locales
-    def f(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val fullJson = results.map { case (k, v) => s"\"$k\":${f(v)}" }
+    val fullJson = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
       .mkString("{", ",", "}")
     // a filtered dev run must not clobber the synced full-run record
     val fullPath =
       if (only.isDefined) "bench_subset.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath),
-      s"""{"total":${f(total)},"n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
+      s"""{"total":${f3(total)},"n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     // headline queries re-run twice more after the full pass: the map is
     // MIN-OF-3 (pass + 2 reruns), the only number stable against host
@@ -139,10 +139,41 @@ object Bench {
       }
     }
     val qs = samples.toSeq.map { case (h, ss) => h -> ss.min }
-    val qsJson = qs.map { case (k, v) => s"\"$k\":${f(v)}" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"k":$minK,"queries":$qsJson,"sf":"$sfDir"}""")
+    // headline entries sit at the front of qs (rerunOps = headline ++
+    // slowTail), so the line guard's protected prefix is exactly them
+    val nProtected = qs.count { case (k, _) => headline.contains(k) }
+    println(headlineLine(total, results.size, minK, qs, nProtected, sfDir))
     spark.stop()
+  }
+
+  /** Locale.ROOT: the f"" interpolator is locale-sensitive and would emit
+    * decimal COMMAS (invalid JSON) on comma-decimal JVM locales. */
+  private[graft] def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The driver captures only the final ~2000 chars of stdout, so the
+    * printed line must stay under this or it self-truncates into invalid
+    * JSON (round 1 shipped a `parsed: null` exactly this way). */
+  private[graft] val MaxLineChars = 1500
+
+  /** Renders the ONE headline JSON line, dropping trailing DYNAMIC
+    * slow-tail entries — never the first `nProtected` (headline) entries,
+    * never the total — until the line fits `MaxLineChars`. BenchLineSpec
+    * pins the guard. */
+  private[graft] def headlineLine(total: Double, n: Int, k: Int,
+      qs: Seq[(String, Double)], nProtected: Int, sf: String): String = {
+    def render(m: Seq[(String, Double)]): String = {
+      val qj = m.map { case (kk, v) => s""""$kk":${f3(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$n,"k":$k,"queries":$qj,"sf":"$sf"}"""
+    }
+    var keep = qs.length
+    var out = render(qs)
+    while (out.length > MaxLineChars && keep > nProtected) {
+      keep -= 1
+      out = render(qs.take(keep))
+    }
+    out
   }
 
   /** One-time JVM/codegen/committer init so the first timed queries don't

@@ -22,7 +22,8 @@ object SparkEntry {
     Wave24Ops, Wave25Ops, Wave26Ops, Wave27Ops, Wave28Ops, Wave29Ops, Wave30Ops, Wave31Ops, Wave32Ops, Wave33Ops, Wave34Ops, Wave35Ops,
     Wave36Ops, Wave37Ops, Wave38Ops, Wave39Ops, Wave40Ops, Wave41Ops,
     Wave42Ops, Wave43Ops, Wave44Ops, Wave45Ops, Wave46Ops, Wave47Ops,
-    Wave48Ops, Wave49Ops, Wave50Ops, Wave51Ops, Wave52Ops, Wave53Ops)
+    Wave48Ops, Wave49Ops, Wave50Ops, Wave51Ops, Wave52Ops, Wave53Ops,
+    Wave54Ops)
 
   val all: Seq[Q] = modules.flatMap(_.queries)
 

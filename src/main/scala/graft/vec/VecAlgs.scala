@@ -30,9 +30,13 @@ object VecAlgs {
     * coarse cell id — never a second broadcast). Total cells stay
     * >= ⌈√n⌉, so the expected per-cell population stays <= √n at every
     * n: the within-cell quadratic stage remains n·√n work while the
-    * driver-side broadcast stays bounded. `vec_semdedup_2level` is the
-    * operator form; CellSplitSpec pins the sizing law across the cap
-    * boundary.
+    * driver-side broadcast stays bounded. `vec_semdedup_2level`
+    * (ops/Wave54Ops.scala) is the oracle-checked operator form, run with
+    * a reduced cap so both layers are exercised at fixture scale;
+    * CellSplitSpec pins the sizing law across the real cap boundary.
+    * The single-level ops (vec_semdedup, vec_knn_probe, vec_kmeans_step)
+    * call `cellCount` — the sub=1 degenerate of this split, which is the
+    * right plan anywhere below the cap boundary.
     */
   def cellSplit(n: Long, cap: Long = BroadcastCellCap): (Long, Long) = {
     val want = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
