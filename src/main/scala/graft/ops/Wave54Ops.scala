@@ -140,6 +140,63 @@ object Wave54Ops extends QueryModule {
           "AND fine.scell = dropped.scell " +
           "AND fine.vec_id = dropped.vec_id " +
           "GROUP BY fine.cell, fine.scell ORDER BY fine.cell, fine.scell")
+    ),
+    Q(
+      "data_incremental_neardup",
+      // Snapshot-incremental NEAR-dup (see IncNeardup): batch 1 commits
+      // the corpus half and builds the banded-MinHash bucket + tokset
+      // index ONCE; batch 2's commit featurizes only its changesDelta
+      // rows, probes the bucket table for candidates, exact-verifies by
+      // Jaccard (lixsize), and absorbs its rows into the index — per-
+      // commit cost O(batch + matching buckets), never a corpus re-scan.
+      // The weekly-corpus cadence `data_incremental_dedup` proves for
+      // exact fingerprints, at near-dup semantics. No oracle (seeded
+      // MinHash banding prunes candidates, per the SURVEY §2.10
+      // declaration); IncNeardupSpec pins detection + absorb arithmetic.
+      (s, dir) => {
+        import graft.sources.SnapTable
+        val root = graft.Tmp.dir("graft_incneardup") + "/t"
+        val idxDir = graft.Tmp.dir("graft_incneardup_idx")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        // batch 1: commit + build the index from the committed snapshot
+        SnapTable.create(s, root,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id")        // v1
+        val f1 = IncNeardup.featurize(SnapTable.readVersion(s, root, 1))
+        IncNeardup.bucketRows(f1)
+          .write.mode("overwrite").parquet(s"$idxDir/buckets")
+        f1.select(col("doc_id"), col("tokset"))
+          .write.mode("overwrite").parquet(s"$idxDir/toksets")
+        // batch 2: commit, then featurize ONLY the +1 delta
+        SnapTable.append(s, root, docs.filter(col("doc_id") % 2 === 1)) // v2
+        val delta = SnapTable.changesDelta(s, root, 1, 2)
+          .filter(col("_sign") === 1)
+          .select("doc_id", "lang", "text")
+        val fd = IncNeardup.featurize(delta).persist()
+        try {
+          val buckets = s.read.parquet(s"$idxDir/buckets")
+          val hits = IncNeardup.verify(
+            IncNeardup.candidates(fd, buckets),
+            fd, s.read.parquet(s"$idxDir/toksets"))
+          // absorb: the index stays current for the NEXT commit (O(batch))
+          IncNeardup.bucketRows(fd)
+            .write.mode("append").parquet(s"$idxDir/buckets")
+          fd.select(col("doc_id"), col("tokset"))
+            .write.mode("append").parquet(s"$idxDir/toksets")
+          val flagged = hits.groupBy(col("new_id").as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"))
+          fd.select(col("doc_id"), col("lang"))
+            .join(flagged, Seq("doc_id"), "left")
+            .groupBy("lang")
+            .agg(
+              count(lit(1)).as("n_new"),
+              sum(when(col("n_matches").isNotNull, 1L).otherwise(0L))
+                .as("n_neardup"),
+              sum(coalesce(col("n_matches"), lit(0L))).as("n_pairs"))
+            .orderBy("lang")
+        } finally fd.unpersist(blocking = false)
+      },
+      None
     )
   )
 }

@@ -392,6 +392,84 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_readout_rls",
+      // flink-rc's ONLINE readout training in its exact formulation:
+      // per-user recursive least squares over the reservoir design rows
+      // (horizon 1: each value is first the target of the previous step's
+      // phi, then extends the reservoir). With P0 = I/λ the weights equal
+      // the per-user batch ridge solution over the processed prefix at
+      // EVERY step — Rls scaladoc; RlsSpec pins it on Mackey-Glass and
+      // pins the transformWithState twin row-identical across batches.
+      // O(d²)/update, bounded per-key state. No oracle (sequential
+      // recurrence, SURVEY §2.10); emits final weights per user.
+      (s, dir) => {
+        import s.implicits._
+        val mats = Esn.matrices()
+        series(s, dir)
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var x = new Array[Double](Esn.Nx)
+            var rls = Rls.init(2 + Esn.Nx, Lambda)
+            var pending: Array[Double] = null
+            rows.foreach { case (_, _, _, v) =>
+              val u = v / Esn.InputScale
+              if (pending != null) rls = Rls.update(rls, pending, u)
+              x = Esn.step(mats, x, u)
+              pending = Esn.designRow(u, x)
+            }
+            (uid, rls.n, round6(rls.w(0)), round6(rls.w(1)),
+              round6(rls.w(2)))
+          }
+          .toDF("user_id", "n_updates", "w0", "w1", "w2")
+          .orderBy("user_id")
+      },
+      None
+    ),
+    Q(
+      "rc_stream_rls_tws",
+      // The same online RLS readout as a LIVE stream (transformWithState,
+      // RocksDB state store): per-key inverse-Gram + weights carried
+      // across micro-batches, one weight snapshot emitted per update.
+      // RlsSpec asserts row-identity with the batch fold including the
+      // multi-batch state carry.
+      (s, dir) => {
+        import s.implicits._
+        val name = s"live_rls_tws_${System.nanoTime()}"
+        val mats = Esn.matrices()
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        graft.StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val in = graft.ops.EventOps.liveEvents(s, dir)
+              .select(col("event_id"),
+                unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+                col("user_id"), col("value"))
+              .as[graft.streaming.StreamingTwins.EsnIn]
+            val q = graft.streaming.StreamingTwins.rlsTws(in, mats, Lambda)
+              .toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        s.table(name)
+          .as[(Long, Long, Double, Double)]
+          .map { case (uid, step, w0, w1) =>
+            (uid, step, round6(w0), round6(w1)) }
+          .toDF("user_id", "step", "w0", "w1")
+          .orderBy("user_id", "step")
+      },
+      None
+    ),
+    Q(
       "rc_deep_esn",
       // Deep ESN (stacked reservoirs, after Gallicchio & Micheli's
       // DeepESN): layer 2 is a reservoir whose INPUT is layer 1's full

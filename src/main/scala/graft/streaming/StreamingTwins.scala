@@ -94,6 +94,60 @@ object StreamingTwins {
       .transformWithState(new EsnProcessor(m), TimeMode.None(),
         OutputMode.Append())(Encoders.product[EsnOut])
 
+  final case class RlsState(x: Array[Double], pending: Array[Double],
+      p: Array[Double], w: Array[Double], n: Long)
+  final case class RlsOut(user_id: Long, step: Long, w0: Double, w1: Double)
+
+  /** Online RLS readout per key on `transformWithState` — the streaming
+    * twin of `rc_readout_rls`: the reservoir fold and the O(d²) RLS state
+    * (inverse-Gram P + weights) are carried across micro-batches in one
+    * typed ValueState; each arriving value first serves as the TARGET of
+    * the previous step's design row (one RLS update, one emitted weight
+    * snapshot), then extends the reservoir state. Bounded state per key
+    * ((2+Nx)² + O(Nx) doubles), the requirement for unbounded streams —
+    * and, per Rls's scaladoc, the emitted weights equal the batch ridge
+    * solution over the processed prefix at every step.
+    */
+  class RlsProcessor(m: Esn.Mats, lambda: Double)
+      extends StatefulProcessor[Long, EsnIn, RlsOut] {
+    @transient private var st: ValueState[RlsState] = _
+    private val d = 2 + Esn.Nx
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RlsState]("rls",
+        Encoders.product[RlsState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EsnIn],
+        tv: TimerValues): Iterator[RlsOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.tsUs, r.event_id))
+      val cur =
+        if (st.exists()) st.get()
+        else RlsState(new Array[Double](Esn.Nx), Array.empty,
+          graft.rc.Rls.init(d, lambda).p, new Array[Double](d), 0L)
+      var x = cur.x
+      var pending = cur.pending
+      var rls = graft.rc.Rls.State(cur.p, cur.w, cur.n)
+      val out = Array.newBuilder[RlsOut]
+      sorted.foreach { r =>
+        val u = r.value / Esn.InputScale
+        if (pending.nonEmpty) {
+          rls = graft.rc.Rls.update(rls, pending, u)
+          out += RlsOut(uid, rls.n, rls.w(0), rls.w(1))
+        }
+        x = Esn.step(m, x, u)
+        pending = Esn.designRow(u, x)
+      }
+      st.update(RlsState(x, pending, rls.p, rls.w, rls.n))
+      out.result().iterator
+    }
+  }
+
+  def rlsTws(in: Dataset[EsnIn], m: Esn.Mats,
+      lambda: Double): Dataset[RlsOut] =
+    in.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RlsProcessor(m, lambda), TimeMode.None(),
+        OutputMode.Append())(Encoders.product[RlsOut])
+
   /** Keyed ESN reservoir update carried across micro-batches in
     * `flatMapGroupsWithState` — one small state vector per user. Rows
     * within a batch are sorted by (tsUs, event_id); cross-batch order is
