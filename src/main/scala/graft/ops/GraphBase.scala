@@ -89,6 +89,22 @@ object GraphBase {
   def coSupplierEdges(s: SparkSession, dir: String): DataFrame =
     materialized(s, dir, "cosupplier")(buildCoSupplierEdges(s, dir))
 
+  /** The events user↔type bipartite interaction edges, ONE direction
+    * (u:<user> -> t:<type>) with interaction count `w`; consumers
+    * symmetrize on read (two column-pruned scans of the materialized
+    * file beat re-aggregating the events table per query). Probed by
+    * pagerank (weighted) and shortest_path (unweighted projection). */
+  def buildEventEdges(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(
+        concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** The materialized events bipartite edge table `(src, dst, w)`. */
+  def eventEdges(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "events_bipartite")(buildEventEdges(s, dir))
+
   /** Oracle CTE prefix defining `e(u, v)` — the DuckDB replay of the same
     * co-purchase edge semantics (the oracle has no materialization;
     * semantics match).

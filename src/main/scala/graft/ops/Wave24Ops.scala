@@ -49,11 +49,10 @@ object Wave24Ops extends QueryModule {
     Q(
       "graph_shortest_path",
       (s, dir) => {
-        val ut = T(s, dir, "events")
-          .select(
-            concat(lit("u:"), col("user_id").cast("string")).as("src"),
-            concat(lit("t:"), col("event_type")).as("dst"))
-          .distinct()
+        // unweighted projection of GraphBase's materialized bipartite
+        // edge list (already distinct by construction — it's grouped on
+        // (src, dst)); the events aggregation is paid once per family
+        val ut = GraphBase.eventEdges(s, dir).select("src", "dst")
         val edges = ut.unionByName(
           ut.select(col("dst").as("src"), col("src").as("dst"))).persist()
         var dists = s.createDataFrame(Seq(("t:click", 0L)))

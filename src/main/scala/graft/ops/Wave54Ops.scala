@@ -142,6 +142,170 @@ object Wave54Ops extends QueryModule {
           "GROUP BY fine.cell, fine.scell ORDER BY fine.cell, fine.scell")
     ),
     Q(
+      "vec_knn_probe_2level",
+      // Two-level IVF SERVING path (the probe-side twin of
+      // vec_semdedup_2level): BUILD assigns every vector to a
+      // (coarse cell, sub cell) — coarse by broadcast centroids, sub by
+      // a per-cell centroid table probed by JOIN on the coarse id, never
+      // a second broadcast — and materializes the index as parquet
+      // PARTITIONED BY the coarse cell. PROBE ranks the <= cap coarse
+      // centroids on the driver (bounded by the cap, the whole point),
+      // prunes the index read to the probed partitions, ranks sub-cells
+      // with a distributed join, and exact-reranks only the matching
+      // fine cells. Integer-grid geometry end-to-end, ties to lowest id
+      // — fully deterministic, so DuckDB replays build + both routing
+      // layers + rerank.
+      (s, dir) => {
+        import s.implicits._
+        val gridded = T(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+        val (coarse, sub) =
+          graft.vec.VecAlgs.cellSplit(gridded.count(), cap = DemoCap)
+        val d2 = (a: String, b: String) => expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        val n2 = (a: String) => expr(
+          s"aggregate($a, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        val cents = gridded.filter(col("vec_id") < coarse)
+          .select(col("vec_id").as("cid"), col("g").as("cg"))
+        val assigned = gridded.crossJoin(broadcast(cents))
+          .withColumn("d2", d2("g", "cg"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("best"),
+            first("g").as("g"))
+          .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy("vec_id")
+        val subCents = assigned
+          .withColumn("scid", row_number().over(w).cast("long"))
+          .filter(col("scid") <= sub)
+          .select(col("cell"), col("scid"), col("g").as("sg"))
+        // BUILD: fine assignment -> parquet partitioned by coarse cell
+        // (zero-norm vectors excluded: cosine is undefined on them)
+        val idxDir = graft.Tmp.dir("graft_ivf2_idx")
+        assigned.join(subCents, Seq("cell"))
+          .withColumn("d2", d2("g", "sg"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("scid"))).as("best"),
+            first("cell").as("cell"), first("g").as("g"))
+          .select(col("vec_id"), col("cell"),
+            col("best.scid").as("scell"), col("g"), n2("g").as("nn"))
+          .filter(col("nn") > 0)
+          .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+        // PROBE: coarse ranking on the DRIVER over <= cap centroids
+        // (exact integer L2, ties to lowest cid — same order as the
+        // oracle's rank), nprobe = 2
+        val qids = Seq(5L, 17L, 42L)
+        val centArr = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+        def il2(a: Array[Long], b: Array[Long]): BigInt = {
+          var sum = BigInt(0)
+          var i = 0
+          while (i < a.length) {
+            val dd = BigInt(a(i) - b(i)); sum += dd * dd; i += 1
+          }
+          sum
+        }
+        val probes = gridded.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("g")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .filter { case (_, g) => g.exists(_ != 0L) }
+          .flatMap { case (qid, qg) =>
+            centArr.map { case (cid, cg) => (il2(qg, cg), cid) }
+              .sortBy(identity).take(2)
+              .map { case (_, cid) => (qid, cid, qg.toSeq) }
+          }.toSeq
+        val probeDf = broadcast(probes.toDF("q_id", "cell", "qg"))
+        val probedCells = probes.map(_._2).distinct.sorted
+        // sub-cell ranking stays DISTRIBUTED: the sub-centroid table is
+        // joined on the coarse cell id (grows with n — must not sit on
+        // the driver), nsub = 2 per probed coarse cell
+        val ws = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id", "cell").orderBy(col("sd2"), col("scid"))
+        val subPicks = probeDf
+          .join(subCents.filter(col("cell").isin(probedCells: _*)), "cell")
+          .withColumn("sd2", d2("qg", "sg"))
+          .withColumn("srk", row_number().over(ws))
+          .filter(col("srk") <= 2)
+          .select(col("q_id"), col("cell"), col("scid"), col("qg"))
+        // exact cosine rerank inside the probed fine cells only; the
+        // index scan prunes to the probed coarse partitions
+        val idx = s.read.parquet(idxDir)
+          .filter(col("cell").isin(probedCells: _*))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+        idx.join(subPicks,
+            idx("cell") === subPicks("cell") &&
+              idx("scell") === subPicks("scid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(g, qg, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("qn2", n2("qg"))
+          .withColumn("sim", round(col("dot") /
+            sqrt(col("nn").cast("double") * col("qn2").cast("double"))
+            * 1e9) / 1e9)
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("vec_id"), col("sim"), col("rnk"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(
+        "WITH g AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "p AS (SELECT GREATEST(1, CAST(ceil(sqrt(CAST((SELECT count(*) " +
+          "FROM g) AS DOUBLE))) AS BIGINT)) AS want), " +
+          "pp AS (SELECT LEAST(4, want) AS coarse, GREATEST(1, " +
+          "CAST(ceil(CAST(want AS DOUBLE) / LEAST(4, want)) AS BIGINT)) " +
+          "AS sub FROM p), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g " +
+          "WHERE vec_id < (SELECT coarse FROM pp)), " +
+          "cells AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(g.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM g), " +
+          "sc AS (SELECT cell, scid, sg FROM (SELECT cell, " +
+          "CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) " +
+          "AS BIGINT) AS scid, g AS sg FROM cells) " +
+          "WHERE scid <= (SELECT sub FROM pp)), " +
+          "fine AS (SELECT cells.vec_id, cells.cell, cells.g, " +
+          "list_sum(list_transform(cells.g, x -> x * x)) AS nn, " +
+          "(SELECT scid FROM sc WHERE sc.cell = cells.cell ORDER BY " +
+          "list_sum(list_transform(list_zip(cells.g, sc.sg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), scid LIMIT 1) AS scell " +
+          "FROM cells), " +
+          "q AS (SELECT vec_id AS q_id, g AS qg, " +
+          "list_sum(list_transform(g, x -> x * x)) AS qn2 FROM g " +
+          "WHERE vec_id IN (5, 17, 42) " +
+          "AND list_sum(list_transform(g, x -> abs(x))) > 0), " +
+          "pc AS (SELECT q_id, cell FROM (SELECT q.q_id, c.cid AS cell, " +
+          "row_number() OVER (PARTITION BY q.q_id ORDER BY " +
+          "list_sum(list_transform(list_zip(q.qg, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk " +
+          "FROM q, c) WHERE rk <= 2), " +
+          "ps AS (SELECT q_id, cell, scid FROM (SELECT pc.q_id, " +
+          "pc.cell, sc.scid, row_number() OVER (PARTITION BY pc.q_id, " +
+          "pc.cell ORDER BY list_sum(list_transform(" +
+          "list_zip(q.qg, sc.sg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), sc.scid) AS rk " +
+          "FROM pc JOIN sc ON sc.cell = pc.cell " +
+          "JOIN q ON q.q_id = pc.q_id) WHERE rk <= 2), " +
+          "cand AS (SELECT ps.q_id, f.vec_id, " +
+          "round(list_sum(list_transform(list_zip(f.g, q.qg), " +
+          "p -> p[1] * p[2])) / sqrt(CAST(f.nn AS DOUBLE) * " +
+          "CAST(q.qn2 AS DOUBLE)) * 1e9) / 1e9 AS sim " +
+          "FROM ps JOIN fine f ON f.cell = ps.cell " +
+          "AND f.scell = ps.scid AND f.nn > 0 " +
+          "JOIN q ON q.q_id = ps.q_id WHERE f.vec_id <> ps.q_id) " +
+          "SELECT q_id, vec_id, sim, rnk FROM (SELECT q_id, vec_id, " +
+          "sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY " +
+          "sim DESC, vec_id) AS BIGINT) AS rnk FROM cand) " +
+          "WHERE rnk <= 5 ORDER BY q_id, rnk")
+    ),
+    Q(
       "data_incremental_neardup",
       // Snapshot-incremental NEAR-dup (see IncNeardup): batch 1 commits
       // the corpus half and builds the banded-MinHash bucket + tokset

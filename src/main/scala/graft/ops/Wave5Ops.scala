@@ -69,12 +69,11 @@ object Wave5Ops extends QueryModule {
       "graph_pagerank",
       (s, dir) => {
         // bipartite interaction graph, both directions; edge weight =
-        // interaction count, normalized per source into `frac`
-        val ut = T(s, dir, "events")
-          .groupBy(
-            concat(lit("u:"), col("user_id").cast("string")).as("src"),
-            concat(lit("t:"), col("event_type")).as("dst"))
-          .agg(count(lit(1)).as("w"))
+        // interaction count, normalized per source into `frac`. The
+        // one-directional weighted edge list is GraphBase's build-once
+        // materialization — the events aggregation is paid once per
+        // family, not per query
+        val ut = GraphBase.eventEdges(s, dir)
         val edges0 = ut.unionByName(ut.select(
           col("dst").as("src"), col("src").as("dst"), col("w")))
         val outw = edges0.groupBy("src").agg(sum("w").as("ow"))
