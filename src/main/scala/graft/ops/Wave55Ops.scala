@@ -192,6 +192,10 @@ object Wave55Ops extends QueryModule {
             val msgs = sym
               .join(labels, col("src") === col("x"))
               .select(col("dst").as("x"), col("comp"))
+            // checkpointed deliberately: the pointer jump consumes mins
+            // TWICE, and a same-session A/B measured the materialization
+            // faster than recomputing the agg on both sides (2.45 vs
+            // 2.89 s min-of-3 at sf0.1)
             val mins = labels.select("x", "comp").union(msgs)
               .groupBy("x").agg(min("comp").as("comp"))
               .localCheckpoint()

@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.functions._
+
+/** Round-10 wave 56: classifier training/eval + tokenizer economics.
+  *
+  *  - `ml_logreg_irls`: logistic regression (intercept + one integer
+  *    feature) trained by THREE Newton/IRLS steps, each ONE aggregate of
+  *    quantized sufficient statistics — the "train at 100 TB in k
+  *    shuffles" shape next to ml_ols_normal_eq's one-shot solve. Per-row
+  *    sigmoid outputs land on fixed integer grids (1e6 for the gradient,
+  *    1e4 for the Hessian — the coarser grid keeps Σ p(1−p)·q² inside
+  *    int64 at 600k rows and scales to ~1e9 rows before DECIMAL), so
+  *    every cross-row sum is an exact integer in BOTH engines; the 2×2
+  *    Newton solve is the same closed-form double expression on both
+  *    sides. The feature (l_quantity) takes ≤50 integer values, so the
+  *    sigmoid is evaluated on a tiny, collision-safe argument set.
+  *  - `ml_gains_table`: decile gains/lift for a scored binary outcome —
+  *    rank by score (ties by key: total order), bucket by rank (exact
+  *    integer arithmetic, not ntile), cumulative capture + lift per
+  *    decile. The standard campaign-targeting readout; one sort-free
+  *    rank window + one 10-row aggregate.
+  *  - `data_tokenizer_fertility`: per-language tokenizer economics —
+  *    BPE-ish tokens per whitespace word (fertility) and bytes per
+  *    token, the numbers that decide tokenizer/vocab choices for a
+  *    training corpus. Exact integer sums, two rounded divisions.
+  */
+object Wave56Ops extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "ml_logreg_irls",
+      (s, dir) => {
+        val rows = T(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        // one aggregate per Newton step: exact integer sufficient stats
+        // on the (1e6 gradient / 1e4 Hessian) grids
+        def step(w0: Double, w1: Double): (Double, Double) = {
+          val z = dround(lit(w0) + lit(w1) * col("q"), 6)
+          val p6 = round(lit(1e6) / (lit(1.0) + exp(-z))).cast("long")
+          val p4 = round(lit(1e4) / (lit(1.0) + exp(-z))).cast("long")
+          val r = rows.withColumn("p6", p6).withColumn("p4", p4)
+            .agg(
+              sum(col("y") * 1000000L - col("p6")).as("g0"),
+              sum((col("y") * 1000000L - col("p6")) * col("q")).as("g1"),
+              sum(col("p4") * (lit(10000L) - col("p4"))).as("h00"),
+              sum(col("p4") * (lit(10000L) - col("p4")) * col("q"))
+                .as("h01"),
+              sum(col("p4") * (lit(10000L) - col("p4")) * col("q") *
+                col("q")).as("h11"))
+            .first()
+          val g0 = r.getLong(0) / 1e6; val g1 = r.getLong(1) / 1e6
+          val h00 = r.getLong(2) / 1e8; val h01 = r.getLong(3) / 1e8
+          val h11 = r.getLong(4) / 1e8
+          val det = h00 * h11 - h01 * h01
+          (w0 + (g0 * h11 - g1 * h01) / det,
+            w1 + (h00 * g1 - h01 * g0) / det)
+        }
+        val (w0a, w1a) = step(0.0, 0.0)
+        val (w0b, w1b) = step(w0a, w1a)
+        val (w0c, w1c) = step(w0b, w1b)
+        // holdout-free training accuracy at the 0.5 threshold: predict 1
+        // iff z > 0 (sigmoid monotone — no exp needed in the verdict)
+        rows.agg(
+            count(lit(1)).as("n"),
+            sum(when((lit(w0c) + lit(w1c) * col("q") > 0.0)
+              .cast("long") === col("y"), 1L).otherwise(0L)).as("correct"))
+          .select(col("n"),
+            lit(dround6(w0c)).as("beta0"), lit(dround6(w1c)).as("beta1"),
+            dround(col("correct").cast("double") / col("n"), 6)
+              .as("accuracy"))
+      },
+      Some {
+        // the same three steps as chained CTEs; each stepK exposes the
+        // post-step (w0, w1) and the next step's stats read them via
+        // scalar subqueries. Double expressions are textually identical
+        // to the Scala ones, so IEEE evaluation matches bit-for-bit.
+        val base = "WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS q, " +
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y " +
+          "FROM lineitem), "
+        def stats(wPrev: String, name: String): String = {
+          // the 1-row weight CTE rides along as a CROSS JOIN + GROUP BY
+          // (scalar subqueries here made DuckDB re-evaluate the whole
+          // upstream chain per row — exponential in steps); z is
+          // parenthesized EXACTLY like the Scala dround(w0 + w1*q, 6):
+          // (a + b*q) * 1e6, not a*1e6 + b*q*1e6 — IEEE results differ
+          val z = "round((w0 + w1 * q) * 1e6) / 1e6"
+          s"${name}_s AS (SELECT w0, w1, " +
+            s"CAST(sum(y * 1000000 - CAST(round(1e6 / (1.0 + exp(-($z)))) AS BIGINT)) AS BIGINT) AS g0, " +
+            s"CAST(sum((y * 1000000 - CAST(round(1e6 / (1.0 + exp(-($z)))) AS BIGINT)) * q) AS BIGINT) AS g1, " +
+            s"CAST(sum(CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT) * (10000 - CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT))) AS BIGINT) AS h00, " +
+            s"CAST(sum(CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT) * (10000 - CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT)) * q) AS BIGINT) AS h01, " +
+            s"CAST(sum(CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT) * (10000 - CAST(round(1e4 / (1.0 + exp(-($z)))) AS BIGINT)) * q * q) AS BIGINT) AS h11 " +
+            s"FROM r, $wPrev GROUP BY w0, w1), " +
+            s"$name AS (SELECT w0 + " +
+            "((g0 / 1e6) * (h11 / 1e8) - (g1 / 1e6) * (h01 / 1e8)) / " +
+            "((h00 / 1e8) * (h11 / 1e8) - (h01 / 1e8) * (h01 / 1e8)) AS w0, " +
+            "w1 + " +
+            "((h00 / 1e8) * (g1 / 1e6) - (h01 / 1e8) * (g0 / 1e6)) / " +
+            "((h00 / 1e8) * (h11 / 1e8) - (h01 / 1e8) * (h01 / 1e8)) AS w1 " +
+            s"FROM ${name}_s), "
+        }
+        base + "w_0 AS (SELECT 0.0 AS w0, 0.0 AS w1), " +
+          stats("w_0", "w_1") + stats("w_1", "w_2") + stats("w_2", "w_3") +
+          "acc AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN (CASE WHEN w0 + w1 * q > 0.0 " +
+          "THEN 1 ELSE 0 END) = y " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS correct " +
+          "FROM r, w_3 GROUP BY w0, w1) " +
+          "SELECT n, " +
+          droundSql("w0", 6) + " AS beta0, " +
+          droundSql("w1", 6) + " AS beta1, " +
+          droundSql("CAST(correct AS DOUBLE) / n", 6) + " AS accuracy " +
+          "FROM acc"
+      }
+    ),
+    Q(
+      "ml_gains_table",
+      // decile gains: score = order value (the "model"), outcome =
+      // urgent priority. rank DESC with key tie-break = total order;
+      // decile = (rank-1)*10/n (integer arithmetic — ntile's remainder
+      // spreading differs between engines, this doesn't).
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("okey"))
+        val scored = T(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"),
+            round(col("o_totalprice") * 100).cast("long").as("score"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("y"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+        val n = scored.agg(count(lit(1))).first().getLong(0)
+        // floor, not cast: Spark's cast-to-long truncates but DuckDB's
+        // CAST rounds — floor/`//` agree (operands positive, quotient of
+        // exactly-divisible doubles is exact, so boundaries are safe)
+        val dec = scored
+          .withColumn("decile",
+            floor((col("rk") - 1) * 10 / n).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val tot = dec.agg(sum("n_pos").as("total_pos"),
+          sum("n_rows").as("total_n"))
+        dec.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_rows"), col("n_pos"),
+            dround(sum(col("n_pos")).over(wc).cast("double") /
+              col("total_pos"), 6).as("cum_gain"),
+            dround(col("n_pos") * col("total_n").cast("double") /
+              (col("n_rows") * col("total_pos")), 6).as("lift"))
+          .orderBy("decile")
+      },
+      Some(
+        "WITH sc AS (SELECT o_orderkey AS okey, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS score, " +
+          "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y " +
+          "FROM orders), " +
+          "rk AS (SELECT y, CAST(row_number() OVER (ORDER BY score DESC, " +
+          "okey) AS BIGINT) AS rk FROM sc), " +
+          "d AS (SELECT CAST((rk - 1) * 10 // (SELECT count(*) FROM sc) " +
+          "AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(sum(y) AS BIGINT) AS n_pos FROM rk GROUP BY 1), " +
+          "t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos, " +
+          "CAST(sum(n_rows) AS BIGINT) AS total_n FROM d) " +
+          "SELECT decile, n_rows, n_pos, " +
+          droundSql("CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN " +
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total_pos",
+            6) + " AS cum_gain, " +
+          droundSql("n_pos * CAST(total_n AS DOUBLE) / " +
+            "(n_rows * total_pos)", 6) + " AS lift " +
+          "FROM d, t ORDER BY decile")
+    ),
+    Q(
+      "data_tokenizer_fertility",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("lang"),
+            octet_length(col("text")).cast("long").as("bytes"),
+            size(expr(
+              "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .cast("long").as("bpe"),
+            size(split(col("text"), " ")).cast("long").as("words"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("bytes").as("total_bytes"),
+            sum("bpe").as("total_tokens"), sum("words").as("total_words"))
+          .select(col("lang"), col("n_docs"), col("total_tokens"),
+            dround(col("total_tokens").cast("double") /
+              col("total_words"), 6).as("fertility"),
+            dround(col("total_bytes").cast("double") /
+              col("total_tokens"), 6).as("bytes_per_token"))
+          .orderBy("lang"),
+      Some(
+        "WITH t AS (SELECT lang, CAST(strlen(text) AS BIGINT) AS bytes, " +
+          "CAST(len(regexp_extract_all(text, " +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS words " +
+          "FROM documents) " +
+          "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(bpe) AS BIGINT) AS total_tokens, " +
+          droundSql("CAST(sum(bpe) AS DOUBLE) / sum(words)", 6) +
+          " AS fertility, " +
+          droundSql("CAST(sum(bytes) AS DOUBLE) / sum(bpe)", 6) +
+          " AS bytes_per_token FROM t GROUP BY lang ORDER BY lang")
+    )
+  )
+
+  private def dround6(d: Double): Double = math.round(d * 1e6) / 1e6
+}
