@@ -25,7 +25,14 @@ object SparkEntry {
     Wave48Ops, Wave49Ops, Wave50Ops, Wave51Ops, Wave52Ops, Wave53Ops,
     Wave54Ops, Wave55Ops, Wave56Ops)
 
-  val all: Seq[Q] = modules.flatMap(_.queries)
+  val all: Seq[Q] = {
+    val qs = modules.flatMap(_.queries)
+    // fail fast on duplicate names: `queries` is a Map, so a duplicate
+    // would silently SHADOW an op out of the correctness gate
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query (TPC-H Q1 analog) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

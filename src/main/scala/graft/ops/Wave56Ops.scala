@@ -176,6 +176,98 @@ object Wave56Ops extends QueryModule {
           "FROM d, t ORDER BY decile")
     ),
     Q(
+      "vec_incremental_semdedup",
+      // Snapshot-incremental SEMANTIC dedup — the embedding analog of
+      // data_incremental_neardup: batch 1 builds the cell index ONCE
+      // (⌈√n⌉ lowest-id centroids, integer-grid geometry, parquet
+      // partitioned by cell); batch 2 assigns its vectors against the
+      // BROADCAST centroids and compares only within its own cells —
+      // per-batch cost O(|batch|·√n + matching cells), never a corpus
+      // re-scan. Deterministic end-to-end (unlike the MinHash twin),
+      // so the whole incremental pipeline is oracle-checked.
+      (s, dir) => {
+        val gridded = T(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+        val b1 = gridded.filter(col("vec_id") % 2 === 0)
+        val b2 = gridded.filter(col("vec_id") % 2 === 1)
+        val k = graft.vec.VecAlgs.cellCount(b1.count())
+        val d2 = expr(
+          "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        // k lowest-id batch-1 members: batch 1 holds the EVEN ids, so
+        // the first k of them are exactly the evens below 2k
+        val cents = broadcast(b1.filter(col("vec_id") < 2 * k)
+          .select(col("vec_id").as("cid"), col("g").as("cg")))
+        def assign(df: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(cents)
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("best"),
+              first("g").as("g"))
+            .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
+        // BUILD once: batch-1 index partitioned by cell
+        val idxDir = graft.Tmp.dir("graft_incsem_idx")
+        assign(b1).write.mode("overwrite").partitionBy("cell")
+          .parquet(idxDir)
+        // batch 2: assign against the same broadcast centroids, probe
+        // ONLY its cells, exact cosine within the cell
+        val newAssigned = assign(b2)
+        val idx = s.read.parquet(idxDir)
+          .select(col("cell"), col("vec_id").as("old_id"),
+            col("g").as("og"))
+        val dups = newAssigned.join(idx, Seq("cell"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(g, og, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("n2n", expr(
+            "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("n2o", expr(
+            "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("cos", round(col("dot") /
+            sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
+            * 1e9) / 1e9)
+          .filter(col("cos") > 0.3)
+          .select(col("vec_id")).distinct()
+        newAssigned
+          .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+          .orderBy("cell")
+      },
+      Some(
+        "WITH g AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "b1 AS (SELECT * FROM g WHERE vec_id % 2 = 0), " +
+          "b2 AS (SELECT * FROM g WHERE vec_id % 2 = 1), " +
+          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+          "CAST((SELECT count(*) FROM b1) AS DOUBLE))) AS BIGINT))) " +
+          "AS k), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM b1 " +
+          "WHERE vec_id < 2 * (SELECT k FROM kk)), " +
+          "a1 AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(b1.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM b1), " +
+          "a2 AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(b2.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM b2), " +
+          "dups AS (SELECT DISTINCT a2.vec_id FROM a2 JOIN a1 " +
+          "ON a2.cell = a1.cell AND round(list_sum(list_transform(" +
+          "list_zip(a2.g, a1.g), p -> p[1] * p[2])) / sqrt(" +
+          "CAST(list_sum(list_transform(a2.g, x -> x * x)) AS DOUBLE) * " +
+          "CAST(list_sum(list_transform(a1.g, x -> x * x)) AS DOUBLE)) " +
+          "* 1e9) / 1e9 > 0.3) " +
+          "SELECT a2.cell, CAST(count(*) AS BIGINT) AS n_new, " +
+          "CAST(sum(CASE WHEN dups.vec_id IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_dup FROM a2 LEFT JOIN dups " +
+          "ON a2.vec_id = dups.vec_id GROUP BY a2.cell ORDER BY a2.cell")
+    ),
+    Q(
       "data_tokenizer_fertility",
       (s, dir) =>
         T(s, dir, "documents")

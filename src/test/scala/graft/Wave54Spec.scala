@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.{Wave54Ops, Wave56Ops}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-level IVF operators: the probe path must actually PRUNE the index
+  * scan to the probed coarse partitions, and both routing layers must be
+  * live at fixture scale (the reduced cap exists precisely for that).
+  */
+class Wave54Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def q(name: String) =
+    (Wave54Ops.queries ++ Wave56Ops.queries)
+      .find(_.name == name).get.fn(spark, TestSpark.Sf)
+
+  private lazy val nVecs =
+    T(spark, TestSpark.Sf, "embeddings").count()
+
+  test("vec_knn_probe_2level prunes the index scan and ranks top-5") {
+    val df = q("vec_knn_probe_2level")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no coarse-cell partition pruning in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 15) // 3 queries x top-5
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to 5L))
+      assert(rs.forall(r => math.abs(r.getDouble(2)) <= 1.0000001))
+    }
+  }
+
+  test("vec_semdedup_2level: both layers live, counts conserve") {
+    val rows = q("vec_semdedup_2level").collect()
+    assert(rows.map(_.getLong(2)).sum === nVecs) // n_vecs conserves
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "second routing layer never split a coarse cell — cap too high " +
+        "for the fixture, the two-level path is not being exercised")
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <=
+      r.getLong(2)))
+  }
+
+  test("vec_incremental_semdedup: batch-2 counts conserve") {
+    val rows = q("vec_incremental_semdedup").collect()
+    val nB2 = T(spark, TestSpark.Sf, "embeddings")
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(rows.map(_.getLong(1)).sum === nB2)
+    rows.foreach(r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+}
