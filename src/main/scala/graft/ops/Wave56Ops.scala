@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    integer arithmetic, not ntile), cumulative capture + lift per
   *    decile. The standard campaign-targeting readout; one sort-free
   *    rank window + one 10-row aggregate.
+  *  - `vec_incremental_semdedup`: snapshot-incremental SEMANTIC dedup —
+  *    batch 1 builds the cell index once, batch 2 probes only its own
+  *    cells against broadcast centroids; the embedding analog of
+  *    data_incremental_neardup, fully oracle-checked (deterministic).
   *  - `data_tokenizer_fertility`: per-language tokenizer economics —
   *    BPE-ish tokens per whitespace word (fertility) and bytes per
   *    token, the numbers that decide tokenizer/vocab choices for a
