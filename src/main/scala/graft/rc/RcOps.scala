@@ -174,6 +174,42 @@ object RcOps extends QueryModule {
       None
     ),
     Q(
+      "rc_model_roundtrip",
+      // Model persistence — the workflow boundary a production RC user
+      // crosses every day: FIT the ridge readout, SAVE it (weights +
+      // hyperparams as a one-row parquet; the reservoir matrices are
+      // regenerated from their seed, which is the right persistence
+      // story for deterministic seeded state), LOAD it back in a fresh
+      // Model, and SCORE the holdout with the LOADED model. Output is
+      // per-user MSE — byte-identical to rc_predict_mse's direct path
+      // (RcModelSpec pins the equality), which is the whole claim: a
+      // persisted model loses nothing. No oracle (sequential recurrence).
+      (s, dir) => {
+        import s.implicits._
+        val mats = Esn.matrices()
+        val rows = RcPipeline
+          .design(series(s, dir), mats, Esn.InputScale, horizon = 1)
+        val fitted = RcPipeline.fitDesigned(rows, mats, Lambda,
+          Esn.InputScale, horizon = 1, trainFrac = 0.8)
+        val store = graft.Tmp.dir("graft_rc_model")
+        s.createDataset(Seq((fitted.w.toSeq, fitted.inputScale,
+            fitted.horizon, fitted.trainFrac, 42L)))
+          .toDF("w", "input_scale", "horizon", "train_frac", "mats_seed")
+          .write.mode("overwrite").parquet(store)
+        val r = s.read.parquet(store).collect().head
+        val loaded = RcPipeline.Model(
+          Esn.matrices(seed = r.getAs[Long]("mats_seed")),
+          r.getAs[Seq[Double]]("w").toArray,
+          r.getAs[Double]("input_scale"), r.getAs[Int]("horizon"),
+          r.getAs[Double]("train_frac"))
+        RcPipeline.scoreDesigned(rows, loaded)
+          .map { case (uid, n, mse) => (uid, n, round6(mse)) }
+          .toDF("user_id", "n_test", "mse")
+          .orderBy("user_id")
+      },
+      None
+    ),
+    Q(
       "rc_stream_states_live",
       // The reference's DEFINING shape as a first-class live query: the
       // keyed ESN reservoir update running INSIDE a Structured Streaming
