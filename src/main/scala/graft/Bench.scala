@@ -33,10 +33,10 @@ object Bench {
     * mistake). Update when BASELINE.md records new floors.
     */
   private val cleanFloor = Map(
-    "agg_pricing_summary" -> 0.20, "q10_returned_items" -> 0.70,
-    "q11_value_concentration" -> 0.79, "q12_late_shipping" -> 0.83,
-    "win_rank_topn_per_group" -> 0.32, "multimodal_join" -> 0.26,
-    "obs_pipeline_metrics" -> 0.37, "text_dedup_minhash" -> 3.75,
+    "agg_pricing_summary" -> 0.20, "q10_returned_items" -> 0.65,
+    "q11_value_concentration" -> 0.61, "q12_late_shipping" -> 0.53,
+    "win_rank_topn_per_group" -> 0.30, "multimodal_join" -> 0.23,
+    "obs_pipeline_metrics" -> 0.35, "text_dedup_minhash" -> 3.17,
     "graph_triangle_count" -> 1.24, "graph_pagerank" -> 1.63,
     "graph_k_core" -> 1.00, "graph_label_propagation" -> 0.72,
     "graph_link_prediction" -> 0.37, "graph_shortest_path" -> 1.23,
