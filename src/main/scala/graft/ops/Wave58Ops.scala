@@ -5,7 +5,7 @@ import graft.Det._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-10 wave 58: corpus packing + traffic shape.
+/** Round-10 wave 58: corpus packing.
   *
   *  - `data_shard_manifest`: greedy sequential shard packing — per
   *    language, documents in doc_id order fill size-targeted shards
@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   *    100 TB this is one window over a per-lang sort — the same plan a
   *    date-partitioned writer uses — and the manifest is metadata-sized.
   *    Exact integer arithmetic end-to-end.
-  *  - `ts_burstiness`: per-event-type Fano factor (sample variance /
-  *    mean of hourly counts) — the dispersion index that separates
-  *    Poisson-ish traffic (F≈1) from bursty traffic (F>>1). All moments
-  *    are exact int64 sums; one double expression per type, rounded.
+  *
+  * (A `ts_burstiness` Fano-factor op was drafted here and dropped:
+  * `events_burstiness` (Wave7Ops) already reports the same dispersion
+  * statistic on the same hourly buckets.)
   */
 object Wave58Ops extends QueryModule {
 
@@ -57,38 +57,6 @@ object Wave58Ops extends QueryModule {
           "SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(bytes) AS BIGINT) AS bytes FROM sh " +
           "GROUP BY lang, shard ORDER BY lang, shard")
-    ),
-    Q(
-      "ts_burstiness",
-      (s, dir) => {
-        val hourly = T(s, dir, "events")
-          .groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("hr"))
-          .agg(count(lit(1)).as("x"))
-        hourly.groupBy("event_type")
-          .agg(count(lit(1)).as("k"), sum("x").as("s1"),
-            sum(col("x") * col("x")).as("s2"))
-          .filter(col("k") >= 2)
-          .select(col("event_type"), col("k").as("n_hours"),
-            dround(col("s1").cast("double") / col("k"), 6).as("mean"),
-            dround((col("k") * col("s2") - col("s1") * col("s1"))
-              .cast("double") /
-              (col("k") * (col("k") - 1)) /
-              (col("s1").cast("double") / col("k")), 6).as("fano"))
-          .orderBy("event_type")
-      },
-      Some(
-        "WITH h AS (SELECT event_type, date_trunc('hour', " +
-          "CAST(ts AS TIMESTAMP)) AS hr, CAST(count(*) AS BIGINT) AS x " +
-          "FROM events GROUP BY 1, 2), " +
-          "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k, " +
-          "CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) " +
-          "AS s2 FROM h GROUP BY 1 HAVING count(*) >= 2) " +
-          "SELECT event_type, k AS n_hours, " +
-          droundSql("CAST(s1 AS DOUBLE) / k", 6) + " AS mean, " +
-          droundSql("CAST(k * s2 - s1 * s1 AS DOUBLE) / " +
-            "(k * (k - 1)) / (CAST(s1 AS DOUBLE) / k)", 6) +
-          " AS fano FROM m ORDER BY event_type")
     )
   )
 }
