@@ -126,7 +126,11 @@ object Wave56Ops extends QueryModule {
       // decile gains: score = order value (the "model"), outcome =
       // urgent priority. rank DESC with key tie-break = total order;
       // decile = (rank-1)*10/n (integer arithmetic — ntile's remainder
-      // spreading differs between engines, this doesn't).
+      // spreading differs between engines, this doesn't). Distinct from
+      // stats_lift_table (Wave21: per-decile lift of a quality score vs
+      // dup-rate, percentile-cutpoint buckets): this is the CUMULATIVE
+      // gains curve on rank-exact deciles — the campaign-targeting
+      // readout, where the running capture fraction is the point.
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("okey"))
