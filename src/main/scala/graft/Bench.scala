@@ -45,7 +45,7 @@ object Bench {
     "vec_semdedup_2level" -> 0.84, "vec_knn_probe_2level" -> 1.96,
     "data_incremental_neardup" -> 1.36, "rc_readout_rls" -> 0.72,
     "rc_stream_rls_tws" -> 1.48, "vec_kmeans_mllib" -> 1.53,
-    "vec_rp_lsh_mllib" -> 0.78,
+    "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.41,
     "vec_neardup_cosine" -> 2.60, "agg_basket_lift" -> 2.06,
     "join_geo_radius" -> 2.28)
 
