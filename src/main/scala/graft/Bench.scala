@@ -37,7 +37,7 @@ object Bench {
     "q11_value_concentration" -> 0.61, "q12_late_shipping" -> 0.53,
     "win_rank_topn_per_group" -> 0.30, "multimodal_join" -> 0.23,
     "obs_pipeline_metrics" -> 0.35, "text_dedup_minhash" -> 3.17,
-    "graph_triangle_count" -> 1.24, "graph_pagerank" -> 1.63,
+    "graph_triangle_count" -> 0.78, "graph_pagerank" -> 1.63,
     "graph_k_core" -> 1.00, "graph_label_propagation" -> 0.72,
     "graph_link_prediction" -> 0.37, "graph_shortest_path" -> 1.23,
     "graph_connected_components" -> 2.01, "graph_assortativity" -> 0.44,
@@ -45,7 +45,7 @@ object Bench {
     "vec_semdedup_2level" -> 0.84, "vec_knn_probe_2level" -> 1.96,
     "data_incremental_neardup" -> 1.36, "rc_readout_rls" -> 0.72,
     "rc_stream_rls_tws" -> 1.48, "vec_kmeans_mllib" -> 1.53,
-    "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.41,
+    "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.29,
     "vec_neardup_cosine" -> 2.60, "agg_basket_lift" -> 2.06,
     "join_geo_radius" -> 2.28)
 
