@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Materialization: the first caller per (JVM, sfDir, edge set) pays the
   * basket-pair join ONCE and commits the edge list as parquet; every later
   * graph op probes the materialized file (a column-pruned scan of two
-  * int64 columns). The memo is a per-KEY `computeIfAbsent`, so a build for
-  * one (dir, name) never blocks an unrelated build. At 100 TB the same
+  * int64 columns). The memo stores a per-KEY future and runs the build
+  * outside the map, so a build for one (dir, name) never blocks an
+  * unrelated build (not even a hash-bin neighbor). At 100 TB the same
   * pattern is an edge table maintained as a real table (build job commits,
   * analytics probe): nobody recomputes the graph per query.
   *
@@ -38,21 +39,36 @@ import org.apache.spark.sql.functions._
   */
 object GraphBase {
 
-  // (sfDir, edge-set name) -> materialized parquet path. computeIfAbsent
-  // runs the build exactly once per key and serializes ONLY same-key
-  // callers — concurrent builds of different edge sets / dirs proceed
-  // in parallel.
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // (sfDir, edge-set name) -> future of the materialized parquet path.
+  // The map holds only cheap CompletableFutures, so no multi-second Spark
+  // build ever runs under the map's bin lock (ConcurrentHashMap's
+  // computeIfAbsent contract forbids long computations and would also
+  // serialize different keys that share a hash bin); the thread that WINS
+  // the putIfAbsent race runs the build outside any lock and completes
+  // the future, losers just await it. A failed build removes its future
+  // so a later caller can retry instead of caching the exception forever.
+  private val built = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[String]]()
 
   private def materialized(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent((dir, name), { _ =>
-      val p = Tmp.dir(s"graph_edges_$name") + s"/$name"
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val key = (dir, name)
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val fut = built.putIfAbsent(key, mine) match {
+      case null =>
+        try {
+          val p = Tmp.dir(s"graph_edges_$name") + s"/$name"
+          build.write.mode("overwrite").parquet(p)
+          mine.complete(p)
+        } catch {
+          case t: Throwable =>
+            built.remove(key, mine)
+            mine.completeExceptionally(t)
+        }
+        mine
+      case existing => existing
+    }
+    s.read.parquet(fut.join())
   }
 
   /** The co-purchase logical edge definition (the build job's plan). */

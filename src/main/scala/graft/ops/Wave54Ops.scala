@@ -342,14 +342,14 @@ object Wave54Ops extends QueryModule {
           val hits = IncNeardup.verify(
             IncNeardup.candidates(fd, buckets),
             fd, s.read.parquet(s"$idxDir/toksets"))
-          // absorb: the index stays current for the NEXT commit (O(batch))
-          IncNeardup.bucketRows(fd)
-            .write.mode("append").parquet(s"$idxDir/buckets")
-          fd.select(col("doc_id"), col("tokset"))
-            .write.mode("append").parquet(s"$idxDir/toksets")
           val flagged = hits.groupBy(col("new_id").as("doc_id"))
             .agg(count(lit(1)).as("n_matches"))
-          fd.select(col("doc_id"), col("lang"))
+          // materialize the aggregate BEFORE absorbing: the hits plan
+          // reads the same index dirs the absorb appends to, and relying
+          // on DataFrameReader's eager file-listing snapshot to exclude
+          // the appended delta rows is non-contractual — an eager
+          // localCheckpoint pins the pre-absorb result
+          val result = fd.select(col("doc_id"), col("lang"))
             .join(flagged, Seq("doc_id"), "left")
             .groupBy("lang")
             .agg(
@@ -358,6 +358,13 @@ object Wave54Ops extends QueryModule {
                 .as("n_neardup"),
               sum(coalesce(col("n_matches"), lit(0L))).as("n_pairs"))
             .orderBy("lang")
+            .localCheckpoint()
+          // absorb: the index stays current for the NEXT commit (O(batch))
+          IncNeardup.bucketRows(fd)
+            .write.mode("append").parquet(s"$idxDir/buckets")
+          fd.select(col("doc_id"), col("tokset"))
+            .write.mode("append").parquet(s"$idxDir/toksets")
+          result
         } finally fd.unpersist(blocking = false)
       },
       None

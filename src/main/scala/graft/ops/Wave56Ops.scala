@@ -309,5 +309,12 @@ object Wave56Ops extends QueryModule {
     )
   )
 
-  private def dround6(d: Double): Double = math.round(d * 1e6) / 1e6
+  /** Driver-side 1e-6 rounding, half AWAY FROM ZERO — the same convention
+    * as Det.dround / DuckDB's round (math.round is floor(x+0.5), which
+    * rounds negative halves toward +inf and would diverge from the oracle
+    * on an exact half-boundary of the typically-negative betas). */
+  private def dround6(d: Double): Double = {
+    val x = d * 1e6
+    (if (x < 0) -math.floor(-x + 0.5) else math.floor(x + 0.5)) / 1e6
+  }
 }

@@ -16,7 +16,9 @@ class StreamNeardupSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Driver-side replay: all (a<b) pairs sharing >= 1 LSH band bucket
-    * with exact token-set Jaccard >= 0.8. */
+    * with exact token-set Jaccard >= 0.8 — compared at the SAME 1e-6
+    * rounding the stream applies (jac6), so a pair landing in
+    * [0.7999995, 0.8) is accepted by both sides, never just one. */
   private def replay(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
     val feats = docs.map { case (id, t) =>
       val dist = t.split(" ").toSeq.distinct
@@ -26,7 +28,7 @@ class StreamNeardupSpec extends AnyFunSuite {
     (for {
       a <- feats; b <- feats
       if a._1 < b._1 && (a._2 intersect b._2).nonEmpty
-      if TextAlgs.jaccard(a._3, b._3) >= 0.8 - 1e-9
+      if math.round(TextAlgs.jaccard(a._3, b._3) * 1e6) / 1e6 >= 0.8
     } yield (a._1, b._1)).toSet
   }
 
