@@ -46,6 +46,12 @@ object T {
             .cast("timestamp_ntz"))
       }
     } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact row count of a fixture table from parquet footers only —
+    * zero Spark jobs (see [[graft.sources.ParquetMeta]]). The sizing
+    * input for the IVF/ANN cell splits. */
+  def rows(s: SparkSession, dir: String, name: String): Long =
+    graft.sources.ParquetMeta.rowCount(s, s"$dir/$name.parquet")
 }
 
 /** Per-JVM scratch space for the side-effecting source/sink operators.

@@ -303,8 +303,9 @@ object VectorOps extends QueryModule {
         val emb = T(s, dir, "embeddings")
         // ⌈√n⌉ seed centroids (VecAlgs.cellCount): per-cell population
         // stays ~√n as the index grows — the IVF sizing rule — and the
-        // centroid table stays broadcast-small (capped 65536)
-        val k = graft.vec.VecAlgs.cellCount(emb.count())
+        // centroid table stays broadcast-small (capped 65536); n comes
+        // from the parquet footers (T.rows), zero Spark jobs
+        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
         // hint at the join site only: cents is also collect()ed below for
         // the driver-side probe ranking, and a broadcast hint on that
         // non-join plan is dead (HintErrorLogger warns on it)

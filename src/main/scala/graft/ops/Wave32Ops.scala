@@ -32,9 +32,9 @@ object Wave32Ops extends QueryModule {
               "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
         // ⌈√n⌉ centroids (VecAlgs.cellCount): per-cell population stays
         // ~√n as the table grows, so the within-cell pairwise stage is
-        // n·√n work, never n² — the count() is one metadata-cheap
-        // aggregate, paid once per build
-        val k = graft.vec.VecAlgs.cellCount(gridded.count())
+        // n·√n work, never n² — n comes from the parquet footers
+        // (T.rows), so sizing schedules zero Spark jobs
+        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
         val cents = broadcast(gridded.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("g").as("cg")))
         // nearest centroid on exact integer L2; ties → lowest cid

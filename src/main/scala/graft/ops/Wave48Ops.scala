@@ -39,7 +39,8 @@ object Wave48Ops extends QueryModule {
           .select(col("vec_id"), col("label"), expr(
             "transform(embedding, x -> " +
               "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-        val k = graft.vec.VecAlgs.cellCount(gridded.count())
+        // sized from parquet footers (T.rows): zero Spark jobs
+        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
         val cents = broadcast(gridded.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("g").as("cg")))
         val assigned = gridded.crossJoin(cents)

@@ -42,7 +42,8 @@ object Wave54Ops extends QueryModule {
             "transform(embedding, x -> " +
               "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
         val (coarse, sub) =
-          graft.vec.VecAlgs.cellSplit(gridded.count(), cap = DemoCap)
+          graft.vec.VecAlgs.cellSplit(T.rows(s, dir, "embeddings"),
+            cap = DemoCap)
         val d2 = (a: String, b: String) => expr(
           s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
@@ -162,7 +163,8 @@ object Wave54Ops extends QueryModule {
             "transform(embedding, x -> " +
               "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
         val (coarse, sub) =
-          graft.vec.VecAlgs.cellSplit(gridded.count(), cap = DemoCap)
+          graft.vec.VecAlgs.cellSplit(T.rows(s, dir, "embeddings"),
+            cap = DemoCap)
         val d2 = (a: String, b: String) => expr(
           s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)")

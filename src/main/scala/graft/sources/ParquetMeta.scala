@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Footer-only parquet statistics.
+  *
+  * `rowCount` answers "how many rows does this table hold" from the
+  * parquet footers alone — ZERO Spark jobs, no task scheduling, no data
+  * pages read (each footer read is a few KB of metadata I/O). The ANN /
+  * semantic-dedup operators use it to size their IVF cell split
+  * (`VecAlgs.cellSplit`): sizing is one scalar the storage layer already
+  * knows, and paying a full `count()` scan for it would put an extra
+  * pass over the corpus in front of every index build — at 100 TB, a
+  * full cluster job per query for one number. ParquetMetaSpec pins both
+  * properties: the count equals `df.count()` and the call schedules no
+  * Spark job.
+  *
+  * Scope: exact for plain parquet files/directories (the fixture layout
+  * and any parquet table without deletion vectors). Snapshot tables
+  * route through their own manifest statistics instead (SnapTable
+  * manifests carry exact per-file row counts).
+  */
+object ParquetMeta {
+
+  /** Exact row count of a parquet file or directory (recursive over
+    * partitioned layouts), summed from footer block metadata. */
+  def rowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (fs.getFileStatus(root).isDirectory) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        // skip _SUCCESS / .crc / hidden metadata the committers leave
+        if (f.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")) files += f.getPath
+      }
+    } else files += root
+    var total = 0L
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try total += r.getRecordCount
+      finally r.close()
+    }
+    total
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.ParquetMeta
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two properties the ANN sizing path relies on
+  * (VERDICT-r10 #3): ParquetMeta.rowCount equals the scan-based count,
+  * and computing it schedules ZERO Spark jobs — the op's first job is
+  * the pipeline itself, never a sizing pass.
+  */
+class ParquetMetaSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("footer rowCount equals df.count() on single-file fixtures") {
+    for (t <- Seq("embeddings", "documents", "nation")) {
+      val expect = spark.read.parquet(s"${TestSpark.Sf}/$t.parquet").count()
+      assert(ParquetMeta.rowCount(spark, s"${TestSpark.Sf}/$t.parquet")
+        === expect, t)
+      assert(T.rows(spark, TestSpark.Sf, t) === expect, t)
+    }
+  }
+
+  test("footer rowCount sums a partitioned multi-file directory") {
+    val dir = Tmp.dir("pqmeta_part")
+    spark.range(0, 1000)
+      .selectExpr("id", "id % 7 AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    assert(ParquetMeta.rowCount(spark, dir) === 1000L)
+  }
+
+  test("rowCount schedules zero Spark jobs") {
+    val group = "pqmeta-zero-jobs"
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        // group-scope the count: late-arriving bus events from earlier
+        // suites/tests must not leak into this assertion
+        if (j.properties != null &&
+          group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.add(j.jobId)
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "zero-jobs pin")
+    try {
+      ParquetMeta.rowCount(spark, s"${TestSpark.Sf}/embeddings.parquet")
+      // sentinel action (a bare RDD count = exactly ONE job; an AQE
+      // DataFrame action can run several): the listener bus is FIFO, so
+      // once the sentinel's job arrives, any job rowCount had scheduled
+      // would already be here
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(jobs.size === 1,
+        s"expected only the sentinel job, saw ${jobs.size}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+}
