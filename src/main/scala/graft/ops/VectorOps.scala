@@ -60,6 +60,133 @@ object VectorOps extends QueryModule {
         "/ (a.nrm*b.nrm)", 6) +
       " AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) "
 
+  /** vec_knn_probe body, cap-parameterized so CellSplitSpec can force
+    * the two-level IVF path at fixture scale (VERDICT-r10 #1). Below the
+    * cap boundary (`sub == 1` from VecAlgs.cellSplit) this is EXACTLY
+    * the proven single-level build+probe plan; past it the index gains a
+    * per-coarse-cell sub-cell layer (float-space twin of the integer-
+    * grid IvfRouting machinery): sub-centroids are each cell's `sub`
+    * lowest-id members, kept DISTRIBUTED and probed by a join on the
+    * coarse cell id — never a second broadcast — and the probe ranks
+    * nsub=2 sub-cells per probed coarse cell before the exact rerank.
+    */
+  private[graft] def knnProbeBody(s: SparkSession, dir: String,
+      cap: Long = VecAlgs.BroadcastCellCap): DataFrame = {
+    import s.implicits._
+    VecExprs.register(s)
+    val emb = T(s, dir, "embeddings")
+    // cellSplit sizing: per-cell population stays ~√n as the index
+    // grows — the IVF sizing rule — and the centroid table stays
+    // broadcast-small (capped); n comes from the parquet footers
+    // (T.rows), zero Spark jobs
+    val (k, sub) = VecAlgs.cellSplit(T.rows(s, dir, "embeddings"), cap)
+    // hint at the join site only: cents is also collect()ed below for
+    // the driver-side probe ranking, and a broadcast hint on that
+    // non-join plan is dead (HintErrorLogger warns on it)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // BUILD, layer 1: nearest-centroid assignment by fvl2, ties lowest
+    val idxDir = graft.Tmp.dir("graft_ivf_idx")
+    val coarseAssigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", expr("fvl2(embedding, ce)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
+        // every row in the group carries the identical embedding
+        first("embedding").as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.c").as("cid"))
+    // PROBE prelude: nprobe=2 nearest coarse cells per query, selected
+    // on the driver with the same left-to-right double accumulation
+    // (VecAlgs.l2sq) as fvl2/the oracle
+    val qids = Seq(5L, 17L, 42L)
+    val centArr = cents.collect()
+      .map(r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val probes = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => VecAlgs.dot(v, v) > 0 }
+      .flatMap { case (qid, qv) =>
+        val qnrm = math.sqrt(VecAlgs.dot(qv, qv))
+        centArr.map { case (cid, cv) => (VecAlgs.l2sq(qv, cv), cid) }
+          .sorted.take(2)
+          .map { case (_, cid) =>
+            (qid, cid, qv.map(_.toFloat).toSeq, qnrm) }
+      }.toSeq
+    val probeDf = broadcast(
+      probes.toDF("q_id", "cid", "qe", "qnrm"))
+    val probedCids = probes.map(_._2).distinct.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    if (sub <= 1L) {
+      // single-level: index = (vec_id, embedding, nrm) partitioned by cid
+      coarseAssigned
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("fvdot(embedding, embedding)")).as("nrm"),
+          col("cid"))
+        .filter(col("nrm") > 0)
+        .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+        .filter(col("cid").isin(probedCids: _*))
+      idx.join(probeDf, Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dround(dotExpr("embedding", "qe") /
+            (col("nrm") * col("qnrm")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "vec_id", "sim")
+        .orderBy("q_id", "rnk")
+    } else {
+      // BUILD, layer 2: each coarse cell's `sub` lowest-id members are
+      // its sub-centroids — a DISTRIBUTED table joined on the coarse
+      // cell id (coarse·sub rows, grows with n: never broadcast)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("cid").orderBy("vec_id")
+      val subCents = coarseAssigned
+        .withColumn("scid", row_number().over(wc).cast("long"))
+        .filter(col("scid") <= sub)
+        .select(col("cid"), col("scid"), col("embedding").as("se"))
+      coarseAssigned.join(subCents, Seq("cid"))
+        .withColumn("sd2", expr("fvl2(embedding, se)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("sd2").as("d"), col("scid").as("c"))).as("m2"),
+          first("cid").as("cid"), first("embedding").as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("fvdot(embedding, embedding)")).as("nrm"),
+          col("cid"), col("m2.c").as("scell"))
+        .filter(col("nrm") > 0)
+        .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+      // PROBE: sub-cell ranking stays DISTRIBUTED — nsub=2 per probed
+      // coarse cell, ties to lowest scid
+      val wsub = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id", "cid").orderBy(col("sd2"), col("scid"))
+      val subPicks = probeDf
+        .join(subCents.filter(col("cid").isin(probedCids: _*)),
+          Seq("cid"))
+        .withColumn("sd2", expr("fvl2(qe, se)"))
+        .withColumn("srk", row_number().over(wsub))
+        .filter(col("srk") <= 2)
+        .select(col("q_id"), col("cid"), col("scid"), col("qe"),
+          col("qnrm"))
+      val idx = s.read.parquet(idxDir)
+        .filter(col("cid").isin(probedCids: _*))
+      idx.join(subPicks,
+          idx("cid") === subPicks("cid") &&
+            idx("scell") === subPicks("scid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dround(dotExpr("embedding", "qe") /
+            (col("nrm") * col("qnrm")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "vec_id", "sim")
+        .orderBy("q_id", "rnk")
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "vec_knn_cosine",
@@ -297,71 +424,7 @@ object VectorOps extends QueryModule {
       // whole pipeline is deterministic (seed centroids = vectors 0..3),
       // so it is fully ORACLE-checked: DuckDB replays build + probe +
       // re-rank end-to-end.
-      (s, dir) => {
-        import s.implicits._
-        VecExprs.register(s)
-        val emb = T(s, dir, "embeddings")
-        // ⌈√n⌉ seed centroids (VecAlgs.cellCount): per-cell population
-        // stays ~√n as the index grows — the IVF sizing rule — and the
-        // centroid table stays broadcast-small (capped 65536); n comes
-        // from the parquet footers (T.rows), zero Spark jobs
-        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
-        // hint at the join site only: cents is also collect()ed below for
-        // the driver-side probe ranking, and a broadcast hint on that
-        // non-join plan is dead (HintErrorLogger warns on it)
-        val cents = emb.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        // BUILD: nearest-centroid assignment → parquet partitioned by cid
-        val idxDir = graft.Tmp.dir("graft_ivf_idx")
-        emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .withColumn("d2", expr("fvl2(embedding, ce)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2").as("d"), col("cid").as("c"))).as("m"),
-            // every row in the group carries the identical embedding
-            first("embedding").as("embedding"))
-          .select(col("vec_id"), col("embedding"),
-            sqrt(expr("fvdot(embedding, embedding)")).as("nrm"),
-            col("m.c").as("cid"))
-          .filter(col("nrm") > 0)
-          .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
-        // PROBE: nprobe=2 nearest cells per query, selected on the driver
-        // with the same left-to-right double accumulation (VecAlgs.l2sq)
-        // as fvl2/the oracle
-        val qids = Seq(5L, 17L, 42L)
-        val centArr = cents.collect()
-          .map(r =>
-            (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-          .sortBy(_._1)
-        val probes = emb.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r =>
-            (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-          .filter { case (_, v) => VecAlgs.dot(v, v) > 0 }
-          .flatMap { case (qid, qv) =>
-            val qnrm = math.sqrt(VecAlgs.dot(qv, qv))
-            centArr.map { case (cid, cv) => (VecAlgs.l2sq(qv, cv), cid) }
-              .sorted.take(2)
-              .map { case (_, cid) =>
-                (qid, cid, qv.map(_.toFloat).toSeq, qnrm) }
-          }.toSeq
-        val probeDf = broadcast(
-          probes.toDF("q_id", "cid", "qe", "qnrm"))
-        val probedCids = probes.map(_._2).distinct.sorted
-        val idx = s.read.parquet(idxDir)
-          .filter(col("cid").isin(probedCids: _*))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-        idx.join(probeDf, Seq("cid"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            dround(dotExpr("embedding", "qe") /
-              (col("nrm") * col("qnrm")), 6).as("sim"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "rnk", "vec_id", "sim")
-          .orderBy("q_id", "rnk")
-      },
+      (s, dir) => knnProbeBody(s, dir),
       Some(
         "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings " +
           "WHERE vec_id < LEAST(65536, GREATEST(1, " +

@@ -22,55 +22,63 @@ import org.apache.spark.sql.functions._
   */
 object Wave32Ops extends QueryModule {
 
+  /** The op body, cap-parameterized so CellSplitSpec can force the
+    * two-level path at fixture scale (VERDICT-r10 #1). At the default
+    * cap the fixture sizes give `sub == 1` and IvfRouting.assignFine
+    * short-circuits to the proven single-level plan. */
+  private[graft] def semdedupBody(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cap: Long = graft.vec.VecAlgs.BroadcastCellCap)
+      : org.apache.spark.sql.DataFrame = {
+    val gridded = T(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+    // cellSplit sizing (⌈√n⌉ total cells, coarse layer capped): per-
+    // fine-cell population stays ~√n as the table grows, so the within-
+    // cell pairwise stage is n·√n work, never n² — n comes from the
+    // parquet footers (T.rows), so sizing schedules zero Spark jobs
+    val (k, sub) =
+      graft.vec.VecAlgs.cellSplit(T.rows(s, dir, "embeddings"), cap)
+    val cents = gridded.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("g").as("cg"))
+    // nearest (coarse, sub) cell on exact integer L2; ties → lowest id.
+    // The second routing layer engages exactly when the coarse layer
+    // saturates (sub > 1, n past ~cap²) — below that this IS the
+    // single-level plan (scell is a constant-folded literal)
+    val cells = graft.vec.IvfRouting.assignFine(gridded, cents, sub)
+    // within-FINE-cell pairwise: u < v, cosine on the integer grid
+    val dropped = cells.as("u")
+      .join(cells.as("v"), col("u.cell") === col("v.cell") &&
+        col("u.scell") === col("v.scell") &&
+        col("u.vec_id") < col("v.vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(u.g, v.g, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("n2u", expr(
+        "aggregate(u.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("n2v", expr(
+        "aggregate(v.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("cos", round(col("dot") /
+        sqrt(col("n2u").cast("double") * col("n2v").cast("double"))
+        * 1e9) / 1e9)
+      .filter(col("cos") > 0.3)
+      .select(col("v.cell").as("cell"), col("v.scell").as("scell"),
+        col("v.vec_id").as("vec_id"))
+      .distinct()
+    cells.join(dropped.withColumn("drop", lit(1L)),
+        Seq("cell", "scell", "vec_id"), "left")
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("drop"), lit(0L))).as("n_dropped"))
+      .orderBy("cell")
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "vec_semdedup",
-      (s, dir) => {
-        val gridded = T(s, dir, "embeddings")
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> " +
-              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-        // ⌈√n⌉ centroids (VecAlgs.cellCount): per-cell population stays
-        // ~√n as the table grows, so the within-cell pairwise stage is
-        // n·√n work, never n² — n comes from the parquet footers
-        // (T.rows), so sizing schedules zero Spark jobs
-        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
-        val cents = broadcast(gridded.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("g").as("cg")))
-        // nearest centroid on exact integer L2; ties → lowest cid
-        val cells = gridded.crossJoin(cents)
-          .withColumn("d2", expr(
-            "aggregate(zip_with(g, cg, (a, b) -> (a - b) * (a - b)), " +
-              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-            first("g").as("g"))
-          .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
-        // within-cell pairwise: u < v, cosine on the integer grid
-        val dropped = cells.as("u")
-          .join(cells.as("v"), col("u.cell") === col("v.cell") &&
-            col("u.vec_id") < col("v.vec_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(u.g, v.g, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("n2u", expr(
-            "aggregate(u.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("n2v", expr(
-            "aggregate(v.g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("cos", round(col("dot") /
-            sqrt(col("n2u").cast("double") * col("n2v").cast("double"))
-            * 1e9) / 1e9)
-          .filter(col("cos") > 0.3)
-          .select(col("v.cell").as("cell"), col("v.vec_id").as("vec_id"))
-          .distinct()
-        cells.join(dropped.withColumn("drop", lit(1L)),
-            Seq("cell", "vec_id"), "left")
-          .groupBy("cell")
-          .agg(
-            count(lit(1)).as("n_vecs"),
-            sum(coalesce(col("drop"), lit(0L))).as("n_dropped"))
-          .orderBy("cell")
-      },
+      (s, dir) => semdedupBody(s, dir),
       Some(
         "WITH g AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +

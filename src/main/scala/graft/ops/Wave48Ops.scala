@@ -31,41 +31,46 @@ import org.apache.spark.sql.functions._
   */
 object Wave48Ops extends QueryModule {
 
+  /** vec_cluster_purity body, cap-parameterized so CellSplitSpec can
+    * force the two-level routing path (VERDICT-r10 #1); at the default
+    * cap fixture sizes give `sub == 1` and the cluster key (cell,
+    * scell=1) is exactly the proven single-level clustering. */
+  private[graft] def purityBody(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cap: Long = graft.vec.VecAlgs.BroadcastCellCap)
+      : org.apache.spark.sql.DataFrame = {
+    val gridded = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+    // sized from parquet footers (T.rows): zero Spark jobs
+    val (k, sub) =
+      graft.vec.VecAlgs.cellSplit(T.rows(s, dir, "embeddings"), cap)
+    val cents = gridded.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("g").as("cg"))
+    val assigned = graft.vec.IvfRouting
+      .assignFine(gridded, cents, sub, carry = Seq("label"))
+      .select(col("cell"), col("scell"), col("label"))
+    val byCell = assigned.groupBy("cell", "scell", "label")
+      .agg(count(lit(1)).as("n"))
+    val cellTop = byCell.groupBy("cell", "scell")
+      .agg(max("n").as("top"), sum("n").as("cn"))
+    cellTop.agg(
+        count(lit(1)).as("n_clusters"),
+        sum("cn").as("n_points"),
+        sum("top").as("majority_sum"),
+        sum((col("cn") === 1).cast("long")).as("n_singletons"))
+      .select(col("n_clusters"), col("n_points"),
+        dround(col("majority_sum").cast("double") / col("n_points"),
+          6).as("purity"),
+        dround(col("n_singletons").cast("double") /
+          col("n_clusters"), 6).as("singleton_frac"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "vec_cluster_purity",
-      (s, dir) => {
-        val gridded = T(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), expr(
-            "transform(embedding, x -> " +
-              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-        // sized from parquet footers (T.rows): zero Spark jobs
-        val k = graft.vec.VecAlgs.cellCount(T.rows(s, dir, "embeddings"))
-        val cents = broadcast(gridded.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("g").as("cg")))
-        val assigned = gridded.crossJoin(cents)
-          .withColumn("d2", expr(
-            "aggregate(zip_with(g, cg, (a, b) -> (a - b) * (a - b)), " +
-              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-            first("label").as("label"))
-          .select(col("best.cid").as("cid"), col("label"))
-        val byCell = assigned.groupBy("cid", "label")
-          .agg(count(lit(1)).as("n"))
-        val cellTop = byCell.groupBy("cid")
-          .agg(max("n").as("top"), sum("n").as("cn"))
-        cellTop.agg(
-            count(lit(1)).as("n_clusters"),
-            sum("cn").as("n_points"),
-            sum("top").as("majority_sum"),
-            sum((col("cn") === 1).cast("long")).as("n_singletons"))
-          .select(col("n_clusters"), col("n_points"),
-            dround(col("majority_sum").cast("double") / col("n_points"),
-              6).as("purity"),
-            dround(col("n_singletons").cast("double") /
-              col("n_clusters"), 6).as("singleton_frac"))
-      },
+      (s, dir) => purityBody(s, dir),
       Some(
         "WITH gr AS (SELECT vec_id, label, " +
           "list_transform(embedding, x -> " +

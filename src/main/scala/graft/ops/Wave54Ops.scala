@@ -44,33 +44,12 @@ object Wave54Ops extends QueryModule {
         val (coarse, sub) =
           graft.vec.VecAlgs.cellSplit(T.rows(s, dir, "embeddings"),
             cap = DemoCap)
-        val d2 = (a: String, b: String) => expr(
-          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-        // layer 1: nearest of `coarse` broadcast centroids, ties → lowest
-        val cents = broadcast(gridded.filter(col("vec_id") < coarse)
-          .select(col("vec_id").as("cid"), col("g").as("cg")))
-        val assigned = gridded.crossJoin(cents)
-          .withColumn("d2", d2("g", "cg"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-            first("g").as("g"))
-          .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
-        // layer 2: `sub` sub-centroids PER COARSE CELL (the cell's lowest
-        // vec_ids), probed by join on the coarse cell id — a partitioned
-        // centroid table, never a second broadcast
-        val w = Window.partitionBy("cell").orderBy("vec_id")
-        val subCents = assigned
-          .withColumn("scid", row_number().over(w).cast("long"))
-          .filter(col("scid") <= sub)
-          .select(col("cell"), col("scid"), col("g").as("sg"))
-        val fine = assigned.join(subCents, Seq("cell"))
-          .withColumn("d2", d2("g", "sg"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("scid"))).as("best"),
-            first("cell").as("cell"), first("g").as("g"))
-          .select(col("vec_id"), col("cell"),
-            col("best.scid").as("scell"), col("g"))
+        // both routing layers via the SHARED machinery (IvfRouting) the
+        // production ops now engage conditionally — this op pins it
+        // against the DuckDB oracle with both layers live (cap=4)
+        val cents = gridded.filter(col("vec_id") < coarse)
+          .select(col("vec_id").as("cid"), col("g").as("cg"))
+        val fine = graft.vec.IvfRouting.assignFine(gridded, cents, sub)
         // dedup within the FINE (cell, scell) cells: u < v, cosine on the
         // integer grid, rounded 1e-9 before the threshold compare
         val dropped = fine.as("u")
@@ -172,28 +151,16 @@ object Wave54Ops extends QueryModule {
           s"aggregate($a, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
         val cents = gridded.filter(col("vec_id") < coarse)
           .select(col("vec_id").as("cid"), col("g").as("cg"))
-        val assigned = gridded.crossJoin(broadcast(cents))
-          .withColumn("d2", d2("g", "cg"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-            first("g").as("g"))
-          .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cell").orderBy("vec_id")
-        val subCents = assigned
-          .withColumn("scid", row_number().over(w).cast("long"))
-          .filter(col("scid") <= sub)
-          .select(col("cell"), col("scid"), col("g").as("sg"))
+        // both routing layers via the SHARED IvfRouting machinery (the
+        // same plans the production ops engage conditionally)
+        val assigned = graft.vec.IvfRouting.assignCoarse(gridded, cents)
+        val subCents = graft.vec.IvfRouting.subCentroids(assigned, sub)
         // BUILD: fine assignment -> parquet partitioned by coarse cell
         // (zero-norm vectors excluded: cosine is undefined on them)
         val idxDir = graft.Tmp.dir("graft_ivf2_idx")
-        assigned.join(subCents, Seq("cell"))
-          .withColumn("d2", d2("g", "sg"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("scid"))).as("best"),
-            first("cell").as("cell"), first("g").as("g"))
-          .select(col("vec_id"), col("cell"),
-            col("best.scid").as("scell"), col("g"), n2("g").as("nn"))
+        graft.vec.IvfRouting.assignSub(assigned, subCents)
+          .select(col("vec_id"), col("cell"), col("scell"), col("g"),
+            n2("g").as("nn"))
           .filter(col("nn") > 0)
           .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
         // PROBE: coarse ranking on the DRIVER over <= cap centroids

@@ -193,58 +193,7 @@ object Wave56Ops extends QueryModule {
       // per-batch cost O(|batch|·√n + matching cells), never a corpus
       // re-scan. Deterministic end-to-end (unlike the MinHash twin),
       // so the whole incremental pipeline is oracle-checked.
-      (s, dir) => {
-        val gridded = T(s, dir, "embeddings")
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> " +
-              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-        val b1 = gridded.filter(col("vec_id") % 2 === 0)
-        val b2 = gridded.filter(col("vec_id") % 2 === 1)
-        val k = graft.vec.VecAlgs.cellCount(b1.count())
-        val d2 = expr(
-          "aggregate(zip_with(g, cg, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-        // k lowest-id batch-1 members: batch 1 holds the EVEN ids, so
-        // the first k of them are exactly the evens below 2k
-        val cents = broadcast(b1.filter(col("vec_id") < 2 * k)
-          .select(col("vec_id").as("cid"), col("g").as("cg")))
-        def assign(df: org.apache.spark.sql.DataFrame) =
-          df.crossJoin(cents)
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(min(struct(col("d2"), col("cid"))).as("best"),
-              first("g").as("g"))
-            .select(col("vec_id"), col("best.cid").as("cell"), col("g"))
-        // BUILD once: batch-1 index partitioned by cell
-        val idxDir = graft.Tmp.dir("graft_incsem_idx")
-        assign(b1).write.mode("overwrite").partitionBy("cell")
-          .parquet(idxDir)
-        // batch 2: assign against the same broadcast centroids, probe
-        // ONLY its cells, exact cosine within the cell
-        val newAssigned = assign(b2)
-        val idx = s.read.parquet(idxDir)
-          .select(col("cell"), col("vec_id").as("old_id"),
-            col("g").as("og"))
-        val dups = newAssigned.join(idx, Seq("cell"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(g, og, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("n2n", expr(
-            "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("n2o", expr(
-            "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("cos", round(col("dot") /
-            sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
-            * 1e9) / 1e9)
-          .filter(col("cos") > 0.3)
-          .select(col("vec_id")).distinct()
-        newAssigned
-          .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-          .groupBy("cell")
-          .agg(count(lit(1)).as("n_new"),
-            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
-          .orderBy("cell")
-      },
+      (s, dir) => incSemdedupBody(s, dir),
       Some(
         "WITH g AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
@@ -308,6 +257,73 @@ object Wave56Ops extends QueryModule {
           " AS bytes_per_token FROM t GROUP BY lang ORDER BY lang")
     )
   )
+
+  /** vec_incremental_semdedup body, cap-parameterized so CellSplitSpec
+    * can force the two-level routing path (VERDICT-r10 #1). The probe
+    * batch routes against the SAME sub-centroids the index was built
+    * with (IvfRouting.assignSub with batch-1 subCentroids) — an
+    * incremental batch must never derive its own routing geometry. At
+    * the default cap fixture sizes give `sub == 1` and both batches
+    * stay on the proven single-level plan. */
+  private[graft] def incSemdedupBody(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      cap: Long = graft.vec.VecAlgs.BroadcastCellCap)
+      : org.apache.spark.sql.DataFrame = {
+    val gridded = T(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+    val b1 = gridded.filter(col("vec_id") % 2 === 0)
+    val b2 = gridded.filter(col("vec_id") % 2 === 1)
+    // the index batch is a filtered slice, so its size is a real (cheap,
+    // column-pruned) count — footer stats only know the full table
+    val (k, sub) = graft.vec.VecAlgs.cellSplit(b1.count(), cap)
+    // k lowest-id batch-1 members: batch 1 holds the EVEN ids, so
+    // the first k of them are exactly the evens below 2k
+    val cents = b1.filter(col("vec_id") < 2 * k)
+      .select(col("vec_id").as("cid"), col("g").as("cg"))
+    val c1 = graft.vec.IvfRouting.assignCoarse(b1, cents)
+    val c2 = graft.vec.IvfRouting.assignCoarse(b2, cents)
+    val cols = Seq(col("vec_id"), col("cell"), col("scell"), col("g"))
+    val (f1, f2) =
+      if (sub <= 1L)
+        (c1.withColumn("scell", lit(1L)).select(cols: _*),
+          c2.withColumn("scell", lit(1L)).select(cols: _*))
+      else {
+        val subCents = graft.vec.IvfRouting.subCentroids(c1, sub)
+        (graft.vec.IvfRouting.assignSub(c1, subCents),
+          graft.vec.IvfRouting.assignSub(c2, subCents))
+      }
+    // BUILD once: batch-1 index partitioned by coarse cell
+    val idxDir = graft.Tmp.dir("graft_incsem_idx")
+    f1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // batch 2: assign against the same broadcast centroids (and, when
+    // the second layer is engaged, the same sub-centroids), probe ONLY
+    // its own fine cells, exact cosine within the cell
+    val newAssigned = f2
+    val idx = s.read.parquet(idxDir)
+      .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
+        col("g").as("og"))
+    val dups = newAssigned.join(idx, Seq("cell", "scell"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(g, og, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("n2n", expr(
+        "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("n2o", expr(
+        "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("cos", round(col("dot") /
+        sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
+        * 1e9) / 1e9)
+      .filter(col("cos") > 0.3)
+      .select(col("vec_id")).distinct()
+    newAssigned
+      .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .orderBy("cell")
+  }
 
   /** Driver-side 1e-6 rounding, half AWAY FROM ZERO — the same convention
     * as Det.dround / DuckDB's round (math.round is floor(x+0.5), which

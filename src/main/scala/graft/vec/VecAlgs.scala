@@ -33,10 +33,13 @@ object VecAlgs {
     * driver-side broadcast stays bounded. `vec_semdedup_2level`
     * (ops/Wave54Ops.scala) is the oracle-checked operator form, run with
     * a reduced cap so both layers are exercised at fixture scale;
-    * CellSplitSpec pins the sizing law across the real cap boundary.
-    * The single-level ops (vec_semdedup, vec_knn_probe, vec_kmeans_step)
-    * call `cellCount` — the sub=1 degenerate of this split, which is the
-    * right plan anywhere below the cap boundary.
+    * CellSplitSpec pins the sizing law across the real cap boundary AND
+    * the engaged two-level path of each production op on a forced small
+    * cap. The production ops (vec_semdedup, vec_knn_probe,
+    * vec_cluster_purity, vec_incremental_semdedup) call this split and
+    * route through [[IvfRouting]]: the second layer engages exactly when
+    * `sub > 1`, and below the boundary they stay on the proven
+    * single-level plan (no window, no second join — also pinned).
     */
   def cellSplit(n: Long, cap: Long = BroadcastCellCap): (Long, Long) = {
     val want = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
