@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import graft.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 59: lexical retrieval SERVING and variable-length
+  * exact-substring dedup — the two text gaps VERDICT-r10 ranked highest
+  * (#4/#5 of "next round").
+  *
+  *  - `text_bm25_topk` is the query→documents serving path on top of
+  *    text_bm25's corpus statistics (the lexical sibling of
+  *    vec_knn_query): a BATCH of queries (broadcast — the query set is
+  *    the small side by construction) scored with Okapi BM25 (k1=1.2,
+  *    b=0.75) against the corpus DF/IDF stats, top-k per query by
+  *    (score, doc_id) — a total order. Only postings of query terms
+  *    ever shuffle (the term filter runs before the tf aggregation);
+  *    df and the corpus stats broadcast; the per-query top-k window
+  *    partitions by q_id over only the scored candidates. At 100 TB
+  *    the DF/IDF table is built once (text_tfidf's machinery) and each
+  *    query batch touches only its postings — the inverted-index scan
+  *    shape without materializing an index.
+  *  - `text_dup_runs` is variable-length exact-substring duplicate
+  *    detection (the published training-data dedup modality next to
+  *    text_dup_spans' fixed 8-token coverage): maximal cross-document
+  *    runs of consecutive duplicated 8-token shingles, coalesced per
+  *    (doc pair, position diagonal) with a gaps-and-islands window —
+  *    a run of length L shingles certifies an exact duplicated
+  *    substring of L+7 tokens, and MAXIMAL runs come out directly (no
+  *    suffix array materialized). Cost: one shingle self-join bounded
+  *    by shingle frequency (boilerplate shingles — the hot keys — are
+  *    cut at 100 occurrences, the standard mitigation) plus one
+  *    window over matched diagonals, linear in matching positions.
+  */
+object Wave59Ops extends QueryModule {
+
+  /** The fixed query batch (q_id, term) for text_bm25_topk. */
+  private val QuerySet: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join", 1L -> "scan",
+    2L -> "stream", 2L -> "window", 2L -> "batch",
+    3L -> "sort", 3L -> "merge", 3L -> "filter",
+    4L -> "vector", 4L -> "query")
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "text_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val k1 = 1.2; val b = 0.75
+        val qdf = QuerySet.toDF("q_id", "tok")
+        val qterms = QuerySet.map(_._2).distinct
+        // only query-term postings move into the tf shuffle
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(qterms: _*))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val dl = T(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " "))
+            .cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+        val scored = tf.join(broadcast(dfq), Seq("tok"))
+          .join(broadcast(qdf), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sdl").cast("double") / col("nd"))
+          .withColumn("idf", log(
+            (col("nd").cast("double") - col("df") + 0.5) /
+              (col("df").cast("double") + 0.5) + 1.0))
+          // lit(2.2), NOT k1 + 1.0: the runtime sum 1.2+1.0 is one ulp
+          // BELOW the parsed literal 2.2 the oracle uses (text_bm25)
+          .withColumn("w", col("idf") *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+                col("avgdl"))))
+          .groupBy("q_id", "doc_id")
+          .agg(dround(sum("w"), 6).as("bm25"),
+            count(lit(1)).as("n_terms"))
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("bm25").desc, col("doc_id"))
+        scored.withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "doc_id", "bm25", "n_terms")
+          .orderBy("q_id", "rnk")
+      },
+      Some {
+        val values = QuerySet
+          .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+          .mkString(", ")
+        "WITH q AS (SELECT q_id, tok FROM (VALUES " + values +
+          ") AS t(q_id, tok)), " +
+          "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents), " +
+          "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
+          "FROM tk WHERE tok IN (SELECT DISTINCT tok FROM q) " +
+          "GROUP BY 1, 2), " +
+          "dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf " +
+          "GROUP BY 1), " +
+          "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+          "AS BIGINT) AS dl FROM documents), " +
+          "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+          "CAST(sum(dl) AS BIGINT) AS sdl FROM dl), " +
+          "w AS (SELECT q.q_id, tf.doc_id, " +
+          "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
+          "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+          "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+          "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+          "(CAST(sdl AS DOUBLE) / nd))) AS w " +
+          "FROM tf JOIN dfq USING (tok) JOIN q USING (tok) " +
+          "JOIN dl ON tf.doc_id = dl.doc_id, st), " +
+          "sc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
+          " AS bm25, CAST(count(*) AS BIGINT) AS n_terms FROM w " +
+          "GROUP BY 1, 2), " +
+          "r AS (SELECT q_id, doc_id, bm25, n_terms, " +
+          "CAST(row_number() OVER (PARTITION BY q_id " +
+          "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM sc) " +
+          "SELECT q_id, rnk, doc_id, bm25, n_terms FROM r " +
+          "WHERE rnk <= 5 ORDER BY q_id, rnk"
+      }
+    ),
+    Q(
+      "text_dup_runs",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+        // positioned 8-token shingles (1-based positions)
+        val sh = docs.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 7), " +
+              "i -> struct(i AS pos, array_join(slice(toks, i, 8), ' ') " +
+              "AS sh))")).as("e"))
+          .select(col("doc_id"), col("e.pos").as("pos"), col("e.sh").as("sh"))
+        // boilerplate cut: a shingle occurring > 100 times is navigation/
+        // template noise whose match set explodes quadratically — the
+        // standard exact-substring-dedup mitigation, applied identically
+        // in the oracle
+        val perSh = Window.partitionBy("sh")
+        val bounded = sh.withColumn("occ", count(lit(1)).over(perSh))
+          .filter(col("occ") <= 100)
+          .drop("occ")
+        // cross-document matches on one position diagonal form runs
+        val m = bounded.as("a").join(bounded.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.pos").as("pa"), col("b.pos").as("pb"),
+            (col("b.pos") - col("a.pos")).as("diag"))
+        // gaps-and-islands over pa within (pair, diagonal): consecutive
+        // matched positions coalesce into one MAXIMAL run
+        val wd = Window.partitionBy("doc_a", "doc_b", "diag")
+          .orderBy("pa")
+        m.withColumn("isl", col("pa") - row_number().over(wd))
+          .groupBy("doc_a", "doc_b", "diag", "isl")
+          .agg(min("pa").cast("long").as("a_start"),
+            min("pb").cast("long").as("b_start"),
+            (count(lit(1)) + 7).as("n_tokens"))
+          .select("doc_a", "doc_b", "a_start", "b_start", "n_tokens")
+          .orderBy("doc_a", "doc_b", "a_start", "b_start")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+          "FROM documents WHERE lang = 'en'), " +
+          "f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8), " +
+          "sh0 AS (SELECT doc_id, unnest(generate_series(1, " +
+          "len(toks) - 7)) AS pos, toks FROM f), " +
+          "sh AS (SELECT doc_id, pos, " +
+          "array_to_string(toks[pos:pos+7], ' ') AS sh FROM sh0), " +
+          "bd AS (SELECT doc_id, pos, sh FROM (SELECT doc_id, pos, sh, " +
+          "count(*) OVER (PARTITION BY sh) AS occ FROM sh) " +
+          "WHERE occ <= 100), " +
+          "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag " +
+          "FROM bd a JOIN bd b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+          "r AS (SELECT doc_a, doc_b, pa, pb, diag, " +
+          "pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag " +
+          "ORDER BY pa) AS isl FROM m) " +
+          "SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start, " +
+          "CAST(min(pb) AS BIGINT) AS b_start, " +
+          "CAST(count(*) + 7 AS BIGINT) AS n_tokens " +
+          "FROM r GROUP BY doc_a, doc_b, diag, isl " +
+          "ORDER BY doc_a, doc_b, a_start, b_start")
+    )
+  )
+}
