@@ -19,6 +19,63 @@ class Wave59Spec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, TestSpark.Sf)
 
+  /** In-memory reference BPE trainer with the op's exact semantics:
+    * frequency-weighted adjacent-pair counts, argmax by (count desc,
+    * s1, s2), merge applied as ONE left-to-right non-overlapping
+    * ' s1 s2 ' -> ' s1s2 ' replacement pass (Java String.replace — the
+    * same scan Spark's and DuckDB's `replace` do). */
+  private def refTrain(words: Seq[(String, Long)], k: Int)
+      : Seq[(Long, String, String, Long, Long)] = {
+    var syms = words.map { case (w, c) =>
+      (c, " " + w.toCharArray.mkString(" ") + " ")
+    }
+    (1 to k).map { r =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      syms.foreach { case (c, sym) =>
+        val arr = sym.trim.split(" ")
+        var i = 0
+        while (i < arr.length - 1) {
+          counts((arr(i), arr(i + 1))) += c; i += 1
+        }
+      }
+      val ((s1, s2), c) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      syms = syms.map { case (cnt, sym) =>
+        (cnt, sym.replace(s" $s1 $s2 ", s" $s1$s2 "))
+      }
+      val tokens = syms.map { case (cnt, sym) =>
+        cnt * sym.trim.split(" ").length
+      }.sum
+      (r.toLong, s1, s2, c, tokens)
+    }
+  }
+
+  test("reference trainer: hand-computed fixture incl. the repeat-run case") {
+    // 'abab' after merging (a,b) once is [ab, a, b] — the boundary-space
+    // share defers the second occurrence to a LATER round that picks
+    // (a,b) again (round 3 here): the documented deviation self-heals
+    val got = refTrain(Seq("abab" -> 2L, "ab" -> 1L, "aaa" -> 1L), 3)
+    assert(got === Seq(
+      (1L, "a", "b", 5L, 10L),
+      (2L, "a", "a", 2L, 9L),
+      (3L, "a", "b", 2L, 7L)))
+  }
+
+  test("text_bpe_train equals the in-memory reference trainer") {
+    import org.apache.spark.sql.functions._
+    val words = T(spark, TestSpark.Sf, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = refTrain(words, graft.ops.Wave59Ops.BpeRounds)
+    val got = q("text_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expect)
+  }
+
   test("bm25_topk query 1 equals the head of text_bm25's ranking") {
     val topk = q("text_bm25_topk").collect()
       .filter(_.getLong(0) == 1L)
