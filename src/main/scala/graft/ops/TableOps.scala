@@ -726,27 +726,34 @@ object TableOps extends QueryModule {
     ),
     Q(
       "table_stream_source",
-      // STREAMING SOURCE over the table format (graft.sources.SnapStream):
-      // the commit log tailed as micro-batches — offsets are table
-      // versions, the first batch is the discovered snapshot, every later
-      // batch reads exactly the files a commit added (the Delta-streaming
-      // idea re-derived). Three commits land before the stream starts;
-      // AvailableNow drains them through the version-offset path into a
-      // windowless aggregation. SnapStreamSpec pins the incremental
-      // contracts (checkpoint resumption, changes-only startingVersion,
-      // rewrite guard) that this one-shot oracle can't see.
+      // STREAMING SOURCE over the table format: the commit log tailed as
+      // micro-batches — offsets are table versions, the first batch is
+      // the discovered snapshot, every later batch reads exactly the
+      // files a commit added (the Delta-streaming idea re-derived).
+      // Three commits land before the stream starts; AvailableNow drains
+      // them through the version-offset path into a windowless
+      // aggregation. Runs on the NATIVE DSv2 path
+      // (`readStream.table("snap.db.t")`, SnapMicroBatch) — the V1
+      // `format("snapstream")` entry point stays only as a legacy shim
+      // with its one-window-per-AvailableNow limitation documented; no
+      // shipped op depends on it for draining anymore. SnapStreamSpec
+      // pins the incremental contracts (checkpoint resumption,
+      // changes-only startingVersion, rewrite guard) that this one-shot
+      // oracle can't see.
       (s, dir) => {
-        val root = graft.Tmp.dir("graft_snapstream_op")
+        sqlWarehouse(s)
+        val t = freshName()
         val docs = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             length(col("text")).cast("long").as("n_chars"))
-        SnapTable.create(s, root,
-          docs.filter(col("doc_id") % 3 === 0), "doc_id")
-        SnapTable.append(s, root, docs.filter(col("doc_id") % 3 === 1))
-        SnapTable.append(s, root, docs.filter(col("doc_id") % 3 === 2))
+        s.sql(s"CREATE TABLE snap.main.$t " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        (0 until 3).foreach(i =>
+          docs.filter(col("doc_id") % 3 === i)
+            .write.mode("append").insertInto(s"snap.main.$t"))
         val name = s"snapstream_op_${System.nanoTime()}"
         graft.StreamRun.withStateParts(s) {
-          val q = s.readStream.format("snapstream").load(root)
+          val q = s.readStream.table(s"snap.main.$t")
             .groupBy("lang")
             .agg(count(lit(1)).as("n_docs"),
               sum("n_chars").as("sum_chars"))
@@ -776,8 +783,12 @@ object TableOps extends QueryModule {
       // the downstream version history audits the upstream batches.
       // The stream runs TWICE on one checkpoint (upstream grows between
       // runs) to exercise the incremental path, not just the snapshot.
+      // The upstream tail runs on the NATIVE DSv2 path
+      // (`readStream.table`, SnapMicroBatch) — no shipped op depends on
+      // the legacy V1 source's one-window AvailableNow behavior.
       (s, dir) => {
-        val up = graft.Tmp.dir("graft_pipe_up")
+        sqlWarehouse(s)
+        val up = freshName()
         val down = graft.Tmp.dir("graft_pipe_down")
         val ckpt = graft.Tmp.dir("graft_pipe_ckpt")
         val docs = T(s, dir, "documents")
@@ -787,7 +798,7 @@ object TableOps extends QueryModule {
             length(col("text")).cast("long").as("n_chars"),
             (size(split(col("text"), " "))).cast("long").as("n_toks"))
         def hop(): Unit = graft.StreamRun.withStateParts(s) {
-          val q = transform(s.readStream.format("snapstream").load(up))
+          val q = transform(s.readStream.table(s"snap.main.$up"))
             .writeStream
             .option("checkpointLocation", ckpt)
             // EVERY batch (including a retried batch 0) lands through the
@@ -800,12 +811,15 @@ object TableOps extends QueryModule {
             .start()
           q.awaitTermination()
         }
-        SnapTable.create(s, up, docs.filter(col("doc_id") % 2 === 0),
-          "doc_id")
+        s.sql(s"CREATE TABLE snap.main.$up " +
+          "(doc_id BIGINT, lang STRING, text STRING)")
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").insertInto(s"snap.main.$up")
         SnapTable.createEmpty(down, transform(docs.limit(0)).schema,
           "doc_id")
         hop() // snapshot batch
-        SnapTable.append(s, up, docs.filter(col("doc_id") % 2 === 1))
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").insertInto(s"snap.main.$up")
         hop() // incremental batch: only the second commit's files
         SnapTable.read(s, down)
           .groupBy("lang")
