@@ -279,6 +279,123 @@ object Wave59Ops extends QueryModule {
             .mkString(" UNION ALL ") +
           ") ORDER BY merge_round"
       }
+    ),
+    Q(
+      "vec_ivf_recall_sweep",
+      // ANN EVAL for the IVF family this repo serves with ("measure,
+      // don't guess" applied to recall): for nprobe = 1..4, the IVF
+      // probe's top-5 per query vs the exact top-5, recall@5 per
+      // (nprobe, query). Deterministic end-to-end (integer-grid
+      // geometry, 1e-9-rounded cosine, ties to lowest id), so DuckDB
+      // replays routing + both rankings + the hit join. The exact side
+      // is the eval's ground truth over a BOUNDED 3-query set — q×n
+      // rows, the cost every recall eval pays by definition, not a
+      // corpus-squared term.
+      (s, dir) => {
+        import s.implicits._
+        val gridded = T(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> " +
+              "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+        val k = graft.vec.VecAlgs
+          .cellCount(T.rows(s, dir, "embeddings"))
+        val cents = gridded.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("g").as("cg"))
+        val cells = graft.vec.IvfRouting.assignCoarse(gridded, cents)
+        val n2 = (a: String) => expr(
+          s"aggregate($a, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        val qs = gridded.filter(col("vec_id").isin(5L, 17L, 42L))
+          .select(col("vec_id").as("q_id"), col("g").as("qg"))
+          .withColumn("qn2", n2("qg")).filter(col("qn2") > 0)
+        // per-(query, cell) centroid rank — the probe order
+        val wc = Window.partitionBy("q_id")
+          .orderBy(col("cd2"), col("cid"))
+        val crank = qs.crossJoin(broadcast(cents))
+          .withColumn("cd2", graft.vec.IvfRouting.d2("qg", "cg"))
+          .select(col("q_id"), col("cid").as("cell"),
+            row_number().over(wc).cast("long").as("crank"))
+        // all (query, candidate) sims once; both rankings read it
+        val sims = cells.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .withColumn("nn", n2("g")).filter(col("nn") > 0)
+          .withColumn("dot", expr(
+            "aggregate(zip_with(g, qg, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("sim", round(col("dot") /
+            sqrt(col("nn").cast("double") * col("qn2").cast("double"))
+            * 1e9) / 1e9)
+          .select("q_id", "vec_id", "cell", "sim")
+        val we = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val exact5 = sims
+          .withColumn("rk", row_number().over(we))
+          .filter(col("rk") <= 5).select("q_id", "vec_id")
+        val probes = (1 to 4).toSeq
+        val wi = Window.partitionBy("q_id", "nprobe")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val ivf5 = sims.join(crank, Seq("q_id", "cell"))
+          .crossJoin(broadcast(
+            probes.toDF("nprobe").select(col("nprobe").cast("long")
+              .as("nprobe"))))
+          .filter(col("crank") <= col("nprobe"))
+          .withColumn("rk", row_number().over(wi))
+          .filter(col("rk") <= 5)
+          .select("nprobe", "q_id", "vec_id")
+        ivf5.join(exact5.withColumn("hit", lit(1L)),
+            Seq("q_id", "vec_id"), "left")
+          .groupBy("nprobe", "q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("nprobe"), col("q_id"), col("n_hits"),
+            round(col("n_hits") / lit(5.0) * 1e6).cast("long")
+              .divide(lit(1e6)).as("recall5"))
+          .orderBy("nprobe", "q_id")
+      },
+      Some(
+        "WITH g AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g WHERE vec_id < " +
+          "LEAST(65536, GREATEST(1, CAST(ceil(sqrt((" +
+          "SELECT count(*) FROM embeddings))) AS BIGINT)))), " +
+          "cells AS (SELECT vec_id, g, " +
+          "(SELECT cid FROM c ORDER BY list_sum(list_transform(" +
+          "list_zip(g.g, c.cg), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +
+          "cid LIMIT 1) AS cell FROM g), " +
+          "q AS (SELECT vec_id AS q_id, g AS qg, " +
+          "list_sum(list_transform(g, x -> x * x)) AS qn2 FROM g " +
+          "WHERE vec_id IN (5, 17, 42) " +
+          "AND list_sum(list_transform(g, x -> x * x)) > 0), " +
+          "crank AS (SELECT q_id, cid AS cell, " +
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY " +
+          "list_sum(list_transform(list_zip(qg, cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid) AS BIGINT) " +
+          "AS crank FROM q, c), " +
+          "sims AS (SELECT q.q_id, cells.vec_id, cells.cell, " +
+          "round(list_sum(list_transform(list_zip(cells.g, q.qg), " +
+          "p -> p[1] * p[2])) / sqrt(CAST(list_sum(list_transform(" +
+          "cells.g, x -> x * x)) AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) " +
+          "* 1e9) / 1e9 AS sim " +
+          "FROM cells, q WHERE cells.vec_id <> q.q_id " +
+          "AND list_sum(list_transform(cells.g, x -> x * x)) > 0), " +
+          "exact5 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, " +
+          "vec_id) AS rk FROM sims) WHERE rk <= 5), " +
+          "pr AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) " +
+          "AS nprobe), " +
+          "ivf5 AS (SELECT nprobe, q_id, vec_id FROM (" +
+          "SELECT pr.nprobe, s.q_id, s.vec_id, " +
+          "row_number() OVER (PARTITION BY s.q_id, pr.nprobe " +
+          "ORDER BY s.sim DESC, s.vec_id) AS rk " +
+          "FROM sims s JOIN crank k ON s.q_id = k.q_id " +
+          "AND s.cell = k.cell, pr WHERE k.crank <= pr.nprobe) " +
+          "WHERE rk <= 5) " +
+          "SELECT i.nprobe, i.q_id, " +
+          "CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_hits, " +
+          "CAST(round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+          "END) / 5.0 * 1e6) AS BIGINT) / 1e6 AS recall5 " +
+          "FROM ivf5 i LEFT JOIN exact5 e ON i.q_id = e.q_id " +
+          "AND i.vec_id = e.vec_id " +
+          "GROUP BY i.nprobe, i.q_id ORDER BY i.nprobe, i.q_id")
     )
   )
 }

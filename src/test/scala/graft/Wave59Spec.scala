@@ -76,6 +76,19 @@ class Wave59Spec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("ivf recall sweep: nested candidate sets make recall monotone") {
+    val rows = q("vec_ivf_recall_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (qid, rs) =>
+      val byProbe = rs.sortBy(_._1).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => b >= a },
+        s"recall must be non-decreasing in nprobe for q$qid: " +
+          byProbe.mkString(","))
+      assert(byProbe.forall(r => r >= 0.0 && r <= 1.0), s"q$qid bounds")
+    }
+  }
+
   test("bm25_topk query 1 equals the head of text_bm25's ranking") {
     val topk = q("text_bm25_topk").collect()
       .filter(_.getLong(0) == 1L)
