@@ -56,6 +56,8 @@ object Bench {
     "join_geo_radius" -> 2.28,
     // round-11 new/touched ops (min-of-4, idle machine, one JVM)
     "text_bm25_topk" -> 0.78, "text_dup_runs" -> 0.98,
+    "text_dup_coverage" -> 1.14, "text_minhash_recall" -> 0.51,
+    "vec_ivf_recall_sweep" -> 1.25,
     "text_bpe_train" -> 1.37, "vec_semdedup" -> 0.99,
     "vec_knn_probe" -> 1.34, "vec_cluster_purity" -> 0.17,
     "vec_incremental_semdedup" -> 1.45, "table_stream_source" -> 0.96,

@@ -23,7 +23,8 @@ object SparkEntry {
     Wave36Ops, Wave37Ops, Wave38Ops, Wave39Ops, Wave40Ops, Wave41Ops,
     Wave42Ops, Wave43Ops, Wave44Ops, Wave45Ops, Wave46Ops, Wave47Ops,
     Wave48Ops, Wave49Ops, Wave50Ops, Wave51Ops, Wave52Ops, Wave53Ops,
-    Wave54Ops, Wave55Ops, Wave56Ops, Wave57Ops, Wave58Ops, Wave59Ops)
+    Wave54Ops, Wave55Ops, Wave56Ops, Wave57Ops, Wave58Ops, Wave59Ops,
+    Wave60Ops)
 
   val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)
