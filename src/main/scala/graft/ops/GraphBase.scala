@@ -54,21 +54,31 @@ object GraphBase {
       build: => DataFrame): DataFrame = {
     val key = (dir, name)
     val mine = new java.util.concurrent.CompletableFuture[String]()
-    val fut = built.putIfAbsent(key, mine) match {
+    val path = built.putIfAbsent(key, mine) match {
       case null =>
+        // the winner runs the build and sees the ORIGINAL exception
+        // (not a CompletionException wrapper) on failure
         try {
           val p = Tmp.dir(s"graph_edges_$name") + s"/$name"
           build.write.mode("overwrite").parquet(p)
           mine.complete(p)
+          p
         } catch {
           case t: Throwable =>
             built.remove(key, mine)
             mine.completeExceptionally(t)
+            throw t
         }
-        mine
-      case existing => existing
+      case existing =>
+        // waiters unwrap join()'s CompletionException so callers get
+        // the same exception type the old computeIfAbsent memo threw
+        try existing.join()
+        catch {
+          case e: java.util.concurrent.CompletionException
+              if e.getCause != null => throw e.getCause
+        }
     }
-    s.read.parquet(fut.join())
+    s.read.parquet(path)
   }
 
   /** The co-purchase logical edge definition (the build job's plan). */

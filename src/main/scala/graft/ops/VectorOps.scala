@@ -140,50 +140,62 @@ object VectorOps extends QueryModule {
         .select("q_id", "rnk", "vec_id", "sim")
         .orderBy("q_id", "rnk")
     } else {
-      // BUILD, layer 2: each coarse cell's `sub` lowest-id members are
-      // its sub-centroids — a DISTRIBUTED table joined on the coarse
-      // cell id (coarse·sub rows, grows with n: never broadcast)
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy("cid").orderBy("vec_id")
-      val subCents = coarseAssigned
-        .withColumn("scid", row_number().over(wc).cast("long"))
-        .filter(col("scid") <= sub)
-        .select(col("cid"), col("scid"), col("embedding").as("se"))
-      coarseAssigned.join(subCents, Seq("cid"))
-        .withColumn("sd2", expr("fvl2(embedding, se)"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("sd2").as("d"), col("scid").as("c"))).as("m2"),
-          first("cid").as("cid"), first("embedding").as("embedding"))
-        .select(col("vec_id"), col("embedding"),
-          sqrt(expr("fvdot(embedding, embedding)")).as("nrm"),
-          col("cid"), col("m2.c").as("scell"))
-        .filter(col("nrm") > 0)
-        .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
-      // PROBE: sub-cell ranking stays DISTRIBUTED — nsub=2 per probed
-      // coarse cell, ties to lowest scid
-      val wsub = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id", "cid").orderBy(col("sd2"), col("scid"))
-      val subPicks = probeDf
-        .join(subCents.filter(col("cid").isin(probedCids: _*)),
-          Seq("cid"))
-        .withColumn("sd2", expr("fvl2(qe, se)"))
-        .withColumn("srk", row_number().over(wsub))
-        .filter(col("srk") <= 2)
-        .select(col("q_id"), col("cid"), col("scid"), col("qe"),
-          col("qnrm"))
-      val idx = s.read.parquet(idxDir)
-        .filter(col("cid").isin(probedCids: _*))
-      idx.join(subPicks,
-          idx("cid") === subPicks("cid") &&
-            idx("scell") === subPicks("scid"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          dround(dotExpr("embedding", "qe") /
-            (col("nrm") * col("qnrm")), 6).as("sim"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "rnk", "vec_id", "sim")
-        .orderBy("q_id", "rnk")
+      // the O(n·cap) coarse assignment is shared by the index write AND
+      // the probe's sub-centroid derivation — persist + prime it ONCE
+      // (un-persisted, the probe job would recompute the corpus-wide
+      // crossJoin+groupBy a second time), and make the op eager (tiny
+      // probe result to scratch parquet) so the cache releases here
+      val ca = coarseAssigned.persist()
+      val out = graft.Tmp.dir("graft_ivf_probe_out")
+      try {
+        ca.count()
+        // BUILD, layer 2: each coarse cell's `sub` lowest-id members are
+        // its sub-centroids — a DISTRIBUTED table joined on the coarse
+        // cell id (coarse·sub rows, grows with n: never broadcast)
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("vec_id")
+        val subCents = ca
+          .withColumn("scid", row_number().over(wc).cast("long"))
+          .filter(col("scid") <= sub)
+          .select(col("cid"), col("scid"), col("embedding").as("se"))
+        ca.join(subCents, Seq("cid"))
+          .withColumn("sd2", expr("fvl2(embedding, se)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("sd2").as("d"), col("scid").as("c")))
+              .as("m2"),
+            first("cid").as("cid"), first("embedding").as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr("fvdot(embedding, embedding)")).as("nrm"),
+            col("cid"), col("m2.c").as("scell"))
+          .filter(col("nrm") > 0)
+          .write.mode("overwrite").partitionBy("cid").parquet(idxDir)
+        // PROBE: sub-cell ranking stays DISTRIBUTED — nsub=2 per probed
+        // coarse cell, ties to lowest scid
+        val wsub = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id", "cid").orderBy(col("sd2"), col("scid"))
+        val subPicks = probeDf
+          .join(subCents.filter(col("cid").isin(probedCids: _*)),
+            Seq("cid"))
+          .withColumn("sd2", expr("fvl2(qe, se)"))
+          .withColumn("srk", row_number().over(wsub))
+          .filter(col("srk") <= 2)
+          .select(col("q_id"), col("cid"), col("scid"), col("qe"),
+            col("qnrm"))
+        val idx = s.read.parquet(idxDir)
+          .filter(col("cid").isin(probedCids: _*))
+        idx.join(subPicks,
+            idx("cid") === subPicks("cid") &&
+              idx("scell") === subPicks("scid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            dround(dotExpr("embedding", "qe") /
+              (col("nrm") * col("qnrm")), 6).as("sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "sim")
+          .write.mode("overwrite").parquet(out)
+      } finally ca.unpersist(blocking = false)
+      s.read.parquet(out).orderBy("q_id", "rnk")
     }
   }
 

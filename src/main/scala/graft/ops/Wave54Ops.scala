@@ -152,8 +152,13 @@ object Wave54Ops extends QueryModule {
         val cents = gridded.filter(col("vec_id") < coarse)
           .select(col("vec_id").as("cid"), col("g").as("cg"))
         // both routing layers via the SHARED IvfRouting machinery (the
-        // same plans the production ops engage conditionally)
+        // same plans the production ops engage conditionally); the
+        // coarse assignment feeds the index BUILD and the probe's
+        // sub-centroid derivation — persist + prime it once so the
+        // O(n·coarse) stage never recomputes across the two jobs
         val assigned = graft.vec.IvfRouting.assignCoarse(gridded, cents)
+          .persist()
+        assigned.count()
         val subCents = graft.vec.IvfRouting.subCentroids(assigned, sub)
         // BUILD: fine assignment -> parquet partitioned by coarse cell
         // (zero-norm vectors excluded: cosine is undefined on them)
@@ -205,7 +210,8 @@ object Wave54Ops extends QueryModule {
           .filter(col("cell").isin(probedCells: _*))
         val wr = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-        idx.join(subPicks,
+        val outDir = graft.Tmp.dir("graft_ivf2_probe_out")
+        val probe = idx.join(subPicks,
             idx("cell") === subPicks("cell") &&
               idx("scell") === subPicks("scid"))
           .filter(col("vec_id") =!= col("q_id"))
@@ -219,7 +225,16 @@ object Wave54Ops extends QueryModule {
           .withColumn("rnk", row_number().over(wr).cast("long"))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("vec_id"), col("sim"), col("rnk"))
-          .orderBy("q_id", "rnk")
+        // plan-shape assertion IN-OP (the op is eager now, so the
+        // returned frame's plan is just the scratch read — the pruning
+        // property is enforced where the probe plan exists, the
+        // sink_nested_prune pattern)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters") && plan.contains("cell"),
+          s"no coarse-cell partition pruning in the probe plan:\n$plan")
+        probe.write.mode("overwrite").parquet(outDir)
+        assigned.unpersist(blocking = false)
+        s.read.parquet(outDir).orderBy("q_id", "rnk")
       },
       Some(
         "WITH g AS (SELECT vec_id, list_transform(embedding, " +

@@ -285,44 +285,60 @@ object Wave56Ops extends QueryModule {
     val c1 = graft.vec.IvfRouting.assignCoarse(b1, cents)
     val c2 = graft.vec.IvfRouting.assignCoarse(b2, cents)
     val cols = Seq(col("vec_id"), col("cell"), col("scell"), col("g"))
-    val (f1, f2) =
-      if (sub <= 1L)
-        (c1.withColumn("scell", lit(1L)).select(cols: _*),
-          c2.withColumn("scell", lit(1L)).select(cols: _*))
-      else {
-        val subCents = graft.vec.IvfRouting.subCentroids(c1, sub)
-        (graft.vec.IvfRouting.assignSub(c1, subCents),
+    // BUILD f1 once (index partitioned by coarse cell), then batch 2
+    // assigns against the same broadcast centroids (and, when the
+    // second layer is engaged, the same sub-centroids), probes ONLY its
+    // own fine cells, exact cosine within the cell
+    def pipeline(f1: org.apache.spark.sql.DataFrame,
+        f2: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val idxDir = graft.Tmp.dir("graft_incsem_idx")
+      f1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+        .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
+          col("g").as("og"))
+      val dups = f2.join(idx, Seq("cell", "scell"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(g, og, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("n2n", expr(
+          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .withColumn("n2o", expr(
+          "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .withColumn("cos", round(col("dot") /
+          sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
+          * 1e9) / 1e9)
+        .filter(col("cos") > 0.3)
+        .select(col("vec_id")).distinct()
+      f2.join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .orderBy("cell")
+    }
+    if (sub <= 1L)
+      // degenerate: the proven single-level plan, returned lazily
+      pipeline(
+        c1.withColumn("scell", lit(1L)).select(cols: _*),
+        c2.withColumn("scell", lit(1L)).select(cols: _*))
+    else {
+      // two-level: c1 feeds BOTH the sub-centroid table and its own
+      // fine assignment, and the probe job needs the sub-centroids
+      // again — persist + prime it once instead of recomputing the
+      // coarse crossJoin+groupBy per consumer; eager output (scratch
+      // parquet, <= one row per cell) lets the cache release here
+      val c1p = c1.persist()
+      val out = graft.Tmp.dir("graft_incsem_out")
+      try {
+        c1p.count()
+        val subCents = graft.vec.IvfRouting.subCentroids(c1p, sub)
+        pipeline(
+          graft.vec.IvfRouting.assignSub(c1p, subCents),
           graft.vec.IvfRouting.assignSub(c2, subCents))
-      }
-    // BUILD once: batch-1 index partitioned by coarse cell
-    val idxDir = graft.Tmp.dir("graft_incsem_idx")
-    f1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
-    // batch 2: assign against the same broadcast centroids (and, when
-    // the second layer is engaged, the same sub-centroids), probe ONLY
-    // its own fine cells, exact cosine within the cell
-    val newAssigned = f2
-    val idx = s.read.parquet(idxDir)
-      .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
-        col("g").as("og"))
-    val dups = newAssigned.join(idx, Seq("cell", "scell"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(g, og, (a, b) -> a * b), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("n2n", expr(
-        "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      .withColumn("n2o", expr(
-        "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      .withColumn("cos", round(col("dot") /
-        sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
-        * 1e9) / 1e9)
-      .filter(col("cos") > 0.3)
-      .select(col("vec_id")).distinct()
-    newAssigned
-      .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_new"),
-        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
-      .orderBy("cell")
+          .write.mode("overwrite").parquet(out)
+      } finally c1p.unpersist(blocking = false)
+      s.read.parquet(out).orderBy("cell")
+    }
   }
 
   /** Driver-side 1e-6 rounding, half AWAY FROM ZERO — the same convention

@@ -60,6 +60,55 @@ object Wave59Ops extends QueryModule {
   /** BPE merge rounds for text_bpe_train (unrolled in the oracle). */
   val BpeRounds = 6
 
+  /** English docs with >= 8 tokens: `(doc_id, toks)` — the corpus slice
+    * the exact-substring family runs on. */
+  private[ops] def enTokenDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    T(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+
+  /** Maximal cross-document duplicated runs `(doc_a, doc_b, a_start,
+    * b_start, n_tokens)`: positioned 8-token shingles, boilerplate cut
+    * at 100 occurrences, cross-doc matches coalesced per (pair,
+    * position diagonal) by a gaps-and-islands window. ONE definition —
+    * text_dup_runs reports the runs, text_dup_coverage (Wave60)
+    * interval-unions them per document; the shingle width / cut /
+    * island logic cannot drift apart. */
+  private[ops] def dupRuns(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = enTokenDocs(s, dir).select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS pos, array_join(slice(toks, i, 8), ' ') " +
+          "AS sh))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.sh").as("sh"))
+    // boilerplate cut: a shingle occurring > 100 times is navigation/
+    // template noise whose match set explodes quadratically — the
+    // standard exact-substring-dedup mitigation, applied identically
+    // in the oracle
+    val perSh = Window.partitionBy("sh")
+    val bounded = sh.withColumn("occ", count(lit(1)).over(perSh))
+      .filter(col("occ") <= 100)
+      .drop("occ")
+    // cross-document matches on one position diagonal form runs
+    val m = bounded.as("a").join(bounded.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    // gaps-and-islands over pa within (pair, diagonal): consecutive
+    // matched positions coalesce into one MAXIMAL run
+    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("isl", col("pa") - row_number().over(wd))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pa").cast("long").as("a_start"),
+        min("pb").cast("long").as("b_start"),
+        (count(lit(1)) + 7).as("n_tokens"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "n_tokens")
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "text_bm25_topk",
@@ -140,44 +189,8 @@ object Wave59Ops extends QueryModule {
     ),
     Q(
       "text_dup_runs",
-      (s, dir) => {
-        val docs = T(s, dir, "documents")
-          .filter(col("lang") === "en")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 8)
-        // positioned 8-token shingles (1-based positions)
-        val sh = docs.select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 7), " +
-              "i -> struct(i AS pos, array_join(slice(toks, i, 8), ' ') " +
-              "AS sh))")).as("e"))
-          .select(col("doc_id"), col("e.pos").as("pos"), col("e.sh").as("sh"))
-        // boilerplate cut: a shingle occurring > 100 times is navigation/
-        // template noise whose match set explodes quadratically — the
-        // standard exact-substring-dedup mitigation, applied identically
-        // in the oracle
-        val perSh = Window.partitionBy("sh")
-        val bounded = sh.withColumn("occ", count(lit(1)).over(perSh))
-          .filter(col("occ") <= 100)
-          .drop("occ")
-        // cross-document matches on one position diagonal form runs
-        val m = bounded.as("a").join(bounded.as("b"),
-            col("a.sh") === col("b.sh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.pos").as("pa"), col("b.pos").as("pb"),
-            (col("b.pos") - col("a.pos")).as("diag"))
-        // gaps-and-islands over pa within (pair, diagonal): consecutive
-        // matched positions coalesce into one MAXIMAL run
-        val wd = Window.partitionBy("doc_a", "doc_b", "diag")
-          .orderBy("pa")
-        m.withColumn("isl", col("pa") - row_number().over(wd))
-          .groupBy("doc_a", "doc_b", "diag", "isl")
-          .agg(min("pa").cast("long").as("a_start"),
-            min("pb").cast("long").as("b_start"),
-            (count(lit(1)) + 7).as("n_tokens"))
-          .select("doc_a", "doc_b", "a_start", "b_start", "n_tokens")
-          .orderBy("doc_a", "doc_b", "a_start", "b_start")
-      },
+      (s, dir) =>
+        dupRuns(s, dir).orderBy("doc_a", "doc_b", "a_start", "b_start"),
       Some(
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks " +
           "FROM documents WHERE lang = 'en'), " +

@@ -35,33 +35,10 @@ object Wave60Ops extends QueryModule {
     Q(
       "text_dup_coverage",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-          .filter(col("lang") === "en")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 8)
-        val sh = docs.select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 7), " +
-              "i -> struct(i AS pos, array_join(slice(toks, i, 8), ' ') " +
-              "AS sh))")).as("e"))
-          .select(col("doc_id"), col("e.pos").as("pos"),
-            col("e.sh").as("sh"))
-        val perSh = Window.partitionBy("sh")
-        val bounded = sh.withColumn("occ", count(lit(1)).over(perSh))
-          .filter(col("occ") <= 100)
-          .drop("occ")
-        val m = bounded.as("a").join(bounded.as("b"),
-            col("a.sh") === col("b.sh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.pos").as("pa"), col("b.pos").as("pb"),
-            (col("b.pos") - col("a.pos")).as("diag"))
-        val wd = Window.partitionBy("doc_a", "doc_b", "diag")
-          .orderBy("pa")
-        val runs = m.withColumn("isl", col("pa") - row_number().over(wd))
-          .groupBy("doc_a", "doc_b", "diag", "isl")
-          .agg(min("pa").cast("long").as("a_start"),
-            min("pb").cast("long").as("b_start"),
-            (count(lit(1)) + 7).as("n_tokens"))
+        // the ONE runs definition (Wave59Ops.dupRuns) — coverage and the
+        // runs report cannot drift apart on shingle width / cut / islands
+        val runs = Wave59Ops.dupRuns(s, dir)
+        val docs = Wave59Ops.enTokenDocs(s, dir)
         // BOTH roles: a doc's tokens are duplicated whether it is the
         // lower- or higher-id member of the pair
         val ivals = runs

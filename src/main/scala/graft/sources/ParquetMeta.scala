@@ -33,13 +33,21 @@ object ParquetMeta {
     val fs = root.getFileSystem(conf)
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
     if (fs.getFileStatus(root).isDirectory) {
+      val rootUri = root.toUri.getPath
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val f = it.next()
-        val n = f.getPath.getName
-        // skip _SUCCESS / .crc / hidden metadata the committers leave
-        if (f.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
-          !n.startsWith("_")) files += f.getPath
+        // hidden/metadata filtering by path COMPONENT below the root
+        // (Spark's InMemoryFileIndex rule), not just the leaf: a stale
+        // _temporary/... /part-0.parquet from an interrupted write must
+        // not inflate the count
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
+          .stripPrefix("/")
+        val parts = rel.split('/')
+        val hidden =
+          parts.exists(p => p.startsWith(".") || p.startsWith("_"))
+        if (f.isFile && parts.last.endsWith(".parquet") && !hidden)
+          files += f.getPath
       }
     } else files += root
     var total = 0L

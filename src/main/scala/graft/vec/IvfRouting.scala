@@ -65,17 +65,22 @@ object IvfRouting {
   /** Layer-2 assignment against an EXPLICIT sub-centroid table (the
     * incremental ops probe a NEW batch against the sub-centroids the
     * index was built with, never their own): joins on the coarse cell
-    * id, nearest sub-centroid by exact integer L2, ties lowest scid. */
+    * id, nearest sub-centroid by exact integer L2, ties lowest scid.
+    * LEFT join: a row routed to a coarse cell with NO sub-centroids
+    * (possible when the index batch has no member in that cell — e.g.
+    * an index built after deletions) keeps `scell = 1`, the cell's
+    * degenerate sub-cell, instead of silently vanishing from the
+    * output. IvfRoutingSpec pins the pass-through. */
   def assignSub(coarseAssigned: DataFrame, subCents: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val carryAggs = carry.map(c => first(c).as(c))
-    coarseAssigned.join(subCents, Seq("cell"))
+    coarseAssigned.join(subCents, Seq("cell"), "left")
       .withColumn("d2", d2("g", "sg"))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("scid"))).as("best"),
         (first("cell").as("cell") +: first("g").as("g") +:
           carryAggs): _*)
-      .withColumn("scell", col("best.scid"))
+      .withColumn("scell", coalesce(col("best.scid"), lit(1L)))
       .select((col("vec_id") +: col("cell") +: col("scell") +:
         col("g") +: carry.map(col)): _*)
   }

@@ -243,6 +243,24 @@ class CellSplitSpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("assignSub keeps rows whose coarse cell has no sub-centroids") {
+    import spark.implicits._
+    val coarse = Seq(
+      (1L, 0L, Seq(1L, 0L)), (2L, 0L, Seq(2L, 0L)),
+      (9L, 5L, Seq(9L, 9L))) // cell 5 has NO sub-centroids
+      .toDF("vec_id", "cell", "g")
+    val subCents = Seq(
+      (0L, 1L, Seq(0L, 0L)), (0L, 2L, Seq(3L, 0L)))
+      .toDF("cell", "scid", "sg")
+    val got = graft.vec.IvfRouting.assignSub(coarse, subCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 1L),  // nearest of the two sub-centroids
+      (2L, 0L, 2L),
+      (9L, 5L, 1L))) // pass-through: degenerate scell, never dropped
+  }
+
   test("default cap: the degenerate path adds no window or extra join") {
     import org.apache.spark.sql.functions._
     val g = T(spark, TestSpark.Sf, "embeddings")

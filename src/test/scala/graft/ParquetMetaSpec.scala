@@ -27,6 +27,18 @@ class ParquetMetaSpec extends AnyFunSuite {
       .selectExpr("id", "id % 7 AS p")
       .write.mode("overwrite").partitionBy("p").parquet(dir)
     assert(ParquetMeta.rowCount(spark, dir) === 1000L)
+    // stale committer debris (a parquet file under a _temporary/ or
+    // .hidden/ subdir) must not inflate the count — filtering is by
+    // path component, like Spark's own file index
+    val tmp = new java.io.File(s"$dir/_temporary/0")
+    tmp.mkdirs()
+    spark.range(0, 50).coalesce(1).write
+      .parquet(s"$dir/_temporary/0/attempt")
+    val hid = new java.io.File(s"$dir/.staging")
+    hid.mkdirs()
+    spark.range(0, 30).coalesce(1).write.parquet(s"$dir/.staging/x")
+    assert(ParquetMeta.rowCount(spark, dir) === 1000L,
+      "hidden-subdir parquet files leaked into the count")
   }
 
   test("rowCount schedules zero Spark jobs") {

@@ -19,10 +19,11 @@ class Wave54Spec extends AnyFunSuite {
     T(spark, TestSpark.Sf, "embeddings").count()
 
   test("vec_knn_probe_2level prunes the index scan and ranks top-5") {
+    // the partition-pruning plan assertion moved IN-OP (the op is eager
+    // now — the returned frame reads the scratch result, so the probe
+    // plan only exists inside the op; a require() there fails the run
+    // if pruning is lost)
     val df = q("vec_knn_probe_2level")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"no coarse-cell partition pruning in plan:\n$plan")
     val rows = df.collect()
     assert(rows.length === 15) // 3 queries x top-5
     rows.groupBy(_.getLong(0)).values.foreach { rs =>
