@@ -42,7 +42,9 @@ object Bench {
     "graph_link_prediction" -> 0.37, "graph_shortest_path" -> 1.23,
     "graph_connected_components" -> 1.62, "graph_assortativity" -> 0.44,
     "graph_clustering_coeff" -> 0.45, "graph_degree_stats" -> 0.34,
-    "vec_semdedup_2level" -> 0.73, "vec_knn_probe_2level" -> 1.54,
+    "vec_semdedup_2level" -> 0.73,
+    // eager probe-write shape (round-11 self-review fix): measured 2.33
+    "vec_knn_probe_2level" -> 2.33,
     // round-11 re-audit: the historic 1.36 floor measured a plan where
     // count() let Catalyst ELIMINATE the flagged left join (unique-key
     // aggregate, pruned columns) — the verify work never ran. The op now
