@@ -47,10 +47,17 @@ object Wave21Ops extends QueryModule {
         val cuts = broadcast(scored.agg(expr(
           "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
           .as("c")))
+        // cutoff compares on the 1e-6 integer grid: the two engines'
+        // linear interpolation differs by 1 ulp at some percentiles
+        // (observed at sf0.1, p=0.8: 5 tied scores flipped deciles) —
+        // grid-quantizing BOTH sides makes the boundary rule identical
+        val g = (c: org.apache.spark.sql.Column) =>
+          round(c * 1e6).cast("long")
         val dec = scored.crossJoin(cuts)
           .withColumn("decile",
             (lit(1) + (0 until 9).map(i =>
-              (col("score") > col("c")(i)).cast("int")).reduce(_ + _))
+              (g(col("score")) > g(col("c")(i))).cast("int"))
+              .reduce(_ + _))
               .cast("long"))
         val overall = dec.agg(
           (sum("is_dup") * lit(1000000) / count(lit(1))).as("baseppm"))
@@ -74,12 +81,23 @@ object Wave21Ops extends QueryModule {
           "FROM d JOIN dup USING (fp)), " +
           "c AS (SELECT quantile_cont(score, " +
           "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM sc), " +
+          "sg AS (SELECT doc_id, is_dup, " +
+          "CAST(round(score * 1e6) AS BIGINT) AS sg FROM sc), " +
+          "cg AS (SELECT [CAST(round(q[1] * 1e6) AS BIGINT), " +
+          "CAST(round(q[2] * 1e6) AS BIGINT), " +
+          "CAST(round(q[3] * 1e6) AS BIGINT), " +
+          "CAST(round(q[4] * 1e6) AS BIGINT), " +
+          "CAST(round(q[5] * 1e6) AS BIGINT), " +
+          "CAST(round(q[6] * 1e6) AS BIGINT), " +
+          "CAST(round(q[7] * 1e6) AS BIGINT), " +
+          "CAST(round(q[8] * 1e6) AS BIGINT), " +
+          "CAST(round(q[9] * 1e6) AS BIGINT)] AS q FROM c), " +
           "dec AS (SELECT doc_id, is_dup, CAST(1 + " +
-          "(score > q[1])::INT + (score > q[2])::INT + " +
-          "(score > q[3])::INT + (score > q[4])::INT + " +
-          "(score > q[5])::INT + (score > q[6])::INT + " +
-          "(score > q[7])::INT + (score > q[8])::INT + " +
-          "(score > q[9])::INT AS BIGINT) AS decile FROM sc, c), " +
+          "(sg > q[1])::INT + (sg > q[2])::INT + " +
+          "(sg > q[3])::INT + (sg > q[4])::INT + " +
+          "(sg > q[5])::INT + (sg > q[6])::INT + " +
+          "(sg > q[7])::INT + (sg > q[8])::INT + " +
+          "(sg > q[9])::INT AS BIGINT) AS decile FROM sg, cg), " +
           "o AS (SELECT sum(is_dup) * 1000000.0 / count(*) " +
           "AS baseppm FROM dec) " +
           "SELECT decile, CAST(count(*) AS BIGINT) AS n, " +
