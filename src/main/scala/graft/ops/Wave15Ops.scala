@@ -83,8 +83,11 @@ object Wave15Ops extends QueryModule {
       // interpolated-percentile aggregate (a 1-row broadcast), scores
       // by comparison. Rank-based ntile would need a global sort; the
       // cutoff formulation is one aggregate + one broadcast join at
-      // any scale. All inputs are exact integers, so the interpolated
-      // cutoffs are bit-identical across engines.
+      // any scale. Inputs are exact integers, but the INTERPOLATION
+      // formula itself can differ by 1 ulp between engines (proven on
+      // stats_lift_table at sf0.1) — so value-vs-cutoff comparisons run
+      // on the 1e-6 integer grid on both sides, the shared boundary
+      // rule that makes a tie at the cutoff land identically.
       (s, dir) => {
         val ev = T(s, dir, "events")
         val anchor = ev.agg(max(col("ts")).as("mx"))
@@ -101,12 +104,14 @@ object Wave15Ops extends QueryModule {
         def cuts(c: String) = expr(
           s"percentile($c, array(0.2, 0.4, 0.6, 0.8))").as(s"c_$c")
         val th = broadcast(rfm.agg(cuts("r"), cuts("f"), cuts("cents")))
+        val g = (c: org.apache.spark.sql.Column) =>
+          round(c * 1e6).cast("long")
         def score(v: String, c: String, reverse: Boolean) = {
           val raw = lit(1) +
-            (col(v) > col(c)(0)).cast("int") +
-            (col(v) > col(c)(1)).cast("int") +
-            (col(v) > col(c)(2)).cast("int") +
-            (col(v) > col(c)(3)).cast("int")
+            (g(col(v)) > g(col(c)(0))).cast("int") +
+            (g(col(v)) > g(col(c)(1))).cast("int") +
+            (g(col(v)) > g(col(c)(2))).cast("int") +
+            (g(col(v)) > g(col(c)(3))).cast("int")
           (if (reverse) lit(6) - raw else raw).cast("long")
         }
         rfm.crossJoin(th)
@@ -130,7 +135,18 @@ object Wave15Ops extends QueryModule {
           "FROM rfm, a), " +
           "th AS (SELECT quantile_cont(r, [0.2,0.4,0.6,0.8]) AS cr, " +
           "quantile_cont(f, [0.2,0.4,0.6,0.8]) AS cf, " +
-          "quantile_cont(cents, [0.2,0.4,0.6,0.8]) AS cm FROM r0) " +
+          "quantile_cont(cents, [0.2,0.4,0.6,0.8]) AS cm FROM r0), " +
+          "gg AS (SELECT user_id, " +
+          "CAST(round(r * 1e6) AS BIGINT) AS r, " +
+          "CAST(round(f * 1e6) AS BIGINT) AS f, " +
+          "CAST(round(cents * 1e6) AS BIGINT) AS cents, " +
+          "[CAST(round(cr[1] * 1e6) AS BIGINT), CAST(round(cr[2] * 1e6) AS BIGINT), " +
+          "CAST(round(cr[3] * 1e6) AS BIGINT), CAST(round(cr[4] * 1e6) AS BIGINT)] AS cr, " +
+          "[CAST(round(cf[1] * 1e6) AS BIGINT), CAST(round(cf[2] * 1e6) AS BIGINT), " +
+          "CAST(round(cf[3] * 1e6) AS BIGINT), CAST(round(cf[4] * 1e6) AS BIGINT)] AS cf, " +
+          "[CAST(round(cm[1] * 1e6) AS BIGINT), CAST(round(cm[2] * 1e6) AS BIGINT), " +
+          "CAST(round(cm[3] * 1e6) AS BIGINT), CAST(round(cm[4] * 1e6) AS BIGINT)] AS cm " +
+          "FROM r0, th) " +
           "SELECT user_id, " +
           "CAST(6 - (1 + (r > cr[1])::INT + (r > cr[2])::INT + " +
           "(r > cr[3])::INT + (r > cr[4])::INT) AS BIGINT) AS r_q, " +
@@ -138,7 +154,7 @@ object Wave15Ops extends QueryModule {
           "(f > cf[3])::INT + (f > cf[4])::INT AS BIGINT) AS f_q, " +
           "CAST(1 + (cents > cm[1])::INT + (cents > cm[2])::INT + " +
           "(cents > cm[3])::INT + (cents > cm[4])::INT AS BIGINT) " +
-          "AS m_q FROM r0, th ORDER BY user_id")
+          "AS m_q FROM gg ORDER BY user_id")
     ),
     Q(
       "agg_weighted_median",
