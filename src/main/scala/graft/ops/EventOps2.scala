@@ -191,7 +191,12 @@ object EventOps2 extends QueryModule {
             dround(first(col("med")), 4).as("med"),
             dround(first(col("mad")), 4).as("mad"),
             count(lit(1)).as("n"),
-            sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+            // the outlier compare runs on the 1e-6 integer grid: med
+            // and mad are interpolated percentiles the two engines can
+            // compute 1 ulp apart (the stats_lift_table class)
+            sum(when(round(abs(col("value") - col("med")) * 1e6)
+                .cast("long") >
+              round(col("mad") * 3 * 1e6).cast("long"), 1L)
               .otherwise(0L)).as("n_outliers"))
           .orderBy("event_type")
       },
@@ -208,7 +213,9 @@ object EventOps2 extends QueryModule {
           droundSql("any_value(med)", 4) + " AS med, " +
           droundSql("any_value(mad)", 4) + " AS mad, " +
           "CAST(count(*) AS BIGINT) AS n, " +
-          "CAST(count(*) FILTER (WHERE abs(value - med) > mad * 3) " +
+          "CAST(count(*) FILTER (WHERE " +
+          "CAST(round(abs(value - med) * 1e6) AS BIGINT) > " +
+          "CAST(round(mad * 3 * 1e6) AS BIGINT)) " +
           "AS BIGINT) AS n_outliers " +
           "FROM f GROUP BY event_type ORDER BY event_type")
     ),
