@@ -94,16 +94,23 @@ object StreamRun {
   }
 }
 
-/** Pack an ordered (a, b) id pair into ONE long — ids must fit 32 bits
-  * (fixture ids are dense small longs; at >2^32 rows switch to a struct
-  * key). Halves the shuffle width of pair-dedup exchanges; used by the
-  * LSH candidate dedups.
+/** Pack an ordered (a, b) id pair into ONE long — ids must fit 32 bits.
+  * The bound is ENFORCED per row (a negative or >= 2^32 id raises instead
+  * of silently merging distinct pairs in the downstream distinct() and
+  * emitting corrupted ids from left/right); at >2^32 rows switch to a
+  * struct key. Halves the shuffle width of pair-dedup exchanges; used by
+  * the LSH candidate dedups.
   */
 object Pack {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+  import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, shiftleft, shiftrightunsigned, when}
   def pair(a: Column, b: Column): Column =
-    shiftleft(a, 32).bitwiseOR(b)
+    // one integer compare per row in codegen; the error branch's string
+    // concat is only evaluated when it fires
+    when((a.bitwiseOR(b)).bitwiseAND(lit(0xffffffff00000000L)) =!= 0L,
+        raise_error(concat_ws(",",
+          lit("Pack.pair: id outside [0, 2^32):"), a, b)))
+      .otherwise(shiftleft(a, 32).bitwiseOR(b))
   // unsigned shift: an id >= 2^31 sets the sign bit after packing, and an
   // arithmetic >> would sign-extend it (AlgProperties pins the roundtrip
   // over the full unsigned-32-bit range)

@@ -229,8 +229,14 @@ object Wave54Ops extends QueryModule {
         // returned frame's plan is just the scratch read — the pruning
         // property is enforced where the probe plan exists, the
         // sink_nested_prune pattern)
+        // the filter LIST must be non-empty and name the partition
+        // column: FileSourceScanExec always prints 'PartitionFilters'
+        // (even as '[]') and 'cell' appears as a plain column name in any
+        // probe plan, so a bare contains() check is vacuous —
+        // [^\]]* keeps the match inside ONE bracket list
         val plan = probe.queryExecution.executedPlan.toString
-        require(plan.contains("PartitionFilters") && plan.contains("cell"),
+        require("""PartitionFilters: \[[^\]]*cell""".r
+            .findFirstIn(plan).isDefined,
           s"no coarse-cell partition pruning in the probe plan:\n$plan")
         probe.write.mode("overwrite").parquet(outDir)
         assigned.unpersist(blocking = false)

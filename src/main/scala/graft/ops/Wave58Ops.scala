@@ -86,6 +86,12 @@ object Wave58Ops extends QueryModule {
       extends StatefulProcessor[(Int, Long), BandRow, DupHit] {
     @transient private var st: ValueState[BucketState] = _
 
+    // TTLConfig.NONE is DELIBERATE, not an unbounded-state bug: TTL is a
+    // PROCESSING-time clock, and the dedup horizon is an EVENT-time
+    // contract — eviction runs against the watermark (expired + the
+    // event-time timer below), which replays identically and never
+    // depends on wall-clock batch cadence. Enabling TTL on top would
+    // add a second, non-replayable expiry path.
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[BucketState]("bucket",
         Encoders.product[BucketState], TTLConfig.NONE)

@@ -46,8 +46,17 @@ object ParquetMeta {
         val parts = rel.split('/')
         val hidden =
           parts.exists(p => p.startsWith(".") || p.startsWith("_"))
-        if (f.isFile && parts.last.endsWith(".parquet") && !hidden)
+        if (f.isFile && !hidden) {
+          // a visible non-.parquet data file would silently undercount
+          // (skewing IVF sizing with no error) — refuse instead; the
+          // supported layouts (fixture tables, Spark partitionBy output)
+          // contain only *.parquet besides hidden/metadata entries
+          require(parts.last.endsWith(".parquet"),
+            s"ParquetMeta.rowCount($path): non-parquet data file " +
+              s"'${f.getPath}' — footer stats would undercount; use a " +
+              "scan-based count for mixed-format directories")
           files += f.getPath
+        }
       }
     } else files += root
     var total = 0L

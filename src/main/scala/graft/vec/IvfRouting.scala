@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *
   * `sub == 1` short-circuits to the single-level plan plus a literal
   * `scell = 1` column (constant-folded by Catalyst): no window, no
-  * second join, no extra exchange — IvfRoutingSpec pins the plan
-  * identity, and CellSplitSpec pins the engaged path on a forced small
-  * cap against the oracle-checked Wave54 twin.
+  * second join, no extra exchange — CellSplitSpec pins the plan
+  * identity AND the engaged path on a forced small cap against the
+  * oracle-checked Wave54 twin.
   *
   * Inputs carry `(vec_id BIGINT, g ARRAY<BIGINT>)` plus any `carry`
   * columns to preserve through the assignment (e.g. a class label).
@@ -70,7 +70,7 @@ object IvfRouting {
     * (possible when the index batch has no member in that cell — e.g.
     * an index built after deletions) keeps `scell = 1`, the cell's
     * degenerate sub-cell, instead of silently vanishing from the
-    * output. IvfRoutingSpec pins the pass-through. */
+    * output. CellSplitSpec pins the pass-through. */
   def assignSub(coarseAssigned: DataFrame, subCents: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val carryAggs = carry.map(c => first(c).as(c))

@@ -41,6 +41,19 @@ class ParquetMetaSpec extends AnyFunSuite {
       "hidden-subdir parquet files leaked into the count")
   }
 
+  test("rowCount refuses a visible non-parquet data file (ADVICE-r11)") {
+    val dir = Tmp.dir("pqmeta_mixed")
+    spark.range(0, 100).write.mode("overwrite").parquet(dir)
+    // a non-Spark writer's suffix-less data file: silently skipping it
+    // would undercount and skew IVF sizing with no error
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data-0001.orc"), "not parquet")
+    val e = intercept[IllegalArgumentException] {
+      ParquetMeta.rowCount(spark, dir)
+    }
+    assert(e.getMessage.contains("non-parquet data file"))
+  }
+
   test("rowCount schedules zero Spark jobs") {
     val group = "pqmeta-zero-jobs"
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()

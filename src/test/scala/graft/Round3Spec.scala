@@ -85,6 +85,21 @@ class Round3Spec extends AnyFunSuite {
     assert(got == cases)
   }
 
+  test("Pack.pair raises on ids outside [0, 2^32) instead of corrupting") {
+    import spark.implicits._
+    // ADVICE-r11: the 32-bit bound is enforced per row, not a scaladoc
+    // promise — an oversize or negative id would otherwise silently
+    // merge distinct pairs in the downstream distinct()
+    for (bad <- Seq((0x100000000L, 1L), (1L, 0x100000000L), (-1L, 1L))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("a", "b")
+          .select(Pack.pair(col("a"), col("b")).as("pk")).collect()
+      }
+      assert(e.getMessage.contains("Pack.pair"),
+        s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("join_dpp plans a dynamic-pruning subquery on the fact scan") {
     val plan = SparkEntry.queries("join_dpp")(spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
