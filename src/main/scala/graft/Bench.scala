@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * `value` is the single-shot total seconds across ALL queries; `queries`
   * holds a fixed headline subset at MIN-OF-`k` (one measurement from the
   * full pass + k−1 post-pass reruns — the weather-proof regression gate,
-  * see BASELINE.md); the full single-shot per-query map is written to
-  * bench_full.json next to the working dir for analysis.
+  * see BASELINE.md). bench_full.json (next to the working dir) carries
+  * the full single-shot per-query map plus `mink`, the complete min-of-k
+  * map over headline ∪ slow-tail ∪ every floored op — the self-contained
+  * input to the 2×-floor escalation audit (VERDICT-r11 #1).
   */
 object Bench {
   /** Representative subset across operator families — keep in sync with the
@@ -105,15 +107,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    val fullJson = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
-      .mkString("{", ",", "}")
-    // a filtered dev run must not clobber the synced full-run record
-    val fullPath =
-      if (only.isDefined) "bench_subset.json" else "bench_full.json"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath),
-      s"""{"total":${f3(total)},"n":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
     // headline queries re-run twice more after the full pass: the map is
     // MIN-OF-3 (pass + 2 reruns), the only number stable against host
     // weather (single-shot swings up to 2× on a noisy box — BASELINE.md
@@ -126,11 +119,21 @@ object Bench {
     // exactly the apparent outliers is what keeps a future reader from
     // mistaking them for regressions. Dynamic selection is
     // self-maintaining as the op set grows.
+    //
+    // EVERY floored op re-runs too (VERDICT-r11 #1): the 2×-floor
+    // escalation guard is only meaningful on a min-of-k sample, so the
+    // driver run must produce one for the whole cleanFloor key set —
+    // otherwise a first-shot JIT artifact on a non-headline floored op
+    // is indistinguishable from a regression without a separate OpTimer
+    // session. The complete min-of-k map lands in bench_full.json (the
+    // stdout line keeps its length guard and may truncate to headline).
     val byName = SparkEntry.queries
     val minK = 3
     val slowTail = results
       .filterNot { case (k, _) => headline.contains(k) }
       .sortBy(-_._2).take(10).map(_._1)
+    val flooredRest = cleanFloor.keys.toSeq.sorted
+      .filterNot(k => headline.contains(k) || slowTail.contains(k))
     // Re-runs are INTERLEAVED round-robin across all re-run ops (round
     // 2 of everything, then round 3 of everything) instead of k back-
     // to-back per op: a single noisy 30-second host-load window then
@@ -143,7 +146,7 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val rerunOps = (headline ++ slowTail).flatMap(h =>
+    val rerunOps = (headline ++ slowTail ++ flooredRest).flatMap(h =>
       results.collectFirst { case (k, v) if k == h => h -> v })
     val samples = scala.collection.mutable.LinkedHashMap(
       rerunOps.map { case (h, single) => h -> Vector(single) }: _*)
@@ -161,8 +164,20 @@ object Bench {
       }
     }
     val qs = samples.toSeq.map { case (h, ss) => h -> ss.min }
+    val fullJson = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")
+    val minkJson = qs.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")
+    // a filtered dev run must not clobber the synced full-run record
+    val fullPath =
+      if (only.isDefined) "bench_subset.json" else "bench_full.json"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath),
+      s"""{"total":${f3(total)},"n":${results.size},"queries":$fullJson,"mink":$minkJson,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
     // headline entries sit at the front of qs (rerunOps = headline ++
-    // slowTail), so the line guard's protected prefix is exactly them
+    // slowTail ++ flooredRest), so the line guard's protected prefix is
+    // exactly them
     val nProtected = qs.count { case (k, _) => headline.contains(k) }
     println(headlineLine(total, results.size, minK, qs, nProtected, sfDir))
     spark.stop()

@@ -8,22 +8,27 @@ import org.apache.spark.sql.functions._
   * MinHash that `data_incremental_dedup` already proves for exact
   * fingerprints.
   *
-  * The persisted index is two tables built from the corpus ONCE and then
-  * maintained per commit:
+  * The persisted index is two SnapTables built from the corpus ONCE and
+  * then maintained per commit:
   *  - `buckets(doc_id, sz, band, bhash)`: one row per (doc, LSH band) —
   *    16 rows/doc at the house 16x4 banding (Jaccard >~ 0.7 recall);
   *  - `toksets(doc_id, tokset)`: the sorted 64-bit token-hash set used
   *    for exact verification (`lixsize` merge-intersect).
   *
-  * Each new commit featurizes ONLY its delta rows (`changesDelta` +1
-  * side), joins the bucket table on (band, bhash) for candidates — a
-  * semi-probe of the matching buckets, never a corpus scan — verifies
-  * candidates by exact Jaccard against the tokset index, and ABSORBS its
-  * own band/tokset rows into the index so the next commit sees them.
+  * Each new commit featurizes ONLY its incoming rows, joins the bucket
+  * table on (band, bhash) for candidates — a semi-probe of the matching
+  * buckets, never a corpus scan — verifies candidates by exact Jaccard
+  * against the tokset index, and ABSORBS corpus + band/tokset rows in
+  * ONE SnapTxn transaction so the next commit sees them. The tx record
+  * pins corpus/buckets/toksets versions together (VERDICT-r11 #1): the
+  * index version IS the corpus version, a crash mid-absorb leaves only
+  * unpinned orphans (readers stay on the prior consistent set), and a
+  * torn index — buckets absorbed, toksets not — cannot be published.
   * Per-commit cost: O(|batch| + matching buckets); the corpus is never
-  * re-read or re-fingerprinted. IncNeardupSpec pins both the detection
-  * semantics and the absorb arithmetic (index grows by exactly
-  * LshBands x |batch| bucket rows).
+  * re-read or re-fingerprinted. IncNeardupSpec pins the detection
+  * semantics, the absorb arithmetic (index grows by exactly
+  * LshBands x |batch| bucket rows), the version pinning, and the
+  * torn-absorb recovery.
   *
   * Same size-ratio prune as text_dedup_minhash: J(A,B) <= min(|A|,|B|) /
   * max(|A|,|B|), so a pair failing `min * 1e7 >= max * 7999995` cannot

@@ -299,43 +299,49 @@ object Wave54Ops extends QueryModule {
       "data_incremental_neardup",
       // Snapshot-incremental NEAR-dup (see IncNeardup): batch 1 commits
       // the corpus half and builds the banded-MinHash bucket + tokset
-      // index ONCE; batch 2's commit featurizes only its changesDelta
-      // rows, probes the bucket table for candidates, exact-verifies by
-      // Jaccard (lixsize), and absorbs its rows into the index — per-
-      // commit cost O(batch + matching buckets), never a corpus re-scan.
-      // The weekly-corpus cadence `data_incremental_dedup` proves for
-      // exact fingerprints, at near-dup semantics. No oracle (seeded
-      // MinHash banding prunes candidates, per the SURVEY §2.10
-      // declaration); IncNeardupSpec pins detection + absorb arithmetic.
+      // index ONCE; batch 2 featurizes ONLY its own rows, probes the
+      // bucket table for candidates, exact-verifies by Jaccard
+      // (lixsize), and absorbs corpus + index in ONE transaction —
+      // per-commit cost O(batch + matching buckets), never a corpus
+      // re-scan. The index is ACID (VERDICT-r11 #1): corpus, buckets
+      // and toksets are SnapTables pinned together by a SnapTxn record,
+      // so the index version IS the corpus version (one pin set per
+      // absorb) and a crash anywhere mid-absorb leaves only invisible
+      // orphans — readers stay on the prior consistent pin set; a torn
+      // index (buckets appended, toksets not) is impossible by
+      // construction. No oracle (seeded MinHash banding prunes
+      // candidates, per the SURVEY §2.10 declaration); IncNeardupSpec
+      // pins detection + absorb arithmetic + the torn-absorb and
+      // version-pin properties.
       (s, dir) => {
-        import graft.sources.SnapTable
-        val root = graft.Tmp.dir("graft_incneardup") + "/t"
-        val idxDir = graft.Tmp.dir("graft_incneardup_idx")
+        import graft.sources.{SnapTable, SnapTxn}
+        val txroot = graft.Tmp.dir("graft_incneardup_tx")
         val docs = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
-        // batch 1: commit + build the index from the committed snapshot
-        SnapTable.create(s, root,
-          docs.filter(col("doc_id") % 2 === 0), "doc_id")        // v1
-        val f1 = IncNeardup.featurize(SnapTable.readVersion(s, root, 1))
-        IncNeardup.bucketRows(f1)
-          .write.mode("overwrite").parquet(s"$idxDir/buckets")
-        f1.select(col("doc_id"), col("tokset"))
-          .write.mode("overwrite").parquet(s"$idxDir/toksets")
-        // batch 2: commit, then featurize ONLY the +1 delta
-        SnapTable.append(s, root, docs.filter(col("doc_id") % 2 === 1)) // v2
-        val delta = SnapTable.changesDelta(s, root, 1, 2)
-          .filter(col("_sign") === 1)
-          .select("doc_id", "lang", "text")
+        // batch 1: create corpus + both index tables from the committed
+        // snapshot, then pin all three at v1 in tx v1
+        SnapTable.create(s, s"$txroot/corpus",
+          docs.filter(col("doc_id") % 2 === 0), "doc_id")
+        val f1 = IncNeardup.featurize(
+          SnapTable.readVersion(s, s"$txroot/corpus", 1))
+        SnapTable.create(s, s"$txroot/buckets",
+          IncNeardup.bucketRows(f1), "doc_id")
+        SnapTable.create(s, s"$txroot/toksets",
+          f1.select(col("doc_id"), col("tokset")), "doc_id")
+        SnapTxn.init(txroot, Seq("corpus", "buckets", "toksets"))
+        // batch 2: featurize the INCOMING delta (the frame being
+        // committed — verify-then-commit, the real ingest shape), probe
+        // the tx-pinned index, then absorb atomically
+        val delta = docs.filter(col("doc_id") % 2 === 1)
         val fd = IncNeardup.featurize(delta).persist()
         try {
           // populate the cache with ONE dedicated job before the verify
           // plan consumes fd on two branches (candidates + tokset join):
           // branches of a single job race the cache and would re-featurize
           fd.count()
-          val buckets = s.read.parquet(s"$idxDir/buckets")
           val hits = IncNeardup.verify(
-            IncNeardup.candidates(fd, buckets),
-            fd, s.read.parquet(s"$idxDir/toksets"))
+            IncNeardup.candidates(fd, SnapTxn.read(s, txroot, "buckets")),
+            fd, SnapTxn.read(s, txroot, "toksets"))
           val flagged = hits.groupBy(col("new_id").as("doc_id"))
             .agg(count(lit(1)).as("n_matches"))
           val agg = fd.select(col("doc_id"), col("lang"))
@@ -347,17 +353,20 @@ object Wave54Ops extends QueryModule {
                 .as("n_neardup"),
               sum(coalesce(col("n_matches"), lit(0L))).as("n_pairs"))
             .orderBy("lang")
-          // pin the aggregate BEFORE absorbing: the hits plan reads the
-          // same index dirs the absorb appends to, and relying on
-          // DataFrameReader's eager file-listing snapshot to exclude the
-          // appended delta rows is non-contractual. The result is a few
+          // pin the aggregate BEFORE absorbing — the bench's timed path
+          // must pay the real candidates+verify cost (the lazy-return
+          // floor artifact round 11 documented). The result is a few
           // per-lang rows, so a driver collect is the cheap pin.
           val rows = agg.collect()
-          // absorb: the index stays current for the NEXT commit (O(batch))
-          IncNeardup.bucketRows(fd)
-            .write.mode("append").parquet(s"$idxDir/buckets")
-          fd.select(col("doc_id"), col("tokset"))
-            .write.mode("append").parquet(s"$idxDir/toksets")
+          // absorb: ONE tx commit appends corpus + buckets + toksets and
+          // publishes a single record pinning all three new versions —
+          // the next commit probes an index that exactly reflects the
+          // corpus it is pinned with
+          SnapTxn.commit(s, txroot, Seq(
+            "corpus" -> delta,
+            "buckets" -> IncNeardup.bucketRows(fd),
+            "toksets" -> fd.select(col("doc_id"), col("tokset"))),
+            note = "absorb")
           s.createDataFrame(
             java.util.Arrays.asList(rows: _*), agg.schema)
         } finally fd.unpersist(blocking = false)

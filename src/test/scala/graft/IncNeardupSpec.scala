@@ -74,4 +74,70 @@ class IncNeardupSpec extends AnyFunSuite {
     assert(IncNeardup.candidates(
       onlyDisjoint, IncNeardup.bucketRows(f1)).count() === 0L)
   }
+
+  /** The op's storage flow in miniature: corpus + buckets + toksets as
+    * SnapTables under one tx root, pinned together. */
+  private def buildTx(): String = {
+    import graft.sources.{SnapTable, SnapTxn}
+    val txroot = Tmp.dir("incneardup_tx_spec")
+    SnapTable.create(spark, s"$txroot/corpus", df(b1), "doc_id")
+    val f1 = IncNeardup.featurize(
+      SnapTable.readVersion(spark, s"$txroot/corpus", 1))
+    SnapTable.create(spark, s"$txroot/buckets",
+      IncNeardup.bucketRows(f1), "doc_id")
+    SnapTable.create(spark, s"$txroot/toksets",
+      f1.select($"doc_id", $"tokset"), "doc_id")
+    SnapTxn.init(txroot, Seq("corpus", "buckets", "toksets"))
+    txroot
+  }
+
+  test("absorb pins index version == corpus version in ONE tx record") {
+    import graft.sources.SnapTxn
+    val txroot = buildTx()
+    val fd = IncNeardup.featurize(df(b2))
+    SnapTxn.commit(spark, txroot, Seq(
+      "corpus" -> df(b2),
+      "buckets" -> IncNeardup.bucketRows(fd),
+      "toksets" -> fd.select($"doc_id", $"tokset")), note = "absorb")
+    val head = SnapTxn.head(txroot)
+    // every absorb publishes exactly one record moving all three pins
+    // in lockstep — the index can never claim to reflect a corpus
+    // version it wasn't committed with
+    assert(head.pins("corpus") === head.pins("buckets"))
+    assert(head.pins("corpus") === head.pins("toksets"))
+    assert(SnapTxn.read(spark, txroot, "buckets").count() ===
+      graft.text.TextAlgs.LshBands.toLong * (b1.size + b2.size))
+    assert(SnapTxn.read(spark, txroot, "corpus").count() ===
+      (b1.size + b2.size).toLong)
+  }
+
+  test("torn absorb: a crash between index appends is invisible") {
+    import graft.sources.{SnapTable, SnapTxn}
+    val txroot = buildTx()
+    val before = SnapTxn.head(txroot)
+    val fd = IncNeardup.featurize(df(b2))
+    // simulate the crash window the raw-parquet layout could not
+    // survive: the buckets append is PREPARED (data + manifest written)
+    // but the tx record is never published — the toksets append never
+    // happened at all
+    SnapTable.prepareAppend(spark, s"$txroot/buckets",
+      IncNeardup.bucketRows(fd), before.pins("buckets"))
+    // readers resolve through the tx pins: both index tables still show
+    // the PRIOR consistent version — no torn state is observable
+    assert(SnapTxn.head(txroot) === before)
+    assert(SnapTxn.read(spark, txroot, "buckets").count() ===
+      graft.text.TextAlgs.LshBands.toLong * b1.size)
+    assert(SnapTxn.read(spark, txroot, "toksets").count() === b1.size.toLong)
+    // the orphaned prepared snapshot is garbage, not corruption
+    assert(SnapTxn.vacuumOrphans(txroot) === 1)
+    // and a clean re-run of the full absorb still lands atomically
+    SnapTxn.commit(spark, txroot, Seq(
+      "corpus" -> df(b2),
+      "buckets" -> IncNeardup.bucketRows(fd),
+      "toksets" -> fd.select($"doc_id", $"tokset")), note = "absorb")
+    val head = SnapTxn.head(txroot)
+    assert(head.pins("corpus") === head.pins("buckets"))
+    assert(SnapTxn.read(spark, txroot, "toksets").count() ===
+      (b1.size + b2.size).toLong)
+  }
 }
