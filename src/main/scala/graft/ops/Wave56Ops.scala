@@ -186,43 +186,57 @@ object Wave56Ops extends QueryModule {
     Q(
       "vec_incremental_semdedup",
       // Snapshot-incremental SEMANTIC dedup — the embedding analog of
-      // data_incremental_neardup: batch 1 builds the cell index ONCE
-      // (⌈√n⌉ lowest-id centroids, integer-grid geometry, parquet
-      // partitioned by cell); batch 2 assigns its vectors against the
-      // BROADCAST centroids and compares only within its own cells —
-      // per-batch cost O(|batch|·√n + matching cells), never a corpus
-      // re-scan. Deterministic end-to-end (unlike the MinHash twin),
-      // so the whole incremental pipeline is oracle-checked.
+      // data_incremental_neardup, at the full 3-commit cadence
+      // (VERDICT-r11 #2): batch 1 builds the cell index ONCE (⌈√n⌉
+      // lowest-id centroids, integer-grid geometry, parquet partitioned
+      // by cell); batch 2 probes it and is then ABSORBED (one
+      // partitioned append, frozen routing geometry); batch 3 probes
+      // the b1 ∪ b2 union — per-batch cost O(|batch|·√n + matching
+      // cells), never a corpus re-scan or index rebuild. Sizing is
+      // footer-only (density-proven, zero Spark jobs). Deterministic
+      // end-to-end (unlike the MinHash twin), so the whole incremental
+      // pipeline — both probes, across the absorb — is oracle-checked.
       (s, dir) => incSemdedupBody(s, dir),
-      Some(
+      Some {
+        def assign(b: String) =
+          s"$b AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+            s"list_sum(list_transform(list_zip(${b.replace("a", "b")}.g, " +
+            "c.cg), p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) " +
+            s"AS cell FROM ${b.replace("a", "b")}), "
+        def dups(name: String, nw: String, old: String) =
+          s"$name AS (SELECT DISTINCT $nw.vec_id FROM $nw JOIN $old " +
+            s"ON $nw.cell = $old.cell AND round(list_sum(list_transform(" +
+            s"list_zip($nw.g, $old.g), p -> p[1] * p[2])) / sqrt(" +
+            s"CAST(list_sum(list_transform($nw.g, x -> x * x)) " +
+            "AS DOUBLE) * " +
+            s"CAST(list_sum(list_transform($old.g, x -> x * x)) " +
+            "AS DOUBLE)) * 1e9) / 1e9 > 0.3), "
+        def agg(name: String, b: String, a: String, d: String) =
+          s"$name AS (SELECT CAST($b AS BIGINT) AS batch, $a.cell, " +
+            "CAST(count(*) AS BIGINT) AS n_new, " +
+            s"CAST(sum(CASE WHEN $d.vec_id IS NOT NULL THEN 1 ELSE 0 " +
+            s"END) AS BIGINT) AS n_dup FROM $a LEFT JOIN $d " +
+            s"ON $a.vec_id = $d.vec_id GROUP BY $a.cell)"
         "WITH g AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
           "FROM embeddings), " +
-          "b1 AS (SELECT * FROM g WHERE vec_id % 2 = 0), " +
-          "b2 AS (SELECT * FROM g WHERE vec_id % 2 = 1), " +
+          "b1 AS (SELECT * FROM g WHERE vec_id % 3 = 0), " +
+          "b2 AS (SELECT * FROM g WHERE vec_id % 3 = 1), " +
+          "b3 AS (SELECT * FROM g WHERE vec_id % 3 = 2), " +
           "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
           "CAST((SELECT count(*) FROM b1) AS DOUBLE))) AS BIGINT))) " +
           "AS k), " +
           "c AS (SELECT vec_id AS cid, g AS cg FROM b1 " +
-          "WHERE vec_id < 2 * (SELECT k FROM kk)), " +
-          "a1 AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-          "list_sum(list_transform(list_zip(b1.g, c.cg), " +
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-          "FROM b1), " +
-          "a2 AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-          "list_sum(list_transform(list_zip(b2.g, c.cg), " +
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-          "FROM b2), " +
-          "dups AS (SELECT DISTINCT a2.vec_id FROM a2 JOIN a1 " +
-          "ON a2.cell = a1.cell AND round(list_sum(list_transform(" +
-          "list_zip(a2.g, a1.g), p -> p[1] * p[2])) / sqrt(" +
-          "CAST(list_sum(list_transform(a2.g, x -> x * x)) AS DOUBLE) * " +
-          "CAST(list_sum(list_transform(a1.g, x -> x * x)) AS DOUBLE)) " +
-          "* 1e9) / 1e9 > 0.3) " +
-          "SELECT a2.cell, CAST(count(*) AS BIGINT) AS n_new, " +
-          "CAST(sum(CASE WHEN dups.vec_id IS NOT NULL THEN 1 ELSE 0 END) " +
-          "AS BIGINT) AS n_dup FROM a2 LEFT JOIN dups " +
-          "ON a2.vec_id = dups.vec_id GROUP BY a2.cell ORDER BY a2.cell")
+          "WHERE vec_id < 3 * (SELECT k FROM kk)), " +
+          assign("a1") + assign("a2") + assign("a3") +
+          // the absorbed index batch 3 probes: batch 1 plus batch 2
+          "au AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2), " +
+          dups("d2", "a2", "a1") + dups("d3", "a3", "au") +
+          agg("r2", "2", "a2", "d2") + ", " + agg("r3", "3", "a3", "d3") +
+          " SELECT batch, cell, n_new, n_dup FROM " +
+          "(SELECT * FROM r2 UNION ALL SELECT * FROM r3) " +
+          "ORDER BY batch, cell"
+      }
     ),
     Q(
       "data_tokenizer_fertility",
@@ -259,85 +273,128 @@ object Wave56Ops extends QueryModule {
   )
 
   /** vec_incremental_semdedup body, cap-parameterized so CellSplitSpec
-    * can force the two-level routing path (VERDICT-r10 #1). The probe
-    * batch routes against the SAME sub-centroids the index was built
-    * with (IvfRouting.assignSub with batch-1 subCentroids) — an
-    * incremental batch must never derive its own routing geometry. At
-    * the default cap fixture sizes give `sub == 1` and both batches
+    * can force the two-level routing path (VERDICT-r10 #1).
+    *
+    * THREE-batch cadence (VERDICT-r11 #2): batch 1 builds the
+    * partitioned cell index; batch 2 probes it, then its rows are
+    * ABSORBED into the index (one partitioned append — never a
+    * rebuild); batch 3 probes the b1 ∪ b2 union. Routing geometry is
+    * FROZEN from batch 1 (broadcast centroids and, when the second
+    * layer is engaged, batch-1 sub-centroids) — an incremental batch
+    * must never derive its own geometry, or identical vectors committed
+    * in different batches would land in different cells. Per-commit
+    * cost stays O(|batch|·√n + matching cells); the corpus is never
+    * re-scanned (IvfAbsorbSpec pins it by job-group accounting).
+    *
+    * Batch sizing is footer-derived with ZERO Spark jobs
+    * (VERDICT-r11 #7): vec_ids are PROVEN dense 0..n−1 from footer
+    * column stats (min 0, max n−1 over n rows), so the residue-class
+    * batch sizes are exact arithmetic — |b1| = ⌈n/3⌉.
+    *
+    * At the default cap fixture sizes give `sub == 1` and all batches
     * stay on the proven single-level plan. */
   private[graft] def incSemdedupBody(s: org.apache.spark.sql.SparkSession,
       dir: String,
-      cap: Long = graft.vec.VecAlgs.BroadcastCellCap)
+      cap: Long = graft.vec.VecAlgs.BroadcastCellCap,
+      // spec hook: a fixed index dir lets IvfAbsorbSpec assert the
+      // absorb is an APPEND into the build's partitioned layout (two
+      // writer generations in one partition), never a rebuild
+      idxDirOverride: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     val gridded = T(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> " +
           "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
-    val b1 = gridded.filter(col("vec_id") % 2 === 0)
-    val b2 = gridded.filter(col("vec_id") % 2 === 1)
-    // the index batch is a filtered slice, so its size is a real (cheap,
-    // column-pruned) count — footer stats only know the full table
-    val (k, sub) = graft.vec.VecAlgs.cellSplit(b1.count(), cap)
-    // k lowest-id batch-1 members: batch 1 holds the EVEN ids, so
-    // the first k of them are exactly the evens below 2k
-    val cents = b1.filter(col("vec_id") < 2 * k)
+    val b1 = gridded.filter(col("vec_id") % 3 === 0)
+    val b2 = gridded.filter(col("vec_id") % 3 === 1)
+    val b3 = gridded.filter(col("vec_id") % 3 === 2)
+    val n = T.rows(s, dir, "embeddings")
+    val (idLo, idHi) = graft.sources.ParquetMeta.longStats(
+      s, s"$dir/embeddings.parquet", "vec_id")
+    // density proof: n rows spanning exactly [0, n-1] ⇒ ids are 0..n-1,
+    // so the %3 slice sizes are exact without any scan
+    require(idLo == 0L && idHi == n - 1,
+      s"vec_id not dense 0..${n - 1} (stats [$idLo, $idHi]) — " +
+        "footer-derived batch sizing would be wrong; use count()")
+    val (k, sub) = graft.vec.VecAlgs.cellSplit((n + 2) / 3, cap)
+    // k lowest-id batch-1 members: batch 1 holds ids ≡ 0 (mod 3), so
+    // the first k of them are exactly the multiples of 3 below 3k
+    val cents = b1.filter(col("vec_id") < 3 * k)
       .select(col("vec_id").as("cid"), col("g").as("cg"))
     val c1 = graft.vec.IvfRouting.assignCoarse(b1, cents)
     val c2 = graft.vec.IvfRouting.assignCoarse(b2, cents)
+    val c3 = graft.vec.IvfRouting.assignCoarse(b3, cents)
     val cols = Seq(col("vec_id"), col("cell"), col("scell"), col("g"))
-    // BUILD f1 once (index partitioned by coarse cell), then batch 2
-    // assigns against the same broadcast centroids (and, when the
-    // second layer is engaged, the same sub-centroids), probes ONLY its
-    // own fine cells, exact cosine within the cell
+    // BUILD the index from f1 (partitioned by coarse cell); each commit
+    // probes ONLY its own fine cells (exact cosine within the cell),
+    // gets pinned eagerly, and is then absorbed as ONE partitioned
+    // append — the next commit probes the union without any rebuild
     def pipeline(f1: org.apache.spark.sql.DataFrame,
-        f2: org.apache.spark.sql.DataFrame)
+        f2: org.apache.spark.sql.DataFrame,
+        f3: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      val idxDir = graft.Tmp.dir("graft_incsem_idx")
+      val idxDir =
+        idxDirOverride.getOrElse(graft.Tmp.dir("graft_incsem_idx"))
+      val outDir = graft.Tmp.dir("graft_incsem_probe")
       f1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
-      val idx = s.read.parquet(idxDir)
-        .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
-          col("g").as("og"))
-      val dups = f2.join(idx, Seq("cell", "scell"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(g, og, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .withColumn("n2n", expr(
-          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-        .withColumn("n2o", expr(
-          "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-        .withColumn("cos", round(col("dot") /
-          sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
-          * 1e9) / 1e9)
-        .filter(col("cos") > 0.3)
-        .select(col("vec_id")).distinct()
-      f2.join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_new"),
-          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
-        .orderBy("cell")
+      def probe(fNew: org.apache.spark.sql.DataFrame, batch: Long)
+          : Unit = {
+        val idx = s.read.parquet(idxDir)
+          .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
+            col("g").as("og"))
+        val dups = fNew.join(idx, Seq("cell", "scell"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(g, og, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("n2n", expr(
+            "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("n2o", expr(
+            "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("cos", round(col("dot") /
+            sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
+            * 1e9) / 1e9)
+          .filter(col("cos") > 0.3)
+          .select(col("vec_id")).distinct()
+        // eager pin BEFORE the absorb touches idxDir: the probe must
+        // see exactly the pre-absorb index (relying on the reader's
+        // file-listing snapshot is non-contractual — the round-11
+        // IncNeardup lesson), and the bench's timed path must pay the
+        // probe cost
+        fNew.join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+          .select(lit(batch).as("batch"), col("cell"), col("n_new"),
+            col("n_dup"))
+          .write.mode("append").parquet(outDir)
+      }
+      probe(f2, 2L)
+      // ABSORB batch 2 under the frozen geometry: one partitioned
+      // append, no index rebuild, no re-read of batch 1
+      f2.write.mode("append").partitionBy("cell").parquet(idxDir)
+      probe(f3, 3L)
+      s.read.parquet(outDir).orderBy("batch", "cell")
     }
     if (sub <= 1L)
-      // degenerate: the proven single-level plan, returned lazily
+      // degenerate: the proven single-level plan
       pipeline(
         c1.withColumn("scell", lit(1L)).select(cols: _*),
-        c2.withColumn("scell", lit(1L)).select(cols: _*))
+        c2.withColumn("scell", lit(1L)).select(cols: _*),
+        c3.withColumn("scell", lit(1L)).select(cols: _*))
     else {
       // two-level: c1 feeds BOTH the sub-centroid table and its own
-      // fine assignment, and the probe job needs the sub-centroids
-      // again — persist + prime it once instead of recomputing the
-      // coarse crossJoin+groupBy per consumer; eager output (scratch
-      // parquet, <= one row per cell) lets the cache release here
+      // fine assignment, and every probe batch routes against the SAME
+      // batch-1 sub-centroids — persist + prime c1 once instead of
+      // recomputing the coarse crossJoin+groupBy per consumer
       val c1p = c1.persist()
-      val out = graft.Tmp.dir("graft_incsem_out")
       try {
         c1p.count()
         val subCents = graft.vec.IvfRouting.subCentroids(c1p, sub)
         pipeline(
           graft.vec.IvfRouting.assignSub(c1p, subCents),
-          graft.vec.IvfRouting.assignSub(c2, subCents))
-          .write.mode("overwrite").parquet(out)
+          graft.vec.IvfRouting.assignSub(c2, subCents),
+          graft.vec.IvfRouting.assignSub(c3, subCents))
       } finally c1p.unpersist(blocking = false)
-      s.read.parquet(out).orderBy("cell")
     }
   }
 

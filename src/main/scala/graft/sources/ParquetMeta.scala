@@ -5,6 +5,8 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 /** Footer-only parquet statistics.
   *
   * `rowCount` answers "how many rows does this table hold" from the
@@ -14,9 +16,12 @@ import org.apache.spark.sql.SparkSession
   * (`VecAlgs.cellSplit`): sizing is one scalar the storage layer already
   * knows, and paying a full `count()` scan for it would put an extra
   * pass over the corpus in front of every index build — at 100 TB, a
-  * full cluster job per query for one number. ParquetMetaSpec pins both
-  * properties: the count equals `df.count()` and the call schedules no
-  * Spark job.
+  * full cluster job per query for one number. `longStats` reads a long
+  * column's (min, max) the same way; together they PROVE id density
+  * (min 0, max n−1 over n rows ⇒ ids are exactly 0..n−1), which lets the
+  * incremental ops derive residue-class batch sizes exactly without a
+  * scan (VERDICT-r11 #7). ParquetMetaSpec pins all properties: counts
+  * and stats equal their scan-based twins and schedule no Spark job.
   *
   * Scope: exact for plain parquet files/directories (the fixture layout
   * and any parquet table without deletion vectors). Snapshot tables
@@ -25,9 +30,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
-  /** Exact row count of a parquet file or directory (recursive over
-    * partitioned layouts), summed from footer block metadata. */
-  def rowCount(s: SparkSession, path: String): Long = {
+  /** Visible data files under `path` (recursive over partitioned
+    * layouts); a file or an empty seq for a bare file path. Hidden /
+    * metadata entries are filtered by path COMPONENT below the root
+    * (Spark's InMemoryFileIndex rule), not just the leaf: a stale
+    * _temporary/.../part-0.parquet from an interrupted write must not
+    * count. A visible non-.parquet data file fails fast — silently
+    * skipping it would under-report with no error (ADVICE-r11). */
+  private def dataFiles(s: SparkSession, path: String)
+      : (org.apache.hadoop.conf.Configuration, Seq[Path]) = {
     val conf = s.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -37,28 +48,27 @@ object ParquetMeta {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val f = it.next()
-        // hidden/metadata filtering by path COMPONENT below the root
-        // (Spark's InMemoryFileIndex rule), not just the leaf: a stale
-        // _temporary/... /part-0.parquet from an interrupted write must
-        // not inflate the count
         val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
           .stripPrefix("/")
         val parts = rel.split('/')
         val hidden =
           parts.exists(p => p.startsWith(".") || p.startsWith("_"))
         if (f.isFile && !hidden) {
-          // a visible non-.parquet data file would silently undercount
-          // (skewing IVF sizing with no error) — refuse instead; the
-          // supported layouts (fixture tables, Spark partitionBy output)
-          // contain only *.parquet besides hidden/metadata entries
           require(parts.last.endsWith(".parquet"),
-            s"ParquetMeta.rowCount($path): non-parquet data file " +
-              s"'${f.getPath}' — footer stats would undercount; use a " +
-              "scan-based count for mixed-format directories")
+            s"ParquetMeta($path): non-parquet data file " +
+              s"'${f.getPath}' — footer stats would under-report; use a " +
+              "scan for mixed-format directories")
           files += f.getPath
         }
       }
     } else files += root
+    (conf, files.toSeq)
+  }
+
+  /** Exact row count of a parquet file or directory (recursive over
+    * partitioned layouts), summed from footer block metadata. */
+  def rowCount(s: SparkSession, path: String): Long = {
+    val (conf, files) = dataFiles(s, path)
     var total = 0L
     files.foreach { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
@@ -66,5 +76,44 @@ object ParquetMeta {
       finally r.close()
     }
     total
+  }
+
+  /** Exact (min, max) of a required INT64 column across every data
+    * file, from footer column statistics only — zero Spark jobs. Fails
+    * fast when any block lacks usable stats (truncated/absent) rather
+    * than returning a silently-wrong range. */
+  def longStats(s: SparkSession, path: String, column: String)
+      : (Long, Long) = {
+    val (conf, files) = dataFiles(s, path)
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var blocks = 0
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        if (b.getRowCount > 0) {
+          blocks += 1
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"ParquetMeta.longStats($path): no column '$column'"))
+          val st = c.getStatistics
+          require(st != null && !st.isEmpty && st.hasNonNullValue,
+            s"ParquetMeta.longStats($path): block without usable " +
+              s"stats for '$column' — fall back to a scan")
+          (st.genericGetMin, st.genericGetMax) match {
+            case (lo: java.lang.Long, hi: java.lang.Long) =>
+              mn = math.min(mn, lo.longValue)
+              mx = math.max(mx, hi.longValue)
+            case other => throw new IllegalArgumentException(
+              s"ParquetMeta.longStats($path): '$column' is not INT64 " +
+                s"(stats ${other.getClass})")
+          }
+        }
+      } finally r.close()
+    }
+    require(blocks > 0,
+      s"ParquetMeta.longStats($path): no non-empty blocks")
+    (mn, mx)
   }
 }

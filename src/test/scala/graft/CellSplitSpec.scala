@@ -161,33 +161,47 @@ class CellSplitSpec extends AnyFunSuite {
   }
 
   test("forced cap: vec_incremental_semdedup matches a two-layer replay") {
-    val b1 = gridded.filter(_._1 % 2 == 0).map(v => (v._1, v._3))
-    val b2 = gridded.filter(_._1 % 2 == 1).map(v => (v._1, v._3))
+    // the 3-batch cadence (VERDICT-r11 #2): b1 builds, b2 probes then
+    // is absorbed, b3 probes the b1 ∪ b2 union — all replayed with the
+    // FROZEN batch-1 geometry (cents + sub-centroids)
+    val b1 = gridded.filter(_._1 % 3 == 0).map(v => (v._1, v._3))
+    val b2 = gridded.filter(_._1 % 3 == 1).map(v => (v._1, v._3))
+    val b3 = gridded.filter(_._1 % 3 == 2).map(v => (v._1, v._3))
     val (k, sub) = VecAlgs.cellSplit(b1.size.toLong, ForcedCap)
     assert(sub > 1L)
-    val cents = b1.filter(_._1 < 2 * k)
+    val cents = b1.filter(_._1 < 3 * k)
     val ca = (vs: Seq[(Long, Array[Long])]) => vs.map { case (id, g) =>
       (id, cents.map { case (cid, cg) => (d2L(g, cg), cid) }.min._2, g)
     }
     val scs = replaySubCents(ca(b1), sub)
     val f1 = replayFine(b1, cents, sub, scs)
     val f2 = replayFine(b2, cents, sub, scs)
+    val f3 = replayFine(b3, cents, sub, scs)
     val g = gridded.map(v => v._1 -> v._3).toMap
-    val byFine1 = f1.groupBy(f => (f._2, f._3))
-    val dups = f2.filter { case (id, cell, scell) =>
-      byFine1.getOrElse((cell, scell), Nil).exists { case (oid, _, _) =>
-        val (a, b) = (g(id), g(oid))
-        rnd(dotL(a, b).toDouble /
-          math.sqrt(d2L(a, Array.fill(a.length)(0L)).toDouble *
-            d2L(b, Array.fill(b.length)(0L)).toDouble), 9) > 0.3
+    def dupsOf(fNew: Seq[(Long, Long, Long)],
+        index: Seq[(Long, Long, Long)]): Set[Long] = {
+      val byFine = index.groupBy(f => (f._2, f._3))
+      fNew.filter { case (id, cell, scell) =>
+        byFine.getOrElse((cell, scell), Nil).exists { case (oid, _, _) =>
+          val (a, b) = (g(id), g(oid))
+          rnd(dotL(a, b).toDouble /
+            math.sqrt(d2L(a, Array.fill(a.length)(0L)).toDouble *
+              d2L(b, Array.fill(b.length)(0L)).toDouble), 9) > 0.3
+        }
+      }.map(_._1).toSet
+    }
+    val d2 = dupsOf(f2, f1)
+    val d3 = dupsOf(f3, f1 ++ f2) // post-absorb index
+    def agg(batch: Long, f: Seq[(Long, Long, Long)], d: Set[Long]) =
+      f.groupBy(_._2).toSeq.map { case (cell, ms) =>
+        (batch, cell, ms.size.toLong, ms.count(m => d(m._1)).toLong)
       }
-    }.map(_._1).toSet
-    val expect = f2.groupBy(_._2).toSeq.map { case (cell, ms) =>
-      (cell, ms.size.toLong, ms.count(m => dups(m._1)).toLong)
-    }.sortBy(_._1)
+    val expect = (agg(2L, f2, d2) ++ agg(3L, f3, d3))
+      .sortBy(t => (t._1, t._2))
     val got = graft.ops.Wave56Ops
       .incSemdedupBody(spark, TestSpark.Sf, cap = ForcedCap)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === expect)
   }
 

@@ -41,6 +41,61 @@ class ParquetMetaSpec extends AnyFunSuite {
       "hidden-subdir parquet files leaked into the count")
   }
 
+  test("longStats equals scan-based min/max and proves id density") {
+    import org.apache.spark.sql.functions._
+    for (t <- Seq("embeddings", "documents")) {
+      val idCol = if (t == "embeddings") "vec_id" else "doc_id"
+      val df = spark.read.parquet(s"${TestSpark.Sf}/$t.parquet")
+      val r = df.agg(min(idCol), max(idCol)).first()
+      assert(ParquetMeta.longStats(spark, s"${TestSpark.Sf}/$t.parquet",
+        idCol) === ((r.getLong(0), r.getLong(1))), t)
+    }
+    // the density derivation the incremental IVF sizing relies on:
+    // n rows spanning exactly [0, n-1] with zero Spark jobs
+    val n = ParquetMeta.rowCount(spark, s"${TestSpark.Sf}/embeddings.parquet")
+    val (lo, hi) = ParquetMeta.longStats(spark,
+      s"${TestSpark.Sf}/embeddings.parquet", "vec_id")
+    assert(lo === 0L && hi === n - 1)
+  }
+
+  test("longStats spans multi-file partitioned layouts; unknown column fails") {
+    val dir = Tmp.dir("pqmeta_stats_part")
+    spark.range(5, 505)
+      .selectExpr("id", "id % 7 AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    assert(ParquetMeta.longStats(spark, dir, "id") === ((5L, 504L)))
+    val e = intercept[IllegalArgumentException] {
+      ParquetMeta.longStats(spark, dir, "nope")
+    }
+    assert(e.getMessage.contains("no column"))
+  }
+
+  test("longStats schedules zero Spark jobs") {
+    val group = "pqmeta-stats-zero-jobs"
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+          group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.add(j.jobId)
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "zero-jobs pin")
+    try {
+      ParquetMeta.longStats(spark,
+        s"${TestSpark.Sf}/embeddings.parquet", "vec_id")
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(jobs.size === 1,
+        s"expected only the sentinel job, saw ${jobs.size}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("rowCount refuses a visible non-parquet data file (ADVICE-r11)") {
     val dir = Tmp.dir("pqmeta_mixed")
     spark.range(0, 100).write.mode("overwrite").parquet(dir)
