@@ -71,7 +71,10 @@ object VectorOps extends QueryModule {
     * nsub=2 sub-cells per probed coarse cell before the exact rerank.
     */
   private[graft] def knnProbeBody(s: SparkSession, dir: String,
-      cap: Long = VecAlgs.BroadcastCellCap): DataFrame = {
+      cap: Long = VecAlgs.BroadcastCellCap,
+      // query batch, parameterized so hybrid_rrf_serve (Wave61) can
+      // probe the SAME machinery with its own query ids
+      qids: Seq[Long] = Seq(5L, 17L, 42L)): DataFrame = {
     import s.implicits._
     VecExprs.register(s)
     val emb = T(s, dir, "embeddings")
@@ -98,7 +101,6 @@ object VectorOps extends QueryModule {
     // PROBE prelude: nprobe=2 nearest coarse cells per query, selected
     // on the driver with the same left-to-right double accumulation
     // (VecAlgs.l2sq) as fvl2/the oracle
-    val qids = Seq(5L, 17L, 42L)
     val centArr = cents.collect()
       .map(r =>
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))

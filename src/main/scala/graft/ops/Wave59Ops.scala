@@ -50,8 +50,9 @@ import org.apache.spark.sql.functions._
   */
 object Wave59Ops extends QueryModule {
 
-  /** The fixed query batch (q_id, term) for text_bm25_topk. */
-  private val QuerySet: Seq[(Long, String)] = Seq(
+  /** The fixed query batch (q_id, term) for text_bm25_topk (and the
+    * lexical half of hybrid_rrf_serve — Wave61). */
+  private[ops] val QuerySet: Seq[(Long, String)] = Seq(
     1L -> "hash", 1L -> "join", 1L -> "scan",
     2L -> "stream", 2L -> "window", 2L -> "batch",
     3L -> "sort", 3L -> "merge", 3L -> "filter",
@@ -109,49 +110,57 @@ object Wave59Ops extends QueryModule {
       .select("doc_a", "doc_b", "a_start", "b_start", "n_tokens")
   }
 
+  /** Okapi-BM25 batch serving: the QuerySet scored against the corpus
+    * DF/IDF stats, top-5 per query by (score, doc_id) — the body of
+    * `text_bm25_topk`, factored so hybrid_rrf_serve (Wave61) fuses the
+    * SAME lexical ranker instead of a drift-prone copy. Returns
+    * `(q_id, rnk, doc_id, bm25, n_terms)` ordered by (q_id, rnk). */
+  private[ops] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val qdf = QuerySet.toDF("q_id", "tok")
+    val qterms = QuerySet.map(_._2).distinct
+    // only query-term postings move into the tf shuffle
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(qterms: _*))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = T(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " "))
+        .cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    val scored = tf.join(broadcast(dfq), Seq("tok"))
+      .join(broadcast(qdf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("nd"))
+      .withColumn("idf", log(
+        (col("nd").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      // lit(2.2), NOT k1 + 1.0: the runtime sum 1.2+1.0 is one ulp
+      // BELOW the parsed literal 2.2 the oracle uses (text_bm25)
+      .withColumn("w", col("idf") *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            col("avgdl"))))
+      .groupBy("q_id", "doc_id")
+      .agg(dround(sum("w"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "doc_id", "bm25", "n_terms")
+      .orderBy("q_id", "rnk")
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "text_bm25_topk",
-      (s, dir) => {
-        import s.implicits._
-        val k1 = 1.2; val b = 0.75
-        val qdf = QuerySet.toDF("q_id", "tok")
-        val qterms = QuerySet.map(_._2).distinct
-        // only query-term postings move into the tf shuffle
-        val toks = T(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok").isin(qterms: _*))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val dl = T(s, dir, "documents")
-          .select(col("doc_id"), size(split(col("text"), " "))
-            .cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
-        val scored = tf.join(broadcast(dfq), Seq("tok"))
-          .join(broadcast(qdf), Seq("tok"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sdl").cast("double") / col("nd"))
-          .withColumn("idf", log(
-            (col("nd").cast("double") - col("df") + 0.5) /
-              (col("df").cast("double") + 0.5) + 1.0))
-          // lit(2.2), NOT k1 + 1.0: the runtime sum 1.2+1.0 is one ulp
-          // BELOW the parsed literal 2.2 the oracle uses (text_bm25)
-          .withColumn("w", col("idf") *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
-                col("avgdl"))))
-          .groupBy("q_id", "doc_id")
-          .agg(dround(sum("w"), 6).as("bm25"),
-            count(lit(1)).as("n_terms"))
-        val wr = Window.partitionBy("q_id")
-          .orderBy(col("bm25").desc, col("doc_id"))
-        scored.withColumn("rnk", row_number().over(wr).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "rnk", "doc_id", "bm25", "n_terms")
-          .orderBy("q_id", "rnk")
-      },
+      (s, dir) => bm25TopK(s, dir),
       Some {
         val values = QuerySet
           .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
