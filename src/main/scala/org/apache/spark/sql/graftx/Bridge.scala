@@ -59,4 +59,43 @@ object Bridge {
           rel, isStreaming = true))
     }
   }
+
+  /** `df.localCheckpoint()` with the checkpoint's INHERITED statistics
+    * replaced by the honest size of the materialized blocks.
+    *
+    * Spark's checkpoint wrapper copies the parent plan's ESTIMATED
+    * statistics onto the result (`LogicalRDD.rewriteStatsAndConstraints`)
+    * — and join estimates MULTIPLY child sizes. In an iterated SELF-join
+    * loop (connected components' pointer jump) the carried sizeInBytes
+    * therefore SQUARES every round; by round ~18 each Catalyst stats
+    * visit does multi-million-digit BigInteger multiplies on the driver
+    * (measured in the round-12 scale rehearsal: a 10x fixture pinned one
+    * core for >12 minutes inside `visitJoin` → `BigInteger.multiply`,
+    * with zero tasks running). Replacing the inherited estimate with the
+    * checkpointed RDD's ACTUAL storage size keeps per-round driver cost
+    * constant — and gives the planner a truer number than the estimate
+    * it replaces (broadcast decisions included). Constraints are
+    * dropped with it: in these label-propagation loops they carry no
+    * pruning value, and rewriting them is the same compounding walk.
+    */
+  def localCheckpointHonestStats(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val cp = df.localCheckpoint() // eager: blocks exist when we size them
+    cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val measured = cs.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => math.max(1L, i.memSize + i.diskSize))
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          // fall back to the session default (never-broadcast) if the
+          // storage report is missing — wrong-but-safe beats tiny-stats
+          // broadcasting a huge frame
+          sizeInBytes = BigInt(measured.getOrElse(
+            cs.sessionState.conf.defaultSizeInBytes)))
+        classic.Dataset.ofRows(cs,
+          l.copy()(session = cs, originStats = Some(stats),
+            originConstraints = None))
+      case _ => cp
+    }
+  }
 }
