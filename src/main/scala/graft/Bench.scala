@@ -107,6 +107,22 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    val fullJson = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")
+    // a filtered dev run must not clobber the synced full-run record
+    val fullPath =
+      if (only.isDefined) "bench_subset.json" else "bench_full.json"
+    def writeFull(minkJson: Option[String]): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullPath),
+        s"""{"total":${f3(total)},"n":${results.size},"queries":$fullJson""" +
+          minkJson.map(m => s""","mink":$m""").getOrElse("") +
+          s""","sf":"$sfDir"}""")
+      catch { case _: Throwable => () }
+    // write the single-shot record BEFORE the (long) rerun phase — a
+    // crash mid-rerun must not lose the full pass — then rewrite it
+    // with the min-of-k map at the end
+    writeFull(None)
     // headline queries re-run twice more after the full pass: the map is
     // MIN-OF-3 (pass + 2 reruns), the only number stable against host
     // weather (single-shot swings up to 2× on a noisy box — BASELINE.md
@@ -164,17 +180,8 @@ object Bench {
       }
     }
     val qs = samples.toSeq.map { case (h, ss) => h -> ss.min }
-    val fullJson = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
-      .mkString("{", ",", "}")
-    val minkJson = qs.map { case (k, v) => s"\"$k\":${f3(v)}" }
-      .mkString("{", ",", "}")
-    // a filtered dev run must not clobber the synced full-run record
-    val fullPath =
-      if (only.isDefined) "bench_subset.json" else "bench_full.json"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath),
-      s"""{"total":${f3(total)},"n":${results.size},"queries":$fullJson,"mink":$minkJson,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    writeFull(Some(qs.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")))
     // headline entries sit at the front of qs (rerunOps = headline ++
     // slowTail ++ flooredRest), so the line guard's protected prefix is
     // exactly them

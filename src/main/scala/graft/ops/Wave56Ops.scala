@@ -287,9 +287,11 @@ object Wave56Ops extends QueryModule {
     * re-scanned (IvfAbsorbSpec pins it by job-group accounting).
     *
     * Batch sizing is footer-derived with ZERO Spark jobs
-    * (VERDICT-r11 #7): vec_ids are PROVEN dense 0..n−1 from footer
-    * column stats (min 0, max n−1 over n rows), so the residue-class
-    * batch sizes are exact arithmetic — |b1| = ⌈n/3⌉.
+    * (VERDICT-r11 #7): footer column stats confirm vec_id spans
+    * [0, n−1] with no nulls (the table's unique-dense-key contract,
+    * which min/max/count cannot prove alone — see the in-body note),
+    * so the residue-class batch sizes are exact arithmetic —
+    * |b1| = ⌈n/3⌉.
     *
     * At the default cap fixture sizes give `sub == 1` and all batches
     * stay on the proven single-level plan. */
@@ -302,19 +304,24 @@ object Wave56Ops extends QueryModule {
       idxDirOverride: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     val gridded = T(s, dir, "embeddings")
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> " +
-          "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("g"))
+      .select(col("vec_id"),
+        expr(graft.vec.VecAlgs.GridExpr).as("g"))
     val b1 = gridded.filter(col("vec_id") % 3 === 0)
     val b2 = gridded.filter(col("vec_id") % 3 === 1)
     val b3 = gridded.filter(col("vec_id") % 3 === 2)
     val n = T.rows(s, dir, "embeddings")
     val (idLo, idHi) = graft.sources.ParquetMeta.longStats(
       s, s"$dir/embeddings.parquet", "vec_id")
-    // density proof: n rows spanning exactly [0, n-1] ⇒ ids are 0..n-1,
-    // so the %3 slice sizes are exact without any scan
+    // CONSISTENCY CHECK of the table's declared contract (vec_id is the
+    // table's unique dense key — TESTDATA schema): n non-null rows
+    // spanning exactly [0, n-1]. Together with uniqueness (the key
+    // contract — NOT provable from min/max/count alone: [0,0,2] also
+    // spans [0,2]) this makes the %3 slice sizes exact arithmetic. The
+    // check catches the realistic violations (offset/truncated/shifted
+    // id ranges, null ids via longStats' zero-null requirement) and
+    // fails fast instead of silently mis-sizing k.
     require(idLo == 0L && idHi == n - 1,
-      s"vec_id not dense 0..${n - 1} (stats [$idLo, $idHi]) — " +
+      s"vec_id not spanning 0..${n - 1} (stats [$idLo, $idHi]) — " +
         "footer-derived batch sizing would be wrong; use count()")
     val (k, sub) = graft.vec.VecAlgs.cellSplit((n + 2) / 3, cap)
     // k lowest-id batch-1 members: batch 1 holds ids ≡ 0 (mod 3), so

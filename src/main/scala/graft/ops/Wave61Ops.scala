@@ -48,11 +48,8 @@ object Wave61Ops extends QueryModule {
   /** Default dedup horizon: 30 days of event time (the text twin's). */
   val DefaultHorizonMs: Long = 30L * 24 * 3600 * 1000
 
-  /** The house grid quantization, as a SQL expression (identical text in
-    * the batch ops and the oracle). */
-  private[graft] val GridExpr =
-    "transform(embedding, x -> " +
-      "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+  /** The house grid quantization (shared definition — see VecAlgs). */
+  private[graft] val GridExpr = graft.vec.VecAlgs.GridExpr
 
   /** Nearest coarse centroid by exact int64 squared L2, ties to the
     * lowest cid — the scalar twin of IvfRouting.assignCoarse (equality
@@ -126,7 +123,14 @@ object Wave61Ops extends QueryModule {
         var j = 0
         while (j < ids.length) {
           val c = cos9(gs(j), r.g)
-          if (c > CosThreshold) out += SimHit(ids(j), r.vec_id, c)
+          // id-ordered canonical pair (the oracle's u < v contract):
+          // arrival order equals id order on the shipped op (ts = id·1s),
+          // but a caller feeding out-of-order ids across micro-batches
+          // must not flip the pair
+          if (c > CosThreshold) {
+            if (ids(j) < r.vec_id) out += SimHit(ids(j), r.vec_id, c)
+            else out += SimHit(r.vec_id, ids(j), c)
+          }
           j += 1
         }
         ids += r.vec_id

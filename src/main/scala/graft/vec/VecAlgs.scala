@@ -19,6 +19,15 @@ object VecAlgs {
     * ~16 MB — still broadcastable. */
   val BroadcastCellCap = 65536L
 
+  /** The house 1e7 integer-grid quantization of an `embedding` column,
+    * as a SQL expression string. ONE definition shared by the batch ops
+    * (Wave56) and the streaming twin (Wave61) so the grid cannot drift
+    * between an op and its oracle — the oracle SQL embeds the identical
+    * `list_transform` text. */
+  val GridExpr: String =
+    "transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+
   /** Two-level cell sizing: `(coarse, sub)` where `coarse` is the
     * broadcast first-layer centroid count (<= cap) and `sub` is the
     * per-coarse-cell second-layer split. Below the cap this degenerates

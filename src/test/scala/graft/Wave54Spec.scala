@@ -42,12 +42,18 @@ class Wave54Spec extends AnyFunSuite {
       r.getLong(2)))
   }
 
-  test("vec_incremental_semdedup: batch-2 counts conserve") {
+  test("vec_incremental_semdedup: per-batch counts conserve (3-batch)") {
     val rows = q("vec_incremental_semdedup").collect()
-    val nB2 = T(spark, TestSpark.Sf, "embeddings")
-      .filter(col("vec_id") % 2 === 1).count()
-    assert(rows.map(_.getLong(1)).sum === nB2)
+    // round-12 cadence: batch 2 (ids ≡ 1 mod 3) probes the b1 index and
+    // is absorbed; batch 3 (ids ≡ 2) probes the union — every probed
+    // row appears in exactly one (batch, cell) group
+    for ((batch, residue) <- Seq((2L, 1), (3L, 2))) {
+      val expect = T(spark, TestSpark.Sf, "embeddings")
+        .filter(col("vec_id") % 3 === residue).count()
+      assert(rows.filter(_.getLong(0) == batch)
+        .map(_.getLong(2)).sum === expect, s"batch $batch n_new")
+    }
     rows.foreach(r =>
-      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2)))
   }
 }
