@@ -53,7 +53,8 @@ object Bench {
     // pins its aggregate eagerly (collect) before absorbing, so the
     // benched number covers the real 3M-candidate / 1.5M-verify load of
     // this LSH-adversarial corpus (BASELINE.md round-11 record).
-    "data_incremental_neardup" -> 8.05, "rc_readout_rls" -> 0.72,
+    // round-12: SnapTxn atomic absorb added ~0.7 s of manifest I/O
+    "data_incremental_neardup" -> 8.75, "rc_readout_rls" -> 0.72,
     "rc_stream_rls_tws" -> 1.48, "vec_kmeans_mllib" -> 1.53,
     "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.50,
     "vec_neardup_cosine" -> 2.60, "agg_basket_lift" -> 2.06,
@@ -63,9 +64,12 @@ object Bench {
     "text_dup_coverage" -> 1.14, "text_minhash_recall" -> 0.51,
     "vec_ivf_recall_sweep" -> 1.25,
     "text_bpe_train" -> 1.37, "vec_semdedup" -> 0.99,
-    "vec_knn_probe" -> 1.34, "vec_cluster_purity" -> 0.17,
-    "vec_incremental_semdedup" -> 1.45, "table_stream_source" -> 0.96,
-    "table_stream_pipeline" -> 1.10)
+    "vec_knn_probe" -> 1.22, "vec_cluster_purity" -> 0.17,
+    // round-12: 3-batch absorb cadence (two probes + absorb vs one probe)
+    "vec_incremental_semdedup" -> 3.40, "table_stream_source" -> 0.96,
+    "table_stream_pipeline" -> 1.10,
+    // round-12 new ops + honest-stats CC loop (min-of-4, same session)
+    "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
