@@ -57,6 +57,22 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     lineitem(s, 600000L * m)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    events(s, 100000L * m)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** User-interaction events: the user↔type bipartite graph (pagerank /
+    * shortest_path) gets 1,500·m users over 20 types — vertices and
+    * distinct (user, type) edges grow linearly with scale. */
+  def events(s: SparkSession, n: Long) = {
+    val users = 1500L * (n / 100000L).max(1L)
+    s.range(n).selectExpr(
+      "id AS event_id",
+      s"timestamp_micros((1704067200 + id % 2592000) * 1000000) AS ts",
+      s"pmod(xxhash64(id, 41), $users) AS user_id",
+      "concat('type', pmod(xxhash64(id, 43), 20)) AS event_type",
+      "pmod(xxhash64(id, 47), 10000) / 100.0 AS value",
+      "concat('{\"k\":', pmod(xxhash64(id, 53), 100), '}') AS props")
   }
 
   /** Shared-vocabulary docs with linear-density planted near-dups. */
