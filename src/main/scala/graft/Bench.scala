@@ -65,8 +65,8 @@ object Bench {
     "vec_ivf_recall_sweep" -> 1.25,
     "text_bpe_train" -> 1.37, "vec_semdedup" -> 0.99,
     "vec_knn_probe" -> 1.22, "vec_cluster_purity" -> 0.17,
-    // round-12: 3-batch absorb cadence (two probes + absorb vs one probe)
-    "vec_incremental_semdedup" -> 3.40, "table_stream_source" -> 0.96,
+    // round-12: 3-batch absorb cadence on an ACID SnapTxn index
+    "vec_incremental_semdedup" -> 4.13, "table_stream_source" -> 0.96,
     "table_stream_pipeline" -> 1.10,
     // round-12 new ops + honest-stats CC loop (min-of-4, same session)
     "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32)

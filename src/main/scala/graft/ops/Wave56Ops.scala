@@ -188,10 +188,11 @@ object Wave56Ops extends QueryModule {
       // Snapshot-incremental SEMANTIC dedup — the embedding analog of
       // data_incremental_neardup, at the full 3-commit cadence
       // (VERDICT-r11 #2): batch 1 builds the cell index ONCE (⌈√n⌉
-      // lowest-id centroids, integer-grid geometry, parquet partitioned
-      // by cell); batch 2 probes it and is then ABSORBED (one
-      // partitioned append, frozen routing geometry); batch 3 probes
-      // the b1 ∪ b2 union — per-batch cost O(|batch|·√n + matching
+      // lowest-id centroids, integer-grid geometry, SnapTable clustered
+      // by cell); batch 2 probes it and is then ABSORBED atomically
+      // with its corpus slice (one SnapTxn commit — index version ==
+      // corpus version, frozen routing geometry); batch 3 probes the
+      // b1 ∪ b2 union — per-batch cost O(|batch|·√n + matching
       // cells), never a corpus re-scan or index rebuild. Sizing is
       // footer-only (density-proven, zero Spark jobs). Deterministic
       // end-to-end (unlike the MinHash twin), so the whole incremental
@@ -275,10 +276,12 @@ object Wave56Ops extends QueryModule {
   /** vec_incremental_semdedup body, cap-parameterized so CellSplitSpec
     * can force the two-level routing path (VERDICT-r10 #1).
     *
-    * THREE-batch cadence (VERDICT-r11 #2): batch 1 builds the
-    * partitioned cell index; batch 2 probes it, then its rows are
-    * ABSORBED into the index (one partitioned append — never a
-    * rebuild); batch 3 probes the b1 ∪ b2 union. Routing geometry is
+    * THREE-batch cadence (VERDICT-r11 #2): batch 1 builds the cell
+    * index (a SnapTable, files range-clustered by coarse cell); batch 2
+    * probes it, then corpus slice + index rows are ABSORBED in one
+    * SnapTxn transaction (index version == corpus version — never a
+    * rebuild, never a torn commit); batch 3 probes the b1 ∪ b2 union
+    * through the tx pins. Routing geometry is
     * FROZEN from batch 1 (broadcast centroids and, when the second
     * layer is engaged, batch-1 sub-centroids) — an incremental batch
     * must never derive its own geometry, or identical vectors committed
@@ -298,10 +301,10 @@ object Wave56Ops extends QueryModule {
   private[graft] def incSemdedupBody(s: org.apache.spark.sql.SparkSession,
       dir: String,
       cap: Long = graft.vec.VecAlgs.BroadcastCellCap,
-      // spec hook: a fixed index dir lets IvfAbsorbSpec assert the
-      // absorb is an APPEND into the build's partitioned layout (two
-      // writer generations in one partition), never a rebuild
-      idxDirOverride: Option[String] = None)
+      // spec hook: a fixed tx root lets IvfAbsorbSpec assert the absorb
+      // is an atomic APPEND pinned to the corpus version (file superset,
+      // lockstep pins), never a rebuild
+      txrootOverride: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     val gridded = T(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -332,21 +335,32 @@ object Wave56Ops extends QueryModule {
     val c2 = graft.vec.IvfRouting.assignCoarse(b2, cents)
     val c3 = graft.vec.IvfRouting.assignCoarse(b3, cents)
     val cols = Seq(col("vec_id"), col("cell"), col("scell"), col("g"))
-    // BUILD the index from f1 (partitioned by coarse cell); each commit
-    // probes ONLY its own fine cells (exact cosine within the cell),
-    // gets pinned eagerly, and is then absorbed as ONE partitioned
-    // append — the next commit probes the union without any rebuild
+    // BUILD the index from f1 as a SnapTable (files range-clustered by
+    // the coarse cell — per-file min/max stats prune on it); each
+    // commit probes ONLY its own fine cells (exact cosine within the
+    // cell), gets pinned eagerly, and is then ABSORBED in one SnapTxn
+    // transaction together with its corpus slice — index version ==
+    // corpus version by construction (the same ACID contract as
+    // data_incremental_neardup's text index), a crash mid-absorb
+    // leaves only unpinned orphans, and the next commit probes the
+    // union without any rebuild. Probes read through the tx pins
+    // (version-pinned manifests), so an in-flight absorb can never
+    // leak into a running probe.
     def pipeline(f1: org.apache.spark.sql.DataFrame,
         f2: org.apache.spark.sql.DataFrame,
         f3: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      val idxDir =
-        idxDirOverride.getOrElse(graft.Tmp.dir("graft_incsem_idx"))
+      import graft.sources.{SnapTable, SnapTxn}
+      val txroot =
+        txrootOverride.getOrElse(graft.Tmp.dir("graft_incsem_tx"))
       val outDir = graft.Tmp.dir("graft_incsem_probe")
-      f1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      SnapTable.create(s, s"$txroot/corpus", b1, "vec_id")
+      SnapTable.create(s, s"$txroot/index", f1, "vec_id",
+        spec = Seq("cell"))
+      SnapTxn.init(txroot, Seq("corpus", "index"))
       def probe(fNew: org.apache.spark.sql.DataFrame, batch: Long)
           : Unit = {
-        val idx = s.read.parquet(idxDir)
+        val idx = SnapTxn.read(s, txroot, "index")
           .select(col("cell"), col("scell"), col("vec_id").as("old_id"),
             col("g").as("og"))
         val dups = fNew.join(idx, Seq("cell", "scell"))
@@ -376,9 +390,13 @@ object Wave56Ops extends QueryModule {
           .write.mode("append").parquet(outDir)
       }
       probe(f2, 2L)
-      // ABSORB batch 2 under the frozen geometry: one partitioned
-      // append, no index rebuild, no re-read of batch 1
-      f2.write.mode("append").partitionBy("cell").parquet(idxDir)
+      // ABSORB batch 2 under the frozen geometry: ONE transaction
+      // appends corpus slice + index rows and publishes a single
+      // record pinning both new versions — no rebuild, no re-read of
+      // batch 1, and no observable state where the corpus moved but
+      // the index didn't
+      SnapTxn.commit(s, txroot,
+        Seq("corpus" -> b2, "index" -> f2), note = "absorb")
       probe(f3, 3L)
       s.read.parquet(outDir).orderBy("batch", "cell")
     }

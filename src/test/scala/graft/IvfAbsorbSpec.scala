@@ -56,28 +56,30 @@ class IvfAbsorbSpec extends AnyFunSuite {
       (3L, 3L, 1L, 1L)))
   }
 
-  test("absorb is an append into the build's layout, never a rebuild") {
+  test("absorb is an atomic append pinned to the corpus version") {
+    import graft.sources.SnapTxn
     val dir = writeFixture()
-    val idxDir = Tmp.dir("ivf_absorb_idx")
+    val txroot = Tmp.dir("ivf_absorb_tx")
     graft.ops.Wave56Ops
-      .incSemdedupBody(spark, dir, idxDirOverride = Some(idxDir))
+      .incSemdedupBody(spark, dir, txrootOverride = Some(txroot))
       .collect()
+    // ONE tx record per absorb moves corpus and index pins in
+    // lockstep — the index can never claim to reflect a corpus
+    // version it wasn't committed with
+    val head = SnapTxn.head(txroot)
+    assert(head.pins("corpus") === head.pins("index"))
     // the index holds batch 1 AND batch 2 (never batch 3 — probes
-    // don't self-absorb), still partitioned by the frozen coarse cell
-    val idx = spark.read.parquet(idxDir)
-    assert(idx.count() === 6L)
-    assert(idx.select("vec_id").collect().map(_.getLong(0)).sorted
+    // don't self-absorb); tx v1 still serves the pre-absorb build
+    val v1 = SnapTxn.readAt(spark, txroot, "index", 1)
+    val v2 = SnapTxn.read(spark, txroot, "index")
+    assert(v1.count() === 3L)
+    assert(v2.count() === 6L)
+    assert(v2.select("vec_id").collect().map(_.getLong(0)).sorted
       === Array(0L, 1L, 3L, 4L, 6L, 7L))
-    // two writer generations in the shared partition: the build's part
-    // files survive untouched and the absorb ADDS files (a rebuild
-    // would leave exactly one job's UUID behind)
-    val uuidRe = """part-\d+-([0-9a-f\-]{36})""".r
-    val cell0 = new java.io.File(s"$idxDir/cell=0")
-    val uuids = cell0.listFiles()
-      .map(_.getName)
-      .flatMap(n => uuidRe.findFirstMatchIn(n).map(_.group(1)))
-      .toSet
-    assert(uuids.size === 2,
-      s"expected build+absorb writer generations, saw $uuids")
+    // APPEND, not rebuild: every build-time data file survives into
+    // the absorbed version's file set
+    assert(v1.inputFiles.toSet.subsetOf(v2.inputFiles.toSet),
+      "absorb must carry the build's files forward, not rewrite them")
+    assert(v2.inputFiles.length > v1.inputFiles.length)
   }
 }
