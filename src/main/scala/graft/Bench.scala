@@ -69,7 +69,10 @@ object Bench {
     "vec_incremental_semdedup" -> 4.13, "table_stream_source" -> 0.96,
     "table_stream_pipeline" -> 1.10,
     // round-12 new ops + honest-stats CC loop (min-of-4, same session)
-    "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32)
+    "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32,
+    // round-12 cont.: streaming ACID ingest (two AvailableNow runs +
+    // two 4-table SnapTxn commits + quarter-corpus probes; min-of-3)
+    "stream_neardup_index" -> 5.12)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
