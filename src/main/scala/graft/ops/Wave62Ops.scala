@@ -5,11 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Round-12 wave 62: streaming ingestion into the ACID near-dup index —
-  * the cadence that closes the loop between `stream_neardup_live`
-  * (online detection, state in the stream checkpoint) and
-  * `data_incremental_neardup` (snapshot-incremental, state in SnapTxn-
-  * pinned SnapTables).
+/** Round-12 wave 62: streaming ingestion into the ACID indexes — the
+  * cadence that closes the loop between the `_live` detectors (online,
+  * state in the stream checkpoint) and the `*_incremental_*` batch ops
+  * (snapshot-incremental, state in SnapTxn-pinned SnapTables).
   *
   *  - `stream_neardup_index`: documents arrive as FILES on a landing
   *    dir; each micro-batch featurizes ONLY its own rows, probes the
@@ -25,15 +24,26 @@ import org.apache.spark.sql.streaming.Trigger
   *    leaves only unpinned per-table orphans (readers stay on the prior
   *    pin set; `SnapTxn.vacuumOrphans` reclaims), so the index can
   *    never tear across the four tables.
+  *  - `stream_semdedup_index`: the VECTOR twin — embedding files land,
+  *    each micro-batch is routed to its coarse IVF cell against FROZEN
+  *    bootstrap geometry (IvfRouting; the same never-re-derive
+  *    invariant every incremental op pins), exact-cosine probed against
+  *    the tx-pinned cell index, and absorbed (corpus + index + matches,
+  *    one SnapTxn commit, batch id in the note). Unlike the MinHash
+  *    twin the whole pipeline is deterministic on the 1e7 integer grid
+  *    (1e9-rounded cosines), so the op IS oracle-graded: DuckDB replays
+  *    routing + cross-wave within-cell pair cosines + the per-cell
+  *    aggregate. Detection semantics are CROSS-commit (each batch vs
+  *    the index absorbed before it) — the same contract as the batch
+  *    incremental ops.
   *
   * At 100 TB/day this is the production shape: landing files → one
   * transactional probe+absorb per micro-batch, per-batch cost
-  * O(batch + matching buckets) — the corpus is never re-read, and every
-  * downstream consumer (including the live detector's bootstrap) reads
-  * a cross-table-consistent snapshot. No oracle (seeded MinHash banding
-  * prunes candidates — the declared §2.10 class); StreamIndexSpec pins
-  * ingest-vs-library equality, idempotent replay, restart durability,
-  * and the pin lockstep across all four tables.
+  * O(batch + matching buckets/cells) — the corpus is never re-read, and
+  * every downstream consumer (including the live detectors' bootstrap)
+  * reads a cross-table-consistent snapshot. StreamIndexSpec /
+  * VecStreamIndexSpec pin ingest-vs-library equality, idempotent
+  * replay, restart durability, and the pin lockstep.
   */
 object Wave62Ops extends QueryModule {
 
@@ -101,6 +111,81 @@ object Wave62Ops extends QueryModule {
     }
   }
 
+  /** The vector twin's transactional ingest cadence: corpus + cell
+    * index + matches under one SnapTxn, batch id in the note. Routing
+    * is a caller-provided FROZEN closure (bootstrap geometry — cents
+    * and, past the cap², sub-centroids — must never be re-derived from
+    * an incoming batch). */
+  object VecStreamIndex {
+    import graft.sources.{SnapTable, SnapTxn}
+
+    /** Exact cross-commit probe: fine-assigned new rows vs the pinned
+      * index, exact int64 dot / 1e9-rounded cosine within the (cell,
+      * scell) bucket, canonical id-ordered pairs. Shared by ingest and
+      * the spec's direct-library pin. */
+    def probeHits(fNew: DataFrame, idx: DataFrame): DataFrame =
+      fNew.join(
+          idx.select(col("cell"), col("scell"),
+            col("vec_id").as("old_id"), col("g").as("og")),
+          Seq("cell", "scell"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(g, og, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("n2n", expr(
+          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .withColumn("n2o", expr(
+          "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .withColumn("cos", round(col("dot") /
+          sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
+          * 1e9) / 1e9)
+        .filter(col("cos") > Wave61Ops.CosThreshold)
+        .select(least(col("vec_id"), col("old_id")).as("vec_a"),
+          greatest(col("vec_id"), col("old_id")).as("vec_b"),
+          col("cos"), col("cell"))
+
+    /** DDL-first setup: empty corpus (vec_id, g), index (vec_id, cell,
+      * scell, g; files range-clustered by cell) and matches (vec_a,
+      * vec_b, cos, cell) pinned together at tx v1. Schemas derive from
+      * the shared plans on a zero-row slice — plan-only, no jobs. */
+    def setup(s: SparkSession, txroot: String, gridded: DataFrame,
+        route: DataFrame => DataFrame): Unit = {
+      val f0 = route(gridded.limit(0))
+      SnapTable.createEmpty(s"$txroot/corpus", gridded.schema, "vec_id")
+      SnapTable.createEmpty(s"$txroot/index", f0.schema, "vec_id",
+        spec = Seq("cell"))
+      SnapTable.createEmpty(s"$txroot/matches",
+        probeHits(f0, f0).schema, "vec_a")
+      SnapTxn.init(txroot, Seq("corpus", "index", "matches"))
+    }
+
+    /** One micro-batch: route under the frozen geometry, probe the
+      * PINNED index, absorb all three tables in one transaction.
+      * Idempotent — a replayed batch id is a no-op (-1). Returns the
+      * number of verified cross-commit pairs. */
+    def ingest(s: SparkSession, txroot: String, b: DataFrame,
+        batchId: Long, route: DataFrame => DataFrame): Long = {
+      val note = s"absorb:b$batchId"
+      if (SnapTxn.txVersions(txroot)
+          .exists(v => SnapTxn.load(txroot, v).note == note)) return -1L
+      val fNew = route(b).persist()
+      try {
+        fNew.count() // one dedicated cache-populating job (see ingest)
+        val hits =
+          probeHits(fNew, SnapTxn.read(s, txroot, "index")).persist()
+        try {
+          // pin BEFORE the absorb moves the index under the probe
+          val n = hits.count()
+          SnapTxn.commit(s, txroot, Seq(
+            "corpus" -> b,
+            "index" -> fNew.toDF(),
+            "matches" -> hits.toDF()),
+            note = note)
+          n
+        } finally hits.unpersist(blocking = false)
+      } finally fNew.unpersist(blocking = false)
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q(
       "stream_neardup_index",
@@ -154,6 +239,107 @@ object Wave62Ops extends QueryModule {
           .orderBy("lang")
       },
       None
+    ),
+    Q(
+      "stream_semdedup_index",
+      (s, dir) => {
+        import graft.sources.SnapTxn
+        import graft.vec.IvfRouting
+        val txroot = graft.Tmp.dir("graft_streamsd_tx")
+        val src = graft.Tmp.dir("graft_streamsd_src")
+        val ckpt = graft.Tmp.dir("graft_streamsd_ckpt")
+        val n = T.rows(s, dir, "embeddings")
+        val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
+        val all = T(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr(graft.vec.VecAlgs.GridExpr).as("g"))
+        // FROZEN bootstrap geometry: footer-sized k, the k lowest-id
+        // vectors as coarse centroids (<= cap, the only driver-bounded
+        // structure); past the cap² the sub-centroids freeze from the
+        // bootstrap table too — NEVER from an incoming batch
+        val cents = all.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("g").as("cg"))
+        val route: DataFrame => DataFrame =
+          if (sub <= 1L)
+            gr => IvfRouting.assignCoarse(gr, cents)
+              .withColumn("scell", lit(1L))
+              .select(col("vec_id"), col("cell"), col("scell"), col("g"))
+          else {
+            val sc = IvfRouting.subCentroids(
+              IvfRouting.assignCoarse(all, cents), sub)
+            gr => IvfRouting.assignSub(
+              IvfRouting.assignCoarse(gr, cents), sc)
+          }
+        // zero-norm vectors have no cosine — excluded in BOTH engines
+        val gridded = all.filter(expr(
+          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+        VecStreamIndex.setup(s, txroot, gridded, route)
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(gridded.schema).parquet(src)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              VecStreamIndex.ingest(s, txroot, b, id, route); ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // two file waves (even then odd ids) through one checkpoint:
+        // wave 0 probes the empty index and absorbs; wave 1 probes
+        // wave 0 — every detected pair is cross-commit, one even + one
+        // odd id (the parity condition the oracle replays)
+        gridded.filter(col("vec_id") % 2 === 0)
+          .write.mode("append").parquet(src)
+        runOnce()
+        gridded.filter(col("vec_id") % 2 === 1)
+          .write.mode("append").parquet(src)
+        runOnce()
+        require(SnapTxn.latestTx(txroot) == 3,
+          s"expected tx head 3, got ${SnapTxn.latestTx(txroot)}")
+        val idx = SnapTxn.read(s, txroot, "index")
+        val m = SnapTxn.read(s, txroot, "matches")
+        idx.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+          .join(m.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
+            Seq("cell"), "left")
+          .select(col("cell"), col("n_vecs"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy("cell")
+      },
+      Some(
+        // the stream_semdedup_live routing oracle, restricted to
+        // cross-wave (one even + one odd id) pairs and aggregated per
+        // cell — DuckDB replays the full deterministic pipeline
+        "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+          "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
+          "AS k), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
+          "WHERE vec_id < (SELECT k FROM kk)), " +
+          "g AS (SELECT * FROM g0 " +
+          "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+          "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(g.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM g), " +
+          "p AS (SELECT u.cell AS cell, " +
+          "round(list_sum(list_transform(list_zip(u.g, v.g), " +
+          "p -> p[1] * p[2])) / sqrt(" +
+          "CAST(list_sum(list_transform(u.g, x -> x * x)) AS DOUBLE) * " +
+          "CAST(list_sum(list_transform(v.g, x -> x * x)) AS DOUBLE)) " +
+          "* 1e9) / 1e9 AS cos " +
+          "FROM a u JOIN a v ON u.cell = v.cell " +
+          "AND u.vec_id < v.vec_id " +
+          "AND (u.vec_id % 2) <> (v.vec_id % 2)), " +
+          "m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs " +
+          "FROM p WHERE cos > 0.3 GROUP BY cell), " +
+          "iv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs " +
+          "FROM a GROUP BY cell) " +
+          "SELECT iv.cell, iv.n_vecs, " +
+          "CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs " +
+          "FROM iv LEFT JOIN m ON iv.cell = m.cell ORDER BY iv.cell")
     )
   )
 }
