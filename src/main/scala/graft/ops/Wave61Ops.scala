@@ -5,7 +5,7 @@ import graft.Det.{dround, droundSql}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Round-12 wave 61: the two serving-layer closers from VERDICT-r11.
   *
@@ -87,10 +87,32 @@ object Wave61Ops extends QueryModule {
   /** Per-cell membership + verification: state carried across batches
     * and EVICTED past the event-time horizon — the Wave58 lifecycle
     * applied to IVF cells. Within a micro-batch rows process in vec_id
-    * order, so "arrived before" is deterministic. */
+    * order, so "arrived before" is deterministic.
+    *
+    * Extends `StatefulProcessorWithInitialState` so a FRESH query can
+    * bootstrap its per-cell membership from the ACID index
+    * (`stream_semdedup_bootstrap` seeds it from the SnapTxn-pinned
+    * cell index — the batch→live handoff); used through the plain
+    * `transformWithState` overload it behaves exactly as before
+    * (`handleInitialState` is never invoked — StreamSemdedupSpec's
+    * replay pins are unchanged). Bootstrapped members are sorted by id
+    * and get the same one-timer-per-cell lifecycle as arrivals. */
   class SemdedupProcessor(horizonMs: Long)
-      extends StatefulProcessor[Long, VecIn, SimHit] {
+      extends StatefulProcessorWithInitialState[
+        Long, VecIn, SimHit, CellState] {
     @transient private var st: ValueState[CellState] = _
+
+    override def handleInitialState(key: Long, s0: CellState,
+        tv: TimerValues): Unit = {
+      // members arrive in index order — normalize to the id order the
+      // arrival path maintains, and register the cell's ONE timer
+      val ord = s0.ids.indices.sortBy(s0.ids(_))
+      val tss = ord.map(s0.tss(_))
+      val timer = if (tss.isEmpty) Long.MinValue else tss.min + horizonMs
+      if (timer != Long.MinValue) getHandle.registerTimer(timer)
+      st.update(CellState(ord.map(s0.ids(_)), tss,
+        ord.map(s0.gs(_)), timer))
+    }
 
     // TTLConfig.NONE is DELIBERATE: TTL is a processing-time clock, the
     // dedup horizon is an event-time contract — eviction runs against

@@ -1,9 +1,9 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 
 /** Round-12 wave 62: streaming ingestion into the ACID indexes — the
   * cadence that closes the loop between the `_live` detectors (online,
@@ -340,6 +340,150 @@ object Wave62Ops extends QueryModule {
           "SELECT iv.cell, iv.n_vecs, " +
           "CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs " +
           "FROM iv LEFT JOIN m ON iv.cell = m.cell ORDER BY iv.cell")
+    ),
+    Q(
+      "stream_semdedup_bootstrap",
+      // the batch→live HANDOFF: wave 0 (even ids) is ingested through
+      // the ACID cadence (VecStreamIndex — one SnapTxn absorb); a FRESH
+      // live detector then starts with its per-cell membership
+      // BOOTSTRAPPED from the tx-pinned index (transformWithState's
+      // initial-state overload, handleInitialState seeding CellState),
+      // and wave 1 (odd ids) streams against it. Detected pairs are
+      // exactly: bootstrapped-vs-arrival (even↔odd) and
+      // arrival-vs-earlier-arrival (odd↔odd) — never
+      // bootstrapped-vs-bootstrapped (state members don't compare to
+      // each other), the contract the oracle's parity filter replays.
+      // Deterministic end to end, so the LIVE stream is oracle-graded.
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        import graft.sources.SnapTxn
+        import graft.vec.IvfRouting
+        val txroot = graft.Tmp.dir("graft_bootsd_tx")
+        val n = T.rows(s, dir, "embeddings")
+        val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
+        val all = T(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr(graft.vec.VecAlgs.GridExpr).as("g"))
+        val centsDf = all.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("g").as("cg"))
+        // FROZEN routing closure (same construction as
+        // stream_semdedup_index): past the cap² the sub-centroids
+        // freeze from the bootstrap table, never from a batch
+        val route: DataFrame => DataFrame =
+          if (sub <= 1L)
+            gr => IvfRouting.assignCoarse(gr, centsDf)
+              .withColumn("scell", lit(1L))
+              .select(col("vec_id"), col("cell"), col("scell"), col("g"))
+          else {
+            val sc = IvfRouting.subCentroids(
+              IvfRouting.assignCoarse(all, centsDf), sub)
+            gr => IvfRouting.assignSub(
+              IvfRouting.assignCoarse(gr, centsDf), sc)
+          }
+        val gridded = all.filter(expr(
+          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+        // wave 0 through the ACID cadence (the batch ingest path)
+        VecStreamIndex.setup(s, txroot, gridded, route)
+        VecStreamIndex.ingest(s, txroot,
+          gridded.filter(col("vec_id") % 2 === 0), 0L, route)
+        // initial per-cell state from the PINNED index — members carry
+        // the same deterministic event time as arrivals (id · 1s)
+        val initKV = SnapTxn.read(s, txroot, "index")
+          .select(col("cell"), col("vec_id"), col("g"))
+          .as[(Long, Long, Seq[Long])]
+          .groupByKey(_._1)
+          .mapGroups { (cell: Long, it: Iterator[(Long, Long, Seq[Long])]) =>
+            val m = it.toArray.sortBy(_._2)
+            (cell, Wave61Ops.CellState(m.map(_._2).toSeq,
+              m.map(_._2 * 1000L).toSeq, m.map(_._3).toSeq,
+              Long.MinValue))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        // the scalar router for the stream side (equality with the
+        // DataFrame router is pinned by StreamSemdedupSpec)
+        val cents = centsDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+        val name = s"live_bootstrap_${System.nanoTime()}"
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        graft.StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val schema = StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)),
+              StructField("label", IntegerType)))
+            val in = s.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(dir)
+              .select(col("vec_id"),
+                expr(graft.vec.VecAlgs.GridExpr).as("g"),
+                (col("vec_id") * 1000L).as("tsMs"))
+              .filter(col("vec_id") % 2 === 1 && expr(
+                "aggregate(g, CAST(0 AS BIGINT), " +
+                  "(acc, x) -> acc + x * x) > 0"))
+              .as[(Long, Seq[Long], Long)]
+              .map { case (id, g, ts) =>
+                Wave61Ops.VecIn(
+                  Wave61Ops.nearestCell(g.toArray, cents), id, g, ts)
+              }
+            val out = in
+              .withColumn("ts", timestamp_millis(col("tsMs")))
+              .withWatermark("ts", "0 seconds")
+              .select(col("cell"), col("vec_id"), col("g"), col("tsMs"))
+              .as[Wave61Ops.VecIn]
+              .groupByKey(_.cell)
+              .transformWithState(
+                new Wave61Ops.SemdedupProcessor(
+                  Wave61Ops.DefaultHorizonMs),
+                TimeMode.EventTime(), OutputMode.Append(), initKV)(
+                Encoders.product[Wave61Ops.SimHit],
+                Encoders.product[Wave61Ops.CellState])
+            val q = out.toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        s.table(name).orderBy("vec_a", "vec_b")
+      },
+      Some(
+        // the stream_semdedup_live routing oracle with the handoff's
+        // parity contract: every within-cell pair EXCEPT
+        // bootstrapped-vs-bootstrapped (both ids even)
+        "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+          "FROM embeddings), " +
+          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+          "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
+          "AS k), " +
+          "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
+          "WHERE vec_id < (SELECT k FROM kk)), " +
+          "g AS (SELECT * FROM g0 " +
+          "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+          "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+          "list_sum(list_transform(list_zip(g.g, c.cg), " +
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+          "FROM g), " +
+          "p AS (SELECT u.vec_id AS vec_a, v.vec_id AS vec_b, " +
+          "round(list_sum(list_transform(list_zip(u.g, v.g), " +
+          "p -> p[1] * p[2])) / sqrt(" +
+          "CAST(list_sum(list_transform(u.g, x -> x * x)) AS DOUBLE) * " +
+          "CAST(list_sum(list_transform(v.g, x -> x * x)) AS DOUBLE)) " +
+          "* 1e9) / 1e9 AS cos " +
+          "FROM a u JOIN a v ON u.cell = v.cell " +
+          "AND u.vec_id < v.vec_id " +
+          "AND NOT (u.vec_id % 2 = 0 AND v.vec_id % 2 = 0)) " +
+          "SELECT vec_a, vec_b, cos FROM p WHERE cos > 0.3 " +
+          "ORDER BY vec_a, vec_b")
     )
   )
 }
