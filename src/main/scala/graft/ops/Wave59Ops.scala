@@ -61,6 +61,44 @@ object Wave59Ops extends QueryModule {
   /** BPE merge rounds for text_bpe_train (unrolled in the oracle). */
   val BpeRounds = 6
 
+  /** The text_bm25_topk oracle — shared verbatim by stream_bm25_index
+    * (Wave63): after the index absorbs every wave it must serve exactly
+    * what the from-scratch ranker serves over the same corpus. */
+  private[ops] val bm25TopkOracle: String = {
+    val values = QuerySet
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+    "WITH q AS (SELECT q_id, tok FROM (VALUES " + values +
+      ") AS t(q_id, tok)), " +
+      "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM tk WHERE tok IN (SELECT DISTINCT tok FROM q) " +
+      "GROUP BY 1, 2), " +
+      "dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf " +
+      "GROUP BY 1), " +
+      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      "AS BIGINT) AS dl FROM documents), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+      "CAST(sum(dl) AS BIGINT) AS sdl FROM dl), " +
+      "w AS (SELECT q.q_id, tf.doc_id, " +
+      "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+      "(CAST(sdl AS DOUBLE) / nd))) AS w " +
+      "FROM tf JOIN dfq USING (tok) JOIN q USING (tok) " +
+      "JOIN dl ON tf.doc_id = dl.doc_id, st), " +
+      "sc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
+      " AS bm25, CAST(count(*) AS BIGINT) AS n_terms FROM w " +
+      "GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, doc_id, bm25, n_terms, " +
+      "CAST(row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM sc) " +
+      "SELECT q_id, rnk, doc_id, bm25, n_terms FROM r " +
+      "WHERE rnk <= 5 ORDER BY q_id, rnk"
+  }
+
   /** English docs with >= 8 tokens: `(doc_id, toks)` — the corpus slice
     * the exact-substring family runs on. */
   private[ops] def enTokenDocs(s: org.apache.spark.sql.SparkSession,
@@ -118,8 +156,6 @@ object Wave59Ops extends QueryModule {
   private[ops] def bm25TopK(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val k1 = 1.2; val b = 0.75
-    val qdf = QuerySet.toDF("q_id", "tok")
     val qterms = QuerySet.map(_._2).distinct
     // only query-term postings move into the tf shuffle
     val toks = T(s, dir, "documents")
@@ -131,6 +167,24 @@ object Wave59Ops extends QueryModule {
       .select(col("doc_id"), size(split(col("text"), " "))
         .cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    bm25Serve(s, tf, dfq, dl, stats)
+  }
+
+  /** The Okapi scoring + per-query top-5, factored over its four input
+    * frames — `tf (doc_id, tok, tf)`, `dfq (tok, df)`, `dl (doc_id,
+    * dl)`, `stats (nd, sdl)` one row — so the from-scratch serving path
+    * (text_bm25_topk) and the pinned-index serving path
+    * (stream_bm25_index, Wave63) score with ONE body and cannot drift.
+    * Returns `(q_id, rnk, doc_id, bm25, n_terms)` ordered. */
+  private[ops] def bm25Serve(s: org.apache.spark.sql.SparkSession,
+      tf: org.apache.spark.sql.DataFrame,
+      dfq: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val qdf = QuerySet.toDF("q_id", "tok")
     val scored = tf.join(broadcast(dfq), Seq("tok"))
       .join(broadcast(qdf), Seq("tok"))
       .join(dl, Seq("doc_id"))
@@ -161,40 +215,7 @@ object Wave59Ops extends QueryModule {
     Q(
       "text_bm25_topk",
       (s, dir) => bm25TopK(s, dir),
-      Some {
-        val values = QuerySet
-          .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
-          .mkString(", ")
-        "WITH q AS (SELECT q_id, tok FROM (VALUES " + values +
-          ") AS t(q_id, tok)), " +
-          "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-          "FROM documents), " +
-          "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
-          "FROM tk WHERE tok IN (SELECT DISTINCT tok FROM q) " +
-          "GROUP BY 1, 2), " +
-          "dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf " +
-          "GROUP BY 1), " +
-          "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
-          "AS BIGINT) AS dl FROM documents), " +
-          "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
-          "CAST(sum(dl) AS BIGINT) AS sdl FROM dl), " +
-          "w AS (SELECT q.q_id, tf.doc_id, " +
-          "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
-          "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
-          "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
-          "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
-          "(CAST(sdl AS DOUBLE) / nd))) AS w " +
-          "FROM tf JOIN dfq USING (tok) JOIN q USING (tok) " +
-          "JOIN dl ON tf.doc_id = dl.doc_id, st), " +
-          "sc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
-          " AS bm25, CAST(count(*) AS BIGINT) AS n_terms FROM w " +
-          "GROUP BY 1, 2), " +
-          "r AS (SELECT q_id, doc_id, bm25, n_terms, " +
-          "CAST(row_number() OVER (PARTITION BY q_id " +
-          "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM sc) " +
-          "SELECT q_id, rnk, doc_id, bm25, n_terms FROM r " +
-          "WHERE rnk <= 5 ORDER BY q_id, rnk"
-      }
+      Some(bm25TopkOracle)
     ),
     Q(
       "text_dup_runs",
