@@ -73,7 +73,8 @@ object Bench {
     // round-12 cont.: streaming ACID ingest (two AvailableNow runs +
     // two multi-table SnapTxn commits + probes; min-of-3)
     "stream_neardup_index" -> 5.12, "stream_semdedup_index" -> 5.11,
-    "stream_semdedup_bootstrap" -> 4.01, "stream_bm25_index" -> 4.24)
+    "stream_semdedup_bootstrap" -> 4.01, "stream_bm25_index" -> 4.24,
+    "stream_neardup_bootstrap" -> 3.38)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import graft.{Q, QueryModule}
 import graft.text.TextAlgs
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Round-10 wave 58: ONLINE near-duplicate detection — the streaming
   * twin of the `data_incremental_neardup` index, i.e. the shape a live
@@ -81,10 +81,30 @@ object Wave58Ops extends QueryModule {
   }
 
   /** Per-bucket membership + verification, state carried across batches
-    * and EVICTED past the event-time horizon (see object scaladoc). */
+    * and EVICTED past the event-time horizon (see object scaladoc).
+    *
+    * Extends `StatefulProcessorWithInitialState` so a FRESH query can
+    * bootstrap bucket membership from the ACID index
+    * (`stream_neardup_bootstrap` seeds it from the SnapTxn-pinned
+    * buckets ⋈ toksets — the batch→live handoff); through the plain
+    * `transformWithState` overload it behaves exactly as before
+    * (`handleInitialState` never runs — StreamNeardupSpec unchanged).
+    * Seeded members are sorted to the arrival path's id order and get
+    * the same one-timer-per-bucket lifecycle. */
   class NeardupProcessor(horizonMs: Long)
-      extends StatefulProcessor[(Int, Long), BandRow, DupHit] {
+      extends StatefulProcessorWithInitialState[
+        (Int, Long), BandRow, DupHit, BucketState] {
     @transient private var st: ValueState[BucketState] = _
+
+    override def handleInitialState(key: (Int, Long), s0: BucketState,
+        tv: TimerValues): Unit = {
+      val ord = s0.ids.indices.sortBy(s0.ids(_))
+      val tss = ord.map(s0.tss(_))
+      val timer = if (tss.isEmpty) Long.MinValue else tss.min + horizonMs
+      if (timer != Long.MinValue) getHandle.registerTimer(timer)
+      st.update(BucketState(ord.map(s0.ids(_)), tss,
+        ord.map(s0.toks(_)), timer))
+    }
 
     // TTLConfig.NONE is DELIBERATE, not an unbounded-state bug: TTL is a
     // PROCESSING-time clock, and the dedup horizon is an EVENT-time
@@ -176,7 +196,27 @@ object Wave58Ops extends QueryModule {
     * stream is in-order) and is selected away after registration — the
     * query-level watermark is what drives timers and eviction. */
   def neardupStream(in: Dataset[DocIn],
-      horizonMs: Long = DefaultHorizonMs): Dataset[DupHit] = {
+      horizonMs: Long = DefaultHorizonMs): Dataset[DupHit] =
+    banded(in).transformWithState(new NeardupProcessor(horizonMs),
+      TimeMode.EventTime(), OutputMode.Append())(
+      Encoders.product[DupHit])
+
+  /** The SEEDED twin of [[neardupStream]]: identical fanout and
+    * processor, but bucket membership bootstraps from `initKV` (the
+    * SnapTxn-pinned buckets ⋈ toksets) — stream_neardup_bootstrap's
+    * entry (Wave63). */
+  def neardupStreamSeeded(in: Dataset[DocIn],
+      initKV: org.apache.spark.sql
+        .KeyValueGroupedDataset[(Int, Long), BucketState],
+      horizonMs: Long = DefaultHorizonMs): Dataset[DupHit] =
+    banded(in).transformWithState(new NeardupProcessor(horizonMs),
+      TimeMode.EventTime(), OutputMode.Append(), initKV)(
+      Encoders.product[DupHit], Encoders.product[BucketState])
+
+  /** Shared band fanout + keying: watermark on `tsMs`, one BandRow per
+    * (doc, LSH band), keyed by (band, bhash). */
+  private def banded(in: Dataset[DocIn])
+      : org.apache.spark.sql.KeyValueGroupedDataset[(Int, Long), BandRow] = {
     import in.sparkSession.implicits._
     in.withColumn("ts", timestamp_millis(col("tsMs")))
       .withWatermark("ts", "0 seconds")
@@ -189,9 +229,6 @@ object Wave58Ops extends QueryModule {
         }
       }
       .groupByKey(r => (r.band, r.bhash))
-      .transformWithState(new NeardupProcessor(horizonMs),
-        TimeMode.EventTime(), OutputMode.Append())(
-        Encoders.product[DupHit])
   }
 
   def queries: Seq[Q] = Seq(

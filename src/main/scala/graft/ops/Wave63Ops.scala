@@ -173,6 +173,88 @@ object Wave63Ops extends QueryModule {
         Bm25Index.serve(s, txroot)
       },
       Some(Wave59Ops.bm25TopkOracle)
+    ),
+    Q(
+      "stream_neardup_bootstrap",
+      // the TEXT batch→live handoff (the MinHash sibling of
+      // stream_semdedup_bootstrap): wave 0 of the blocked slice is
+      // ingested through StreamIndex's ACID cadence, then a FRESH live
+      // detector bootstraps its per-bucket membership from the
+      // tx-pinned buckets ⋈ toksets and wave 1 streams against it.
+      // Pair contract: seed↔arrival and arrival↔arrival, never
+      // seed↔seed. No oracle (seeded MinHash banding — the §2.10
+      // class); NeardupBootstrapSpec pins the contract, seed
+      // normalization, and equality of the seed↔arrival half with the
+      // IncNeardup library at the same boundary.
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        import graft.sources.SnapTxn
+        import graft.ops.Wave62Ops.StreamIndex
+        val txroot = graft.Tmp.dir("graft_bootnd_tx")
+        // the same blocked slice as stream_neardup_live (the corpus is
+        // LSH-adversarial — see Wave58Ops' MEASURED LIMITATION)
+        val slice = T(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("lang"), col("text"))
+        StreamIndex.setup(s, txroot, slice)
+        StreamIndex.ingest(s, txroot,
+          slice.filter(col("doc_id") % 2 === 0), 0L)
+        // initial per-bucket state from the PINNED index: buckets carry
+        // the band keys, toksets the verification sets; event time is
+        // the arrival convention (doc_id · 1s)
+        val initKV = SnapTxn.read(s, txroot, "buckets")
+          .join(SnapTxn.read(s, txroot, "toksets"), "doc_id")
+          .select(col("band"), col("bhash"), col("doc_id"),
+            col("tokset"))
+          .as[(Int, Long, Long, Seq[Long])]
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (key: (Int, Long),
+              it: Iterator[(Int, Long, Long, Seq[Long])]) =>
+            val m = it.toArray.sortBy(_._3)
+            (key, Wave58Ops.BucketState(m.map(_._3).toSeq,
+              m.map(_._3 * 1000L).toSeq, m.map(_._4).toSeq,
+              Long.MinValue))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        val name = s"live_bootnd_${System.nanoTime()}"
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        graft.StreamRun.withStateParts(s) {
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val schema = StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType),
+              StructField("lang", StringType),
+              StructField("source", StringType),
+              StructField("n_chars", LongType)))
+            val in = s.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(dir)
+              .filter(col("lang") === "en" &&
+                col("source").isin("src0", "src1") &&
+                col("doc_id") % 2 === 1)
+              .select(col("doc_id"), col("text"),
+                (col("doc_id") * 1000L).as("tsMs"))
+              .as[Wave58Ops.DocIn]
+            val q = Wave58Ops.neardupStreamSeeded(in, initKV).toDF()
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None => s.conf.unset(key)
+          }
+        }
+        // a pair colliding in several bands emits once per band
+        s.table(name).distinct().orderBy("doc_a", "doc_b")
+      },
+      None
     )
   )
 }
