@@ -74,7 +74,7 @@ object Bench {
     // two multi-table SnapTxn commits + probes; min-of-3)
     "stream_neardup_index" -> 5.12, "stream_semdedup_index" -> 5.11,
     "stream_semdedup_bootstrap" -> 4.01, "stream_bm25_index" -> 4.24,
-    "stream_neardup_bootstrap" -> 3.38)
+    "stream_neardup_bootstrap" -> 3.38, "table_txn_compact" -> 6.77)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,7 +152,15 @@ object Wave58Ops extends QueryModule {
             else (toks(i).length.toLong, r.toks.length.toLong)
           if (lo * 10000000L >= hi * 7999995L) {
             val j = jac6(r.toks, toks(i))
-            if (j >= 0.8) out += DupHit(ids(i), r.doc_id, j)
+            // id-ordered canonical pair: in-order arrivals already
+            // satisfy ids(i) < doc_id, but a SEEDED bucket (the
+            // bootstrap handoff) can hold members with higher ids than
+            // an arrival — the orientation must not flip (the Wave61
+            // convention)
+            if (j >= 0.8) {
+              if (ids(i) < r.doc_id) out += DupHit(ids(i), r.doc_id, j)
+              else out += DupHit(r.doc_id, ids(i), j)
+            }
           }
           i += 1
         }

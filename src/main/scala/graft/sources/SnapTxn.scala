@@ -155,6 +155,52 @@ object SnapTxn {
 
   def head(txroot: String): TxRecord = load(txroot, latestTx(txroot))
 
+  // ------------------------------------------- stream-ingest ledger
+
+  /** The txn-note format the streaming-ACID ingest family uses as its
+    * exactly-once ledger (Wave62/Wave63): one absorb note per
+    * micro-batch id. */
+  def batchNote(batchId: Long): String = s"absorb:b$batchId"
+
+  /** True iff `batchId`'s absorb already published — the foreachBatch
+    * replay guard. O(1): only the HEAD note is checked, because the
+    * streaming checkpoint guarantees the only batch that can be
+    * re-delivered is the most recent possibly-uncommitted one — if its
+    * absorb published, it IS the head (nothing later can have committed
+    * before the checkpoint advanced). A full-log scan here would make
+    * batch N pay N reads (quadratic over a stream's lifetime). */
+  def batchAbsorbed(txroot: String, batchId: Long): Boolean =
+    head(txroot).note == batchNote(batchId)
+
+  // ------------------------------------------------------- maintenance
+
+  /** OPTIMIZE a tx-managed table: compact the PINNED snapshot into
+    * `targetFiles` and pin the rewritten (content-identical) version
+    * with one maintenance tx record — small-file repair for the
+    * streaming-ingest indexes without ever breaking snapshot isolation
+    * (readers switch atomically at the pin; the pre-compaction pin
+    * chain stays time-travelable; an unpinned compact — a crash after
+    * the rewrite but before the pin — is an invisible orphan, exactly
+    * like a torn absorb).
+    *
+    * `SnapTable.compact` rewrites from the PER-TABLE head, which under
+    * tx management may be another transaction's orphan — refused here:
+    * run `vacuumOrphans` first so head == pin. A commit racing between
+    * the rewrite and the pin moves the table's pin and aborts the
+    * publish (first-committer-wins), never pins stale content. */
+  def compactPinned(s: SparkSession, txroot: String, table: String,
+      targetFiles: Int): Int = {
+    val base = head(txroot)
+    require(base.pins.contains(table),
+      s"table '$table' is not tx-managed")
+    require(SnapTable.latestVersion(s"$txroot/$table") ==
+      base.pins(table),
+      s"'$table' per-table head is not the pinned version (orphans " +
+        "present) — run vacuumOrphans before compacting")
+    val v = SnapTable.compact(s, s"$txroot/$table", targetFiles)
+    publish(txroot, base, Map(table -> v), s"maintain:compact:$table")
+  }
+
   def latestTx(txroot: String): Int = txVersions(txroot).max
 
   def txVersions(txroot: String): Seq[Int] = {

@@ -85,6 +85,25 @@ object IvfRouting {
         col("g") +: carry.map(col)): _*)
   }
 
+  /** FROZEN routing closure for the incremental/streaming consumers
+    * (stream_semdedup_index / stream_semdedup_bootstrap): the coarse
+    * centroids — and, past the cap² (`sub > 1`), the sub-centroids
+    * derived from the BOOTSTRAP table — are fixed up front, so an
+    * incoming batch can never derive its own geometry (the invariant
+    * every incremental op pins: identical vectors committed in
+    * different batches must land in the same cell). `sub <= 1` stays
+    * on the proven coarse plan plus a literal `scell`. */
+  def frozenRoute(bootstrap: DataFrame, cents: DataFrame, sub: Long)
+      : DataFrame => DataFrame =
+    if (sub <= 1L)
+      gr => assignCoarse(gr, cents)
+        .withColumn("scell", lit(1L))
+        .select(col("vec_id"), col("cell"), col("scell"), col("g"))
+    else {
+      val sc = subCentroids(assignCoarse(bootstrap, cents), sub)
+      gr => assignSub(assignCoarse(gr, cents), sc)
+    }
+
   /** Fine assignment: `(vec_id, cell, scell, g, carry...)`. With
     * `sub == 1` this IS the coarse assignment (scell = literal 1, no
     * window, no second join — the proven single-level plan); with

@@ -29,20 +29,10 @@ class NeardupBootstrapSpec extends AnyFunSuite {
   private def df(rows: Seq[(Long, String, String)]) =
     rows.toDF("doc_id", "lang", "text")
 
-  /** The op's seed construction over a real ACID index. */
+  /** The op's OWN seed construction (shared helper — the spec pins the
+    * code the op runs, not a copy). */
   private def seedFromIndex(txroot: String) =
-    SnapTxn.read(spark, txroot, "buckets")
-      .join(SnapTxn.read(spark, txroot, "toksets"), "doc_id")
-      .select($"band", $"bhash", $"doc_id", $"tokset")
-      .as[(Int, Long, Long, Seq[Long])]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (Int, Long),
-          it: Iterator[(Int, Long, Long, Seq[Long])]) =>
-        val m = it.toArray.sortBy(_._3)
-        (key, BucketState(m.map(_._3).toSeq, m.map(_._3 * 1000L).toSeq,
-          m.map(_._4).toSeq, Long.MinValue))
-      }
-      .groupByKey(_._1).mapValues(_._2)
+    graft.ops.Wave63Ops.neardupSeed(spark, txroot)
 
   private def runSeeded(txroot: String, batches: Seq[Seq[DocIn]])
       : Set[(Long, Long)] = {
