@@ -47,8 +47,15 @@ object Wave50Ops extends QueryModule {
             .as("is_a"))
           .agg(count(lit(1)).as("n"),
             sum(round(col("o_totalprice") * 100).cast("long")).as("sc"),
-            sum(round(col("o_totalprice") * 100).cast("long") *
-              round(col("o_totalprice") * 100).cast("long")).as("ssq"))
+            // the squared-cents SUM outgrows BIGINT right past sf0.01
+            // (~1.5e7 cents² ≈ 2e14/row × 150k rows ≈ 3e19 > 2^63 —
+            // found by the sf0.1 bonus sweep): sum in DECIMAL(38,0),
+            // exact and associative like the agg_stats power sums; the
+            // per-row product still fits a long and the oracle's
+            // HUGEINT sum converts to double identically
+            sum((round(col("o_totalprice") * 100).cast("long") *
+              round(col("o_totalprice") * 100).cast("long"))
+              .cast("decimal(38,0)")).as("ssq"))
         val a = g.filter(col("is_a")).select(col("n").as("na"),
           col("sc").as("sa"), col("ssq").as("qa"))
         val b = g.filter(!col("is_a")).select(col("n").as("nb"),
@@ -81,8 +88,12 @@ object Wave50Ops extends QueryModule {
           "AS is_a, CAST(count(*) AS BIGINT) AS n, " +
           "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) " +
           "AS BIGINT) AS sc, " +
-          "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * " +
-          "CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+          // ssq stays HUGEINT (DuckDB's native BIGINT-sum type — the
+          // BIGINT cast would overflow past sf0.01 exactly like the
+          // Spark side did); it only ever reaches the output through
+          // CAST(qa AS DOUBLE), same as Spark's DECIMAL(38,0)
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT) * " +
+          "CAST(round(o_totalprice * 100) AS BIGINT)) " +
           "AS ssq FROM orders GROUP BY 1), " +
           "a AS (SELECT n AS na, sc AS sa, ssq AS qa FROM m WHERE is_a), " +
           "b AS (SELECT n AS nb, sc AS sb, ssq AS qb FROM m " +

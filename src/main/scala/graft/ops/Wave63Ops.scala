@@ -28,11 +28,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * At 100 TB the postings table is the standard linear-size inverted
   * index sharded by token; a query batch touches only its tokens'
-  * postings (min/max file stats on the sort key prune the scan), df
-  * lookups touch #batches rows per token, and the corpus aggregates
-  * are one tiny pinned read — index maintenance cost is O(batch
-  * tokens) per commit, exactly the Lucene/ES segment-merge economics
-  * re-derived on table transactions. StreamBm25IndexSpec pins the
+  * postings (the tok-clustered, internally-sorted layout makes parquet
+  * footer min-max skipping tight — see `setup`), df lookups touch
+  * #batches rows per token, and the corpus aggregates are one tiny
+  * pinned read — index maintenance cost is O(batch tokens) per
+  * commit, exactly the Lucene/ES segment-merge economics re-derived
+  * on table transactions. StreamBm25IndexSpec pins the
   * serve-equals-batch equality at the fixture, df additivity, the
   * cumulative stats chain, idempotent replay, and pin lockstep.
   */
@@ -58,7 +59,13 @@ object Wave63Ops extends QueryModule {
     }
 
     /** DDL-first setup: four empty tables pinned at tx v1. Postings
-      * cluster by `tok` so query-term reads prune on file stats. */
+      * cluster by `tok` (range-clustered files, internally sorted), so
+      * a query-term filter reaching the scan skips whole files /
+      * row groups via parquet footer min-max — the tx read path is
+      * `readVersion` (plain parquet by manifest paths), so the
+      * skipping is the parquet layer's, tight BECAUSE of the
+      * clustering; the manifest-stat file pruning SnapBatchScan
+      * plan-asserts applies on the catalog path, not here. */
     def setup(s: SparkSession, txroot: String): Unit = {
       val tfSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("tok",
