@@ -56,25 +56,27 @@ object Bench {
     // round-12: SnapTxn atomic absorb added ~0.7 s of manifest I/O
     "data_incremental_neardup" -> 8.75, "rc_readout_rls" -> 0.72,
     "rc_stream_rls_tws" -> 1.48, "vec_kmeans_mllib" -> 1.53,
-    "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.50,
+    "vec_rp_lsh_mllib" -> 0.78, "stream_neardup_live" -> 1.42,
     "vec_neardup_cosine" -> 2.60, "agg_basket_lift" -> 2.06,
     "join_geo_radius" -> 2.28,
     // round-11 new/touched ops (min-of-4, idle machine, one JVM)
-    "text_bm25_topk" -> 0.78, "text_dup_runs" -> 0.98,
+    "text_bm25_topk" -> 0.64, "text_dup_runs" -> 0.98,
     "text_dup_coverage" -> 1.14, "text_minhash_recall" -> 0.51,
     "vec_ivf_recall_sweep" -> 1.25,
     "text_bpe_train" -> 1.37, "vec_semdedup" -> 0.99,
     "vec_knn_probe" -> 1.22, "vec_cluster_purity" -> 0.17,
     // round-12: 3-batch absorb cadence on an ACID SnapTxn index
-    "vec_incremental_semdedup" -> 4.13, "table_stream_source" -> 0.96,
+    "vec_incremental_semdedup" -> 4.10, "table_stream_source" -> 0.96,
     "table_stream_pipeline" -> 1.10,
     // round-12 new ops + honest-stats CC loop (min-of-4, same session)
     "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32,
-    // round-12 cont.: streaming ACID ingest (two AvailableNow runs +
-    // two multi-table SnapTxn commits + probes; min-of-3)
-    "stream_neardup_index" -> 5.12, "stream_semdedup_index" -> 5.11,
-    "stream_semdedup_bootstrap" -> 4.01, "stream_bm25_index" -> 4.24,
-    "stream_neardup_bootstrap" -> 3.38, "table_txn_compact" -> 6.77)
+    // round-12 cont.: streaming-ACID family (each the clean min across
+    // the closing bench min-of-k at cpus=8 and an OpTimer min-of-4 —
+    // cpus=8 is the faster shape for these stream+txn ops, same as the
+    // Bench cpus note)
+    "stream_neardup_index" -> 4.27, "stream_semdedup_index" -> 4.06,
+    "stream_semdedup_bootstrap" -> 3.67, "stream_bm25_index" -> 4.04,
+    "stream_neardup_bootstrap" -> 2.60, "table_txn_compact" -> 5.33)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
