@@ -76,7 +76,8 @@ object Bench {
     // Bench cpus note)
     "stream_neardup_index" -> 4.27, "stream_semdedup_index" -> 4.06,
     "stream_semdedup_bootstrap" -> 3.67, "stream_bm25_index" -> 4.04,
-    "stream_neardup_bootstrap" -> 2.60, "table_txn_compact" -> 5.33)
+    "stream_neardup_bootstrap" -> 2.60, "table_txn_compact" -> 5.33,
+    "stream_cdc_index" -> 4.82)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

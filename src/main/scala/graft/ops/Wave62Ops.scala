@@ -183,6 +183,86 @@ object Wave62Ops extends QueryModule {
     }
   }
 
+  /** Frozen geometry + zero-norm-filtered gridded frame for the vec
+    * index family — shared by the file transport
+    * (stream_semdedup_index), the landing-table transport
+    * (stream_cdc_index), and the bootstrap handoff. */
+  private def semdedupGeometry(s: SparkSession, dir: String)
+      : (DataFrame => DataFrame, DataFrame, DataFrame) = {
+    val n = T.rows(s, dir, "embeddings")
+    val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
+    val all = T(s, dir, "embeddings")
+      .select(col("vec_id"), expr(graft.vec.VecAlgs.GridExpr).as("g"))
+    // FROZEN bootstrap geometry: footer-sized k, the k lowest-id
+    // vectors as coarse centroids (<= cap, the only driver-bounded
+    // structure); past the cap² the sub-centroids freeze from the
+    // bootstrap table too — NEVER from an incoming batch
+    val cents = all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("g").as("cg"))
+    // zero-norm vectors have no cosine — excluded in BOTH engines
+    val gridded = all.filter(expr(
+      "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    (graft.vec.IvfRouting.frozenRoute(all, cents, sub), gridded, cents)
+  }
+
+  /** The vec index family's graded output: per-cell index occupancy +
+    * verified cross-commit pair counts, read through the FINAL pin
+    * set. */
+  private def semdedupIndexResult(s: SparkSession, txroot: String)
+      : DataFrame = {
+    import graft.sources.SnapTxn
+    val idx = SnapTxn.read(s, txroot, "index")
+    val m = SnapTxn.read(s, txroot, "matches")
+    idx.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(m.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("cell")
+  }
+
+  /** The stream_semdedup_live routing oracle, restricted to cross-wave
+    * (one even + one odd id) pairs and aggregated per cell — DuckDB
+    * replays the full deterministic pipeline. Shared verbatim by the
+    * file transport and the landing-table transport (the transport
+    * must not change the result). SINGLE-LEVEL assumption: this SQL
+    * pairs on the coarse cell, which equals the Scala side's (cell,
+    * scell) bucket exactly while cellSplit gives sub == 1 — true at
+    * every graded SF by construction (sub > 1 needs ~cap² ≈ 4.3e9
+    * rows); a sub > 1 fixture would need the sub-cell join replicated
+    * here. */
+  private val semdedupIndexOracle: String =
+    "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+      "FROM embeddings), " +
+      "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+      "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
+      "AS k), " +
+      "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
+      "WHERE vec_id < (SELECT k FROM kk)), " +
+      "g AS (SELECT * FROM g0 " +
+      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+      "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
+      "list_sum(list_transform(list_zip(g.g, c.cg), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+      "FROM g), " +
+      "p AS (SELECT u.cell AS cell, " +
+      "round(list_sum(list_transform(list_zip(u.g, v.g), " +
+      "p -> p[1] * p[2])) / sqrt(" +
+      "CAST(list_sum(list_transform(u.g, x -> x * x)) AS DOUBLE) * " +
+      "CAST(list_sum(list_transform(v.g, x -> x * x)) AS DOUBLE)) " +
+      "* 1e9) / 1e9 AS cos " +
+      "FROM a u JOIN a v ON u.cell = v.cell " +
+      "AND u.vec_id < v.vec_id " +
+      "AND (u.vec_id % 2) <> (v.vec_id % 2)), " +
+      "m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM p WHERE cos > 0.3 GROUP BY cell), " +
+      "iv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs " +
+      "FROM a GROUP BY cell) " +
+      "SELECT iv.cell, iv.n_vecs, " +
+      "CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs " +
+      "FROM iv LEFT JOIN m ON iv.cell = m.cell ORDER BY iv.cell"
+
   def queries: Seq[Q] = Seq(
     Q(
       "stream_neardup_index",
@@ -241,25 +321,10 @@ object Wave62Ops extends QueryModule {
       "stream_semdedup_index",
       (s, dir) => {
         import graft.sources.SnapTxn
-        import graft.vec.IvfRouting
         val txroot = graft.Tmp.dir("graft_streamsd_tx")
         val src = graft.Tmp.dir("graft_streamsd_src")
         val ckpt = graft.Tmp.dir("graft_streamsd_ckpt")
-        val n = T.rows(s, dir, "embeddings")
-        val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
-        val all = T(s, dir, "embeddings")
-          .select(col("vec_id"),
-            expr(graft.vec.VecAlgs.GridExpr).as("g"))
-        // FROZEN bootstrap geometry: footer-sized k, the k lowest-id
-        // vectors as coarse centroids (<= cap, the only driver-bounded
-        // structure); past the cap² the sub-centroids freeze from the
-        // bootstrap table too — NEVER from an incoming batch
-        val cents = all.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("g").as("cg"))
-        val route = IvfRouting.frozenRoute(all, cents, sub)
-        // zero-norm vectors have no cosine — excluded in BOTH engines
-        val gridded = all.filter(expr(
-          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+        val (route, gridded, _) = semdedupGeometry(s, dir)
         VecStreamIndex.setup(s, txroot, gridded, route)
         def runOnce(): Unit = {
           val q = s.readStream.schema(gridded.schema).parquet(src)
@@ -284,54 +349,52 @@ object Wave62Ops extends QueryModule {
         runOnce()
         require(SnapTxn.latestTx(txroot) == 3,
           s"expected tx head 3, got ${SnapTxn.latestTx(txroot)}")
-        val idx = SnapTxn.read(s, txroot, "index")
-        val m = SnapTxn.read(s, txroot, "matches")
-        idx.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-          .join(m.groupBy("cell").agg(count(lit(1)).as("n_pairs")),
-            Seq("cell"), "left")
-          .select(col("cell"), col("n_vecs"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
-          .orderBy("cell")
+        semdedupIndexResult(s, txroot)
       },
-      Some(
-        // the stream_semdedup_live routing oracle, restricted to
-        // cross-wave (one even + one odd id) pairs and aggregated per
-        // cell — DuckDB replays the full deterministic pipeline.
-        // SINGLE-LEVEL assumption: this SQL pairs on the coarse cell,
-        // which equals the Scala side's (cell, scell) bucket exactly
-        // while cellSplit gives sub == 1 — true at every graded SF by
-        // construction (sub > 1 needs ~cap² ≈ 4.3e9 rows); a sub > 1
-        // fixture would need the sub-cell join replicated here
-        "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
-          "FROM embeddings), " +
-          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
-          "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
-          "AS k), " +
-          "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
-          "WHERE vec_id < (SELECT k FROM kk)), " +
-          "g AS (SELECT * FROM g0 " +
-          "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
-          "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-          "list_sum(list_transform(list_zip(g.g, c.cg), " +
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-          "FROM g), " +
-          "p AS (SELECT u.cell AS cell, " +
-          "round(list_sum(list_transform(list_zip(u.g, v.g), " +
-          "p -> p[1] * p[2])) / sqrt(" +
-          "CAST(list_sum(list_transform(u.g, x -> x * x)) AS DOUBLE) * " +
-          "CAST(list_sum(list_transform(v.g, x -> x * x)) AS DOUBLE)) " +
-          "* 1e9) / 1e9 AS cos " +
-          "FROM a u JOIN a v ON u.cell = v.cell " +
-          "AND u.vec_id < v.vec_id " +
-          "AND (u.vec_id % 2) <> (v.vec_id % 2)), " +
-          "m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs " +
-          "FROM p WHERE cos > 0.3 GROUP BY cell), " +
-          "iv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs " +
-          "FROM a GROUP BY cell) " +
-          "SELECT iv.cell, iv.n_vecs, " +
-          "CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs " +
-          "FROM iv LEFT JOIN m ON iv.cell = m.cell ORDER BY iv.cell")
+      Some(semdedupIndexOracle)
+    ),
+    Q(
+      "stream_cdc_index",
+      // the LANDING-TABLE transport for the same ingest: embeddings
+      // land as SnapTable COMMITS (create, then append), the index
+      // pipeline subscribes to the table's commit feed (`snapstream`)
+      // through one checkpoint, and each drained commit runs the
+      // identical VecStreamIndex probe+absorb. Same deterministic
+      // result as the file transport, so the oracle is shared verbatim
+      // — the production shape where the landing zone is itself a
+      // table with its own ACID history, not a bag of files. The
+      // commit feed IS the batch boundary: commit k ↔ micro-batch k.
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        val landing = graft.Tmp.dir("graft_cdcidx_landing")
+        val txroot = graft.Tmp.dir("graft_cdcidx_tx")
+        val ckpt = graft.Tmp.dir("graft_cdcidx_ckpt")
+        val (route, gridded, _) = semdedupGeometry(s, dir)
+        VecStreamIndex.setup(s, txroot, gridded, route)
+        def drain(): Unit = graft.StreamRun.withStateParts(s) {
+          val q = s.readStream.format("snapstream").load(landing)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              VecStreamIndex.ingest(s, txroot,
+                b.select(col("vec_id"), col("g")), id, route)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        SnapTable.create(s, landing,
+          gridded.filter(col("vec_id") % 2 === 0), "vec_id")
+        drain() // commit 1 (create) -> micro-batch 0: absorbs wave 0
+        SnapTable.append(s, landing,
+          gridded.filter(col("vec_id") % 2 === 1))
+        drain() // commit 2 (append) -> micro-batch 1: probes wave 0
+        require(SnapTxn.latestTx(txroot) == 3,
+          s"expected tx head 3, got ${SnapTxn.latestTx(txroot)}")
+        semdedupIndexResult(s, txroot)
+      },
+      Some(semdedupIndexOracle)
     ),
     Q(
       "stream_semdedup_bootstrap",
@@ -352,18 +415,9 @@ object Wave62Ops extends QueryModule {
         import graft.sources.SnapTxn
         import graft.vec.IvfRouting
         val txroot = graft.Tmp.dir("graft_bootsd_tx")
-        val n = T.rows(s, dir, "embeddings")
-        val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
-        val all = T(s, dir, "embeddings")
-          .select(col("vec_id"),
-            expr(graft.vec.VecAlgs.GridExpr).as("g"))
-        val centsDf = all.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("g").as("cg"))
-        // the SAME frozen routing construction as stream_semdedup_index
-        // (one shared helper — the geometry the seed was built with)
-        val route = IvfRouting.frozenRoute(all, centsDf, sub)
-        val gridded = all.filter(expr(
-          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+        // the SAME geometry construction as the index transports — one
+        // shared helper, the geometry the seed was built with
+        val (route, gridded, centsDf) = semdedupGeometry(s, dir)
         // wave 0 through the ACID cadence (the batch ingest path)
         VecStreamIndex.setup(s, txroot, gridded, route)
         VecStreamIndex.ingest(s, txroot,

@@ -106,6 +106,17 @@ class VecStreamIndexSpec extends AnyFunSuite {
     assert(n >= 1L)
   }
 
+  test("the landing-table transport (stream_cdc_index) produces the " +
+      "same result as the file transport — commit feed ≅ file waves") {
+    def run(name: String) = Wave62Ops.queries.find(_.name == name)
+      .get.fn(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val cdc = run("stream_cdc_index")
+    assert(cdc === run("stream_semdedup_index"))
+    assert(cdc.nonEmpty)
+  }
+
   test("the live op is oracle-shaped on the fixture: per-cell index " +
       "occupancy covers every non-zero-norm vector") {
     val out = Wave62Ops.queries.find(_.name == "stream_semdedup_index")
