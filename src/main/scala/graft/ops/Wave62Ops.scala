@@ -187,7 +187,7 @@ object Wave62Ops extends QueryModule {
     * index family — shared by the file transport
     * (stream_semdedup_index), the landing-table transport
     * (stream_cdc_index), and the bootstrap handoff. */
-  private def semdedupGeometry(s: SparkSession, dir: String)
+  private[ops] def semdedupGeometry(s: SparkSession, dir: String)
       : (DataFrame => DataFrame, DataFrame, DataFrame) = {
     val n = T.rows(s, dir, "embeddings")
     val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
@@ -208,7 +208,7 @@ object Wave62Ops extends QueryModule {
   /** The vec index family's graded output: per-cell index occupancy +
     * verified cross-commit pair counts, read through the FINAL pin
     * set. */
-  private def semdedupIndexResult(s: SparkSession, txroot: String)
+  private[ops] def semdedupIndexResult(s: SparkSession, txroot: String)
       : DataFrame = {
     import graft.sources.SnapTxn
     val idx = SnapTxn.read(s, txroot, "index")
@@ -231,7 +231,7 @@ object Wave62Ops extends QueryModule {
     * every graded SF by construction (sub > 1 needs ~cap² ≈ 4.3e9
     * rows); a sub > 1 fixture would need the sub-cell join replicated
     * here. */
-  private val semdedupIndexOracle: String =
+  private[ops] val semdedupIndexOracle: String =
     "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
       "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
       "FROM embeddings), " +

@@ -309,6 +309,180 @@ object Wave63Ops extends QueryModule {
         Bm25Index.serve(s, txroot)
       },
       Some(Wave59Ops.bm25TopkOracle)
+    ),
+    Q(
+      "hybrid_index_serve",
+      // the serving CAPSTONE: hybrid retrieval where BOTH rankers read
+      // PREBUILT pinned ACID indexes — BM25 top-5 from the inverted
+      // index (Bm25Index.serve: postings + additive df + cumulative
+      // stats through the pins) ∪ ANN top-5 from the IVF cell index
+      // (query vectors probe their nprobe=2 nearest cells by exact
+      // int64 grid L2; exact grid cosine within, 1e9-rounded), fused by
+      // RRF k=60 exactly as hybrid_rrf_serve. The difference from
+      // hybrid_rrf_serve is WHERE the rankers read: that op builds its
+      // structures in-query (from-scratch serving); this one reads
+      // indexes materialized by the ingest cadence — the production
+      // split between the indexing pipeline and the serving layer. The
+      // ANN half is grid-quantized (the index's domain), so its oracle
+      // is the grid CTE family, not the float knnProbe oracle.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.Det.dround
+        import graft.sources.SnapTxn
+        import graft.vec.IvfRouting
+        // materialize both indexes: ONE ingest commit each (the
+        // serving story starts from existing indexes; the multi-wave
+        // cadences are graded by their own ops)
+        val btx = graft.Tmp.dir("graft_his_bm25")
+        Bm25Index.setup(s, btx)
+        Bm25Index.ingest(s, btx,
+          T(s, dir, "documents").select(col("doc_id"), col("text")), 0L)
+        val vtx = graft.Tmp.dir("graft_his_vec")
+        val (route, gridded, cents) = Wave62Ops.semdedupGeometry(s, dir)
+        Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
+        Wave62Ops.VecStreamIndex.ingest(s, vtx, gridded, 0L, route)
+        // LEX half: top-5 per query from the pinned inverted index
+        val lex = Bm25Index.serve(s, btx)
+          .select(col("q_id"), col("doc_id").as("id"),
+            col("rnk").as("r_lex"))
+        // ANN half: the query ids' own vectors probe the pinned cell
+        // index — nprobe=2 nearest cells by exact grid L2 (ties to the
+        // lowest cid), exact grid cosine within, top-5 by (sim, id)
+        val qids = Wave59Ops.QuerySet.map(_._1).distinct.sorted
+        val idx = SnapTxn.read(s, vtx, "index")
+        val qv = idx.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("q_id"), col("g").as("qg"))
+        val wc = Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))
+        val vpr = qv.crossJoin(broadcast(cents))
+          .withColumn("d2", IvfRouting.d2("qg", "cg"))
+          .withColumn("rn", row_number().over(wc))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qg"), col("cid").as("cell"))
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val vec = vpr
+          .join(idx.select(col("cell"), col("vec_id"), col("g")),
+            Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(g, qg, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("n2v", expr(
+            "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("n2q", expr(
+            "aggregate(qg, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("sim", round(col("dot") /
+            sqrt(col("n2v").cast("double") * col("n2q").cast("double"))
+            * 1e9) / 1e9)
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("vec_id").as("id"),
+            col("rnk").as("r_vec"))
+        // RRF fusion — identical to hybrid_rrf_serve
+        val wf = Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("id"))
+        lex.join(vec, Seq("q_id", "id"), "full_outer")
+          .withColumn("rrf", dround(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
+            6))
+          .withColumn("rnk", row_number().over(wf).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "id", "r_lex", "r_vec", "rrf")
+          .orderBy("q_id", "rnk")
+      },
+      Some(hybridIndexServeOracle)
     )
   )
+
+  /** Oracle for hybrid_index_serve: the text_bm25_topk lexical chain
+    * (l*-prefixed, verbatim from the hybrid_rrf_serve oracle), a
+    * GRID-domain ANN chain over the cell index's arithmetic (the
+    * semdedup CTE family + nprobe=2 query routing), and the RRF fusion
+    * CTEs — assembled from the three proven oracle families. Same
+    * single-level (sub == 1) validity note as semdedupIndexOracle. */
+  private def hybridIndexServeOracle: String = {
+    import graft.Det.droundSql
+    val values = Wave59Ops.QuerySet
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+    val qidList = Wave59Ops.QuerySet.map(_._1).distinct.sorted
+      .mkString(", ")
+    // lexical ranker: the text_bm25_topk oracle, CTEs prefixed l*
+    "WITH lq AS (SELECT q_id, tok FROM (VALUES " + values +
+      ") AS t(q_id, tok)), " +
+      "ltk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      "ltf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM ltk WHERE tok IN (SELECT DISTINCT tok FROM lq) " +
+      "GROUP BY 1, 2), " +
+      "ldf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ltf " +
+      "GROUP BY 1), " +
+      "ldl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      "AS BIGINT) AS dl FROM documents), " +
+      "lst AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+      "CAST(sum(dl) AS BIGINT) AS sdl FROM ldl), " +
+      "lw AS (SELECT lq.q_id, ltf.doc_id, " +
+      "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+      "(CAST(sdl AS DOUBLE) / nd))) AS w " +
+      "FROM ltf JOIN ldf USING (tok) JOIN lq USING (tok) " +
+      "JOIN ldl ON ltf.doc_id = ldl.doc_id, lst), " +
+      "lsc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
+      " AS bm25 FROM lw GROUP BY 1, 2), " +
+      "lr AS (SELECT q_id, doc_id, " +
+      "CAST(row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM lsc), " +
+      // ANN ranker: the GRID cell-index arithmetic, CTEs prefixed v*
+      "vg0 AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+      "FROM embeddings), " +
+      "vkk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+      "CAST((SELECT count(*) FROM vg0) AS DOUBLE))) AS BIGINT))) " +
+      "AS k), " +
+      "vc AS (SELECT vec_id AS cid, g AS cg FROM vg0 " +
+      "WHERE vec_id < (SELECT k FROM vkk)), " +
+      "vg AS (SELECT * FROM vg0 " +
+      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+      "va AS (SELECT vec_id, g, (SELECT cid FROM vc ORDER BY " +
+      "list_sum(list_transform(list_zip(vg.g, vc.cg), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+      "FROM vg), " +
+      s"vq AS (SELECT vec_id AS q_id, g AS qg FROM va " +
+      s"WHERE vec_id IN ($qidList)), " +
+      "vqd AS (SELECT vq.q_id, vq.qg, vc.cid, " +
+      "list_sum(list_transform(list_zip(vq.qg, vc.cg), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2 FROM vq, vc), " +
+      "vpr AS (SELECT q_id, qg, cid FROM (SELECT q_id, qg, cid, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn " +
+      "FROM vqd) t WHERE rn <= 2), " +
+      "vcand AS (SELECT vpr.q_id, va.vec_id, " +
+      "round(list_sum(list_transform(list_zip(va.g, vpr.qg), " +
+      "p -> p[1] * p[2])) / sqrt(" +
+      "CAST(list_sum(list_transform(va.g, x -> x * x)) AS DOUBLE) * " +
+      "CAST(list_sum(list_transform(vpr.qg, x -> x * x)) AS DOUBLE)) " +
+      "* 1e9) / 1e9 AS sim " +
+      "FROM vpr JOIN va ON va.cell = vpr.cid " +
+      "WHERE va.vec_id <> vpr.q_id), " +
+      "vr AS (SELECT q_id, vec_id, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+      "AS rnk FROM vcand), " +
+      // RRF fusion over the two top-5 lists (hybrid_rrf_serve's CTEs)
+      "f AS (SELECT COALESCE(la.q_id, vb.q_id) AS q_id, " +
+      "COALESCE(la.doc_id, vb.vec_id) AS id, " +
+      "la.rnk AS r_lex, vb.rnk AS r_vec " +
+      "FROM (SELECT * FROM lr WHERE rnk <= 5) la " +
+      "FULL OUTER JOIN (SELECT * FROM vr WHERE rnk <= 5) vb " +
+      "ON la.q_id = vb.q_id AND la.doc_id = vb.vec_id), " +
+      "fs AS (SELECT q_id, id, r_lex, r_vec, " +
+      droundSql("COALESCE(1.0 / (60 + r_lex), 0.0) + " +
+        "COALESCE(1.0 / (60 + r_vec), 0.0)", 6) + " AS rrf FROM f), " +
+      "fr AS (SELECT q_id, id, r_lex, r_vec, rrf, " +
+      "CAST(row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY rrf DESC, id) AS BIGINT) AS rnk FROM fs) " +
+      "SELECT q_id, rnk, id, r_lex, r_vec, rrf FROM fr " +
+      "WHERE rnk <= 5 ORDER BY q_id, rnk"
+  }
 }

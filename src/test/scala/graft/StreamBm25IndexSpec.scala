@@ -64,6 +64,28 @@ class StreamBm25IndexSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("hybrid_index_serve fuses the two index-served rankers with " +
+      "exact RRF arithmetic and total-order ranks") {
+    val out = graft.ops.Wave63Ops.queries
+      .find(_.name == "hybrid_index_serve").get.fn(spark, TestSpark.Sf)
+      .collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..k (total order), and every rrf equals
+    // the closed form over its own r_lex/r_vec at the house rounding
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    out.foreach { r =>
+      val rl = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rv = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rl.isDefined || rv.isDefined)
+      val want = math.round((rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e6) / 1e6
+      assert(r.getDouble(5) === want)
+    }
+  }
+
   test("replayed micro-batch id is a no-op; four pins move in lockstep") {
     val txroot = freshTx()
     Bm25Index.ingest(spark, txroot, df(b1), 0L)
