@@ -77,7 +77,8 @@ object Bench {
     "stream_neardup_index" -> 4.27, "stream_semdedup_index" -> 4.06,
     "stream_semdedup_bootstrap" -> 3.67, "stream_bm25_index" -> 4.04,
     "stream_neardup_bootstrap" -> 2.60, "table_txn_compact" -> 5.33,
-    "stream_cdc_index" -> 4.82, "hybrid_index_serve" -> 5.93)
+    "stream_cdc_index" -> 4.82, "hybrid_index_serve" -> 5.93,
+    "table_txn_erase" -> 2.40)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

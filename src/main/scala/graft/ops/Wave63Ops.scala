@@ -311,6 +311,57 @@ object Wave63Ops extends QueryModule {
       Some(Wave59Ops.bm25TopkOracle)
     ),
     Q(
+      "table_txn_erase",
+      // ATOMIC MULTI-TABLE ERASURE (the GDPR shape on an index): a
+      // right-to-erasure request must remove a subject from the corpus
+      // AND every derived index table — a reader must never observe
+      // the subject erased from one and still present in another.
+      // `SnapTxn.rewritePinned` runs a CoW deleteWhere against each
+      // pinned table and publishes ONE record pinning all four new
+      // versions; a crash between the rewrites leaves only unpinned
+      // orphans (the prior consistent state stays current), and the
+      // pre-erasure pin chain stays time-travelable until vacuum — the
+      // legal erasure point is the vacuum, the ACID erasure point is
+      // the pin, exactly SnapTable's documented GDPR split. Output:
+      // per-lang corpus counts AFTER erasure, oracle-replayed (the
+      // corpus is the full documents table; erased ids are a fixed
+      // residue class); the seeded index tables' erasure is pinned by
+      // TxnEraseSpec, not the oracle.
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        import graft.ops.Wave62Ops.StreamIndex
+        val txroot = graft.Tmp.dir("graft_txnerase")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        StreamIndex.setup(s, txroot, docs)
+        StreamIndex.ingest(s, txroot, docs, 0L)
+        // the erasure request: every doc_id ≡ 3 (mod 10)
+        SnapTxn.rewritePinned(s, txroot,
+          Seq("corpus", "buckets", "toksets", "matches"),
+          note = "erase:mod10=3") { (t, root) =>
+          val idCol = t match {
+            case "matches" => col("new_id") // plus old_id below
+            case _ => col("doc_id")
+          }
+          if (t == "matches")
+            SnapTable.deleteWhere(s, root,
+              col("new_id") % 10 === 3 || col("old_id") % 10 === 3)
+          else SnapTable.deleteWhere(s, root, idCol % 10 === 3)
+        }
+        // read the post-erasure corpus through the new pin set
+        SnapTxn.read(s, txroot, "corpus")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+          .orderBy("lang")
+      },
+      Some(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(strlen(text)) AS BIGINT) AS n_bytes " +
+          "FROM documents WHERE doc_id % 10 <> 3 " +
+          "GROUP BY lang ORDER BY lang")
+    ),
+    Q(
       "hybrid_index_serve",
       // the serving CAPSTONE: hybrid retrieval where BOTH rankers read
       // PREBUILT pinned ACID indexes — BM25 top-5 from the inverted

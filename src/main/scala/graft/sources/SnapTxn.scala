@@ -189,16 +189,37 @@ object SnapTxn {
     * the rewrite and the pin moves the table's pin and aborts the
     * publish (first-committer-wins), never pins stale content. */
   def compactPinned(s: SparkSession, txroot: String, table: String,
-      targetFiles: Int): Int = {
+      targetFiles: Int): Int =
+    rewritePinned(s, txroot, Seq(table), s"maintain:compact:$table") {
+      (_, root) => SnapTable.compact(s, root, targetFiles)
+    }
+
+  /** The general MAINTENANCE/GOVERNANCE commit shape: run a rewrite
+    * verb (compact, deleteWhere, …) against each named table's PINNED
+    * head and pin ALL the new versions with one tx record — the
+    * multi-table form of [[compactPinned]] (and the GDPR shape: erase
+    * a subject from corpus + every index table atomically — readers
+    * can never observe the subject gone from one table and present in
+    * another). `rewrite(table, root)` must commit one new per-table
+    * version built from the current head and return it. Crash between
+    * rewrites → the already-rewritten tables' versions are unpinned
+    * orphans (invisible, vacuumable), exactly like a torn absorb.
+    * Refuses orphaned per-table heads — the rewrite verbs build from
+    * the per-table head, which must BE the pin (vacuumOrphans first).
+    * A commit racing past the head check moves a pin and aborts the
+    * publish (first-committer-wins), never pinning stale content. */
+  def rewritePinned(s: SparkSession, txroot: String,
+      tables: Seq[String], note: String)
+      (rewrite: (String, String) => Int): Int = {
     val base = head(txroot)
-    require(base.pins.contains(table),
-      s"table '$table' is not tx-managed")
-    require(SnapTable.latestVersion(s"$txroot/$table") ==
-      base.pins(table),
-      s"'$table' per-table head is not the pinned version (orphans " +
-        "present) — run vacuumOrphans before compacting")
-    val v = SnapTable.compact(s, s"$txroot/$table", targetFiles)
-    publish(txroot, base, Map(table -> v), s"maintain:compact:$table")
+    tables.foreach { t =>
+      require(base.pins.contains(t), s"table '$t' is not tx-managed")
+      require(SnapTable.latestVersion(s"$txroot/$t") == base.pins(t),
+        s"'$t' per-table head is not the pinned version (orphans " +
+          "present) — run vacuumOrphans before rewriting")
+    }
+    val prepared = tables.map(t => t -> rewrite(t, s"$txroot/$t")).toMap
+    publish(txroot, base, prepared, note)
   }
 
   def latestTx(txroot: String): Int = txVersions(txroot).max
