@@ -61,43 +61,53 @@ object Wave59Ops extends QueryModule {
   /** BPE merge rounds for text_bpe_train (unrolled in the oracle). */
   val BpeRounds = 6
 
-  /** The text_bm25_topk oracle — shared verbatim by stream_bm25_index
-    * (Wave63): after the index absorbs every wave it must serve exactly
-    * what the from-scratch ranker serves over the same corpus. */
-  private[ops] val bm25TopkOracle: String = {
+  /** The BM25 oracle CTE chain, name-prefixed so the THREE consumers —
+    * text_bm25_topk / stream_bm25_index (p = "", ranked CTE `r`) and
+    * the hybrid serving oracles (p = "l", ranked CTE `lr`) — share ONE
+    * definition of the scoring arithmetic instead of drift-prone
+    * copies. The final CTE `${p}r` carries (q_id, doc_id, bm25,
+    * n_terms, rnk). */
+  private[ops] def bm25CteChain(p: String): String = {
     val values = QuerySet
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
-    "WITH q AS (SELECT q_id, tok FROM (VALUES " + values +
+    s"${p}q AS (SELECT q_id, tok FROM (VALUES " + values +
       ") AS t(q_id, tok)), " +
-      "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-      "FROM documents), " +
-      "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
-      "FROM tk WHERE tok IN (SELECT DISTINCT tok FROM q) " +
+      s"${p}tk AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      s"${p}tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
+      s"FROM ${p}tk WHERE tok IN (SELECT DISTINCT tok FROM ${p}q) " +
       "GROUP BY 1, 2), " +
-      "dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf " +
-      "GROUP BY 1), " +
-      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      s"${p}dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df " +
+      s"FROM ${p}tf GROUP BY 1), " +
+      s"${p}dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
       "AS BIGINT) AS dl FROM documents), " +
-      "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
-      "CAST(sum(dl) AS BIGINT) AS sdl FROM dl), " +
-      "w AS (SELECT q.q_id, tf.doc_id, " +
+      s"${p}st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+      s"CAST(sum(dl) AS BIGINT) AS sdl FROM ${p}dl), " +
+      s"${p}w AS (SELECT ${p}q.q_id, ${p}tf.doc_id, " +
       "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
       "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
       "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
       "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
       "(CAST(sdl AS DOUBLE) / nd))) AS w " +
-      "FROM tf JOIN dfq USING (tok) JOIN q USING (tok) " +
-      "JOIN dl ON tf.doc_id = dl.doc_id, st), " +
-      "sc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
-      " AS bm25, CAST(count(*) AS BIGINT) AS n_terms FROM w " +
+      s"FROM ${p}tf JOIN ${p}dfq USING (tok) JOIN ${p}q USING (tok) " +
+      s"JOIN ${p}dl ON ${p}tf.doc_id = ${p}dl.doc_id, ${p}st), " +
+      s"${p}sc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
+      s" AS bm25, CAST(count(*) AS BIGINT) AS n_terms FROM ${p}w " +
       "GROUP BY 1, 2), " +
-      "r AS (SELECT q_id, doc_id, bm25, n_terms, " +
+      s"${p}r AS (SELECT q_id, doc_id, bm25, n_terms, " +
       "CAST(row_number() OVER (PARTITION BY q_id " +
-      "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM sc) " +
-      "SELECT q_id, rnk, doc_id, bm25, n_terms FROM r " +
-      "WHERE rnk <= 5 ORDER BY q_id, rnk"
+      s"ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM ${p}sc)"
   }
+
+  /** The text_bm25_topk oracle — shared verbatim by stream_bm25_index
+    * and table_txn_compact (Wave63): after the index absorbs every
+    * wave it must serve exactly what the from-scratch ranker serves
+    * over the same corpus. */
+  private[ops] val bm25TopkOracle: String =
+    "WITH " + bm25CteChain("") +
+      " SELECT q_id, rnk, doc_id, bm25, n_terms FROM r " +
+      "WHERE rnk <= 5 ORDER BY q_id, rnk"
 
   /** English docs with >= 8 tokens: `(doc_id, toks)` — the corpus slice
     * the exact-substring family runs on. */

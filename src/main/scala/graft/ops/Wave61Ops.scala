@@ -84,6 +84,29 @@ object Wave61Ops extends QueryModule {
   /** Cosine threshold shared with the batch semdedup family. */
   val CosThreshold = 0.3
 
+  /** The grid routing oracle CTE chain, name-prefixed so its FOUR
+    * consumers — stream_semdedup_live (p = ""), the index/bootstrap
+    * oracles (Wave62, p = "") and the hybrid index-serving oracle
+    * (Wave63, p = "v") — share ONE definition of the 1e7 quantization,
+    * the footer-sized k, and the nearest-cell assignment. The final
+    * CTE `${p}a` carries (vec_id, g, cell) for every non-zero-norm
+    * vector. */
+  private[ops] def gridCellChain(p: String): String =
+    s"${p}g0 AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
+      "FROM embeddings), " +
+      s"${p}kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
+      s"CAST((SELECT count(*) FROM ${p}g0) AS DOUBLE))) AS BIGINT))) " +
+      "AS k), " +
+      s"${p}c AS (SELECT vec_id AS cid, g AS cg FROM ${p}g0 " +
+      s"WHERE vec_id < (SELECT k FROM ${p}kk)), " +
+      s"${p}g AS (SELECT * FROM ${p}g0 " +
+      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+      s"${p}a AS (SELECT vec_id, g, (SELECT cid FROM ${p}c ORDER BY " +
+      s"list_sum(list_transform(list_zip(${p}g.g, ${p}c.cg), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
+      s"FROM ${p}g)"
+
   /** Per-cell membership + verification: state carried across batches
     * and EVICTED past the event-time horizon — the Wave58 lifecycle
     * applied to IVF cells. Within a micro-batch rows process in vec_id
@@ -269,20 +292,7 @@ object Wave61Ops extends QueryModule {
         s.table(name).orderBy("vec_a", "vec_b")
       },
       Some(
-        "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
-          "FROM embeddings), " +
-          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
-          "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
-          "AS k), " +
-          "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
-          "WHERE vec_id < (SELECT k FROM kk)), " +
-          "g AS (SELECT * FROM g0 " +
-          "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
-          "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-          "list_sum(list_transform(list_zip(g.g, c.cg), " +
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-          "FROM g), " +
+        "WITH " + gridCellChain("") + ", " +
           "p AS (SELECT u.vec_id AS vec_a, v.vec_id AS vec_b, " +
           "round(list_sum(list_transform(list_zip(u.g, v.g), " +
           "p -> p[1] * p[2])) / sqrt(" +
@@ -317,42 +327,14 @@ object Wave61Ops extends QueryModule {
           .orderBy("q_id", "rnk")
       },
       Some {
-        val values = Wave59Ops.QuerySet
-          .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
-          .mkString(", ")
         val qidList = Wave59Ops.QuerySet.map(_._1).distinct.sorted
           .mkString(", ")
         def l2(a: String, b: String): String =
           s"(SELECT sum((CAST(z.x AS DOUBLE) - z.y)*" +
             s"(CAST(z.x AS DOUBLE) - z.y)) " +
             s"FROM (SELECT unnest($a) AS x, unnest($b) AS y) z)"
-        // lexical ranker: the text_bm25_topk oracle, CTEs prefixed l*
-        "WITH lq AS (SELECT q_id, tok FROM (VALUES " + values +
-          ") AS t(q_id, tok)), " +
-          "ltk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-          "FROM documents), " +
-          "ltf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
-          "FROM ltk WHERE tok IN (SELECT DISTINCT tok FROM lq) " +
-          "GROUP BY 1, 2), " +
-          "ldf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ltf " +
-          "GROUP BY 1), " +
-          "ldl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
-          "AS BIGINT) AS dl FROM documents), " +
-          "lst AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
-          "CAST(sum(dl) AS BIGINT) AS sdl FROM ldl), " +
-          "lw AS (SELECT lq.q_id, ltf.doc_id, " +
-          "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
-          "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
-          "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
-          "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
-          "(CAST(sdl AS DOUBLE) / nd))) AS w " +
-          "FROM ltf JOIN ldf USING (tok) JOIN lq USING (tok) " +
-          "JOIN ldl ON ltf.doc_id = ldl.doc_id, lst), " +
-          "lsc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
-          " AS bm25 FROM lw GROUP BY 1, 2), " +
-          "lr AS (SELECT q_id, doc_id, " +
-          "CAST(row_number() OVER (PARTITION BY q_id " +
-          "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM lsc), " +
+        // lexical ranker: the SHARED text_bm25_topk chain, prefixed l*
+        "WITH " + Wave59Ops.bm25CteChain("l") + ", " +
           // vector ranker: the vec_knn_probe oracle, CTEs prefixed v*
           "vc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings " +
           "WHERE vec_id < LEAST(65536, GREATEST(1, " +

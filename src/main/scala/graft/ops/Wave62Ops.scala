@@ -232,20 +232,7 @@ object Wave62Ops extends QueryModule {
     * rows); a sub > 1 fixture would need the sub-cell join replicated
     * here. */
   private[ops] val semdedupIndexOracle: String =
-    "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
-      "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
-      "FROM embeddings), " +
-      "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
-      "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
-      "AS k), " +
-      "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
-      "WHERE vec_id < (SELECT k FROM kk)), " +
-      "g AS (SELECT * FROM g0 " +
-      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
-      "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-      "list_sum(list_transform(list_zip(g.g, c.cg), " +
-      "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-      "FROM g), " +
+    "WITH " + Wave61Ops.gridCellChain("") + ", " +
       "p AS (SELECT u.cell AS cell, " +
       "round(list_sum(list_transform(list_zip(u.g, v.g), " +
       "p -> p[1] * p[2])) / sqrt(" +
@@ -496,20 +483,7 @@ object Wave62Ops extends QueryModule {
         // bootstrapped-vs-bootstrapped (both ids even). Same
         // single-level (sub == 1) validity note as the
         // stream_semdedup_index oracle above
-        "WITH g0 AS (SELECT vec_id, list_transform(embedding, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
-          "FROM embeddings), " +
-          "kk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
-          "CAST((SELECT count(*) FROM g0) AS DOUBLE))) AS BIGINT))) " +
-          "AS k), " +
-          "c AS (SELECT vec_id AS cid, g AS cg FROM g0 " +
-          "WHERE vec_id < (SELECT k FROM kk)), " +
-          "g AS (SELECT * FROM g0 " +
-          "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
-          "a AS (SELECT vec_id, g, (SELECT cid FROM c ORDER BY " +
-          "list_sum(list_transform(list_zip(g.g, c.cg), " +
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-          "FROM g), " +
+        "WITH " + Wave61Ops.gridCellChain("") + ", " +
           "p AS (SELECT u.vec_id AS vec_a, v.vec_id AS vec_b, " +
           "round(list_sum(list_transform(list_zip(u.g, v.g), " +
           "p -> p[1] * p[2])) / sqrt(" +

@@ -339,14 +339,10 @@ object Wave63Ops extends QueryModule {
         SnapTxn.rewritePinned(s, txroot,
           Seq("corpus", "buckets", "toksets", "matches"),
           note = "erase:mod10=3") { (t, root) =>
-          val idCol = t match {
-            case "matches" => col("new_id") // plus old_id below
-            case _ => col("doc_id")
-          }
-          if (t == "matches")
-            SnapTable.deleteWhere(s, root,
-              col("new_id") % 10 === 3 || col("old_id") % 10 === 3)
-          else SnapTable.deleteWhere(s, root, idCol % 10 === 3)
+          SnapTable.deleteWhere(s, root,
+            if (t == "matches")
+              col("new_id") % 10 === 3 || col("old_id") % 10 === 3
+            else col("doc_id") % 10 === 3)
         }
         // read the post-erasure corpus through the new pin set
         SnapTxn.read(s, txroot, "corpus")
@@ -454,53 +450,13 @@ object Wave63Ops extends QueryModule {
     * single-level (sub == 1) validity note as semdedupIndexOracle. */
   private def hybridIndexServeOracle: String = {
     import graft.Det.droundSql
-    val values = Wave59Ops.QuerySet
-      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
-      .mkString(", ")
     val qidList = Wave59Ops.QuerySet.map(_._1).distinct.sorted
       .mkString(", ")
-    // lexical ranker: the text_bm25_topk oracle, CTEs prefixed l*
-    "WITH lq AS (SELECT q_id, tok FROM (VALUES " + values +
-      ") AS t(q_id, tok)), " +
-      "ltk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-      "FROM documents), " +
-      "ltf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
-      "FROM ltk WHERE tok IN (SELECT DISTINCT tok FROM lq) " +
-      "GROUP BY 1, 2), " +
-      "ldf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ltf " +
-      "GROUP BY 1), " +
-      "ldl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
-      "AS BIGINT) AS dl FROM documents), " +
-      "lst AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
-      "CAST(sum(dl) AS BIGINT) AS sdl FROM ldl), " +
-      "lw AS (SELECT lq.q_id, ltf.doc_id, " +
-      "ln((CAST(nd AS DOUBLE) - df + 0.5) / " +
-      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
-      "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
-      "1.2 * (1.0 - 0.75 + 0.75 * dl / " +
-      "(CAST(sdl AS DOUBLE) / nd))) AS w " +
-      "FROM ltf JOIN ldf USING (tok) JOIN lq USING (tok) " +
-      "JOIN ldl ON ltf.doc_id = ldl.doc_id, lst), " +
-      "lsc AS (SELECT q_id, doc_id, " + droundSql("sum(w)", 6) +
-      " AS bm25 FROM lw GROUP BY 1, 2), " +
-      "lr AS (SELECT q_id, doc_id, " +
-      "CAST(row_number() OVER (PARTITION BY q_id " +
-      "ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk FROM lsc), " +
-      // ANN ranker: the GRID cell-index arithmetic, CTEs prefixed v*
-      "vg0 AS (SELECT vec_id, list_transform(embedding, " +
-      "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
-      "FROM embeddings), " +
-      "vkk AS (SELECT LEAST(65536, GREATEST(1, CAST(ceil(sqrt(" +
-      "CAST((SELECT count(*) FROM vg0) AS DOUBLE))) AS BIGINT))) " +
-      "AS k), " +
-      "vc AS (SELECT vec_id AS cid, g AS cg FROM vg0 " +
-      "WHERE vec_id < (SELECT k FROM vkk)), " +
-      "vg AS (SELECT * FROM vg0 " +
-      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
-      "va AS (SELECT vec_id, g, (SELECT cid FROM vc ORDER BY " +
-      "list_sum(list_transform(list_zip(vg.g, vc.cg), " +
-      "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +
-      "FROM vg), " +
+    // lexical ranker: the SHARED text_bm25_topk chain, prefixed l*;
+    // ANN ranker: the SHARED grid cell chain, prefixed v* — one
+    // definition each (Wave59Ops.bm25CteChain / Wave61Ops.gridCellChain)
+    "WITH " + Wave59Ops.bm25CteChain("l") + ", " +
+      Wave61Ops.gridCellChain("v") + ", " +
       s"vq AS (SELECT vec_id AS q_id, g AS qg FROM va " +
       s"WHERE vec_id IN ($qidList)), " +
       "vqd AS (SELECT vq.q_id, vq.qg, vc.cid, " +

@@ -163,14 +163,22 @@ object SnapTxn {
   def batchNote(batchId: Long): String = s"absorb:b$batchId"
 
   /** True iff `batchId`'s absorb already published — the foreachBatch
-    * replay guard. O(1): only the HEAD note is checked, because the
-    * streaming checkpoint guarantees the only batch that can be
-    * re-delivered is the most recent possibly-uncommitted one — if its
-    * absorb published, it IS the head (nothing later can have committed
-    * before the checkpoint advanced). A full-log scan here would make
-    * batch N pay N reads (quadratic over a stream's lifetime). */
+    * replay guard. The streaming checkpoint guarantees the only batch
+    * that can be re-delivered is the most recent possibly-uncommitted
+    * one (batches are serialized: batch N+1 never starts before N's
+    * checkpoint commit lands), so the LAST absorb note in the log is
+    * the latest absorbed batch. Maintenance records (compact / erase /
+    * register) may land ON TOP of it while the pipeline is down — the
+    * walk skips them, so a maintenance commit can never make a
+    * published absorb look unpublished (which would double-absorb the
+    * replayed batch). Cost: O(maintenance records since the last
+    * absorb) — effectively O(1); a full-log membership scan would be
+    * quadratic over a stream's lifetime. */
   def batchAbsorbed(txroot: String, batchId: Long): Boolean =
-    head(txroot).note == batchNote(batchId)
+    txVersions(txroot).sorted.reverseIterator
+      .map(v => load(txroot, v).note)
+      .find(_.startsWith("absorb:b"))
+      .contains(batchNote(batchId))
 
   // ------------------------------------------------------- maintenance
 
@@ -211,6 +219,9 @@ object SnapTxn {
   def rewritePinned(s: SparkSession, txroot: String,
       tables: Seq[String], note: String)
       (rewrite: (String, String) => Int): Int = {
+    require(tables.nonEmpty, "empty rewrite")
+    require(tables.distinct.size == tables.size,
+      "one rewrite per table per maintenance commit")
     val base = head(txroot)
     tables.foreach { t =>
       require(base.pins.contains(t), s"table '$t' is not tx-managed")

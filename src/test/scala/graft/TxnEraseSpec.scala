@@ -70,6 +70,24 @@ class TxnEraseSpec extends AnyFunSuite {
     assert(SnapTxn.head(txroot).note === "erase:3")
   }
 
+  test("maintenance records do not clobber the absorb replay ledger: " +
+      "a replayed batch after an erase is still a no-op") {
+    val txroot = freshIndex()
+    // pipeline down; operator runs maintenance ON TOP of the last absorb
+    erase(txroot)
+    assert(SnapTxn.head(txroot).note === "erase:3")
+    // restart re-delivers the last micro-batch (id 1): the ledger must
+    // still see its published absorb THROUGH the maintenance record —
+    // a head-note-only check would re-absorb it (duplicate index rows)
+    val df = docs.toDF("doc_id", "lang", "text")
+    assert(StreamIndex.ingest(spark, txroot,
+      df.filter($"doc_id" === 3L), 1L) === -1L)
+    // and a genuinely NEW batch still lands
+    val b2 = Seq((7L, "en", (300 to 340).map(i => s"x$i").mkString(" ")))
+    assert(StreamIndex.ingest(spark, txroot,
+      b2.toDF("doc_id", "lang", "text"), 2L) >= 0L)
+  }
+
   test("a crash between the per-table rewrites is invisible: no state " +
       "where the subject is gone from one table but not another") {
     val txroot = freshIndex()
