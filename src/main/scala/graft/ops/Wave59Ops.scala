@@ -61,27 +61,30 @@ object Wave59Ops extends QueryModule {
   /** BPE merge rounds for text_bpe_train (unrolled in the oracle). */
   val BpeRounds = 6
 
-  /** The BM25 oracle CTE chain, name-prefixed so the THREE consumers —
+  /** The BM25 oracle CTE chain, name-prefixed so the consumers —
     * text_bm25_topk / stream_bm25_index (p = "", ranked CTE `r`) and
-    * the hybrid serving oracles (p = "l", ranked CTE `lr`) — share ONE
+    * the hybrid serving oracles (p = "l"/per-pin prefixes) — share ONE
     * definition of the scoring arithmetic instead of drift-prone
     * copies. The final CTE `${p}r` carries (q_id, doc_id, bm25,
-    * n_terms, rnk). */
-  private[ops] def bm25CteChain(p: String): String = {
+    * n_terms, rnk). `docWhere` restricts the corpus — the incremental
+    * serving oracle replays a pin that has absorbed only some waves. */
+  private[ops] def bm25CteChain(p: String,
+      docWhere: String = "TRUE"): String = {
     val values = QuerySet
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
     s"${p}q AS (SELECT q_id, tok FROM (VALUES " + values +
       ") AS t(q_id, tok)), " +
       s"${p}tk AS (SELECT doc_id, " +
-      "unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "unnest(string_split(text, ' ')) AS tok FROM documents " +
+      s"WHERE $docWhere), " +
       s"${p}tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf " +
       s"FROM ${p}tk WHERE tok IN (SELECT DISTINCT tok FROM ${p}q) " +
       "GROUP BY 1, 2), " +
       s"${p}dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df " +
       s"FROM ${p}tf GROUP BY 1), " +
       s"${p}dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
-      "AS BIGINT) AS dl FROM documents), " +
+      s"AS BIGINT) AS dl FROM documents WHERE $docWhere), " +
       s"${p}st AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
       s"CAST(sum(dl) AS BIGINT) AS sdl FROM ${p}dl), " +
       s"${p}w AS (SELECT ${p}q.q_id, ${p}tf.doc_id, " +

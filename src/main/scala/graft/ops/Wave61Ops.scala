@@ -84,14 +84,19 @@ object Wave61Ops extends QueryModule {
   /** Cosine threshold shared with the batch semdedup family. */
   val CosThreshold = 0.3
 
-  /** The grid routing oracle CTE chain, name-prefixed so its FOUR
+  /** The grid routing oracle CTE chain, name-prefixed so its
     * consumers — stream_semdedup_live (p = ""), the index/bootstrap
-    * oracles (Wave62, p = "") and the hybrid index-serving oracle
-    * (Wave63, p = "v") — share ONE definition of the 1e7 quantization,
-    * the footer-sized k, and the nearest-cell assignment. The final
-    * CTE `${p}a` carries (vec_id, g, cell) for every non-zero-norm
-    * vector. */
-  private[ops] def gridCellChain(p: String): String =
+    * oracles (Wave62, p = ""), the hybrid index-serving oracles
+    * (Wave63/64, p = "v"/per-pin) and the crossmodal/funnel dedups
+    * (Wave64) — share ONE definition of the 1e7 quantization, the
+    * footer-sized k, and the nearest-cell assignment. The final CTE
+    * `${p}a` carries (vec_id, g, cell) for every non-zero-norm vector
+    * satisfying `vecWhere`. The GEOMETRY (k, centroids) always derives
+    * from the FULL table — exactly the frozen-bootstrap invariant of
+    * the Scala side: restricting the member set (an index pin that has
+    * absorbed only some waves) must never re-derive routing. */
+  private[ops] def gridCellChain(p: String,
+      vecWhere: String = "TRUE"): String =
     s"${p}g0 AS (SELECT vec_id, list_transform(embedding, " +
       "x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS g " +
       "FROM embeddings), " +
@@ -101,7 +106,8 @@ object Wave61Ops extends QueryModule {
       s"${p}c AS (SELECT vec_id AS cid, g AS cg FROM ${p}g0 " +
       s"WHERE vec_id < (SELECT k FROM ${p}kk)), " +
       s"${p}g AS (SELECT * FROM ${p}g0 " +
-      "WHERE list_sum(list_transform(g, x -> x * x)) > 0), " +
+      "WHERE list_sum(list_transform(g, x -> x * x)) > 0 " +
+      s"AND ($vecWhere)), " +
       s"${p}a AS (SELECT vec_id, g, (SELECT cid FROM ${p}c ORDER BY " +
       s"list_sum(list_transform(list_zip(${p}g.g, ${p}c.cg), " +
       "p -> (p[1] - p[2]) * (p[1] - p[2]))), cid LIMIT 1) AS cell " +

@@ -191,6 +191,17 @@ object Wave62Ops extends QueryModule {
       : (DataFrame => DataFrame, DataFrame, DataFrame) = {
     val n = T.rows(s, dir, "embeddings")
     val (k, sub) = graft.vec.VecAlgs.cellSplit(n)
+    // every consumer of this geometry is ORACLE-graded against the
+    // single-level grid CTE chain (gridCellChain pairs on the coarse
+    // cell — valid exactly while cellSplit keeps sub == 1, true at
+    // every graded SF by ~cap² ≈ 4.3e9 rows of headroom). A future
+    // fixture large enough to engage the second routing layer must
+    // fail HERE, loudly, instead of silently diverging from its oracle
+    // (which would need the sub-cell join replicated in SQL).
+    require(sub == 1,
+      s"semdedupGeometry: cellSplit($n) engaged two-level routing " +
+        s"(sub=$sub) but the family's oracles pair on the coarse cell " +
+        "only — extend gridCellChain with the sub-cell join first")
     val all = T(s, dir, "embeddings")
       .select(col("vec_id"), expr(graft.vec.VecAlgs.GridExpr).as("g"))
     // FROZEN bootstrap geometry: footer-sized k, the k lowest-id
@@ -202,7 +213,12 @@ object Wave62Ops extends QueryModule {
     // zero-norm vectors have no cosine — excluded in BOTH engines
     val gridded = all.filter(expr(
       "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
-    (graft.vec.IvfRouting.frozenRoute(all, cents, sub), gridded, cents)
+    // the zero-norm-FILTERED frame is the bootstrap: with sub == 1 the
+    // bootstrap only seeds sub-centroids (unused here), but handing
+    // frozenRoute the unfiltered frame would derive sub-geometry from
+    // vectors excluded everywhere else the day the guard is lifted
+    (graft.vec.IvfRouting.frozenRoute(gridded, cents, sub), gridded,
+      cents)
   }
 
   /** The vec index family's graded output: per-cell index occupancy +

@@ -135,19 +135,85 @@ object Wave63Ops extends QueryModule {
 
     /** Serve the fixed QuerySet from the PINNED index — the same
       * scoring body as text_bm25_topk over index-derived frames. */
-    def serve(s: SparkSession, txroot: String): DataFrame = {
+    def serve(s: SparkSession, txroot: String): DataFrame =
+      serveAt(s, txroot, SnapTxn.latestTx(txroot))
+
+    /** Serve as of transaction `tx` — snapshot-isolated serving: a
+      * reader holding an older pin keeps reproducing that pin's
+      * results while ingest moves the head (hybrid_index_serve_incr /
+      * ServeIncrSpec). */
+    def serveAt(s: SparkSession, txroot: String, tx: Int): DataFrame = {
       val qterms = Wave59Ops.QuerySet.map(_._2).distinct
-      val tf = SnapTxn.read(s, txroot, "postings")
+      val tf = SnapTxn.readAt(s, txroot, "postings", tx)
         .filter(col("tok").isin(qterms: _*))
-      val dfq = SnapTxn.read(s, txroot, "dfdelta")
+      val dfq = SnapTxn.readAt(s, txroot, "dfdelta", tx)
         .filter(col("tok").isin(qterms: _*))
         .groupBy("tok").agg(sum("df").as("df"))
-      val dl = SnapTxn.read(s, txroot, "docstats")
-      val stats = SnapTxn.read(s, txroot, "stats")
+      val dl = SnapTxn.readAt(s, txroot, "docstats", tx)
+      val stats = SnapTxn.readAt(s, txroot, "stats", tx)
         .orderBy(col("batch_id").desc).limit(1)
         .select(col("nd"), col("sdl"))
       Wave59Ops.bm25Serve(s, tf, dfq, dl, stats)
     }
+  }
+
+  /** The grid-domain ANN serving half of the hybrid capstones, over an
+    * explicit pinned cell index: the QuerySet ids' own vectors (taken
+    * FROM the index — a query about a vector the index hasn't absorbed
+    * yet has nothing to serve) probe their nprobe=2 nearest cells by
+    * exact grid L2 (ties to the lowest cid), exact grid cosine within,
+    * top-5 per query by (sim, id). One definition for the one-pin and
+    * the incremental (serve → absorb → re-serve) capstones. */
+  private[ops] def annServeGrid(idx: DataFrame, cents: DataFrame,
+      qids: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.vec.IvfRouting
+    val qv = idx.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("g").as("qg"))
+    val wc = Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))
+    val vpr = qv.crossJoin(broadcast(cents))
+      .withColumn("d2", IvfRouting.d2("qg", "cg"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("qg"), col("cid").as("cell"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    vpr
+      .join(idx.select(col("cell"), col("vec_id"), col("g")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(g, qg, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("n2v", expr(
+        "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("n2q", expr(
+        "aggregate(qg, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("sim", round(col("dot") /
+        sqrt(col("n2v").cast("double") * col("n2q").cast("double"))
+        * 1e9) / 1e9)
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id").as("id"),
+        col("rnk").as("r_vec"))
+  }
+
+  /** RRF k=60 fusion of a lex top-5 `(q_id, id, r_lex)` and an ANN
+    * top-5 `(q_id, id, r_vec)` — identical to hybrid_rrf_serve; one
+    * definition for both index-serving capstones. */
+  private[ops] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Det.dround
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("id"))
+    lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf", dround(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
+        6))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "id", "r_lex", "r_vec", "rrf")
   }
 
   /** Initial per-bucket state for the seeded live detector, from the
@@ -351,11 +417,7 @@ object Wave63Ops extends QueryModule {
             sum(octet_length(col("text")).cast("long")).as("n_bytes"))
           .orderBy("lang")
       },
-      Some(
-        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
-          "CAST(sum(strlen(text)) AS BIGINT) AS n_bytes " +
-          "FROM documents WHERE doc_id % 10 <> 3 " +
-          "GROUP BY lang ORDER BY lang")
+      Some(postEraseCorpusOracle)
     ),
     Q(
       "hybrid_index_serve",
@@ -373,10 +435,7 @@ object Wave63Ops extends QueryModule {
       // ANN half is grid-quantized (the index's domain), so its oracle
       // is the grid CTE family, not the float knnProbe oracle.
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import graft.Det.dround
         import graft.sources.SnapTxn
-        import graft.vec.IvfRouting
         // materialize both indexes: ONE ingest commit each (the
         // serving story starts from existing indexes; the multi-wave
         // cadences are graded by their own ops)
@@ -388,108 +447,87 @@ object Wave63Ops extends QueryModule {
         val (route, gridded, cents) = Wave62Ops.semdedupGeometry(s, dir)
         Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
         Wave62Ops.VecStreamIndex.ingest(s, vtx, gridded, 0L, route)
-        // LEX half: top-5 per query from the pinned inverted index
+        // LEX half: top-5 per query from the pinned inverted index;
+        // ANN half: the pinned cell index probed at nprobe=2; RRF
+        // fusion — all three the factored one-definition bodies
+        val qids = Wave59Ops.QuerySet.map(_._1).distinct.sorted
         val lex = Bm25Index.serve(s, btx)
           .select(col("q_id"), col("doc_id").as("id"),
             col("rnk").as("r_lex"))
-        // ANN half: the query ids' own vectors probe the pinned cell
-        // index — nprobe=2 nearest cells by exact grid L2 (ties to the
-        // lowest cid), exact grid cosine within, top-5 by (sim, id)
-        val qids = Wave59Ops.QuerySet.map(_._1).distinct.sorted
-        val idx = SnapTxn.read(s, vtx, "index")
-        val qv = idx.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id").as("q_id"), col("g").as("qg"))
-        val wc = Window.partitionBy("q_id").orderBy(col("d2"), col("cid"))
-        val vpr = qv.crossJoin(broadcast(cents))
-          .withColumn("d2", IvfRouting.d2("qg", "cg"))
-          .withColumn("rn", row_number().over(wc))
-          .filter(col("rn") <= 2)
-          .select(col("q_id"), col("qg"), col("cid").as("cell"))
-        val wr = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("vec_id"))
-        val vec = vpr
-          .join(idx.select(col("cell"), col("vec_id"), col("g")),
-            Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(g, qg, (a, b) -> a * b), " +
-              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("n2v", expr(
-            "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("n2q", expr(
-            "aggregate(qg, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-          .withColumn("sim", round(col("dot") /
-            sqrt(col("n2v").cast("double") * col("n2q").cast("double"))
-            * 1e9) / 1e9)
-          .withColumn("rnk", row_number().over(wr).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("q_id"), col("vec_id").as("id"),
-            col("rnk").as("r_vec"))
-        // RRF fusion — identical to hybrid_rrf_serve
-        val wf = Window.partitionBy("q_id")
-          .orderBy(col("rrf").desc, col("id"))
-        lex.join(vec, Seq("q_id", "id"), "full_outer")
-          .withColumn("rrf", dround(
-            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)),
-            6))
-          .withColumn("rnk", row_number().over(wf).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "rnk", "id", "r_lex", "r_vec", "rrf")
-          .orderBy("q_id", "rnk")
+        val vec = annServeGrid(SnapTxn.read(s, vtx, "index"), cents, qids)
+        rrfFuse(lex, vec).orderBy("q_id", "rnk")
       },
       Some(hybridIndexServeOracle)
     )
   )
 
-  /** Oracle for hybrid_index_serve: the text_bm25_topk lexical chain
-    * (l*-prefixed, verbatim from the hybrid_rrf_serve oracle), a
-    * GRID-domain ANN chain over the cell index's arithmetic (the
-    * semdedup CTE family + nprobe=2 query routing), and the RRF fusion
-    * CTEs — assembled from the three proven oracle families. Same
-    * single-level (sub == 1) validity note as semdedupIndexOracle. */
-  private def hybridIndexServeOracle: String = {
+  /** The post-erasure corpus accounting oracle (erase subject = every
+    * doc_id ≡ 3 mod 10) — shared by table_txn_erase and
+    * table_txn_vacuum (Wave64): the vacuum must leave the pinned head
+    * byte-identical, so it shares the erase's oracle verbatim. */
+  private[ops] val postEraseCorpusOracle: String =
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(strlen(text)) AS BIGINT) AS n_bytes " +
+      "FROM documents WHERE doc_id % 10 <> 3 " +
+      "GROUP BY lang ORDER BY lang"
+
+  /** The hybrid index-serving oracle CTE chain, fully name-prefixed
+    * (`l` = lexical bm25 chain, `v` = grid ANN chain + query routing,
+    * `f` = RRF fusion; final CTE `${f}fr`) so the one-pin capstone
+    * (hybrid_index_serve) and the incremental two-pin capstone
+    * (hybrid_index_serve_incr, Wave64 — one chain per pin) share ONE
+    * definition. `docWhere`/`vecWhere` restrict each ranker's corpus
+    * to the waves its pin has absorbed; the grid GEOMETRY always
+    * derives from the full table (frozen bootstrap — see
+    * gridCellChain). Same single-level (sub == 1) validity note as
+    * semdedupIndexOracle — now enforced at runtime by
+    * semdedupGeometry's guard. */
+  private[ops] def hybridServeCtes(l: String, v: String, f: String,
+      docWhere: String = "TRUE", vecWhere: String = "TRUE"): String = {
     import graft.Det.droundSql
     val qidList = Wave59Ops.QuerySet.map(_._1).distinct.sorted
       .mkString(", ")
-    // lexical ranker: the SHARED text_bm25_topk chain, prefixed l*;
-    // ANN ranker: the SHARED grid cell chain, prefixed v* — one
-    // definition each (Wave59Ops.bm25CteChain / Wave61Ops.gridCellChain)
-    "WITH " + Wave59Ops.bm25CteChain("l") + ", " +
-      Wave61Ops.gridCellChain("v") + ", " +
-      s"vq AS (SELECT vec_id AS q_id, g AS qg FROM va " +
+    Wave59Ops.bm25CteChain(l, docWhere) + ", " +
+      Wave61Ops.gridCellChain(v, vecWhere) + ", " +
+      s"${v}q AS (SELECT vec_id AS q_id, g AS qg FROM ${v}a " +
       s"WHERE vec_id IN ($qidList)), " +
-      "vqd AS (SELECT vq.q_id, vq.qg, vc.cid, " +
-      "list_sum(list_transform(list_zip(vq.qg, vc.cg), " +
-      "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2 FROM vq, vc), " +
-      "vpr AS (SELECT q_id, qg, cid FROM (SELECT q_id, qg, cid, " +
+      s"${v}qd AS (SELECT ${v}q.q_id, ${v}q.qg, ${v}c.cid, " +
+      s"list_sum(list_transform(list_zip(${v}q.qg, ${v}c.cg), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2 FROM ${v}q, ${v}c), " +
+      s"${v}pr AS (SELECT q_id, qg, cid FROM (SELECT q_id, qg, cid, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) AS rn " +
-      "FROM vqd) t WHERE rn <= 2), " +
-      "vcand AS (SELECT vpr.q_id, va.vec_id, " +
-      "round(list_sum(list_transform(list_zip(va.g, vpr.qg), " +
+      s"FROM ${v}qd) t WHERE rn <= 2), " +
+      s"${v}cand AS (SELECT ${v}pr.q_id, ${v}a.vec_id, " +
+      s"round(list_sum(list_transform(list_zip(${v}a.g, ${v}pr.qg), " +
       "p -> p[1] * p[2])) / sqrt(" +
-      "CAST(list_sum(list_transform(va.g, x -> x * x)) AS DOUBLE) * " +
-      "CAST(list_sum(list_transform(vpr.qg, x -> x * x)) AS DOUBLE)) " +
-      "* 1e9) / 1e9 AS sim " +
-      "FROM vpr JOIN va ON va.cell = vpr.cid " +
-      "WHERE va.vec_id <> vpr.q_id), " +
-      "vr AS (SELECT q_id, vec_id, CAST(row_number() OVER " +
+      s"CAST(list_sum(list_transform(${v}a.g, x -> x * x)) AS DOUBLE) * " +
+      s"CAST(list_sum(list_transform(${v}pr.qg, x -> x * x)) " +
+      "AS DOUBLE)) * 1e9) / 1e9 AS sim " +
+      s"FROM ${v}pr JOIN ${v}a ON ${v}a.cell = ${v}pr.cid " +
+      s"WHERE ${v}a.vec_id <> ${v}pr.q_id), " +
+      s"${v}r AS (SELECT q_id, vec_id, CAST(row_number() OVER " +
       "(PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
-      "AS rnk FROM vcand), " +
+      s"AS rnk FROM ${v}cand), " +
       // RRF fusion over the two top-5 lists (hybrid_rrf_serve's CTEs)
-      "f AS (SELECT COALESCE(la.q_id, vb.q_id) AS q_id, " +
+      s"${f}f AS (SELECT COALESCE(la.q_id, vb.q_id) AS q_id, " +
       "COALESCE(la.doc_id, vb.vec_id) AS id, " +
       "la.rnk AS r_lex, vb.rnk AS r_vec " +
-      "FROM (SELECT * FROM lr WHERE rnk <= 5) la " +
-      "FULL OUTER JOIN (SELECT * FROM vr WHERE rnk <= 5) vb " +
+      s"FROM (SELECT * FROM ${l}r WHERE rnk <= 5) la " +
+      s"FULL OUTER JOIN (SELECT * FROM ${v}r WHERE rnk <= 5) vb " +
       "ON la.q_id = vb.q_id AND la.doc_id = vb.vec_id), " +
-      "fs AS (SELECT q_id, id, r_lex, r_vec, " +
+      s"${f}fs AS (SELECT q_id, id, r_lex, r_vec, " +
       droundSql("COALESCE(1.0 / (60 + r_lex), 0.0) + " +
-        "COALESCE(1.0 / (60 + r_vec), 0.0)", 6) + " AS rrf FROM f), " +
-      "fr AS (SELECT q_id, id, r_lex, r_vec, rrf, " +
+        "COALESCE(1.0 / (60 + r_vec), 0.0)", 6) +
+      s" AS rrf FROM ${f}f), " +
+      s"${f}fr AS (SELECT q_id, id, r_lex, r_vec, rrf, " +
       "CAST(row_number() OVER (PARTITION BY q_id " +
-      "ORDER BY rrf DESC, id) AS BIGINT) AS rnk FROM fs) " +
-      "SELECT q_id, rnk, id, r_lex, r_vec, rrf FROM fr " +
-      "WHERE rnk <= 5 ORDER BY q_id, rnk"
+      s"ORDER BY rrf DESC, id) AS BIGINT) AS rnk FROM ${f}fs)"
   }
+
+  /** Oracle for hybrid_index_serve: the shared chain at full corpus —
+    * byte-identical to the round-12 inline assembly. */
+  private def hybridIndexServeOracle: String =
+    "WITH " + hybridServeCtes("l", "v", "") +
+      " SELECT q_id, rnk, id, r_lex, r_vec, rrf FROM fr " +
+      "WHERE rnk <= 5 ORDER BY q_id, rnk"
 }

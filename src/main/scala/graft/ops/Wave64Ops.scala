@@ -1,0 +1,561 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Round-13 wave 64: the COMPOSED pipeline decisions VERDICT-r12 ranked
+  * highest — every building block exists and is individually proven;
+  * this wave wires them into the artifacts a curation/serving team
+  * actually acts on.
+  *
+  *  - `dedup_crossmodal_cc`: the cross-modal dedup DECISION. Text
+  *    near-dup matches and vector semdedup matches are published into
+  *    ONE SnapTxn (two match tables, one commit — the decision must
+  *    never read modality A's matches with modality B's from a
+  *    different wave), then connected components run over the UNION
+  *    match graph on doc_id ≅ vec_id: a doc lexically tied to B and
+  *    semantically tied to C dedups with BOTH, even though no single
+  *    modality sees the whole cluster. Output: one row per doc with
+  *    its canonical survivor (component min id), per-modality
+  *    provenance (matched_lex / matched_sem / modality), and the
+  *    survivor flag — "what do I actually drop, and why".
+  *  - `pipe_curation_funnel`: the end-to-end curation funnel as ONE
+  *    lineage-accounted op — lang-id gate → quality gate → exact dedup
+  *    → blocked near-dedup (component-min survivors) → semdedup
+  *    (component-min survivors over the IVF cells) — emitting the
+  *    per-stage (rows_in, rows_dropped, rows_out, tokens_out) table a
+  *    data-curation review actually reads. Every stage is an existing
+  *    proven op's semantics (text_lang_id / text_quality /
+  *    text_dedup_groups / text_dedup_near / the semdedup grid family).
+  *  - `hybrid_index_serve_incr`: serving FRESHNESS across pin moves.
+  *    Both ACID indexes absorb wave 0, serve (pin 1), absorb wave 1
+  *    through the SAME ingest cadence, re-serve (pin 2): the p2 block
+  *    must reflect exactly the new pin (read-your-writes for the
+  *    serving layer) while the p1 block — a plan built against pin 1
+  *    and EXECUTED AFTER the wave-1 commits — still reproduces pin 1
+  *    (snapshot isolation for serving: version-pinned reads resolve
+  *    manifests eagerly, so a held reader never sees the head move).
+  *  - `table_txn_vacuum`: the LEGAL-erasure endpoint. Ingest → atomic
+  *    multi-table erase (the table_txn_erase shape) →
+  *    `SnapTxn.vacuumHistory`: the pre-erasure transaction chain is
+  *    physically dropped (time-travel to it now FAILS; the subject's
+  *    bytes are reclaimed, not merely unpinned) while the pinned head
+  *    serves byte-identically — the erase oracle shared verbatim is
+  *    the proof.
+  *
+  * Scale notes (100 TB): the crossmodal lex side is the Guard-fenced
+  * exact-Jaccard oracle twin (the production path feeds the SAME match
+  * table from banded MinHash — data_incremental_neardup — at
+  * O(batch + matching buckets)); the sem side is cell-bounded (n·√n
+  * routing + within-cell pairs, never all-pairs). Connected components
+  * is min-label propagation: one join + min-agg per round over a
+  * label table, rounds = component diameter (tiny for dup clusters) —
+  * the alternating-star pattern's fixture-scale sibling, with the
+  * loop frame sized to the DATA (see ccMinLabel). The funnel's
+  * near-dup stage blocks on (lang, source) — the standard blocking
+  * mitigation that keeps the exact verify inside blocks; its semdedup
+  * stage rides the frozen IVF geometry. The incremental serve adds
+  * two ingest commits + one serve to hybrid_index_serve's cost — all
+  * fixed transactional overhead that amortizes with batch size.
+  */
+object Wave64Ops extends QueryModule {
+
+  /** Connected components by min-label propagation over an undirected
+    * edge set — the text_dedup_cc loop factored for the composed ops
+    * (crossmodal decision, funnel dedup stages). `nodes(id)`,
+    * `edges(a, b)` (any orientation; symmetrized here). Returns a
+    * CLEAN parquet-backed `(id, comp)` frame: the iterative lineage is
+    * never re-executed by consumers, and no cache leaks out.
+    *
+    * Each round is one join + min-agg; labels monotonically decrease,
+    * so the exact integer label-sum is a cheap scalar convergence
+    * test. Rounds = component diameter. The loop's shuffles are sized
+    * to the LABEL TABLE (4 partitions at fixture scale — 12+ stages of
+    * 32 near-empty tasks are pure scheduling overhead; at 100 TB the
+    * label table is corpus-sized and stays at session width). */
+  private[ops] def ccMinLabel(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, what: String): DataFrame = {
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    val out = graft.Tmp.dir("graft_cc64")
+    try {
+      s.conf.set(partsKey, "4")
+      var labels = nodes.select(col("id"), col("id").as("comp"))
+        .persist()
+      var total = labels.agg(sum("comp")).first().getLong(0)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 20) {
+        val msgs = e.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.select("id", "comp").union(msgs)
+          .groupBy(col("id"))
+          .agg(min(col("comp")).as("comp"))
+          .persist()
+        val newTotal = next.agg(sum("comp")).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = newTotal == total
+        total = newTotal
+        iters += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"$what: label propagation not converged after $iters " +
+          "iterations — component diameter exceeds the cap")
+      labels.write.mode("overwrite").parquet(out)
+      labels.unpersist()
+    } finally {
+      e.unpersist()
+      s.conf.set(partsKey, prevParts)
+    }
+    s.read.parquet(out)
+  }
+
+  /** Within-bucket semantic match pairs `(a, b)`, a < b: exact int64
+    * grid dot / 1e9-rounded cosine > CosThreshold inside each (cell,
+    * scell) bucket of a FROZEN-geometry routed frame — the match
+    * semantics of the whole semdedup family (VecStreamIndex.probeHits'
+    * same-frame sibling). Callers persist `f` (it feeds both join
+    * sides). */
+  private[ops] def semPairs(f: DataFrame): DataFrame =
+    f.select(col("cell"), col("scell"), col("vec_id").as("a"),
+        col("g").as("ga"))
+      .join(f.select(col("cell"), col("scell"), col("vec_id").as("b"),
+        col("g").as("gb")), Seq("cell", "scell"))
+      .filter(col("a") < col("b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ga, gb, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("n2a", expr(
+        "aggregate(ga, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("n2b", expr(
+        "aggregate(gb, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .filter(round(col("dot") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double"))
+        * 1e9) / 1e9 > Wave61Ops.CosThreshold)
+      .select("a", "b")
+
+  /** Exact token-set Jaccard >= 0.8 match pairs `(a, b)`, a < b, on
+    * the blocked en/src0+src1 slice — the oracle-replayable match
+    * semantics of the text near-dup family (text_dedup_near's edge
+    * set; the production path feeds the same table from banded
+    * MinHash + exact verify). */
+  private def lexPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .filter(col("lang") === "en" &&
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("tokset"))
+    toks.select(col("doc_id").as("a"), col("tokset").as("sa"))
+      .join(toks.select(col("doc_id").as("b"), col("tokset").as("sb")),
+        col("a") < col("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .filter(round(col("inter") / (size(col("sa")) + size(col("sb"))
+        - col("inter")), 6) >= 0.8)
+      .select("a", "b")
+  }
+
+  /** The grid-cosine pair predicate, oracle side (DuckDB). */
+  private def gridCosSql(u: String, v: String): String =
+    s"round(list_sum(list_transform(list_zip($u.g, $v.g), " +
+      "p -> p[1] * p[2])) / sqrt(" +
+      s"CAST(list_sum(list_transform($u.g, x -> x * x)) AS DOUBLE) * " +
+      s"CAST(list_sum(list_transform($v.g, x -> x * x)) AS DOUBLE)) " +
+      "* 1e9) / 1e9"
+
+  /** One funnel-accounting SELECT branch (oracle side): every column
+    * CAST to BIGINT so the UNION ALL can never promote (DuckDB sums
+    * BIGINT to HUGEINT). */
+  private def funnelStageSql(stage: Int, name: String, prev: String,
+      cur: String): String =
+    s"SELECT CAST($stage AS BIGINT) AS stage, '$name' AS name, " +
+      s"(SELECT CAST(count(*) AS BIGINT) FROM $prev) AS rows_in, " +
+      s"(SELECT CAST(count(*) AS BIGINT) FROM $prev) - " +
+      s"(SELECT CAST(count(*) AS BIGINT) FROM $cur) AS rows_dropped, " +
+      s"(SELECT CAST(count(*) AS BIGINT) FROM $cur) AS rows_out, " +
+      "(SELECT CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) " +
+      s"FROM $cur) AS tokens_out"
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "dedup_crossmodal_cc",
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        // the exact lex baseline is O(slice²) — enforce the bound on
+        // the RAW table like every exactness twin
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "dedup_crossmodal_cc")
+        val lex = lexPairs(s, dir)
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        val f = route(gridded).persist()
+        val sem = semPairs(f)
+        // publish BOTH modalities' matches in ONE transaction — the
+        // decision below reads a cross-table-consistent pin, never
+        // lex matches of one wave with sem matches of another
+        val txroot = graft.Tmp.dir("graft_xmodal_tx")
+        SnapTable.createEmpty(s"$txroot/lex_matches", lex.schema, "a")
+        SnapTable.createEmpty(s"$txroot/sem_matches", sem.schema, "a")
+        SnapTxn.init(txroot, Seq("lex_matches", "sem_matches"))
+        SnapTxn.commit(s, txroot,
+          Seq("lex_matches" -> lex, "sem_matches" -> sem),
+          note = SnapTxn.batchNote(0L))
+        f.unpersist(blocking = false)
+        val lexM = SnapTxn.read(s, txroot, "lex_matches")
+        val semM = SnapTxn.read(s, txroot, "sem_matches")
+        // components over the UNION graph on doc_id ≅ vec_id; nodes =
+        // every document (isolated docs are their own survivor)
+        val nodes = T(s, dir, "documents").select(col("doc_id").as("id"))
+        val comp = ccMinLabel(s, nodes, lexM.union(semM),
+          "dedup_crossmodal_cc")
+        val lexIds = lexM.select(col("a").as("id"))
+          .union(lexM.select(col("b").as("id"))).distinct()
+          .withColumn("ml", lit(1L))
+        val semIds = semM.select(col("a").as("id"))
+          .union(semM.select(col("b").as("id"))).distinct()
+          .withColumn("ms", lit(1L))
+        comp.join(lexIds, Seq("id"), "left")
+          .join(semIds, Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("comp"),
+            coalesce(col("ml"), lit(0L)).as("matched_lex"),
+            coalesce(col("ms"), lit(0L)).as("matched_sem"),
+            when(coalesce(col("ml"), lit(0L)) === 1L &&
+                coalesce(col("ms"), lit(0L)) === 1L, "both")
+              .when(coalesce(col("ml"), lit(0L)) === 1L, "lex")
+              .when(coalesce(col("ms"), lit(0L)) === 1L, "sem")
+              .otherwise("none").as("modality"),
+            when(col("id") === col("comp"), 1L).otherwise(0L)
+              .as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH RECURSIVE " + Wave61Ops.gridCellChain("") + ", " +
+          "sp AS (SELECT u.vec_id AS a, v.vec_id AS b " +
+          "FROM a u JOIN a v ON u.cell = v.cell " +
+          "AND u.vec_id < v.vec_id " +
+          "WHERE " + gridCosSql("u", "v") + " > 0.3), " +
+          "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
+          "AS tokset FROM documents WHERE lang = 'en' " +
+          "AND source IN ('src0','src1')), " +
+          "lp0 AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE) " +
+          "AS inter, len(x.tokset) AS la, len(y.tokset) AS lb " +
+          "FROM t x JOIN t y ON x.doc_id < y.doc_id), " +
+          "lp AS (SELECT a, b FROM lp0 " +
+          "WHERE round(inter / (la + lb - inter), 6) >= 0.8), " +
+          "ed AS (SELECT a, b FROM lp UNION SELECT a, b FROM sp), " +
+          "ee AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), " +
+          "nn AS (SELECT doc_id AS id FROM documents), " +
+          "reach(src, node) AS (SELECT id, id FROM nn " +
+          "UNION SELECT r.src, ee.b FROM reach r " +
+          "JOIN ee ON r.node = ee.a), " +
+          "cmp AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) " +
+          "AS comp FROM reach GROUP BY src), " +
+          "fl AS (SELECT id AS doc_id, " +
+          "CAST(CASE WHEN EXISTS (SELECT 1 FROM lp " +
+          "WHERE lp.a = nn.id OR lp.b = nn.id) THEN 1 ELSE 0 END " +
+          "AS BIGINT) AS matched_lex, " +
+          "CAST(CASE WHEN EXISTS (SELECT 1 FROM sp " +
+          "WHERE sp.a = nn.id OR sp.b = nn.id) THEN 1 ELSE 0 END " +
+          "AS BIGINT) AS matched_sem FROM nn) " +
+          "SELECT c.doc_id, c.comp, f.matched_lex, f.matched_sem, " +
+          "CASE WHEN matched_lex = 1 AND matched_sem = 1 THEN 'both' " +
+          "WHEN matched_lex = 1 THEN 'lex' " +
+          "WHEN matched_sem = 1 THEN 'sem' ELSE 'none' END AS modality, " +
+          "CAST(CASE WHEN c.doc_id = c.comp THEN 1 ELSE 0 END " +
+          "AS BIGINT) AS is_survivor " +
+          "FROM cmp c JOIN fl f ON c.doc_id = f.doc_id " +
+          "ORDER BY c.doc_id")
+    ),
+    Q(
+      "pipe_curation_funnel",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text"), col("n_chars"))
+        // stage 1 — lang-id gate: metadata lang confirmed by the
+        // content scorer (text_lang_id's expression, shared)
+        val s1 = docs
+          .filter(TextOps.langIdExpr(col("text")) === col("lang"))
+        // stage 2 — quality gate (text_quality's exact expression)
+        val s2 = s1
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_toks", size(col("toks")).cast("double"))
+          .withColumn("q", round(
+            lit(0.5) * (size(array_distinct(col("toks"))) /
+              col("n_toks")) +
+              lit(0.3) * (lit(1.0) -
+                size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
+                  / col("n_toks")) +
+              lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6))
+          .filter(col("q") >= 0.5)
+          .select("doc_id", "lang", "source", "text", "toks")
+        // stage 3 — exact dedup: keeper = min doc_id per content
+        // fingerprint (text_dedup_groups' keeper rule)
+        val withFp = s2.withColumn("fp", md5(concat_ws(" ",
+          array_sort(array_distinct(col("toks"))))))
+        val keepers = withFp.groupBy("fp")
+          .agg(min("doc_id").as("doc_id"))
+        val s3 = withFp
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select("doc_id", "lang", "source", "text", "toks")
+          .persist()
+        // stage 4 — near dedup, blocked on (lang, source) (the
+        // standard blocking mitigation: exact Jaccard only inside
+        // blocks), survivors = component min ids
+        val t4 = s3.select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(col("toks")).as("ts"))
+        val p4 = t4.select(col("lang"), col("source"),
+            col("doc_id").as("a"), col("ts").as("sa"))
+          .join(t4.select(col("lang"), col("source"),
+            col("doc_id").as("b"), col("ts").as("sb")),
+            Seq("lang", "source"))
+          .filter(col("a") < col("b"))
+          .withColumn("inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("double"))
+          .filter(round(col("inter") / (size(col("sa")) +
+            size(col("sb")) - col("inter")), 6) >= 0.8)
+          .select("a", "b")
+        val c4 = ccMinLabel(s, s3.select(col("doc_id").as("id")), p4,
+          "pipe_curation_funnel:near")
+        val s4 = s3.join(
+          c4.filter(col("id") === col("comp"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi").persist()
+        // stage 5 — semdedup over the frozen IVF cells, survivors with
+        // vectors only compete; vectorless docs pass through
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        val f5 = route(gridded)
+          .join(s4.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .persist()
+        val c5 = ccMinLabel(s, f5.select(col("vec_id").as("id")),
+          semPairs(f5), "pipe_curation_funnel:sem")
+        val s5 = s4.join(
+          c5.filter(col("id") =!= col("comp"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        // lineage accounting: one row per stage — the funnel artifact
+        def stat(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            coalesce(sum(size(split(col("text"), " ")).cast("long")),
+              lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val stages = Seq(
+          "input" -> docs, "lang_id" -> s1, "quality" -> s2,
+          "dedup_exact" -> s3, "dedup_near" -> s4, "dedup_sem" -> s5)
+        val stats = stages.map { case (n, df) => (n, stat(df)) }
+        f5.unpersist(blocking = false)
+        s4.unpersist(blocking = false)
+        s3.unpersist(blocking = false)
+        val rows = stats.zipWithIndex.map { case ((n, (c, tk)), i) =>
+          val prev = if (i == 0) c else stats(i - 1)._2._1
+          Row(i.toLong, n, prev, prev - c, c, tk)
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(
+            StructField("stage", LongType, nullable = false),
+            StructField("name", StringType),
+            StructField("rows_in", LongType, nullable = false),
+            StructField("rows_dropped", LongType, nullable = false),
+            StructField("rows_out", LongType, nullable = false),
+            StructField("tokens_out", LongType, nullable = false))))
+          .orderBy("stage")
+      },
+      Some(
+        "WITH RECURSIVE " + Wave61Ops.gridCellChain("") + ", " +
+          "d0 AS (SELECT doc_id, lang, source, text, n_chars, " +
+          "string_split(text, ' ') AS toks FROM documents), " +
+          // stage 1: the text_lang_id oracle expression, verbatim
+          "lh AS (SELECT doc_id, " +
+          "len(list_filter(ltk, x -> x IN ('der','die','das','und'," +
+          "'ist','ein','mit','für','nicht'))) AS n_de, " +
+          "len(list_filter(ltk, x -> x IN ('the','and','of','to','is'," +
+          "'with','that','for'))) AS n_en, " +
+          "len(list_filter(ltk, x -> x IN ('el','los','las','y','es'," +
+          "'una','que','por','con'))) AS n_es, " +
+          "len(list_filter(ltk, x -> x IN ('le','la','les','et','de'," +
+          "'est','une','que','pour'))) AS n_fr, " +
+          "len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}" +
+          "\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
+          "\\x{20000}-\\x{2FA1F}]')) AS ncjk, length(text) AS lcn " +
+          "FROM (SELECT doc_id, text, " +
+          "regexp_split_to_array(lower(text), '\\s+') AS ltk " +
+          "FROM documents)), " +
+          "lid AS (SELECT doc_id, " +
+          "CASE WHEN CAST(ncjk AS DOUBLE) > CAST(lcn AS DOUBLE) * 0.2 " +
+          "THEN 'zh' " +
+          "WHEN greatest(n_de,n_en,n_es,n_fr) = 0 THEN 'en' " +
+          "WHEN n_de = greatest(n_de,n_en,n_es,n_fr) THEN 'de' " +
+          "WHEN n_en = greatest(n_de,n_en,n_es,n_fr) THEN 'en' " +
+          "WHEN n_es = greatest(n_de,n_en,n_es,n_fr) THEN 'es' " +
+          "ELSE 'fr' END AS pred_lang FROM lh), " +
+          "s1 AS (SELECT d0.* FROM d0 JOIN lid " +
+          "ON d0.doc_id = lid.doc_id WHERE lid.pred_lang = d0.lang), " +
+          // stage 2: the text_quality oracle expression, verbatim
+          "qv AS (SELECT doc_id, round(" +
+          "0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)) " +
+          "+ 0.3 * (1.0 - CAST(len(list_filter(toks, " +
+          "t -> t = 'the' OR t = 'a')) AS DOUBLE)/len(toks)) " +
+          "+ 0.2 * least(n_chars/500.0, 1.0), 6) AS quality FROM s1), " +
+          "s2 AS (SELECT s1.* FROM s1 JOIN qv " +
+          "ON s1.doc_id = qv.doc_id WHERE qv.quality >= 0.5), " +
+          // stage 3: keeper = min doc_id per content fingerprint
+          "fpt AS (SELECT doc_id, md5(array_to_string(list_sort(" +
+          "list_distinct(toks)), ' ')) AS fp FROM s2), " +
+          "s3 AS (SELECT s2.* FROM s2 JOIN (SELECT fp, min(doc_id) " +
+          "AS kd FROM fpt GROUP BY fp) k ON s2.doc_id = k.kd), " +
+          // stage 4: blocked exact-Jaccard CC, keep component min
+          "t4 AS (SELECT doc_id, lang, source, list_distinct(toks) " +
+          "AS ts FROM s3), " +
+          "p4 AS (SELECT x.doc_id AS a, y.doc_id AS b FROM t4 x " +
+          "JOIN t4 y ON x.lang = y.lang AND x.source = y.source " +
+          "AND x.doc_id < y.doc_id " +
+          "WHERE round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)" +
+          " / (len(x.ts) + len(y.ts) " +
+          "- len(list_intersect(x.ts, y.ts))), 6) >= 0.8), " +
+          "e4 AS (SELECT a, b FROM p4 UNION ALL SELECT b, a FROM p4), " +
+          "r4(src, node) AS (SELECT doc_id, doc_id FROM s3 " +
+          "UNION SELECT r.src, e4.b FROM r4 r JOIN e4 " +
+          "ON r.node = e4.a), " +
+          "c4 AS (SELECT src AS doc_id, min(node) AS comp FROM r4 " +
+          "GROUP BY src), " +
+          "s4 AS (SELECT s3.* FROM s3 JOIN c4 " +
+          "ON s3.doc_id = c4.doc_id WHERE c4.doc_id = c4.comp), " +
+          // stage 5: within-cell grid-cosine CC among survivors with
+          // vectors; vectorless docs pass through
+          "f5 AS (SELECT a.vec_id, a.g, a.cell FROM a " +
+          "JOIN s4 ON a.vec_id = s4.doc_id), " +
+          "p5 AS (SELECT u.vec_id AS a, v.vec_id AS b FROM f5 u " +
+          "JOIN f5 v ON u.cell = v.cell AND u.vec_id < v.vec_id " +
+          "WHERE " + gridCosSql("u", "v") + " > 0.3), " +
+          "e5 AS (SELECT a, b FROM p5 UNION ALL SELECT b, a FROM p5), " +
+          "r5(src, node) AS (SELECT vec_id, vec_id FROM f5 " +
+          "UNION SELECT r.src, e5.b FROM r5 r JOIN e5 " +
+          "ON r.node = e5.a), " +
+          "c5 AS (SELECT src AS vid, min(node) AS comp FROM r5 " +
+          "GROUP BY src), " +
+          "s5 AS (SELECT s4.* FROM s4 WHERE doc_id NOT IN " +
+          "(SELECT vid FROM c5 WHERE vid <> comp)) " +
+          "SELECT stage, name, rows_in, rows_dropped, rows_out, " +
+          "tokens_out FROM (" +
+          funnelStageSql(0, "input", "d0", "d0") + " UNION ALL " +
+          funnelStageSql(1, "lang_id", "d0", "s1") + " UNION ALL " +
+          funnelStageSql(2, "quality", "s1", "s2") + " UNION ALL " +
+          funnelStageSql(3, "dedup_exact", "s2", "s3") + " UNION ALL " +
+          funnelStageSql(4, "dedup_near", "s3", "s4") + " UNION ALL " +
+          funnelStageSql(5, "dedup_sem", "s4", "s5") +
+          ") ORDER BY stage")
+    ),
+    Q(
+      "hybrid_index_serve_incr",
+      (s, dir) => {
+        import graft.sources.SnapTxn
+        import graft.ops.Wave63Ops.{Bm25Index, annServeGrid, rrfFuse}
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val btx = graft.Tmp.dir("graft_hisi_bm25")
+        Bm25Index.setup(s, btx)
+        Bm25Index.ingest(s, btx,
+          docs.filter(col("doc_id") % 2 === 0), 0L)
+        val vtx = graft.Tmp.dir("graft_hisi_vec")
+        val (route, gridded, cents) = Wave62Ops.semdedupGeometry(s, dir)
+        Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
+        Wave62Ops.VecStreamIndex.ingest(s, vtx,
+          gridded.filter(col("vec_id") % 2 === 0), 0L, route)
+        val qids = Wave59Ops.QuerySet.map(_._1).distinct.sorted
+        def serveAt(btxTx: Int, vtxTx: Int): DataFrame = {
+          val lex = Bm25Index.serveAt(s, btx, btxTx)
+            .select(col("q_id"), col("doc_id").as("id"),
+              col("rnk").as("r_lex"))
+          val vec = annServeGrid(
+            SnapTxn.readAt(s, vtx, "index", vtxTx), cents, qids)
+          rrfFuse(lex, vec)
+        }
+        // pin 1 captured BEFORE the wave-1 absorbs; the plan resolves
+        // its manifests eagerly, so executing it after the head moves
+        // still reads pin 1 — snapshot isolation for the serving layer
+        // (ServeIncrSpec additionally pins the old-pin re-read)
+        val p1 = serveAt(SnapTxn.latestTx(btx), SnapTxn.latestTx(vtx))
+          .withColumn("pin", lit("p1"))
+        Bm25Index.ingest(s, btx,
+          docs.filter(col("doc_id") % 2 === 1), 1L)
+        Wave62Ops.VecStreamIndex.ingest(s, vtx,
+          gridded.filter(col("vec_id") % 2 === 1), 1L, route)
+        // read-your-writes: the re-serve reflects exactly the new pin
+        val p2 = serveAt(SnapTxn.latestTx(btx), SnapTxn.latestTx(vtx))
+          .withColumn("pin", lit("p2"))
+        p1.unionByName(p2)
+          .select("pin", "q_id", "rnk", "id", "r_lex", "r_vec", "rrf")
+          .orderBy("pin", "q_id", "rnk")
+      },
+      Some(
+        "WITH " +
+          Wave63Ops.hybridServeCtes("l1", "v1", "x1",
+            docWhere = "doc_id % 2 = 0", vecWhere = "vec_id % 2 = 0") +
+          ", " + Wave63Ops.hybridServeCtes("l2", "v2", "x2") +
+          " SELECT pin, q_id, rnk, id, r_lex, r_vec, rrf FROM (" +
+          "SELECT 'p1' AS pin, q_id, rnk, id, r_lex, r_vec, rrf " +
+          "FROM x1fr WHERE rnk <= 5 " +
+          "UNION ALL " +
+          "SELECT 'p2' AS pin, q_id, rnk, id, r_lex, r_vec, rrf " +
+          "FROM x2fr WHERE rnk <= 5" +
+          ") ORDER BY pin, q_id, rnk")
+    ),
+    Q(
+      "table_txn_vacuum",
+      // the LEGAL erasure endpoint on the ACID index: after the atomic
+      // multi-table erase (table_txn_erase's shape), vacuumHistory
+      // physically drops the pre-erasure transaction chain — time
+      // travel to it FAILS (the subject's bytes are reclaimed, not
+      // merely unpinned) while the pinned head serves byte-identically
+      // (the erase oracle shared verbatim IS that proof). NOTE the
+      // ledger interplay: vacuuming past the last absorb note also
+      // drops the replay ledger, so it must only run with the ingest
+      // pipeline quiesced (no batch in flight) — TxnVacuumSpec pins
+      // the physical-removal and the post-vacuum read semantics.
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        import graft.ops.Wave62Ops.StreamIndex
+        val txroot = graft.Tmp.dir("graft_txnvacuum")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        StreamIndex.setup(s, txroot, docs)
+        StreamIndex.ingest(s, txroot, docs, 0L)
+        val preErase = SnapTxn.latestTx(txroot)
+        SnapTxn.rewritePinned(s, txroot,
+          Seq("corpus", "buckets", "toksets", "matches"),
+          note = "erase:mod10=3") { (t, root) =>
+          SnapTable.deleteWhere(s, root,
+            if (t == "matches")
+              col("new_id") % 10 === 3 || col("old_id") % 10 === 3
+            else col("doc_id") % 10 === 3)
+        }
+        val eraseTx = SnapTxn.latestTx(txroot)
+        val dropped = SnapTxn.vacuumHistory(txroot, eraseTx)
+        require(dropped == preErase,
+          s"expected $preErase pre-erasure tx records dropped, " +
+            s"got $dropped")
+        // the pre-erasure chain is GONE, not hidden: time travel fails
+        val gone =
+          try { SnapTxn.readAt(s, txroot, "corpus", preErase); false }
+          catch { case _: Exception => true }
+        require(gone,
+          "pre-erasure transaction still readable after vacuumHistory")
+        // while the pinned head reads byte-identically
+        SnapTxn.read(s, txroot, "corpus")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+          .orderBy("lang")
+      },
+      Some(Wave63Ops.postEraseCorpusOracle)
+    )
+  )
+}

@@ -167,18 +167,41 @@ object SnapTxn {
     * that can be re-delivered is the most recent possibly-uncommitted
     * one (batches are serialized: batch N+1 never starts before N's
     * checkpoint commit lands), so the LAST absorb note in the log is
-    * the latest absorbed batch. Maintenance records (compact / erase /
-    * register) may land ON TOP of it while the pipeline is down — the
-    * walk skips them, so a maintenance commit can never make a
-    * published absorb look unpublished (which would double-absorb the
-    * replayed batch). Cost: O(maintenance records since the last
-    * absorb) — effectively O(1); a full-log membership scan would be
-    * quadratic over a stream's lifetime. */
+    * the latest absorbed batch: an arriving id equal to it is the
+    * replay (skip), a LARGER id is new work (absorb). Maintenance
+    * records (compact / erase / register) may land ON TOP of it while
+    * the pipeline is down — the walk skips them, so a maintenance
+    * commit can never make a published absorb look unpublished (which
+    * would double-absorb the replayed batch). Cost: O(maintenance
+    * records since the last absorb) — effectively O(1); a full-log
+    * membership scan would be quadratic over a stream's lifetime.
+    *
+    * A SMALLER id than the last absorbed one is refused loudly: under
+    * one serialized stream it is impossible, so it can only mean the
+    * txroot was reattached to a FRESH checkpoint (batch ids restart at
+    * 0). Treating the restarted b0 as new work would re-absorb every
+    * already-absorbed batch as duplicate index rows; treating it as
+    * absorbed would silently drop whatever new files the fresh
+    * checkpoint drains first. Neither is recoverable here — the
+    * operator must keep the original checkpoint with its txroot (or
+    * start a new txroot), so the ledger refuses the mismatched stream
+    * identity instead of guessing. */
   def batchAbsorbed(txroot: String, batchId: Long): Boolean =
     txVersions(txroot).sorted.reverseIterator
       .map(v => load(txroot, v).note)
-      .find(_.startsWith("absorb:b"))
-      .contains(batchNote(batchId))
+      .collectFirst { case n if n.startsWith("absorb:b") =>
+        n.stripPrefix("absorb:b").toLong } match {
+      case None => false
+      case Some(last) if batchId == last => true
+      case Some(last) if batchId > last => false
+      case Some(last) => throw new IllegalStateException(
+        s"absorb ledger at $txroot last published batch $last but " +
+          s"batch $batchId arrived — a smaller id means the stream was " +
+          "reattached to a fresh checkpoint (batch ids restart at 0); " +
+          "absorbing it would duplicate every replayed batch's rows. " +
+          "Keep the original checkpoint with this txroot, or start a " +
+          "new txroot for the new stream identity.")
+    }
 
   // ------------------------------------------------------- maintenance
 
@@ -213,9 +236,25 @@ object SnapTxn {
     * rewrites → the already-rewritten tables' versions are unpinned
     * orphans (invisible, vacuumable), exactly like a torn absorb.
     * Refuses orphaned per-table heads — the rewrite verbs build from
-    * the per-table head, which must BE the pin (vacuumOrphans first).
-    * A commit racing past the head check moves a pin and aborts the
-    * publish (first-committer-wins), never pinning stale content. */
+    * the per-table head, which must BE the pin (vacuumOrphans first);
+    * the check re-runs immediately before EACH rewrite, so a
+    * transaction that prepared a per-table version mid-maintenance
+    * (then crashed or lost the publish race) aborts this rewrite
+    * instead of getting its never-committed rows folded into the
+    * version we would pin. A commit that instead PUBLISHES while the
+    * rewrites run moves a pin and aborts our publish
+    * (first-committer-wins) — stale content is never pinned from that
+    * side either.
+    *
+    * SINGLE-WRITER MAINTENANCE (same discipline as [[vacuumOrphans]]):
+    * the re-check narrows the check-then-act window to one rewrite but
+    * cannot close it — a prepare landing BETWEEN a table's re-check
+    * and its rewrite verb reading the head is folded in undetected
+    * (the rewrite verbs build from the per-table head; only
+    * prepareAppend takes an explicit parent). Run maintenance with no
+    * concurrent PREPARE in flight on the named tables; concurrent
+    * PUBLISHED commits are safe (they abort this maintenance, which
+    * simply re-runs). */
   def rewritePinned(s: SparkSession, txroot: String,
       tables: Seq[String], note: String)
       (rewrite: (String, String) => Int): Int = {
@@ -225,11 +264,16 @@ object SnapTxn {
     val base = head(txroot)
     tables.foreach { t =>
       require(base.pins.contains(t), s"table '$t' is not tx-managed")
-      require(SnapTable.latestVersion(s"$txroot/$t") == base.pins(t),
-        s"'$t' per-table head is not the pinned version (orphans " +
-          "present) — run vacuumOrphans before rewriting")
     }
-    val prepared = tables.map(t => t -> rewrite(t, s"$txroot/$t")).toMap
+    val prepared = tables.map { t =>
+      // immediately-before-this-rewrite, not only up front: the window
+      // between check and rewrite must not span other tables' rewrites
+      require(SnapTable.latestVersion(s"$txroot/$t") == base.pins(t),
+        s"'$t' per-table head is not the pinned version (an orphan or " +
+          "a concurrent prepare is present) — run vacuumOrphans / " +
+          "re-run the maintenance with no writer in flight")
+      t -> rewrite(t, s"$txroot/$t")
+    }.toMap
     publish(txroot, base, prepared, note)
   }
 
@@ -290,6 +334,58 @@ object SnapTxn {
         SnapTable.versions(root).size)
     }
     removed
+  }
+
+  /** Drop transaction history STRICTLY BEFORE `keepFromTx` — the legal
+    * erasure point (SnapTable's documented GDPR split: the ACID erasure
+    * point is the pin move, the LEGAL one is this vacuum). Every tx
+    * record below `keepFromTx` is deleted, then every per-table version
+    * pinned ONLY by dropped records loses its manifest and its
+    * now-unreferenced data files — after which `readAt` of any
+    * pre-`keepFromTx` transaction fails (the chain is gone, not just
+    * hidden) and an erased subject's bytes are physically reclaimed.
+    * Retained transactions are untouched: versions they pin (including
+    * ones ALSO pinned by dropped records — CoW carries files forward)
+    * keep their manifests and files, so the current head reads
+    * byte-identically before and after.
+    *
+    * MAINTENANCE op, single-writer like [[vacuumOrphans]] (which it
+    * also subsumes for the dropped range). Returns tx records removed.
+    */
+  def vacuumHistory(txroot: String, keepFromTx: Int): Int = {
+    val txs = txVersions(txroot)
+    require(txs.contains(keepFromTx),
+      s"tx v$keepFromTx does not exist at $txroot (have ${txs.mkString(",")})")
+    val dropped = txs.filter(_ < keepFromTx)
+    if (dropped.isEmpty) return 0
+    val retained = txs.filter(_ >= keepFromTx)
+    // per-table versions the RETAINED chain still pins — everything
+    // else under tx management is garbage after the drop
+    val keepPins: Map[String, Set[Int]] = retained
+      .flatMap(v => load(txroot, v).pins.toSeq)
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    dropped.foreach(v => Files.delete(txPath(txroot, v)))
+    head(txroot).pins.keys.foreach { t =>
+      val root = s"$txroot/$t"
+      // a retained filesRef manifest (a no-op rewrite commits by
+      // reference) needs its depth-1 referent manifest to stay
+      // loadable — same closure rule as SnapTable.vacuumScope. The
+      // referent's CONTENT is identical to the retained version, so
+      // keeping it never retains erased bytes.
+      val pinned = SnapTable.versions(root)
+        .filter(keepPins.getOrElse(t, Set.empty).contains)
+      val keep = (pinned ++
+        pinned.map(v => SnapTable.load(root, v).filesFrom)
+          .filter(_ > 0)).toSet
+      SnapTable.versions(root).filterNot(keep.contains)
+        .foreach(v =>
+          Files.delete(Paths.get(root, "_log", f"v$v%08d.json")))
+      // retain every surviving manifest; reclaim data files referenced
+      // by none of them (the erased subject's bytes go here)
+      SnapTable.vacuum(root,
+        retainVersions = SnapTable.versions(root).size)
+    }
+    dropped.size
   }
 
   // ------------------------------------------------------------- internals
