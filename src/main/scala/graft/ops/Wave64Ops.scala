@@ -75,7 +75,7 @@ object Wave64Ops extends QueryModule {
     * to the LABEL TABLE (4 partitions at fixture scale — 12+ stages of
     * 32 near-empty tasks are pure scheduling overhead; at 100 TB the
     * label table is corpus-sized and stays at session width). */
-  private[ops] def ccMinLabel(s: SparkSession, nodes: DataFrame,
+  private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -122,7 +122,7 @@ object Wave64Ops extends QueryModule {
     * semantics of the whole semdedup family (VecStreamIndex.probeHits'
     * same-frame sibling). Callers persist `f` (it feeds both join
     * sides). */
-  private[ops] def semPairs(f: DataFrame): DataFrame =
+  private[graft] def semPairs(f: DataFrame): DataFrame =
     f.select(col("cell"), col("scell"), col("vec_id").as("a"),
         col("g").as("ga"))
       .join(f.select(col("cell"), col("scell"), col("vec_id").as("b"),
