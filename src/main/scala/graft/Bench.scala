@@ -70,15 +70,20 @@ object Bench {
     "table_stream_pipeline" -> 1.10,
     // round-12 new ops + honest-stats CC loop (min-of-4, same session)
     "stream_semdedup_live" -> 1.76, "hybrid_rrf_serve" -> 2.32,
-    // round-12 cont.: streaming-ACID family (each the clean min across
-    // the closing bench min-of-k at cpus=8 and an OpTimer min-of-4 —
-    // cpus=8 is the faster shape for these stream+txn ops, same as the
-    // Bench cpus note)
-    "stream_neardup_index" -> 4.27, "stream_semdedup_index" -> 4.06,
-    "stream_semdedup_bootstrap" -> 3.67, "stream_bm25_index" -> 4.04,
-    "stream_neardup_bootstrap" -> 2.60, "table_txn_compact" -> 5.33,
-    "stream_cdc_index" -> 4.82, "hybrid_index_serve" -> 5.93,
-    "table_txn_erase" -> 2.40)
+    // round-13 reconciliation (VERDICT-r12 #5): the stream+txn family
+    // floors are now recorded at the DRIVER shape (cpus=32, min across
+    // 3 interleaved passes × min-of-3+ each, idle host) — one
+    // documented shape per op; the cpus=8 twin values live in
+    // BASELINE.md's round-13 record for the shape-delta audit
+    "stream_neardup_index" -> 4.89, "stream_semdedup_index" -> 5.69,
+    "stream_semdedup_bootstrap" -> 4.02, "stream_bm25_index" -> 5.13,
+    "stream_neardup_bootstrap" -> 2.73, "table_txn_compact" -> 7.63,
+    "stream_cdc_index" -> 4.03, "hybrid_index_serve" -> 5.58,
+    "table_txn_erase" -> 1.79,
+    // round-13 composed ops (same cpus=32 idle-host protocol)
+    "dedup_crossmodal_cc" -> 5.27, "dedup_crossmodal_incr" -> 6.12,
+    "pipe_curation_funnel" -> 7.96, "pipe_curation_ledger" -> 7.24,
+    "hybrid_index_serve_incr" -> 10.24, "table_txn_vacuum" -> 2.13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -187,7 +187,7 @@ object Wave62Ops extends QueryModule {
     * index family — shared by the file transport
     * (stream_semdedup_index), the landing-table transport
     * (stream_cdc_index), and the bootstrap handoff. */
-  private[ops] def semdedupGeometry(s: SparkSession, dir: String)
+  private[graft] def semdedupGeometry(s: SparkSession, dir: String)
       : (DataFrame => DataFrame, DataFrame, DataFrame) = {
     val n = T.rows(s, dir, "embeddings")
     val (k, sub) = graft.vec.VecAlgs.cellSplit(n)

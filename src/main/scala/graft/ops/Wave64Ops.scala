@@ -44,6 +44,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    bytes are reclaimed, not merely unpinned) while the pinned head
   *    serves byte-identically — the erase oracle shared verbatim is
   *    the proof.
+  *  - `pipe_curation_ledger`: the funnel's ROW-LEVEL sibling — which
+  *    stage dropped each doc, why, and which surviving doc it deduped
+  *    into; shares funnelStages/funnelChainSql with the accounting op.
+  *  - `dedup_crossmodal_incr`: the crossmodal decision maintained
+  *    INCREMENTALLY as an append-only SnapTxn label changelog — each
+  *    wave runs CC over the star-compressed reduced graph and commits
+  *    only changed labels; the collapsed changelog must equal the
+  *    from-scratch recompute (which IS the oracle).
   *
   * Scale notes (100 TB): the crossmodal lex side is the Guard-fenced
   * exact-Jaccard oracle twin (the production path feeds the SAME match
@@ -62,43 +70,65 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Wave64Ops extends QueryModule {
 
-  /** Connected components by min-label propagation over an undirected
-    * edge set — the text_dedup_cc loop factored for the composed ops
+  /** Connected components by min-label propagation WITH pointer
+    * jumping over an undirected edge set — the graph_connected_
+    * components machinery (Wave55) factored for the composed ops
     * (crossmodal decision, funnel dedup stages). `nodes(id)`,
     * `edges(a, b)` (any orientation; symmetrized here). Returns a
     * CLEAN parquet-backed `(id, comp)` frame: the iterative lineage is
     * never re-executed by consumers, and no cache leaks out.
     *
-    * Each round is one join + min-agg; labels monotonically decrease,
-    * so the exact integer label-sum is a cheap scalar convergence
-    * test. Rounds = component diameter. The loop's shuffles are sized
-    * to the LABEL TABLE (4 partitions at fixture scale — 12+ stages of
-    * 32 near-empty tasks are pure scheduling overhead; at 100 TB the
-    * label table is corpus-sized and stays at session width). */
+    * Loop discipline (all three are load-bearing — this helper first
+    * shipped as a persist/unpersist union loop and OOM'd the driver at
+    * sf0.1 on the dense near-dup slice: the round-k plan nests every
+    * previous round's union/join tree TWICE, so plan size doubles per
+    * round — persist caches data, not plan size):
+    *  - every round-carried frame goes through
+    *    `Bridge.localCheckpointHonestStats` — lineage truncated AND
+    *    the materialized block size swapped in for the parent's
+    *    estimated stats (a bare localCheckpoint carries estimates that
+    *    SQUARE through the pointer-jump self-join — the round-12
+    *    rehearsal's exponential-driver-cost bug);
+    *  - pointer jumping (comp(x) ← comp(comp(x))) halves label-chain
+    *    depth per round, so rounds stay O(log diameter) — a within-
+    *    cell cosine chain can have diameter ~cell size, which a plain
+    *    min-label loop would pay linearly;
+    *  - no size-threshold broadcasts inside the loop: both loop frames
+    *    are |V|-sized and scale with the corpus. Shuffles are sized to
+    *    the LABEL table (4 partitions at fixture scale; at 100 TB the
+    *    label table is corpus-sized and stays at session width). */
   private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
+    val cp = org.apache.spark.sql.graftx.Bridge
+      .localCheckpointHonestStats _
     val partsKey = "spark.sql.shuffle.partitions"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevParts = s.conf.get(partsKey)
+    val prevBc = s.conf.get(bcKey)
     val out = graft.Tmp.dir("graft_cc64")
     try {
       s.conf.set(partsKey, "4")
-      var labels = nodes.select(col("id"), col("id").as("comp"))
-        .persist()
+      s.conf.set(bcKey, "-1")
+      val e = cp(edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+      var labels = cp(nodes.select(col("id"), col("id").as("comp")))
       var total = labels.agg(sum("comp")).first().getLong(0)
       var converged = false
       var iters = 0
-      while (!converged && iters < 20) {
+      while (!converged && iters < 25) {
         val msgs = e.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
-        val next = labels.select("id", "comp").union(msgs)
+        val mins = cp(labels.select("id", "comp").union(msgs)
           .groupBy(col("id"))
-          .agg(min(col("comp")).as("comp"))
-          .persist()
+          .agg(min(col("comp")).as("comp")))
+        // pointer jump: comp(id) ← comp(comp(id))
+        val next = cp(mins.as("a")
+          .join(mins.select(col("id").as("cid"),
+            col("comp").as("ccomp")).as("b"),
+            col("a.comp") === col("cid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("ccomp"), col("a.comp")).as("comp")))
         val newTotal = next.agg(sum("comp")).first().getLong(0)
-        labels.unpersist()
         labels = next
         converged = newTotal == total
         total = newTotal
@@ -108,10 +138,9 @@ object Wave64Ops extends QueryModule {
         s"$what: label propagation not converged after $iters " +
           "iterations — component diameter exceeds the cap")
       labels.write.mode("overwrite").parquet(out)
-      labels.unpersist()
     } finally {
-      e.unpersist()
       s.conf.set(partsKey, prevParts)
+      s.conf.set(bcKey, prevBc)
     }
     s.read.parquet(out)
   }
@@ -169,6 +198,95 @@ object Wave64Ops extends QueryModule {
       s"CAST(list_sum(list_transform($v.g, x -> x * x)) AS DOUBLE)) " +
       "* 1e9) / 1e9"
 
+  /** The funnel's staged frames, built ONCE and shared by the
+    * accounting op (pipe_curation_funnel) and the row-level ledger
+    * (pipe_curation_ledger) so the stage semantics cannot drift.
+    * `keeperOf` maps every stage-2 doc to its exact-dup keeper (min
+    * doc_id per content fingerprint); `c4`/`c5` are the near/sem CC
+    * label tables (parquet-backed). Call `unpersist()` after the
+    * consumer has materialized its result. */
+  private[ops] final case class Funnel(docs: DataFrame, s1: DataFrame,
+      s2: DataFrame, s3: DataFrame, keeperOf: DataFrame, c4: DataFrame,
+      s4: DataFrame, c5: DataFrame, s5: DataFrame,
+      unpersist: () => Unit)
+
+  private[ops] def funnelStages(s: SparkSession, dir: String): Funnel = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("text"), col("n_chars"))
+    // stage 1 — lang-id gate: metadata lang confirmed by the content
+    // scorer (text_lang_id's expression, shared)
+    val s1 = docs
+      .filter(TextOps.langIdExpr(col("text")) === col("lang"))
+    // stage 2 — quality gate (text_quality's exact expression)
+    val s2 = s1
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("double"))
+      .withColumn("q", round(
+        lit(0.5) * (size(array_distinct(col("toks"))) /
+          col("n_toks")) +
+          lit(0.3) * (lit(1.0) -
+            size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
+              / col("n_toks")) +
+          lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6))
+      .filter(col("q") >= 0.5)
+      .select("doc_id", "lang", "source", "text", "toks")
+    // stage 3 — exact dedup: keeper = min doc_id per content
+    // fingerprint (text_dedup_groups' keeper rule)
+    val withFp = s2.withColumn("fp", md5(concat_ws(" ",
+      array_sort(array_distinct(col("toks")))))).persist()
+    val keeperOf = withFp
+      .join(withFp.groupBy("fp").agg(min("doc_id").as("kept_by")),
+        Seq("fp"))
+      .select("doc_id", "kept_by")
+    val s3 = withFp
+      .join(withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "text", "toks")
+      .persist()
+    // stage 4 — near dedup, blocked on (lang, source) (the standard
+    // blocking mitigation: exact Jaccard only inside blocks),
+    // survivors = component min ids
+    val t4 = s3.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(col("toks")).as("ts"))
+    val p4 = t4.select(col("lang"), col("source"),
+        col("doc_id").as("a"), col("ts").as("sa"))
+      .join(t4.select(col("lang"), col("source"),
+        col("doc_id").as("b"), col("ts").as("sb")),
+        Seq("lang", "source"))
+      .filter(col("a") < col("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .filter(round(col("inter") / (size(col("sa")) +
+        size(col("sb")) - col("inter")), 6) >= 0.8)
+      .select("a", "b")
+    val c4 = ccMinLabel(s, s3.select(col("doc_id").as("id")), p4,
+      "pipe_curation_funnel:near")
+    val s4 = s3.join(
+      c4.filter(col("id") === col("comp"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi").persist()
+    // stage 5 — semdedup over the frozen IVF cells, survivors with
+    // vectors only compete; vectorless docs pass through
+    val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+    val f5 = route(gridded)
+      .join(s4.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .persist()
+    val c5 = ccMinLabel(s, f5.select(col("vec_id").as("id")),
+      semPairs(f5), "pipe_curation_funnel:sem")
+    val s5 = s4.join(
+      c5.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    Funnel(docs, s1, s2, s3, keeperOf, c4, s4, c5, s5, () => {
+      f5.unpersist(blocking = false)
+      s4.unpersist(blocking = false)
+      s3.unpersist(blocking = false)
+      withFp.unpersist(blocking = false)
+    })
+  }
+
   /** One funnel-accounting SELECT branch (oracle side): every column
     * CAST to BIGINT so the UNION ALL can never promote (DuckDB sums
     * BIGINT to HUGEINT). */
@@ -181,6 +299,88 @@ object Wave64Ops extends QueryModule {
       s"(SELECT CAST(count(*) AS BIGINT) FROM $cur) AS rows_out, " +
       "(SELECT CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) " +
       s"FROM $cur) AS tokens_out"
+
+  /** The funnel oracle CTE chain (grid chain + d0..s5 + the two
+    * recursive CC reachability CTEs) — shared by the accounting
+    * oracle (pipe_curation_funnel) and the row-level ledger oracle
+    * (pipe_curation_ledger) so the replayed stage semantics cannot
+    * drift from each other (the Scala sides already share
+    * funnelStages). */
+  private def funnelChainSql: String =
+    Wave61Ops.gridCellChain("") + ", " +
+          "d0 AS (SELECT doc_id, lang, source, text, n_chars, " +
+          "string_split(text, ' ') AS toks FROM documents), " +
+          // stage 1: the text_lang_id oracle expression, verbatim
+          "lh AS (SELECT doc_id, " +
+          "len(list_filter(ltk, x -> x IN ('der','die','das','und'," +
+          "'ist','ein','mit','für','nicht'))) AS n_de, " +
+          "len(list_filter(ltk, x -> x IN ('the','and','of','to','is'," +
+          "'with','that','for'))) AS n_en, " +
+          "len(list_filter(ltk, x -> x IN ('el','los','las','y','es'," +
+          "'una','que','por','con'))) AS n_es, " +
+          "len(list_filter(ltk, x -> x IN ('le','la','les','et','de'," +
+          "'est','une','que','pour'))) AS n_fr, " +
+          "len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}" +
+          "\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
+          "\\x{20000}-\\x{2FA1F}]')) AS ncjk, length(text) AS lcn " +
+          "FROM (SELECT doc_id, text, " +
+          "regexp_split_to_array(lower(text), '\\s+') AS ltk " +
+          "FROM documents)), " +
+          "lid AS (SELECT doc_id, " +
+          "CASE WHEN CAST(ncjk AS DOUBLE) > CAST(lcn AS DOUBLE) * 0.2 " +
+          "THEN 'zh' " +
+          "WHEN greatest(n_de,n_en,n_es,n_fr) = 0 THEN 'en' " +
+          "WHEN n_de = greatest(n_de,n_en,n_es,n_fr) THEN 'de' " +
+          "WHEN n_en = greatest(n_de,n_en,n_es,n_fr) THEN 'en' " +
+          "WHEN n_es = greatest(n_de,n_en,n_es,n_fr) THEN 'es' " +
+          "ELSE 'fr' END AS pred_lang FROM lh), " +
+          "s1 AS (SELECT d0.* FROM d0 JOIN lid " +
+          "ON d0.doc_id = lid.doc_id WHERE lid.pred_lang = d0.lang), " +
+          // stage 2: the text_quality oracle expression, verbatim
+          "qv AS (SELECT doc_id, round(" +
+          "0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)) " +
+          "+ 0.3 * (1.0 - CAST(len(list_filter(toks, " +
+          "t -> t = 'the' OR t = 'a')) AS DOUBLE)/len(toks)) " +
+          "+ 0.2 * least(n_chars/500.0, 1.0), 6) AS quality FROM s1), " +
+          "s2 AS (SELECT s1.* FROM s1 JOIN qv " +
+          "ON s1.doc_id = qv.doc_id WHERE qv.quality >= 0.5), " +
+          // stage 3: keeper = min doc_id per content fingerprint
+          "fpt AS (SELECT doc_id, md5(array_to_string(list_sort(" +
+          "list_distinct(toks)), ' ')) AS fp FROM s2), " +
+          "s3 AS (SELECT s2.* FROM s2 JOIN (SELECT fp, min(doc_id) " +
+          "AS kd FROM fpt GROUP BY fp) k ON s2.doc_id = k.kd), " +
+          // stage 4: blocked exact-Jaccard CC, keep component min
+          "t4 AS (SELECT doc_id, lang, source, list_distinct(toks) " +
+          "AS ts FROM s3), " +
+          "p4 AS (SELECT x.doc_id AS a, y.doc_id AS b FROM t4 x " +
+          "JOIN t4 y ON x.lang = y.lang AND x.source = y.source " +
+          "AND x.doc_id < y.doc_id " +
+          "WHERE round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)" +
+          " / (len(x.ts) + len(y.ts) " +
+          "- len(list_intersect(x.ts, y.ts))), 6) >= 0.8), " +
+          "e4 AS (SELECT a, b FROM p4 UNION ALL SELECT b, a FROM p4), " +
+          "r4(src, node) AS (SELECT doc_id, doc_id FROM s3 " +
+          "UNION SELECT r.src, e4.b FROM r4 r JOIN e4 " +
+          "ON r.node = e4.a), " +
+          "c4 AS (SELECT src AS doc_id, min(node) AS comp FROM r4 " +
+          "GROUP BY src), " +
+          "s4 AS (SELECT s3.* FROM s3 JOIN c4 " +
+          "ON s3.doc_id = c4.doc_id WHERE c4.doc_id = c4.comp), " +
+          // stage 5: within-cell grid-cosine CC among survivors with
+          // vectors; vectorless docs pass through
+          "f5 AS (SELECT a.vec_id, a.g, a.cell FROM a " +
+          "JOIN s4 ON a.vec_id = s4.doc_id), " +
+          "p5 AS (SELECT u.vec_id AS a, v.vec_id AS b FROM f5 u " +
+          "JOIN f5 v ON u.cell = v.cell AND u.vec_id < v.vec_id " +
+          "WHERE " + gridCosSql("u", "v") + " > 0.3), " +
+          "e5 AS (SELECT a, b FROM p5 UNION ALL SELECT b, a FROM p5), " +
+          "r5(src, node) AS (SELECT vec_id, vec_id FROM f5 " +
+          "UNION SELECT r.src, e5.b FROM r5 r JOIN e5 " +
+          "ON r.node = e5.a), " +
+          "c5 AS (SELECT src AS vid, min(node) AS comp FROM r5 " +
+          "GROUP BY src), " +
+          "s5 AS (SELECT s4.* FROM s4 WHERE doc_id NOT IN " +
+          "(SELECT vid FROM c5 WHERE vid <> comp))"
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -275,71 +475,7 @@ object Wave64Ops extends QueryModule {
     Q(
       "pipe_curation_funnel",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("source"),
-            col("text"), col("n_chars"))
-        // stage 1 — lang-id gate: metadata lang confirmed by the
-        // content scorer (text_lang_id's expression, shared)
-        val s1 = docs
-          .filter(TextOps.langIdExpr(col("text")) === col("lang"))
-        // stage 2 — quality gate (text_quality's exact expression)
-        val s2 = s1
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("n_toks", size(col("toks")).cast("double"))
-          .withColumn("q", round(
-            lit(0.5) * (size(array_distinct(col("toks"))) /
-              col("n_toks")) +
-              lit(0.3) * (lit(1.0) -
-                size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
-                  / col("n_toks")) +
-              lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6))
-          .filter(col("q") >= 0.5)
-          .select("doc_id", "lang", "source", "text", "toks")
-        // stage 3 — exact dedup: keeper = min doc_id per content
-        // fingerprint (text_dedup_groups' keeper rule)
-        val withFp = s2.withColumn("fp", md5(concat_ws(" ",
-          array_sort(array_distinct(col("toks"))))))
-        val keepers = withFp.groupBy("fp")
-          .agg(min("doc_id").as("doc_id"))
-        val s3 = withFp
-          .join(keepers, Seq("fp", "doc_id"), "left_semi")
-          .select("doc_id", "lang", "source", "text", "toks")
-          .persist()
-        // stage 4 — near dedup, blocked on (lang, source) (the
-        // standard blocking mitigation: exact Jaccard only inside
-        // blocks), survivors = component min ids
-        val t4 = s3.select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(col("toks")).as("ts"))
-        val p4 = t4.select(col("lang"), col("source"),
-            col("doc_id").as("a"), col("ts").as("sa"))
-          .join(t4.select(col("lang"), col("source"),
-            col("doc_id").as("b"), col("ts").as("sb")),
-            Seq("lang", "source"))
-          .filter(col("a") < col("b"))
-          .withColumn("inter",
-            size(array_intersect(col("sa"), col("sb"))).cast("double"))
-          .filter(round(col("inter") / (size(col("sa")) +
-            size(col("sb")) - col("inter")), 6) >= 0.8)
-          .select("a", "b")
-        val c4 = ccMinLabel(s, s3.select(col("doc_id").as("id")), p4,
-          "pipe_curation_funnel:near")
-        val s4 = s3.join(
-          c4.filter(col("id") === col("comp"))
-            .select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_semi").persist()
-        // stage 5 — semdedup over the frozen IVF cells, survivors with
-        // vectors only compete; vectorless docs pass through
-        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
-        val f5 = route(gridded)
-          .join(s4.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi")
-          .persist()
-        val c5 = ccMinLabel(s, f5.select(col("vec_id").as("id")),
-          semPairs(f5), "pipe_curation_funnel:sem")
-        val s5 = s4.join(
-          c5.filter(col("id") =!= col("comp"))
-            .select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+        val fu = funnelStages(s, dir)
         // lineage accounting: one row per stage — the funnel artifact
         def stat(df: DataFrame): (Long, Long) = {
           val r = df.agg(count(lit(1)),
@@ -348,12 +484,11 @@ object Wave64Ops extends QueryModule {
           (r.getLong(0), r.getLong(1))
         }
         val stages = Seq(
-          "input" -> docs, "lang_id" -> s1, "quality" -> s2,
-          "dedup_exact" -> s3, "dedup_near" -> s4, "dedup_sem" -> s5)
+          "input" -> fu.docs, "lang_id" -> fu.s1, "quality" -> fu.s2,
+          "dedup_exact" -> fu.s3, "dedup_near" -> fu.s4,
+          "dedup_sem" -> fu.s5)
         val stats = stages.map { case (n, df) => (n, stat(df)) }
-        f5.unpersist(blocking = false)
-        s4.unpersist(blocking = false)
-        s3.unpersist(blocking = false)
+        fu.unpersist()
         val rows = stats.zipWithIndex.map { case ((n, (c, tk)), i) =>
           val prev = if (i == 0) c else stats(i - 1)._2._1
           Row(i.toLong, n, prev, prev - c, c, tk)
@@ -369,80 +504,7 @@ object Wave64Ops extends QueryModule {
           .orderBy("stage")
       },
       Some(
-        "WITH RECURSIVE " + Wave61Ops.gridCellChain("") + ", " +
-          "d0 AS (SELECT doc_id, lang, source, text, n_chars, " +
-          "string_split(text, ' ') AS toks FROM documents), " +
-          // stage 1: the text_lang_id oracle expression, verbatim
-          "lh AS (SELECT doc_id, " +
-          "len(list_filter(ltk, x -> x IN ('der','die','das','und'," +
-          "'ist','ein','mit','für','nicht'))) AS n_de, " +
-          "len(list_filter(ltk, x -> x IN ('the','and','of','to','is'," +
-          "'with','that','for'))) AS n_en, " +
-          "len(list_filter(ltk, x -> x IN ('el','los','las','y','es'," +
-          "'una','que','por','con'))) AS n_es, " +
-          "len(list_filter(ltk, x -> x IN ('le','la','les','et','de'," +
-          "'est','une','que','pour'))) AS n_fr, " +
-          "len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}" +
-          "\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
-          "\\x{20000}-\\x{2FA1F}]')) AS ncjk, length(text) AS lcn " +
-          "FROM (SELECT doc_id, text, " +
-          "regexp_split_to_array(lower(text), '\\s+') AS ltk " +
-          "FROM documents)), " +
-          "lid AS (SELECT doc_id, " +
-          "CASE WHEN CAST(ncjk AS DOUBLE) > CAST(lcn AS DOUBLE) * 0.2 " +
-          "THEN 'zh' " +
-          "WHEN greatest(n_de,n_en,n_es,n_fr) = 0 THEN 'en' " +
-          "WHEN n_de = greatest(n_de,n_en,n_es,n_fr) THEN 'de' " +
-          "WHEN n_en = greatest(n_de,n_en,n_es,n_fr) THEN 'en' " +
-          "WHEN n_es = greatest(n_de,n_en,n_es,n_fr) THEN 'es' " +
-          "ELSE 'fr' END AS pred_lang FROM lh), " +
-          "s1 AS (SELECT d0.* FROM d0 JOIN lid " +
-          "ON d0.doc_id = lid.doc_id WHERE lid.pred_lang = d0.lang), " +
-          // stage 2: the text_quality oracle expression, verbatim
-          "qv AS (SELECT doc_id, round(" +
-          "0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)) " +
-          "+ 0.3 * (1.0 - CAST(len(list_filter(toks, " +
-          "t -> t = 'the' OR t = 'a')) AS DOUBLE)/len(toks)) " +
-          "+ 0.2 * least(n_chars/500.0, 1.0), 6) AS quality FROM s1), " +
-          "s2 AS (SELECT s1.* FROM s1 JOIN qv " +
-          "ON s1.doc_id = qv.doc_id WHERE qv.quality >= 0.5), " +
-          // stage 3: keeper = min doc_id per content fingerprint
-          "fpt AS (SELECT doc_id, md5(array_to_string(list_sort(" +
-          "list_distinct(toks)), ' ')) AS fp FROM s2), " +
-          "s3 AS (SELECT s2.* FROM s2 JOIN (SELECT fp, min(doc_id) " +
-          "AS kd FROM fpt GROUP BY fp) k ON s2.doc_id = k.kd), " +
-          // stage 4: blocked exact-Jaccard CC, keep component min
-          "t4 AS (SELECT doc_id, lang, source, list_distinct(toks) " +
-          "AS ts FROM s3), " +
-          "p4 AS (SELECT x.doc_id AS a, y.doc_id AS b FROM t4 x " +
-          "JOIN t4 y ON x.lang = y.lang AND x.source = y.source " +
-          "AND x.doc_id < y.doc_id " +
-          "WHERE round(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)" +
-          " / (len(x.ts) + len(y.ts) " +
-          "- len(list_intersect(x.ts, y.ts))), 6) >= 0.8), " +
-          "e4 AS (SELECT a, b FROM p4 UNION ALL SELECT b, a FROM p4), " +
-          "r4(src, node) AS (SELECT doc_id, doc_id FROM s3 " +
-          "UNION SELECT r.src, e4.b FROM r4 r JOIN e4 " +
-          "ON r.node = e4.a), " +
-          "c4 AS (SELECT src AS doc_id, min(node) AS comp FROM r4 " +
-          "GROUP BY src), " +
-          "s4 AS (SELECT s3.* FROM s3 JOIN c4 " +
-          "ON s3.doc_id = c4.doc_id WHERE c4.doc_id = c4.comp), " +
-          // stage 5: within-cell grid-cosine CC among survivors with
-          // vectors; vectorless docs pass through
-          "f5 AS (SELECT a.vec_id, a.g, a.cell FROM a " +
-          "JOIN s4 ON a.vec_id = s4.doc_id), " +
-          "p5 AS (SELECT u.vec_id AS a, v.vec_id AS b FROM f5 u " +
-          "JOIN f5 v ON u.cell = v.cell AND u.vec_id < v.vec_id " +
-          "WHERE " + gridCosSql("u", "v") + " > 0.3), " +
-          "e5 AS (SELECT a, b FROM p5 UNION ALL SELECT b, a FROM p5), " +
-          "r5(src, node) AS (SELECT vec_id, vec_id FROM f5 " +
-          "UNION SELECT r.src, e5.b FROM r5 r JOIN e5 " +
-          "ON r.node = e5.a), " +
-          "c5 AS (SELECT src AS vid, min(node) AS comp FROM r5 " +
-          "GROUP BY src), " +
-          "s5 AS (SELECT s4.* FROM s4 WHERE doc_id NOT IN " +
-          "(SELECT vid FROM c5 WHERE vid <> comp)) " +
+        "WITH RECURSIVE " + funnelChainSql + " " +
           "SELECT stage, name, rows_in, rows_dropped, rows_out, " +
           "tokens_out FROM (" +
           funnelStageSql(0, "input", "d0", "d0") + " UNION ALL " +
@@ -556,6 +618,181 @@ object Wave64Ops extends QueryModule {
           .orderBy("lang")
       },
       Some(Wave63Ops.postEraseCorpusOracle)
+    ),
+    Q(
+      "pipe_curation_ledger",
+      // the ROW-LEVEL funnel artifact: for every input doc, which
+      // stage dropped it, why, and which surviving doc it was deduped
+      // into (kept_by = the exact-dup keeper / the near-dup component
+      // min / the semdedup component min). The counts artifact
+      // (pipe_curation_funnel) answers "how much did each gate cost";
+      // this one answers the follow-up a curation review always asks —
+      // "show me WHICH docs stage 4 dropped, and against what". Shares
+      // funnelStages (Scala) and funnelChainSql (oracle) with the
+      // accounting op, so the two artifacts can never disagree.
+      (s, dir) => {
+        val fu = funnelStages(s, dir)
+        def ids(df: DataFrame): DataFrame = df.select("doc_id")
+        val st = fu.docs.select(col("doc_id"))
+          .join(ids(fu.s1).withColumn("m1", lit(1)), Seq("doc_id"), "left")
+          .join(ids(fu.s2).withColumn("m2", lit(1)), Seq("doc_id"), "left")
+          .join(ids(fu.s3).withColumn("m3", lit(1)), Seq("doc_id"), "left")
+          .join(ids(fu.s4).withColumn("m4", lit(1)), Seq("doc_id"), "left")
+          .join(ids(fu.s5).withColumn("m5", lit(1)), Seq("doc_id"), "left")
+          .withColumn("dropped_at",
+            when(col("m1").isNull, 1L).when(col("m2").isNull, 2L)
+              .when(col("m3").isNull, 3L).when(col("m4").isNull, 4L)
+              .when(col("m5").isNull, 5L).otherwise(0L))
+        val out = st
+          .join(fu.keeperOf.withColumnRenamed("kept_by", "kb3"),
+            Seq("doc_id"), "left")
+          .join(fu.c4.select(col("id").as("doc_id"),
+            col("comp").as("kb4")), Seq("doc_id"), "left")
+          .join(fu.c5.select(col("id").as("doc_id"),
+            col("comp").as("kb5")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dropped_at"),
+            when(col("dropped_at") === 0L, "survived")
+              .when(col("dropped_at") === 1L, "lang_mismatch")
+              .when(col("dropped_at") === 2L, "low_quality")
+              .when(col("dropped_at") === 3L, "exact_dup")
+              .when(col("dropped_at") === 4L, "near_dup")
+              .otherwise("sem_dup").as("reason"),
+            when(col("dropped_at") === 3L, col("kb3"))
+              .when(col("dropped_at") === 4L, col("kb4"))
+              .when(col("dropped_at") === 5L, col("kb5"))
+              .otherwise(lit(null).cast("long")).as("kept_by"))
+          .orderBy("doc_id")
+        // materialize before releasing the shared caches
+        val rows = out.collect()
+        fu.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH RECURSIVE " + funnelChainSql + ", " +
+          "kb3 AS (SELECT f.doc_id, k.kd FROM fpt f JOIN " +
+          "(SELECT fp, min(doc_id) AS kd FROM fpt GROUP BY fp) k " +
+          "ON f.fp = k.fp), " +
+          "led AS (SELECT d0.doc_id, " +
+          "CASE WHEN l1.doc_id IS NULL THEN 1 " +
+          "WHEN l2.doc_id IS NULL THEN 2 " +
+          "WHEN l3.doc_id IS NULL THEN 3 " +
+          "WHEN l4.doc_id IS NULL THEN 4 " +
+          "WHEN l5.doc_id IS NULL THEN 5 ELSE 0 END AS st FROM d0 " +
+          "LEFT JOIN (SELECT doc_id FROM s1) l1 USING (doc_id) " +
+          "LEFT JOIN (SELECT doc_id FROM s2) l2 USING (doc_id) " +
+          "LEFT JOIN (SELECT doc_id FROM s3) l3 USING (doc_id) " +
+          "LEFT JOIN (SELECT doc_id FROM s4) l4 USING (doc_id) " +
+          "LEFT JOIN (SELECT doc_id FROM s5) l5 USING (doc_id)) " +
+          "SELECT led.doc_id, CAST(st AS BIGINT) AS dropped_at, " +
+          "CASE st WHEN 0 THEN 'survived' WHEN 1 THEN 'lang_mismatch' " +
+          "WHEN 2 THEN 'low_quality' WHEN 3 THEN 'exact_dup' " +
+          "WHEN 4 THEN 'near_dup' ELSE 'sem_dup' END AS reason, " +
+          "CAST(CASE st WHEN 3 THEN kb3.kd WHEN 4 THEN c4.comp " +
+          "WHEN 5 THEN c5.comp ELSE NULL END AS BIGINT) AS kept_by " +
+          "FROM led " +
+          "LEFT JOIN kb3 ON led.doc_id = kb3.doc_id " +
+          "LEFT JOIN c4 ON led.doc_id = c4.doc_id " +
+          "LEFT JOIN c5 ON led.doc_id = c5.vid " +
+          "ORDER BY led.doc_id")
+    ),
+    Q(
+      "dedup_crossmodal_incr",
+      // INCREMENTAL cross-modal dedup: the decision table maintained as
+      // an append-only label CHANGELOG under SnapTxn. Wave 0 (even ids)
+      // publishes its components; wave 1 (odd ids) reads the PINNED
+      // labels, runs CC over the REDUCED graph — the new wave's edges
+      // plus one id→comp link per previously-labeled doc (each old
+      // component compressed to a star, so per-absorb rounds track the
+      // NEW edges' diameter, never the accumulated corpus's) — and
+      // commits only the rows whose label changed (or are new). The
+      // final read collapses the changelog (latest wave per doc) and
+      // must equal the from-scratch CC over the full edge set — the
+      // recompute IS the oracle, so the incremental maintenance is
+      // proven equivalent, not just plausible. Per-absorb cost:
+      // O(labels + new edges); at 100 TB labels live as a SnapTable
+      // keyed by doc and the star-compression is the standard
+      // incremental-CC trick.
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        import org.apache.spark.sql.expressions.Window
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "dedup_crossmodal_incr")
+        val lex = lexPairs(s, dir).persist()
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        val f = route(gridded).persist()
+        val sem = semPairs(f).persist()
+        val even = (c: String) => col(c) % 2 === 0
+        val docs = T(s, dir, "documents").select(col("doc_id").as("id"))
+        val txroot = graft.Tmp.dir("graft_xmodal_incr")
+        val w0edges = lex.filter(even("a") && even("b"))
+          .union(sem.filter(even("a") && even("b")))
+        val l0 = ccMinLabel(s, docs.filter(even("id")), w0edges,
+          "dedup_crossmodal_incr:w0")
+        val w0rows = l0.select(lit(0L).as("wave"), col("id"),
+          col("comp"))
+        SnapTable.createEmpty(s"$txroot/labels", w0rows.schema, "id")
+        SnapTxn.init(txroot, Seq("labels"))
+        SnapTxn.commit(s, txroot, Seq("labels" -> w0rows),
+          note = SnapTxn.batchNote(0L))
+        // wave 1: the reduced graph = new edges + star links from the
+        // PINNED labels (tx-consistent read of wave 0's decision)
+        val prev = SnapTxn.read(s, txroot, "labels")
+          .select(col("id"), col("comp"))
+        val links = prev.filter(col("id") =!= col("comp"))
+          .select(col("id").as("a"), col("comp").as("b"))
+        val w1edges = lex.filter(!(even("a") && even("b")))
+          .union(sem.filter(!(even("a") && even("b"))))
+        val l1 = ccMinLabel(s, docs, w1edges.union(links),
+          "dedup_crossmodal_incr:w1")
+        val changed = l1
+          .join(prev.withColumnRenamed("comp", "pcomp"),
+            Seq("id"), "left")
+          .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
+          .select(lit(1L).as("wave"), col("id"), col("comp"))
+        SnapTxn.commit(s, txroot, Seq("labels" -> changed),
+          note = SnapTxn.batchNote(1L))
+        lex.unpersist(blocking = false)
+        sem.unpersist(blocking = false)
+        f.unpersist(blocking = false)
+        // serve: collapse the changelog to the latest label per doc
+        val wl = Window.partitionBy("id").orderBy(col("wave").desc)
+        SnapTxn.read(s, txroot, "labels")
+          .withColumn("rn", row_number().over(wl))
+          .filter(col("rn") === 1)
+          .select(col("id").as("doc_id"), col("comp"),
+            when(col("id") === col("comp"), 1L).otherwise(0L)
+              .as("is_survivor"))
+          .orderBy("doc_id")
+      },
+      Some(
+        // the from-scratch recompute: full CC over the complete lex ∪
+        // sem edge set (the dedup_crossmodal_cc reachability without
+        // the provenance flags) — incremental result must equal it
+        "WITH RECURSIVE " + Wave61Ops.gridCellChain("") + ", " +
+          "sp AS (SELECT u.vec_id AS a, v.vec_id AS b " +
+          "FROM a u JOIN a v ON u.cell = v.cell " +
+          "AND u.vec_id < v.vec_id " +
+          "WHERE " + gridCosSql("u", "v") + " > 0.3), " +
+          "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) " +
+          "AS tokset FROM documents WHERE lang = 'en' " +
+          "AND source IN ('src0','src1')), " +
+          "lp0 AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE) " +
+          "AS inter, len(x.tokset) AS la, len(y.tokset) AS lb " +
+          "FROM t x JOIN t y ON x.doc_id < y.doc_id), " +
+          "lp AS (SELECT a, b FROM lp0 " +
+          "WHERE round(inter / (la + lb - inter), 6) >= 0.8), " +
+          "ed AS (SELECT a, b FROM lp UNION SELECT a, b FROM sp), " +
+          "ee AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), " +
+          "nn AS (SELECT doc_id AS id FROM documents), " +
+          "reach(src, node) AS (SELECT id, id FROM nn " +
+          "UNION SELECT r.src, ee.b FROM reach r " +
+          "JOIN ee ON r.node = ee.a) " +
+          "SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS comp, " +
+          "CAST(CASE WHEN src = min(node) THEN 1 ELSE 0 END AS BIGINT) " +
+          "AS is_survivor " +
+          "FROM reach GROUP BY src ORDER BY doc_id")
     )
   )
 }

@@ -78,6 +78,57 @@ class Wave64Spec extends AnyFunSuite {
     assert(rows.last.getLong(4) < rows.head.getLong(2))
   }
 
+  test("star-compressed incremental CC equals the from-scratch CC: " +
+      "old components collapse to links, new edges bridge across them") {
+    val all = (1L to 6L).toDF("id")
+    val w0 = Seq((2L, 4L), (4L, 6L)).toDF("a", "b") // even-only wave
+    val l0 = Wave64Ops.ccMinLabel(spark, all.filter($"id" % 2 === 0),
+      w0, "spec:w0")
+    // star links: one id→comp edge per previously-labeled non-root
+    val links = l0.filter($"id" =!= $"comp")
+      .select($"id".as("a"), $"comp".as("b"))
+    val w1 = Seq((1L, 3L), (3L, 6L)).toDF("a", "b") // odd + bridge
+    val incr = Wave64Ops.ccMinLabel(spark, all, w1.union(links),
+      "spec:w1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Wave64Ops.ccMinLabel(spark, all, w0.union(w1),
+      "spec:full")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full)
+    assert(incr(6L) === 1L && incr(2L) === 1L) // bridged across waves
+    assert(incr(5L) === 5L) // untouched singleton
+  }
+
+  test("ledger and funnel artifacts agree at sf0.001: per-stage drop " +
+      "counts match, survivors match, kept_by points at an earlier " +
+      "surviving doc exactly for the dedup stages") {
+    val funnel = graft.SparkEntry.queries("pipe_curation_funnel")(
+      spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // stage -> dropped
+    val ledger = graft.SparkEntry.queries("pipe_curation_ledger")(
+      spark, TestSpark.Sf).collect()
+    (1L to 5L).foreach { st =>
+      assert(ledger.count(_.getLong(1) == st) === funnel(st),
+        s"stage $st drop count disagrees between ledger and funnel")
+    }
+    ledger.foreach { r =>
+      val (st, kb) = (r.getLong(1), if (r.isNullAt(3)) None
+        else Some(r.getLong(3)))
+      if (st >= 3L) {
+        assert(kb.isDefined && kb.get < r.getLong(0),
+          s"dedup drop ${r.getLong(0)} must point at an earlier keeper")
+      } else assert(kb.isEmpty)
+    }
+    // every kept_by is itself a survivor or was dropped LATER — it
+    // survived at least through the stage that deduped into it
+    val droppedAt = ledger.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ledger.filter(r => !r.isNullAt(3)).foreach { r =>
+      val kb = r.getLong(3)
+      assert(droppedAt(kb) == 0L || droppedAt(kb) > r.getLong(1),
+        s"keeper $kb of ${r.getLong(0)} fell at an earlier stage")
+    }
+  }
+
   test("incremental serving: a held pin-1 reader reproduces pin 1 " +
       "after the head moved; the head serve reflects the new wave") {
     val dir = TestSpark.Sf
