@@ -194,10 +194,17 @@ object Wave64Ops extends QueryModule {
     val pref = t4
       .withColumn("plen",
         (floor(size(col("ts")) * 0.2) + 1).cast("int"))
-      .select((col("doc_id") +: block.map(col) :+
+      .select((col("doc_id") +: size(col("ts")).as("len") +:
+        block.map(col) :+
         explode(expr("slice(ts, 1, plen)")).as("ptok")): _*)
+    // LENGTH filter (AllPairs): jacc >= 0.8 forces min|s| >= 0.8·max|s|
+    // — stated as 5·min >= 4·max in exact integers (a 0.8 double
+    // multiply can land one ulp above the true 4/5 boundary and drop a
+    // true pair)
     val cond = (block.map(c => col(s"x.$c") === col(s"y.$c")) :+
       (col("x.ptok") === col("y.ptok")) :+
+      (col("x.len") * 5 >= col("y.len") * 4) :+
+      (col("y.len") * 5 >= col("x.len") * 4) :+
       (col("x.doc_id") < col("y.doc_id"))).reduce(_ && _)
     val cand = pref.as("x").join(pref.as("y"), cond)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -238,11 +245,12 @@ object Wave64Ops extends QueryModule {
       "list_sort(list_distinct(string_split(text, ' '))) AS ts " +
       "FROM documents WHERE lang = 'en' " +
       "AND source IN ('src0','src1')), " +
-      "tpr AS (SELECT doc_id, " +
+      "tpr AS (SELECT doc_id, len(ts) AS l, " +
       "unnest(ts[1:CAST(floor(len(ts)*0.2) AS INT)+1]) AS ptok " +
       "FROM t), " +
       "tcd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b " +
       "FROM tpr x JOIN tpr y ON x.ptok = y.ptok " +
+      "AND x.l * 5 >= y.l * 4 AND y.l * 5 >= x.l * 4 " +
       "AND x.doc_id < y.doc_id), " +
       "lp AS (SELECT tcd.a, tcd.b FROM tcd " +
       "JOIN t u ON u.doc_id = tcd.a JOIN t v ON v.doc_id = tcd.b " +
@@ -492,12 +500,13 @@ object Wave64Ops extends QueryModule {
           // stage 4: blocked exact-Jaccard CC, keep component min
           "t4 AS (SELECT doc_id, lang, source, " +
           "list_sort(list_distinct(toks)) AS ts FROM s3), " +
-          "fpr AS (SELECT doc_id, lang, source, " +
+          "fpr AS (SELECT doc_id, lang, source, len(ts) AS l, " +
           "unnest(ts[1:CAST(floor(len(ts)*0.2) AS INT)+1]) AS ptok " +
           "FROM t4), " +
           "fcd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b " +
           "FROM fpr x JOIN fpr y ON x.lang = y.lang " +
           "AND x.source = y.source AND x.ptok = y.ptok " +
+          "AND x.l * 5 >= y.l * 4 AND y.l * 5 >= x.l * 4 " +
           "AND x.doc_id < y.doc_id), " +
           "p4 AS (SELECT fcd.a, fcd.b FROM fcd " +
           "JOIN t4 u ON u.doc_id = fcd.a " +
