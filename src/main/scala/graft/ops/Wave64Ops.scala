@@ -95,9 +95,13 @@ object Wave64Ops extends QueryModule {
     *    cell cosine chain can have diameter ~cell size, which a plain
     *    min-label loop would pay linearly;
     *  - no size-threshold broadcasts inside the loop: both loop frames
-    *    are |V|-sized and scale with the corpus. Shuffles are sized to
-    *    the LABEL table (4 partitions at fixture scale; at 100 TB the
-    *    label table is corpus-sized and stays at session width). */
+    *    are |V|-sized and scale with the corpus. Shuffle width follows
+    *    the DATA, never a pinned constant — the Wave55
+    *    graph_connected_components formula (~250k edge rows per
+    *    partition, floor 4): 4 partitions are right at fixture scale
+    *    and a straight parallelism cap at 100 TB. The edge count is a
+    *    cached-block scan of the already-checkpointed edge frame, not
+    *    a recompute. */
   private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
     val cp = org.apache.spark.sql.graftx.Bridge
@@ -108,12 +112,21 @@ object Wave64Ops extends QueryModule {
     val prevBc = s.conf.get(bcKey)
     val out = graft.Tmp.dir("graft_cc64")
     try {
-      s.conf.set(partsKey, "4")
       s.conf.set(bcKey, "-1")
       val e = cp(edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+      s.conf.set(partsKey,
+        math.max(4L, e.count() / 125000L).toString)
       var labels = cp(nodes.select(col("id"), col("id").as("comp")))
-      var total = labels.agg(sum("comp")).first().getLong(0)
+      // convergence certificate: exact DECIMAL(38,0) label sum —
+      // labels decrease monotonically so sum equality IS a fixed
+      // point, but a Long sum wraps past ~1e10 64-bit ids (false
+      // convergence / spurious non-convergence at corpus scale);
+      // 38 digits hold sum(2^63 · 1e10 rows) ≈ 9e28 with room
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
+      var total = labelSum(labels)
       var converged = false
       var iters = 0
       while (!converged && iters < 25) {
@@ -129,9 +142,9 @@ object Wave64Ops extends QueryModule {
             col("a.comp") === col("cid"), "left")
           .select(col("a.id").as("id"),
             coalesce(col("ccomp"), col("a.comp")).as("comp")))
-        val newTotal = next.agg(sum("comp")).first().getLong(0)
+        val newTotal = labelSum(next)
         labels = next
-        converged = newTotal == total
+        converged = newTotal.compareTo(total) == 0
         total = newTotal
         iters += 1
       }

@@ -338,16 +338,34 @@ object SnapTxn {
 
   /** Drop transaction history STRICTLY BEFORE `keepFromTx` — the legal
     * erasure point (SnapTable's documented GDPR split: the ACID erasure
-    * point is the pin move, the LEGAL one is this vacuum). Every tx
-    * record below `keepFromTx` is deleted, then every per-table version
-    * pinned ONLY by dropped records loses its manifest and its
-    * now-unreferenced data files — after which `readAt` of any
+    * point is the pin move, the LEGAL one is this vacuum). Every
+    * per-table version NOT pinned by a retained tx record loses its
+    * manifest and its now-unreferenced data files — deliberately
+    * broader than [[vacuumOrphans]]: pre-init/pre-register lineage
+    * (which vacuumOrphans preserves as legitimate history) is swept
+    * too, because under an ERASURE the subject's bytes may live
+    * anywhere below the keep point. Then the tx records below
+    * `keepFromTx` are deleted — after which `readAt` of any
     * pre-`keepFromTx` transaction fails (the chain is gone, not just
-    * hidden) and an erased subject's bytes are physically reclaimed.
+    * hidden) and the erased subject's bytes are physically reclaimed.
     * Retained transactions are untouched: versions they pin (including
     * ones ALSO pinned by dropped records — CoW carries files forward)
     * keep their manifests and files, so the current head reads
     * byte-identically before and after.
+    *
+    * CRASH IDEMPOTENCE: the physical sweep runs FIRST and the
+    * tx-record drop LAST. A crash anywhere in the sweep leaves the
+    * dropped records in place, so a re-run recomputes the same
+    * retained set and completes the reclaim (the reverse order would
+    * make the re-run return 0 immediately — dropped already empty —
+    * and strand the unswept tables' manifests and data at/below
+    * vacuumOrphans' init floor: a silent erasure failure). All
+    * deletes are deleteIfExists for the same reason.
+    *
+    * A SnapTable TAG pinning a to-be-swept version is refused loudly
+    * (keeping it would retain the erased subject's bytes; deleting
+    * under it would dangle the tag and abort the data vacuum) — the
+    * operator must [[SnapTable.dropTag]] first, an explicit act.
     *
     * MAINTENANCE op, single-writer like [[vacuumOrphans]] (which it
     * also subsumes for the dropped range). Returns tx records removed.
@@ -364,8 +382,25 @@ object SnapTxn {
     val keepPins: Map[String, Set[Int]] = retained
       .flatMap(v => load(txroot, v).pins.toSeq)
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
-    dropped.foreach(v => Files.delete(txPath(txroot, v)))
-    head(txroot).pins.keys.foreach { t =>
+    val tables = head(txroot).pins.keys.toSeq.sorted
+    // refuse EVERY offending tag across ALL tables up front, before
+    // the first byte is reclaimed — a mid-sweep refusal would leave a
+    // half-erased root for the operator to reason about
+    tables.foreach { t =>
+      val root = s"$txroot/$t"
+      val pinned = SnapTable.versions(root)
+        .filter(keepPins.getOrElse(t, Set.empty).contains)
+      val keep = (pinned ++
+        pinned.map(v => SnapTable.load(root, v).filesFrom)
+          .filter(_ > 0)).toSet
+      val offending = SnapTable.tags(root).filterNot(tv => keep(tv._2))
+      require(offending.isEmpty,
+        s"vacuumHistory: tag(s) ${offending.map(_._1).mkString(", ")} " +
+          s"pin pre-v$keepFromTx versions of '$t' — drop them first " +
+          "(a tag on an erased version would retain the subject's " +
+          "bytes)")
+    }
+    tables.foreach { t =>
       val root = s"$txroot/$t"
       // a retained filesRef manifest (a no-op rewrite commits by
       // reference) needs its depth-1 referent manifest to stay
@@ -379,12 +414,15 @@ object SnapTxn {
           .filter(_ > 0)).toSet
       SnapTable.versions(root).filterNot(keep.contains)
         .foreach(v =>
-          Files.delete(Paths.get(root, "_log", f"v$v%08d.json")))
+          Files.deleteIfExists(Paths.get(root, "_log", f"v$v%08d.json")))
       // retain every surviving manifest; reclaim data files referenced
       // by none of them (the erased subject's bytes go here)
       SnapTable.vacuum(root,
         retainVersions = SnapTable.versions(root).size)
     }
+    // LAST: the record drop — the re-run trigger stays armed until the
+    // physical reclaim has fully completed
+    dropped.foreach(v => Files.deleteIfExists(txPath(txroot, v)))
     dropped.size
   }
 

@@ -94,6 +94,53 @@ class TxnVacuumSpec extends AnyFunSuite {
       Set(1L, 3L))
   }
 
+  test("crash idempotence: a crash between the physical sweep and the " +
+      "tx-record drop re-arms the vacuum — the re-run completes the " +
+      "reclaim instead of returning 0") {
+    val txroot = freshIndex()
+    val preErase = SnapTxn.latestTx(txroot)
+    val eraseTx = erase(txroot, 3L)
+    // snapshot the doomed tx records, vacuum, then RESTORE them — the
+    // exact on-disk state of a crash immediately before the final
+    // record drop (the sweep completed, the records survived)
+    val doomed = (1 to preErase).map { v =>
+      val p = Paths.get(txroot, "_txlog", f"t$v%08d.json")
+      p -> Files.readAllBytes(p)
+    }
+    assert(SnapTxn.vacuumHistory(txroot, eraseTx) === preErase)
+    doomed.foreach { case (p, bytes) => Files.write(p, bytes) }
+    // the re-run must complete the erasure, not report nothing to do
+    assert(SnapTxn.vacuumHistory(txroot, eraseTx) === preErase)
+    (1 to preErase).foreach { v =>
+      intercept[Exception] {
+        SnapTxn.readAt(spark, txroot, "corpus", v).collect()
+      }
+    }
+    assert(!SnapTxn.read(spark, txroot, "corpus")
+      .collect().exists(_.getLong(0) == 3L))
+  }
+
+  test("a tag pinning a pre-erasure version is refused loudly; after " +
+      "dropTag the vacuum proceeds") {
+    val txroot = freshIndex()
+    // tag the PRE-erasure corpus head — the version the erase rewrites
+    SnapTable.createTag(s"$txroot/corpus", "audit2026")
+    val eraseTx = erase(txroot, 3L)
+    val ex = intercept[IllegalArgumentException] {
+      SnapTxn.vacuumHistory(txroot, eraseTx)
+    }
+    assert(ex.getMessage.contains("audit2026"))
+    // the refusal is pre-sweep: nothing was reclaimed, history intact
+    // (tx v3 is the batch-1 absorb — the subject doc 3 is visible there)
+    assert(SnapTxn.readAt(spark, txroot, "corpus", 3).collect()
+      .exists(_.getLong(0) == 3L))
+    SnapTable.dropTag(s"$txroot/corpus", "audit2026")
+    assert(SnapTxn.vacuumHistory(txroot, eraseTx) > 0)
+    intercept[Exception] {
+      SnapTxn.readAt(spark, txroot, "corpus", 3).collect()
+    }
+  }
+
   test("guards: an unknown keepFrom tx is refused; vacuuming at the " +
       "first tx is a no-op") {
     val txroot = freshIndex()
