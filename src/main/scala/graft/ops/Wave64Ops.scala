@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, QueryModule, T}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -204,35 +204,53 @@ object Wave64Ops extends QueryModule {
     * details. */
   private[graft] def prefixJaccardPairs(t4: DataFrame,
       block: Seq[String]): DataFrame = {
-    val pref = t4
-      .withColumn("plen",
+    val pref = prefixRows(t4, block)
+    val cand = pref.as("x")
+      .join(pref.as("y"),
+        prefixCondXY(block) && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardVerify(cand, t4.select("doc_id", "ts"))
+  }
+
+  /** Per-doc PREFIX rows `(doc_id, len, <block cols>, ptok)` — one row
+    * per token of the ⌊0.2·|ts|⌋+1 smallest-token prefix. The probe
+    * side AND the index side of the candidate rule (the live funnel
+    * persists these rows as its stage-4 index). */
+  private[graft] def prefixRows(t4: DataFrame,
+      block: Seq[String]): DataFrame =
+    t4.withColumn("plen",
         (floor(size(col("ts")) * 0.2) + 1).cast("int"))
       .select((col("doc_id") +: size(col("ts")).as("len") +:
         block.map(col) :+
         explode(expr("slice(ts, 1, plen)")).as("ptok")): _*)
-    // LENGTH filter (AllPairs): jacc >= 0.8 forces min|s| >= 0.8·max|s|
-    // — stated as 5·min >= 4·max in exact integers (a 0.8 double
-    // multiply can land one ulp above the true 4/5 boundary and drop a
-    // true pair)
-    val cond = (block.map(c => col(s"x.$c") === col(s"y.$c")) :+
+
+  /** The candidate join condition over two [[prefixRows]] frames
+    * aliased `x`/`y`: same block, shared prefix token, and the
+    * AllPairs LENGTH bound — jacc >= 0.8 forces min|s| >= 0.8·max|s|,
+    * stated as 5·min >= 4·max in exact integers (a 0.8 double multiply
+    * can land one ulp above the true 4/5 boundary and drop a true
+    * pair). Callers add their own id ordering/disjointness term. */
+  private[graft] def prefixCondXY(block: Seq[String]): Column =
+    (block.map(c => col(s"x.$c") === col(s"y.$c")) :+
       (col("x.ptok") === col("y.ptok")) :+
       (col("x.len") * 5 >= col("y.len") * 4) :+
-      (col("y.len") * 5 >= col("x.len") * 4) :+
-      (col("x.doc_id") < col("y.doc_id"))).reduce(_ && _)
-    val cand = pref.as("x").join(pref.as("y"), cond)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+      (col("y.len") * 5 >= col("x.len") * 4)).reduce(_ && _)
+
+  /** Exact token-set Jaccard >= 0.8 verification of candidate pairs
+    * `(a, b)` against per-doc sorted token sets `(doc_id, ts)`. */
+  private[graft] def jaccardVerify(cand: DataFrame,
+      sets: DataFrame): DataFrame =
     cand
-      .join(t4.select(col("doc_id").as("a"), col("ts").as("sa")),
+      .join(sets.select(col("doc_id").as("a"), col("ts").as("sa")),
         Seq("a"))
-      .join(t4.select(col("doc_id").as("b"), col("ts").as("sb")),
+      .join(sets.select(col("doc_id").as("b"), col("ts").as("sb")),
         Seq("b"))
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .filter(round(col("inter") / (size(col("sa")) + size(col("sb"))
         - col("inter")), 6) >= 0.8)
       .select("a", "b")
-  }
 
   /** Exact token-set Jaccard >= 0.8 match pairs `(a, b)`, a < b, on
     * the blocked en/src0+src1 slice — the oracle-replayable match
@@ -291,6 +309,19 @@ object Wave64Ops extends QueryModule {
       s4: DataFrame, c5: DataFrame, s5: DataFrame,
       unpersist: () => Unit)
 
+  /** The funnel's stage-2 quality score over a `toks` column (split
+    * text) and `n_chars` — text_quality's exact expression, shared by
+    * the batch funnel and the live cadence so the gate cannot drift. */
+  private[graft] def qualityScore: Column = {
+    val nToks = size(col("toks")).cast("double")
+    round(
+      lit(0.5) * (size(array_distinct(col("toks"))) / nToks) +
+        lit(0.3) * (lit(1.0) -
+          size(expr("filter(toks, t -> t = 'the' OR t = 'a')")) /
+            nToks) +
+        lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6)
+  }
+
   private[ops] def funnelStages(s: SparkSession, dir: String): Funnel = {
     // stage 4's COMPLETE candidate rule (prefix filter + exact verify —
     // required for oracle equality) is collision-bounded, not
@@ -312,14 +343,7 @@ object Wave64Ops extends QueryModule {
     // stage 2 — quality gate (text_quality's exact expression)
     val s2 = s1
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_toks", size(col("toks")).cast("double"))
-      .withColumn("q", round(
-        lit(0.5) * (size(array_distinct(col("toks"))) /
-          col("n_toks")) +
-          lit(0.3) * (lit(1.0) -
-            size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
-              / col("n_toks")) +
-          lit(0.2) * least(col("n_chars") / 500.0, lit(1.0)), 6))
+      .withColumn("q", qualityScore)
       .filter(col("q") >= 0.5)
       .select("doc_id", "lang", "source", "text", "toks")
     // stage 3 — exact dedup: keeper = min doc_id per content
@@ -550,6 +574,40 @@ object Wave64Ops extends QueryModule {
           "GROUP BY src), " +
           "s5 AS (SELECT s4.* FROM s4 WHERE doc_id NOT IN " +
           "(SELECT vid FROM c5 WHERE vid <> comp))"
+
+  /** The row-level funnel-ledger oracle — the FULL batch funnel
+    * replayed in SQL down to per-doc (dropped_at, reason, kept_by).
+    * Shared by the batch ledger op and the LIVE cadence
+    * (pipe_curation_live): the live changelog, collapsed to its latest
+    * row per doc, must equal the batch decision exactly — the
+    * equality that proves the incremental maintenance. */
+  private[ops] def ledgerOracleSql: String =
+    "WITH RECURSIVE " + funnelChainSql + ", " +
+      "kb3 AS (SELECT f.doc_id, k.kd FROM fpt f JOIN " +
+      "(SELECT fp, min(doc_id) AS kd FROM fpt GROUP BY fp) k " +
+      "ON f.fp = k.fp), " +
+      "led AS (SELECT d0.doc_id, " +
+      "CASE WHEN l1.doc_id IS NULL THEN 1 " +
+      "WHEN l2.doc_id IS NULL THEN 2 " +
+      "WHEN l3.doc_id IS NULL THEN 3 " +
+      "WHEN l4.doc_id IS NULL THEN 4 " +
+      "WHEN l5.doc_id IS NULL THEN 5 ELSE 0 END AS st FROM d0 " +
+      "LEFT JOIN (SELECT doc_id FROM s1) l1 USING (doc_id) " +
+      "LEFT JOIN (SELECT doc_id FROM s2) l2 USING (doc_id) " +
+      "LEFT JOIN (SELECT doc_id FROM s3) l3 USING (doc_id) " +
+      "LEFT JOIN (SELECT doc_id FROM s4) l4 USING (doc_id) " +
+      "LEFT JOIN (SELECT doc_id FROM s5) l5 USING (doc_id)) " +
+      "SELECT led.doc_id, CAST(st AS BIGINT) AS dropped_at, " +
+      "CASE st WHEN 0 THEN 'survived' WHEN 1 THEN 'lang_mismatch' " +
+      "WHEN 2 THEN 'low_quality' WHEN 3 THEN 'exact_dup' " +
+      "WHEN 4 THEN 'near_dup' ELSE 'sem_dup' END AS reason, " +
+      "CAST(CASE st WHEN 3 THEN kb3.kd WHEN 4 THEN c4.comp " +
+      "WHEN 5 THEN c5.comp ELSE NULL END AS BIGINT) AS kept_by " +
+      "FROM led " +
+      "LEFT JOIN kb3 ON led.doc_id = kb3.doc_id " +
+      "LEFT JOIN c4 ON led.doc_id = c4.doc_id " +
+      "LEFT JOIN c5 ON led.doc_id = c5.vid " +
+      "ORDER BY led.doc_id"
 
   def queries: Seq[Q] = Seq(
     Q(
@@ -798,33 +856,7 @@ object Wave64Ops extends QueryModule {
         ledgerTable(s, dir)
           .select("doc_id", "dropped_at", "reason", "kept_by")
           .orderBy("doc_id"),
-      Some(
-        "WITH RECURSIVE " + funnelChainSql + ", " +
-          "kb3 AS (SELECT f.doc_id, k.kd FROM fpt f JOIN " +
-          "(SELECT fp, min(doc_id) AS kd FROM fpt GROUP BY fp) k " +
-          "ON f.fp = k.fp), " +
-          "led AS (SELECT d0.doc_id, " +
-          "CASE WHEN l1.doc_id IS NULL THEN 1 " +
-          "WHEN l2.doc_id IS NULL THEN 2 " +
-          "WHEN l3.doc_id IS NULL THEN 3 " +
-          "WHEN l4.doc_id IS NULL THEN 4 " +
-          "WHEN l5.doc_id IS NULL THEN 5 ELSE 0 END AS st FROM d0 " +
-          "LEFT JOIN (SELECT doc_id FROM s1) l1 USING (doc_id) " +
-          "LEFT JOIN (SELECT doc_id FROM s2) l2 USING (doc_id) " +
-          "LEFT JOIN (SELECT doc_id FROM s3) l3 USING (doc_id) " +
-          "LEFT JOIN (SELECT doc_id FROM s4) l4 USING (doc_id) " +
-          "LEFT JOIN (SELECT doc_id FROM s5) l5 USING (doc_id)) " +
-          "SELECT led.doc_id, CAST(st AS BIGINT) AS dropped_at, " +
-          "CASE st WHEN 0 THEN 'survived' WHEN 1 THEN 'lang_mismatch' " +
-          "WHEN 2 THEN 'low_quality' WHEN 3 THEN 'exact_dup' " +
-          "WHEN 4 THEN 'near_dup' ELSE 'sem_dup' END AS reason, " +
-          "CAST(CASE st WHEN 3 THEN kb3.kd WHEN 4 THEN c4.comp " +
-          "WHEN 5 THEN c5.comp ELSE NULL END AS BIGINT) AS kept_by " +
-          "FROM led " +
-          "LEFT JOIN kb3 ON led.doc_id = kb3.doc_id " +
-          "LEFT JOIN c4 ON led.doc_id = c4.doc_id " +
-          "LEFT JOIN c5 ON led.doc_id = c5.vid " +
-          "ORDER BY led.doc_id")
+      Some(ledgerOracleSql)
     ),
     Q(
       "dedup_crossmodal_incr",

@@ -1,0 +1,425 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T, Tmp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Round-14 wave 65: the curation funnel as a LIVE cadence
+  * (VERDICT-r13 task #1 / SURVEY §17.2 #1) — documents LAND as
+  * SnapTable commits and every funnel decision is made per micro-batch
+  * under ONE SnapTxn commit, such that after all waves absorb, the
+  * collapsed per-doc decision changelog EQUALS the batch
+  * `pipe_curation_ledger` exactly (the shared ledgerOracleSql replays
+  * it — the equality that PROVES the incremental maintenance rather
+  * than asserting it).
+  *
+  * Why decisions must be a CHANGELOG, not a write-once log: later
+  * arrivals legitimately change earlier verdicts —
+  *  - a new doc can bridge two stage-4 near-dup components, so a doc
+  *    that was its component's min (a survivor) is merged under a
+  *    smaller min and flips to `near_dup`;
+  *  - that flip REMOVES the doc from the stage-5 semdedup graph, so a
+  *    doc that had been semdedup'd INTO it can flip back to
+  *    `survived` (its component re-splits around the removal).
+  * The ledger is therefore an append-only (wave, doc_id, decision)
+  * changelog under SnapTxn; serving collapses to the latest wave per
+  * doc. Exactly the maintenance discipline `dedup_crossmodal_incr`
+  * proved for one CC table, extended to the full five-stage funnel
+  * with DELETIONS at stage 5.
+  *
+  * ARRIVAL CONTRACT (enforced per batch, loudly): doc_ids arrive in
+  * strictly ascending order — the production shape where ingest
+  * assigns monotone ids, so arrival order IS id order. This is what
+  * makes the incremental state MONOTONE where it must be: the
+  * stage-3 keeper (min doc_id per fingerprint) is always the FIRST
+  * arrival, so keepers are never demoted and the stage-4 node set
+  * only grows; stage-4 labels only decrease (merges), so stage-4
+  * survivorship only flips one way (survivor → near_dup) and the
+  * stage-5 graph sees additions plus those removals — never
+  * re-entries. Out-of-order ids would need keeper demotion (a
+  * cascading re-run of stages 3-5 for the demoted doc's cohort) —
+  * refused, not silently mis-decided.
+  *
+  * Per-batch cost (the 100-TB argument):
+  *  - gates are row-local (O(batch));
+  *  - stage 3 probes the fingerprint index on fp (O(batch + hits));
+  *  - stage 4 probes the PREFIX index with the complete
+  *    PPJoin/AllPairs candidate rule (prefix-collision-bounded, the
+  *    measured e≈0.71 path) and runs CC over the STAR-COMPRESSED
+  *    reduced graph — new edges plus one id→comp link per labeled
+  *    doc, the dedup_crossmodal_incr discipline (per-absorb rounds
+  *    track the NEW edges' diameter, never the corpus's);
+  *  - stage 5 is delta-CC WITH DELETIONS: only components touched by
+  *    a new edge or a removed member are recomputed, from their
+  *    cell-bounded edges re-derived inside the affected (cell, scell)
+  *    buckets — untouched components keep their labels. Closure
+  *    argument: an edge never crosses two components, so every node
+  *    whose label can change lies in an affected component.
+  *  - the label/ledger collapses read O(corpus-so-far) rows per
+  *    batch — same accepted cost as dedup_crossmodal_incr's pinned
+  *    label read; at 100 TB these live as SnapTables keyed by doc
+  *    (merge-on-read) and the collapse is the standard changelog
+  *    compaction the maintenance cadence (`table_txn_compact`)
+  *    already owns.
+  * All seven state tables commit in ONE SnapTxn per micro-batch with
+  * the batch id in the note — idempotent replay, restart durability,
+  * and a crash mid-absorb leaves only unpinned orphans (readers stay
+  * on the prior consistent decision set). Wave65Spec forces the
+  * decision-flip paths on a purpose-built fixture and pins
+  * replay/restart; the graded op runs the landing-table transport
+  * (SnapTable commits → `snapstream` feed) at fixture scale.
+  *
+  * The stage-4 candidate rule here is the COMPLETE deterministic
+  * prefix filter (required for oracle equality; Guard.quadratic-fenced
+  * like every exactness twin). The unfenced production swap is
+  * IncNeardup's banded MinHash probe behind the same verify — the
+  * measured e=0.26 path — at the price of the completeness guarantee
+  * the oracle needs.
+  */
+object Wave65Ops extends QueryModule {
+
+  /** The transactional live-funnel cadence, factored out of the
+    * streaming sink so specs (and a restarted query) drive it
+    * directly. State tables (one txroot, pinned together):
+    *  - ledger(wave, doc_id, dropped_at, reason, kept_by, n_toks) —
+    *    the decision changelog (the graded artifact);
+    *  - fps(fp, keeper) — stage-3 fingerprint index;
+    *  - pref(doc_id, len, lang, source, ptok) + ts4(doc_id, ts) —
+    *    stage-4 prefix index + token sets of s3 survivors;
+    *  - labels4(wave, id, comp) — stage-4 CC label changelog over ALL
+    *    s3 survivors;
+    *  - labels5(wave, id, comp) — stage-5 CC label changelog over
+    *    ever-members (rows of removed members go stale and are
+    *    masked by the membership semi-join at read);
+    *  - vecidx(vec_id, cell, scell, g) — routed vectors of every doc
+    *    that ever entered the stage-5 graph (append-only; membership
+    *    is labels4-derived at read).
+    */
+  object LiveFunnel {
+    import graft.sources.{SnapTable, SnapTxn}
+
+    val Tables: Seq[String] =
+      Seq("ledger", "fps", "pref", "ts4", "labels4", "labels5",
+        "vecidx")
+
+    private val Block = Seq("lang", "source")
+
+    private def latestBy(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("wave").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    /** DDL-first setup from a ZERO-ROW landing frame
+      * `(doc_id, lang, source, text, n_chars, g)` — plan-only, no
+      * jobs. `g` is the grid-quantized vector (null = no vector). */
+    def setup(s: SparkSession, txroot: String, landing0: DataFrame,
+        route: DataFrame => DataFrame): Unit = {
+      val led = StructType(Seq(
+        StructField("wave", LongType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("dropped_at", LongType),
+        StructField("reason", StringType),
+        StructField("kept_by", LongType),
+        StructField("n_toks", LongType)))
+      SnapTable.createEmpty(s"$txroot/ledger", led, "doc_id")
+      SnapTable.createEmpty(s"$txroot/fps", StructType(Seq(
+        StructField("fp", StringType),
+        StructField("keeper", LongType))), "keeper")
+      val t40 = landing0.select(col("doc_id"), col("lang"),
+        col("source"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      SnapTable.createEmpty(s"$txroot/pref",
+        Wave64Ops.prefixRows(t40, Block).schema, "doc_id")
+      SnapTable.createEmpty(s"$txroot/ts4",
+        t40.select("doc_id", "ts").schema, "doc_id")
+      val lbl = StructType(Seq(
+        StructField("wave", LongType, nullable = false),
+        StructField("id", LongType),
+        StructField("comp", LongType)))
+      SnapTable.createEmpty(s"$txroot/labels4", lbl, "id")
+      SnapTable.createEmpty(s"$txroot/labels5", lbl, "id")
+      SnapTable.createEmpty(s"$txroot/vecidx",
+        route(landing0.filter(col("g").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("g"))).schema,
+        "vec_id", spec = Seq("cell"))
+      SnapTxn.init(txroot, Tables)
+    }
+
+    /** One micro-batch: gates → fingerprint probe → prefix-index probe
+      * + star-compressed CC → affected-component delta-CC → decision
+      * diff — all seven tables absorbed in ONE transaction. Idempotent
+      * (a replayed batch id is a no-op, -1). Returns ledger delta
+      * rows. */
+    def ingest(s: SparkSession, txroot: String, batch: DataFrame,
+        batchId: Long, route: DataFrame => DataFrame): Long = {
+      if (SnapTxn.batchAbsorbed(txroot, batchId)) return -1L
+      val w = lit(batchId).as("wave")
+      val nullL = lit(null).cast("long")
+      val cache = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      def p(df: DataFrame): DataFrame = { cache += df.persist(); df }
+      try {
+        val prevLedger = latestBy(SnapTxn.read(s, txroot, "ledger"),
+          "doc_id")
+        val b0 = p(batch
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text"), col("n_chars"), col("g"))
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_toks", size(col("toks")).cast("long")))
+        // ARRIVAL CONTRACT: strictly ascending ids (see object doc)
+        val minNew = b0.agg(coalesce(min("doc_id"),
+          lit(Long.MaxValue))).first().getLong(0)
+        val maxOld = prevLedger.agg(coalesce(max("doc_id"),
+          lit(Long.MinValue))).first().getLong(0)
+        require(minNew > maxOld,
+          s"pipe_curation_live: batch $batchId min doc_id $minNew " +
+            s"is not above the absorbed max $maxOld — ids must " +
+            "arrive in ascending order (ingest-assigned); an " +
+            "out-of-order id would demote an already-published " +
+            "stage-3 keeper")
+        // stages 1-2: row-local gates
+        val s1B = b0.filter(TextOps.langIdExpr(col("text")) ===
+          col("lang"))
+        val s2B = s1B.filter(Wave64Ops.qualityScore >= 0.5)
+        // stage 3: fingerprint-index probe; keeper = first arrival
+        val fpB = s2B.withColumn("fp", md5(concat_ws(" ",
+          array_sort(array_distinct(col("toks"))))))
+        val fpJ = p(fpB.join(
+          SnapTxn.read(s, txroot, "fps")
+            .withColumnRenamed("keeper", "old_keeper"),
+          Seq("fp"), "left"))
+        val newFp = fpJ.filter(col("old_keeper").isNull)
+        val keeperB = p(newFp.groupBy("fp")
+          .agg(min("doc_id").as("keeper")))
+        val s3B = p(newFp.join(keeperB, Seq("fp"))
+          .filter(col("doc_id") === col("keeper")))
+        // stage 4: complete prefix-candidate probe (index + in-batch)
+        val t4B = p(s3B.select(col("doc_id"), col("lang"),
+          col("source"),
+          array_sort(array_distinct(col("toks"))).as("ts")))
+        val prefB = p(Wave64Ops.prefixRows(t4B, Block))
+        val cond = Wave64Ops.prefixCondXY(Block)
+        val candNewOld = prefB.as("x")
+          .join(SnapTxn.read(s, txroot, "pref").as("y"), cond)
+          .select(col("y.doc_id").as("a"), col("x.doc_id").as("b"))
+        val candNewNew = prefB.as("x")
+          .join(prefB.as("y"),
+            cond && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        val newEdges4 = Wave64Ops.jaccardVerify(
+          candNewOld.union(candNewNew).distinct(),
+          SnapTxn.read(s, txroot, "ts4")
+            .unionByName(t4B.select("doc_id", "ts")))
+        // star-compressed incremental CC (dedup_crossmodal_incr)
+        val prevL4 = p(latestBy(SnapTxn.read(s, txroot, "labels4"),
+          "id").select("id", "comp"))
+        val links4 = prevL4.filter(col("id") =!= col("comp"))
+          .select(col("id").as("a"), col("comp").as("b"))
+        val newL4 = p(Wave64Ops.ccMinLabel(s,
+          prevL4.select("id")
+            .union(s3B.select(col("doc_id").as("id"))),
+          newEdges4.union(links4),
+          s"pipe_curation_live:near:b$batchId"))
+        val l4Delta = p(newL4
+          .join(prevL4.withColumnRenamed("comp", "pcomp"), Seq("id"),
+            "left")
+          .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
+          .select(w, col("id"), col("comp")))
+        // stage 5: delta-CC with deletions over affected components
+        val s4Now = p(newL4.filter(col("id") === col("comp"))
+          .select("id"))
+        val s4Prev = prevL4.filter(col("id") === col("comp"))
+          .select("id")
+        val removed = p(s4Prev.join(s4Now, Seq("id"), "left_anti"))
+        val addedIds = s4Now.join(s4Prev, Seq("id"), "left_anti")
+        val addedRouted = p(route(
+          b0.filter(col("g").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("g"))
+            .join(addedIds.withColumnRenamed("id", "vec_id"),
+              Seq("vec_id"), "left_semi")))
+        val vecAll = p(SnapTxn.read(s, txroot, "vecidx")
+          .unionByName(addedRouted))
+        val memRouted = p(vecAll.join(
+          s4Now.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left_semi"))
+        val prevM5 = p(latestBy(SnapTxn.read(s, txroot, "labels5"),
+          "id").select("id", "comp")
+          .join(s4Prev, Seq("id"), "left_semi")
+          .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
+            "left_semi"))
+        val newEdges5 = p(Wave62Ops.VecStreamIndex
+          .probeHits(addedRouted, memRouted)
+          .filter(col("vec_a") =!= col("vec_b"))
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+          .distinct())
+        val affected = newEdges5.select(col("a").as("id"))
+          .union(newEdges5.select(col("b").as("id")))
+          .union(removed)
+          .join(prevM5, Seq("id"))
+          .select("comp").distinct()
+        val subOld = prevM5
+          .join(affected, Seq("comp"), "left_semi")
+          .join(removed, Seq("id"), "left_anti")
+          .select("id")
+        val subNodes = p(subOld
+          .union(addedRouted.select(col("vec_id").as("id"))))
+        val subRouted = p(vecAll.join(
+          subNodes.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left_semi"))
+        val newSubL5 = p(Wave64Ops.ccMinLabel(s, subNodes,
+          Wave64Ops.semPairs(subRouted),
+          s"pipe_curation_live:sem:b$batchId"))
+        val l5Delta = p(newSubL5
+          .join(prevM5.withColumnRenamed("comp", "pcomp"), Seq("id"),
+            "left")
+          .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
+          .select(w, col("id"), col("comp")))
+        val comp5Now = prevM5
+          .join(subNodes, Seq("id"), "left_anti")
+          .join(removed, Seq("id"), "left_anti")
+          .union(newSubL5)
+        // decisions for every s3 survivor whose verdict can have moved
+        val oldCand = l4Delta.select("id")
+          .union(subOld)
+          .join(b0.select(col("doc_id").as("id")), Seq("id"),
+            "left_anti")
+          .distinct()
+          .join(prevLedger.withColumnRenamed("doc_id", "id")
+            .select("id", "n_toks"), Seq("id"))
+          .withColumn("is_new", lit(false))
+        val targets = s3B
+          .select(col("doc_id").as("id"), col("n_toks"))
+          .withColumn("is_new", lit(true))
+          .unionByName(oldCand)
+        val dec = targets
+          .join(newL4.withColumnRenamed("comp", "c4"), Seq("id"))
+          .join(comp5Now.withColumnRenamed("comp", "c5"), Seq("id"),
+            "left")
+          .select(col("id").as("doc_id"), col("n_toks"),
+            col("is_new"),
+            when(col("c4") =!= col("id"), lit(4L))
+              .when(col("c5").isNotNull && col("c5") =!= col("id"),
+                lit(5L))
+              .otherwise(lit(0L)).as("dropped_at"),
+            when(col("c4") =!= col("id"), col("c4"))
+              .when(col("c5").isNotNull && col("c5") =!= col("id"),
+                col("c5"))
+              .otherwise(nullL).as("kept_by"))
+          .withColumn("reason",
+            when(col("dropped_at") === 4L, "near_dup")
+              .when(col("dropped_at") === 5L, "sem_dup")
+              .otherwise("survived"))
+        val decP = p(dec)
+        def ledgerRow(df: DataFrame, stage: Long, why: String,
+            keptBy: org.apache.spark.sql.Column): DataFrame =
+          df.select(w, col("doc_id"), lit(stage).as("dropped_at"),
+            lit(why).as("reason"), keptBy.as("kept_by"),
+            col("n_toks"))
+        val ledgerDelta =
+          ledgerRow(b0.filter(!(TextOps.langIdExpr(col("text")) ===
+            col("lang"))), 1L, "lang_mismatch", nullL)
+          .unionByName(ledgerRow(
+            s1B.filter(!(Wave64Ops.qualityScore >= 0.5)), 2L,
+            "low_quality", nullL))
+          .unionByName(ledgerRow(
+            fpJ.filter(col("old_keeper").isNotNull), 3L, "exact_dup",
+            col("old_keeper")))
+          .unionByName(ledgerRow(
+            newFp.join(keeperB, Seq("fp"))
+              .filter(col("doc_id") =!= col("keeper")), 3L,
+            "exact_dup", col("keeper")))
+          .unionByName(decP.filter(col("is_new"))
+            .select(w, col("doc_id"), col("dropped_at"),
+              col("reason"), col("kept_by"), col("n_toks")))
+          .unionByName(decP.filter(!col("is_new"))
+            .join(prevLedger.select(col("doc_id"),
+              col("dropped_at").as("pd"), col("kept_by").as("pk")),
+              Seq("doc_id"))
+            .filter(!(col("dropped_at") <=> col("pd")) ||
+              !(col("kept_by") <=> col("pk")))
+            .select(w, col("doc_id"), col("dropped_at"),
+              col("reason"), col("kept_by"), col("n_toks")))
+        val ledgerP = p(ledgerDelta)
+        val n = ledgerP.count()
+        SnapTxn.commit(s, txroot, Seq(
+          "ledger" -> ledgerP,
+          "fps" -> keeperB,
+          "pref" -> prefB.toDF(),
+          "ts4" -> t4B.select("doc_id", "ts"),
+          "labels4" -> l4Delta,
+          "labels5" -> l5Delta,
+          "vecidx" -> addedRouted.toDF()),
+          note = SnapTxn.batchNote(batchId))
+        n
+      } finally cache.foreach(_.unpersist(blocking = false))
+    }
+
+    /** The decision set as of the current pin: the changelog collapsed
+      * to its latest row per doc. */
+    def serve(s: SparkSession, txroot: String): DataFrame =
+      latestBy(SnapTxn.read(s, txroot, "ledger"), "doc_id")
+        .select("doc_id", "dropped_at", "reason", "kept_by")
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "pipe_curation_live",
+      (s, dir) => {
+        import graft.sources.SnapTable
+        // same exactness fence as the batch funnel: the complete
+        // stage-4 candidate rule is collision-bounded, not
+        // bucket-bounded (the banded-MinHash production swap is the
+        // unfenced path)
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "pipe_curation_live stage-4 exact near-dedup")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text"), col("n_chars"))
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        // docs and their (grid-quantized) vectors LAND TOGETHER —
+        // the landing table is the production contract; zero-norm
+        // vectors are already excluded from `gridded` (no cosine)
+        val landingDf = docs.join(
+          gridded.withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left")
+        val landing = Tmp.dir("graft_livefunnel_landing")
+        val txroot = Tmp.dir("graft_livefunnel_tx")
+        val ckpt = Tmp.dir("graft_livefunnel_ckpt")
+        LiveFunnel.setup(s, txroot, landingDf.limit(0), route)
+        def drain(): Unit = {
+          val q = s.readStream.format("snapstream").load(landing)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              LiveFunnel.ingest(s, txroot, b, id, route); ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // three ascending-id waves through one checkpoint — commit k
+        // IS micro-batch k (the stream_cdc_index transport)
+        val maxId = docs.agg(max("doc_id")).first().getLong(0)
+        val (c1, c2) = ((maxId + 1) / 3, 2 * (maxId + 1) / 3)
+        SnapTable.create(s, landing,
+          landingDf.filter(col("doc_id") < c1), "doc_id")
+        drain()
+        SnapTable.append(s, landing,
+          landingDf.filter(col("doc_id") >= c1 &&
+            col("doc_id") < c2))
+        drain()
+        SnapTable.append(s, landing,
+          landingDf.filter(col("doc_id") >= c2))
+        drain()
+        LiveFunnel.serve(s, txroot).orderBy("doc_id")
+      },
+      // the BATCH ledger oracle, verbatim: the collapsed live
+      // changelog must equal the from-scratch funnel decision —
+      // transport and incrementality must not change the result
+      Some(Wave64Ops.ledgerOracleSql)
+    )
+  )
+}

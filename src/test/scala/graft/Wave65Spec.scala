@@ -1,0 +1,149 @@
+package graft
+
+import graft.ops.Wave65Ops.LiveFunnel
+import graft.ops.Wave62Ops
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the LIVE curation funnel (pipe_curation_live) on a
+  * purpose-built fixture that FORCES the decision-flip paths the real
+  * fixture may never exercise:
+  *
+  *  - wave 1's doc 50 bridges the stage-4 components {10} and {20}
+  *    (J(50,10) = J(50,20) = 40/48 >= 0.8 while J(10,20) = 32/48 <
+  *    0.8), so doc 20 — a wave-0 SURVIVOR — flips to near_dup(10);
+  *  - that flip REMOVES doc 20 from the stage-5 graph, where wave 0
+  *    had semdedup'd doc 30 into it (same IVF cell, cos ≈ 1), so doc
+  *    30 flips BACK from sem_dup(20) to survived — the
+  *    delta-CC-with-deletions path;
+  *  - doc 41 exact-dups doc 20 ACROSS waves (same token set, shuffled
+  *    order + a duplicate token — the fingerprint is multiset- and
+  *    order-insensitive), probing the fingerprint index;
+  *  - docs 11/12 pin the row-local gates (lang mismatch / low
+  *    quality).
+  *
+  * Also pinned: idempotent replay (same batch id → no-op), the
+  * ascending-id arrival guard, changelog row arithmetic (flipped docs
+  * have exactly two ledger rows), and the headline equality — the
+  * collapsed live ledger EQUALS the batch pipe_curation_ledger on the
+  * same fixture dir (the equality the driver's shared oracle replays
+  * at the graded SFs).
+  */
+class Wave65Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // token sets: A (32 toks incl. the 4 en stopwords), B, C (8 each)
+  private val A = Seq("the", "and", "of", "to") ++
+    (0 until 28).map(i => f"a$i%02d")
+  private val B = (0 until 8).map(i => f"b$i%02d")
+  private val C = (0 until 8).map(i => f"c$i%02d")
+
+  private lazy val dir: String = {
+    val d = Tmp.dir("wave65_fixture")
+    val docs = Seq(
+      (10L, "en", "src0", (A ++ B).mkString(" ")),
+      (11L, "en", "src0",
+        "der die das und ist ein mit für nicht immer wieder gern"),
+      (12L, "en", "src0", Seq.fill(40)("zz").mkString(" ")),
+      (20L, "en", "src0", (A ++ C).mkString(" ")),
+      (30L, "en", "src0",
+        (Seq("the", "and", "of", "to") ++
+          (0 until 36).map(i => f"e$i%02d")).mkString(" ")),
+      (40L, "en", "src0", (0 until 40).map(i => f"d$i%02d")
+        .mkString(" ")),
+      // exact dup of 20: shuffled order plus a repeated token
+      (41L, "en", "src0",
+        ((A ++ C).reverse ++ Seq("c00")).mkString(" ")),
+      (50L, "en", "src0", (A ++ B ++ C).mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // ids 0-2 are the frozen coarse centroids (vec_id < k = ceil(√6));
+    // 20 and 30 share cell 1 at cos ≈ 1; 10 sits alone in cell 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)),
+      (10L, Array(0.9f, 0.05f, 0f, 0f)),
+      (20L, Array(0f, 0.95f, 0.1f, 0f)),
+      (30L, Array(0f, 0.93f, 0.12f, 0f)))
+      .toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def landing(): (DataFrame, DataFrame => DataFrame) = {
+    val (route, gridded, _) = Wave62Ops.semdedupGeometry(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    (docs.join(gridded.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left"), route)
+  }
+
+  private def decisions(df: DataFrame): Map[Long, (Long, String, Option[Long])] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+
+  test("live funnel: wave-0 decisions, then wave 1 flips a stage-4 " +
+      "survivor to near_dup AND flips its semdedup'd victim back to " +
+      "survived; cross-wave exact-dup probe; replay no-op; ascending " +
+      "guard; collapsed ledger equals the batch ledger") {
+    val (land, route) = landing()
+    val txroot = Tmp.dir("wave65_tx")
+    LiveFunnel.setup(spark, txroot, land.limit(0), route)
+
+    // wave 0: ids <= 40
+    val n0 = LiveFunnel.ingest(spark, txroot,
+      land.filter($"doc_id" <= 40L), 0L, route)
+    assert(n0 === 6L) // one decision row per landed doc
+    val d0 = decisions(LiveFunnel.serve(spark, txroot))
+    assert(d0(10L) === ((0L, "survived", None)))
+    assert(d0(11L) === ((1L, "lang_mismatch", None)))
+    assert(d0(12L) === ((2L, "low_quality", None)))
+    assert(d0(20L) === ((0L, "survived", None)))
+    assert(d0(30L) === ((5L, "sem_dup", Some(20L))))
+    assert(d0(40L) === ((0L, "survived", None)))
+
+    // wave 1: ids > 40 — the bridge doc and the cross-wave exact dup
+    LiveFunnel.ingest(spark, txroot,
+      land.filter($"doc_id" > 40L), 1L, route)
+    val d1 = decisions(LiveFunnel.serve(spark, txroot))
+    assert(d1(20L) === ((4L, "near_dup", Some(10L))),
+      "doc 20 must flip survived -> near_dup when doc 50 bridges")
+    assert(d1(30L) === ((0L, "survived", None)),
+      "doc 30 must flip sem_dup -> survived when its keeper leaves " +
+        "the stage-5 graph")
+    assert(d1(41L) === ((3L, "exact_dup", Some(20L))))
+    assert(d1(50L) === ((4L, "near_dup", Some(10L))))
+    assert(d1(10L) === ((0L, "survived", None)))
+    assert(d1(40L) === ((0L, "survived", None)))
+
+    // changelog arithmetic: exactly the two flipped docs re-decided
+    val rows = graft.sources.SnapTxn.read(spark, txroot, "ledger")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(20L) === 2L && rows(30L) === 2L)
+    assert(rows(10L) === 1L && rows(40L) === 1L && rows(50L) === 1L)
+
+    // idempotent replay: the same batch id is a no-op
+    assert(LiveFunnel.ingest(spark, txroot,
+      land.filter($"doc_id" > 40L), 1L, route) === -1L)
+    assert(decisions(LiveFunnel.serve(spark, txroot)) === d1)
+
+    // ascending-id arrival contract is enforced, loudly
+    val ex = intercept[IllegalArgumentException] {
+      LiveFunnel.ingest(spark, txroot,
+        land.filter($"doc_id" === 12L), 2L, route)
+    }
+    assert(ex.getMessage.contains("ascending"))
+
+    // the headline equality: collapsed live ledger == batch ledger
+    val live = LiveFunnel.serve(spark, txroot)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = SparkEntry.queries("pipe_curation_ledger")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(live.toSeq === batch.toSeq)
+  }
+}
