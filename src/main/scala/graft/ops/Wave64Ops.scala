@@ -258,7 +258,7 @@ object Wave64Ops extends QueryModule {
     * set; the production path feeds the same table from banded
     * MinHash + exact verify). Candidates via [[prefixJaccardPairs]]
     * (result-identical to all-pairs, prefix-collision-bounded cost). */
-  private def lexPairs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def lexPairs(s: SparkSession, dir: String): DataFrame =
     prefixJaccardPairs(
       T(s, dir, "documents")
         .filter(col("lang") === "en" &&
@@ -271,7 +271,7 @@ object Wave64Ops extends QueryModule {
     * sorted distinct tokset), `tpr` (prefix explode), `tcd`
     * (candidates), `lp` (verified pairs) — one definition for the two
     * crossmodal oracles. */
-  private def lexPrefixSql: String =
+  private[ops] def lexPrefixSql: String =
     "t AS (SELECT doc_id, " +
       "list_sort(list_distinct(string_split(text, ' '))) AS ts " +
       "FROM documents WHERE lang = 'en' " +
@@ -290,7 +290,7 @@ object Wave64Ops extends QueryModule {
       "6) >= 0.8), "
 
   /** The grid-cosine pair predicate, oracle side (DuckDB). */
-  private def gridCosSql(u: String, v: String): String =
+  private[ops] def gridCosSql(u: String, v: String): String =
     s"round(list_sum(list_transform(list_zip($u.g, $v.g), " +
       "p -> p[1] * p[2])) / sqrt(" +
       s"CAST(list_sum(list_transform($u.g, x -> x * x)) AS DOUBLE) * " +

@@ -420,6 +420,114 @@ object Wave65Ops extends QueryModule {
       // changelog must equal the from-scratch funnel decision —
       // transport and incrementality must not change the result
       Some(Wave64Ops.ledgerOracleSql)
+    ),
+    Q(
+      "dedup_crossmodal_serve",
+      // survivor-set FRESHNESS across pin moves (VERDICT-r13 task #3):
+      // the hybrid_index_serve_incr story applied to the crossmodal
+      // DEDUP decision. Wave 0 (even ids, even-even edges) commits its
+      // labels; the survivor set is served from pin 1; wave 1 absorbs
+      // through the dedup_crossmodal_incr cadence (star-compressed
+      // reduced graph, changed labels only); the survivor set is
+      // re-served from pin 2. The p2 block must reflect exactly the
+      // new pin (read-your-writes for the DEDUP decision) while the
+      // p1 block — a plan built against pin 1 and EXECUTED AFTER the
+      // wave-1 commit (the union materializes both at the end) —
+      // still reproduces pin 1: version-pinned reads resolve
+      // manifests eagerly, so a held reader never sees the head move.
+      // Oracle: the recursive reachability chain instantiated per pin
+      // (even subgraph for p1, full graph for p2). Wave65Spec pins
+      // the held-reader re-read explicitly.
+      (s, dir) => {
+        import graft.sources.{SnapTable, SnapTxn}
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "dedup_crossmodal_serve")
+        val lex = Wave64Ops.lexPairs(s, dir).persist()
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        val f = route(gridded).persist()
+        val sem = Wave64Ops.semPairs(f).persist()
+        val even = (c: String) => col(c) % 2 === 0
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        val txroot = Tmp.dir("graft_xmodal_serve")
+        val w0edges = lex.filter(even("a") && even("b"))
+          .union(sem.filter(even("a") && even("b")))
+        val l0 = Wave64Ops.ccMinLabel(s, docs.filter(even("id")),
+          w0edges, "dedup_crossmodal_serve:w0")
+        val w0rows = l0.select(lit(0L).as("wave"), col("id"),
+          col("comp"))
+        SnapTable.createEmpty(s"$txroot/labels", w0rows.schema, "id")
+        SnapTxn.init(txroot, Seq("labels"))
+        SnapTxn.commit(s, txroot, Seq("labels" -> w0rows),
+          note = SnapTxn.batchNote(0L))
+        def serveAt(tx: Int, pin: String): DataFrame = {
+          val wl = Window.partitionBy("id").orderBy(col("wave").desc)
+          SnapTxn.readAt(s, txroot, "labels", tx)
+            .withColumn("rn", row_number().over(wl))
+            .filter(col("rn") === 1)
+            .select(lit(pin).as("pin"), col("id").as("doc_id"),
+              col("comp"),
+              when(col("id") === col("comp"), 1L).otherwise(0L)
+                .as("is_survivor"))
+        }
+        val p1 = serveAt(SnapTxn.latestTx(txroot), "p1")
+        // wave 1: reduced graph = new edges + star links from pin 1
+        val prev = SnapTxn.read(s, txroot, "labels")
+          .select(col("id"), col("comp"))
+        val links = prev.filter(col("id") =!= col("comp"))
+          .select(col("id").as("a"), col("comp").as("b"))
+        val w1edges = lex.filter(!(even("a") && even("b")))
+          .union(sem.filter(!(even("a") && even("b"))))
+        val l1 = Wave64Ops.ccMinLabel(s, docs,
+          w1edges.union(links), "dedup_crossmodal_serve:w1")
+        val changed = l1
+          .join(prev.withColumnRenamed("comp", "pcomp"), Seq("id"),
+            "left")
+          .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
+          .select(lit(1L).as("wave"), col("id"), col("comp"))
+        SnapTxn.commit(s, txroot, Seq("labels" -> changed),
+          note = SnapTxn.batchNote(1L))
+        lex.unpersist(blocking = false)
+        sem.unpersist(blocking = false)
+        f.unpersist(blocking = false)
+        val p2 = serveAt(SnapTxn.latestTx(txroot), "p2")
+        p1.unionByName(p2).orderBy("pin", "doc_id")
+      },
+      Some(
+        "WITH RECURSIVE " + Wave61Ops.gridCellChain("") + ", " +
+          "sp AS (SELECT u.vec_id AS a, v.vec_id AS b " +
+          "FROM a u JOIN a v ON u.cell = v.cell " +
+          "AND u.vec_id < v.vec_id " +
+          "WHERE " + Wave64Ops.gridCosSql("u", "v") + " > 0.3), " +
+          Wave64Ops.lexPrefixSql +
+          "ed AS (SELECT a, b FROM lp UNION SELECT a, b FROM sp), " +
+          "ee AS (SELECT a, b FROM ed UNION ALL " +
+          "SELECT b, a FROM ed), " +
+          "nn AS (SELECT doc_id AS id FROM documents), " +
+          // pin 1: the even subgraph (wave-0 state)
+          "e1 AS (SELECT a, b FROM ee " +
+          "WHERE a % 2 = 0 AND b % 2 = 0), " +
+          "n1 AS (SELECT id FROM nn WHERE id % 2 = 0), " +
+          "r1(src, node) AS (SELECT id, id FROM n1 " +
+          "UNION SELECT r.src, e1.b FROM r1 r JOIN e1 " +
+          "ON r.node = e1.a), " +
+          "c1 AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) " +
+          "AS comp FROM r1 GROUP BY src), " +
+          // pin 2: the full graph
+          "r2(src, node) AS (SELECT id, id FROM nn " +
+          "UNION SELECT r.src, ee.b FROM r2 r JOIN ee " +
+          "ON r.node = ee.a), " +
+          "c2 AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) " +
+          "AS comp FROM r2 GROUP BY src) " +
+          "SELECT pin, doc_id, comp, is_survivor FROM (" +
+          "SELECT 'p1' AS pin, doc_id, comp, " +
+          "CAST(CASE WHEN doc_id = comp THEN 1 ELSE 0 END AS BIGINT) " +
+          "AS is_survivor FROM c1 " +
+          "UNION ALL " +
+          "SELECT 'p2' AS pin, doc_id, comp, " +
+          "CAST(CASE WHEN doc_id = comp THEN 1 ELSE 0 END AS BIGINT) " +
+          "AS is_survivor FROM c2" +
+          ") ORDER BY pin, doc_id")
     )
   )
 }

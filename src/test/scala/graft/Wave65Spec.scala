@@ -146,4 +146,38 @@ class Wave65Spec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(live.toSeq === batch.toSeq)
   }
+
+  test("crossmodal serve: a held pin-1 survivor reader reproduces " +
+      "pin 1 after the head moves; the head serve reflects the merge") {
+    import graft.sources.{SnapTable, SnapTxn}
+    import org.apache.spark.sql.expressions.Window
+    val txroot = Tmp.dir("wave65_serve_tx")
+    val w0 = Seq((0L, 2L, 2L), (0L, 4L, 2L)).toDF("wave", "id", "comp")
+    SnapTable.createEmpty(s"$txroot/labels", w0.schema, "id")
+    SnapTxn.init(txroot, Seq("labels"))
+    SnapTxn.commit(spark, txroot, Seq("labels" -> w0),
+      note = SnapTxn.batchNote(0L))
+    def serveAt(tx: Int): DataFrame = {
+      val wl = Window.partitionBy("id").orderBy(col("wave").desc)
+      SnapTxn.readAt(spark, txroot, "labels", tx)
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("comp"),
+          when(col("id") === col("comp"), 1L).otherwise(0L)
+            .as("is_survivor"))
+    }
+    val p1 = serveAt(SnapTxn.latestTx(txroot)) // plan held across the move
+    // wave 1 merges everything under new doc 0's component
+    SnapTxn.commit(spark, txroot, Seq("labels" ->
+      Seq((1L, 0L, 0L), (1L, 2L, 0L), (1L, 4L, 0L))
+        .toDF("wave", "id", "comp")),
+      note = SnapTxn.batchNote(1L))
+    val held = p1.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(held === Set((2L, 2L, 1L), (4L, 2L, 0L)),
+      "held pin-1 reader must reproduce pin 1 exactly")
+    val head = serveAt(SnapTxn.latestTx(txroot)).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(head === Set((0L, 0L, 1L), (2L, 0L, 0L), (4L, 0L, 0L)))
+  }
 }
