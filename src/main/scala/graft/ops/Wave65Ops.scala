@@ -528,6 +528,87 @@ object Wave65Ops extends QueryModule {
           "CAST(CASE WHEN doc_id = comp THEN 1 ELSE 0 END AS BIGINT) " +
           "AS is_survivor FROM c2" +
           ") ORDER BY pin, doc_id")
+    ),
+    Q(
+      "text_dedup_minhash_det",
+      // the PRODUCTION near-dup candidate rule — banded MinHash-LSH —
+      // under the driver's oracle gate (VERDICT-r13 task #6). The
+      // seeded integer-hash path (TextAlgs.minhash, the cheap 100-TB
+      // variant) can only be spec-pinned; this DERANDOMIZED twin keeps
+      // the exact banding structure (16 bands x 4 rows, the house
+      // J>~0.7 recall point) but derives every hash from md5 —
+      // computable identically in DuckDB — so the banded candidate
+      // rule ITSELF is hash-graded, not just the exact-rule twin:
+      //   h_i(tok) = md5(i || ':' || tok)            (i in 0..63)
+      //   sig_i    = min over tokens (lexicographic on hex)
+      //   bhash_b  = md5(sig_{4b} || '|' || ... || sig_{4b+3})
+      // Candidates share a (band, bhash) bucket and pass the exact
+      // integer AllPairs length bound (5·min >= 4·max for J >= 0.8);
+      // the exact-Jaccard verify makes the output a TRUE near-dup set
+      // (candidates ⊇ output by construction). Cost is bucket-bounded
+      // — O(batch + matching buckets), the e=0.26 economics — with
+      // 64 md5s/token as the derandomization premium over the seeded
+      // path. Wave65Spec pins banded ⊆ complete-prefix-rule recall on
+      // the graded slice.
+      (s, dir) => {
+        val t = T(s, dir, "documents")
+          .filter(col("lang") === "en" &&
+            col("source").isin("src0", "src1"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(split(col("text"), " ")))
+              .as("ts"))
+          .persist()
+        val hs = t
+          .select(col("doc_id"), size(col("ts")).as("l"),
+            explode(col("ts")).as("tok"))
+          .select(col("doc_id"), col("l"), col("tok"),
+            explode(expr("sequence(0, 63)")).as("i"))
+          .groupBy("doc_id", "l", "i")
+          .agg(min(md5(concat(col("i").cast("string"), lit(":"),
+            col("tok")))).as("sig"))
+        val bd = hs
+          .groupBy(col("doc_id"), col("l"),
+            expr("i div 4").as("band"))
+          .agg(expr("md5(array_join(transform(array_sort(" +
+            "collect_list(struct(i, sig))), x -> x.sig), '|'))")
+            .as("bhash"))
+        val cd = bd.as("x").join(bd.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bhash") === col("y.bhash") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              col("x.l") * 5 >= col("y.l") * 4 &&
+              col("y.l") * 5 >= col("x.l") * 4)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val out = Wave64Ops.jaccardVerify(cd, t).orderBy("a", "b")
+        t.unpersist(blocking = false)
+        out
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, " +
+          "list_sort(list_distinct(string_split(text, ' '))) AS ts " +
+          "FROM documents WHERE lang = 'en' " +
+          "AND source IN ('src0','src1')), " +
+          "tok AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS tok " +
+          "FROM t), " +
+          "hs AS (SELECT doc_id, l, i, " +
+          "min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS sig " +
+          "FROM tok CROSS JOIN " +
+          "(SELECT unnest(generate_series(0, 63)) AS i) h " +
+          "GROUP BY doc_id, l, i), " +
+          "bd AS (SELECT doc_id, l, i // 4 AS band, " +
+          "md5(string_agg(sig, '|' ORDER BY i)) AS bhash " +
+          "FROM hs GROUP BY doc_id, l, i // 4), " +
+          "cd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b " +
+          "FROM bd x JOIN bd y ON x.band = y.band " +
+          "AND x.bhash = y.bhash AND x.doc_id < y.doc_id " +
+          "AND x.l * 5 >= y.l * 4 AND y.l * 5 >= x.l * 4) " +
+          "SELECT cd.a, cd.b FROM cd " +
+          "JOIN t u ON u.doc_id = cd.a JOIN t v ON v.doc_id = cd.b " +
+          "WHERE round(CAST(len(list_intersect(u.ts, v.ts)) " +
+          "AS DOUBLE) / (len(u.ts) + len(v.ts) " +
+          "- len(list_intersect(u.ts, v.ts))), 6) >= 0.8 " +
+          "ORDER BY a, b")
     )
   )
 }

@@ -147,6 +147,26 @@ class Wave65Spec extends AnyFunSuite {
     assert(live.toSeq === batch.toSeq)
   }
 
+  test("derandomized banded MinHash: every emitted pair is a true " +
+      "near-dup (banded ⊆ complete prefix rule) with >= 0.9 recall " +
+      "on the graded slice") {
+    val sf = "/root/testdata/sf0.001"
+    val banded = SparkEntry.queries("text_dedup_minhash_det")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val complete = graft.ops.Wave64Ops.prefixJaccardPairs(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter($"lang" === "en" && $"source".isin("src0", "src1"))
+        .select($"doc_id",
+          array_sort(array_distinct(split($"text", " "))).as("ts")),
+      Nil).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.nonEmpty)
+    assert(banded.subsetOf(complete),
+      "the exact verify must make every banded candidate a true pair")
+    val recall = banded.size.toDouble / complete.size
+    assert(recall >= 0.9,
+      s"banded recall $recall below the 16x4 design point")
+  }
+
   test("crossmodal serve: a held pin-1 survivor reader reproduces " +
       "pin 1 after the head moves; the head serve reflects the merge") {
     import graft.sources.{SnapTable, SnapTxn}
