@@ -205,12 +205,44 @@ object Wave64Ops extends QueryModule {
   private[graft] def prefixJaccardPairs(t4: DataFrame,
       block: Seq[String]): DataFrame = {
     val pref = prefixRowsDf(t4, block)
+    fencePrefixGroups(pref, block, "prefixJaccardPairs")
     val cand = pref.as("x")
       .join(pref.as("y"),
         prefixCondXY(block) && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     jaccardVerify(cand, t4.select("doc_id", "ts"))
+  }
+
+  /** Hot-group cap for the prefix candidate join (VERDICT-r13 #5). The
+    * rule's cost is Σ g² over (block..., ptok) collision groups, and
+    * the BLOCK count is schema-fixed — so one hot group is bounded
+    * only by prefix-collision density, the CellSplit-class hazard on
+    * the lex side. 20k caps the worst single group at ≤ 2·10⁸
+    * candidate pairs — a bounded (if heavy) shuffle, never a melted
+    * cluster. */
+  val PrefixGroupCap = 20000L
+
+  /** Enforce [[PrefixGroupCap]] on a [[prefixRows]]/[[prefixRowsDf]]
+    * frame — fail LOUDLY with the measured hot-group size instead of
+    * launching a quadratic join (the Guard.quadratic discipline,
+    * applied at collision-group grain). One count aggregation over the
+    * token-row-bounded pref frame — noise next to the candidate join
+    * it protects, and it fires BEFORE that join is executed (the join
+    * is lazy). Remedies on trip: the banded-MinHash production path
+    * (IncNeardup — band hashing bounds bucket sizes), or pre-splitting
+    * the hot block. */
+  private[graft] def fencePrefixGroups(pref: DataFrame,
+      block: Seq[String], what: String): Unit = {
+    val hot = pref
+      .groupBy((block :+ "ptok").map(col): _*)
+      .agg(count(lit(1)).as("g"))
+      .agg(coalesce(max("g"), lit(0L))).first().getLong(0)
+    require(hot <= PrefixGroupCap,
+      s"$what: a (${(block :+ "ptok").mkString(", ")}) collision " +
+        s"group holds $hot docs (cap $PrefixGroupCap — up to " +
+        "~g²/2 candidate pairs from one group). Use the banded " +
+        "MinHash path (bucket-bounded) or split the hot block.")
   }
 
   /** [[prefixRows]] under the CANONICAL AllPairs token order —

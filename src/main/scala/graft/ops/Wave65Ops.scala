@@ -201,6 +201,12 @@ object Wave65Ops extends QueryModule {
           col("source"),
           array_sort(array_distinct(col("toks"))).as("ts")))
         val prefB = p(Wave64Ops.prefixRows(t4B, Block))
+        // hot-group fence over index ∪ batch — the probe join's
+        // per-group cost is g_batch · g_index, so the UNION group
+        // size is the bound that matters (Wave64Ops.PrefixGroupCap)
+        Wave64Ops.fencePrefixGroups(
+          SnapTxn.read(s, txroot, "pref").unionByName(prefB), Block,
+          s"pipe_curation_live:near:b$batchId")
         val cond = Wave64Ops.prefixCondXY(Block)
         val candNewOld = prefB.as("x")
           .join(SnapTxn.read(s, txroot, "pref").as("y"), cond)

@@ -147,6 +147,26 @@ class Wave65Spec extends AnyFunSuite {
     assert(live.toSeq === batch.toSeq)
   }
 
+  test("prefix hot-group fence: a collision group above the cap is " +
+      "refused loudly BEFORE the candidate join launches; bounded " +
+      "groups pass") {
+    import graft.ops.Wave64Ops
+    // 20001 identical token sets -> one (ptok) group above the cap
+    // (the worst case df ordering cannot dissolve: identical sets
+    // share even their rarest tokens)
+    val skew = spark.range(Wave64Ops.PrefixGroupCap + 1)
+      .selectExpr("id AS doc_id",
+        "array('q1','q2','q3','q4','q5') AS ts")
+    val ex = intercept[IllegalArgumentException] {
+      Wave64Ops.prefixJaccardPairs(skew, Nil)
+    }
+    assert(ex.getMessage.contains("collision group"))
+    // disjoint vocabularies never collide: fence silent, zero pairs
+    val ok = spark.range(1000).selectExpr("id AS doc_id",
+      "transform(sequence(0, 4), i -> concat('t', id, '_', i)) AS ts")
+    assert(Wave64Ops.prefixJaccardPairs(ok, Nil).count() === 0L)
+  }
+
   test("derandomized banded MinHash: every emitted pair is a true " +
       "near-dup (banded ⊆ complete prefix rule) with >= 0.9 recall " +
       "on the graded slice") {
