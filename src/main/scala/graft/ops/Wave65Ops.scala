@@ -161,9 +161,14 @@ object Wave65Ops extends QueryModule {
       val nullL = lit(null).cast("long")
       val cache = scala.collection.mutable.ArrayBuffer[DataFrame]()
       def p(df: DataFrame): DataFrame = { cache += df.persist(); df }
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
       try {
-        val prevLedger = latestBy(SnapTxn.read(s, txroot, "ledger"),
-          "doc_id")
+        // consumed three times per wave (arrival guard, old-candidate
+        // n_toks, decision diff) — one O(ledger) window collapse, not
+        // three
+        val prevLedger = p(latestBy(SnapTxn.read(s, txroot, "ledger"),
+          "doc_id"))
         val b0 = p(batch
           .select(col("doc_id"), col("lang"), col("source"),
             col("text"), col("n_chars"), col("g"))
@@ -180,6 +185,15 @@ object Wave65Ops extends QueryModule {
             "arrive in ascending order (ingest-assigned); an " +
             "out-of-order id would demote an already-published " +
             "stage-3 keeper")
+        // shuffle width follows the DATA (the ccMinLabel/Wave55
+        // discipline): an ingest wave runs ~30 small exchanges over
+        // state + batch frames, and core-count width just multiplies
+        // task-scheduling overhead at fixture scale while the corpus-
+        // sized collapses size it up at 100 TB (~250k rows/partition,
+        // floor 4). Both counts are cached-frame scans. ccMinLabel
+        // scopes its own width inside this one and restores ours.
+        s.conf.set(partsKey, math.max(4L,
+          (prevLedger.count() + b0.count()) / 250000L).toString)
         // stages 1-2: row-local gates
         val s1B = b0.filter(TextOps.langIdExpr(col("text")) ===
           col("lang"))
@@ -360,7 +374,10 @@ object Wave65Ops extends QueryModule {
           "vecidx" -> addedRouted.toDF()),
           note = SnapTxn.batchNote(batchId))
         n
-      } finally cache.foreach(_.unpersist(blocking = false))
+      } finally {
+        s.conf.set(partsKey, prevParts)
+        cache.foreach(_.unpersist(blocking = false))
+      }
     }
 
     /** The decision set as of the current pin: the changelog collapsed
