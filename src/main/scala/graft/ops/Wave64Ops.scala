@@ -101,7 +101,12 @@ object Wave64Ops extends QueryModule {
     *    partition, floor 4): 4 partitions are right at fixture scale
     *    and a straight parallelism cap at 100 TB. The edge count is a
     *    cached-block scan of the already-checkpointed edge frame, not
-    *    a recompute. */
+    *    a recompute.
+    * NOT re-entrant: the shuffle/broadcast conf overrides are
+    * session-global for the call's duration (restored in finally) —
+    * the house single-query-per-session execution model. Concurrent
+    * queries on one session would need `SparkSession.newSession()`
+    * per caller (isolated conf, shared catalog). */
   private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
     val cp = org.apache.spark.sql.graftx.Bridge
