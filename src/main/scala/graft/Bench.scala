@@ -87,9 +87,21 @@ object Bench {
     // pipe_curation_funnel/ledger floors are the memoized-read shape:
     // the funnel build is paid once per JVM by the first single-shot
     // (GraphBase precedent) and re-runs read the materialized ledger
-    "dedup_crossmodal_cc" -> 6.06, "dedup_crossmodal_incr" -> 8.69,
-    "pipe_curation_funnel" -> 0.18, "pipe_curation_ledger" -> 0.12,
-    "hybrid_index_serve_incr" -> 10.24, "table_txn_vacuum" -> 2.13)
+    // round-14 re-shapes: the df-ascending prefix order + hot-group
+    // fence add a fixture-scale premium to the prefix consumers (one
+    // df aggregation + token join + one fence aggregation per call;
+    // ccMinLabel pays an edge count + DECIMAL convergence sums) —
+    // bought: the 2.3× Zipfian 10× win and the overflow-safe,
+    // width-correct CC loop (BASELINE "Round-14" records)
+    "dedup_crossmodal_cc" -> 8.43, "dedup_crossmodal_incr" -> 12.29,
+    "pipe_curation_funnel" -> 0.21, "pipe_curation_ledger" -> 0.12,
+    "hybrid_index_serve_incr" -> 10.24, "table_txn_vacuum" -> 2.13,
+    // round-14 new ops (cpus=32 idle-host min-of-2): the live funnel
+    // is 3 ascending waves × (7-table SnapTxn commit + 2 incremental
+    // CC runs) + the landing-table stream transport — the whole
+    // curation surface composed per micro-batch, priced accordingly
+    "pipe_curation_live" -> 49.08, "dedup_crossmodal_serve" -> 10.09,
+    "text_dedup_minhash_det" -> 0.89)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
