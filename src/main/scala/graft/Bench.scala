@@ -97,10 +97,10 @@ object Bench {
     "pipe_curation_funnel" -> 0.21, "pipe_curation_ledger" -> 0.12,
     "hybrid_index_serve_incr" -> 10.24, "table_txn_vacuum" -> 2.13,
     // round-14 new ops (cpus=32 idle-host min-of-2): the live funnel
-    // is 3 ascending waves × (7-table SnapTxn commit + 2 incremental
-    // CC runs) + the landing-table stream transport — the whole
-    // curation surface composed per micro-batch, priced accordingly
-    "pipe_curation_live" -> 49.08, "dedup_crossmodal_serve" -> 10.09,
+    // is 3 NON-MONOTONE waves × (8-table SnapTxn commit + 2 delta-CC
+    // runs) + the landing-table stream transport — the whole curation
+    // surface composed per micro-batch, priced accordingly
+    "pipe_curation_live" -> 47.41, "dedup_crossmodal_serve" -> 10.09,
     "text_dedup_minhash_det" -> 0.89)
 
   def main(args: Array[String]): Unit = {

@@ -14,69 +14,89 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * collapsed per-doc decision changelog EQUALS the batch
   * `pipe_curation_ledger` exactly (the shared ledgerOracleSql replays
   * it — the equality that PROVES the incremental maintenance rather
-  * than asserting it).
+  * than asserting it). Plus `dedup_crossmodal_serve` (freshness across
+  * pin moves for the dedup decision) and `text_dedup_minhash_det`
+  * (the banded candidate rule under the oracle gate).
   *
   * Why decisions must be a CHANGELOG, not a write-once log: later
   * arrivals legitimately change earlier verdicts —
+  *  - an out-of-order SMALLER id with an already-seen fingerprint
+  *    DEMOTES the group's keeper: the old keeper flips to
+  *    `exact_dup`, every group member's kept_by moves, and the
+  *    group's stage-4/5 representative swaps;
   *  - a new doc can bridge two stage-4 near-dup components, so a doc
-  *    that was its component's min (a survivor) is merged under a
-  *    smaller min and flips to `near_dup`;
-  *  - that flip REMOVES the doc from the stage-5 semdedup graph, so a
+  *    that was its component's min flips to `near_dup`;
+  *  - either flip REMOVES a doc from the stage-5 semdedup graph, so a
   *    doc that had been semdedup'd INTO it can flip back to
   *    `survived` (its component re-splits around the removal).
   * The ledger is therefore an append-only (wave, doc_id, decision)
   * changelog under SnapTxn; serving collapses to the latest wave per
-  * doc. Exactly the maintenance discipline `dedup_crossmodal_incr`
-  * proved for one CC table, extended to the full five-stage funnel
-  * with DELETIONS at stage 5.
+  * doc. The maintenance discipline `dedup_crossmodal_incr` proved for
+  * one CC table, extended to the full five-stage funnel with
+  * REPRESENTATIVE SWAPS and DELETIONS.
   *
-  * ARRIVAL CONTRACT (enforced per batch, loudly): doc_ids arrive in
-  * strictly ascending order — the production shape where ingest
-  * assigns monotone ids, so arrival order IS id order. This is what
-  * makes the incremental state MONOTONE where it must be: the
-  * stage-3 keeper (min doc_id per fingerprint) is always the FIRST
-  * arrival, so keepers are never demoted and the stage-4 node set
-  * only grows; stage-4 labels only decrease (merges), so stage-4
-  * survivorship only flips one way (survivor → near_dup) and the
-  * stage-5 graph sees additions plus those removals — never
-  * re-entries. Out-of-order ids would need keeper demotion (a
-  * cascading re-run of stages 3-5 for the demoted doc's cohort) —
-  * refused, not silently mis-decided.
+  * ARRIVAL ORDER: arbitrary. No ascending-id contract (the round-14
+  * first cut had one; this generalization removed it) — the only
+  * guard is that a doc_id lands once. What makes arbitrary order
+  * tractable is running stage 4 in FINGERPRINT SPACE: the stage-4
+  * graph's nodes are fp groups keyed by a STABLE `fp_id` (the
+  * first-sight doc id), and the STORED edges are CONTENT edges
+  * (exact Jaccard, no block condition) — stable and append-only,
+  * because token sets never change and groups never leave. The batch
+  * funnel's (lang, source) blocking is applied as a FILTER at CC
+  * time against each group's CURRENT KEEPER attributes: a group CAN
+  * span sources (lang is group-invariant among gate survivors —
+  * identical text, one prediction — but source is free metadata), so
+  * a keeper demotion can MOVE a group's block, adding and removing
+  * FILTERED edges without touching the stored graph. CC is therefore
+  * maintained as delta-CC with deletions at stage 4 too: perturbed
+  * nodes (new groups + block-moved groups) plus their live
+  * neighbors' components are recomputed from the re-filtered stored
+  * edges; everything else keeps its label (closure: an edge between
+  * two attr-unchanged groups has an unchanged filter verdict, and if
+  * it passed before, CC already placed both endpoints in one
+  * component). The published stage-4 component min is
+  * `dmin(comp) = min(current keeper)` over the component's groups —
+  * a rollup of the group table, never graph surgery. The stage-5
+  * graph then sees rep additions (provably only from the current
+  * batch: dmin is non-increasing) plus rep removals — the same
+  * affected-component delta-CC.
   *
   * Per-batch cost (the 100-TB argument):
   *  - gates are row-local (O(batch));
-  *  - stage 3 probes the fingerprint index on fp (O(batch + hits));
+  *  - stage 3 probes the group table on fp (O(batch + hits));
   *  - stage 4 probes the PREFIX index with the complete
-  *    PPJoin/AllPairs candidate rule (prefix-collision-bounded, the
-  *    measured e≈0.71 path) and runs CC over the STAR-COMPRESSED
-  *    reduced graph — new edges plus one id→comp link per labeled
-  *    doc, the dedup_crossmodal_incr discipline (per-absorb rounds
-  *    track the NEW edges' diameter, never the corpus's);
+  *    PPJoin/AllPairs candidate rule (prefix-collision-bounded,
+  *    hot-group fenced) for NEW groups only, and runs CC over the
+  *    STAR-COMPRESSED reduced graph (new edges + one id→comp link per
+  *    labeled group — per-absorb rounds track the NEW edges'
+  *    diameter, never the corpus's);
   *  - stage 5 is delta-CC WITH DELETIONS: only components touched by
-  *    a new edge or a removed member are recomputed, from their
+  *    a new edge or a removed rep are recomputed, from their
   *    cell-bounded edges re-derived inside the affected (cell, scell)
-  *    buckets — untouched components keep their labels. Closure
-  *    argument: an edge never crosses two components, so every node
-  *    whose label can change lies in an affected component.
-  *  - the label/ledger collapses read O(corpus-so-far) rows per
-  *    batch — same accepted cost as dedup_crossmodal_incr's pinned
-  *    label read; at 100 TB these live as SnapTables keyed by doc
-  *    (merge-on-read) and the collapse is the standard changelog
-  *    compaction the maintenance cadence (`table_txn_compact`)
-  *    already owns.
+  *    buckets. Closure: an edge never crosses two components, so
+  *    every node whose label can change lies in an affected one.
+  *  - the changelog collapses and the dmin rollup read
+  *    O(corpus-so-far) rows per batch — the dedup_crossmodal_incr
+  *    accepted cost; at 100 TB these live as SnapTables keyed by
+  *    doc/fp (merge-on-read) and the collapse is the standard
+  *    changelog compaction `table_txn_compact` already owns.
   * All seven state tables commit in ONE SnapTxn per micro-batch with
   * the batch id in the note — idempotent replay, restart durability,
-  * and a crash mid-absorb leaves only unpinned orphans (readers stay
-  * on the prior consistent decision set). Wave65Spec forces the
-  * decision-flip paths on a purpose-built fixture and pins
-  * replay/restart; the graded op runs the landing-table transport
-  * (SnapTable commits → `snapstream` feed) at fixture scale.
+  * and a crash mid-absorb leaves only unpinned orphans. Wave65Spec
+  * forces the demotion/flip paths on a purpose-built fixture with
+  * OUT-OF-ORDER waves and pins replay/guards; the graded op runs the
+  * landing-table transport with deliberately non-monotone wave order
+  * (mid / low / high id tertiles).
   *
   * The stage-4 candidate rule here is the COMPLETE deterministic
-  * prefix filter (required for oracle equality; Guard.quadratic-fenced
-  * like every exactness twin). The unfenced production swap is
-  * IncNeardup's banded MinHash probe behind the same verify — the
-  * measured e=0.26 path — at the price of the completeness guarantee
+  * prefix filter under the STATIC lexicographic token order (required
+  * for oracle equality and for one-order-across-batches completeness;
+  * Guard.quadratic-fenced like every exactness twin — the batch ops
+  * use the df-ascending order, whose live analogue is a
+  * bootstrap-frozen df order, see prefixRowsDf). The unfenced
+  * production swap is IncNeardup's banded MinHash probe behind the
+  * same verify (e=0.26), at the price of the completeness guarantee
   * the oracle needs.
   */
 object Wave65Ops extends QueryModule {
@@ -84,28 +104,33 @@ object Wave65Ops extends QueryModule {
   /** The transactional live-funnel cadence, factored out of the
     * streaming sink so specs (and a restarted query) drive it
     * directly. State tables (one txroot, pinned together):
-    *  - ledger(wave, doc_id, dropped_at, reason, kept_by, n_toks) —
-    *    the decision changelog (the graded artifact);
-    *  - fps(fp, keeper) — stage-3 fingerprint index;
-    *  - pref(doc_id, len, lang, source, ptok) + ts4(doc_id, ts) —
-    *    stage-4 prefix index + token sets of s3 survivors;
-    *  - labels4(wave, id, comp) — stage-4 CC label changelog over ALL
-    *    s3 survivors;
-    *  - labels5(wave, id, comp) — stage-5 CC label changelog over
-    *    ever-members (rows of removed members go stale and are
-    *    masked by the membership semi-join at read);
-    *  - vecidx(vec_id, cell, scell, g) — routed vectors of every doc
-    *    that ever entered the stage-5 graph (append-only; membership
-    *    is labels4-derived at read).
+    *  - ledger(wave, doc_id, dropped_at, reason, kept_by, n_toks, fp)
+    *    — the decision changelog (the graded artifact; fp is the
+    *    internal re-decision key, null for gate-dropped docs);
+    *  - fps(wave, fp, fp_id, keeper, lang, source) — fingerprint
+    *    GROUP changelog: fp_id is the stable first-sight doc id (the
+    *    stage-4 node id), keeper the current min doc id, lang/source
+    *    the CURRENT keeper's block attributes (demotions append);
+    *  - pref(doc_id=fp_id, len, ptok) + ts4(doc_id=fp_id, ts) —
+    *    block-free stage-4 prefix index + token sets, one row set per
+    *    GROUP (members share the token set);
+    *  - edges4(a, b) — CONTENT edges in fp_id space (exact Jaccard,
+    *    no block condition): stable, append-only; the (lang, source)
+    *    block is a CC-time filter against current keeper attrs;
+    *  - labels4(wave, id=fp_id, comp) — stage-4 CC changelog (delta
+    *    recomputes of affected components);
+    *  - labels5(wave, id=doc_id, comp) — stage-5 CC changelog over
+    *    ever-reps (stale rows masked by the membership semi-join);
+    *  - vecidx(vec_id, cell, scell, g) — routed vectors of EVERY gate
+    *    survivor with a vector (append-only; a component split can
+    *    hand rep status to an old doc, whose vector must be findable).
     */
   object LiveFunnel {
     import graft.sources.{SnapTable, SnapTxn}
 
     val Tables: Seq[String] =
-      Seq("ledger", "fps", "pref", "ts4", "labels4", "labels5",
-        "vecidx")
-
-    private val Block = Seq("lang", "source")
+      Seq("ledger", "fps", "pref", "ts4", "edges4", "labels4",
+        "labels5", "vecidx")
 
     private def latestBy(df: DataFrame, key: String): DataFrame = {
       val w = Window.partitionBy(key).orderBy(col("wave").desc)
@@ -124,18 +149,25 @@ object Wave65Ops extends QueryModule {
         StructField("dropped_at", LongType),
         StructField("reason", StringType),
         StructField("kept_by", LongType),
-        StructField("n_toks", LongType)))
+        StructField("n_toks", LongType),
+        StructField("fp", StringType)))
       SnapTable.createEmpty(s"$txroot/ledger", led, "doc_id")
       SnapTable.createEmpty(s"$txroot/fps", StructType(Seq(
+        StructField("wave", LongType, nullable = false),
         StructField("fp", StringType),
-        StructField("keeper", LongType))), "keeper")
-      val t40 = landing0.select(col("doc_id"), col("lang"),
-        col("source"),
+        StructField("fp_id", LongType),
+        StructField("keeper", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType))), "keeper")
+      val t40 = landing0.select(col("doc_id"),
         array_sort(array_distinct(split(col("text"), " "))).as("ts"))
       SnapTable.createEmpty(s"$txroot/pref",
-        Wave64Ops.prefixRows(t40, Block).schema, "doc_id")
+        Wave64Ops.prefixRows(t40, Nil).schema, "doc_id")
       SnapTable.createEmpty(s"$txroot/ts4",
         t40.select("doc_id", "ts").schema, "doc_id")
+      SnapTable.createEmpty(s"$txroot/edges4", StructType(Seq(
+        StructField("a", LongType),
+        StructField("b", LongType))), "a")
       val lbl = StructType(Seq(
         StructField("wave", LongType, nullable = false),
         StructField("id", LongType),
@@ -149,45 +181,55 @@ object Wave65Ops extends QueryModule {
       SnapTxn.init(txroot, Tables)
     }
 
-    /** One micro-batch: gates → fingerprint probe → prefix-index probe
-      * + star-compressed CC → affected-component delta-CC → decision
-      * diff — all seven tables absorbed in ONE transaction. Idempotent
-      * (a replayed batch id is a no-op, -1). Returns ledger delta
+    /** One micro-batch: gates → group probe (keeper updates, any id
+      * order) → prefix-index probe + star-compressed CC in fp space →
+      * rep rollup → affected-component delta-CC → decision diff — all
+      * seven tables absorbed in ONE transaction. Idempotent (a
+      * replayed batch id is a no-op, -1). Returns ledger delta
       * rows. */
     def ingest(s: SparkSession, txroot: String, batch: DataFrame,
         batchId: Long, route: DataFrame => DataFrame): Long = {
       if (SnapTxn.batchAbsorbed(txroot, batchId)) return -1L
       val w = lit(batchId).as("wave")
       val nullL = lit(null).cast("long")
-      val cache = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      def p(df: DataFrame): DataFrame = { cache += df.persist(); df }
+      // every intermediate goes through the honest-stats LOCAL
+      // CHECKPOINT, not persist: the wave's frames reference each
+      // other ~3 levels deep and several times each, and persist
+      // caches DATA but not PLAN size — the nested analyzed trees
+      // multiply until explainString alone OOMs the driver (the
+      // round-13 ccMinLabel incident, reproduced here by the first
+      // persist-based cut of this function). The checkpoint truncates
+      // lineage AND swaps in measured stats (broadcast decisions stay
+      // honest). Blocks are short-lived per wave and GC'd.
+      def p(df: DataFrame): DataFrame =
+        org.apache.spark.sql.graftx.Bridge
+          .localCheckpointHonestStats(df)
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
       try {
-        // consumed three times per wave (arrival guard, old-candidate
-        // n_toks, decision diff) — one O(ledger) window collapse, not
-        // three
+        // state collapses — each consumed several times per wave
         val prevLedger = p(latestBy(SnapTxn.read(s, txroot, "ledger"),
           "doc_id"))
+        val prevFps = p(latestBy(SnapTxn.read(s, txroot, "fps"), "fp")
+          .select("fp", "fp_id", "keeper", "lang", "source"))
+        val prevL4 = p(latestBy(SnapTxn.read(s, txroot, "labels4"),
+          "id").select("id", "comp"))
+        val prevL5 = p(latestBy(SnapTxn.read(s, txroot, "labels5"),
+          "id").select("id", "comp"))
         val b0 = p(batch
           .select(col("doc_id"), col("lang"), col("source"),
             col("text"), col("n_chars"), col("g"))
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_toks", size(col("toks")).cast("long")))
-        // ARRIVAL CONTRACT: strictly ascending ids (see object doc)
-        val minNew = b0.agg(coalesce(min("doc_id"),
-          lit(Long.MaxValue))).first().getLong(0)
-        val maxOld = prevLedger.agg(coalesce(max("doc_id"),
-          lit(Long.MinValue))).first().getLong(0)
-        require(minNew > maxOld,
-          s"pipe_curation_live: batch $batchId min doc_id $minNew " +
-            s"is not above the absorbed max $maxOld — ids must " +
-            "arrive in ascending order (ingest-assigned); an " +
-            "out-of-order id would demote an already-published " +
-            "stage-3 keeper")
+        // a doc_id lands exactly once — the only arrival guard
+        val dup = b0.join(prevLedger, Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(dup == 0L,
+          s"pipe_curation_live: batch $batchId re-lands an absorbed " +
+            "doc_id — ids are assigned once at ingest")
         // shuffle width follows the DATA (the ccMinLabel/Wave55
         // discipline): an ingest wave runs ~30 small exchanges over
-        // state + batch frames, and core-count width just multiplies
+        // state + batch frames; core-count width just multiplies
         // task-scheduling overhead at fixture scale while the corpus-
         // sized collapses size it up at 100 TB (~250k rows/partition,
         // floor 4). Both counts are cached-frame scans. ccMinLabel
@@ -197,79 +239,168 @@ object Wave65Ops extends QueryModule {
         // stages 1-2: row-local gates
         val s1B = b0.filter(TextOps.langIdExpr(col("text")) ===
           col("lang"))
-        val s2B = s1B.filter(Wave64Ops.qualityScore >= 0.5)
-        // stage 3: fingerprint-index probe; keeper = first arrival
-        val fpB = s2B.withColumn("fp", md5(concat_ws(" ",
-          array_sort(array_distinct(col("toks"))))))
-        val fpJ = p(fpB.join(
-          SnapTxn.read(s, txroot, "fps")
-            .withColumnRenamed("keeper", "old_keeper"),
+        val s2B = p(s1B.filter(Wave64Ops.qualityScore >= 0.5)
+          .withColumn("fp", md5(concat_ws(" ",
+            array_sort(array_distinct(col("toks")))))))
+        // stage 3: GROUP-level keeper maintenance — order-free. The
+        // batch min per fp either founds a new group (fp_id = that
+        // doc, stable forever) or DEMOTES the keeper when smaller.
+        // The group carries its CURRENT KEEPER's (lang, source): the
+        // batch funnel blocks stage 4 on the keeper doc's attributes,
+        // and a group CAN span sources (lang is group-invariant among
+        // gate survivors — identical text, one prediction — but
+        // source is free metadata), so a demotion can MOVE the
+        // group's block.
+        val bmin = s2B.groupBy("fp").agg(min("doc_id").as("bmin"))
+          .join(s2B.select(col("fp"), col("doc_id").as("bmin"),
+            col("lang"), col("source")), Seq("fp", "bmin"))
+        val fpJ = p(bmin.join(prevFps
+            .withColumnRenamed("lang", "plang")
+            .withColumnRenamed("source", "psource"),
           Seq("fp"), "left"))
-        val newFp = fpJ.filter(col("old_keeper").isNull)
-        val keeperB = p(newFp.groupBy("fp")
-          .agg(min("doc_id").as("keeper")))
-        val s3B = p(newFp.join(keeperB, Seq("fp"))
-          .filter(col("doc_id") === col("keeper")))
-        // stage 4: complete prefix-candidate probe (index + in-batch)
-        val t4B = p(s3B.select(col("doc_id"), col("lang"),
-          col("source"),
-          array_sort(array_distinct(col("toks"))).as("ts")))
-        val prefB = p(Wave64Ops.prefixRows(t4B, Block))
+        val newGroups = p(fpJ.filter(col("fp_id").isNull)
+          .select(col("fp"), col("bmin").as("fp_id"),
+            col("bmin").as("keeper"), col("lang"), col("source")))
+        val demoted = p(fpJ.filter(col("fp_id").isNotNull &&
+            col("bmin") < col("keeper"))
+          .select(col("fp"), col("fp_id"), col("bmin").as("keeper"),
+            col("lang"), col("source"), col("plang"),
+            col("psource")))
+        val fpsDelta = p(newGroups
+          .unionByName(demoted.drop("plang", "psource"))
+          .select(w, col("fp"), col("fp_id"), col("keeper"),
+            col("lang"), col("source")))
+        val fpsNow = p(prevFps
+          .join(fpsDelta.select("fp"), Seq("fp"), "left_anti")
+          .unionByName(fpsDelta.drop("wave")))
+        // stage 4, fp space. The stored graph is CONTENT edges
+        // (exact Jaccard >= 0.8, NO block condition) — those are
+        // stable and append-only (token sets never change, groups
+        // never leave), so new groups probe once, block-free. The
+        // batch's (lang, source) blocking is applied as a FILTER at
+        // CC time against the groups' CURRENT keeper attributes:
+        // a demotion that moves a group's block adds/removes
+        // filtered edges without touching the stored graph.
+        val t4B = p(s2B
+          .join(newGroups.select(col("fp_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            array_sort(array_distinct(col("toks"))).as("ts")))
+        val prefB = p(Wave64Ops.prefixRows(t4B, Nil))
+        val allPref = p(SnapTxn.read(s, txroot, "pref")
+          .unionByName(prefB))
         // hot-group fence over index ∪ batch — the probe join's
-        // per-group cost is g_batch · g_index, so the UNION group
-        // size is the bound that matters (Wave64Ops.PrefixGroupCap)
-        Wave64Ops.fencePrefixGroups(
-          SnapTxn.read(s, txroot, "pref").unionByName(prefB), Block,
+        // per-group cost is what the union group size bounds (block-
+        // free, so the fence is the conservative global form)
+        Wave64Ops.fencePrefixGroups(allPref, Nil,
           s"pipe_curation_live:near:b$batchId")
-        val cond = Wave64Ops.prefixCondXY(Block)
-        val candNewOld = prefB.as("x")
-          .join(SnapTxn.read(s, txroot, "pref").as("y"), cond)
-          .select(col("y.doc_id").as("a"), col("x.doc_id").as("b"))
-        val candNewNew = prefB.as("x")
-          .join(prefB.as("y"),
-            cond && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        val newEdges4 = Wave64Ops.jaccardVerify(
-          candNewOld.union(candNewNew).distinct(),
+        // arrival order is arbitrary, so a new group's id can sit on
+        // either side of an indexed one — canonicalize with
+        // least/greatest instead of assuming newer = larger
+        val cand = prefB.as("x")
+          .join(allPref.as("y"),
+            Wave64Ops.prefixCondXY(Nil) &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+          .distinct()
+        val newContent = p(Wave64Ops.jaccardVerify(cand,
           SnapTxn.read(s, txroot, "ts4")
-            .unionByName(t4B.select("doc_id", "ts")))
-        // star-compressed incremental CC (dedup_crossmodal_incr)
-        val prevL4 = p(latestBy(SnapTxn.read(s, txroot, "labels4"),
-          "id").select("id", "comp"))
-        val links4 = prevL4.filter(col("id") =!= col("comp"))
-          .select(col("id").as("a"), col("comp").as("b"))
-        val newL4 = p(Wave64Ops.ccMinLabel(s,
-          prevL4.select("id")
-            .union(s3B.select(col("doc_id").as("id"))),
-          newEdges4.union(links4),
-          s"pipe_curation_live:near:b$batchId"))
+            .unionByName(t4B.select("doc_id", "ts"))))
+        val edgesAll = SnapTxn.read(s, txroot, "edges4")
+          .unionByName(newContent)
+        // current-block filter: an edge is LIVE iff both groups'
+        // keeper attrs match (one O(edges) attr join per wave — the
+        // accepted changelog-read cost class)
+        val attrs = fpsNow.select(col("fp_id"), col("lang"),
+          col("source"))
+        val liveEdges = p(edgesAll
+          .join(attrs.select(col("fp_id").as("a"),
+            col("lang").as("la"), col("source").as("sa")), Seq("a"))
+          .join(attrs.select(col("fp_id").as("b"),
+            col("lang").as("lb"), col("source").as("sb")), Seq("b"))
+          .filter(col("la") === col("lb") && col("sa") === col("sb"))
+          .select("a", "b"))
+        // delta-CC with deletions (the stage-5 machinery at stage 4):
+        // perturbed nodes = new groups + groups whose block MOVED;
+        // affected comps = their prev comps plus the prev comps of
+        // their live neighbors (closure: an edge between two
+        // attr-UNCHANGED groups has an unchanged filter verdict, and
+        // if it passed before, CC already put both in one comp)
+        val attrChanged = demoted
+          .filter(col("lang") =!= col("plang") ||
+            col("source") =!= col("psource"))
+          .select(col("fp_id").as("id"))
+        val perturbed = p(attrChanged
+          .union(newGroups.select(col("fp_id").as("id"))))
+        val nbrs = liveEdges
+          .join(perturbed.withColumnRenamed("id", "a"), Seq("a"),
+            "left_semi")
+          .select(col("b").as("id"))
+          .union(liveEdges
+            .join(perturbed.withColumnRenamed("id", "b"), Seq("b"),
+              "left_semi")
+            .select(col("a").as("id")))
+        val affected4c = perturbed.union(nbrs)
+          .join(prevL4, Seq("id"))
+          .select("comp").distinct()
+        val subG4 = p(prevL4
+          .join(affected4c, Seq("comp"), "left_semi")
+          .select("id")
+          .union(newGroups.select(col("fp_id").as("id")))
+          .distinct())
+        val subE4 = liveEdges
+          .join(subG4.withColumnRenamed("id", "a"), Seq("a"),
+            "left_semi")
+          .join(subG4.withColumnRenamed("id", "b"), Seq("b"),
+            "left_semi")
+        val newSubL4 = Wave64Ops.ccMinLabel(s, subG4, subE4,
+          s"pipe_curation_live:near:b$batchId")
+        val newL4 = p(prevL4
+          .join(subG4, Seq("id"), "left_anti")
+          .unionByName(newSubL4))
         val l4Delta = p(newL4
           .join(prevL4.withColumnRenamed("comp", "pcomp"), Seq("id"),
             "left")
           .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
           .select(w, col("id"), col("comp")))
+        // the published stage-4 min is over CURRENT keepers — a
+        // rollup of the group table, never graph surgery
+        def dminOf(groups: DataFrame, labels: DataFrame): DataFrame =
+          groups.join(labels.withColumnRenamed("id", "fp_id"),
+              Seq("fp_id"))
+            .groupBy("comp").agg(min("keeper").as("dmin"))
+        val dminNow = p(dminOf(fpsNow, newL4))
+        val repsNow = p(dminNow.select(col("dmin").as("id")))
+        val repsPrev = p(dminOf(prevFps, prevL4)
+          .select(col("dmin").as("id")))
+        val removedReps = p(repsPrev.join(repsNow, Seq("id"),
+          "left_anti"))
+        // NOT necessarily ⊆ this batch: a block-moved group can SPLIT
+        // a component, and the label-retaining side's dmin can rise —
+        // an OLD doc regains rep status. Hence vecidx stores EVERY
+        // gate survivor's routed vector (O(batch) rows per wave), not
+        // just ever-reps': a regained rep's vector must be findable.
+        val addedReps = repsNow.join(repsPrev, Seq("id"), "left_anti")
         // stage 5: delta-CC with deletions over affected components
-        val s4Now = p(newL4.filter(col("id") === col("comp"))
-          .select("id"))
-        val s4Prev = prevL4.filter(col("id") === col("comp"))
-          .select("id")
-        val removed = p(s4Prev.join(s4Now, Seq("id"), "left_anti"))
-        val addedIds = s4Now.join(s4Prev, Seq("id"), "left_anti")
-        val addedRouted = p(route(
-          b0.filter(col("g").isNotNull)
-            .select(col("doc_id").as("vec_id"), col("g"))
-            .join(addedIds.withColumnRenamed("id", "vec_id"),
-              Seq("vec_id"), "left_semi")))
+        val vecDelta = p(route(
+          s2B.filter(col("g").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("g"))))
         val vecAll = p(SnapTxn.read(s, txroot, "vecidx")
-          .unionByName(addedRouted))
-        val memRouted = p(vecAll.join(
-          s4Now.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          .unionByName(vecDelta))
+        val addedRouted = p(vecAll.join(
+          addedReps.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
           "left_semi"))
-        val prevM5 = p(latestBy(SnapTxn.read(s, txroot, "labels5"),
-          "id").select("id", "comp")
-          .join(s4Prev, Seq("id"), "left_semi")
+        val memRouted = p(vecAll.join(
+          repsNow.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left_semi"))
+        val prevM5 = p(prevL5
+          .join(repsPrev, Seq("id"), "left_semi")
           .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
             "left_semi"))
+        val removed5 = removedReps
+          .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
+            "left_semi")
         val newEdges5 = p(Wave62Ops.VecStreamIndex
           .probeHits(addedRouted, memRouted)
           .filter(col("vec_a") =!= col("vec_b"))
@@ -277,12 +408,12 @@ object Wave65Ops extends QueryModule {
           .distinct())
         val affected = newEdges5.select(col("a").as("id"))
           .union(newEdges5.select(col("b").as("id")))
-          .union(removed)
+          .union(removed5)
           .join(prevM5, Seq("id"))
           .select("comp").distinct()
         val subOld = prevM5
           .join(affected, Seq("comp"), "left_semi")
-          .join(removed, Seq("id"), "left_anti")
+          .join(removed5, Seq("id"), "left_anti")
           .select("id")
         val subNodes = p(subOld
           .union(addedRouted.select(col("vec_id").as("id"))))
@@ -293,67 +424,87 @@ object Wave65Ops extends QueryModule {
           Wave64Ops.semPairs(subRouted),
           s"pipe_curation_live:sem:b$batchId"))
         val l5Delta = p(newSubL5
-          .join(prevM5.withColumnRenamed("comp", "pcomp"), Seq("id"),
+          .join(prevL5.withColumnRenamed("comp", "pcomp"), Seq("id"),
             "left")
           .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
           .select(w, col("id"), col("comp")))
         val comp5Now = prevM5
           .join(subNodes, Seq("id"), "left_anti")
-          .join(removed, Seq("id"), "left_anti")
+          .join(removed5, Seq("id"), "left_anti")
           .union(newSubL5)
-        // decisions for every s3 survivor whose verdict can have moved
-        val oldCand = l4Delta.select("id")
-          .union(subOld)
-          .join(b0.select(col("doc_id").as("id")), Seq("id"),
-            "left_anti")
+        // ---- decisions. One function of (doc_id, fp): keeper test →
+        // rep test → stage-5 membership/label → survived. Matches the
+        // batch funnel's semantics exactly.
+        def decide(targets: DataFrame): DataFrame =
+          targets
+            .join(fpsNow, Seq("fp"))
+            .join(newL4.withColumnRenamed("id", "fp_id"),
+              Seq("fp_id"))
+            .join(dminNow, Seq("comp"))
+            .join(comp5Now.select(col("id").as("doc_id"),
+              col("comp").as("c5")), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_toks"), col("fp"),
+              col("is_new"),
+              when(col("doc_id") =!= col("keeper"), lit(3L))
+                .when(col("doc_id") =!= col("dmin"), lit(4L))
+                .when(col("c5").isNotNull &&
+                  col("c5") =!= col("doc_id"), lit(5L))
+                .otherwise(lit(0L)).as("dropped_at"),
+              when(col("doc_id") =!= col("keeper"), col("keeper"))
+                .when(col("doc_id") =!= col("dmin"), col("dmin"))
+                .when(col("c5").isNotNull &&
+                  col("c5") =!= col("doc_id"), col("c5"))
+                .otherwise(nullL).as("kept_by"))
+            .withColumn("reason",
+              when(col("dropped_at") === 3L, "exact_dup")
+                .when(col("dropped_at") === 4L, "near_dup")
+                .when(col("dropped_at") === 5L, "sem_dup")
+                .otherwise("survived"))
+        // old docs whose verdict can have moved: every doc of every
+        // group in a stage-4-affected component — under the NEW
+        // labeling AND the PREV one (a block-move split can leave the
+        // label-retaining side with no delta row of its own, yet its
+        // dmin rose when the departed group took the old minimum),
+        // plus the stage-5 recompute set. Every perturbation seeds
+        // fpsDelta (demotions/new groups), so the closure is anchored.
+        val seed4 = fpsDelta.select(col("fp_id").as("id"))
+          .union(l4Delta.select("id")).distinct()
+        def compCover(labels: DataFrame): DataFrame =
+          fpsNow
+            .join(labels.withColumnRenamed("id", "fp_id"),
+              Seq("fp_id"))
+            .join(labels.join(seed4, Seq("id"), "left_semi")
+              .select("comp").distinct(), Seq("comp"), "left_semi")
+            .select("fp")
+        val affectedFps = compCover(newL4).union(compCover(prevL4))
+        val oldCand = prevLedger
+          .join(affectedFps, Seq("fp"), "left_semi")
+          .select("doc_id", "fp", "n_toks")
+          .unionByName(prevLedger
+            .join(subNodes.union(removed5)
+                .withColumnRenamed("id", "doc_id"),
+              Seq("doc_id"), "left_semi")
+            .select("doc_id", "fp", "n_toks"))
           .distinct()
-          .join(prevLedger.withColumnRenamed("doc_id", "id")
-            .select("id", "n_toks"), Seq("id"))
-          .withColumn("is_new", lit(false))
-        val targets = s3B
-          .select(col("doc_id").as("id"), col("n_toks"))
-          .withColumn("is_new", lit(true))
-          .unionByName(oldCand)
-        val dec = targets
-          .join(newL4.withColumnRenamed("comp", "c4"), Seq("id"))
-          .join(comp5Now.withColumnRenamed("comp", "c5"), Seq("id"),
-            "left")
-          .select(col("id").as("doc_id"), col("n_toks"),
-            col("is_new"),
-            when(col("c4") =!= col("id"), lit(4L))
-              .when(col("c5").isNotNull && col("c5") =!= col("id"),
-                lit(5L))
-              .otherwise(lit(0L)).as("dropped_at"),
-            when(col("c4") =!= col("id"), col("c4"))
-              .when(col("c5").isNotNull && col("c5") =!= col("id"),
-                col("c5"))
-              .otherwise(nullL).as("kept_by"))
-          .withColumn("reason",
-            when(col("dropped_at") === 4L, "near_dup")
-              .when(col("dropped_at") === 5L, "sem_dup")
-              .otherwise("survived"))
-        val decP = p(dec)
-        def ledgerRow(df: DataFrame, stage: Long, why: String,
-            keptBy: org.apache.spark.sql.Column): DataFrame =
+        val decP = p(decide(
+          s2B.select(col("doc_id"), col("fp"), col("n_toks"))
+            .withColumn("is_new", lit(true))
+            .unionByName(oldCand.withColumn("is_new", lit(false)))))
+        def ledgerRow(df: DataFrame, stage: Long, why: String)
+            : DataFrame =
           df.select(w, col("doc_id"), lit(stage).as("dropped_at"),
-            lit(why).as("reason"), keptBy.as("kept_by"),
-            col("n_toks"))
+            lit(why).as("reason"), nullL.as("kept_by"),
+            col("n_toks"), lit(null).cast("string").as("fp"))
         val ledgerDelta =
           ledgerRow(b0.filter(!(TextOps.langIdExpr(col("text")) ===
-            col("lang"))), 1L, "lang_mismatch", nullL)
+            col("lang"))), 1L, "lang_mismatch")
           .unionByName(ledgerRow(
             s1B.filter(!(Wave64Ops.qualityScore >= 0.5)), 2L,
-            "low_quality", nullL))
-          .unionByName(ledgerRow(
-            fpJ.filter(col("old_keeper").isNotNull), 3L, "exact_dup",
-            col("old_keeper")))
-          .unionByName(ledgerRow(
-            newFp.join(keeperB, Seq("fp"))
-              .filter(col("doc_id") =!= col("keeper")), 3L,
-            "exact_dup", col("keeper")))
+            "low_quality"))
           .unionByName(decP.filter(col("is_new"))
             .select(w, col("doc_id"), col("dropped_at"),
-              col("reason"), col("kept_by"), col("n_toks")))
+              col("reason"), col("kept_by"), col("n_toks"),
+              col("fp")))
           .unionByName(decP.filter(!col("is_new"))
             .join(prevLedger.select(col("doc_id"),
               col("dropped_at").as("pd"), col("kept_by").as("pk")),
@@ -361,23 +512,22 @@ object Wave65Ops extends QueryModule {
             .filter(!(col("dropped_at") <=> col("pd")) ||
               !(col("kept_by") <=> col("pk")))
             .select(w, col("doc_id"), col("dropped_at"),
-              col("reason"), col("kept_by"), col("n_toks")))
+              col("reason"), col("kept_by"), col("n_toks"),
+              col("fp")))
         val ledgerP = p(ledgerDelta)
         val n = ledgerP.count()
         SnapTxn.commit(s, txroot, Seq(
           "ledger" -> ledgerP,
-          "fps" -> keeperB,
+          "fps" -> fpsDelta,
           "pref" -> prefB.toDF(),
           "ts4" -> t4B.select("doc_id", "ts"),
+          "edges4" -> newContent.toDF(),
           "labels4" -> l4Delta,
           "labels5" -> l5Delta,
-          "vecidx" -> addedRouted.toDF()),
+          "vecidx" -> vecDelta.toDF()),
           note = SnapTxn.batchNote(batchId))
         n
-      } finally {
-        s.conf.set(partsKey, prevParts)
-        cache.foreach(_.unpersist(blocking = false))
-      }
+      } finally s.conf.set(partsKey, prevParts)
     }
 
     /** The decision set as of the current pin: the changelog collapsed
@@ -423,16 +573,19 @@ object Wave65Ops extends QueryModule {
             .start()
           q.awaitTermination()
         }
-        // three ascending-id waves through one checkpoint — commit k
-        // IS micro-batch k (the stream_cdc_index transport)
+        // three id-tertile waves in deliberately NON-monotone order
+        // (mid, then low, then high) through one checkpoint — commit
+        // k IS micro-batch k (the stream_cdc_index transport), and
+        // the out-of-order low wave forces real keeper demotions on
+        // this dup-heavy corpus
         val maxId = docs.agg(max("doc_id")).first().getLong(0)
         val (c1, c2) = ((maxId + 1) / 3, 2 * (maxId + 1) / 3)
         SnapTable.create(s, landing,
-          landingDf.filter(col("doc_id") < c1), "doc_id")
+          landingDf.filter(col("doc_id") >= c1 &&
+            col("doc_id") < c2), "doc_id")
         drain()
         SnapTable.append(s, landing,
-          landingDf.filter(col("doc_id") >= c1 &&
-            col("doc_id") < c2))
+          landingDf.filter(col("doc_id") < c1))
         drain()
         SnapTable.append(s, landing,
           landingDf.filter(col("doc_id") >= c2))
@@ -441,7 +594,8 @@ object Wave65Ops extends QueryModule {
       },
       // the BATCH ledger oracle, verbatim: the collapsed live
       // changelog must equal the from-scratch funnel decision —
-      // transport and incrementality must not change the result
+      // transport, incrementality AND arrival order must not change
+      // the result
       Some(Wave64Ops.ledgerOracleSql)
     ),
     Q(
