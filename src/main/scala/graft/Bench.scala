@@ -100,7 +100,7 @@ object Bench {
     // is 3 NON-MONOTONE waves × (8-table SnapTxn commit + 2 delta-CC
     // runs) + the landing-table stream transport — the whole curation
     // surface composed per micro-batch, priced accordingly
-    "pipe_curation_live" -> 47.41, "dedup_crossmodal_serve" -> 10.09,
+    "pipe_curation_live" -> 39.68, "dedup_crossmodal_serve" -> 10.09,
     "text_dedup_minhash_det" -> 0.89)
 
   def main(args: Array[String]): Unit = {

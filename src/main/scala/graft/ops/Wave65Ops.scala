@@ -90,14 +90,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * (mid / low / high id tertiles).
   *
   * The stage-4 candidate rule here is the COMPLETE deterministic
-  * prefix filter under the STATIC lexicographic token order (required
-  * for oracle equality and for one-order-across-batches completeness;
-  * Guard.quadratic-fenced like every exactness twin — the batch ops
-  * use the df-ascending order, whose live analogue is a
-  * bootstrap-frozen df order, see prefixRowsDf). The unfenced
-  * production swap is IncNeardup's banded MinHash probe behind the
-  * same verify (e=0.26), at the price of the completeness guarantee
-  * the oracle needs.
+  * prefix filter under a BOOTSTRAP-FROZEN df-ascending token order
+  * (committed as the `tokord` table at setup; unseen tokens order
+  * last, ties by token — one static total order across every wave, so
+  * completeness holds for any future vocabulary while Zipfian corpora
+  * get the rare-token prefixes the batch ops' prefixRowsDf measured
+  * 2.3× at 10×; Guard.quadratic-fenced like every exactness twin).
+  * The unfenced production swap is IncNeardup's banded MinHash probe
+  * behind the same verify (e=0.26), at the price of the completeness
+  * guarantee the oracle needs.
   */
 object Wave65Ops extends QueryModule {
 
@@ -130,7 +131,7 @@ object Wave65Ops extends QueryModule {
 
     val Tables: Seq[String] =
       Seq("ledger", "fps", "pref", "ts4", "edges4", "labels4",
-        "labels5", "vecidx")
+        "labels5", "vecidx", "tokord")
 
     private def latestBy(df: DataFrame, key: String): DataFrame = {
       val w = Window.partitionBy(key).orderBy(col("wave").desc)
@@ -138,11 +139,22 @@ object Wave65Ops extends QueryModule {
         .filter(col("rn") === 1).drop("rn")
     }
 
-    /** DDL-first setup from a ZERO-ROW landing frame
-      * `(doc_id, lang, source, text, n_chars, g)` — plan-only, no
-      * jobs. `g` is the grid-quantized vector (null = no vector). */
+    /** Setup from a ZERO-ROW landing frame `(doc_id, lang, source,
+      * text, n_chars, g)` (`g` = grid-quantized vector, null = none)
+      * plus a BOOTSTRAP corpus for the frozen token order: the
+      * df-ascending prefix ordering (the canonical AllPairs order,
+      * 2.3× at 10× on the Zipfian twin — see prefixRowsDf) needs ONE
+      * order across every wave, so the document frequencies are
+      * FROZEN from `bootstrap` at setup and committed as the `tokord`
+      * table — the IVF frozen-geometry invariant applied to tokens.
+      * Tokens unseen by the bootstrap order AFTER every seen token
+      * (df = +∞), ties by token — still one deterministic total
+      * order, so the prefix filter stays complete for any future
+      * vocabulary. Everything else is DDL-only (plan-only, no jobs);
+      * the tokord build is the one bootstrap-sized job, exactly like
+      * semdedupGeometry's centroid derivation. */
     def setup(s: SparkSession, txroot: String, landing0: DataFrame,
-        route: DataFrame => DataFrame): Unit = {
+        route: DataFrame => DataFrame, bootstrap: DataFrame): Unit = {
       val led = StructType(Seq(
         StructField("wave", LongType, nullable = false),
         StructField("doc_id", LongType),
@@ -178,8 +190,32 @@ object Wave65Ops extends QueryModule {
         route(landing0.filter(col("g").isNotNull)
           .select(col("doc_id").as("vec_id"), col("g"))).schema,
         "vec_id", spec = Seq("cell"))
+      SnapTable.createEmpty(s"$txroot/tokord", StructType(Seq(
+        StructField("tok", StringType),
+        StructField("df", LongType))), "df")
       SnapTxn.init(txroot, Tables)
+      SnapTxn.commit(s, txroot, Seq("tokord" ->
+        bootstrap.select(explode(array_distinct(
+            split(col("text"), " "))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))),
+        note = "bootstrap:tokord")
     }
+
+    /** [[Wave64Ops.prefixRows]] under the FROZEN bootstrap df order:
+      * (df asc, tok) with unseen tokens last. Same output shape
+      * `(doc_id, len, ptok)` — index and probe sides share it. */
+    private def frozenPrefixRows(t4: DataFrame,
+        ord: DataFrame): DataFrame =
+      t4.select(col("doc_id"), size(col("ts")).as("len"),
+          explode(col("ts")).as("tok"))
+        .join(ord, Seq("tok"), "left")
+        .withColumn("df", coalesce(col("df"), lit(Long.MaxValue)))
+        .groupBy("doc_id", "len")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(df, tok))), x -> x.tok)").as("ots"))
+        .select(col("doc_id"), col("len"),
+          explode(expr("slice(ots, 1, " +
+            "CAST(floor(len * 0.2) AS INT) + 1)")).as("ptok"))
 
     /** One micro-batch: gates → group probe (keeper updates, any id
       * order) → prefix-index probe + star-compressed CC in fp space →
@@ -286,7 +322,8 @@ object Wave65Ops extends QueryModule {
             Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
             array_sort(array_distinct(col("toks"))).as("ts")))
-        val prefB = p(Wave64Ops.prefixRows(t4B, Nil))
+        val prefB = p(frozenPrefixRows(t4B,
+          SnapTxn.read(s, txroot, "tokord")))
         val allPref = p(SnapTxn.read(s, txroot, "pref")
           .unionByName(prefB))
         // hot-group fence over index ∪ batch — the probe join's
@@ -561,7 +598,9 @@ object Wave65Ops extends QueryModule {
         val landing = Tmp.dir("graft_livefunnel_landing")
         val txroot = Tmp.dir("graft_livefunnel_tx")
         val ckpt = Tmp.dir("graft_livefunnel_ckpt")
-        LiveFunnel.setup(s, txroot, landingDf.limit(0), route)
+        // bootstrap token order from the full corpus — the same
+        // frozen-geometry source semdedupGeometry uses for centroids
+        LiveFunnel.setup(s, txroot, landingDf.limit(0), route, docs)
         def drain(): Unit = {
           val q = s.readStream.format("snapstream").load(landing)
             .writeStream

@@ -73,7 +73,14 @@ class Wave65Spec extends AnyFunSuite {
       // exact dup of 20: shuffled order plus a repeated token
       (41L, "en", "src0",
         ((A ++ C).reverse ++ Seq("c00")).mkString(" ")),
-      (50L, "en", "src0", (A ++ B ++ C).mkString(" ")))
+      (50L, "en", "src0", (A ++ B ++ C).mkString(" ")),
+      // fresh vocabulary NEVER seen by the frozen-token-order
+      // bootstrap (ids <= 41): the unseen-token fallback order must
+      // still find this near-dup pair (J = 36/44)
+      (52L, "en", "src0", (0 until 40).map(i => f"h$i%02d")
+        .mkString(" ")),
+      (53L, "en", "src0", ((0 until 36).map(i => f"h$i%02d") ++
+        (0 until 4).map(i => f"i$i%02d")).mkString(" ")))
       .toDF("doc_id", "lang", "source", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
@@ -112,7 +119,10 @@ class Wave65Spec extends AnyFunSuite {
       "ledger equals the batch ledger") {
     val (land, route) = landing()
     val txroot = Tmp.dir("wave65_tx")
-    LiveFunnel.setup(spark, txroot, land.limit(0), route)
+    // frozen token order bootstrapped from ids <= 41 only — wave 2's
+    // h-vocabulary is UNSEEN and exercises the fallback order
+    LiveFunnel.setup(spark, txroot, land.limit(0), route,
+      land.filter($"doc_id" <= 41L))
 
     // wave 0: the MIDDLE ids — 10, 14, 15 deliberately NOT landed yet
     val n0 = LiveFunnel.ingest(spark, txroot,
@@ -150,11 +160,14 @@ class Wave65Spec extends AnyFunSuite {
 
     // wave 2: the HIGH id bridges groups 10 and 20 at stage 4
     LiveFunnel.ingest(spark, txroot,
-      land.filter($"doc_id" === 50L), 2L, route)
+      land.filter($"doc_id" >= 50L), 2L, route)
     val d2 = decisions(LiveFunnel.serve(spark, txroot))
     assert(d2(15L) === ((4L, "near_dup", Some(10L))),
       "the current keeper must flip survived -> near_dup on merge")
     assert(d2(50L) === ((4L, "near_dup", Some(10L))))
+    assert(d2(52L) === ((0L, "survived", None)),
+      "unseen-vocabulary docs must still prefix-match (fallback order)")
+    assert(d2(53L) === ((4L, "near_dup", Some(52L))))
     assert(d2(10L) === ((0L, "survived", None)))
     assert(d2(20L) === ((3L, "exact_dup", Some(15L))))
     assert(d2(30L) === ((0L, "survived", None)))
@@ -168,11 +181,12 @@ class Wave65Spec extends AnyFunSuite {
       rows(41L) === 2L && rows(15L) === 2L &&
       rows(16L) === 2L && rows(18L) === 2L)
     assert(rows(10L) === 1L && rows(40L) === 1L &&
-      rows(50L) === 1L && rows(14L) === 1L)
+      rows(50L) === 1L && rows(14L) === 1L &&
+      rows(52L) === 1L && rows(53L) === 1L)
 
     // idempotent replay: the same batch id is a no-op
     assert(LiveFunnel.ingest(spark, txroot,
-      land.filter($"doc_id" === 50L), 2L, route) === -1L)
+      land.filter($"doc_id" >= 50L), 2L, route) === -1L)
     assert(decisions(LiveFunnel.serve(spark, txroot)) === d2)
 
     // a doc_id lands exactly once, loudly
