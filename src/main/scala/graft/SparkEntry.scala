@@ -24,7 +24,8 @@ object SparkEntry {
     Wave42Ops, Wave43Ops, Wave44Ops, Wave45Ops, Wave46Ops, Wave47Ops,
     Wave48Ops, Wave49Ops, Wave50Ops, Wave51Ops, Wave52Ops, Wave53Ops,
     Wave54Ops, Wave55Ops, Wave56Ops, Wave57Ops, Wave58Ops, Wave59Ops,
-    Wave60Ops, Wave61Ops, Wave62Ops, Wave63Ops, Wave64Ops, Wave65Ops)
+    Wave60Ops, Wave61Ops, Wave62Ops, Wave63Ops, Wave64Ops, Wave65Ops,
+    Wave66Ops)
 
   val all: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

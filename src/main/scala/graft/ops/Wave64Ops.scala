@@ -102,27 +102,33 @@ object Wave64Ops extends QueryModule {
     *    and a straight parallelism cap at 100 TB. The edge count is a
     *    cached-block scan of the already-checkpointed edge frame, not
     *    a recompute.
-    * NOT re-entrant: the shuffle/broadcast conf overrides are
-    * session-global for the call's duration (restored in finally) —
-    * the house single-query-per-session execution model. Concurrent
-    * queries on one session would need `SparkSession.newSession()`
-    * per caller (isolated conf, shared catalog). */
+    * RE-ENTRANT (round-14 continuation; §18.1 #4): the loop runs in an
+    * ISOLATED CLONED SESSION — `Bridge.isolatedSession` snapshots the
+    * caller's conf, the input plans are rebound into the clone
+    * (`Bridge.inSession`), and the width/broadcast overrides mutate
+    * only the clone. The caller's session conf is never touched, so
+    * concurrent ccMinLabel calls (or any concurrent query on the
+    * caller's session) cannot observe or stomp each other's overrides
+    * — Wave66Spec races two calls on one session to pin it. */
   private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
     val cp = org.apache.spark.sql.graftx.Bridge
       .localCheckpointHonestStats _
+    val iso = org.apache.spark.sql.graftx.Bridge.isolatedSession(s)
+    def bind(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftx.Bridge.inSession(iso, df)
     val partsKey = "spark.sql.shuffle.partitions"
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prevParts = s.conf.get(partsKey)
-    val prevBc = s.conf.get(bcKey)
     val out = graft.Tmp.dir("graft_cc64")
-    try {
-      s.conf.set(bcKey, "-1")
-      val e = cp(edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
-      s.conf.set(partsKey,
+    locally {
+      iso.conf.set(bcKey, "-1")
+      val e = cp(bind(edges.select(col("a").as("src"),
+          col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))))
+      iso.conf.set(partsKey,
         math.max(4L, e.count() / 125000L).toString)
-      var labels = cp(nodes.select(col("id"), col("id").as("comp")))
+      var labels = cp(bind(nodes.select(col("id"),
+        col("id").as("comp"))))
       // convergence certificate: exact DECIMAL(38,0) label sum —
       // labels decrease monotonically so sum equality IS a fixed
       // point, but a Long sum wraps past ~1e10 64-bit ids (false
@@ -157,9 +163,6 @@ object Wave64Ops extends QueryModule {
         s"$what: label propagation not converged after $iters " +
           "iterations — component diameter exceeds the cap")
       labels.write.mode("overwrite").parquet(out)
-    } finally {
-      s.conf.set(partsKey, prevParts)
-      s.conf.set(bcKey, prevBc)
     }
     s.read.parquet(out)
   }

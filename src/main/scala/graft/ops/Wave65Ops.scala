@@ -269,7 +269,8 @@ object Wave65Ops extends QueryModule {
         // task-scheduling overhead at fixture scale while the corpus-
         // sized collapses size it up at 100 TB (~250k rows/partition,
         // floor 4). Both counts are cached-frame scans. ccMinLabel
-        // scopes its own width inside this one and restores ours.
+        // runs its own width in an isolated cloned session — it never
+        // sees or disturbs this override.
         s.conf.set(partsKey, math.max(4L,
           (prevLedger.count() + b0.count()) / 250000L).toString)
         // stages 1-2: row-local gates

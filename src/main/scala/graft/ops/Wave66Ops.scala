@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-14 continuation, wave 66: HOT-GROUP SPLITTING for the prefix
+  * candidate rule (SURVEY §18.1 #3) — the non-failing alternative to
+  * [[Wave64Ops.fencePrefixGroups]].
+  *
+  * The fence turns a hot (block…, ptok) collision group into a loud
+  * failure before the quadratic join launches. That is the right
+  * default for the exactness twins, but a 100-TB pipeline sometimes
+  * has to EAT a hot group (a stop-word-like prefix token that survives
+  * even df-ascending ordering on a pathological shard) rather than
+  * abort the run. The classic remedy is triangle salting — the
+  * skew-join replication scheme applied to a SELF-join:
+  *
+  *   - every member of a group of size g gets a deterministic salt
+  *     s = hash(doc_id) mod S, where S = ⌈g / cap⌉;
+  *   - the probe side (x) replicates each row to buckets
+  *     (pi = s, pj ∈ [s, S)), the build side (y) to buckets
+  *     (pi ∈ [0, s], pj = s);
+  *   - the join key becomes (block…, ptok, pi, pj).
+  *
+  * COMPLETENESS: for any two members u (salt su) and v (salt sv) with
+  * su ≤ sv, x=u emits bucket (su, sv) (since sv ≥ su) and y=v emits
+  * bucket (su, sv) (since su ≤ sv) — every pair meets in EXACTLY one
+  * bucket (plus the mirrored roles when su = sv, collapsed by the
+  * least/greatest canonicalization + distinct). Salts are independent
+  * of id order, so the pair can surface with either member in either
+  * role — the join must NOT assume x.doc_id < y.doc_id (the
+  * Wave65 live-funnel lesson, same fix: canonicalize, don't order).
+  *
+  * COST: a group of size g splits into S(S+1)/2 buckets of ≤ cap
+  * members per side — each bucket's candidate count is ≤ cap², a
+  * bounded task, while the TOTAL candidate count is unchanged (the
+  * filter is the same; salting only re-partitions the work). The
+  * replication factor per row is ≤ (S+1)/2 ≈ g/(2·cap) — sublinear in
+  * the g²/2 pair work it spreads, and exactly 1 (no replication: S=1,
+  * one bucket (0,0)) for every group at or under the cap, so cool
+  * groups pay only two extra int join-key columns. Group sizing is one
+  * count aggregation over the token-row-bounded pref frame — the same
+  * scan the fence already paid.
+  *
+  * The graded op runs the rule with a deliberately SMALL cap (4) so
+  * the splitting machinery genuinely engages at every graded SF (the
+  * en/src0+src1 slice's hottest df-ascending prefix group holds 10
+  * docs at sf0.001 and 15 at sf0.01 → S up to 4): result-identical to
+  * the fenced rule by construction, which is exactly what the shared
+  * lexPrefixSql oracle proves. Production callers keep the
+  * [[Wave64Ops.PrefixGroupCap]] default, where splitting engages only
+  * past the fence's former failure threshold.
+  */
+object Wave66Ops extends QueryModule {
+
+  /** Boundary-complete triangle-salted candidate pairs over a
+    * [[Wave64Ops.prefixRowsDf]]-shaped frame `(doc_id, len, <block>,
+    * ptok)`: same candidate set as the direct self-join (every pair
+    * sharing a block + prefix token and passing the AllPairs length
+    * bound), with no collision group ever producing a join bucket
+    * larger than `cap` per side. Output `(a, b)`, a < b, distinct. */
+  private[graft] def saltedCandidates(pref: DataFrame,
+      block: Seq[String], cap: Long): DataFrame = {
+    require(cap >= 2, s"saltedCandidates: cap $cap < 2")
+    val key = block :+ "ptok"
+    val gsz = pref.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("gsz"))
+    val pg = pref.join(gsz, key)
+      .withColumn("nsalt",
+        expr(s"CAST((gsz + ${cap - 1}) div $cap AS INT)"))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
+    val x = pg.select(key.map(col) ++ Seq(
+      col("doc_id").as("xid"), col("len").as("xlen"),
+      col("salt").as("pi"),
+      explode(expr("sequence(salt, nsalt - 1)")).as("pj")): _*)
+    val y = pg.select(key.map(col) ++ Seq(
+      col("doc_id").as("yid"), col("len").as("ylen"),
+      explode(expr("sequence(0, salt)")).as("pi"),
+      col("salt").as("pj")): _*)
+    x.join(y, key ++ Seq("pi", "pj"))
+      .filter(col("xid") =!= col("yid") &&
+        col("xlen") * 5 >= col("ylen") * 4 &&
+        col("ylen") * 5 >= col("xlen") * 4)
+      .select(least(col("xid"), col("yid")).as("a"),
+        greatest(col("xid"), col("yid")).as("b"))
+      .distinct()
+  }
+
+  /** [[Wave64Ops.prefixJaccardPairs]] through the salted candidate
+    * rule: identical output (the candidate set is identical and the
+    * exact verify is shared), no fence — hot groups split instead of
+    * failing. `cap` bounds the per-bucket join side. */
+  private[graft] def saltedPrefixJaccardPairs(t4: DataFrame,
+      block: Seq[String],
+      cap: Long = Wave64Ops.PrefixGroupCap): DataFrame = {
+    val pref = Wave64Ops.prefixRowsDf(t4, block)
+    Wave64Ops.jaccardVerify(saltedCandidates(pref, block, cap),
+      t4.select("doc_id", "ts"))
+  }
+
+  /** The graded cap — small enough that the triangle split genuinely
+    * runs at every graded SF (see object scaladoc). */
+  val SplitGradeCap = 4L
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "text_dedup_near_split",
+      // the hot-group SPLIT near-dup rule: exact token-set Jaccard
+      // >= 0.8 pairs on the blocked en/src0+src1 slice (lexPairs'
+      // semantics) with the candidate join triangle-salted at cap 4 —
+      // result-identical to the fenced rule, proven by replaying the
+      // SAME df-ascending prefix oracle chain. Guard: the exact verify
+      // stays collision-bounded; the split bounds the BUCKET, not the
+      // total, so the exactness fence still applies to the input.
+      (s, dir) => {
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "text_dedup_near_split")
+        saltedPrefixJaccardPairs(
+          T(s, dir, "documents")
+            .filter(col("lang") === "en" &&
+              col("source").isin("src0", "src1"))
+            .select(col("doc_id"),
+              array_sort(array_distinct(split(col("text"), " ")))
+                .as("ts")),
+          Nil, cap = SplitGradeCap)
+          .orderBy("a", "b")
+      },
+      Some(
+        "WITH " + Wave64Ops.lexPrefixSql +
+          "res AS (SELECT a, b FROM lp) " +
+          "SELECT a, b FROM res ORDER BY a, b")
+    )
+  )
+}

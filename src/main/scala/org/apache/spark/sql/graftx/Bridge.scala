@@ -14,6 +14,29 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `private[sql] SparkSession.cloneSession()` — a session with its OWN
+    * conf (a snapshot of the parent's: runtime overrides included, unlike
+    * `newSession()`'s defaults-only state) over the shared SparkContext,
+    * SharedState (so the CacheManager still matches persisted plans) and
+    * a copy of the catalog. Mutating the clone's conf never touches the
+    * parent — the isolation primitive that makes conf-scoped iterative
+    * helpers (ccMinLabel's shuffle-width/broadcast overrides) re-entrant
+    * instead of documented-single-writer.
+    */
+  def isolatedSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Rebind a DataFrame's ANALYZED plan to another session (same
+    * SparkContext), so its execution reads THAT session's conf — shuffle
+    * width, broadcast thresholds, AQE. The analyzed plan is
+    * session-portable here: file relations, local relations and
+    * checkpointed LogicalRDDs carry no session pointer, and cache lookup
+    * goes through the shared CacheManager.
+    */
+  def inSession(target: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Inverse direction: StructType → V2 Columns (comments and DEFAULT
     * metadata preserved), for `Table.columns()` overrides.
     */

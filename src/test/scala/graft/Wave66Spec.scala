@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{Wave64Ops, Wave66Ops}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the round-14 continuation wave:
+  *
+  *  - HOT-GROUP SPLITTING (Wave66Ops.saltedCandidates): on a fixture
+  *    whose hottest prefix-collision group (30 docs) is far beyond the
+  *    spec cap (4), the triangle-salted candidate rule returns EXACTLY
+  *    the direct rule's verified pairs — boundary completeness across
+  *    salt buckets, including pairs whose smaller doc_id carries the
+  *    LARGER salt (the canonicalization the fixture is asserted to
+  *    exercise);
+  *  - cool-group degeneracy: with the cap above every group size the
+  *    salted rule is the direct rule;
+  *  - the graded op equals text_dedup_near's pair set on the real
+  *    sf0.001 slice (two independent formulations, one edge set);
+  *  - ccMinLabel RE-ENTRANCY (§18.1 #4): two concurrent calls on ONE
+  *    session produce correct labels while a watcher thread observes
+  *    the caller session's shuffle-width and broadcast confs never
+  *    move — the cloned-session isolation, raced rather than asserted.
+  */
+class Wave66Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 30 docs: 9 shared base tokens + 1 unique ⇒ every pair has
+  // J = 9/11 ≈ 0.818 >= 0.8; plus 4 loner docs with disjoint sets.
+  // Under the df-ascending prefix order each doc's 3-token prefix is
+  // its unique token (df 1) + the two smallest shared tokens (df 30)
+  // — one 30-doc collision group per shared prefix token.
+  private lazy val hotT4 = {
+    val base = (0 until 9).map(i => f"base$i%02d")
+    val docs = (0 until 30).map { i =>
+      (100L + i, (base :+ f"uniq$i%02d").sorted.toArray)
+    } ++ (0 until 4).map { i =>
+      (500L + i, (0 until 10).map(j => f"lone$i%d$j%d").sorted.toArray)
+    }
+    docs.toDF("doc_id", "ts")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a", "b").as[(Long, Long)].collect().toSet
+
+  test("salted rule == direct rule on a hot group 7.5x over the cap," +
+      " and the fixture exercises inverted salt order") {
+    val pref = Wave64Ops.prefixRowsDf(hotT4, Nil)
+    val maxG = pref.groupBy("ptok").agg(count(lit(1)).as("g"))
+      .agg(max("g")).first().getLong(0)
+    assert(maxG === 30L, "fixture must have a hot collision group")
+    // the canonicalization matters only if some true pair has its
+    // smaller id in the larger salt bucket — assert the fixture
+    // provides one instead of hoping
+    val salts = hotT4.filter($"doc_id" >= 100L && $"doc_id" < 130L)
+      .select($"doc_id",
+        pmod(xxhash64($"doc_id"), lit(8)).cast("int").as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(salts.exists { case (u, su) =>
+      salts.exists { case (v, sv) => u < v && su > sv } },
+      "fixture must contain a pair with inverted salt order")
+    val direct = pairSet(Wave64Ops.jaccardVerify(
+      hotT4.as("x").join(hotT4.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")),
+      hotT4))
+    assert(direct.size === 30 * 29 / 2)
+    val salted = pairSet(
+      Wave66Ops.saltedPrefixJaccardPairs(hotT4, Nil, cap = 4L))
+    assert(salted === direct)
+  }
+
+  test("cool groups degenerate to the direct candidate rule") {
+    val pref = Wave64Ops.prefixRowsDf(hotT4, Nil)
+    val directCand = pairSet(pref.as("x")
+      .join(pref.as("y"), Wave64Ops.prefixCondXY(Nil) &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct())
+    val salted = pairSet(
+      Wave66Ops.saltedCandidates(pref, Nil, cap = 1000L))
+    assert(salted === directCand)
+  }
+
+  test("graded op equals text_dedup_near's pair set at sf0.001") {
+    val near = SparkEntry.queries("text_dedup_near")(spark, TestSpark.Sf)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val split = SparkEntry.queries("text_dedup_near_split")(
+      spark, TestSpark.Sf)
+    assert(pairSet(split) === pairSet(near))
+    assert(pairSet(split).nonEmpty)
+  }
+
+  test("ccMinLabel is re-entrant: concurrent calls on one session, " +
+      "caller conf never moves") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val partsKey = "spark.sql.shuffle.partitions"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val parts0 = spark.conf.get(partsKey)
+    val bc0 = spark.conf.get(bcKey)
+    @volatile var done = false
+    @volatile var drift: Option[String] = None
+    val watcher = new Thread(() => {
+      while (!done) {
+        val p = spark.conf.get(partsKey)
+        val b = spark.conf.get(bcKey)
+        if (p != parts0 || b != bc0)
+          drift = Some(s"$partsKey=$p $bcKey=$b")
+        Thread.sleep(2)
+      }
+    })
+    watcher.start()
+    try {
+      // two disjoint graphs: a 6-node chain (one component) and two
+      // 3-node triangles
+      val fChain = Future {
+        val nodes = (1L to 6L).toDF("id")
+        val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+        Wave64Ops.ccMinLabel(spark, nodes, edges, "spec:chain")
+          .as[(Long, Long)].collect().toMap
+      }
+      val fTri = Future {
+        val nodes = (11L to 16L).toDF("id")
+        val edges = Seq((11L, 12L), (12L, 13L), (13L, 11L),
+          (14L, 15L), (15L, 16L), (16L, 14L)).toDF("a", "b")
+        Wave64Ops.ccMinLabel(spark, nodes, edges, "spec:tri")
+          .as[(Long, Long)].collect().toMap
+      }
+      val chain = Await.result(fChain, 5.minutes)
+      val tri = Await.result(fTri, 5.minutes)
+      assert(chain === (1L to 6L).map(_ -> 1L).toMap)
+      assert(tri === ((11L to 13L).map(_ -> 11L) ++
+        (14L to 16L).map(_ -> 14L)).toMap)
+    } finally {
+      done = true
+      watcher.join()
+    }
+    assert(drift.isEmpty,
+      s"caller session conf moved during concurrent ccMinLabel: $drift")
+    assert(spark.conf.get(partsKey) === parts0)
+    assert(spark.conf.get(bcKey) === bc0)
+  }
+}
