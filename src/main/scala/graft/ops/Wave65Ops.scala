@@ -66,8 +66,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - gates are row-local (O(batch));
   *  - stage 3 probes the group table on fp (O(batch + hits));
   *  - stage 4 probes the PREFIX index with the complete
-  *    PPJoin/AllPairs candidate rule (prefix-collision-bounded,
-  *    hot-group fenced) for NEW groups only, and runs CC over the
+  *    PPJoin/AllPairs candidate rule (prefix-collision-bounded; hot
+  *    collision groups SPLIT across salt buckets rather than failing
+  *    — Wave66Ops.gridSaltedProbeCandidates) for NEW groups only,
+  *    and runs CC over the
   *    STAR-COMPRESSED reduced graph (new edges + one id→comp link per
   *    labeled group — per-absorb rounds track the NEW edges'
   *    diameter, never the corpus's);
@@ -327,21 +329,18 @@ object Wave65Ops extends QueryModule {
           SnapTxn.read(s, txroot, "tokord")))
         val allPref = p(SnapTxn.read(s, txroot, "pref")
           .unionByName(prefB))
-        // hot-group fence over index ∪ batch — the probe join's
-        // per-group cost is what the union group size bounds (block-
-        // free, so the fence is the conservative global form)
-        Wave64Ops.fencePrefixGroups(allPref, Nil,
-          s"pipe_curation_live:near:b$batchId")
-        // arrival order is arbitrary, so a new group's id can sit on
-        // either side of an indexed one — canonicalize with
-        // least/greatest instead of assuming newer = larger
-        val cand = prefB.as("x")
-          .join(allPref.as("y"),
-            Wave64Ops.prefixCondXY(Nil) &&
-              col("x.doc_id") =!= col("y.doc_id"))
-          .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
-          .distinct()
+        // hot collision groups SPLIT instead of failing (§18.1 #3): a
+        // landing wave must not abort the stream, so the probe join
+        // runs through the grid-salted bipartite rule — per-bucket
+        // work capped at PrefixGroupCap², completeness structural
+        // (every probe/index pair meets in exactly one salt bucket),
+        // candidates identical to the direct join. The batch exactness
+        // twins keep the loud fence; the LIVE cadence eats the group.
+        // Arrival order is arbitrary, so a new group's id can sit on
+        // either side of an indexed one — the rule canonicalizes with
+        // least/greatest instead of assuming newer = larger.
+        val cand = Wave66Ops.gridSaltedProbeCandidates(prefB, allPref,
+          Nil, Wave64Ops.PrefixGroupCap)
         val newContent = p(Wave64Ops.jaccardVerify(cand,
           SnapTxn.read(s, txroot, "ts4")
             .unionByName(t4B.select("doc_id", "ts"))))

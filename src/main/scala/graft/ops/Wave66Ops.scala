@@ -88,6 +88,59 @@ object Wave66Ops extends QueryModule {
       .distinct()
   }
 
+  /** The ASYMMETRIC (probe vs index) form of [[saltedCandidates]] —
+    * the live funnel's candidate join shape, where a landing wave's
+    * prefix rows probe the accumulated index. A self-join triangle
+    * does not apply (the sides differ), so this is the full bipartite
+    * GRID: per collision group, probe rows split into Sx = ⌈gx/cap⌉
+    * salt buckets and index rows into Sy = ⌈gy/cap⌉; a probe row with
+    * salt sx replicates to buckets (sx, j ∈ [0, Sy)), an index row
+    * with salt sy to (i ∈ [0, Sx), sy) — the pair (x, y) meets in
+    * EXACTLY bucket (sx, sy), so completeness is structural and no
+    * dedup beyond the existing distinct is needed. Per-bucket work is
+    * ≤ cap²; a probe row's replication factor is Sy ≈ gy/cap — exactly
+    * proportional to the gy comparisons that row owes anyway, i.e. the
+    * replication never exceeds a constant fraction of the join work it
+    * distributes. Group sizes come from one count aggregation per side,
+    * and the inner size-join prunes index groups no probe row touches
+    * (the direct join's ptok equality did that pruning implicitly).
+    * Pairs INSIDE the probe side (probe ⊆ index, the funnel's shape)
+    * surface in both role orders and collapse under the least/greatest
+    * canonicalization + distinct, same as the direct rule. */
+  private[graft] def gridSaltedProbeCandidates(probe: DataFrame,
+      index: DataFrame, block: Seq[String], cap: Long): DataFrame = {
+    require(cap >= 2, s"gridSaltedProbeCandidates: cap $cap < 2")
+    val key = block :+ "ptok"
+    val sizes = probe.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("gx"))
+      .join(index.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("gy")), key)
+      .withColumn("nx", expr(s"CAST((gx + ${cap - 1}) div $cap AS INT)"))
+      .withColumn("ny", expr(s"CAST((gy + ${cap - 1}) div $cap AS INT)"))
+      .select(key.map(col) :+ col("nx") :+ col("ny"): _*)
+    val x = probe.join(sizes, key)
+      .withColumn("sx", pmod(xxhash64(col("doc_id")), col("nx"))
+        .cast("int"))
+      .select(key.map(col) ++ Seq(
+        col("doc_id").as("xid"), col("len").as("xlen"),
+        col("sx").as("pi"),
+        explode(expr("sequence(0, ny - 1)")).as("pj")): _*)
+    val y = index.join(sizes, key)
+      .withColumn("sy", pmod(xxhash64(col("doc_id")), col("ny"))
+        .cast("int"))
+      .select(key.map(col) ++ Seq(
+        col("doc_id").as("yid"), col("len").as("ylen"),
+        explode(expr("sequence(0, nx - 1)")).as("pi"),
+        col("sy").as("pj")): _*)
+    x.join(y, key ++ Seq("pi", "pj"))
+      .filter(col("xid") =!= col("yid") &&
+        col("xlen") * 5 >= col("ylen") * 4 &&
+        col("ylen") * 5 >= col("xlen") * 4)
+      .select(least(col("xid"), col("yid")).as("a"),
+        greatest(col("xid"), col("yid")).as("b"))
+      .distinct()
+  }
+
   /** [[Wave64Ops.prefixJaccardPairs]] through the salted candidate
     * rule: identical output (the candidate set is identical and the
     * exact verify is shared), no fence — hot groups split instead of

@@ -71,6 +71,27 @@ class Wave66Spec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("grid-salted probe rule == direct probe join on a hot group " +
+      "(the live funnel's asymmetric shape, probe ⊆ index)") {
+    // probe = 10 of the 30 hot docs + 1 loner; index = all 34
+    val probeT4 = hotT4.filter($"doc_id" < 110L || $"doc_id" === 500L)
+    val pref = Wave64Ops.prefixRowsDf(hotT4, Nil)
+    val probePref = pref.join(probeT4.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val direct = pairSet(probePref.as("x")
+      .join(pref.as("y"), Wave64Ops.prefixCondXY(Nil) &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct())
+    // 10 probe docs each pair with the other 29 hot docs; within-probe
+    // pairs counted once: 10*29 - C(10,2) = 245
+    assert(direct.size === 245)
+    val salted = pairSet(ops.Wave66Ops.gridSaltedProbeCandidates(
+      probePref, pref, Nil, cap = 4L))
+    assert(salted === direct)
+  }
+
   test("cool groups degenerate to the direct candidate rule") {
     val pref = Wave64Ops.prefixRowsDf(hotT4, Nil)
     val directCand = pairSet(pref.as("x")
