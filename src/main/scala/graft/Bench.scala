@@ -101,7 +101,11 @@ object Bench {
     // runs) + the landing-table stream transport — the whole curation
     // surface composed per micro-batch, priced accordingly
     "pipe_curation_live" -> 39.68, "dedup_crossmodal_serve" -> 10.09,
-    "text_dedup_minhash_det" -> 0.89)
+    "text_dedup_minhash_det" -> 0.89,
+    // round-14 continuation (cpus=32 min-of-2): the triangle-salted
+    // candidate rule at cap 4 — the split premium over text_dedup_near
+    // is the size-join + replicated exchange it grades
+    "text_dedup_near_split" -> 1.33)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * role — the join must NOT assume x.doc_id < y.doc_id (the
   * Wave65 live-funnel lesson, same fix: canonicalize, don't order).
   *
-  * COST: a group of size g splits into S(S+1)/2 buckets of ≤ cap
-  * members per side — each bucket's candidate count is ≤ cap², a
-  * bounded task, while the TOTAL candidate count is unchanged (the
+  * COST: a group of size g splits into S(S+1)/2 buckets of ≈ cap
+  * members per side (hash-balanced, not exact — the HotSplit
+  * rehearsal measured ≤ 4% jitter at cap 1000) — each bucket's
+  * candidate count is ≈ cap², a bounded task, while the TOTAL
+  * candidate count is unchanged (the
   * filter is the same; salting only re-partitions the work). The
   * replication factor per row is ≤ (S+1)/2 ≈ g/(2·cap) — sublinear in
   * the g²/2 pair work it spreads, and exactly 1 (no replication: S=1,
@@ -98,7 +100,8 @@ object Wave66Ops extends QueryModule {
     * with salt sy to (i ∈ [0, Sx), sy) — the pair (x, y) meets in
     * EXACTLY bucket (sx, sy), so completeness is structural and no
     * dedup beyond the existing distinct is needed. Per-bucket work is
-    * ≤ cap²; a probe row's replication factor is Sy ≈ gy/cap — exactly
+    * ≈ cap² (hash-balanced salts, not an exact bound); a probe row's
+    * replication factor is Sy ≈ gy/cap — exactly
     * proportional to the gy comparisons that row owes anyway, i.e. the
     * replication never exceeds a constant fraction of the join work it
     * distributes. Group sizes come from one count aggregation per side,

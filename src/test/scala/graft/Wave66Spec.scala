@@ -69,6 +69,18 @@ class Wave66Spec extends AnyFunSuite {
     val salted = pairSet(
       Wave66Ops.saltedPrefixJaccardPairs(hotT4, Nil, cap = 4L))
     assert(salted === direct)
+    // the boundedness claim at spec scale: after salting, no
+    // (ptok, salt) bucket side exceeds ~cap (hash-balanced; the fixed
+    // fixture is deterministic, so 2·cap is a safe pin vs the direct
+    // join's 30-doc group)
+    val maxBucket = pref
+      .join(pref.groupBy("ptok").agg(count(lit(1)).as("gsz")), "ptok")
+      .withColumn("nsalt", expr("CAST((gsz + 3) div 4 AS INT)"))
+      .withColumn("salt",
+        pmod(xxhash64($"doc_id"), $"nsalt").cast("int"))
+      .groupBy("ptok", "salt").agg(count(lit(1)).as("b"))
+      .agg(max("b")).first().getLong(0)
+    assert(maxBucket <= 8L, s"bucket side $maxBucket exceeds 2*cap")
   }
 
   test("grid-salted probe rule == direct probe join on a hot group " +
