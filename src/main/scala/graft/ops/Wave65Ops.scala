@@ -572,6 +572,50 @@ object Wave65Ops extends QueryModule {
     def serve(s: SparkSession, txroot: String): DataFrame =
       latestBy(SnapTxn.read(s, txroot, "ledger"), "doc_id")
         .select("doc_id", "dropped_at", "reason", "kept_by")
+
+    /** REFREEZE the frozen token order (SURVEY §18.2 follow-through on
+      * the §18 "bootstrap-frozen df order" note): the bootstrap order
+      * drifts as the live vocabulary diverges from the setup corpus —
+      * completeness never breaks (ANY one total order is complete, and
+      * unseen tokens order last), but the Zipfian measurement
+      * (prefixRowsDf, 2.3× at 10×) is about COLLISION DENSITY, which a
+      * stale order slowly gives back. This is the IVF re-clustering
+      * problem on the token side, solved the same way: an ACID
+      * maintenance commit (`SnapTxn.rewritePinned`, the
+      * table_txn_compact shape) that rebuilds `tokord` from the
+      * accumulated group token sets (`ts4` IS the stage-4 universe —
+      * the natural drift-corrected df source) and REBUILDS the entire
+      * `pref` index under the new order in the SAME tx record: probe
+      * and index can never disagree on the order, because the switch
+      * is one atomic pin move. Decisions are INVARIANT under refreeze
+      * (the candidate rule's output is verify-filtered, so a different
+      * complete order yields the same pairs) — which is exactly what
+      * the graded op's oracle proves by running the batch ledger SQL
+      * against a mid-stream-refrozen cadence. Single-writer
+      * maintenance like every rewritePinned verb: run between waves,
+      * not during one. Returns the maintenance tx version. */
+    def refreeze(s: SparkSession, txroot: String): Int = {
+      val ts4 = SnapTxn.read(s, txroot, "ts4")
+      val newOrd = ts4.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // materialize BOTH replacement frames before any delete: they
+      // derive from ts4 (untouched) but the pref rebuild reads newOrd,
+      // and a lazy newOrd would re-read a half-rewritten tokord
+      val cp = org.apache.spark.sql.graftx.Bridge
+        .localCheckpointHonestStats _
+      val ordP = cp(newOrd)
+      val prefP = cp(frozenPrefixRows(ts4, ordP))
+      SnapTxn.rewritePinned(s, txroot, Seq("tokord", "pref"),
+        "maintain:refreeze:tokord") { (t, root) =>
+        // full-content replace as delete-all + append: the
+        // intermediate (empty) version is an unpinned slot in the
+        // per-table chain — invisible to tx readers, vacuumable,
+        // exactly like a torn absorb
+        SnapTable.deleteWhere(s, root, lit(true))
+        SnapTable.append(s, root,
+          if (t == "tokord") ordP else prefP)
+      }
+    }
   }
 
   def queries: Seq[Q] = Seq(

@@ -1,8 +1,9 @@
 package graft.ops
 
-import graft.{Q, QueryModule, T}
+import graft.{Q, QueryModule, T, Tmp}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Round-14 continuation, wave 66: HOT-GROUP SPLITTING for the prefix
   * candidate rule (SURVEY §18.1 #3) — the non-failing alternative to
@@ -187,6 +188,63 @@ object Wave66Ops extends QueryModule {
         "WITH " + Wave64Ops.lexPrefixSql +
           "res AS (SELECT a, b FROM lp) " +
           "SELECT a, b FROM res ORDER BY a, b")
+    ),
+    Q(
+      "pipe_curation_refreeze",
+      // the frozen-token-order REFREEZE as a graded mid-stream
+      // maintenance cadence: setup bootstraps `tokord` from a STARVED
+      // corpus (25 docs — most of the live vocabulary lands unseen,
+      // the maximal-drift scenario the §18 handoff note describes),
+      // the upper id half lands as wave 0, LiveFunnel.refreeze
+      // atomically rebuilds tokord + the ENTIRE pref index from the
+      // accumulated stage-4 universe in ONE maintenance tx, and the
+      // lower half lands as wave 1 (non-monotone order — real keeper
+      // demotions cross the refreeze). The oracle is the batch ledger
+      // SQL VERBATIM: funnel decisions must be INVARIANT under both
+      // the degenerate bootstrap order and the mid-stream order swap
+      // (any ONE total order is complete, and the verify filter makes
+      // the output order-independent) — what drifts is collision
+      // economics, never results.
+      (s, dir) => {
+        import graft.sources.SnapTable
+        import Wave65Ops.LiveFunnel
+        graft.Guard.quadratic(T(s, dir, "documents"),
+          "pipe_curation_refreeze stage-4 exact near-dedup")
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text"), col("n_chars"))
+        val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
+        val landingDf = docs.join(
+          gridded.withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left")
+        val landing = Tmp.dir("graft_refreeze_landing")
+        val txroot = Tmp.dir("graft_refreeze_tx")
+        val ckpt = Tmp.dir("graft_refreeze_ckpt")
+        LiveFunnel.setup(s, txroot, landingDf.limit(0), route,
+          docs.filter(col("doc_id") < 25))
+        def drain(): Unit = {
+          val q = s.readStream.format("snapstream").load(landing)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              LiveFunnel.ingest(s, txroot, b, id, route); ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val maxId = docs.agg(max("doc_id")).first().getLong(0)
+        val mid = (maxId + 1) / 2
+        SnapTable.create(s, landing,
+          landingDf.filter(col("doc_id") >= mid), "doc_id")
+        drain()
+        LiveFunnel.refreeze(s, txroot)
+        SnapTable.append(s, landing,
+          landingDf.filter(col("doc_id") < mid))
+        drain()
+        LiveFunnel.serve(s, txroot).orderBy("doc_id")
+      },
+      Some(Wave64Ops.ledgerOracleSql)
     )
   )
 }

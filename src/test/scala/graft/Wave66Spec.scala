@@ -125,6 +125,106 @@ class Wave66Spec extends AnyFunSuite {
     assert(pairSet(split).nonEmpty)
   }
 
+  // --- refreeze fixture: en docs that pass both gates; doc 50 is a
+  // cross-refreeze near-dup of doc 10 (J = 36/44 ≈ 0.818)
+  private val rA = Seq("the", "and", "of", "to") ++
+    (0 until 28).map(i => f"a$i%02d")
+  private val rB = (0 until 8).map(i => f"b$i%02d")
+  private val rC = (0 until 8).map(i => f"c$i%02d")
+  private lazy val rDir: String = {
+    val d = Tmp.dir("wave66_refreeze")
+    Seq(
+      (10L, "en", "src0", (rA ++ rB).mkString(" ")),
+      (20L, "en", "src0", (rA ++ rC).mkString(" ")),
+      (50L, "en", "src0",
+        (rA ++ rB.take(4) ++ (0 until 4).map(i => f"j$i%02d"))
+          .mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f)),
+      (10L, Array(0.9f, 0.05f, 0f, 0f)),
+      (20L, Array(0f, 0.95f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("refreeze: tokord + pref rebuilt atomically from the accumulated" +
+      " universe; probe coheres with the rebuilt index across the " +
+      "refreeze; idempotent; decisions equal the batch ledger") {
+    import graft.ops.{Wave62Ops, Wave65Ops}
+    import graft.sources.SnapTxn
+    val LiveFunnel = Wave65Ops.LiveFunnel
+    val (route, gridded, _) = Wave62Ops.semdedupGeometry(spark, rDir)
+    val docs = spark.read.parquet(s"$rDir/documents.parquet")
+    val land = docs.join(gridded.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left")
+    val txroot = Tmp.dir("wave66_refreeze_tx")
+    // STARVED bootstrap: only doc 10's vocabulary is frozen
+    LiveFunnel.setup(spark, txroot, land.limit(0), route,
+      land.filter($"doc_id" === 10L))
+    assert(SnapTxn.read(spark, txroot, "tokord").count() === 40L)
+
+    LiveFunnel.ingest(spark, txroot,
+      land.filter($"doc_id" <= 20L), 0L, route)
+    LiveFunnel.refreeze(spark, txroot)
+
+    // tokord rebuilt from ts4 (groups 10 and 20): 48 distinct tokens,
+    // shared rA tokens at df 2, rB/rC at df 1
+    val ord = SnapTxn.read(spark, txroot, "tokord")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ord.size === 48)
+    assert(ord("the") === 2L && ord("b00") === 1L && ord("c00") === 1L)
+
+    // pref rebuilt under the new order — independent re-derivation:
+    // prefix = the ⌊40·0.2⌋+1 = 9 (df asc, tok) smallest tokens, i.e.
+    // the 8 unique tokens + the smallest shared one ('a00')
+    val pref = SnapTxn.read(spark, txroot, "pref")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(pref(10L) === (rB.toSet + "a00"))
+    assert(pref(20L) === (rC.toSet + "a00"))
+
+    // the cross-refreeze probe: doc 50's prefix rows build from the
+    // REFROZEN tokord and must hit doc 10's rebuilt index rows
+    LiveFunnel.ingest(spark, txroot,
+      land.filter($"doc_id" === 50L), 1L, route)
+    val d = LiveFunnel.serve(spark, txroot).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(d(50L) === ((4L, "near_dup", Some(10L))),
+      "the probe must find the near-dup pair through the rebuilt index")
+    assert(d(10L) === ((0L, "survived", None)))
+    assert(d(20L) === ((0L, "survived", None)))
+
+    // a refreeze AFTER new arrivals legitimately re-orders prefixes
+    // (group 50's tokens moved the dfs) — decisions must not move
+    LiveFunnel.refreeze(spark, txroot)
+    assert(pref(10L) !== SnapTxn.read(spark, txroot, "pref")
+        .filter($"doc_id" === 50L).collect().map(_.getString(2)).toSet,
+      "sanity: the re-derived order differs from the wave-1 one")
+    assert(LiveFunnel.serve(spark, txroot).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      d.map { case (k, v) => k -> v._2 },
+      "decisions must be invariant under refreeze")
+    // content idempotence: an immediate second refreeze is a no-op
+    val prefBefore = SnapTxn.read(spark, txroot, "pref")
+      .collect().map(_.toSeq).toSet
+    LiveFunnel.refreeze(spark, txroot)
+    assert(SnapTxn.read(spark, txroot, "pref")
+      .collect().map(_.toSeq).toSet === prefBefore)
+
+    // decisions invariant: collapsed live ledger == batch ledger
+    val live = LiveFunnel.serve(spark, txroot)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = SparkEntry.queries("pipe_curation_ledger")(spark, rDir)
+      .collect().map(_.toSeq)
+    assert(live.toSeq === batch.toSeq)
+  }
+
   test("ccMinLabel is re-entrant: concurrent calls on one session, " +
       "caller conf never moves") {
     import scala.concurrent.{Await, Future}
