@@ -105,7 +105,11 @@ object Bench {
     // round-14 continuation (cpus=32 min-of-2): the triangle-salted
     // candidate rule at cap 4 — the split premium over text_dedup_near
     // is the size-join + replicated exchange it grades
-    "text_dedup_near_split" -> 1.33)
+    "text_dedup_near_split" -> 1.33,
+    // two non-monotone waves + one full tokord+pref rebuild under
+    // rewritePinned — priced like the live funnel it maintains
+    // (min-of-3 in-JVM, evening host)
+    "pipe_curation_refreeze" -> 35.43)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
