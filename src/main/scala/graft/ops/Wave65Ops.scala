@@ -594,6 +594,30 @@ object Wave65Ops extends QueryModule {
       * against a mid-stream-refrozen cadence. Single-writer
       * maintenance like every rewritePinned verb: run between waves,
       * not during one. Returns the maintenance tx version. */
+    /** The STANDING-cadence entry point: refreeze only when the frozen
+      * order has actually drifted. Drift metric = the fraction of the
+      * stage-4 universe's DISTINCT tokens absent from `tokord` —
+      * unseen tokens all tie at df = +∞, so their prefix ordering is
+      * uninformed (the fallback lexicographic tail is exactly where
+      * the Zipf-head collisions live; the RefreezeDrift rehearsal
+      * measured a 2.1–6.1× stale-wave penalty). One distinct + one
+      * anti-join over token rows — noise next to a single ingest
+      * wave. Returns the maintenance tx version, or -1 when drift is
+      * at or below the threshold (nothing committed). Callers running
+      * a real stream would invoke this between micro-batches at
+      * whatever period amortizes the ~seconds rebuild cost. */
+    def refreezeIfDrifted(s: SparkSession, txroot: String,
+        maxUnseenFrac: Double = 0.2): Int = {
+      val toks = SnapTxn.read(s, txroot, "ts4")
+        .select(explode(col("ts")).as("tok")).distinct()
+      val total = toks.count()
+      if (total == 0L) return -1
+      val unseen = toks.join(SnapTxn.read(s, txroot, "tokord"),
+        Seq("tok"), "left_anti").count()
+      if (unseen.toDouble / total <= maxUnseenFrac) -1
+      else refreeze(s, txroot)
+    }
+
     def refreeze(s: SparkSession, txroot: String): Int = {
       val ts4 = SnapTxn.read(s, txroot, "ts4")
       val newOrd = ts4.select(explode(col("ts")).as("tok"))

@@ -170,7 +170,16 @@ class Wave66Spec extends AnyFunSuite {
 
     LiveFunnel.ingest(spark, txroot,
       land.filter($"doc_id" <= 20L), 0L, route)
-    LiveFunnel.refreeze(spark, txroot)
+    // the standing-cadence trigger: 8 of 48 universe tokens are
+    // unseen (rC) -> 16.7% drift, below a 0.2 threshold -> no-op;
+    // above a 0.1 threshold -> the real refreeze runs
+    assert(LiveFunnel.refreezeIfDrifted(spark, txroot, 0.2) === -1)
+    assert(SnapTxn.read(spark, txroot, "tokord").count() === 40L,
+      "a below-threshold check must commit nothing")
+    assert(LiveFunnel.refreezeIfDrifted(spark, txroot, 0.1) > 0)
+    // immediately after the rebuild, drift is zero -> no-op at any
+    // positive threshold
+    assert(LiveFunnel.refreezeIfDrifted(spark, txroot, 0.0) === -1)
 
     // tokord rebuilt from ts4 (groups 10 and 20): 48 distinct tokens,
     // shared rA tokens at df 2, rB/rC at df 1
