@@ -71,6 +71,18 @@ object IncNeardup {
     val d = bucketRows(deltaFeats)
       .select(col("doc_id").as("new_id"), col("sz").as("nsz"),
         col("band"), col("bhash"))
+      // r15 (VERDICT-r14 #4, guide §2): the delta bucket rows inherit
+      // the featurize output's partitioning — ONE scan partition on a
+      // single-file batch — and the index side broadcasts, so the
+      // whole LSH bucket-collision EXPLOSION (tens of millions of
+      // rows pre-distinct on this adversarial corpus) ran inside that
+      // one task (driver-measured 8-core/32-core ratio 1.01: serial).
+      // The bucket rows are byte-light; the join below is the hot
+      // loop — spread it to the session's real parallelism first.
+      // ROUND-ROBIN, not keyed: the index side broadcasts (no
+      // co-partitioning needed) and a (band, bhash) hash would pin a
+      // hot bucket's whole explosion back onto one task.
+      .repartition(Wave64Ops.computeWidth(deltaFeats))
     d.join(buckets.select(col("doc_id").as("old_id"), col("sz").as("osz"),
           col("band"), col("bhash")),
         Seq("band", "bhash"))

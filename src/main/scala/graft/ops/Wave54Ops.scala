@@ -322,12 +322,21 @@ object Wave54Ops extends QueryModule {
         // snapshot, then pin all three at v1 in tx v1
         SnapTable.create(s, s"$txroot/corpus",
           docs.filter(col("doc_id") % 2 === 0), "doc_id")
+        // r15 (VERDICT-r14 #4): featurize the index half ONCE — the r14
+        // shape fed the unpersisted featurize plan (tokenize + 64-hash
+        // MinHash per doc, the op's heaviest per-row work) into TWO
+        // separate table-create writes, re-running it end to end for
+        // the second. Persist + one dedicated cache-populating job
+        // (the fd discipline below), then both creates scan the cache.
         val f1 = IncNeardup.featurize(
-          SnapTable.readVersion(s, s"$txroot/corpus", 1))
-        SnapTable.create(s, s"$txroot/buckets",
-          IncNeardup.bucketRows(f1), "doc_id")
-        SnapTable.create(s, s"$txroot/toksets",
-          f1.select(col("doc_id"), col("tokset")), "doc_id")
+          SnapTable.readVersion(s, s"$txroot/corpus", 1)).persist()
+        try {
+          f1.count()
+          SnapTable.create(s, s"$txroot/buckets",
+            IncNeardup.bucketRows(f1), "doc_id")
+          SnapTable.create(s, s"$txroot/toksets",
+            f1.select(col("doc_id"), col("tokset")), "doc_id")
+        } finally f1.unpersist(blocking = false)
         SnapTxn.init(txroot, Seq("corpus", "buckets", "toksets"))
         // batch 2: featurize the INCOMING delta (the frame being
         // committed — verify-then-commit, the real ingest shape), probe

@@ -112,7 +112,21 @@ object Wave64Ops extends QueryModule {
     * only the clone. The caller's session conf is never touched, so
     * concurrent ccMinLabel calls (or any concurrent query on the
     * caller's session) cannot observe or stomp each other's overrides
-    * — Wave66Spec races two calls on one session to pin it. */
+    * — Wave66Spec races two calls on one session to pin it.
+    *
+    * CLUSTER CAVEATS (r15, ADVICE-r14 — local-mode-exact by design):
+    * (a) the convergence certificate and the edge-count width ride on
+    * observe() metrics, which are accumulator-based: task re-execution
+    * (speculation, stage resubmission after fetch failure) can apply an
+    * update twice on a real cluster — local mode never re-executes, so
+    * the sums are exact here; a cluster deployment should cross-check
+    * the final round with one exact aggregation over the checkpointed
+    * labels (a cached-block scan). (b) the returned frame is
+    * localCheckpoint-backed: blocks are non-replicated and
+    * executor-local, so on any executor loss the frame is
+    * unrecoverable (the pre-r14 parquet round-trip was durable) — a
+    * cluster deployment should swap in reliable checkpointing or the
+    * parquet round-trip. */
   private[graft] def ccMinLabel(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, what: String): DataFrame = {
     val cp = org.apache.spark.sql.graftx.Bridge
@@ -152,36 +166,59 @@ object Wave64Ops extends QueryModule {
         return org.apache.spark.sql.graftx.Bridge.inSession(s,
           cp(bind(nodes.select(col("id"), col("id").as("comp")))))
       iso.conf.set(partsKey, math.max(4L, eRows / 125000L).toString)
-      val lObs = org.apache.spark.sql.Observation()
-      var labels = cp(bind(nodes.select(col("id"),
-        col("id").as("comp"))).observe(lObs, obsSum))
+      // r15: the initial labels are a NARROW projection over the
+      // caller's (checkpointed) node frame — round 1 references it
+      // twice (union side + message join side), both cheap re-scans,
+      // so the former eager checkpoint + initial-sum job bought
+      // nothing: with eRows > 0 (the edgeless case short-circuited
+      // above) every edge (a, b), a ≠ b, strictly lowers the round-1
+      // sum, so round 1 can never be the fixed point — seed `total`
+      // null and skip the first comparison instead of materializing a
+      // sum to compare against. One driver job saved per call (6 calls
+      // per pipe_curation_live op, 1 per graph probe).
+      var labels = bind(nodes.select(col("id"), col("id").as("comp")))
       // convergence certificate: exact DECIMAL(38,0) label sum —
       // labels decrease monotonically so sum equality IS a fixed
       // point, but a Long sum wraps past ~1e10 64-bit ids (false
       // convergence / spurious non-convergence at corpus scale);
       // 38 digits hold sum(2^63 · 1e10 rows) ≈ 9e28 with room
-      var total = sumOf(lObs)
+      var total: java.math.BigDecimal = null
       var converged = false
       var iters = 0
       while (!converged && iters < 25) {
         val msgs = e.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
+        val mObs = org.apache.spark.sql.Observation()
         val mins = cp(labels.select("id", "comp").union(msgs)
           .groupBy(col("id"))
-          .agg(min(col("comp")).as("comp")))
-        val nObs = org.apache.spark.sql.Observation()
-        // pointer jump: comp(id) ← comp(comp(id))
-        val next = cp(mins.as("a")
-          .join(mins.select(col("id").as("cid"),
-            col("comp").as("ccomp")).as("b"),
-            col("a.comp") === col("cid"), "left")
-          .select(col("a.id").as("id"),
-            coalesce(col("ccomp"), col("a.comp")).as("comp"))
-          .observe(nObs, obsSum))
-        val newTotal = sumOf(nObs)
-        labels = next
-        converged = newTotal.compareTo(total) == 0
-        total = newTotal
+          .agg(min(col("comp")).as("comp"))
+          .observe(mObs, obsSum))
+        val mTotal = sumOf(mObs)
+        if (total != null && mTotal.compareTo(total) == 0) {
+          // r15: fixed point detected on the PROPAGATE step — labels
+          // are monotone non-increasing, so an unchanged sum means
+          // mins == labels pointwise, i.e. every edge's endpoints
+          // already share a label and that label is the component min
+          // (it propagated from the min id). The pointer jump maps a
+          // fixed point to itself, so the final round's jump
+          // checkpoint (one driver job per call — this helper runs
+          // 6× per pipe_curation_live op, once per graph_* probe) is
+          // provably a no-op: skip it.
+          labels = mins
+          converged = true
+        } else {
+          val nObs = org.apache.spark.sql.Observation()
+          // pointer jump: comp(id) ← comp(comp(id))
+          val next = cp(mins.as("a")
+            .join(mins.select(col("id").as("cid"),
+              col("comp").as("ccomp")).as("b"),
+              col("a.comp") === col("cid"), "left")
+            .select(col("a.id").as("id"),
+              coalesce(col("ccomp"), col("a.comp")).as("comp"))
+            .observe(nObs, obsSum))
+          total = sumOf(nObs)
+          labels = next
+        }
         iters += 1
       }
       if (!converged) throw new IllegalStateException(
@@ -252,14 +289,25 @@ object Wave64Ops extends QueryModule {
     * details. */
   private[graft] def prefixJaccardPairs(t4: DataFrame,
       block: Seq[String]): DataFrame = {
-    val pref = prefixRowsDf(t4, block)
+    // r15 (VERDICT-r14 #3): ONE materialization each for the token-set
+    // frame and the df-ordered prefix frame (honest-stats local
+    // checkpoints). The r14 shape re-executed t4's tokenize+sort four
+    // times (twice under prefixRowsDf's df aggregation + token join,
+    // twice in the verify's two set joins) and the whole prefix plan
+    // three times (eagerly inside the fence, then on both sides of the
+    // candidate self-join) — per call. Execution only; results and the
+    // fence semantics are unchanged.
+    val cp = org.apache.spark.sql.graftx.Bridge
+      .localCheckpointHonestStats _
+    val t4c = cp(t4)
+    val pref = cp(prefixRowsDf(t4c, block))
     fencePrefixGroups(pref, block, "prefixJaccardPairs")
     val cand = pref.as("x")
       .join(pref.as("y"),
         prefixCondXY(block) && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    jaccardVerify(cand, t4.select("doc_id", "ts"))
+    jaccardVerify(cand, t4c.select("doc_id", "ts"))
   }
 
   /** Hot-group cap for the prefix candidate join (VERDICT-r13 #5). The

@@ -247,8 +247,15 @@ object Wave65Ops extends QueryModule {
       def p(df: DataFrame): DataFrame =
         org.apache.spark.sql.graftx.Bridge
           .localCheckpointHonestStats(df)
+      // (r15, VERDICT-r14 #7) the WHOLE wave plans in an isolated
+      // cloned session — the ccMinLabel discipline applied to the
+      // ingest itself: the shuffle-width override below mutates only
+      // the clone, so a concurrent query on the caller's session can
+      // never observe (or stomp) wave-scoped conf, and no try/finally
+      // restore is needed. State reads go through `iso`; the incoming
+      // batch is rebound into it.
+      val iso = org.apache.spark.sql.graftx.Bridge.isolatedSession(s)
       val partsKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partsKey)
       // dev-only section timer (GRAFT_PROF_INGEST=1): wall per phase
       val profT0 = new java.util.concurrent.atomic.AtomicLong(
         System.nanoTime())
@@ -259,38 +266,74 @@ object Wave65Ops extends QueryModule {
             f"${(now - profT0.get()) / 1e9}%6.2f s")
           profT0.set(now)
         }
+      // (r15, VERDICT-r14 #1) the four state collapses and the batch
+      // projection are INDEPENDENT eager checkpoints: overlap their
+      // per-job latency from a bounded pool (guide §2.6) instead of
+      // serializing five driver round-trips per wave. The row counts
+      // the width decision needs ride as observe() metrics on the
+      // materializations already paid — the two separate count() jobs
+      // are gone (local-mode-exact, same caveat as ccMinLabel's
+      // convergence metrics).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      def fut(f: => DataFrame)
+          : java.util.concurrent.Future[DataFrame] =
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = f
+        })
+      def get[A](f: java.util.concurrent.Future[A]): A =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
       try {
-        // state collapses — each consumed several times per wave
-        val prevLedger = p(latestBy(SnapTxn.read(s, txroot, "ledger"),
-          "doc_id"))
-        val prevFps = p(latestBy(SnapTxn.read(s, txroot, "fps"), "fp")
-          .select("fp", "fp_id", "keeper", "lang", "source"))
-        val prevL4 = p(latestBy(SnapTxn.read(s, txroot, "labels4"),
-          "id").select("id", "comp"))
-        val prevL5 = p(latestBy(SnapTxn.read(s, txroot, "labels5"),
-          "id").select("id", "comp"))
-        val b0 = p(batch
+        val obsLed = org.apache.spark.sql.Observation()
+        val obsB = org.apache.spark.sql.Observation()
+        val fLedger = fut(p(latestBy(
+            SnapTxn.read(iso, txroot, "ledger"), "doc_id")
+          .observe(obsLed, count(lit(1)).as("n"))))
+        val fFps = fut(p(latestBy(SnapTxn.read(iso, txroot, "fps"),
+            "fp")
+          .select("fp", "fp_id", "keeper", "lang", "source")))
+        val fL4 = fut(p(latestBy(SnapTxn.read(iso, txroot, "labels4"),
+          "id").select("id", "comp")))
+        val fL5 = fut(p(latestBy(SnapTxn.read(iso, txroot, "labels5"),
+          "id").select("id", "comp")))
+        val fB0 = fut(p(org.apache.spark.sql.graftx.Bridge
+          .inSession(iso, batch)
           .select(col("doc_id"), col("lang"), col("source"),
             col("text"), col("n_chars"), col("g"))
           .withColumn("toks", split(col("text"), " "))
-          .withColumn("n_toks", size(col("toks")).cast("long")))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .observe(obsB, count(lit(1)).as("n"))))
+        val prevLedger = get(fLedger)
+        val prevFps = get(fFps)
+        val prevL4 = get(fL4)
+        val prevL5 = get(fL5)
+        val b0 = get(fB0)
         mark("collapses")
-        // a doc_id lands exactly once — the only arrival guard
-        val dup = b0.join(prevLedger, Seq("doc_id"), "left_semi")
-          .limit(1).count()
-        require(dup == 0L,
-          s"pipe_curation_live: batch $batchId re-lands an absorbed " +
-            "doc_id — ids are assigned once at ingest")
+        // a doc_id lands exactly once — the only arrival guard. The
+        // check is read-only and the wave's single side effect is the
+        // SnapTxn.commit at the end, so it runs CONCURRENTLY with the
+        // wave (both join sides are cached checkpoint blocks) and is
+        // required to have landed clean just before the commit.
+        val fDup = pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            b0.join(prevLedger, Seq("doc_id"), "left_semi")
+              .limit(1).count()
+        })
         // shuffle width follows the DATA (the ccMinLabel/Wave55
         // discipline): an ingest wave runs ~30 small exchanges over
         // state + batch frames; core-count width just multiplies
         // task-scheduling overhead at fixture scale while the corpus-
         // sized collapses size it up at 100 TB (~250k rows/partition,
-        // floor 4). Both counts are cached-frame scans. ccMinLabel
-        // runs its own width in an isolated cloned session — it never
-        // sees or disturbs this override.
-        s.conf.set(partsKey, math.max(4L,
-          (prevLedger.count() + b0.count()) / 250000L).toString)
+        // floor 4). Counts come from the observations above; the
+        // override lands on the CLONE only. ccMinLabel runs its own
+        // width in its own clone — neither sees the other.
+        def obsN(o: org.apache.spark.sql.Observation): Long =
+          o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        iso.conf.set(partsKey, math.max(4L,
+          (obsN(obsLed) + obsN(obsB)) / 250000L).toString)
         mark("width+dup")
         // stages 1-2: row-local gates
         val s1B = b0.filter(TextOps.langIdExpr(col("text")) ===
@@ -299,6 +342,37 @@ object Wave65Ops extends QueryModule {
           .withColumn("fp", md5(concat_ws(" ",
             array_sort(array_distinct(col("toks")))))))
         mark("gates")
+        // the published stage-4 min is over CURRENT keepers — a
+        // rollup of the group table, never graph surgery
+        def dminOf(groups: DataFrame, labels: DataFrame): DataFrame =
+          groups.join(labels.withColumnRenamed("id", "fp_id"),
+              Seq("fp_id"))
+            .groupBy("comp").agg(min("keeper").as("dmin"))
+        // (r15) stage-5-INDEPENDENT prep overlaps stages 3-4 and the
+        // stage-4 delta-CC (guide §2.6): the routed vector delta, the
+        // accumulated vector index, the previous pin's rep set and the
+        // previous stage-5 membership depend only on the state
+        // collapses and the gated batch — never on the stage-3/4
+        // outcome — so their eager checkpoints run from the pool while
+        // the main thread works the prefix probe and cc4.
+        val fS5 = pool.submit(new java.util.concurrent.Callable[
+            (DataFrame, DataFrame, DataFrame, DataFrame)] {
+          override def call()
+              : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+            val repsPrev = p(dminOf(prevFps, prevL4)
+              .select(col("dmin").as("id")))
+            val vecDelta = p(route(
+              s2B.filter(col("g").isNotNull)
+                .select(col("doc_id").as("vec_id"), col("g"))))
+            val vecAll = p(SnapTxn.read(iso, txroot, "vecidx")
+              .unionByName(vecDelta))
+            val prevM5 = p(prevL5
+              .join(repsPrev, Seq("id"), "left_semi")
+              .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
+                "left_semi"))
+            (repsPrev, vecDelta, vecAll, prevM5)
+          }
+        })
         // stage 3: GROUP-level keeper maintenance — order-free. The
         // batch min per fp either founds a new group (fp_id = that
         // doc, stable forever) or DEMOTES the keeper when smaller.
@@ -348,9 +422,9 @@ object Wave65Ops extends QueryModule {
             array_sort(array_distinct(col("toks"))).as("ts")))
         mark("s4:t4B")
         val prefB = p(frozenPrefixRows(t4B,
-          SnapTxn.read(s, txroot, "tokord")))
+          SnapTxn.read(iso, txroot, "tokord")))
         mark("s4:prefB")
-        val allPref = p(SnapTxn.read(s, txroot, "pref")
+        val allPref = p(SnapTxn.read(iso, txroot, "pref")
           .unionByName(prefB))
         // hot collision groups SPLIT instead of failing (§18.1 #3): a
         // landing wave must not abort the stream, so the probe join
@@ -373,13 +447,13 @@ object Wave65Ops extends QueryModule {
             c
           }
         val newContent = p(Wave64Ops.jaccardVerify(candP,
-          SnapTxn.read(s, txroot, "ts4")
+          SnapTxn.read(iso, txroot, "ts4")
             .unionByName(t4B.select("doc_id", "ts"))))
         if (sys.env.contains("GRAFT_PROF_INGEST"))
           println(s"INGEST b$batchId s4:verified rows=" +
             newContent.count())
         mark("s4:verify")
-        val edgesAll = SnapTxn.read(s, txroot, "edges4")
+        val edgesAll = SnapTxn.read(iso, txroot, "edges4")
           .unionByName(newContent)
         // current-block filter: an edge is LIVE iff both groups'
         // keeper attrs match (one O(edges) attr join per wave — the
@@ -428,7 +502,7 @@ object Wave65Ops extends QueryModule {
           .join(subG4.withColumnRenamed("id", "b"), Seq("b"),
             "left_semi")
         mark("stage4prep")
-        val newSubL4 = Wave64Ops.ccMinLabel(s, subG4, subE4,
+        val newSubL4 = Wave64Ops.ccMinLabel(iso, subG4, subE4,
           s"pipe_curation_live:near:b$batchId")
         val newL4 = p(prevL4
           .join(subG4, Seq("id"), "left_anti")
@@ -439,17 +513,11 @@ object Wave65Ops extends QueryModule {
           .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
           .select(w, col("id"), col("comp")))
         mark("cc4")
-        // the published stage-4 min is over CURRENT keepers — a
-        // rollup of the group table, never graph surgery
-        def dminOf(groups: DataFrame, labels: DataFrame): DataFrame =
-          groups.join(labels.withColumnRenamed("id", "fp_id"),
-              Seq("fp_id"))
-            .groupBy("comp").agg(min("keeper").as("dmin"))
         val dminNow = p(dminOf(fpsNow, newL4))
         // (r14) narrow select over the checkpointed dminNow
         val repsNow = dminNow.select(col("dmin").as("id"))
-        val repsPrev = p(dminOf(prevFps, prevL4)
-          .select(col("dmin").as("id")))
+        // join the overlapped stage-5 prep (see fS5 above)
+        val (repsPrev, vecDelta, vecAll, prevM5) = get(fS5)
         val removedReps = repsPrev.join(repsNow, Seq("id"),
           "left_anti")
         // NOT necessarily ⊆ this batch: a block-moved group can SPLIT
@@ -460,21 +528,14 @@ object Wave65Ops extends QueryModule {
         val addedReps = repsNow.join(repsPrev, Seq("id"), "left_anti")
         mark("dmin")
         // stage 5: delta-CC with deletions over affected components
-        val vecDelta = p(route(
-          s2B.filter(col("g").isNotNull)
-            .select(col("doc_id").as("vec_id"), col("g"))))
-        val vecAll = p(SnapTxn.read(s, txroot, "vecidx")
-          .unionByName(vecDelta))
+        // (vecDelta / vecAll / prevM5 were checkpointed by fS5 while
+        // stages 3-4 ran)
         val addedRouted = vecAll.join(
           addedReps.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
           "left_semi")
         val memRouted = vecAll.join(
           repsNow.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
           "left_semi")
-        val prevM5 = p(prevL5
-          .join(repsPrev, Seq("id"), "left_semi")
-          .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
-            "left_semi"))
         val removed5 = removedReps
           .join(vecAll.select(col("vec_id").as("id")), Seq("id"),
             "left_semi")
@@ -499,15 +560,19 @@ object Wave65Ops extends QueryModule {
           "left_semi"))
         mark("stage5prep")
         // ccMinLabel already returns a checkpoint-backed frame
-        val newSubL5 = Wave64Ops.ccMinLabel(s, subNodes,
+        val newSubL5 = Wave64Ops.ccMinLabel(iso, subNodes,
           Wave64Ops.semPairs(subRouted),
           s"pipe_curation_live:sem:b$batchId")
         mark("cc5")
-        val l5Delta = p(newSubL5
+        // NOT checkpointed (r15): consumed exactly once (the commit's
+        // write job), and its plan is one shallow join over two
+        // checkpointed frames — the eager materialization was a pure
+        // extra driver job at any scale
+        val l5Delta = newSubL5
           .join(prevL5.withColumnRenamed("comp", "pcomp"), Seq("id"),
             "left")
           .filter(col("pcomp").isNull || col("pcomp") =!= col("comp"))
-          .select(w, col("id"), col("comp")))
+          .select(w, col("id"), col("comp"))
         val comp5Now = prevM5
           .join(subNodes, Seq("id"), "left_anti")
           .join(removed5, Seq("id"), "left_anti")
@@ -596,10 +661,19 @@ object Wave65Ops extends QueryModule {
               col("reason"), col("kept_by"), col("n_toks"),
               col("fp")))
         mark("decide")
-        val ledgerP = p(ledgerDelta)
-        val n = ledgerP.count()
+        // the ledger-delta row count rides on the checkpoint
+        // materialization (one job, not two)
+        val obsN5 = org.apache.spark.sql.Observation()
+        val ledgerP = p(ledgerDelta
+          .observe(obsN5, count(lit(1)).as("n")))
+        val n = obsN5.get.apply("n").asInstanceOf[Long]
         mark("ledgercount")
-        SnapTxn.commit(s, txroot, Seq(
+        // the deferred arrival guard must land clean BEFORE the wave's
+        // only side effect
+        require(get(fDup) == 0L,
+          s"pipe_curation_live: batch $batchId re-lands an absorbed " +
+            "doc_id — ids are assigned once at ingest")
+        SnapTxn.commit(iso, txroot, Seq(
           "ledger" -> ledgerP,
           "fps" -> fpsDelta,
           "pref" -> prefB.toDF(),
@@ -611,7 +685,7 @@ object Wave65Ops extends QueryModule {
           note = SnapTxn.batchNote(batchId))
         mark("commit")
         n
-      } finally s.conf.set(partsKey, prevParts)
+      } finally pool.shutdown()
     }
 
     /** The decision set as of the current pin: the changelog collapsed

@@ -115,13 +115,24 @@ object Wave66Ops extends QueryModule {
       index: DataFrame, block: Seq[String], cap: Long): DataFrame = {
     require(cap >= 2, s"gridSaltedProbeCandidates: cap $cap < 2")
     val key = block :+ "ptok"
-    val sizes = probe.groupBy(key.map(col): _*)
+    // r15 (ADVICE-r14): checkpoint the group-size frame BEFORE the
+    // fast-path max() probe — the r14 shape executed the uncached
+    // two-groupBy-plus-join plan once for the probe and then AGAIN on
+    // both salt replications in the slow path. One materialization now
+    // serves all three reads (the fast path pays what the probe always
+    // cost; candidate semantics unchanged) — and the fast-path maxima
+    // ride as observe() metrics on that materialization, so the
+    // separate .first() probe job is gone too.
+    val szObs = org.apache.spark.sql.Observation()
+    val sizes = org.apache.spark.sql.graftx.Bridge
+      .localCheckpointHonestStats(probe.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("gx"))
       .join(index.groupBy(key.map(col): _*)
         .agg(count(lit(1)).as("gy")), key)
       .withColumn("nx", expr(s"CAST((gx + ${cap - 1}) div $cap AS INT)"))
       .withColumn("ny", expr(s"CAST((gy + ${cap - 1}) div $cap AS INT)"))
       .select(key.map(col) :+ col("nx") :+ col("ny"): _*)
+      .observe(szObs, max(col("nx")).as("mx"), max(col("ny")).as("my")))
     // FAST PATH (r14 optimization round): when NO collision group on
     // either side exceeds the cap, every group has nx = ny = 1 — the
     // salted join degenerates to the direct bipartite join with a
@@ -135,8 +146,12 @@ object Wave66Ops extends QueryModule {
     // case at 100 TB under the df-ascending order — the split machinery
     // engages exactly when a group is genuinely hot (and is separately
     // graded at cap 4 by text_dedup_near_split, where it always runs).
-    val mx = sizes.agg(max("nx"), max("ny")).first()
-    if (mx.isNullAt(0) || (mx.getInt(0) <= 1 && mx.getInt(1) <= 1))
+    val mx = szObs.get
+    def m(k: String): Int = mx.get(k) match {
+      case Some(null) | None => 0
+      case Some(v) => v.asInstanceOf[Int]
+    }
+    if (m("mx") <= 1 && m("my") <= 1)
       return probe
         .select(key.map(col) ++ Seq(col("doc_id").as("xid"),
           col("len").as("xlen")): _*)
@@ -178,9 +193,16 @@ object Wave66Ops extends QueryModule {
   private[graft] def saltedPrefixJaccardPairs(t4: DataFrame,
       block: Seq[String],
       cap: Long = Wave64Ops.PrefixGroupCap): DataFrame = {
-    val pref = Wave64Ops.prefixRowsDf(t4, block)
+    // r15: one materialization each for the token sets and the prefix
+    // frame (the prefixJaccardPairs fix applied to the salted twin —
+    // the pref plan otherwise re-executes for the group sizing and both
+    // salt replications, and t4 for the two verify set joins)
+    val cp = org.apache.spark.sql.graftx.Bridge
+      .localCheckpointHonestStats _
+    val t4c = cp(t4)
+    val pref = cp(Wave64Ops.prefixRowsDf(t4c, block))
     Wave64Ops.jaccardVerify(saltedCandidates(pref, block, cap),
-      t4.select("doc_id", "ts"))
+      t4c.select("doc_id", "ts"))
   }
 
   /** The graded cap — small enough that the triangle split genuinely

@@ -105,6 +105,15 @@ object SnapTxn {
           t -> (try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
+              // r15 (ADVICE-r14): a failed prepare ABORTS the commit —
+              // cancel queued sibling prepares and wait out in-flight
+              // ones before propagating, so an aborted commit implies
+              // no prepare is still running (vacuumOrphans/rewritePinned
+              // require exactly that). Finished siblings' snapshots are
+              // unpinned orphans, as before.
+              pool.shutdownNow()
+              pool.awaitTermination(10,
+                java.util.concurrent.TimeUnit.MINUTES)
               throw e.getCause
           })
         }.toMap

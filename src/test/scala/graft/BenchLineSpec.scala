@@ -41,6 +41,29 @@ class BenchLineSpec extends AnyFunSuite {
     huge.foreach { case (k, _) => assert(line.contains(s""""$k":""")) }
   }
 
+  test("lineOrder keeps the headline prefix and sorts the rest by cost") {
+    val qs = headline ++ Seq("cheap" -> 0.05, "dear" -> 9.0, "mid" -> 2.0)
+    val (ordered, nProt) = Bench.lineOrder(qs, headline.map(_._1))
+    assert(nProt == headline.size)
+    assert(ordered.take(headline.size) == headline) // original order kept
+    assert(ordered.drop(headline.size).map(_._1) ==
+      Seq("dear", "mid", "cheap")) // truncation evicts the cheapest last→first
+  }
+
+  test("truncation under lineOrder evicts the cheapest dynamic entries") {
+    val tail = (1 to 300).map(i =>
+      s"some_very_long_dynamic_slow_tail_operator_name_$i" -> (i * 0.01))
+    val (ordered, nProt) = Bench.lineOrder(headline ++ tail, headline.map(_._1))
+    val line = Bench.headlineLine(500.0, 800, 3, ordered, nProt, "sf0.1")
+    assert(line.length <= Bench.MaxLineChars)
+    // the costliest dynamic entry always survives; the cheapest is the
+    // first to go when the cap binds
+    assert(line.contains(
+      "\"some_very_long_dynamic_slow_tail_operator_name_300\":"))
+    assert(!line.contains(
+      "\"some_very_long_dynamic_slow_tail_operator_name_1\":"))
+  }
+
   test("f3 is locale-stable (dot decimal separator)") {
     val prev = java.util.Locale.getDefault
     try {
