@@ -247,7 +247,14 @@ object TextOps extends QueryModule {
         // minhash pairs == exact-Jaccard pairs). ~48% of random pairs on
         // this corpus fail the bound; LSH-colliding false positives are
         // mostly chance collisions, so the prune concentrates there.
-        val cand = bands.as("x").join(bands.as("y"),
+        // r15 (guide §2): the probe side inherits the single-file scan's
+        // one partition and the build side broadcasts, so the dense
+        // band-collision explosion streamed through ~1 task; round-robin
+        // the byte-light band rows to the session's parallelism first
+        // (same fix as IncNeardup.candidates — candidate set unchanged)
+        val cand = bands
+          .repartition(Wave64Ops.computeWidth(docFeats))
+          .as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
               col("x.bhash") === col("y.bhash") &&
               col("x.doc_id") < col("y.doc_id") &&

@@ -438,15 +438,28 @@ object Wave63Ops extends QueryModule {
         import graft.sources.SnapTxn
         // materialize both indexes: ONE ingest commit each (the
         // serving story starts from existing indexes; the multi-wave
-        // cadences are graded by their own ops)
+        // cadences are graded by their own ops). The two pipelines
+        // write DISJOINT txroots and share nothing — overlap their
+        // ingest jobs (guide §2.6) instead of serializing two
+        // commit-latency chains (r15).
         val btx = graft.Tmp.dir("graft_his_bm25")
-        Bm25Index.setup(s, btx)
-        Bm25Index.ingest(s, btx,
-          T(s, dir, "documents").select(col("doc_id"), col("text")), 0L)
         val vtx = graft.Tmp.dir("graft_his_vec")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        val fLex = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            Bm25Index.setup(s, btx)
+            Bm25Index.ingest(s, btx, T(s, dir, "documents")
+              .select(col("doc_id"), col("text")), 0L)
+          }
+        })
         val (route, gridded, cents) = Wave62Ops.semdedupGeometry(s, dir)
         Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
         Wave62Ops.VecStreamIndex.ingest(s, vtx, gridded, 0L, route)
+        try fLex.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        } finally pool.shutdown()
         // LEX half: top-5 per query from the pinned inverted index;
         // ANN half: the pinned cell index probed at nprobe=2; RRF
         // fusion — all three the factored one-definition bodies

@@ -946,14 +946,34 @@ object Wave64Ops extends QueryModule {
         val docs = T(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val btx = graft.Tmp.dir("graft_hisi_bm25")
-        Bm25Index.setup(s, btx)
-        Bm25Index.ingest(s, btx,
-          docs.filter(col("doc_id") % 2 === 0), 0L)
         val vtx = graft.Tmp.dir("graft_hisi_vec")
         val (route, gridded, cents) = Wave62Ops.semdedupGeometry(s, dir)
-        Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
-        Wave62Ops.VecStreamIndex.ingest(s, vtx,
-          gridded.filter(col("vec_id") % 2 === 0), 0L, route)
+        // the BM25 and vector pipelines write DISJOINT txroots and
+        // share nothing: overlap each wave's two ingests (guide §2.6)
+        // instead of serializing their commit-latency chains (r15).
+        // Each serve pin is taken AFTER both of its wave's ingests
+        // have joined, so the pin semantics are unchanged.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        def overlap(lex: => Unit)(vec: => Unit): Unit = {
+          val f = pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = lex
+          })
+          vec
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+        overlap {
+          Bm25Index.setup(s, btx)
+          Bm25Index.ingest(s, btx,
+            docs.filter(col("doc_id") % 2 === 0), 0L)
+        } {
+          Wave62Ops.VecStreamIndex.setup(s, vtx, gridded, route)
+          Wave62Ops.VecStreamIndex.ingest(s, vtx,
+            gridded.filter(col("vec_id") % 2 === 0), 0L, route)
+        }
         val qids = Wave59Ops.QuerySet.map(_._1).distinct.sorted
         def serveAt(btxTx: Int, vtxTx: Int): DataFrame = {
           val lex = Bm25Index.serveAt(s, btx, btxTx)
@@ -969,10 +989,14 @@ object Wave64Ops extends QueryModule {
         // (ServeIncrSpec additionally pins the old-pin re-read)
         val p1 = serveAt(SnapTxn.latestTx(btx), SnapTxn.latestTx(vtx))
           .withColumn("pin", lit("p1"))
-        Bm25Index.ingest(s, btx,
-          docs.filter(col("doc_id") % 2 === 1), 1L)
-        Wave62Ops.VecStreamIndex.ingest(s, vtx,
-          gridded.filter(col("vec_id") % 2 === 1), 1L, route)
+        overlap {
+          Bm25Index.ingest(s, btx,
+            docs.filter(col("doc_id") % 2 === 1), 1L)
+        } {
+          Wave62Ops.VecStreamIndex.ingest(s, vtx,
+            gridded.filter(col("vec_id") % 2 === 1), 1L, route)
+        }
+        pool.shutdown()
         // read-your-writes: the re-serve reflects exactly the new pin
         val p2 = serveAt(SnapTxn.latestTx(btx), SnapTxn.latestTx(vtx))
           .withColumn("pin", lit("p2"))
