@@ -109,7 +109,22 @@ object Bench {
     // two non-monotone waves + one full tokord+pref rebuild under
     // rewritePinned — priced like the live funnel it maintains
     // (min-of-3 in-JVM, evening host)
-    "pipe_curation_refreeze" -> 35.43)
+    "pipe_curation_refreeze" -> 35.43) ++ Map(
+    // round-15 re-records (BASELINE "Round-15 record"; full 558-op
+    // driver-shape run, sf0.1 cpus=32, min-of-3 interleaved): the
+    // optimization round's measured new minima for every op it
+    // touched — overlapped wave prep + observe() scalars + the
+    // prefix/tokenset single-materialization + the widened explosion
+    // joins + the disjoint-index ingest overlap. Only entries whose
+    // new clean min is BELOW the prior floor move (floors only ever
+    // ratchet down to measured values).
+    "pipe_curation_live" -> 26.45, "pipe_curation_refreeze" -> 17.30,
+    "dedup_crossmodal_cc" -> 5.20, "dedup_crossmodal_incr" -> 8.92,
+    "dedup_crossmodal_serve" -> 8.75, "hybrid_index_serve" -> 3.90,
+    "hybrid_index_serve_incr" -> 6.31, "text_dedup_near_split" -> 1.05,
+    "stream_bm25_index" -> 4.30, "stream_neardup_index" -> 3.88,
+    "stream_cdc_index" -> 3.79, "stream_neardup_bootstrap" -> 2.48,
+    "table_txn_compact" -> 6.32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -247,14 +247,13 @@ object TextOps extends QueryModule {
         // minhash pairs == exact-Jaccard pairs). ~48% of random pairs on
         // this corpus fail the bound; LSH-colliding false positives are
         // mostly chance collisions, so the prune concentrates there.
-        // r15 (guide §2): the probe side inherits the single-file scan's
-        // one partition and the build side broadcasts, so the dense
-        // band-collision explosion streamed through ~1 task; round-robin
-        // the byte-light band rows to the session's parallelism first
-        // (same fix as IncNeardup.candidates — candidate set unchanged)
-        val cand = bands
-          .repartition(Wave64Ops.computeWidth(docFeats))
-          .as("x").join(bands.as("y"),
+        // r15 note: round-robin-widening the probe side here (the
+        // IncNeardup.candidates fix) was tried and REVERTED — measured
+        // 4.30 s in one subset run but 5.51/4.90 s in the closing full
+        // run and an idle-box recheck vs the 4.67 s r14 baseline: the
+        // persisted-cache probe is already wide enough post-AQE on this
+        // op, so the extra exchange is a wash-to-tax (OPTIMIZATION_r15).
+        val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
               col("x.bhash") === col("y.bhash") &&
               col("x.doc_id") < col("y.doc_id") &&
