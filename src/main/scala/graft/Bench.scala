@@ -119,8 +119,10 @@ object Bench {
     // new clean min is BELOW the prior floor move (floors only ever
     // ratchet down to measured values).
     "pipe_curation_live" -> 26.45, "pipe_curation_refreeze" -> 17.30,
-    "dedup_crossmodal_cc" -> 5.20, "dedup_crossmodal_incr" -> 8.92,
-    "dedup_crossmodal_serve" -> 8.75, "hybrid_index_serve" -> 3.90,
+    // crossmodal incr/serve re-measured after the lex ∥ sem overlap
+    // addendum (BASELINE "Round-15 addendum")
+    "dedup_crossmodal_cc" -> 5.20, "dedup_crossmodal_incr" -> 6.16,
+    "dedup_crossmodal_serve" -> 6.64, "hybrid_index_serve" -> 3.90,
     "hybrid_index_serve_incr" -> 6.31, "text_dedup_near_split" -> 1.05,
     "stream_bm25_index" -> 4.30, "stream_neardup_index" -> 3.88,
     "stream_cdc_index" -> 3.79, "stream_neardup_bootstrap" -> 2.48,

@@ -1104,10 +1104,27 @@ object Wave64Ops extends QueryModule {
         import graft.sources.{SnapTable, SnapTxn}
         graft.Guard.quadratic(T(s, dir, "documents"),
           "dedup_crossmodal_incr")
-        val lex = lexPairs(s, dir).persist()
+        // r15 (guide §2.6): the lex and sem match computations are
+        // independent — materialize them CONCURRENTLY as honest-stats
+        // checkpoints instead of lazy persists first populated (and
+        // branch-raced) inside ccMinLabel's w0 edge job
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        val fLex = pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame =
+              org.apache.spark.sql.graftx.Bridge
+                .localCheckpointHonestStats(lexPairs(s, dir))
+          })
         val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
         val f = route(gridded).persist()
-        val sem = semPairs(f).persist()
+        val sem = org.apache.spark.sql.graftx.Bridge
+          .localCheckpointHonestStats(semPairs(f))
+        val lex =
+          try fLex.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          } finally pool.shutdown()
         val even = (c: String) => col(c) % 2 === 0
         val docs = T(s, dir, "documents").select(col("doc_id").as("id"))
         val txroot = graft.Tmp.dir("graft_xmodal_incr")
@@ -1138,8 +1155,8 @@ object Wave64Ops extends QueryModule {
           .select(lit(1L).as("wave"), col("id"), col("comp"))
         SnapTxn.commit(s, txroot, Seq("labels" -> changed),
           note = SnapTxn.batchNote(1L))
-        lex.unpersist(blocking = false)
-        sem.unpersist(blocking = false)
+        // lex/sem are checkpoint-backed (ContextCleaner-reclaimed);
+        // only f keeps an explicit persist
         f.unpersist(blocking = false)
         // serve: collapse the changelog to the latest label per doc
         // (max_by — one row per id per wave, identical to the former

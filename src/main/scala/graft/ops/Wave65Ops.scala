@@ -847,10 +847,28 @@ object Wave65Ops extends QueryModule {
         import graft.sources.{SnapTable, SnapTxn}
         graft.Guard.quadratic(T(s, dir, "documents"),
           "dedup_crossmodal_serve")
-        val lex = Wave64Ops.lexPairs(s, dir).persist()
+        // r15 (guide §2.6): the lex and sem match computations are
+        // independent — materialize them CONCURRENTLY as honest-stats
+        // checkpoints (each feeds both waves' edge filters; the former
+        // lazy persists were first populated inside ccMinLabel's w0
+        // edge job, serially and with two branches racing the caches)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        val fLex = pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame =
+              org.apache.spark.sql.graftx.Bridge
+                .localCheckpointHonestStats(Wave64Ops.lexPairs(s, dir))
+          })
         val (route, gridded, _) = Wave62Ops.semdedupGeometry(s, dir)
         val f = route(gridded).persist()
-        val sem = Wave64Ops.semPairs(f).persist()
+        val sem = org.apache.spark.sql.graftx.Bridge
+          .localCheckpointHonestStats(Wave64Ops.semPairs(f))
+        val lex =
+          try fLex.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          } finally pool.shutdown()
         val even = (c: String) => col(c) % 2 === 0
         val docs = T(s, dir, "documents")
           .select(col("doc_id").as("id"))
@@ -892,8 +910,8 @@ object Wave65Ops extends QueryModule {
           .select(lit(1L).as("wave"), col("id"), col("comp"))
         SnapTxn.commit(s, txroot, Seq("labels" -> changed),
           note = SnapTxn.batchNote(1L))
-        lex.unpersist(blocking = false)
-        sem.unpersist(blocking = false)
+        // lex/sem are checkpoint-backed now (blocks are ContextCleaner-
+        // reclaimed once unreachable); only f keeps an explicit persist
         f.unpersist(blocking = false)
         val p2 = serveAt(SnapTxn.latestTx(txroot), "p2")
         p1.unionByName(p2).orderBy("pin", "doc_id")
