@@ -328,6 +328,11 @@ object Wave54Ops extends QueryModule {
         // separate table-create writes, re-running it end to end for
         // the second. Persist + one dedicated cache-populating job
         // (the fd discipline below), then both creates scan the cache.
+        // r15 note: repartitioning the featurize INPUT to session width
+        // was tried and REVERTED — the text-payload shuffle it adds
+        // cost more than the map-side spread bought (13.2 s vs 9.3 s
+        // measured); the explosion spread lives where it belongs, on
+        // the byte-light bucket rows inside IncNeardup.candidates.
         val f1 = IncNeardup.featurize(
           SnapTable.readVersion(s, s"$txroot/corpus", 1)).persist()
         try {
